@@ -1,0 +1,386 @@
+"""Deterministic synthetic corpus generator (seeded; no external data).
+
+Stand-in for the reference's manual test corpus (`/root/reference/test/`:
+CJK-heavy .doc/.docx/.pptx/.xlsx/.pdf — SURVEY.md §5.1) and for the
+10^12-doc production corpus of BASELINE.json. Produces the raw-document
+table (FIXTURES.md Table 1) in the repo's own mini formats AND, for every
+document, the expected span sequence (FIXTURES.md Table 2) — the generator
+lays content out geometrically / wraps it in boilerplate markup, and the
+extractors must recover the same ordered spans. That pairing is the golden
+oracle for exact (kind, text, media_ref, offset) equality per doc_id.
+
+Fixture classes implemented (FIXTURES.md): F-HEAD, F-TABLE, F-FIG, F-CODE,
+F-FORMULA, F-MARKUP, F-XLSX, F-CJK, F-ENC, F-EMPTY, F-POISON, F-BIG.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from documentconvert_spark.kernels.minipdf import GAP_FACTOR
+from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+from documentconvert_spark.kernels.minipdf import _join_lines  # shared join semantics
+
+CLASSES = [
+    "F-HEAD", "F-TABLE", "F-FIG", "F-CODE", "F-FORMULA", "F-MARKUP",
+    "F-XLSX", "F-CJK", "F-ENC", "F-EMPTY", "F-POISON", "F-BIG",
+]
+
+_LATIN_WORDS = (
+    "data spark document extraction pipeline layout span markdown table "
+    "figure formula heading paragraph cluster partition shuffle vector "
+    "arrow batch schema lineage metric state retry checkpoint scale "
+    "throughput corpus token stream block region detect classify order"
+).split()
+
+_CJK_CHARS = "文档转换提取引擎分布式批处理向量化数据表格图片公式标题段落顺序校验状态重试检查点吞吐量扩展集群分区倾斜哈希合并流水线测试基准指标血缘恢复幂等快照"
+
+_CODE_LINES = [
+    "def extract(content: bytes) -> list:",
+    "    spans = []",
+    "    for block in segment(content):",
+    "        spans.append(classify(block))",
+    "    return spans",
+    "x = [i * i for i in range(16)]",
+    "if density > 0.5: continue",
+    "return fold(spans)",
+]
+
+_FORMULAS = [
+    "E = m c^2",
+    "\\sum_{i=0}^{n} x_i / n",
+    "a^2 + b^2 = c^2",
+    "\\int_0^1 f(x) dx",
+    "P(A|B) = P(B|A) P(A) / P(B)",
+]
+
+
+@dataclass
+class RawDoc:
+    doc_id: str
+    doc_type: str  # pdf | markup | image
+    content: bytes
+    source_bucket: str
+    source_path: str
+    expected: list[Span] = field(default_factory=list)
+    expect_error: bool = False
+
+    @property
+    def byte_len(self) -> int:
+        return len(self.content)
+
+
+def _sentence(rng: random.Random, lo: int = 6, hi: int = 14) -> str:
+    n = rng.randint(lo, hi)
+    words = [rng.choice(_LATIN_WORDS) for _ in range(n)]
+    return " ".join(words).capitalize() + "."
+
+
+def _cjk_sentence(rng: random.Random, lo: int = 8, hi: int = 24) -> str:
+    n = rng.randint(lo, hi)
+    return "".join(rng.choice(_CJK_CHARS) for _ in range(n)) + "。"
+
+
+def _wrap(text: str, width: int, rng: random.Random) -> list[str]:
+    """Split block text into layout lines (what a PDF renderer would do)."""
+    words = text.split(" ")
+    if len(words) == 1:  # CJK, no spaces
+        s = text
+        return [s[i : i + width] for i in range(0, len(s), width)] or [s]
+    lines, cur = [], ""
+    for w in words:
+        if cur and len(cur) + 1 + len(w) > width:
+            lines.append(cur)
+            cur = w
+        else:
+            cur = f"{cur} {w}" if cur else w
+    if cur:
+        lines.append(cur)
+    return lines
+
+
+# ---------------------------------------------------------------- mini-PDF
+
+class _PdfBuilder:
+    """Lays blocks out geometrically and records the expected span list."""
+
+    def __init__(self, rng: random.Random) -> None:
+        self.rng = rng
+        self.records: list[tuple[int, float, str]] = []  # (page, y, line)
+        self.expected: list[Span] = []
+        self.page = 1
+        self.y = 40.0
+        self.page_height = 792.0
+
+    def _start_block(self, gap: float, height: float) -> None:
+        """Leave an inter-block gap; page-break if the whole block won't
+        fit — blocks never straddle pages (the extractor splits at page
+        boundaries, so a straddling block would break span equality)."""
+        if self.y + gap + height > self.page_height - 40:
+            self.page += 1
+            self.y = 40.0
+        else:
+            self.y += gap
+
+    def text_block(self, kind: str, text: str, size: float, flags: str, width: int = 48) -> None:
+        if kind == "code":
+            lines = text.split("\n")  # one record per code line; never rewrap
+        else:
+            lines = _wrap(text, width, self.rng)
+        gap = GAP_FACTOR * size + self.rng.uniform(4.0, 14.0)
+        self._start_block(gap, len(lines) * size * 1.2)
+        out_lines = []
+        for ln in lines:
+            x = round(self.rng.uniform(36.0, 42.0), 1)
+            self.records.append((self.page, self.y, f"@t {x} {round(self.y,1)} {size} {flags or '-'}|{ln}"))
+            out_lines.append(ln)
+            self.y += size * 1.2
+        joined = "\n".join(out_lines) if kind == "code" else _join_lines(out_lines)
+        self.expected.append(Span(kind, normalize_text(joined), "", -1))
+
+    def figure(self, media_ref: str) -> None:
+        self._start_block(24.0 + self.rng.uniform(4.0, 14.0), 48.0)
+        x = round(self.rng.uniform(36.0, 42.0), 1)
+        self.records.append((self.page, self.y, f"@img {x} {round(self.y,1)} 320 240|{media_ref}"))
+        self.y += 48.0
+        self.expected.append(Span("figure", "", media_ref, -1))
+
+    def table(self, rows: list[list[str]]) -> None:
+        self._start_block(24.0 + self.rng.uniform(4.0, 14.0), 14.0 * len(rows))
+        x = round(self.rng.uniform(36.0, 42.0), 1)
+        payload = ";".join("\t".join(c for c in r) for r in rows)
+        self.records.append((self.page, self.y, f"@tbl {x} {round(self.y,1)}|{payload}"))
+        self.y += 14.0 * len(rows)
+        grid = "\n".join("\t".join(r) for r in rows)
+        self.expected.append(Span("table", normalize_text(grid), "", -1))
+
+    def formula(self, text: str) -> None:
+        self._start_block(24.0 + self.rng.uniform(4.0, 14.0), 20.0)
+        x = round(self.rng.uniform(36.0, 42.0), 1)
+        self.records.append((self.page, self.y, f"@eq {x} {round(self.y,1)}|{text}"))
+        self.y += 20.0
+        self.expected.append(Span("formula", normalize_text(text), "", -1))
+
+    def render(self) -> tuple[bytes, list[Span]]:
+        # shuffle records within each page: the extractor must re-derive
+        # reading order from geometry, not from byte order
+        by_page: dict[int, list[tuple[float, str]]] = {}
+        for pg, y, line in self.records:
+            by_page.setdefault(pg, []).append((y, line))
+        out = ["%MINIPDF-1.0"]
+        for pg in sorted(by_page):
+            out.append(f"@page {pg} 612 792")
+            lines = by_page[pg][:]
+            self.rng.shuffle(lines)
+            out.extend(line for _, line in lines)
+        out.append("%%EOF")
+        return "\n".join(out).encode("utf-8"), finalize(self.expected)
+
+
+# ---------------------------------------------------------------- mini-DOM
+
+def _dom_doc(rng: random.Random, doc_id: str, all_table: bool = False) -> tuple[bytes, list[Span]]:
+    expected: list[Span] = []
+    parts: list[str] = ["<html><head><title>t</title></head><body>"]
+    # boilerplate: nav + header (must be stripped wholesale)
+    parts.append("<nav><ul>" + "".join(f'<li><a href="/x{i}">link {i} item</a></li>' for i in range(5)) + "</ul></nav>")
+    parts.append(f"<header><p>Site header banner {rng.randint(0,999)} promotional text here</p></header>")
+    parts.append("<main><article>")
+    if all_table:
+        # F-XLSX analogue: pure cell-grid document
+        for _ in range(rng.randint(2, 4)):
+            nr, nc = rng.randint(2, 5), rng.randint(2, 4)
+            rows = [[f"{rng.choice(_LATIN_WORDS)} {rng.randint(0, 99)}" for _ in range(nc)] for _ in range(nr)]
+            parts.append("<table>" + "".join("<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>" for r in rows) + "</table>")
+            expected.append(Span("table", normalize_text("\n".join("\t".join(r) for r in rows)), "", -1))
+    else:
+        title = _sentence(rng, 3, 6).rstrip(".")
+        parts.append(f"<h1>{title}</h1>")
+        expected.append(Span("heading", normalize_text(title), "", -1))
+        for bi in range(rng.randint(3, 6)):
+            kind = rng.choice(["p", "p", "p", "pre", "img", "table"])
+            if kind == "p":
+                txt = _sentence(rng, 8, 20)
+                parts.append(f"<p>{txt}</p>")
+                expected.append(Span("paragraph", normalize_text(txt), "", -1))
+            elif kind == "pre":
+                code = "\n".join(rng.sample(_CODE_LINES, k=3))
+                parts.append(f"<pre>{code}</pre>")
+                expected.append(Span("code", normalize_text(code), "", -1))
+            elif kind == "img":
+                ref = f"img-{doc_id}-{bi}.jpg"
+                parts.append(f'<img src="{ref}"/>')
+                expected.append(Span("figure", "", ref, -1))
+            else:
+                nr, nc = rng.randint(2, 3), rng.randint(2, 3)
+                rows = [[f"{rng.choice(_LATIN_WORDS)}{rng.randint(0, 9)}" for _ in range(nc)] for _ in range(nr)]
+                parts.append("<table>" + "".join("<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>" for r in rows) + "</table>")
+                expected.append(Span("table", normalize_text("\n".join("\t".join(r) for r in rows)), "", -1))
+            # interleave boilerplate that survives tag filters but fails
+            # the density heuristics: link farms and stubs
+            if rng.random() < 0.5:
+                links = "".join(f'<a href="/r{i}">related article {i}</a> ' for i in range(4))
+                parts.append(f"<p>{links}</p>")  # link_density ≈ 1 → dropped
+            if rng.random() < 0.3:
+                parts.append(f"<p>ad {rng.randint(0, 9)}</p>")  # < MIN_BLOCK_CHARS → dropped
+    parts.append("</article></main>")
+    # boilerplate: sidebar + footer
+    parts.append("<aside><p>" + " ".join(rng.choice(_LATIN_WORDS) for _ in range(12)) + "</p></aside>")
+    parts.append('<footer><p>copyright notice terms privacy</p><a href="/tos">terms</a></footer>')
+    parts.append("</body></html>")
+    return "".join(parts).encode("utf-8"), finalize(expected)
+
+
+# ---------------------------------------------------------------- mini-IMG
+
+def _img_doc(rng: random.Random, doc_id: str) -> tuple[bytes, list[Span]]:
+    """Image document: figure span + deterministic OCR-stub text embedded in
+    the file (the sandbox has no OCR engine; reference analogue is the
+    mineru CLI path, document_service.py:826-907)."""
+    ref = f"scan-{doc_id}.jpg"
+    ocr = _sentence(rng, 6, 12)
+    content = f"MINIIMG-1.0\n{ref}\n{ocr}\n".encode("utf-8")
+    expected = finalize([
+        Span("figure", "", ref, -1),
+        Span("paragraph", normalize_text(ocr), "", -1),
+    ])
+    return content, expected
+
+
+# ---------------------------------------------------------------- classes
+
+def _build_pdf_class(cls: str, rng: random.Random, doc_id: str, scale: int = 1) -> tuple[bytes, list[Span]]:
+    b = _PdfBuilder(rng)
+    if cls == "F-HEAD":
+        b.text_block("heading", _sentence(rng, 3, 6).rstrip("."), 20.0, "B")
+        for _ in range(scale * rng.randint(2, 3)):
+            b.text_block("heading", _sentence(rng, 2, 5).rstrip("."), 16.0, "B")
+            for _ in range(rng.randint(1, 3)):
+                mix = _sentence(rng) + " " + _cjk_sentence(rng, 4, 10)
+                b.text_block("paragraph", mix, 10.0, "")
+    elif cls == "F-TABLE":
+        b.text_block("paragraph", _sentence(rng, 10, 18), 10.0, "")
+        for _ in range(scale * 2):
+            nr, nc = rng.randint(2, 4), rng.randint(2, 4)
+            rows = [[f"{rng.choice(_LATIN_WORDS)} {rng.randint(0, 999)}" for _ in range(nc)] for _ in range(nr)]
+            b.table(rows)
+            b.text_block("paragraph", _sentence(rng, 8, 14), 10.0, "")
+    elif cls == "F-FIG":
+        b.text_block("paragraph", _sentence(rng, 8, 16), 10.0, "")
+        for k in range(scale * 3):
+            b.figure(f"img-{doc_id}-{k}.jpg")
+            b.text_block("paragraph", _sentence(rng, 6, 12), 10.0, "")
+    elif cls == "F-CODE":
+        b.text_block("paragraph", _sentence(rng, 8, 14), 10.0, "")
+        for _ in range(scale * rng.randint(1, 2)):
+            code = "\n".join(rng.sample(_CODE_LINES, k=rng.randint(3, 5)))
+            b.text_block("code", code, 10.0, "M")
+            b.text_block("paragraph", _sentence(rng, 6, 12), 10.0, "")
+    elif cls == "F-FORMULA":
+        b.text_block("paragraph", _sentence(rng, 8, 14), 10.0, "")
+        for _ in range(scale * rng.randint(1, 3)):
+            b.formula(rng.choice(_FORMULAS))
+            b.text_block("paragraph", _sentence(rng, 6, 12), 10.0, "")
+    elif cls == "F-CJK":
+        b.text_block("heading", _cjk_sentence(rng, 4, 8).rstrip("。"), 18.0, "B")
+        for _ in range(scale * rng.randint(2, 4)):
+            b.text_block("paragraph", _cjk_sentence(rng, 30, 80), 10.0, "", width=20)
+    elif cls in ("F-ENC",):
+        b.text_block("paragraph", _sentence(rng, 10, 18), 10.0, "")
+        b.text_block("paragraph", _cjk_sentence(rng, 10, 20), 10.0, "", width=20)
+    elif cls == "F-BIG":
+        for _ in range(60 * scale):
+            b.text_block("heading", _sentence(rng, 2, 4).rstrip("."), 16.0, "B")
+            for _ in range(3):
+                b.text_block("paragraph", _sentence(rng, 12, 24), 10.0, "")
+    return b.render()
+
+
+def make_doc(cls: str, idx: int, seed: int = 42) -> RawDoc:
+    rng = random.Random(f"{seed}:{cls}:{idx}")  # str seed → sha512, stable across processes
+    doc_id = f"{cls.lower().replace('-', '')}-{idx:06d}"
+    bucket = f"bucket-{idx % 7}"
+    path = f"incoming/{cls}/{doc_id}.pdf"
+    if cls == "F-MARKUP":
+        content, exp = _dom_doc(rng, doc_id)
+        return RawDoc(doc_id, "markup", content, bucket, f"incoming/{cls}/{doc_id}.html", exp)
+    if cls == "F-XLSX":
+        content, exp = _dom_doc(rng, doc_id, all_table=True)
+        return RawDoc(doc_id, "markup", content, bucket, f"incoming/{cls}/{doc_id}.xlsx.html", exp)
+    if cls == "F-EMPTY":
+        variant = idx % 3
+        if variant == 0:
+            content = b"%MINIPDF-1.0\n%%EOF\n"
+        elif variant == 1:
+            content = b"%MINIPDF-1.0\n@page 1 612 792\n%%EOF\n"
+        else:
+            content = b"%MINIPDF-1.0\n@page 1 612 792\n@t 36 40 10 -|   \n%%EOF\n"
+        return RawDoc(doc_id, "pdf", content, bucket, path, [])
+    if cls == "F-POISON":
+        variant = idx % 3
+        if variant == 0:
+            content = b"\x00\x01\x02 garbage not a document"
+        elif variant == 1:
+            content = b"%MINIPDF-1.0\n@page 1 612 792\n@t 36 40 10 -|truncated"  # no EOF
+        else:
+            content = b"%MINIPDF-1.0\n@t broken record\n%%EOF\n"
+        return RawDoc(doc_id, "pdf", content, bucket, path, [], expect_error=True)
+    if cls == "F-ENC":
+        content, exp = _build_pdf_class(cls, rng, doc_id)
+        variant = idx % 3
+        if variant == 0:
+            path = f"incoming/enc/%E6%96%87%E6%A1%A3-{idx}.pdf"  # URL-encoded 文档
+        elif variant == 1:
+            path = "incoming/enc/" + "文档报告".encode("utf-8").decode("latin-1") + f"-{idx}.pdf"
+        else:
+            path = "incoming/enc/" + "数据分析".encode("gbk").decode("latin-1") + f"-{idx}.pdf"
+        return RawDoc(doc_id, "pdf", content, bucket, path, exp)
+    if cls.startswith("F-") and cls != "F-BIG" and cls not in ("F-MARKUP", "F-XLSX"):
+        content, exp = _build_pdf_class(cls, rng, doc_id)
+        return RawDoc(doc_id, "pdf", content, bucket, path, exp)
+    if cls == "F-BIG":
+        content, exp = _build_pdf_class(cls, rng, doc_id)
+        return RawDoc(doc_id, "pdf", content, bucket, path, exp)
+    raise ValueError(cls)
+
+
+def fixture_corpus(per_class: int = 3, seed: int = 42) -> list[RawDoc]:
+    """Golden-test corpus: per_class docs of every fixture class, plus one
+    image doc per class slot (image path is a distinct doc_type)."""
+    docs = [make_doc(cls, i, seed) for cls in CLASSES for i in range(per_class)]
+    for i in range(per_class):
+        rng = random.Random(f"{seed}:F-IMG:{i}")
+        doc_id = f"fimg-{i:06d}"
+        content, exp = _img_doc(rng, doc_id)
+        docs.append(RawDoc(doc_id, "image", content, f"bucket-{i % 7}", f"incoming/F-IMG/{doc_id}.jpg", exp))
+    return docs
+
+
+_SCALE_CLASSES = [c for c in CLASSES if c not in ("F-BIG",)]
+
+
+def generate_corpus(n_docs: int, seed: int = 42, big_every: int = 500) -> list[RawDoc]:
+    """Parameterized corpus for scale tests / bench: round-robin over the
+    fixture classes with seeded variation; one F-BIG heavy-tail doc every
+    ``big_every`` docs (the 167 MB-PDF analogue, PROJECT_OVERVIEW.md:769)."""
+    docs: list[RawDoc] = []
+    for i in range(n_docs):
+        if big_every and i % big_every == big_every - 1:
+            docs.append(make_doc("F-BIG", i, seed))
+        else:
+            docs.append(make_doc(_SCALE_CLASSES[i % len(_SCALE_CLASSES)], i, seed))
+    return docs
+
+
+def corpus_rows(docs: list[RawDoc]) -> list[tuple]:
+    """Rows matching the documents_raw schema (FIXTURES.md Table 1)."""
+    return [
+        (d.doc_id, d.doc_type, d.content, d.byte_len, d.source_bucket, d.source_path)
+        for d in docs
+    ]
+
+
+def expected_rows(docs: list[RawDoc]) -> list[tuple]:
+    """Rows matching the documents_spans schema (FIXTURES.md Table 2)."""
+    return [(d.doc_id, [s.as_dict() for s in d.expected]) for d in docs]

@@ -1,0 +1,27 @@
+"""Pure-Python extraction kernels (no Spark imports).
+
+These are the from-scratch analogues of the reference's conversion core
+(`services/document_service.py` delegating to MinerU / LibreOffice —
+SURVEY.md §2.9). Each kernel maps one document's raw bytes to an ordered
+span sequence; the Spark layer batches them through Arrow pandas UDFs.
+"""
+
+from documentconvert_spark.kernels.spans import Span
+from documentconvert_spark.kernels.minipdf import extract_minipdf
+from documentconvert_spark.kernels.minidom import extract_minidom
+from documentconvert_spark.kernels.miniimg import extract_miniimg
+from documentconvert_spark.kernels.markdown import spans_to_markdown, error_markdown
+from documentconvert_spark.kernels.encoding import ensure_utf8, repair_mojibake
+from documentconvert_spark.kernels.errors import classify_error
+
+__all__ = [
+    "Span",
+    "extract_minipdf",
+    "extract_minidom",
+    "extract_miniimg",
+    "spans_to_markdown",
+    "error_markdown",
+    "ensure_utf8",
+    "repair_mojibake",
+    "classify_error",
+]

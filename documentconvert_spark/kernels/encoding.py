@@ -1,0 +1,54 @@
+"""Encoding repair cascade.
+
+From-scratch reimplementation of the reference's mojibake handling
+(`utils/encoding_utils.py:26-225`): URL-encoded filenames are unquoted,
+then a fixed-order repair chain is tried — latin-1→utf-8, gbk→utf-8 —
+accepting the first candidate that removes garbled characters. The chain
+order is part of the observable behavior (SURVEY.md §7.3) and is preserved.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import unquote
+
+_PCT_RE = re.compile(r"%[0-9A-Fa-f]{2}")
+
+# Characters indicating a failed decode (reference keeps a literal garble
+# list at encoding_utils.py:19-24; U+FFFD plus classic latin-1-mojibake
+# lead bytes cover the same cases).
+_GARBLED = set("�ãâÃÂåæçèé")
+
+
+def looks_garbled(s: str) -> bool:
+    return any(ch in _GARBLED for ch in s)
+
+
+def _try(s: str, src: str, dst: str = "utf-8") -> str | None:
+    try:
+        fixed = s.encode(src).decode(dst)
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return None
+    return fixed if not looks_garbled(fixed) else None
+
+
+def repair_mojibake(s: str) -> str:
+    """Fixed-order repair chain; identity if nothing improves."""
+    if not looks_garbled(s):
+        return s
+    for src in ("latin-1", "gbk"):
+        fixed = _try(s, src)
+        if fixed is not None:
+            return fixed
+    return s
+
+
+def ensure_utf8(s: str) -> str:
+    """URL-decode when %XX escapes are present, then repair mojibake."""
+    if s is None:
+        return s
+    if _PCT_RE.search(s):
+        decoded = unquote(s, encoding="utf-8", errors="replace")
+        if not looks_garbled(decoded):
+            s = decoded
+    return repair_mojibake(s)

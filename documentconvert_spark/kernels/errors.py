@@ -1,0 +1,38 @@
+"""Error classification.
+
+Substring-match cascade over the error message, mirroring the reference's
+classifier (`services/document_service.py:394-424`, 12 classes). The class
+feeds the state table's error metric; order matters (first match wins).
+"""
+
+from __future__ import annotations
+
+_CLASSES: list[tuple[str, str]] = [
+    ("password", "password_protected"),
+    ("encrypt", "password_protected"),
+    ("out of memory", "oom"),
+    ("memory", "oom"),
+    ("cuda", "gpu_error"),
+    ("module", "missing_dependency"),
+    ("import", "missing_dependency"),
+    ("permission", "permission_denied"),
+    ("timeout", "timeout"),
+    ("timed out", "timeout"),
+    ("truncated", "malformed_input"),
+    ("malformed", "malformed_input"),
+    ("header", "malformed_input"),
+    ("decode", "encoding_error"),
+    ("codec", "encoding_error"),
+    ("not found", "not_found"),
+    ("no such file", "not_found"),
+    ("disk", "storage_error"),
+    ("space", "storage_error"),
+]
+
+
+def classify_error(error: str) -> str:
+    low = (error or "").lower()
+    for needle, cls in _CLASSES:
+        if needle in low:
+            return cls
+    return "unknown_error"

@@ -1,0 +1,61 @@
+"""Span sequence → Markdown fold.
+
+Deterministic analogue of MinerU's ``MakeMode.MM_MD`` serialization used by
+the reference (`services/document_service.py:272`): text blocks and media
+placeholders emitted interleaved in reading order. Pure function of the
+span list — no I/O, so it is safe inside Arrow batches and the golden
+tests can assert `markdown == fold(spans)` exactly.
+
+Also renders the reference's error-report markdown
+(`services/document_service.py:347-375`): failed conversions still produce
+a structured .md artifact.
+"""
+
+from __future__ import annotations
+
+from documentconvert_spark.kernels.spans import Span
+
+
+def _one(kind: str, text: str, media_ref: str) -> str:
+    if kind == "heading":
+        return f"# {text}"
+    if kind == "paragraph":
+        return text
+    if kind == "code":
+        return f"```\n{text}\n```"
+    if kind == "table":
+        rows = text.split("\n")
+        out = []
+        for i, r in enumerate(rows):
+            cells = r.split("\t")
+            out.append("| " + " | ".join(cells) + " |")
+            if i == 0:
+                out.append("|" + "---|" * len(cells))
+        return "\n".join(out)
+    if kind == "figure":
+        return f"![](images/{media_ref})"
+    if kind == "formula":
+        return f"$$\n{text}\n$$"
+    return text
+
+
+def spans_to_markdown(spans: list) -> str:
+    """Fold ordered spans to markdown. Accepts Span objects or dicts
+    (the Arrow path hands dicts)."""
+    blocks: list[str] = []
+    for s in spans:
+        if isinstance(s, Span):
+            kind, text, media_ref = s.kind, s.text, s.media_ref
+        else:
+            kind, text, media_ref = s["kind"], s["text"], s["media_ref"]
+        blocks.append(_one(kind, text, media_ref))
+    return "\n\n".join(blocks)
+
+
+def error_markdown(doc_id: str, error_class: str, error: str) -> str:
+    """Failure report artifact (reference: document_service.py:347-375)."""
+    return (
+        f"# Conversion failed: {doc_id}\n\n"
+        f"## Error class\n\n{error_class}\n\n"
+        f"## Detail\n\n```\n{error}\n```\n"
+    )

@@ -1,0 +1,170 @@
+"""Mini-DOM markup extractor — main-content boilerplate stripping.
+
+From-scratch analogue of the reference's office/HTML path
+(`services/document_service.py:599-650, 802-824`: LibreOffice headless →
+PDF → MinerU). Per BASELINE.json north_rule we instead implement the
+public boilerpipe/jusText-style approach directly over a DOM tree:
+
+  1. tokenize the markup into a tag tree,
+  2. drop subtrees under blacklisted structural tags
+     (nav/header/footer/aside/script/style/form),
+  3. score remaining blocks by link density (linked chars / total chars)
+     and text density (chars per block), dropping high-link or
+     near-empty blocks,
+  4. emit content blocks in document order as spans:
+     h1-h6 → heading, p/li → paragraph, pre/code → code,
+     table → table (TAB/NL cell grid), img → figure (media_ref = src).
+
+Markup without an <html ...> root is malformed → ValueError (captured
+per-row by the UDF layer).
+"""
+
+from __future__ import annotations
+
+import re
+
+from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+
+BLACKLIST = {"nav", "header", "footer", "aside", "script", "style", "form"}
+HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+BLOCK_TAGS = HEADINGS | {"p", "li", "pre", "table", "img", "blockquote"}
+VOID_TAGS = {"img", "br", "hr"}
+
+MAX_LINK_DENSITY = 0.5
+MIN_BLOCK_CHARS = 10  # shorter non-heading blocks are boilerplate noise
+
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\s+[a-zA-Z-]+(?:=\"[^\"]*\")?)*)\s*(/?)>")
+_ATTR_RE = re.compile(r"([a-zA-Z-]+)=\"([^\"]*)\"")
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict, parent) -> None:
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list = []  # _Node | str
+        self.parent = parent
+
+
+def _parse(markup: str) -> _Node:
+    root = _Node("#root", {}, None)
+    cur = root
+    pos = 0
+    for m in _TAG_RE.finditer(markup):
+        if m.start() > pos:
+            txt = markup[pos : m.start()]
+            if txt.strip():
+                cur.children.append(txt)
+        closing, tag, attr_s, selfclose = m.group(1), m.group(2).lower(), m.group(3), m.group(4)
+        if closing:
+            node = cur
+            while node is not root and node.tag != tag:
+                node = node.parent
+            if node is not root:
+                cur = node.parent
+        else:
+            attrs = dict(_ATTR_RE.findall(attr_s or ""))
+            node = _Node(tag, attrs, cur)
+            cur.children.append(node)
+            if not selfclose and tag not in VOID_TAGS:
+                cur = node
+        pos = m.end()
+    if pos < len(markup) and markup[pos:].strip():
+        cur.children.append(markup[pos:])
+    return root
+
+
+def _text_of(node: _Node) -> str:
+    parts: list[str] = []
+    for c in node.children:
+        if isinstance(c, str):
+            parts.append(c)
+        else:
+            parts.append(_text_of(c))
+    return " ".join(p for p in (x.strip() for x in parts) if p)
+
+
+def _link_chars(node: _Node) -> int:
+    n = 0
+    for c in node.children:
+        if isinstance(c, str):
+            continue
+        if c.tag == "a":
+            n += len(_text_of(c))
+        else:
+            n += _link_chars(c)
+    return n
+
+
+def _table_grid(node: _Node) -> str:
+    rows: list[str] = []
+    def walk_rows(n: _Node) -> None:
+        for c in n.children:
+            if isinstance(c, str):
+                continue
+            if c.tag == "tr":
+                cells = [
+                    normalize_text(_text_of(cc))
+                    for cc in c.children
+                    if not isinstance(cc, str) and cc.tag in ("td", "th")
+                ]
+                rows.append("\t".join(cells))
+            else:
+                walk_rows(c)
+    walk_rows(node)
+    return "\n".join(rows)
+
+
+def _emit(node: _Node, spans: list[Span]) -> None:
+    for c in node.children:
+        if isinstance(c, str):
+            continue
+        if c.tag in BLACKLIST:
+            continue  # boilerplate subtree: dropped wholesale
+        if c.tag in HEADINGS:
+            txt = normalize_text(_text_of(c))
+            if txt:
+                spans.append(Span("heading", txt, "", -1))
+            continue
+        if c.tag == "img":
+            src = c.attrs.get("src", "").strip()
+            if src:
+                spans.append(Span("figure", "", src, -1))
+            continue
+        if c.tag == "pre":
+            # preserve line structure of code
+            raw = "\n".join(s for s in (x if isinstance(x, str) else _text_of(x) for x in c.children))
+            txt = normalize_text(raw)
+            if txt:
+                spans.append(Span("code", txt, "", -1))
+            continue
+        if c.tag == "table":
+            grid = _table_grid(c)
+            if grid.strip():
+                spans.append(Span("table", grid, "", -1))
+            continue
+        if c.tag in ("p", "li", "blockquote"):
+            total = len(_text_of(c))
+            if total == 0:
+                continue
+            link_density = _link_chars(c) / total
+            if link_density > MAX_LINK_DENSITY:
+                continue  # link-list boilerplate (jusText-style)
+            txt = normalize_text(_text_of(c))
+            if len(txt) < MIN_BLOCK_CHARS:
+                continue  # low text density → noise
+            spans.append(Span("paragraph", txt, "", -1))
+            continue
+        # container (div/main/article/section/ul/body/...): recurse
+        _emit(c, spans)
+
+
+def extract_minidom(content: bytes) -> list[Span]:
+    markup = content.decode("utf-8", errors="strict")
+    if "<html" not in markup[:256].lower():
+        raise ValueError("minidom: missing <html> root (not a markup document)")
+    root = _parse(markup)
+    spans: list[Span] = []
+    _emit(root, spans)
+    return finalize(spans)

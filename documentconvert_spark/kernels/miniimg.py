@@ -1,0 +1,34 @@
+"""Mini-image extractor (OCR-stub path).
+
+Analogue of the reference's ``image_to_markdown`` (mineru CLI OCR,
+`services/document_service.py:652-665, 826-907`). The sandbox ships no OCR
+engine, so the mini-image format embeds its own deterministic "OCR" text:
+
+    MINIIMG-1.0
+    <media_ref>
+    <ocr text ...>
+
+The extractor emits a figure span (the image itself) followed by a
+paragraph span per non-empty OCR line — same interleaved span schema as
+the PDF path.
+"""
+
+from __future__ import annotations
+
+from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+
+MAGIC = b"MINIIMG-1.0"
+
+
+def extract_miniimg(content: bytes) -> list[Span]:
+    if not content or not content.startswith(MAGIC):
+        raise ValueError("miniimg: missing MINIIMG header (malformed image document)")
+    lines = content.decode("utf-8", errors="strict").split("\n")
+    if len(lines) < 2 or not lines[1].strip():
+        raise ValueError("miniimg: missing media_ref line")
+    spans = [Span("figure", "", lines[1].strip(), -1)]
+    for ocr_line in lines[2:]:
+        txt = normalize_text(ocr_line)
+        if txt:
+            spans.append(Span("paragraph", txt, "", -1))
+    return finalize(spans)

@@ -1,0 +1,155 @@
+"""Mini-PDF layout-stream extractor.
+
+From-scratch analogue of the reference's PDF path
+(`services/document_service.py:187-392`: bytes → MinerU
+``pipeline_doc_analyze`` → ``middle_json`` pages/blocks/lines/spans →
+``MakeMode.MM_MD`` markdown). The sandbox has no GPU or MinerU, so the
+corpus uses the repo's own deterministic layout-stream byte format — but the
+extractor does the same *kind* of work MinerU's layout stage does: it sees
+only positioned text lines (x, y, font size, style flags) plus region
+records, and must itself do line→block segmentation by vertical proximity,
+block classification (heading / paragraph / code via font metrics), and
+reading-order linearization across pages.
+
+Mini-PDF wire format (UTF-8 text lines):
+
+    %MINIPDF-1.0
+    @page <no> <width> <height>
+    @t <x> <y> <size> <flags>|<text line>       flags: '-' or subset of B,M
+    @img <x> <y> <w> <h>|<media_ref>
+    @tbl <x> <y>|<r1c1>\t<r1c2>;<r2c1>\t<r2c2>   rows ';', cells TAB
+    @eq <x> <y>|<formula text>
+    %%EOF
+
+Records may appear out of reading order inside a page (the generator
+shuffles them); y grows downward. A document without the magic header or
+the EOF trailer is malformed → ValueError (captured per-row by the UDF
+layer, mirroring reference error containment
+`document_service.py:334-383`).
+"""
+
+from __future__ import annotations
+
+from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+
+MAGIC = b"%MINIPDF-1.0"
+EOF = b"%%EOF"
+
+# Block segmentation: consecutive text lines merge while the vertical gap is
+# at most GAP_FACTOR * font_size and font size/flags match (MinerU-style
+# line clustering).
+GAP_FACTOR = 1.8
+HEADING_MIN_SIZE = 14.0
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0x3000 <= cp <= 0x303F
+        or 0xFF00 <= cp <= 0xFFEF
+    )
+
+
+def _join_lines(lines: list[str]) -> str:
+    """Join block lines: CJK-adjacent lines concatenate without a space
+    (no-whitespace segmentation, like the reference's CJK corpus)."""
+    out = ""
+    for ln in lines:
+        if not out:
+            out = ln
+            continue
+        if out and ln and _is_cjk(out[-1]) and _is_cjk(ln[0]):
+            out += ln
+        else:
+            out += " " + ln
+    return out
+
+
+def extract_minipdf(content: bytes) -> list[Span]:
+    if not content or not content.lstrip().startswith(MAGIC):
+        raise ValueError("minipdf: missing %MINIPDF header (malformed or truncated document)")
+    if EOF not in content:
+        raise ValueError("minipdf: missing %%EOF trailer (truncated document)")
+
+    text = content.decode("utf-8", errors="strict")
+    records: list[tuple[int, float, float, str, tuple]] = []  # (page, y, x, rtype, payload)
+    page = 0
+    for raw in text.split("\n"):
+        line = raw.rstrip("\r")
+        if not line or line.startswith("%"):
+            continue
+        if line.startswith("@page"):
+            parts = line.split()
+            page = int(parts[1])
+            continue
+        head, sep, payload = line.partition("|")
+        if not sep:
+            raise ValueError(f"minipdf: malformed record (no payload separator): {line[:40]!r}")
+        fields = head.split()
+        rtype = fields[0]
+        if rtype == "@t":
+            x, y, size = float(fields[1]), float(fields[2]), float(fields[3])
+            flags = fields[4] if fields[4] != "-" else ""
+            records.append((page, y, x, "t", (size, flags, payload)))
+        elif rtype == "@img":
+            x, y = float(fields[1]), float(fields[2])
+            records.append((page, y, x, "img", (payload,)))
+        elif rtype == "@tbl":
+            x, y = float(fields[1]), float(fields[2])
+            records.append((page, y, x, "tbl", (payload,)))
+        elif rtype == "@eq":
+            x, y = float(fields[1]), float(fields[2])
+            records.append((page, y, x, "eq", (payload,)))
+        else:
+            raise ValueError(f"minipdf: unknown record type {rtype!r}")
+
+    # Reading order: page, then top-to-bottom, then left-to-right.
+    records.sort(key=lambda r: (r[0], r[1], r[2]))
+
+    spans: list[Span] = []
+    # Current text-block accumulator: (size, flags, last_y, last_page, lines)
+    cur: dict | None = None
+
+    def flush() -> None:
+        nonlocal cur
+        if cur is None:
+            return
+        size, flags = cur["size"], cur["flags"]
+        if "M" in flags:
+            kind, txt = "code", "\n".join(cur["lines"])
+        elif "B" in flags and size >= HEADING_MIN_SIZE:
+            kind, txt = "heading", _join_lines(cur["lines"])
+        else:
+            kind, txt = "paragraph", _join_lines(cur["lines"])
+        spans.append(Span(kind, normalize_text(txt), "", -1))
+        cur = None
+
+    for pg, y, _x, rtype, payload in records:
+        if rtype == "t":
+            size, flags, line = payload
+            if (
+                cur is not None
+                and cur["size"] == size
+                and cur["flags"] == flags
+                and cur["page"] == pg
+                and (y - cur["last_y"]) <= GAP_FACTOR * size
+            ):
+                cur["lines"].append(line)
+                cur["last_y"] = y
+            else:
+                flush()
+                cur = {"size": size, "flags": flags, "page": pg, "last_y": y, "lines": [line]}
+        else:
+            flush()
+            if rtype == "img":
+                spans.append(Span("figure", "", payload[0].strip(), -1))
+            elif rtype == "tbl":
+                rows = payload[0].split(";")
+                grid = "\n".join(rows)
+                spans.append(Span("table", normalize_text(grid), "", -1))
+            elif rtype == "eq":
+                spans.append(Span("formula", normalize_text(payload[0]), "", -1))
+    flush()
+    return finalize(spans)

@@ -1,0 +1,68 @@
+"""Span IR — the per-document invariant.
+
+The contract reproduced from the reference (SURVEY.md §1.4): MinerU's
+``middle_json["pdf_info"]`` is an ordered structural parse (pages → blocks →
+lines → spans of text / image / table / formula), serialized to Markdown
+with interleaved media references (`MakeMode.MM_MD`,
+reference `services/document_service.py:263-272`). We flatten that tree to a
+dense, strictly ordered span list per document:
+
+    (kind, text, media_ref, offset)
+
+kind ∈ {heading, paragraph, code, table, figure, formula};
+``media_ref`` non-empty iff kind == figure; ``text`` is normalized UTF-8
+(empty for pure-media spans); ``offset`` is the 0-based position within the
+document — dense and strictly increasing, carrying reading order.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from dataclasses import dataclass
+
+KINDS = ("heading", "paragraph", "code", "table", "figure", "formula")
+
+
+@dataclass(frozen=True)
+class Span:
+    kind: str
+    text: str
+    media_ref: str
+    offset: int
+
+    def as_dict(self) -> dict:
+        return {
+            "kind": self.kind,
+            "text": self.text,
+            "media_ref": self.media_ref,
+            "offset": self.offset,
+        }
+
+
+def normalize_text(s: str) -> str:
+    """Canonical text normalization applied to every span's text.
+
+    NFC (stable across generators/extractors), strip outer whitespace,
+    collapse internal runs of spaces/tabs to a single space — newlines are
+    preserved because code and table spans are line-structured.
+    """
+    s = unicodedata.normalize("NFC", s)
+    lines = s.split("\n")
+    lines = [" ".join(part for part in ln.split(" ") if part != "").replace("\t ", "\t") for ln in lines]
+    # collapse spaces but keep tabs (table cell separator) intact
+    out = []
+    for ln in lines:
+        cells = ln.split("\t")
+        cells = [" ".join(c.split()) for c in cells]
+        out.append("\t".join(cells))
+    return "\n".join(out).strip("\n").strip()
+
+
+def finalize(spans: list[Span]) -> list[Span]:
+    """Re-densify offsets 0..n-1 in current order and drop empty spans.
+
+    A span is empty when it carries neither text nor a media reference —
+    the reference never emits such blocks either.
+    """
+    kept = [s for s in spans if s.text or s.media_ref]
+    return [Span(s.kind, s.text, s.media_ref, i) for i, s in enumerate(kept)]

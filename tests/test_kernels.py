@@ -1,0 +1,121 @@
+"""Pure-Python kernel tests (no Spark) — SURVEY.md §5.2 items 1-2.
+
+Golden invariant: for every fixture document, the extractor recovers the
+exact (kind, text, media_ref, offset) span sequence the generator laid out.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from documentconvert_spark.corpus import CLASSES, fixture_corpus, generate_corpus, make_doc
+from documentconvert_spark.kernels import (
+    classify_error,
+    ensure_utf8,
+    error_markdown,
+    extract_minidom,
+    extract_miniimg,
+    extract_minipdf,
+    repair_mojibake,
+    spans_to_markdown,
+)
+from documentconvert_spark.kernels.spans import KINDS
+
+FN = {"pdf": extract_minipdf, "markup": extract_minidom, "image": extract_miniimg}
+
+FIXTURES = fixture_corpus()
+
+
+@pytest.mark.parametrize("doc", FIXTURES, ids=[d.doc_id for d in FIXTURES])
+def test_golden_span_equality(doc):
+    if doc.expect_error:
+        with pytest.raises(ValueError):
+            FN[doc.doc_type](doc.content)
+        return
+    got = FN[doc.doc_type](doc.content)
+    assert got == doc.expected
+
+
+def test_scale_corpus_round_trip():
+    docs = generate_corpus(300, big_every=97)
+    for d in docs:
+        if d.expect_error:
+            with pytest.raises(ValueError):
+                FN[d.doc_type](d.content)
+            continue
+        got = FN[d.doc_type](d.content)
+        assert got == d.expected, d.doc_id
+
+
+def test_span_invariants():
+    for d in FIXTURES:
+        for i, s in enumerate(d.expected):
+            assert s.offset == i  # dense, strictly increasing
+            assert s.kind in KINDS
+            assert (s.media_ref != "") == (s.kind == "figure")
+            if s.kind == "figure":
+                assert s.text == ""
+
+
+def test_determinism_across_calls():
+    a, b = fixture_corpus(), fixture_corpus()
+    assert [(d.doc_id, d.content) for d in a] == [(d.doc_id, d.content) for d in b]
+    assert [d.expected for d in a] == [d.expected for d in b]
+
+
+def test_reading_order_recovered_from_geometry():
+    # records are shuffled within pages at render time; order must come
+    # back from (page, y, x)
+    d = make_doc("F-FIG", 0)
+    spans = extract_minipdf(d.content)
+    kinds = [s.kind for s in spans]
+    assert "figure" in kinds and "paragraph" in kinds
+    assert spans == d.expected
+
+
+def test_minidom_strips_boilerplate():
+    d = make_doc("F-MARKUP", 1)
+    spans = extract_minidom(d.content)
+    text = " ".join(s.text for s in spans)
+    assert "Site header banner" not in text
+    assert "copyright notice" not in text
+    assert "related article" not in text  # link-density drop
+    assert spans == d.expected
+
+
+def test_markdown_fold():
+    d = make_doc("F-TABLE", 0)
+    md = spans_to_markdown(d.expected)
+    assert "|---|" in md  # table rendered
+    d2 = make_doc("F-FIG", 0)
+    md2 = spans_to_markdown(d2.expected)
+    assert "![](images/img-ffig-000000-0.jpg)" in md2
+    # dict form (Arrow path) folds identically
+    assert spans_to_markdown([s.as_dict() for s in d2.expected]) == md2
+
+
+def test_encoding_repair_cascade():
+    # URL-encoded (reference encoding_utils.py:26-70)
+    assert ensure_utf8("incoming/enc/%E6%96%87%E6%A1%A3-0.pdf") == "incoming/enc/文档-0.pdf"
+    # latin-1 mojibake (encoding_utils.py:172-225, first in the chain)
+    garbled = "文档报告".encode("utf-8").decode("latin-1")
+    assert repair_mojibake(garbled) == "文档报告"
+    # gbk mojibake (second in the chain)
+    garbled_gbk = "数据分析".encode("gbk").decode("latin-1")
+    assert repair_mojibake(garbled_gbk) == "数据分析"
+    # clean strings pass through untouched
+    assert ensure_utf8("plain/path.pdf") == "plain/path.pdf"
+
+
+def test_error_classifier():
+    assert classify_error("file is password protected") == "password_protected"
+    assert classify_error("minipdf: missing %MINIPDF header (malformed or truncated document)") == "malformed_input"
+    assert classify_error("CUDA out of memory") == "oom"  # first match wins (order-sensitive)
+    assert classify_error("weird") == "unknown_error"
+    md = error_markdown("d1", "malformed_input", "boom")
+    assert "Conversion failed: d1" in md and "malformed_input" in md
+
+
+def test_all_classes_present():
+    assert len(CLASSES) == 12
+    assert {d.doc_type for d in FIXTURES} == {"pdf", "markup", "image"}
