@@ -14,17 +14,25 @@ from urllib.parse import unquote
 
 _PCT_RE = re.compile(r"%[0-9A-Fa-f]{2}")
 
-# Characters indicating a failed decode (reference keeps a literal garble
-# list at encoding_utils.py:19-24; U+FFFD plus classic latin-1-mojibake
-# lead bytes cover the same cases).
-_GARBLED = set("�ãâÃÂåæçèé")
-
-
 def looks_garbled(s: str) -> bool:
-    return any(ch in _GARBLED for ch in s)
+    """Heuristic failed-decode detector (reference keeps a literal garble
+    list at encoding_utils.py:19-24). U+FFFD is definitive; otherwise a
+    dense run of Latin-1-supplement/C1 characters (≥3, ≥40% of the
+    non-ASCII text) is the classic signature of UTF-8/GBK bytes shown
+    as latin-1."""
+    if "�" in s:
+        return True
+    hi = [ch for ch in s if 0x80 <= ord(ch) <= 0xFF]
+    non_ascii = [ch for ch in s if ord(ch) > 0x7F]
+    return len(hi) >= 3 and len(non_ascii) > 0 and len(hi) / len(non_ascii) >= 0.4
 
 
-def _try(s: str, src: str, dst: str = "utf-8") -> str | None:
+# Fixed-order repair chain (order is observable behavior, SURVEY.md §7.3):
+# bytes recovered via latin-1, decoded as utf-8 first, then gbk.
+_CHAIN = (("latin-1", "utf-8"), ("latin-1", "gbk"))
+
+
+def _try(s: str, src: str, dst: str) -> str | None:
     try:
         fixed = s.encode(src).decode(dst)
     except (UnicodeEncodeError, UnicodeDecodeError):
@@ -36,8 +44,8 @@ def repair_mojibake(s: str) -> str:
     """Fixed-order repair chain; identity if nothing improves."""
     if not looks_garbled(s):
         return s
-    for src in ("latin-1", "gbk"):
-        fixed = _try(s, src)
+    for src, dst in _CHAIN:
+        fixed = _try(s, src, dst)
         if fixed is not None:
             return fixed
     return s
