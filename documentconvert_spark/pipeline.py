@@ -1,0 +1,222 @@
+"""The end-to-end extraction job (SURVEY.md §3.1 re-expression).
+
+The reference's whole REST→queue→download→convert→upload→update lifecycle
+collapses to one declarative DAG:
+
+    docs ──left_anti(state.completed ∪ state.terminal_failed)──▶ todo
+    todo ──size-aware split (heavy tail isolated)──▶ extract UDF
+         ──▶ spans + markdown + error columns
+         ──▶ spans_out parquet  +  state append (per-doc row, per-partition metrics)
+
+Scale design (north_rule mandates, SURVEY.md §4):
+- **Size-aware partitioning.** Docs above the byte-length p99 (the 167 MB-PDF
+  analogue, PROJECT_OVERVIEW.md:769) are split out and round-robin
+  repartitioned so each heavy doc gets its own task instead of serializing a
+  mixed partition; the light tail hash-partitions on doc_id — with many
+  small docs per partition, hash placement equalizes partition *bytes* by
+  the law of large numbers. The quantile comes from a column-pruned
+  approxQuantile over byte_len only, so the pre-pass is cheap at any scale.
+- **Minimal shuffle.** The repartitions are the only shuffles in the hot
+  path; extraction, markdown fold, and state-row derivation are narrow.
+  Work-selection anti-joins run against the state table; completed/terminal
+  id sets are doc_id-only projections and AQE picks broadcast vs SMJ.
+- **Arrow batches.** maxRecordsPerBatch capped in session.py bounds
+  Python-side memory per batch of large documents.
+- **Containment.** A malformed document becomes an error row (C7), so one
+  poison doc can never fail a 100 TB job.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from documentconvert_spark.state import StateStore
+from documentconvert_spark.udfs import extract_dispatch, fix_encoding_udf, markdown_column
+
+HEAVY_QUANTILE = 0.99
+HEAVY_MEDIAN_FACTOR = 8.0  # a doc is heavy only if ≥ 8× the median too
+HEAVY_MAX_FANOUT = 8  # heavy partitions ≤ target_partitions × this
+
+
+def prepare_documents(docs: DataFrame) -> DataFrame:
+    """Ingest normalization: repair source_path encoding (reference fixes
+    filename encoding at task creation, unified_document_api.py:277-283)."""
+    return docs.withColumn("source_path", fix_encoding_udf(F.col("source_path")))
+
+
+def size_aware_split(docs: DataFrame, target_partitions: int) -> tuple[DataFrame, DataFrame]:
+    """Split (light, heavy) at the byte_len p99 so the heavy tail cannot
+    serialize a partition: heavy docs one-per-task (round-robin), light docs
+    hash-partitioned on doc_id."""
+    qs = docs.approxQuantile("byte_len", [0.5, HEAVY_QUANTILE], 0.01)
+    if not qs:
+        return docs.repartition(target_partitions, "doc_id"), docs.limit(0)
+    median, p99 = qs
+    # heavy = top-1% AND ≥8× median: a uniform corpus (p99 ≈ median) splits
+    # nothing; a skewed corpus isolates exactly its heavy tail. Inclusive
+    # bound because on small corpora p99 lands on the max value itself.
+    threshold = max(p99, HEAVY_MEDIAN_FACTOR * median, 1.0)
+    light = docs.filter(F.col("byte_len") < threshold).repartition(target_partitions, "doc_id")
+    heavy = docs.filter(F.col("byte_len") >= threshold)
+    n_heavy = heavy.count()
+    if n_heavy:
+        # one doc per task up to a fan-out cap (at 10^12 docs the tail is
+        # still ~10^10 rows — cap keeps task counts sane; round-robin then
+        # spreads heavies evenly across those tasks)
+        heavy = heavy.repartition(min(n_heavy, target_partitions * HEAVY_MAX_FANOUT))
+    return light, heavy
+
+
+def extract_spans(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """Core conversion: documents_raw → spans_out columns. Narrow (no
+    shuffle). The flagship transformation (SURVEY.md §7.2)."""
+    keep = [c for c in passthrough if c in docs.columns]
+    return (
+        docs.withColumn("r", extract_dispatch("doc_type", "content"))
+        .withColumn("partition_id", F.spark_partition_id())
+        .select(
+            "doc_id",
+            *keep,
+            "partition_id",
+            F.col("r.spans").alias("spans"),
+            F.col("r.error").alias("error"),
+            F.col("r.error_class").alias("error_class"),
+            F.col("r.processing_s").alias("processing_s"),
+        )
+        .withColumn(
+            "markdown",
+            markdown_column(F.col("spans"), F.col("doc_id"), F.col("error_class"), F.col("error")),
+        )
+        .withColumn(
+            "n_spans",
+            F.when(F.col("error").isNull(), F.size("spans")).otherwise(F.lit(None)),
+        )
+        .withColumn("status", F.when(F.col("error").isNull(), "completed").otherwise("failed"))
+    )
+
+
+def lineage_column() -> F.Column:
+    """Output lineage key `{source_bucket}/{stem}/markdown` — pure column
+    expressions (reference path rule, s3_upload_service.py:351-385)."""
+    stem = F.regexp_replace(F.regexp_extract("source_path", r"([^/]+)$", 1), r"\.[A-Za-z0-9.]+$", "")
+    return F.concat_ws("/", F.col("source_bucket"), stem, F.lit("markdown"))
+
+
+@dataclass
+class JobResult:
+    run_id: str | None
+    docs_in: int
+    todo: int
+    processed: int
+    completed: int
+    failed: int
+    skipped: int
+    wall_s: float
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_path: str,
+    state: StateStore,
+    target_partitions: int | None = None,
+) -> JobResult:
+    """One resumable pass: anti-join work selection → size-aware extract →
+    write output + append state. Rerunning after any interruption converges
+    to all-done with no duplicate processing (idempotent per doc_id);
+    failed docs are retried until MAX_ATTEMPTS then parked as the DLQ slice.
+    """
+    t0 = time.monotonic()
+    target_partitions = target_partitions or spark.sparkContext.defaultParallelism
+
+    docs = prepare_documents(docs)
+    docs_in = docs.count()
+
+    todo = (
+        docs.join(state.completed_ids(), "doc_id", "left_anti")
+        .join(state.terminal_failed_ids(), "doc_id", "left_anti")
+        .join(state.attempts(), "doc_id", "left")
+        .withColumn("attempt", (F.coalesce(F.col("prev_attempt"), F.lit(0)) + 1).cast("int"))
+        .drop("prev_attempt")
+    )
+
+    light, heavy = size_aware_split(todo, target_partitions)
+    extracted = [
+        extract_spans(part, passthrough=("source_bucket", "source_path", "attempt"))
+        for part in (light, heavy)
+    ]
+    out = extracted[0].unionByName(extracted[1])
+
+    started_at = F.current_timestamp()
+    out = out.cache()
+    processed = out.count()
+
+    (
+        out.select("doc_id", "spans", "markdown", "n_spans", "error", "error_class")
+        .write.mode("append")
+        .parquet(out_path)
+    )
+
+    state_rows = (
+        out.withColumn("started_at", started_at)
+        .withColumn("completed_at", F.current_timestamp())
+        .withColumn("lineage", lineage_column())
+        .select(
+            "doc_id",
+            F.col("partition_id").cast("int").alias("partition_id"),
+            "status",
+            "attempt",
+            "started_at",
+            "completed_at",
+            "processing_s",
+            F.col("n_spans").cast("int").alias("n_spans"),
+            "error",
+            "error_class",
+            "lineage",
+        )
+    )
+    run_id = state.append(state_rows) if processed else None
+
+    completed_n = out.filter(F.col("status") == "completed").count()
+    out.unpersist()
+    return JobResult(
+        run_id=run_id,
+        docs_in=docs_in,
+        todo=processed,
+        processed=processed,
+        completed=completed_n,
+        failed=processed - completed_n,
+        skipped=docs_in - processed,
+        wall_s=time.monotonic() - t0,
+    )
+
+
+def partition_metrics(state: StateStore) -> DataFrame:
+    """Per-partition tallies (SURVEY.md A3) straight off the state table."""
+    return (
+        state.read()
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("status") == "completed", 1).otherwise(0)).alias("n_completed"),
+            F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("n_failed"),
+            F.sum("n_spans").alias("total_spans"),
+            F.avg("processing_s").alias("avg_processing_s"),
+        )
+    )
+
+
+def status_summary(state: StateStore) -> DataFrame:
+    """Per-status counts + success rate + avg time (SURVEY.md A1;
+    reference database_manager.py:270-312)."""
+    latest = state.latest()
+    agg = latest.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.avg("processing_s").alias("avg_processing_s"),
+    )
+    total = latest.count()
+    return agg.withColumn("rate", F.col("n") / F.lit(total if total else 1))

@@ -1,0 +1,51 @@
+"""SparkSession builder with the engine's scale-oriented defaults.
+
+Tuned for the extraction workload (big binary rows through Arrow batches):
+AQE on (skew-join split + partition coalescing), Arrow batches capped so a
+batch of large documents fits executor memory, UTC timestamps. In local
+mode these same settings exercise the code paths a 1000-executor cluster
+would use; cluster submission goes through spark-submit --py-files (see
+scripts/submit_example.sh).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size: documents are KB-to-MB scale binary values; 256 rows per
+# batch bounds per-batch memory while amortizing the JVM<->Python hop
+# (reference analogue: MINERU_BATCH_SIZE=16, .env.example).
+ARROW_BATCH_ROWS = 256
+
+
+def build_session(
+    app_name: str = "documentconvert-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(int(n), 8)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

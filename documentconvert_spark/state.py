@@ -1,0 +1,85 @@
+"""Resumable checkpoint state table (SURVEY.md §2.10, §4 item 4).
+
+The reference persists task state in SQLAlchemy (`database/models.py:35-126`)
+and recovers by resetting in-flight rows on restart
+(`enhanced_task_processor.py:196-235`). Here the state table IS the store:
+each run appends one row per processed document (status completed|failed,
+attempt, timing, metrics, lineage), and the next run's work set is an
+anti-join of the input against it.
+
+Production target is an Iceberg table (atomic snapshot appends, MERGE for
+idempotent upsert). No Iceberg catalog ships in this sandbox, so the store
+is an interface with a parquet-directory implementation that keeps the same
+contract: each run writes to a fresh `run_id=...` subdirectory (atomic at
+the directory level — a crashed run leaves at most a partial directory that
+Spark ignores thanks to _SUCCESS-marker filtering), reads union all runs.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from documentconvert_spark.schemas import EXTRACTION_STATE
+
+MAX_ATTEMPTS = 3  # reference max_retry_count (models.py:76-78)
+
+
+class StateStore:
+    """Parquet-directory state store with Iceberg-like append semantics."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        if not os.path.isdir(self.path) or not any(
+            e.startswith("run_id=") for e in os.listdir(self.path)
+        ):
+            return self.spark.createDataFrame([], EXTRACTION_STATE)
+        return (
+            self.spark.read
+            .option("ignoreCorruptFiles", "true")
+            .parquet(self.path)
+            .drop("run_id")
+        )
+
+    def append(self, df: DataFrame) -> str:
+        run_id = uuid.uuid4().hex[:12]
+        df.select([f.name for f in EXTRACTION_STATE.fields]).write.mode("overwrite").parquet(
+            os.path.join(self.path, f"run_id={run_id}")
+        )
+        return run_id
+
+    # ---- derived views -------------------------------------------------
+
+    def latest(self) -> DataFrame:
+        """Latest state row per doc_id (by attempt, then completed_at)."""
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("attempt"), F.desc_nulls_last("completed_at")
+        )
+        return (
+            self.read()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def completed_ids(self) -> DataFrame:
+        return self.read().filter(F.col("status") == "completed").select("doc_id").distinct()
+
+    def terminal_failed_ids(self) -> DataFrame:
+        """Docs that exhausted retries — the DLQ slice (SURVEY.md §2.10)."""
+        return (
+            self.latest()
+            .filter((F.col("status") == "failed") & (F.col("attempt") >= MAX_ATTEMPTS))
+            .select("doc_id")
+        )
+
+    def attempts(self) -> DataFrame:
+        """doc_id → attempts so far (for the retry counter)."""
+        return self.read().groupBy("doc_id").agg(F.max("attempt").alias("prev_attempt"))

@@ -1,0 +1,17 @@
+from __future__ import annotations
+
+import pytest
+
+from documentconvert_spark.session import build_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(
+        app_name="dcs-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "32"},
+    )
+    yield s
+    s.stop()

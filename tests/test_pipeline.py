@@ -1,0 +1,127 @@
+"""Spark-side golden + orchestration tests (SURVEY.md §5.2 items 1, 3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from documentconvert_spark.corpus import corpus_rows, fixture_corpus, make_doc
+from documentconvert_spark.pipeline import (
+    extract_spans,
+    partition_metrics,
+    prepare_documents,
+    run_extraction_job,
+    size_aware_split,
+    status_summary,
+)
+from documentconvert_spark.schemas import DOCUMENTS_RAW
+from documentconvert_spark.state import MAX_ATTEMPTS, StateStore
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(corpus_rows(fixture_corpus()), schema=DOCUMENTS_RAW)
+
+
+def _span_tuples(rows):
+    return {
+        r.doc_id: None if r.spans is None else [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in rows
+    }
+
+
+def test_spark_golden_span_equality(spark, docs_df):
+    """The per-row invariant on Spark: exact (kind, text, media_ref, offset)
+    equality per doc_id, across Arrow batch and partition boundaries."""
+    out = extract_spans(docs_df.repartition(7))  # deliberately odd partitioning
+    got = _span_tuples(out.collect())
+    for d in fixture_corpus():
+        if d.expect_error:
+            assert got[d.doc_id] is None
+        else:
+            assert got[d.doc_id] == [(s.kind, s.text, s.media_ref, s.offset) for s in d.expected], d.doc_id
+
+
+def test_partitioning_invariance(spark, docs_df):
+    """Span output must not depend on partitioning or batch size (§7.3)."""
+    a = _span_tuples(extract_spans(docs_df.coalesce(1)).collect())
+    b = _span_tuples(extract_spans(docs_df.repartition(13)).collect())
+    assert a == b
+
+
+def test_markdown_and_error_columns(spark, docs_df):
+    rows = extract_spans(docs_df).collect()
+    by_id = {r.doc_id: r for r in rows}
+    ok = by_id["ffig-000000"]
+    assert ok.error is None and ok.status == "completed"
+    assert "![](images/img-ffig-000000-0.jpg)" in ok.markdown
+    assert ok.n_spans == len(make_doc("F-FIG", 0).expected)
+    bad = by_id["fpoison-000000"]
+    assert bad.status == "failed" and bad.error_class == "malformed_input"
+    assert "Conversion failed" in bad.markdown
+    assert bad.spans is None and bad.n_spans is None
+
+
+def test_encoding_repair_on_ingest(spark, docs_df):
+    fixed = prepare_documents(docs_df).filter(F.col("doc_id").startswith("fenc")).collect()
+    for r in fixed:
+        assert "%" not in r.source_path
+        # latin-1 / gbk mojibake repaired back to CJK
+        assert any("一" <= ch <= "鿿" for ch in r.source_path), r.source_path
+
+
+def test_size_aware_split_isolates_heavy_tail(spark):
+    docs = [make_doc("F-HEAD", i) for i in range(60)] + [make_doc("F-BIG", 0)]
+    df = spark.createDataFrame(corpus_rows(docs), schema=DOCUMENTS_RAW)
+    light, heavy = size_aware_split(df, target_partitions=4)
+    heavy_ids = [r.doc_id for r in heavy.select("doc_id").collect()]
+    assert heavy_ids == ["fbig-000000"]
+    assert light.count() == 60
+    # each heavy doc gets its own partition
+    assert heavy.rdd.getNumPartitions() == 1
+
+
+def test_job_resume_and_retry(spark, docs_df, tmp_path):
+    out = str(tmp_path / "spans_out")
+    st = StateStore(spark, str(tmp_path / "state"))
+
+    r1 = run_extraction_job(spark, docs_df, out, st, target_partitions=4)
+    n_poison = 3
+    assert r1.processed == r1.docs_in
+    assert r1.failed == n_poison
+    assert r1.completed == r1.docs_in - n_poison
+
+    # run 2: only failed docs are retried (attempt 2)
+    r2 = run_extraction_job(spark, docs_df, out, st, target_partitions=4)
+    assert r2.processed == n_poison and r2.skipped == r2.docs_in - n_poison
+
+    # run 3: attempt 3 (the cap)
+    r3 = run_extraction_job(spark, docs_df, out, st, target_partitions=4)
+    assert r3.processed == n_poison
+
+    # run 4: poison docs are terminal — nothing left to do
+    r4 = run_extraction_job(spark, docs_df, out, st, target_partitions=4)
+    assert r4.processed == 0 and r4.run_id is None
+
+    # no duplicate completed outputs across runs
+    spans_out = spark.read.parquet(out)
+    ok = spans_out.filter(F.col("error").isNull())
+    assert ok.count() == ok.select("doc_id").distinct().count() == r1.completed
+
+    # DLQ slice: terminal failures stay queryable with attempt == cap
+    latest = st.latest().filter(F.col("status") == "failed")
+    assert latest.count() == n_poison
+    assert all(r.attempt == MAX_ATTEMPTS for r in latest.collect())
+
+    # lineage rule: {bucket}/{stem}/markdown
+    lrow = st.latest().filter(F.col("doc_id") == "fhead-000000").first()
+    assert lrow.lineage.endswith("/fhead-000000/markdown")
+    assert lrow.lineage.startswith("bucket-")
+
+    # per-partition metrics (A3) and status summary (A1)
+    pm = partition_metrics(st)
+    assert pm.agg(F.sum("n_docs")).first()[0] == r1.docs_in + 2 * n_poison
+    ss = {r.status: r for r in status_summary(st).collect()}
+    assert ss["completed"].n == r1.completed
+    assert ss["failed"].n == n_poison
+    assert abs(ss["completed"].rate + ss["failed"].rate - 1.0) < 1e-9
