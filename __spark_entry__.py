@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship — render the sf0.001 documents table into the
+engine's mini-PDF format and run the full extraction pipeline (layout
+parse → span sequence → markdown) through the Arrow UDFs.
+
+queries()/oracle_sql(): one entry per implemented operator from
+SURVEY.md §2 plus the training-data ops; every entry has an exact DuckDB
+oracle (the extraction entries check against the generator's expectation
+parquet — see documentconvert_spark/queries_extraction.py).
 """
 
 from __future__ import annotations
@@ -12,27 +15,39 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from documentconvert_spark.ingest import documents_table_as_raw
+from documentconvert_spark.pipeline import extract_spans
+from documentconvert_spark.queries_corpus import CORPUS_QUERIES
+from documentconvert_spark.queries_extraction import EXTRACTION_QUERIES, _ensure_expected_parquet
+from documentconvert_spark.queries_relational import RELATIONAL_QUERIES
+
+try:  # materialize extraction oracles eagerly so oracle SQL never races
+    _ensure_expected_parquet()
+except Exception:  # pragma: no cover — driver still gets the other queries
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    raw = documents_table_as_raw(spark, "/root/testdata/sf0.001")
+    out = extract_spans(raw)
+    return out.select(
+        "doc_id",
+        "status",
+        "n_spans",
+        F.substring("markdown", 1, 120).alias("markdown_head"),
+        "error_class",
+    )
+
+
+_ALL: dict[str, tuple] = {**RELATIONAL_QUERIES, **CORPUS_QUERIES, **EXTRACTION_QUERIES}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _ALL.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _ALL.items() if sql is not None}

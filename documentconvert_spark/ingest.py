@@ -1,0 +1,60 @@
+"""Ingest adapters: turn external text corpora into documents_raw rows.
+
+Analogue of the reference's input side (S3 download / local-file ingest,
+SURVEY.md §2.1 S1-S5): here an external table of plain text (e.g. the
+shared testdata `documents` parquet) is rendered into the engine's
+mini-PDF byte format so the full extraction path has real layout work to
+do. Rendering is a vectorized pandas UDF — deterministic per doc_id.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from documentconvert_spark.corpus import _PdfBuilder
+
+
+def _render_one(doc_id: str, text: str) -> bytes:
+    rng = random.Random(f"render:{doc_id}")
+    b = _PdfBuilder(rng)
+    words = text.split()
+    title = " ".join(words[:4]) if words else "untitled"
+    b.text_block("heading", title, 18.0, "B")
+    for i in range(0, len(words), 40):
+        chunk = " ".join(words[i : i + 40])
+        if chunk:
+            b.text_block("paragraph", chunk, 10.0, "")
+    content, _expected = b.render()
+    return content
+
+
+def _render_batch(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_render_one(str(d), t or "") for d, t in zip(doc_id, text)], dtype="object"
+    )
+
+
+render_minipdf_udf = pandas_udf(_render_batch, returnType=T.BinaryType())
+
+
+def documents_table_as_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """testdata documents(doc_id,text,lang,source,n_chars) → documents_raw."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("doc_id_s", F.concat(F.lit("tdoc-"), F.col("doc_id").cast("string")))
+        .withColumn("content", render_minipdf_udf(F.col("doc_id_s"), F.col("text")))
+        .select(
+            F.col("doc_id_s").alias("doc_id"),
+            F.lit("pdf").alias("doc_type"),
+            "content",
+            F.length("content").cast("long").alias("byte_len"),
+            F.col("source").alias("source_bucket"),
+            F.concat(F.lit("incoming/"), F.col("source"), F.lit("/"), F.col("doc_id_s"), F.lit(".pdf")).alias("source_path"),
+        )
+    )

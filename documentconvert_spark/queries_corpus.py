@@ -1,0 +1,414 @@
+"""Driver-contract queries, part 2: large-scale training-data pipeline ops
+over the shared `documents` / `embeddings` testdata tables — deduplication
+(exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity search
+(brute-force cosine top-k, IVF bucketing), and text analysis (language ID,
+quality scoring, token stats). Every op is expressed with native Spark SQL
+functions (JVM-side, codegen-friendly — no Python in the hot path) and has
+an exact DuckDB oracle built from the same portable primitives (md5 hex,
+regex split, arithmetic): both engines compute identical values.
+
+Scale notes are on each op: what shuffles, what broadcasts, what survives
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_TOKS = "split(lower(trim(text)), '\\\\s+')"
+# word 3-gram shingles from the token array (1-based element_at)
+_SHINGLES = (
+    f"transform(sequence(1, greatest(size({_TOKS}) - 2, 0)), "
+    f"i -> concat_ws(' ', element_at({_TOKS}, i), element_at({_TOKS}, i+1), element_at({_TOKS}, i+2)))"
+)
+
+_SQL_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _sql_shingles(alias: str = "sh") -> str:
+    return (
+        f"SELECT doc_id, unnest(list_distinct(list_transform("
+        f"range(1, greatest(len({_SQL_TOKS}) - 1, 1)), "
+        f"i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]))) AS shingle "
+        f"FROM documents WHERE doc_id < 150"
+    )
+
+
+# ------------------------------------------------------------ exact dedup
+# Hash-groupBy on normalized content: one shuffle on the fingerprint; at
+# 100 TB this is the standard map-side-combine dedup (fingerprint is tiny
+# vs the document, so the shuffle moves hashes, not text).
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        docs.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+       COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------ n-gram Jaccard near-dup
+# Shingle explode → self-join on shingle → per-pair intersection / union.
+# The doc_id<150 cap keeps the contract run bounded; the scale path is the
+# MinHash/LSH variant below (this exact version is the verifier for it).
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    sh = docs.selectExpr("doc_id", f"explode(array_distinct({_SHINGLES})) AS shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= 0.02)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH sh AS ({_sql_shingles()}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
+"""
+
+
+# ------------------------------------------------------------ MinHash + LSH
+# The scale path for near-dup at 10^12 docs: k=12 portable min-hashes
+# (min over md5(i:shingle) hex strings — identical in any engine), banded
+# 4×3; candidate pairs share a band bucket. Only signatures shuffle —
+# bytes-per-doc is constant regardless of document size.
+
+_MINHASH_K = 12
+_BAND_ROWS = 3
+
+
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    return (
+        sh.select("doc_id", "shingle", F.explode(F.expr(f"sequence(0, {_MINHASH_K - 1})")).alias("i"))
+        .withColumn("h", F.md5(F.concat_ws(":", F.col("i"), F.col("shingle"))))
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    sh = docs.selectExpr("doc_id", f"explode(array_distinct({_SHINGLES})) AS shingle")
+    sigs = _minhash_sigs(sh)
+    bands = (
+        sigs.withColumn("band", F.floor(F.col("i") / _BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",", F.expr("transform(array_sort(collect_list(struct(i, sig))), x -> x.sig)")
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH sh AS ({_sql_shingles()}),
+sigs AS (
+  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+  FROM sh, generate_series(0, {_MINHASH_K - 1}) t(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(i / {_BAND_ROWS}.0) AS INT) AS band,
+         string_agg(sig, ',' ORDER BY i) AS band_key
+  FROM sigs GROUP BY doc_id, 2)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+# ------------------------------------------------------------ SimHash
+# 16-bit SimHash over distinct tokens: per (token, bit) contribution ±1,
+# fingerprint bit = sign of the sum. Bit extraction via floor(h/2^b) % 2 on
+# the first-8-hex-chars integer of md5 — portable arithmetic in both
+# engines. Per-doc cost is O(tokens × 16) narrow work + one groupBy.
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.selectExpr("doc_id", f"explode(array_distinct({_TOKS})) AS tok")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    bits = (
+        toks.withColumn("h", h)
+        .select("doc_id", "h", F.explode(F.expr("sequence(0, 15)")).alias("b"))
+        .withColumn("bit", (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))) % 2).cast("int"))
+        .withColumn("w", F.col("bit") * 2 - 1)
+        .groupBy("doc_id", "b")
+        .agg(F.sum("w").alias("s"))
+        .withColumn("fbit", F.when(F.col("s") > 0, 1).otherwise(0))
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(F.sum(F.col("fbit") * F.pow(F.lit(2.0), F.col("b"))).cast("long").alias("simhash16"))
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok FROM documents),
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN SUM((CAST(FLOOR(h / POW(2.0, b)) AS BIGINT) % 2) * 2 - 1) > 0 THEN 1 ELSE 0 END AS fbit
+  FROM hs, generate_series(0, 15) t(b)
+  GROUP BY doc_id, b)
+SELECT doc_id, CAST(SUM(fbit * POW(2.0, b)) AS BIGINT) AS simhash16
+FROM bits GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------------ ANN: brute-force cosine top-k
+# Baseline exact k-NN: queries (vec_id<10) × corpus, dot/norms in native
+# array expressions (zip_with + aggregate — JVM codegen, no Python). At
+# scale the query side broadcasts and the corpus streams: one narrow pass.
+
+_DOT = (
+    "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).selectExpr("vec_id", "embedding", f"{_NORM} AS nrm")
+    q = emb.filter(F.col("vec_id") < 10).selectExpr("vec_id AS q_id", "embedding AS qe", "nrm AS qn")
+    c = emb.selectExpr("vec_id AS n_id", "embedding AS ce", "nrm AS cn")
+    sims = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("sim", F.expr(_DOT) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "n_id", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+SQL_ANN_TOPK = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm) AS sim
+  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+rk AS (
+  SELECT q_id, n_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+  FROM sims)
+SELECT q_id, n_id, ROUND(sim, 4) AS cos_sim FROM rk WHERE rk <= 5
+"""
+
+
+# ------------------------------------------------------------ ANN: IVF coarse quantization
+# The scale path: assign every vector to its nearest of k pivot centroids
+# (here: vec_id<8 as deterministic pivots); queries then probe only their
+# bucket. Centroids broadcast; assignment is one narrow pass over the corpus.
+
+def q_ann_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).selectExpr("vec_id", "embedding", f"{_NORM} AS nrm")
+    cents = emb.filter(F.col("vec_id") < 8).selectExpr("vec_id AS c_id", "embedding AS ce", "nrm AS cn")
+    pairs = (
+        emb.selectExpr("vec_id", "embedding AS qe", "nrm AS qn")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("sim", F.expr(_DOT) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("c_id").alias("centroid_id"))
+    )
+
+
+SQL_ANN_IVF = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings),
+pairs AS (
+  SELECT v.vec_id, c.vec_id AS c_id,
+         list_sum(list_transform(range(1, len(v.embedding) + 1),
+                  i -> v.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (v.nrm * c.nrm) AS sim
+  FROM e v JOIN e c ON c.vec_id < 8),
+rk AS (
+  SELECT vec_id, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rk
+  FROM pairs)
+SELECT vec_id, c_id AS centroid_id FROM rk WHERE rk = 1
+"""
+
+
+# ------------------------------------------------------------ language ID
+# Marker-token heuristic, deterministic tie order (en > de > fr > es > zh).
+# Counting via length-difference — identical arithmetic in both engines.
+
+_MARKERS = [("en", " the "), ("de", " der "), ("fr", " le "), ("es", " el "), ("zh", "的")]
+
+
+def _marker_count(col, marker: str):
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    return (F.length(padded) - F.length(F.regexp_replace(padded, marker, ""))) / len(marker)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = docs.select("doc_id", "lang", "text")
+    for code, marker in _MARKERS:
+        out = out.withColumn(f"s_{code}", _marker_count(F.col("text"), marker))
+    s = {c: F.col(f"s_{c}") for c, _ in _MARKERS}
+    # earlier languages win ties (>= vs later, > vs earlier) — mirrors the SQL
+    codes = [c for c, _ in _MARKERS]
+    pred = F.lit("zh")
+    for code in reversed(codes[:-1]):
+        later = codes[codes.index(code) + 1 :]
+        earlier = codes[: codes.index(code)]
+        cond = F.lit(True)
+        for o in later:
+            cond = cond & (s[code] >= s[o])
+        for o in earlier:
+            cond = cond & (s[code] > s[o])
+        pred = F.when(cond, code).otherwise(pred)
+    return out.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        *[F.round(f"s_{c}", 1).alias(f"s_{c}") for c, _ in _MARKERS],
+    )
+
+
+def _sql_marker(marker: str) -> str:
+    pad = "(' ' || lower(text) || ' ')"
+    return f"(length({pad}) - length(regexp_replace({pad}, '{marker}', '', 'g'))) / {len(marker)}"
+
+
+SQL_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_sql_marker(' the ')} AS s_en, {_sql_marker(' der ')} AS s_de,
+         {_sql_marker(' le ')} AS s_fr, {_sql_marker(' el ')} AS s_es,
+         {_sql_marker('的')} AS s_zh
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+            WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+            WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+            WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr AND s_es >= s_zh THEN 'es'
+            ELSE 'zh' END AS pred_lang,
+       ROUND(s_en, 1) AS s_en, ROUND(s_de, 1) AS s_de, ROUND(s_fr, 1) AS s_fr,
+       ROUND(s_es, 1) AS s_es, ROUND(s_zh, 1) AS s_zh
+FROM s
+"""
+
+
+# ------------------------------------------------------------ quality score
+_STOPWORDS = "('the','a','of','and','to','in','is','it','on','for')"
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.selectExpr(
+        "doc_id",
+        f"size({_TOKS}) AS n_tokens",
+        f"round(length(regexp_replace(text, '\\\\s', '')) / size({_TOKS}), 4) AS avg_tok_len",
+        "round((length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text), 6) AS punct_ratio",
+        f"round(size(filter({_TOKS}, t -> t IN {_STOPWORDS})) / size({_TOKS}), 6) AS stopword_ratio",
+        f"round(least(1.0, size({_TOKS}) / 100.0) * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text)), 6) AS quality_score",
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id,
+       len({_SQL_TOKS}) AS n_tokens,
+       ROUND(length(regexp_replace(text, '\\s', '', 'g')) / len({_SQL_TOKS}), 4) AS avg_tok_len,
+       ROUND((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / length(text), 6) AS punct_ratio,
+       ROUND(len(list_filter({_SQL_TOKS}, t -> t IN {_STOPWORDS})) / len({_SQL_TOKS}), 6) AS stopword_ratio,
+       ROUND(LEAST(1.0, len({_SQL_TOKS}) / 100.0) * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / length(text)), 6) AS quality_score
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ token stats
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.selectExpr(
+        "doc_id",
+        f"size({_TOKS}) AS n_tokens",
+        f"size(array_distinct({_TOKS})) AS n_distinct",
+        f"round(size(array_distinct({_TOKS})) / size({_TOKS}), 6) AS ttr",
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id, len({_SQL_TOKS}) AS n_tokens,
+       len(list_distinct({_SQL_TOKS})) AS n_distinct,
+       ROUND(len(list_distinct({_SQL_TOKS})) / len({_SQL_TOKS}), 6) AS ttr
+FROM documents
+"""
+
+
+CORPUS_QUERIES: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
+    "ann_ivf_buckets": (q_ann_ivf_buckets, SQL_ANN_IVF),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+}

@@ -1,0 +1,149 @@
+"""Driver-contract queries, part 3: the extraction engine itself.
+
+The extraction pipeline's kernels aren't SQL-expressible, but its output
+still gets an exact oracle: the corpus generator (documentconvert_spark/
+corpus.py) produces document bytes AND expected span sequences together.
+``_ensure_expected_parquet`` materializes the expectation tables once per
+process to a deterministic path; the Spark side recomputes everything from
+raw bytes through the Arrow UDFs, and the DuckDB oracle just reads the
+expectation parquet — so the driver's value-hash compare independently
+certifies span-sequence equality (kind, text, media_ref, offset) and the
+markdown fold.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from documentconvert_spark.corpus import corpus_rows, generate_corpus
+from documentconvert_spark.kernels.markdown import spans_to_markdown
+from documentconvert_spark.pipeline import extract_spans
+from documentconvert_spark.schemas import DOCUMENTS_RAW
+
+N_CONTRACT_DOCS = 240
+_SEED = 42
+_BIG_EVERY = 97
+
+_WORK_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_work")
+EXPECTED_SPANS_PARQUET = os.path.join(_WORK_DIR, "expected_spans.parquet")
+EXPECTED_DOCS_PARQUET = os.path.join(_WORK_DIR, "expected_docs.parquet")
+
+
+def _contract_corpus():
+    return generate_corpus(N_CONTRACT_DOCS, seed=_SEED, big_every=_BIG_EVERY)
+
+
+def _ensure_expected_parquet() -> None:
+    """Materialize the generator's expectations (idempotent, deterministic)."""
+    if os.path.exists(EXPECTED_SPANS_PARQUET) and os.path.exists(EXPECTED_DOCS_PARQUET):
+        return
+    os.makedirs(_WORK_DIR, exist_ok=True)
+    docs = _contract_corpus()
+    span_rows = {"doc_id": [], "offset": [], "kind": [], "media_ref": [], "text": []}
+    doc_rows = {"doc_id": [], "status": [], "n_spans": [], "markdown": []}
+    for d in docs:
+        if d.expect_error:
+            doc_rows["doc_id"].append(d.doc_id)
+            doc_rows["status"].append("failed")
+            doc_rows["n_spans"].append(None)
+            doc_rows["markdown"].append(None)
+            continue
+        doc_rows["doc_id"].append(d.doc_id)
+        doc_rows["status"].append("completed")
+        doc_rows["n_spans"].append(len(d.expected))
+        doc_rows["markdown"].append(spans_to_markdown(d.expected))
+        for s in d.expected:
+            span_rows["doc_id"].append(d.doc_id)
+            span_rows["offset"].append(s.offset)
+            span_rows["kind"].append(s.kind)
+            span_rows["media_ref"].append(s.media_ref)
+            span_rows["text"].append(s.text)
+    pq.write_table(
+        pa.table(span_rows, schema=pa.schema([
+            ("doc_id", pa.string()), ("offset", pa.int32()), ("kind", pa.string()),
+            ("media_ref", pa.string()), ("text", pa.string()),
+        ])),
+        EXPECTED_SPANS_PARQUET,
+    )
+    pq.write_table(
+        pa.table(doc_rows, schema=pa.schema([
+            ("doc_id", pa.string()), ("status", pa.string()),
+            ("n_spans", pa.int32()), ("markdown", pa.string()),
+        ])),
+        EXPECTED_DOCS_PARQUET,
+    )
+
+
+def _raw_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(corpus_rows(_contract_corpus()), schema=DOCUMENTS_RAW)
+
+
+def q_extract_span_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction, exploded to one row per span (W1 ordering): the
+    per-row invariant as a value-hashed table."""
+    _ensure_expected_parquet()
+    out = extract_spans(_raw_df(spark)).filter(F.col("error").isNull())
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.md5(F.col("s.text")).alias("text_md5"),
+    )
+
+
+SQL_EXTRACT_SPAN_SEQ = f"""
+SELECT doc_id, "offset", kind, media_ref, md5(text) AS text_md5
+FROM read_parquet('{EXPECTED_SPANS_PARQUET}')
+"""
+
+
+def q_extract_doc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc extraction outcome incl. the markdown fold (md5), error
+    containment for poison docs."""
+    _ensure_expected_parquet()
+    out = extract_spans(_raw_df(spark))
+    return out.select(
+        "doc_id",
+        "status",
+        F.col("n_spans").cast("int").alias("n_spans"),
+        F.when(F.col("error").isNull(), F.md5("markdown")).alias("markdown_md5"),
+    )
+
+
+SQL_EXTRACT_DOC_SUMMARY = f"""
+SELECT doc_id, status, n_spans,
+       CASE WHEN status = 'completed' THEN md5(markdown) END AS markdown_md5
+FROM read_parquet('{EXPECTED_DOCS_PARQUET}')
+"""
+
+
+def q_extract_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide span metrics (A5): spans per kind, docs containing each
+    kind — computed with native array functions over the UDF output."""
+    _ensure_expected_parquet()
+    out = extract_spans(_raw_df(spark)).filter(F.col("error").isNull())
+    return (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .agg(F.count("*").alias("n_spans"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+SQL_EXTRACT_KIND_COUNTS = f"""
+SELECT kind, COUNT(*) AS n_spans, COUNT(DISTINCT doc_id) AS n_docs
+FROM read_parquet('{EXPECTED_SPANS_PARQUET}')
+GROUP BY kind
+"""
+
+
+EXTRACTION_QUERIES: dict[str, tuple] = {
+    "extract_span_seq": (q_extract_span_seq, SQL_EXTRACT_SPAN_SEQ),
+    "extract_doc_summary": (q_extract_doc_summary, SQL_EXTRACT_DOC_SUMMARY),
+    "extract_kind_counts": (q_extract_kind_counts, SQL_EXTRACT_KIND_COUNTS),
+}

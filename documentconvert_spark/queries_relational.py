@@ -1,0 +1,359 @@
+"""Driver-contract queries, part 1: the reference's relational surface
+(SURVEY.md §2.2 filters, §2.4 aggregations, §2.5-2.6 ordering/top-k,
+§2.8 scalar functions) plus TPC-H-style join/agg workloads over the
+shared testdata tables. Every query here has an exact DuckDB oracle —
+column names are aliased identically on both sides.
+
+Each entry: NAME -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql str).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- P1: format whitelist
+# Reference: suffix ∈ allowed set (document_service.py:49-56). The testdata
+# documents table has no file paths, so both sides derive a deterministic
+# pseudo-path, then filter on its suffix.
+
+def q_p1_format_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    path = F.concat_ws(
+        "/",
+        F.col("source"),
+        F.concat(
+            F.lit("doc-"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, ".pdf")
+            .when(F.col("doc_id") % 4 == 1, ".docx")
+            .when(F.col("doc_id") % 4 == 2, ".txt")
+            .otherwise(".pptx"),
+        ),
+    )
+    suffix = F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1)
+    return (
+        docs.withColumn("path", path)
+        .withColumn("suffix", suffix)
+        .filter(F.col("suffix").isin("pdf", "docx", "pptx"))
+        .select("doc_id", "path", "suffix")
+    )
+
+
+SQL_P1 = """
+WITH d AS (
+  SELECT doc_id,
+         source || '/' || 'doc-' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 4 = 0 THEN '.pdf'
+              WHEN doc_id % 4 = 1 THEN '.docx'
+              WHEN doc_id % 4 = 2 THEN '.txt'
+              ELSE '.pptx' END AS path
+  FROM documents)
+SELECT doc_id, path, regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1) AS suffix
+FROM d
+WHERE regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1) IN ('pdf', 'docx', 'pptx')
+"""
+
+
+# --------------------------------------------------------------- P2: multi-predicate task filter
+# Reference: AND of optional predicates on the task table
+# (database_manager.py:208-255): status, type, date range, NOT NULL.
+
+def q_p2_task_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+            & F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").startswith("1")
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+SQL_P2 = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderstatus = 'F'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND o_totalprice IS NOT NULL
+  AND o_orderpriority LIKE '1%'
+"""
+
+
+# --------------------------------------------------------------- A1: per-status counts + rate
+# Reference: GROUP BY status COUNT(*), AVG(time), rate = n/total
+# (database_manager.py:270-312). Rate via window-over-aggregate: one
+# shuffle for the groupBy, no second pass over the data.
+
+def q_a1_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+    return agg.withColumn(
+        "rate", F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6)
+    )
+
+
+SQL_A1 = """
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(AVG(o_totalprice), 4) AS avg_price,
+       ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS rate
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------- A3: batch tallies
+# Reference: successful/failed counts per batch run (document_service.py:747-761).
+
+def q_a3_batch_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("value") > 0, 1).otherwise(0)).alias("n_positive"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+SQL_A3 = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS n_positive,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------- W3: latest-first listing
+# Reference: ORDER BY created_at DESC LIMIT/OFFSET (database_manager.py:244-245).
+
+def q_w3_latest_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+        .select("event_id", "ts", "event_type")
+    )
+
+
+SQL_W3 = """
+SELECT event_id, ts, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+# --------------------------------------------------------------- W4: top-1 per group
+# Reference: min(valid_files, key=len) — best-file pick (gradio_app.py:116,154).
+
+def q_w4_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round("value", 6).alias("best_value"))
+    )
+
+
+SQL_W4 = """
+SELECT user_id, event_id, ROUND(value, 6) AS best_value
+FROM (SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------- F4-F12: scalar pack
+# Path stem/suffix parse (F4), lineage key build (F6), size math (F12),
+# content fingerprint over normalized text.
+
+def q_f_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("source", r"([^/]+)$", 1).alias("stem"),
+        F.concat_ws("/", "source", F.concat(F.lit("doc-"), F.col("doc_id").cast("string")), F.lit("markdown")).alias("lineage"),
+        F.round(F.col("n_chars") / 1024.0, 4).alias("size_kb"),
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fingerprint"),
+        F.upper("lang").alias("lang_uc"),
+    )
+
+
+SQL_F_SCALAR = """
+SELECT doc_id,
+       regexp_extract(source, '([^/]+)$', 1) AS stem,
+       source || '/' || 'doc-' || CAST(doc_id AS VARCHAR) || '/' || 'markdown' AS lineage,
+       ROUND(n_chars / 1024.0, 4) AS size_kb,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+       upper(lang) AS lang_uc
+FROM documents
+"""
+
+
+# --------------------------------------------------------------- F10/F11: date format + duration math
+# ISO formatting (models.py:108-123) and (end-start).total_seconds()
+# (enhanced_task_processor.py:334-338).
+
+def q_f_time_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "user_id",
+            "n",
+            F.date_format("first_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("first_iso"),
+            (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")).alias("span_s"),
+        )
+    )
+
+
+SQL_F_TIME = """
+SELECT user_id, COUNT(*) AS n,
+       strftime(MIN(ts), '%Y-%m-%dT%H:%M:%S') AS first_iso,
+       date_diff('second', date_trunc('second', MIN(ts)), date_trunc('second', MAX(ts))) AS span_s
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q1: pricing summary
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q3: shipping priority (joins + top-k)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-03-15' AND l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q5-style: revenue per nation (6-way join)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q6: forecast revenue (scan+filter+agg)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+RELATIONAL_QUERIES: dict[str, tuple] = {
+    "p1_format_whitelist": (q_p1_format_whitelist, SQL_P1),
+    "p2_task_filter": (q_p2_task_filter, SQL_P2),
+    "a1_status_counts": (q_a1_status_counts, SQL_A1),
+    "a3_batch_tallies": (q_a3_batch_tallies, SQL_A3),
+    "w3_latest_first": (q_w3_latest_first, SQL_W3),
+    "w4_top1_per_group": (q_w4_top1_per_group, SQL_W4),
+    "f_scalar_pack": (q_f_scalar_pack, SQL_F_SCALAR),
+    "f_time_math": (q_f_time_math, SQL_F_TIME),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+}
