@@ -1,0 +1,112 @@
+"""Benchmark harness (driver-run per round; also usable locally).
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Headline = the extraction pipeline's docs/sec (the BASELINE.json metric)
+over a distributed-generated synthetic corpus sized to the SF, plus the
+representative relational / dedup / ANN queries at the SF dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from documentconvert_spark.benchcorpus import build_bench_corpus
+from documentconvert_spark.pipeline import extract_spans, size_aware_split
+from documentconvert_spark.queries_corpus import (
+    q_ann_cosine_topk,
+    q_dedup_minhash_lsh,
+    q_text_quality,
+)
+from documentconvert_spark.queries_relational import q_tpch_q1, q_tpch_q3, q_tpch_q5, q_tpch_q6
+from documentconvert_spark.session import build_session
+
+WORK = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_work")
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        return 0.1
+
+
+def force(df) -> int:
+    """Materialize every column the pipeline produces (count alone would
+    let Catalyst prune the expensive ones)."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("markdown")).alias("md_bytes"),
+        F.sum("n_spans").alias("spans"),
+    ).collect()[0]
+    return row.n
+
+
+def run_extract_bench(spark, n_docs: int, parallelism: int) -> tuple[float, int]:
+    corpus_path = os.path.join(WORK, f"bench_corpus_{n_docs}")
+    docs = build_bench_corpus(spark, n_docs, corpus_path, big_every=500, partitions=max(parallelism * 2, 8))
+    t0 = time.monotonic()
+    light, heavy = size_aware_split(docs, target_partitions=parallelism * 2)
+    out = extract_spans(light).unionByName(extract_spans(heavy))
+    n = force(out)
+    return time.monotonic() - t0, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(int(200_000 * sf), 2_000))))
+
+    spark = build_session(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16))
+
+    queries = {}
+
+    t0 = time.monotonic()
+    extract_s, n_extracted = run_extract_bench(spark, n_docs, cpus)
+    queries["extract_pipeline"] = round(extract_s, 3)
+
+    relational = {
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "text_quality": q_text_quality,
+    }
+    for name, fn in relational.items():
+        t = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.agg(F.count("*")).collect()
+        queries[name] = round(time.monotonic() - t, 3)
+
+    total = time.monotonic() - t0
+    result = {
+        "metric": "headline_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "extract_docs": n_extracted,
+        "docs_per_sec": round(n_extracted / extract_s, 1),
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

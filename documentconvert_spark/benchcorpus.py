@@ -1,0 +1,51 @@
+"""Distributed bench-corpus materialization.
+
+Generates the synthetic raw-document corpus ON THE EXECUTORS (mapInPandas
+over an index range — generation parallelism scales with the cluster, no
+driver bottleneck) and materializes it to parquet once, so benchmark runs
+time extraction only, not generation.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from documentconvert_spark.corpus import make_doc_by_index
+from documentconvert_spark.schemas import DOCUMENTS_RAW
+
+
+def _gen_partition(batches: Iterator[pd.DataFrame], seed: int, big_every: int) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        docs = [make_doc_by_index(int(i), seed, big_every) for i in b["id"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": [d.doc_id for d in docs],
+                "doc_type": [d.doc_type for d in docs],
+                "content": [d.content for d in docs],
+                "byte_len": [d.byte_len for d in docs],
+                "source_bucket": [d.source_bucket for d in docs],
+                "source_path": [d.source_path for d in docs],
+            }
+        )
+
+
+def build_bench_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    path: str,
+    seed: int = 42,
+    big_every: int = 500,
+    partitions: int = 32,
+) -> DataFrame:
+    """Materialize n_docs synthetic documents to parquet (idempotent)."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        idx = spark.range(0, n_docs, 1, partitions)
+        raw = idx.mapInPandas(
+            lambda it: _gen_partition(it, seed, big_every), schema=DOCUMENTS_RAW
+        )
+        raw.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -360,17 +360,21 @@ def fixture_corpus(per_class: int = 3, seed: int = 42) -> list[RawDoc]:
 _SCALE_CLASSES = [c for c in CLASSES if c not in ("F-BIG",)]
 
 
+def make_doc_by_index(i: int, seed: int = 42, big_every: int = 500) -> RawDoc:
+    """Index-addressable generation (pure function of (i, seed, big_every))
+    so executors can generate corpus shards independently — the same
+    function drives both the driver-side list and the distributed bench
+    corpus."""
+    if big_every and i % big_every == big_every - 1:
+        return make_doc("F-BIG", i, seed)
+    return make_doc(_SCALE_CLASSES[i % len(_SCALE_CLASSES)], i, seed)
+
+
 def generate_corpus(n_docs: int, seed: int = 42, big_every: int = 500) -> list[RawDoc]:
     """Parameterized corpus for scale tests / bench: round-robin over the
     fixture classes with seeded variation; one F-BIG heavy-tail doc every
     ``big_every`` docs (the 167 MB-PDF analogue, PROJECT_OVERVIEW.md:769)."""
-    docs: list[RawDoc] = []
-    for i in range(n_docs):
-        if big_every and i % big_every == big_every - 1:
-            docs.append(make_doc("F-BIG", i, seed))
-        else:
-            docs.append(make_doc(_SCALE_CLASSES[i % len(_SCALE_CLASSES)], i, seed))
-    return docs
+    return [make_doc_by_index(i, seed, big_every) for i in range(n_docs)]
 
 
 def corpus_rows(docs: list[RawDoc]) -> list[tuple]:
