@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from documentconvert_spark.state import StateStore
-from documentconvert_spark.udfs import extract_dispatch, fix_encoding_udf, markdown_column
+from documentconvert_spark.udfs import extract_dispatch, fix_encoding_udf
 
 HEAVY_QUANTILE = 0.99
 HEAVY_MEDIAN_FACTOR = 8.0  # a doc is heavy only if ≥ 8× the median too
@@ -76,24 +76,18 @@ def extract_spans(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFra
     shuffle). The flagship transformation (SURVEY.md §7.2)."""
     keep = [c for c in passthrough if c in docs.columns]
     return (
-        docs.withColumn("r", extract_dispatch("doc_type", "content"))
+        docs.withColumn("r", extract_dispatch("doc_id", "doc_type", "content"))
         .withColumn("partition_id", F.spark_partition_id())
         .select(
             "doc_id",
             *keep,
             "partition_id",
             F.col("r.spans").alias("spans"),
+            F.col("r.markdown").alias("markdown"),
+            F.col("r.n_spans").alias("n_spans"),
             F.col("r.error").alias("error"),
             F.col("r.error_class").alias("error_class"),
             F.col("r.processing_s").alias("processing_s"),
-        )
-        .withColumn(
-            "markdown",
-            markdown_column(F.col("spans"), F.col("doc_id"), F.col("error_class"), F.col("error")),
-        )
-        .withColumn(
-            "n_spans",
-            F.when(F.col("error").isNull(), F.size("spans")).otherwise(F.lit(None)),
         )
         .withColumn("status", F.when(F.col("error").isNull(), "completed").otherwise("failed"))
     )

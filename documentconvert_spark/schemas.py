@@ -32,10 +32,15 @@ DOCUMENTS_RAW = T.StructType(
 )
 
 # result of the extraction UDF (per row; error captured, never thrown —
-# reference error containment, document_service.py:119-126, 334-383)
+# reference error containment, document_service.py:119-126, 334-383).
+# markdown/n_spans are computed inside the same UDF: the MM_MD fold is a
+# pure function of the spans, and fusing it avoids a second JVM↔Python
+# Arrow round trip of the nested span arrays (the dominant cost at scale).
 EXTRACT_RESULT = T.StructType(
     [
         T.StructField("spans", SPANS_TYPE, True),
+        T.StructField("markdown", T.StringType(), True),
+        T.StructField("n_spans", T.IntegerType(), True),
         T.StructField("error", T.StringType(), True),
         T.StructField("error_class", T.StringType(), True),
         T.StructField("processing_s", T.DoubleType(), True),

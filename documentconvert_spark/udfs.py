@@ -41,10 +41,10 @@ _KERNELS = {
 }
 
 
-def _extract_batch(doc_type: pd.Series, content: pd.Series) -> pd.DataFrame:
+def _extract_batch(doc_id: pd.Series, doc_type: pd.Series, content: pd.Series) -> pd.DataFrame:
     t0 = time.monotonic()
-    spans_out, err_out, cls_out = [], [], []
-    for dt, raw in zip(doc_type, content):
+    spans_out, md_out, n_out, err_out, cls_out = [], [], [], [], []
+    for did, dt, raw in zip(doc_id, doc_type, content):
         kernel = _KERNELS.get(dt)
         try:
             if kernel is None:
@@ -53,16 +53,26 @@ def _extract_batch(doc_type: pd.Series, content: pd.Series) -> pd.DataFrame:
                 raise ValueError("malformed: null content")
             spans = kernel(bytes(raw))
             spans_out.append([s.as_dict() for s in spans])
+            md_out.append(_fold(spans))
+            n_out.append(len(spans))
             err_out.append(None)
             cls_out.append(None)
         except Exception as exc:  # noqa: BLE001 — containment is the contract
+            err = f"{type(exc).__name__}: {exc}"
+            cls = classify_error(str(exc))
             spans_out.append(None)
-            err_out.append(f"{type(exc).__name__}: {exc}")
-            cls_out.append(classify_error(str(exc)))
+            # failures still yield a structured report artifact
+            # (reference document_service.py:347-375)
+            md_out.append(_error_md(did, cls, err))
+            n_out.append(None)
+            err_out.append(err)
+            cls_out.append(cls)
     per_row = (time.monotonic() - t0) / max(len(doc_type), 1)
     return pd.DataFrame(
         {
             "spans": spans_out,
+            "markdown": md_out,
+            "n_spans": pd.array(n_out, dtype="Int32"),
             "error": err_out,
             "error_class": cls_out,
             "processing_s": [per_row] * len(doc_type),
