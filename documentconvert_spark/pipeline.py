@@ -50,17 +50,28 @@ def prepare_documents(docs: DataFrame) -> DataFrame:
 
 def size_aware_split(docs: DataFrame, target_partitions: int) -> tuple[DataFrame, DataFrame]:
     """Split (light, heavy) at the byte_len p99 so the heavy tail cannot
-    serialize a partition: heavy docs one-per-task (round-robin), light docs
-    hash-partitioned on doc_id."""
+    serialize a partition.
+
+    The light slice is deliberately NOT reshuffled: a parquet/Iceberg scan
+    already yields byte-balanced splits (spark.sql.files.maxPartitionBytes),
+    so repartitioning the bulk of a 100 TB corpus would add a full-corpus
+    shuffle for nothing. Only the heavy tail — the docs that can serialize
+    a partition — is isolated and round-robin spread, and that slice is
+    ~1% of rows by construction."""
     qs = docs.approxQuantile("byte_len", [0.5, HEAVY_QUANTILE], 0.01)
     if not qs:
-        return docs.repartition(target_partitions, "doc_id"), docs.limit(0)
+        return docs, docs.limit(0)
     median, p99 = qs
     # heavy = top-1% AND ≥8× median: a uniform corpus (p99 ≈ median) splits
     # nothing; a skewed corpus isolates exactly its heavy tail. Inclusive
     # bound because on small corpora p99 lands on the max value itself.
     threshold = max(p99, HEAVY_MEDIAN_FACTOR * median, 1.0)
-    light = docs.filter(F.col("byte_len") < threshold).repartition(target_partitions, "doc_id")
+    light = docs.filter(F.col("byte_len") < threshold)
+    # Fan out only when the source yields fewer splits than the target —
+    # a 100 TB corpus has plenty of scan splits (no shuffle); a small or
+    # few-file corpus gets one cheap rebalance instead of starving cores.
+    if light.rdd.getNumPartitions() < target_partitions:
+        light = light.repartition(target_partitions)
     heavy = docs.filter(F.col("byte_len") >= threshold)
     n_heavy = heavy.count()
     if n_heavy:

@@ -41,6 +41,11 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Extraction is compute-dense per byte: favor many small input
+        # splits so scan parallelism never caps the UDF stage (default
+        # 128m/4m bins a multi-file corpus into a handful of splits).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "8m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
