@@ -29,9 +29,11 @@ N_CONTRACT_DOCS = 240
 _SEED = 42
 _BIG_EVERY = 97
 
-_WORK_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_work")
-EXPECTED_SPANS_PARQUET = os.path.join(_WORK_DIR, "expected_spans.parquet")
-EXPECTED_DOCS_PARQUET = os.path.join(_WORK_DIR, "expected_docs.parquet")
+# committed to git so the oracle SQL works in any process; regenerated
+# (and byte-identical, generator is deterministic) if missing
+_RES_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "resources")
+EXPECTED_SPANS_PARQUET = os.path.join(_RES_DIR, "expected_spans.parquet")
+EXPECTED_DOCS_PARQUET = os.path.join(_RES_DIR, "expected_docs.parquet")
 
 
 def _contract_corpus():
@@ -42,7 +44,7 @@ def _ensure_expected_parquet() -> None:
     """Materialize the generator's expectations (idempotent, deterministic)."""
     if os.path.exists(EXPECTED_SPANS_PARQUET) and os.path.exists(EXPECTED_DOCS_PARQUET):
         return
-    os.makedirs(_WORK_DIR, exist_ok=True)
+    os.makedirs(_RES_DIR, exist_ok=True)
     docs = _contract_corpus()
     span_rows = {"doc_id": [], "offset": [], "kind": [], "media_ref": [], "text": []}
     doc_rows = {"doc_id": [], "status": [], "n_spans": [], "markdown": []}
