@@ -1,0 +1,1 @@
+"""Extended operator packs: multimodal media handling, streaming, etc."""

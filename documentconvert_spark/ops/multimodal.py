@@ -1,0 +1,225 @@
+"""Multimodal media columns: opaque binary + typed metadata + batch UDF ops.
+
+The reference moves extracted figure crops as opaque files next to the
+markdown (`services/document_service.py:259-304`); a training-data engine
+instead keeps media as a side table of binary columns
+
+    media(doc_id, media_ref, media_type, content binary)
+
+and runs decode / feature-extract / resize / frame-sample as Arrow-batched
+``mapInPandas`` operators. The sandbox ships no image/audio codecs, so the
+*byte-level decode* is a deterministic mini-format (MINIMEDIA) whose
+header fields are closed-form functions of md5(media_ref) — which makes
+every operator here exactly oracle-checkable in SQL — while the real-codec
+path is stubbed behind an import guard (`_codec_decode`). The Spark-side
+plumbing — schemas, batch shapes, partition invariance, explode semantics
+— is real and tested.
+
+Portable derivations (same arithmetic in Spark SQL and DuckDB):
+    h           = int(md5(media_ref)[:8], 16)
+    media_type  = (image, audio, video)[h % 3]
+    width       = 64 + h % 1024          (image)
+    height      = 64 + (h // 7) % 768    (image)
+    duration_ms = 500 + h % 60000        (audio/video)
+    fps         = 5 + h % 25             (video)
+    payload_len = 128 + h % 4096
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"MINIMEDIA-1.0"
+MEDIA_TYPES = ("image", "audio", "video")
+FRAME_STRIDE = 10  # sample every 10th frame
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("fps", T.IntegerType(), True),
+        T.StructField("payload_len", T.IntegerType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def _h(media_ref: str) -> int:
+    return int(hashlib.md5(media_ref.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def _fields(media_ref: str) -> dict:
+    h = _h(media_ref)
+    mt = MEDIA_TYPES[h % 3]
+    return {
+        "media_type": mt,
+        "width": 64 + h % 1024 if mt == "image" else None,
+        "height": 64 + (h // 7) % 768 if mt == "image" else None,
+        "duration_ms": 500 + h % 60000 if mt in ("audio", "video") else None,
+        "fps": 5 + h % 25 if mt == "video" else None,
+        "payload_len": 128 + h % 4096,
+    }
+
+
+def make_media_bytes(media_ref: str) -> tuple[str, bytes]:
+    """Deterministic media object for a ref (generator side)."""
+    f = _fields(media_ref)
+    header = [
+        MAGIC.decode(),
+        f["media_type"],
+        media_ref,
+        ",".join(
+            str(f[k]) if f[k] is not None else ""
+            for k in ("width", "height", "duration_ms", "fps", "payload_len")
+        ),
+    ]
+    ref_bytes = media_ref.encode("utf-8")
+    payload = (ref_bytes * (f["payload_len"] // len(ref_bytes) + 1))[: f["payload_len"]]
+    return f["media_type"], "\n".join(header).encode("utf-8") + b"\n" + payload
+
+
+def _codec_decode(media_type: str, content: bytes):  # pragma: no cover
+    """Real-codec decode path — STUB. The container has no PIL/librosa/
+    ffmpeg; production swaps this in behind the same interface."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "real media codecs unavailable in this environment; "
+            "MINIMEDIA header parsing is the tested path"
+        ) from None
+    raise NotImplementedError("codec path not wired in this build")
+
+
+def build_media_table(docs_with_spans: DataFrame) -> DataFrame:
+    """Figure spans → media side table (J3's dimension side). Narrow:
+    explode + a batched builder UDF; no shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            types, blobs = [], []
+            for ref in b["media_ref"]:
+                mt, blob = make_media_bytes(ref)
+                types.append(mt)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "media_ref": b["media_ref"],
+                    "media_type": types,
+                    "content": blobs,
+                }
+            )
+
+    refs = (
+        docs_with_spans.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "figure")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    )
+    return refs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_media_meta(media: DataFrame) -> DataFrame:
+    """Parse typed metadata out of the binary column (Arrow-batched; the
+    decode reads actual bytes — per-row error containment like C7)."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "media_ref", "media_type", "width",
+                                    "height", "duration_ms", "fps", "payload_len", "error")}
+            for did, ref, blob in zip(b["doc_id"], b["media_ref"], b["content"]):
+                rows["doc_id"].append(did)
+                rows["media_ref"].append(ref)
+                try:
+                    raw = bytes(blob)
+                    if not raw.startswith(MAGIC):
+                        raise ValueError("malformed media: bad magic")
+                    lines = raw.split(b"\n", 4)  # 4 header lines, then payload
+                    mt = lines[1].decode()
+                    nums = lines[3].decode().split(",")
+                    w, hgt, dur, fps, plen = [int(x) if x else None for x in nums]
+                    if len(lines[4]) != plen:
+                        raise ValueError("malformed media: payload length mismatch")
+                    rows["media_type"].append(mt)
+                    rows["width"].append(w)
+                    rows["height"].append(hgt)
+                    rows["duration_ms"].append(dur)
+                    rows["fps"].append(fps)
+                    rows["payload_len"].append(plen)
+                    rows["error"].append(None)
+                except Exception as exc:  # noqa: BLE001
+                    rows["media_type"].append("unknown")
+                    for k in ("width", "height", "duration_ms", "fps"):
+                        rows[k].append(None)
+                    rows["payload_len"].append(0)
+                    rows["error"].append(str(exc))
+            df = pd.DataFrame(rows)
+            for c in ("width", "height", "duration_ms", "fps", "payload_len"):
+                df[c] = df[c].astype("Int32")
+            yield df
+
+    return media.mapInPandas(dec, schema=META_SCHEMA)
+
+
+def sample_frames(meta: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (row-expanding
+    mapInPandas — the UDTF shape). frame_md5 stands in for the decoded
+    frame tensor."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            refs, idxs, md5s = [], [], []
+            for ref, dur, fps in zip(b["media_ref"], b["duration_ms"], b["fps"]):
+                if pd.isna(dur) or pd.isna(fps):
+                    continue
+                n_frames = int(dur) * int(fps) // 1000
+                for i in range(0, n_frames, stride):
+                    refs.append(ref)
+                    idxs.append(i)
+                    md5s.append(hashlib.md5(f"{ref}:{i}".encode()).hexdigest())
+            yield pd.DataFrame({
+                "media_ref": refs,
+                "frame_idx": pd.array(idxs, dtype="Int32"),
+                "frame_md5": md5s,
+            })
+
+    return meta.filter(F.col("media_type") == "video").mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction stub: deterministic hash-derived features per
+    media object, exploded (media_ref, j, feature) — the embedding-table
+    shape the ANN ops consume."""
+    j = F.explode(F.expr(f"sequence(0, {dim - 1})")).alias("j")
+    h = F.conv(F.substring(F.md5(F.concat_ws("#", "media_ref", "j")), 1, 8), 16, 10).cast("long")
+    return (
+        media.select("media_ref", j)
+        .withColumn("feature", F.round((h % 1000) / 1000.0, 3))
+    )

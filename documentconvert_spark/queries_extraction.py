@@ -144,8 +144,92 @@ GROUP BY kind
 """
 
 
+# ------------------------------------------------------------- multimodal
+# The media side table is built from the extraction's figure spans and its
+# MINIMEDIA header fields are closed-form in md5(media_ref) — so the whole
+# multimodal path (build → binary decode → frame sample → features) is
+# value-hash checkable against SQL recomputing the closed forms from the
+# expectation parquet. The Spark side genuinely parses the bytes.
+
+def _media_df(spark: SparkSession) -> DataFrame:
+    from documentconvert_spark.ops.multimodal import build_media_table
+
+    out = extract_spans(_raw_df(spark)).filter(F.col("error").isNull())
+    return build_media_table(out)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from documentconvert_spark.ops.multimodal import decode_media_meta
+
+    _ensure_expected_parquet()
+    return decode_media_meta(_media_df(spark)).select(
+        "doc_id", "media_ref", "media_type", "width", "height",
+        "duration_ms", "fps", "payload_len",
+    )
+
+
+_SQL_MEDIA_REFS = f"""
+  SELECT DISTINCT doc_id, media_ref,
+         ('0x' || substr(md5(media_ref), 1, 8))::BIGINT AS h
+  FROM read_parquet('{EXPECTED_SPANS_PARQUET}') WHERE kind = 'figure'
+"""
+
+SQL_MULTIMODAL_META = f"""
+WITH refs AS ({_SQL_MEDIA_REFS})
+SELECT doc_id, media_ref,
+       CASE WHEN h % 3 = 0 THEN 'image' WHEN h % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(CASE WHEN h % 3 = 0 THEN 64 + h % 1024 END AS INT) AS width,
+       CAST(CASE WHEN h % 3 = 0 THEN 64 + (h // 7) % 768 END AS INT) AS height,
+       CAST(CASE WHEN h % 3 <> 0 THEN 500 + h % 60000 END AS INT) AS duration_ms,
+       CAST(CASE WHEN h % 3 = 2 THEN 5 + h % 25 END AS INT) AS fps,
+       CAST(128 + h % 4096 AS INT) AS payload_len
+FROM refs
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from documentconvert_spark.ops.multimodal import decode_media_meta, sample_frames
+
+    _ensure_expected_parquet()
+    return sample_frames(decode_media_meta(_media_df(spark)))
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH refs AS ({_SQL_MEDIA_REFS}),
+vids AS (
+  SELECT media_ref,
+         CAST(500 + h % 60000 AS BIGINT) AS duration_ms,
+         CAST(5 + h % 25 AS BIGINT) AS fps
+  FROM refs WHERE h % 3 = 2),
+frames AS (
+  SELECT media_ref, unnest(range(0, (duration_ms * fps) // 1000, 10)) AS frame_idx
+  FROM vids)
+SELECT media_ref, CAST(frame_idx AS INT) AS frame_idx,
+       md5(media_ref || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM frames
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from documentconvert_spark.ops.multimodal import media_features
+
+    _ensure_expected_parquet()
+    return media_features(_media_df(spark))
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH refs AS ({_SQL_MEDIA_REFS})
+SELECT media_ref, CAST(j AS INT) AS j,
+       ROUND((('0x' || substr(md5(media_ref || '#' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 1000) / 1000.0, 3) AS feature
+FROM refs, generate_series(0, 7) t(j)
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
     "extract_span_seq": (q_extract_span_seq, SQL_EXTRACT_SPAN_SEQ),
     "extract_doc_summary": (q_extract_doc_summary, SQL_EXTRACT_DOC_SUMMARY),
     "extract_kind_counts": (q_extract_kind_counts, SQL_EXTRACT_KIND_COUNTS),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

@@ -1,0 +1,99 @@
+"""Multimodal media ops: schema, decode round-trip, explode semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from documentconvert_spark.corpus import corpus_rows, fixture_corpus
+from documentconvert_spark.ops.multimodal import (
+    FRAME_STRIDE,
+    _codec_decode,
+    _fields,
+    build_media_table,
+    decode_media_meta,
+    make_media_bytes,
+    media_features,
+    sample_frames,
+)
+from documentconvert_spark.pipeline import extract_spans
+from documentconvert_spark.schemas import DOCUMENTS_RAW
+
+
+def test_make_and_fields_roundtrip_pure():
+    for ref in ("img-a-0.jpg", "scan-x.jpg", "视频-1.mp4"):
+        mt, blob = make_media_bytes(ref)
+        f = _fields(ref)
+        assert mt == f["media_type"]
+        lines = blob.split(b"\n", 4)
+        assert lines[2].decode() == ref
+        assert len(lines[4]) == f["payload_len"]
+
+
+def test_codec_stub_raises():
+    with pytest.raises(NotImplementedError):
+        _codec_decode("image", b"\xff\xd8")
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(corpus_rows(fixture_corpus()), schema=DOCUMENTS_RAW)
+    out = extract_spans(docs).filter(F.col("error").isNull())
+    return build_media_table(out).cache()
+
+
+def test_media_table_matches_figure_spans(spark, media):
+    docs = spark.createDataFrame(corpus_rows(fixture_corpus()), schema=DOCUMENTS_RAW)
+    out = extract_spans(docs).filter(F.col("error").isNull())
+    n_figures = (
+        out.select(F.explode("spans").alias("s")).filter(F.col("s.kind") == "figure").count()
+    )
+    assert media.count() == n_figures > 0
+    assert set(media.columns) == {"doc_id", "media_ref", "media_type", "content"}
+
+
+def test_decode_meta(spark, media):
+    meta = decode_media_meta(media)
+    rows = meta.collect()
+    assert all(r.error is None for r in rows)
+    for r in rows:
+        f = _fields(r.media_ref)
+        assert (r.media_type, r.width, r.height, r.duration_ms, r.fps, r.payload_len) == (
+            f["media_type"], f["width"], f["height"], f["duration_ms"], f["fps"], f["payload_len"]
+        )
+    # typed-metadata coupling
+    for r in rows:
+        if r.media_type == "image":
+            assert r.width is not None and r.duration_ms is None
+        if r.media_type == "video":
+            assert r.fps is not None and r.width is None
+
+
+def test_decode_meta_error_containment(spark):
+    bad = spark.createDataFrame(
+        [("d1", "r1", "image", bytearray(b"not media"))],
+        schema="doc_id string, media_ref string, media_type string, content binary",
+    )
+    row = decode_media_meta(bad).first()
+    assert row.error is not None and "magic" in row.error
+
+
+def test_frame_sampling(spark, media):
+    meta = decode_media_meta(media)
+    frames = sample_frames(meta).collect()
+    vids = {r.media_ref: r for r in meta.filter(F.col("media_type") == "video").collect()}
+    assert len(vids) > 0
+    by_ref = {}
+    for fr in frames:
+        by_ref.setdefault(fr.media_ref, []).append(fr.frame_idx)
+    for ref, idxs in by_ref.items():
+        n_frames = vids[ref].duration_ms * vids[ref].fps // 1000
+        assert sorted(idxs) == list(range(0, n_frames, FRAME_STRIDE))
+
+
+def test_media_features_shape(spark, media):
+    feats = media_features(media, dim=8)
+    n_media = media.count()
+    assert feats.count() == n_media * 8
+    r = feats.first()
+    assert 0.0 <= r.feature < 1.0
