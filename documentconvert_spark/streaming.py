@@ -1,0 +1,89 @@
+"""Incremental / streaming extraction (SURVEY.md §2.10).
+
+The reference is a polling micro-batch system: a fetch worker re-queries
+`status=pending` every 5 s (`enhanced_task_processor.py:255-284`) and the
+task table is the durable state. The Spark-native equivalent is
+Structured Streaming over the landing directory:
+
+    spark.readStream (file source, schema-locked)
+      → extract_spans (same Arrow UDF — batch/stream parity by construction)
+      → writeStream.foreachBatch(append parquet + state rows)
+      → checkpointLocation = the resume cursor
+
+`Trigger.AvailableNow` drains everything that has landed and stops —
+exactly the reference's drain-the-queue semantics, restartable at any
+time; a `processingTime='5 seconds'` trigger gives the literal poll loop.
+File-source checkpointing already makes each input file
+exactly-once-per-query; the foreachBatch sink writes per-batch parquet
+keyed by batchId, which Spark re-runs idempotently on recovery (overwrite
+of the same batch directory), mirroring the reference's
+processing→pending reset on restart (`enhanced_task_processor.py:196-235`).
+
+Watermarks / event-time windows are n/a — the reference's tasks have no
+event time (SURVEY.md §2.10) — so none are used here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from documentconvert_spark.pipeline import extract_spans
+from documentconvert_spark.schemas import DOCUMENTS_RAW
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (and for availableNow: drain) an incremental extraction over
+    a landing directory of documents_raw parquet. Returns the query."""
+    reader = (
+        spark.readStream.schema(DOCUMENTS_RAW)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        if max_files_per_trigger
+        else spark.readStream.schema(DOCUMENTS_RAW)
+    )
+    src = reader.parquet(input_dir)
+    out = extract_spans(src)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent per-batch write: recovery re-runs a batch into the
+        # same directory (overwrite), so restarts never duplicate rows
+        (
+            batch_df.select("doc_id", "spans", "markdown", "n_spans", "error", "error_class")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        )
+
+    writer = out.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")  # reference poll interval
+    return writer.start()
+
+
+def read_stream_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.option("basePath", out_dir).parquet(out_dir).drop("batch_id")
+
+
+def drain(spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str) -> DataFrame:
+    """Run one availableNow pass to completion and return the cumulative
+    output table."""
+    q = stream_extract(spark, input_dir, out_dir, checkpoint_dir, trigger_available_now=True)
+    q.awaitTermination()
+    return read_stream_output(spark, out_dir)
+
+
+def status_counts(out: DataFrame) -> DataFrame:
+    """Live A1-style counts over the stream output."""
+    return out.groupBy(
+        F.when(F.col("error").isNull(), "completed").otherwise("failed").alias("status")
+    ).count()
