@@ -1,0 +1,60 @@
+"""Cluster job entrypoint: resumable corpus extraction.
+
+Submit (north_rule launch shape):
+
+    scripts/make_pyfiles.sh   # builds dist/documentconvert_spark.zip
+    spark-submit \
+      --master <cluster> \
+      --py-files dist/documentconvert_spark.zip \
+      jobs/run_extract.py \
+      --input  <documents_raw parquet/iceberg path> \
+      --output <spans_out path> \
+      --state  <state table path> \
+      [--partitions N] [--rounds 3]
+
+Rerunning the same command after any interruption resumes from the state
+table (anti-join work selection); --rounds>1 retries failed docs with
+exponential backoff (1/2/4 s — reference TASK_PROCESSING_GUIDE.md:89-93)
+up to the per-doc attempt cap.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--state", required=True)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--master", default=None, help="override master (local testing)")
+    args = ap.parse_args()
+
+    from documentconvert_spark.pipeline import run_extraction_job
+    from documentconvert_spark.session import build_session
+    from documentconvert_spark.state import StateStore
+
+    spark = build_session(app_name="documentconvert-extract", master=args.master)
+    docs = spark.read.parquet(args.input)
+    state = StateStore(spark, args.state)
+
+    backoff = 1.0
+    for rnd in range(1, args.rounds + 1):
+        r = run_extraction_job(spark, docs, args.output, state, target_partitions=args.partitions)
+        print(json.dumps({"round": rnd, **r.__dict__}))
+        if r.failed == 0:
+            break
+        if rnd < args.rounds:
+            time.sleep(backoff)  # 1/2/4 s exponential backoff between retry rounds
+            backoff *= 2
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

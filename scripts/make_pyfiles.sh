@@ -1,0 +1,9 @@
+#!/usr/bin/env bash
+# Package the engine for spark-submit --py-files.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p dist
+rm -f dist/documentconvert_spark.zip
+zip -qr dist/documentconvert_spark.zip documentconvert_spark \
+    -x '*__pycache__*'
+echo "dist/documentconvert_spark.zip"
