@@ -225,7 +225,76 @@ FROM refs, generate_series(0, 7) t(j)
 """
 
 
+# --------------------------------------------------------------- W1: span re-densification window
+# Reference: spans carry reading order (document_service.py:263-272);
+# after dropping figure spans the offsets must re-densify 0..n-1 per doc —
+# posexplode ↔ row_number window (SURVEY.md W1).
+
+def q_w1_redensify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    _ensure_expected_parquet()
+    out = extract_spans(_raw_df(spark)).filter(F.col("error").isNull())
+    exploded = (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") != "figure")
+        .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.kind").alias("kind"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return exploded.select(
+        "doc_id",
+        "kind",
+        (F.row_number().over(w) - 1).cast("int").alias("new_offset"),
+    )
+
+
+SQL_W1_REDENSIFY = f"""
+SELECT doc_id, kind,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS INT) AS new_offset
+FROM read_parquet('{EXPECTED_SPANS_PARQUET}')
+WHERE kind <> 'figure'
+"""
+
+
+# --------------------------------------------------------------- J3: span ⋈ media broadcast join
+# Reference: markdown image refs must agree with the written media files
+# (document_service.py:259-304). Here the extraction's figure spans join
+# the decoded media dimension (broadcast — small side) and aggregate
+# per-document media stats.
+
+def q_j3_media_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from documentconvert_spark.ops.multimodal import decode_media_meta
+
+    _ensure_expected_parquet()
+    out = extract_spans(_raw_df(spark)).filter(F.col("error").isNull())
+    figs = (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "figure")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    )
+    meta = decode_media_meta(_media_df(spark)).select("media_ref", "media_type", "payload_len")
+    joined = figs.join(F.broadcast(meta), "media_ref", "inner")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.when(F.col("media_type") == "image", 1).otherwise(0)).alias("n_images"),
+        F.sum(F.when(F.col("media_type") == "video", 1).otherwise(0)).alias("n_videos"),
+        F.sum("payload_len").alias("total_payload"),
+    )
+
+
+SQL_J3_MEDIA_JOIN = f"""
+WITH refs AS ({_SQL_MEDIA_REFS})
+SELECT doc_id, COUNT(*) AS n_media,
+       SUM(CASE WHEN h % 3 = 0 THEN 1 ELSE 0 END) AS n_images,
+       SUM(CASE WHEN h % 3 = 2 THEN 1 ELSE 0 END) AS n_videos,
+       SUM(128 + h % 4096) AS total_payload
+FROM refs GROUP BY doc_id
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
+    "w1_redensify": (q_w1_redensify, SQL_W1_REDENSIFY),
+    "j3_media_join": (q_j3_media_join, SQL_J3_MEDIA_JOIN),
     "extract_span_seq": (q_extract_span_seq, SQL_EXTRACT_SPAN_SEQ),
     "extract_doc_summary": (q_extract_doc_summary, SQL_EXTRACT_DOC_SUMMARY),
     "extract_kind_counts": (q_extract_kind_counts, SQL_EXTRACT_KIND_COUNTS),

@@ -343,7 +343,72 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+# --------------------------------------------------------------- W2: priority scheduling order
+# Reference: strict high>normal>low drain order across queues
+# (enhanced_task_processor.py:286-307) → an ORDER BY on a priority rank.
+
+def q_w2_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    rank = (
+        F.when(F.col("event_type") == "purchase", 0)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(2)
+    )
+    return (
+        events.withColumn("prio", rank)
+        .orderBy("prio", F.desc("ts"), F.desc("event_id"))
+        .limit(200)
+        .select("event_id", "event_type", "prio")
+    )
+
+
+SQL_W2 = """
+SELECT event_id, event_type,
+       CASE WHEN event_type = 'purchase' THEN 0
+            WHEN event_type = 'click' THEN 1 ELSE 2 END AS prio
+FROM events
+ORDER BY prio, ts DESC, event_id DESC LIMIT 200
+"""
+
+
+# --------------------------------------------------------------- F8/F9/F16: metadata-encoding scalar pack
+# base64/hex S3-metadata encoding (s3_upload_service.py:388-402), suffix →
+# content-type map (s3_upload_service.py:534-553), ASCII-safe filename
+# (unified_document_api.py:759-766).
+
+def q_f_meta_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fname = F.concat(F.lit("文档-"), F.col("doc_id").cast("string"), F.lit(".pdf"))
+    suffix = F.when(F.col("doc_id") % 3 == 0, "pdf").when(F.col("doc_id") % 3 == 1, "docx").otherwise("png")
+    ctype = (
+        F.when(suffix == "pdf", "application/pdf")
+        .when(suffix == "docx", "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
+        .otherwise("image/png")
+    )
+    return docs.select(
+        "doc_id",
+        F.base64(F.encode(fname, "utf-8")).alias("fname_b64"),
+        F.hex(F.encode(fname, "utf-8")).alias("fname_hex"),
+        ctype.alias("content_type"),
+        F.regexp_replace(fname, r"[^\x00-\x7F]+", "_").alias("ascii_name"),
+    )
+
+
+SQL_F_META = """
+SELECT doc_id,
+       to_base64(encode('文档-' || CAST(doc_id AS VARCHAR) || '.pdf')) AS fname_b64,
+       hex(encode('文档-' || CAST(doc_id AS VARCHAR) || '.pdf')) AS fname_hex,
+       CASE WHEN doc_id % 3 = 0 THEN 'application/pdf'
+            WHEN doc_id % 3 = 1 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+            ELSE 'image/png' END AS content_type,
+       regexp_replace('文档-' || CAST(doc_id AS VARCHAR) || '.pdf', '[^\\x00-\\x7F]+', '_', 'g') AS ascii_name
+FROM documents
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "w2_priority_order": (q_w2_priority_order, SQL_W2),
+    "f_meta_encoding": (q_f_meta_encoding, SQL_F_META),
     "p1_format_whitelist": (q_p1_format_whitelist, SQL_P1),
     "p2_task_filter": (q_p2_task_filter, SQL_P2),
     "a1_status_counts": (q_a1_status_counts, SQL_A1),
