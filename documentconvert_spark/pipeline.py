@@ -120,6 +120,7 @@ class JobResult:
     completed: int
     failed: int
     skipped: int
+    n_spans_total: int
     wall_s: float
 
 
@@ -156,6 +157,19 @@ def run_extraction_job(
     ]
     out = extracted[0].unionByName(extracted[1])
 
+    # in-flight metrics (SURVEY.md A2 — reference keeps live counters,
+    # enhanced_task_processor.py:87-92): an Observation rides the action
+    # that materializes the output; no extra pass.
+    from pyspark.sql import Observation
+
+    obs = Observation("extract_metrics")
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("n_completed"),
+        F.sum(F.coalesce(F.col("n_spans"), F.lit(0))).alias("n_spans_total"),
+    )
+
     started_at = F.current_timestamp()
     out = out.cache()
     processed = out.count()
@@ -186,7 +200,8 @@ def run_extraction_job(
     )
     run_id = state.append(state_rows) if processed else None
 
-    completed_n = out.filter(F.col("status") == "completed").count()
+    live = obs.get if processed else {"n_completed": 0, "n_spans_total": 0}
+    completed_n = int(live["n_completed"] or 0)
     out.unpersist()
     return JobResult(
         run_id=run_id,
@@ -196,6 +211,7 @@ def run_extraction_job(
         completed=completed_n,
         failed=processed - completed_n,
         skipped=docs_in - processed,
+        n_spans_total=int(live["n_spans_total"] or 0),
         wall_s=time.monotonic() - t0,
     )
 

@@ -1,0 +1,66 @@
+"""Physical-plan regression tests: the plan properties the engine's scale
+story depends on must not silently regress (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from documentconvert_spark.corpus import corpus_rows, fixture_corpus
+from documentconvert_spark.pipeline import extract_spans
+from documentconvert_spark.queries_relational import q_tpch_q1, q_tpch_q3
+from documentconvert_spark.schemas import DOCUMENTS_RAW
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_extraction_is_narrow_no_shuffle(spark):
+    docs = spark.createDataFrame(corpus_rows(fixture_corpus()), schema=DOCUMENTS_RAW)
+    plan = _plan(extract_spans(docs))
+    assert "Exchange" not in plan  # hot path must not shuffle
+
+
+def test_extraction_single_arrow_hop(spark):
+    docs = spark.createDataFrame(corpus_rows(fixture_corpus()), schema=DOCUMENTS_RAW)
+    plan = _plan(extract_spans(docs))
+    assert plan.count("ArrowEvalPython") == 1  # fold fused into the UDF
+
+
+def test_parquet_filter_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: only the needed columns in ReadSchema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = _plan(q_tpch_q3(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(q_tpch_q1(spark, SF))
+    # partial (map-side) + final hash aggregate
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_state_read_prunes_content(spark):
+    """Computing metrics over documents must not read the content column."""
+    docs_path = f"{SF}/documents.parquet"
+    df = spark.read.parquet(docs_path).groupBy("lang").agg(F.sum("n_chars").alias("s"))
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema
