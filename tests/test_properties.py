@@ -1,0 +1,97 @@
+"""Property-based kernel tests (hypothesis) — SURVEY.md §5.2."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from documentconvert_spark.corpus import CLASSES, make_doc
+from documentconvert_spark.kernels import extract_minidom, extract_minipdf
+from documentconvert_spark.kernels.encoding import ensure_utf8, repair_mojibake
+from documentconvert_spark.kernels.markdown import spans_to_markdown
+from documentconvert_spark.kernels.spans import KINDS, Span, normalize_text
+
+non_error_classes = [c for c in CLASSES if c not in ("F-POISON",)]
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_normalize_idempotent(s):
+    once = normalize_text(s)
+    assert normalize_text(once) == once
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(KINDS),
+            st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80),
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_markdown_fold_total_and_deterministic(items):
+    spans = [
+        Span(k, "" if k == "figure" else normalize_text(t), "m.jpg" if k == "figure" else "", i)
+        for i, (k, t) in enumerate(items)
+    ]
+    a = spans_to_markdown(spans)
+    b = spans_to_markdown([s.as_dict() for s in spans])
+    assert a == b
+    for s in spans:
+        if s.kind == "figure":
+            assert f"![](images/{s.media_ref})" in a
+
+
+@given(st.sampled_from(non_error_classes), st.integers(min_value=0, max_value=5000))
+@settings(max_examples=60, deadline=None)
+def test_make_doc_deterministic_and_extractable(cls, idx):
+    a, b = make_doc(cls, idx), make_doc(cls, idx)
+    assert a.content == b.content and a.expected == b.expected
+    fn = extract_minidom if a.doc_type == "markup" else extract_minipdf
+    if a.doc_type in ("markup", "pdf"):
+        assert fn(a.content) == a.expected
+
+
+@given(st.integers(min_value=0, max_value=500), st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=40, deadline=None)
+def test_minipdf_order_invariance(idx, shuffle_seed):
+    """Reading order is recovered from geometry: shuffling the record lines
+    inside each page must not change the extracted spans."""
+    d = make_doc("F-FIG", idx)
+    text = d.content.decode("utf-8")
+    lines = text.split("\n")
+    out, page_buf = [], []
+    rng = random.Random(shuffle_seed)
+
+    def flush():
+        rng.shuffle(page_buf)
+        out.extend(page_buf)
+        page_buf.clear()
+
+    for ln in lines:
+        if ln.startswith("%") or ln.startswith("@page"):
+            flush()
+            out.append(ln)
+        else:
+            page_buf.append(ln)
+    flush()
+    reshuffled = "\n".join(out).encode("utf-8")
+    assert extract_minipdf(reshuffled) == d.expected
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_encoding_ascii_fixed_point(s):
+    if "%" not in s:
+        assert ensure_utf8(s) == s
+    assert repair_mojibake(s) == s  # pure ASCII is never "repaired"
+
+
+@given(st.text(alphabet="文档转换数据分析报告测试引擎", min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_mojibake_roundtrip_utf8_latin1(s):
+    assert repair_mojibake(s.encode("utf-8").decode("latin-1")) == s
