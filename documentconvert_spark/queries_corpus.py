@@ -401,7 +401,132 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------ embedding near-dup
+# Cosine near-duplicate pairs above a threshold — the embedding analogue of
+# MinHash near-dup. Same broadcast-stream shape as the ANN ops; at corpus
+# scale the left side would be the IVF bucketing (ann_ivf_buckets) instead
+# of a full cross join.
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 300).selectExpr(
+        "vec_id", "embedding", f"{_NORM} AS nrm"
+    )
+    a = emb.selectExpr("vec_id AS vec_a", "embedding AS qe", "nrm AS qn")
+    b = emb.selectExpr("vec_id AS vec_b", "embedding AS ce", "nrm AS cn")
+    return (
+        F.broadcast(a).crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", F.expr(_DOT) / (F.col("qn") * F.col("cn")))
+        .filter(F.col("sim") >= 0.35)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+SQL_DEDUP_EMB = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings WHERE vec_id < 300),
+sims AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, ROUND(sim, 4) AS cos_sim FROM sims WHERE sim >= 0.35
+"""
+
+
+# ------------------------------------------------------------ winnowing fingerprint
+# Document fingerprinting via winnowing (Schleimer et al., SIGMOD'03):
+# k-gram hashes → min per sliding window → the distinct set of selected
+# hashes identifies near-copies. Pure array expressions; the md5-prefix
+# hash keeps it engine-portable.
+
+_K = 5  # k-gram (chars)
+_W = 4  # window
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # staged projections: each array is computed once per row (a single
+    # fused selectExpr would textually inline the hash array into every
+    # window access → O(n²) md5 recompute; Catalyst keeps multi-use
+    # non-cheap aliases materialized across separate projections)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    d1 = docs.selectExpr(
+        "doc_id", "lower(regexp_replace(text, '\\\\s+', ' ')) AS t"
+    )
+    d2 = d1.selectExpr(
+        "doc_id",
+        f"transform(sequence(1, greatest(length(t) - {_K - 1}, 1)), i -> substring(t, i, {_K})) AS gs",
+    )
+    d3 = d2.selectExpr(
+        "doc_id",
+        "transform(gs, g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint)) AS hv",
+    )
+    d4 = d3.selectExpr(
+        "doc_id",
+        f"transform(sequence(1, greatest(size(hv) - {_W - 1}, 1)), w -> array_min(slice(hv, w, {_W}))) AS m",
+    )
+    return d4.selectExpr(
+        "doc_id",
+        "size(array_distinct(m)) AS n_fingerprints",
+        "array_min(m) AS min_fp",
+        "array_max(m) AS max_fp",
+    )
+
+
+SQL_DOC_WINNOW = f"""
+WITH d AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id < 200),
+grams AS (
+  SELECT doc_id, list_transform(range(1, greatest(length(t) - {_K - 1}, 1) + 1),
+                                i -> substring(t, i, {_K})) AS gs
+  FROM d),
+hs AS (
+  SELECT doc_id,
+         list_transform(gs, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hv
+  FROM grams),
+mins AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(hv) - {_W - 1}, 1) + 1),
+         w -> list_min(hv[w:w + {_W - 1}])) AS m
+  FROM hs)
+SELECT doc_id, len(list_distinct(m)) AS n_fingerprints,
+       list_min(m) AS min_fp, list_max(m) AS max_fp
+FROM mins
+"""
+
+
+# ------------------------------------------------------------ BPE-ish token counting
+# Token counting beyond whitespace: a BPE-style pre-tokenizer regex
+# (letter runs / digit runs / single punctuation), counted natively.
+
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
+
+
+def q_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.selectExpr(
+        "doc_id",
+        f"size({_TOKS}) AS n_ws_tokens",
+        f"regexp_count(text, '{_BPE_RE}') AS n_bpe_tokens",
+        f"round(regexp_count(text, '{_BPE_RE}') / size({_TOKS}), 4) AS bpe_per_word",
+    )
+
+
+SQL_TOKEN_BPEISH = f"""
+SELECT doc_id,
+       len({_SQL_TOKS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       ROUND(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) / len({_SQL_TOKS}), 4) AS bpe_per_word
+FROM documents
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
+    "doc_winnow_fingerprint": (q_doc_winnow, SQL_DOC_WINNOW),
+    "token_bpeish": (q_token_bpeish, SQL_TOKEN_BPEISH),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
