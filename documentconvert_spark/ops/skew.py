@@ -1,0 +1,52 @@
+"""Skew-aware aggregation helpers (SURVEY.md §4 custom physical work).
+
+Hot grouping keys make one reducer partition dominate a shuffle. The
+standard counter is salting: split each key into `n_salt` subkeys, do a
+partial aggregate on (key, salt), then a cheap final aggregate on key.
+Spark's hash aggregate already does map-side partial aggregation, which
+covers *count/sum* skew — salting matters when the per-key state is big
+(collect_list, distinct counts) or when AQE skew handling is unavailable
+(non-join shuffles). The helper keeps the pattern explicit and testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[Column, Column]],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    aggs: output_name -> (partial_agg_expr, final_merge_expr) where the
+    partial runs per (key, salt) and the final merges per key, e.g.
+      {"n": (F.count("*"), F.sum("n")),
+       "total": (F.sum("value"), F.sum("total"))}
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(*[expr.alias(name) for name, (expr, _) in aggs.items()])
+    )
+    return partial.groupBy(key).agg(
+        *[merge.alias(name) for name, (_, merge) in aggs.items()]
+    )
+
+
+def salted_distinct_count(df: DataFrame, key: str, distinct_col: str, n_salt: int = 16) -> DataFrame:
+    """countDistinct under key skew: salt by the *distinct value* so each
+    (key, salt) holds a disjoint slice of the distinct set; the final
+    stage sums partial distinct counts (disjointness makes this exact)."""
+    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salt))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.countDistinct(distinct_col).alias("_pd"))
+    )
+    return partial.groupBy(key).agg(F.sum("_pd").alias("n_distinct"))

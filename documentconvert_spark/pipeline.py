@@ -130,6 +130,8 @@ def run_extraction_job(
     out_path: str,
     state: StateStore,
     target_partitions: int | None = None,
+    priority_expr: F.Column | None = None,
+    max_docs: int | None = None,
 ) -> JobResult:
     """One resumable pass: anti-join work selection → size-aware extract →
     write output + append state. Rerunning after any interruption converges
@@ -149,6 +151,13 @@ def run_extraction_job(
         .withColumn("attempt", (F.coalesce(F.col("prev_attempt"), F.lit(0)) + 1).cast("int"))
         .drop("prev_attempt")
     )
+    # bounded, priority-ordered work selection (reference: fetch worker
+    # pulls `limit=max_concurrent_tasks` pending tasks per poll in strict
+    # high>normal>low order, enhanced_task_processor.py:259-307). orderBy+
+    # limit compiles to TakeOrderedAndProject — no global sort at scale.
+    if max_docs is not None:
+        todo = todo.orderBy(priority_expr) if priority_expr is not None else todo
+        todo = todo.limit(max_docs)
 
     light, heavy = size_aware_split(todo, target_partitions)
     extracted = [

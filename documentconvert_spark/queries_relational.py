@@ -406,9 +406,28 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------- skew-salted distinct count
+# Hot-key countDistinct via value-salted two-stage aggregation
+# (ops/skew.py): exact result (salting by the distinct value keeps slices
+# disjoint), verified against the plain COUNT(DISTINCT) oracle.
+
+def q_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from documentconvert_spark.ops.skew import salted_distinct_count
+
+    events = _t(spark, sf_dir, "events")
+    return salted_distinct_count(events, "event_type", "user_id", n_salt=16)
+
+
+SQL_SKEW_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "w2_priority_order": (q_w2_priority_order, SQL_W2),
     "f_meta_encoding": (q_f_meta_encoding, SQL_F_META),
+    "skew_salted_distinct": (q_skew_salted_distinct, SQL_SKEW_DISTINCT),
     "p1_format_whitelist": (q_p1_format_whitelist, SQL_P1),
     "p2_task_filter": (q_p2_task_filter, SQL_P2),
     "a1_status_counts": (q_a1_status_counts, SQL_A1),

@@ -83,3 +83,20 @@ class StateStore:
     def attempts(self) -> DataFrame:
         """doc_id → attempts so far (for the retry counter)."""
         return self.read().groupBy("doc_id").agg(F.max("attempt").alias("prev_attempt"))
+
+    def compact(self) -> str:
+        """Collapse all runs into one snapshot holding only the latest row
+        per doc_id (Iceberg `expire_snapshots` + rewrite analogue;
+        reference GC worker, workspace_manager.py:178-241). Safe to run
+        any time: readers between the write and the cleanup see the union,
+        and latest() de-duplicates by (attempt, completed_at)."""
+        import shutil
+
+        latest = self.latest().cache()
+        latest.count()
+        old_runs = [e for e in os.listdir(self.path) if e.startswith("run_id=")]
+        run_id = self.append(latest)
+        latest.unpersist()
+        for e in old_runs:
+            shutil.rmtree(os.path.join(self.path, e), ignore_errors=True)
+        return run_id

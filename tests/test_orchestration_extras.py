@@ -1,0 +1,88 @@
+"""State compaction, priority-bounded work selection, salted aggregation."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from documentconvert_spark.corpus import corpus_rows, generate_corpus
+from documentconvert_spark.ops.skew import salted_agg, salted_distinct_count
+from documentconvert_spark.pipeline import run_extraction_job
+from documentconvert_spark.schemas import DOCUMENTS_RAW
+from documentconvert_spark.state import StateStore
+
+
+def test_state_compaction(spark, tmp_path):
+    docs = spark.createDataFrame(
+        corpus_rows(generate_corpus(40, big_every=0)), schema=DOCUMENTS_RAW
+    )
+    st = StateStore(spark, str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    for _ in range(3):  # 3 runs → 3 run dirs (poison retries)
+        run_extraction_job(spark, docs, out, st, target_partitions=4)
+    latest_before = {(r.doc_id, r.attempt, r.status) for r in st.latest().collect()}
+    n_dirs_before = len([e for e in os.listdir(st.path) if e.startswith("run_id=")])
+    assert n_dirs_before == 3
+
+    st.compact()
+    n_dirs_after = len([e for e in os.listdir(st.path) if e.startswith("run_id=")])
+    assert n_dirs_after == 1
+    latest_after = {(r.doc_id, r.attempt, r.status) for r in st.latest().collect()}
+    assert latest_after == latest_before
+    # resume semantics intact: nothing left to do
+    r = run_extraction_job(spark, docs, out, st, target_partitions=4)
+    assert r.processed == 0
+
+
+def test_priority_bounded_selection(spark, tmp_path):
+    docs_list = generate_corpus(30, big_every=0)
+    docs = spark.createDataFrame(corpus_rows(docs_list), schema=DOCUMENTS_RAW)
+    st = StateStore(spark, str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    # priority: markup docs first (rank 0), then pdf, then image
+    prio = (
+        F.when(F.col("doc_type") == "markup", 0)
+        .when(F.col("doc_type") == "pdf", 1)
+        .otherwise(2)
+    )
+    r1 = run_extraction_job(
+        spark, docs, out, st, target_partitions=4, priority_expr=prio, max_docs=10
+    )
+    assert r1.processed == 10
+    done = {r.doc_id for r in st.latest().collect()}
+    n_markup = sum(1 for d in docs_list if d.doc_type == "markup")
+    # all markup docs (highest priority) were selected in the first slice
+    if n_markup <= 10:
+        assert all(d.doc_id in done for d in docs_list if d.doc_type == "markup")
+    # repeated bounded runs drain the rest without duplicates
+    total = r1.processed
+    for _ in range(10):
+        r = run_extraction_job(spark, docs, out, st, target_partitions=4, max_docs=10)
+        total += r.processed
+        if r.processed == 0:
+            break
+    assert st.latest().count() == 30
+    spans = spark.read.parquet(out).filter(F.col("error").isNull())
+    assert spans.select("doc_id").distinct().count() == spans.count()
+
+
+def test_salted_agg_matches_plain(spark):
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    salted = salted_agg(
+        events,
+        "event_type",
+        {"n": (F.count("*"), F.sum("n")), "total": (F.sum("value"), F.round(F.sum("total"), 6))},
+        n_salt=8,
+    )
+    plain = events.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total")
+    )
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_salted_distinct_exact(spark):
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    salted = salted_distinct_count(events, "event_type", "user_id", n_salt=8)
+    plain = events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_distinct"))
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
