@@ -1,0 +1,111 @@
+"""mapInArrow extraction path: kernels straight on Arrow RecordBatches.
+
+The pandas_udf path (udfs.extract_dispatch) converts Arrow→pandas→Arrow
+around the kernels; for a workload whose Python compute is light relative
+to data volume, those object-column conversions are measurable. This
+variant consumes RecordBatches directly and builds the result arrays with
+pyarrow — one fewer copy each way. Same kernels, same semantics, same
+error containment; golden tests assert equality with the pandas path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from documentconvert_spark.kernels.errors import classify_error
+from documentconvert_spark.kernels.markdown import error_markdown as _error_md
+from documentconvert_spark.kernels.markdown import spans_to_markdown as _fold
+from documentconvert_spark.kernels.minidom import extract_minidom
+from documentconvert_spark.kernels.miniimg import extract_miniimg
+from documentconvert_spark.kernels.minipdf import extract_minipdf
+
+_KERNELS = {"pdf": extract_minipdf, "markup": extract_minidom, "image": extract_miniimg}
+
+SPAN_PA = pa.list_(
+    pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+)
+
+
+def _out_schema(passthrough_fields: list[pa.Field]) -> pa.Schema:
+    return pa.schema(
+        [
+            pa.field("doc_id", pa.string()),
+            *passthrough_fields,
+            pa.field("spans", SPAN_PA),
+            pa.field("markdown", pa.string()),
+            pa.field("n_spans", pa.int32()),
+            pa.field("error", pa.string()),
+            pa.field("error_class", pa.string()),
+        ]
+    )
+
+
+def extract_spans_arrow(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+    keep = [c for c in passthrough if c in docs.columns]
+    src = docs.select("doc_id", "doc_type", "content", *keep)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            doc_ids = b.column(0).to_pylist()
+            doc_types = b.column(1).to_pylist()
+            contents = b.column(2).to_pylist()
+            spans_col, md_col, n_col, err_col, cls_col = [], [], [], [], []
+            for did, dt, raw in zip(doc_ids, doc_types, contents):
+                kernel = _KERNELS.get(dt)
+                try:
+                    if kernel is None:
+                        raise ValueError(f"unsupported conversion type: {dt!r}")
+                    if raw is None:
+                        raise ValueError("malformed: null content")
+                    spans = kernel(raw)
+                    spans_col.append([s.as_dict() for s in spans])
+                    md_col.append(_fold(spans))
+                    n_col.append(len(spans))
+                    err_col.append(None)
+                    cls_col.append(None)
+                except Exception as exc:  # noqa: BLE001 — containment contract
+                    err = f"{type(exc).__name__}: {exc}"
+                    cls = classify_error(str(exc))
+                    spans_col.append(None)
+                    md_col.append(_error_md(did, cls, err))
+                    n_col.append(None)
+                    err_col.append(err)
+                    cls_col.append(cls)
+            arrays = [
+                b.column(0),
+                *[b.column(3 + i) for i in range(len(keep))],
+                pa.array(spans_col, type=SPAN_PA),
+                pa.array(md_col, type=pa.string()),
+                pa.array(n_col, type=pa.int32()),
+                pa.array(err_col, type=pa.string()),
+                pa.array(cls_col, type=pa.string()),
+            ]
+            schema = _out_schema([pa.field(c, b.schema.field(3 + i).type) for i, c in enumerate(keep)])
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    # schema for Spark: mirror the pandas path
+    keep_ddl = "".join(
+        f", {c} {dict(zip(src.schema.names, [f.dataType.simpleString() for f in src.schema.fields]))[c]}"
+        for c in keep
+    )
+    ddl = (
+        "doc_id string" + keep_ddl +
+        ", spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        ", markdown string, n_spans int, error string, error_class string"
+    )
+    out = src.mapInArrow(run, schema=ddl)
+    return (
+        out.withColumn("partition_id", F.spark_partition_id())
+        .withColumn("status", F.when(F.col("error").isNull(), "completed").otherwise("failed"))
+    )

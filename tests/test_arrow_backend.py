@@ -1,0 +1,25 @@
+"""mapInArrow extraction backend: exact parity with the pandas_udf path."""
+
+from __future__ import annotations
+
+from documentconvert_spark.arrow_extract import extract_spans_arrow
+from documentconvert_spark.corpus import corpus_rows, fixture_corpus
+from documentconvert_spark.pipeline import extract_spans
+from documentconvert_spark.schemas import DOCUMENTS_RAW
+
+COLS = ["doc_id", "spans", "markdown", "n_spans", "error_class", "status"]
+
+
+def test_arrow_backend_parity(spark):
+    docs = spark.createDataFrame(corpus_rows(fixture_corpus()), schema=DOCUMENTS_RAW)
+    a = extract_spans(docs).select(*COLS)
+    b = extract_spans_arrow(docs).select(*COLS)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_arrow_backend_passthrough(spark):
+    docs = spark.createDataFrame(corpus_rows(fixture_corpus()), schema=DOCUMENTS_RAW)
+    out = extract_spans_arrow(docs, passthrough=("source_bucket",))
+    assert "source_bucket" in out.columns
+    assert out.count() == docs.count()
