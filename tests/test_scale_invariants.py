@@ -1,0 +1,53 @@
+"""Corpus-scale invariant checks through the full Spark pipeline
+(FIXTURES.md 'correctness at scale'): validated with Spark-native
+predicates — nothing large is collected to the driver."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from documentconvert_spark.benchcorpus import build_bench_corpus
+from documentconvert_spark.kernels.spans import KINDS
+from documentconvert_spark.pipeline import extract_spans, size_aware_split
+from documentconvert_spark.udfs import spans_to_markdown_udf
+
+N = 3000
+
+
+def test_scale_invariants(spark, tmp_path):
+    docs = build_bench_corpus(spark, N, str(tmp_path / "corpus"), big_every=97, partitions=16)
+    light, heavy = size_aware_split(docs, target_partitions=8)
+    out = extract_spans(light).unionByName(extract_spans(heavy)).cache()
+
+    assert out.count() == N
+    ok = out.filter(F.col("error").isNull())
+
+    # offsets dense 0..n-1 in order (posexplode position == offset)
+    offset_violations = (
+        ok.select(F.posexplode("spans").alias("pos", "s"))
+        .filter(F.col("pos") != F.col("s.offset"))
+        .count()
+    )
+    assert offset_violations == 0
+
+    exploded = ok.select(F.explode("spans").alias("s"))
+    # kind domain
+    assert exploded.filter(~F.col("s.kind").isin(*KINDS)).count() == 0
+    # media_ref non-empty iff figure; text empty for figures
+    assert exploded.filter(
+        ((F.col("s.media_ref") != "") != (F.col("s.kind") == "figure"))
+        | ((F.col("s.kind") == "figure") & (F.col("s.text") != ""))
+    ).count() == 0
+
+    # markdown column == independent fold of the spans (round-trip)
+    mismatches = ok.withColumn("md2", spans_to_markdown_udf(F.col("spans"))).filter(
+        F.col("markdown") != F.col("md2")
+    ).count()
+    assert mismatches == 0
+
+    # n_spans consistency and error exclusivity
+    assert ok.filter(F.col("n_spans") != F.size("spans")).count() == 0
+    bad = out.filter(F.col("error").isNotNull())
+    assert bad.filter(F.col("spans").isNotNull()).count() == 0
+    assert bad.filter(F.col("error_class") != "malformed_input").count() == 0
+    out.unpersist()
