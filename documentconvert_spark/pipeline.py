@@ -183,10 +183,11 @@ def run_extraction_job(
     out = out.cache()
     processed = out.count()
 
-    (
-        out.select("doc_id", "spans", "markdown", "n_spans", "error", "error_class")
-        .write.mode("append")
-        .parquet(out_path)
+    from documentconvert_spark.tableio import append_table
+
+    append_table(
+        out.select("doc_id", "spans", "markdown", "n_spans", "error", "error_class"),
+        out_path,
     )
 
     state_rows = (

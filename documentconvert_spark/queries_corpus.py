@@ -523,7 +523,41 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------ dedup keep-first materialization
+# The op training pipelines actually run: drop every doc that duplicates a
+# lower-id doc (exact fingerprint match OR an LSH candidate pair), keep
+# the rest. Anti-join against the pair table — candidates shuffle, corpus
+# streams.
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select(F.col("doc_b").alias("doc_id"))
+    kept = docs.join(pairs, "doc_id", "left_anti")
+    return kept.select("doc_id", F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fingerprint"))
+
+
+SQL_DEDUP_KEEP_FIRST = f"""
+WITH sh AS ({_sql_shingles()}),
+sigs AS (
+  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+  FROM sh, generate_series(0, {_MINHASH_K - 1}) t(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(i / {_BAND_ROWS}.0) AS INT) AS band,
+         string_agg(sig, ',' ORDER BY i) AS band_key
+  FROM sigs GROUP BY doc_id, 2),
+dupes AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+WHERE doc_id < 150 AND doc_id NOT IN (SELECT doc_id FROM dupes)
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
     "doc_winnow_fingerprint": (q_doc_winnow, SQL_DOC_WINNOW),
     "token_bpeish": (q_token_bpeish, SQL_TOKEN_BPEISH),

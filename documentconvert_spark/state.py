@@ -41,17 +41,23 @@ class StateStore:
             e.startswith("run_id=") for e in os.listdir(self.path)
         ):
             return self.spark.createDataFrame([], EXTRACTION_STATE)
+        from documentconvert_spark.tableio import table_format
+
         return (
             self.spark.read
             .option("ignoreCorruptFiles", "true")
-            .parquet(self.path)
+            .format(table_format())
+            .load(self.path)
             .drop("run_id")
         )
 
     def append(self, df: DataFrame) -> str:
+        from documentconvert_spark.tableio import overwrite_table
+
         run_id = uuid.uuid4().hex[:12]
-        df.select([f.name for f in EXTRACTION_STATE.fields]).write.mode("overwrite").parquet(
-            os.path.join(self.path, f"run_id={run_id}")
+        overwrite_table(
+            df.select([f.name for f in EXTRACTION_STATE.fields]),
+            os.path.join(self.path, f"run_id={run_id}"),
         )
         return run_id
 

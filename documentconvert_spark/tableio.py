@@ -1,0 +1,29 @@
+"""Table format indirection: Iceberg in production, parquet in-sandbox.
+
+BASELINE.json targets Iceberg tables; this container ships no Iceberg
+runtime jar (verified), so every writer goes through this hook. With
+`SPARK_GRAFT_TABLE_FORMAT=iceberg` (and the catalog configured on the
+session) the same code writes Iceberg; the parquet default preserves the
+semantics the engine needs from Iceberg — atomic per-run appends
+(run-directory granularity in state.py) and schema-stable scans. The one
+Iceberg feature without a parquet analogue, MERGE INTO upserts, is
+replaced by the latest-row-per-doc view (state.latest()) + compaction
+(state.compact()), which yields the same observable state."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def table_format() -> str:
+    return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+
+
+def append_table(df: DataFrame, path: str) -> None:
+    df.write.mode("append").format(table_format()).save(path)
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").format(table_format()).save(path)
