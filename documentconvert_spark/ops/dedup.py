@@ -1,0 +1,86 @@
+"""Production-scale near-duplicate detection (MinHash + LSH).
+
+The contract query (queries_corpus.q_dedup_minhash_lsh) uses md5-hex
+min-hashes because they're bit-identical in DuckDB — that's the oracle
+path. At 10^12 docs you want the JVM-intrinsic hash instead: xxhash64
+stays in whole-stage codegen with zero string allocation, ~an order of
+magnitude cheaper per shingle. Same banding scheme, same shuffle shape
+(only fixed-width signatures move).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKS = "split(lower(trim({col})), '\\\\s+')"
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    toks = _TOKS.format(col=text_col)
+    sh = (
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', " + ", ".join(f"element_at({toks}, i+{j})" for j in range(n)) + "))"
+    )
+    return docs.selectExpr("doc_id", f"explode(array_distinct({sh})) AS shingle")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    band_rows: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash over xxhash64.
+
+    k minhashes (seeded by index i), k/band_rows bands; a pair is a
+    candidate iff some band's signature slice matches exactly."""
+    sh = shingles(docs, text_col)
+    sigs = (
+        sh.select("doc_id", "shingle", F.explode(F.expr(f"sequence(0, {k - 1})")).alias("i"))
+        .withColumn("h", F.xxhash64(F.col("i"), F.col("shingle")))
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("sig"))
+    )
+    bands = (
+        sigs.withColumn("band", F.floor(F.col("i") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(",", F.expr("transform(array_sort(collect_list(struct(i, sig))), x -> cast(x.sig as string))"))
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verify_pairs_jaccard(docs: DataFrame, pairs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact Jaccard for candidate pairs only (the verify stage after LSH
+    — candidates are few, so the exact check is cheap)."""
+    sh = shingles(docs, text_col)
+    sa = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sh_a")
+    sb = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "sh_b")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,30 @@
+"""Production MinHash/LSH path: determinism, candidate validity, verify stage."""
+
+from __future__ import annotations
+
+from documentconvert_spark.ops.dedup import minhash_lsh_pairs, shingles, verify_pairs_jaccard
+
+
+def test_minhash_fast_candidates_share_shingles(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, k=16, band_rows=4).cache()
+    n = pairs.count()
+    assert n > 0
+    # determinism
+    assert minhash_lsh_pairs(docs, k=16, band_rows=4).count() == n
+    # a matching band implies equal argmin shingles → every candidate pair
+    # genuinely shares at least one shingle
+    ver = verify_pairs_jaccard(docs, pairs)
+    assert ver.count() == n
+    assert ver.filter("jaccard <= 0").count() == 0
+    # ordering convention
+    assert pairs.filter("doc_a >= doc_b").count() == 0
+    pairs.unpersist()
+
+
+def test_shingles_shape(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(20)
+    sh = shingles(docs, n=3)
+    assert sh.columns == ["doc_id", "shingle"]
+    row = sh.first()
+    assert len(row.shingle.split(" ")) == 3
