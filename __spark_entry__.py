@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from documentconvert_spark.ingest import documents_table_as_raw
 from documentconvert_spark.pipeline import extract_spans
 from documentconvert_spark.queries_corpus import CORPUS_QUERIES
+from documentconvert_spark.queries_events import EVENT_QUERIES
 from documentconvert_spark.queries_extraction import EXTRACTION_QUERIES, _ensure_expected_parquet
 from documentconvert_spark.queries_relational import RELATIONAL_QUERIES
 
@@ -42,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-_ALL: dict[str, tuple] = {**RELATIONAL_QUERIES, **CORPUS_QUERIES, **EXTRACTION_QUERIES}
+_ALL: dict[str, tuple] = {**RELATIONAL_QUERIES, **EVENT_QUERIES, **CORPUS_QUERIES, **EXTRACTION_QUERIES}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

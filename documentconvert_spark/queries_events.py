@@ -1,0 +1,216 @@
+"""Driver-contract queries, part 4: event-stream relational ops over the
+shared `events` testdata table — sessionization (gap-based), as-of join
+(latest prior click per purchase), funnel analysis, and tumbling-window
+rollups. These are the batch twins of the streaming layer (streaming.py):
+the same semantics a Structured Streaming job computes incrementally are
+expressed here as window functions / aggregations so they can be
+oracle-verified against DuckDB exactly.
+
+Scale notes: every op here shuffles once on `user_id` (or on the window
+bucket) and is otherwise map-side; the window functions stream within a
+partition — no per-user collect, no driver loops. A 100 TB event log
+partitions by user hash; skewed power-users are bounded by per-session
+aggregation happening inside the same shuffle.
+
+Reference grounding: the reference's task tables carry created/started/
+completed timestamps (database/models.py:63-84) and its stats endpoint
+aggregates per-status and per-time-window (database_manager.py:270-312);
+these ops generalize that to event-stream analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_S = 1800.0  # 30 min, the classic web-analytics cut
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ------------------------------------------------------------ sessionization
+# lag → gap flag → running sum = session seq; group to one row per session.
+# Both engines compute the gap on full-precision epoch seconds (double), so
+# the comparison is bit-identical.
+
+def q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; hop through TIMESTAMP (session tz
+    # is UTC) to get full-precision epoch seconds as double.
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    sess = (
+        ev.withColumn("sess_seq", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+        )
+    )
+    dur = F.col("t_end").cast("timestamp").cast("double") - F.col("t_start").cast("timestamp").cast("double")
+    return sess.withColumn("duration_s", F.round(dur, 3))
+
+
+SQL_EV_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+  FROM flagged
+)
+SELECT user_id, sess_seq, COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+       ROUND(epoch(MAX(ts)) - epoch(MIN(ts)), 3) AS duration_s
+FROM numbered GROUP BY user_id, sess_seq
+"""
+
+
+# ------------------------------------------------------------ as-of join
+# For every purchase, the latest click at-or-before it for the same user.
+# Spark has no native as-of join; the scalable formulation is the
+# union-and-carry trick: tag both streams, sort once within the user
+# partition, carry the last click forward with last(..., ignorenulls). ONE
+# shuffle on user_id, no range-join explosion, no per-key collect — this is
+# the plan a 100 TB as-of join wants (vs. the naive t1<=t2 theta-join).
+# The oracle states the identical algorithm in SQL (IGNORE NULLS window), so
+# tie-breaking is deterministic on both sides: at equal ts the click sorts
+# first (is_p 0<1) and among equal-ts clicks the larger event_id wins.
+
+def q_ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("click", "purchase"))
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("cv"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("cts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("click_value", F.last("cv", ignorenulls=True).over(w))
+        .withColumn("click_ts", F.last("cts", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+    )
+
+
+SQL_EV_ASOF = """
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN event_type = 'click' THEN value END AS cv,
+         CASE WHEN event_type = 'click' THEN ts END AS cts
+  FROM events WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT *,
+         last_value(cv IGNORE NULLS) OVER w AS click_value,
+         last_value(cts IGNORE NULLS) OVER w AS click_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, click_ts, click_value FROM carried WHERE is_p = 1
+"""
+
+
+# ------------------------------------------------------------ funnel
+# view → click → purchase with ordering constraints (each stage must happen
+# at-or-after the previous stage's first event). Three grouped aggs, each a
+# shuffle on user_id — at scale these fuse into one wide agg per stage with
+# map-side combine; no windows needed.
+
+def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    fv = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("first_view"))
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        fv.join(fc, "user_id", "left")
+        .join(fp, "user_id", "left")
+        .agg(
+            F.count("*").alias("n_viewed"),
+            F.count("first_click").alias("n_clicked"),
+            F.count("first_purchase").alias("n_converted"),
+            F.round(F.count("first_purchase") / F.count("*"), 6).alias("conversion_rate"),
+        )
+    )
+
+
+SQL_EV_FUNNEL = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS first_view FROM events WHERE event_type = 'view' GROUP BY user_id
+), fc AS (
+  SELECT e.user_id, MIN(e.ts) AS first_click
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'click' AND e.ts >= fv.first_view GROUP BY e.user_id
+), fp AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_viewed, COUNT(fc.first_click) AS n_clicked,
+       COUNT(fp.first_purchase) AS n_converted,
+       ROUND(COUNT(fp.first_purchase) / COUNT(*), 6) AS conversion_rate
+FROM fv LEFT JOIN fc ON fv.user_id = fc.user_id LEFT JOIN fp ON fv.user_id = fp.user_id
+"""
+
+
+# ------------------------------------------------------------ tumbling-window rollup
+# 1-day tumbling windows via F.window (the same operator a streaming job
+# uses with a watermark); session tz is UTC so buckets align with DuckDB's
+# date_trunc('day'). Shuffles on (bucket, event_type) — bounded cardinality.
+
+def q_ev_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("day_start"), "event_type", "n_events", "sum_value", "n_users")
+    )
+
+
+SQL_EV_WINDOW_ROLLUP = """
+SELECT date_trunc('day', ts) AS day_start, event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+EVENT_QUERIES: dict[str, tuple] = {
+    "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
+    "ev_asof_join": (q_ev_asof_join, SQL_EV_ASOF),
+    "ev_funnel": (q_ev_funnel, SQL_EV_FUNNEL),
+    "ev_window_rollup": (q_ev_window_rollup, SQL_EV_WINDOW_ROLLUP),
+}

@@ -424,7 +424,229 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------- TPC-H Q4-style: semi-join EXISTS
+# Reference analogue: "does this task have any failed sub-result?" — an
+# existence probe (enhanced_task_processor.py skip checks) generalized to a
+# relational semi-join. Scale: left_semi ships only the join key of the
+# probe side; at 100 TB the lineitem side is pre-filtered before the
+# shuffle, and AQE converts to broadcast when the filtered side is small.
+
+def q_tpch_q4s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4S = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q10-style: returned-item revenue top-k
+# 3-way join + broadcast dim + grouped revenue + deterministic top-20.
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q14-style: conditional aggregate over a join
+# promo revenue share: SUM(CASE WHEN ...) / SUM(...) in one pass. Scale:
+# part is a dimension (~1/5 of lineitem keys); AQE picks broadcast at
+# small SF, sort-merge at large — we leave the strategy to the optimizer
+# and keep the agg map-side combinable.
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))) / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q16-style: anti-join + COUNT(DISTINCT)
+# suppliers-per-part-class excluding flagged suppliers. left_anti ships
+# only keys; the distinct-count shuffles (brand,type,size,suppkey) pairs —
+# bounded by the dimension cross-product, not the fact table.
+
+def q_tpch_q16s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO") & (F.col("p_size") <= 20)
+    )
+    flagged = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(flagged), li.l_suppkey == flagged.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+SQL_TPCH_Q16S = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size <= 20
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q17-style: join against a self-aggregate
+# small-quantity-order revenue: lineitems below 20% of their part's average
+# quantity. The per-part average is a map-side-combinable agg over the same
+# fact table, then re-joined — two scans, one small shuffle (partkey, avg).
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter((F.col("p_brand") == "Brand#7") & (F.col("p_size") < 10))
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+SQL_TPCH_Q17 = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#7' AND p_size < 10
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q18-style: HAVING over join + top-k
+# large-volume orders: grouped HAVING on the fact table FIRST (shrinks the
+# join input to the few qualifying orderkeys), then join dims. Order of
+# operations is the 100 TB concern: filter-by-aggregate before the join.
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q22-style: scalar subquery + anti-join
+# "rich but recently-inactive customers": average-balance scalar computed once and
+# broadcast (crossJoin of a 1-row agg — Catalyst folds it into a
+# BroadcastNestedLoopJoin of one row), anti-join against orders.
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
+SQL_TPCH_Q22 = """
+SELECT c_mktsegment, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "tpch_q4s": (q_tpch_q4s, SQL_TPCH_Q4S),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q16s": (q_tpch_q16s, SQL_TPCH_Q16S),
+    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     "w2_priority_order": (q_w2_priority_order, SQL_W2),
     "f_meta_encoding": (q_f_meta_encoding, SQL_F_META),
     "skew_salted_distinct": (q_skew_salted_distinct, SQL_SKEW_DISTINCT),
