@@ -19,16 +19,48 @@ keyed by batchId, which Spark re-runs idempotently on recovery (overwrite
 of the same batch directory), mirroring the reference's
 processing→pending reset on restart (`enhanced_task_processor.py:196-235`).
 
-Watermarks / event-time windows are n/a — the reference's tasks have no
-event time (SURVEY.md §2.10) — so none are used here.
+The reference's tasks have no event time (SURVEY.md §2.10), so the
+extraction stream uses no watermark. The *event-analytics* side of the
+engine (queries_events.py) does have event time; its streaming twins live
+here too:
+
+  - `stream_window_rollup`: watermarked 1-day tumbling aggregation in
+    append mode — only finalized (watermark-passed) windows are emitted,
+    each exactly once across restarts.
+  - `stream_sessionize`: gap-based sessionization as a custom stateful
+    operator via `applyInPandasWithState` (EventTimeTimeout). Open
+    sessions live in the state store keyed by user_id; a session closes
+    either when a later event for the same user exceeds the 30-min gap,
+    or when the watermark passes its timeout. Batch/stream parity: the
+    emitted sessions equal `queries_events.q_ev_sessionize` restricted to
+    watermark-closed sessions (asserted in tests).
+
+Scale: both stateful ops shuffle once on their grouping key into the
+state-store partitions (`spark.sql.shuffle.partitions` at first run); at
+100 TB/day the state is bounded by open sessions only (closed state is
+removed eagerly), and RocksDB state store + changelog checkpointing slot
+in via config without code changes.
 """
 
 from __future__ import annotations
 
 import os
+from typing import Iterable
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from documentconvert_spark.pipeline import extract_spans
 from documentconvert_spark.schemas import DOCUMENTS_RAW
@@ -87,3 +119,170 @@ def status_counts(out: DataFrame) -> DataFrame:
     return out.groupBy(
         F.when(F.col("error").isNull(), "completed").otherwise("failed").alias("status")
     ).count()
+
+
+# ---------------------------------------------------------------------------
+# Event-time streaming: watermarked rollup + stateful sessionization
+# ---------------------------------------------------------------------------
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+SESSION_GAP_S = 1800.0  # keep in lockstep with queries_events.SESSION_GAP_S
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t_start", TimestampType()),
+        StructField("t_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+        StructField("n_purchases", IntegerType()),
+    ]
+)
+
+# open-session state: ns-since-epoch bounds + counters
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ns", LongType()),
+        StructField("last_ns", LongType()),
+        StructField("n_events", IntegerType()),
+        StructField("n_purchases", IntegerType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, input_dir: str, watermark: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+
+
+def stream_window_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+):
+    """1-day tumbling event rollup in append mode: a window row is emitted
+    exactly once, when the watermark passes its end (late data inside the
+    watermark still lands in the right bucket). Batch twin:
+    queries_events.q_ev_window_rollup."""
+    agg = (
+        _events_stream(spark, input_dir, watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("day_start"), "event_type", "n_events")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    return (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _close_ready_sessions(
+    rows: pd.DataFrame, cur: tuple | None, gap_ns: int
+) -> tuple[list[tuple], tuple | None]:
+    """Fold new event rows (any order) into the open session `cur`;
+    return (closed sessions, still-open session). Pure — unit-testable
+    without a stream."""
+    closed: list[tuple] = []
+    if len(rows):
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_ns = rows["ts"].astype("int64").to_numpy()
+        is_purchase = (rows["event_type"] == "purchase").to_numpy()
+        for t, p in zip(ts_ns, is_purchase):
+            t, p = int(t), int(p)
+            if cur is None:
+                cur = (t, t, 1, p)
+            elif t - cur[1] > gap_ns:
+                closed.append(cur)
+                cur = (t, t, 1, p)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + p)
+    return closed, cur
+
+
+def _sessionize_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    (user_id,) = key
+    gap_ns = int(SESSION_GAP_S * 1e9)
+    closed: list[tuple] = []
+
+    if state.hasTimedOut:
+        if state.exists:
+            closed.append(tuple(state.get))
+            state.remove()
+    else:
+        cur = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            batch_closed, cur = _close_ready_sessions(pdf, cur, gap_ns)
+            closed.extend(batch_closed)
+        if cur is not None:
+            state.update(cur)
+            # fire once the watermark passes session end + gap; the clamp
+            # keeps the timeout legal when the watermark already moved past
+            timeout_ms = max(cur[1] // 1_000_000 + int(SESSION_GAP_S * 1000), state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(timeout_ms)
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "t_start": [pd.Timestamp(s, unit="ns") for s, _, _, _ in closed],
+                "t_end": [pd.Timestamp(e, unit="ns") for _, e, _, _ in closed],
+                "n_events": [n for _, _, n, _ in closed],
+                "n_purchases": [np_ for _, _, _, np_ in closed],
+            }
+        )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+):
+    """Custom stateful operator: 30-min-gap sessionization over the event
+    stream. One shuffle on user_id into state-store partitions; sessions
+    closed by a follow-up event emit immediately, trailing sessions emit
+    when the watermark times them out."""
+    sessions = (
+        _events_stream(spark, input_dir, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    return (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
