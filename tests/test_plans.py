@@ -57,6 +57,44 @@ def test_q1_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_q4s_semi_and_q16s_anti_join_nodes(spark):
+    from documentconvert_spark.queries_relational import q_tpch_q16s, q_tpch_q4s
+
+    assert "LeftSemi" in _plan(q_tpch_q4s(spark, SF))  # EXISTS stays a semi-join
+    assert "LeftAnti" in _plan(q_tpch_q16s(spark, SF))  # NOT IN stays an anti-join
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must be one user_id shuffle + one window pass —
+    never a range-join explosion (no join node at all)."""
+    from documentconvert_spark.queries_events import q_ev_asof_join
+
+    plan = _plan(q_ev_asof_join(spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_sessionize_reuses_partitioning(spark):
+    """lag-window, running-sum window, and the per-session groupBy must all
+    ride ONE hashpartitioning(user_id) exchange: HashPartitioning(user_id)
+    satisfies the groupBy(user_id, sess_seq) clustering requirement."""
+    from documentconvert_spark.queries_events import q_ev_sessionize
+
+    plan = _plan(q_ev_sessionize(spark, SF))
+    assert plan.count("Exchange") == 1
+
+
+def test_q18_aggregates_before_join(spark):
+    """The HAVING aggregate must run below the joins (shrinking the join
+    input), not after them."""
+    from documentconvert_spark.queries_relational import q_tpch_q18
+
+    plan = _plan(q_tpch_q18(spark, SF))
+    first_join = min(i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin")) if i >= 0)
+    # reading bottom-up, the aggregate is deeper (later in the printed tree)
+    assert plan.rfind("HashAggregate") > first_join
+
+
 def test_state_read_prunes_content(spark):
     """Computing metrics over documents must not read the content column."""
     docs_path = f"{SF}/documents.parquet"
