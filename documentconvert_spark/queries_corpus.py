@@ -556,7 +556,61 @@ WHERE doc_id < 150 AND doc_id NOT IN (SELECT doc_id FROM dupes)
 """
 
 
+# ------------------------------------------------------------ composite training-data pipeline
+# The end-to-end shape a 100 TB training-data job takes: prefix-fingerprint
+# dedup (keep lowest doc_id per fingerprint — one window over one shuffle)
+# → quality scoring (pure column math) → threshold filter → per-language
+# rollup. Everything fuses into two stages: scan+score+fingerprint (narrow)
+# and the fingerprint shuffle carrying only (fingerprint, doc_id, lang,
+# n_tokens, quality) — never the text.
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pfx_fp = F.expr(f"md5(concat_ws(' ', slice({_TOKS}, 1, 8)))")
+    quality = F.expr(
+        f"round(least(1.0, size({_TOKS}) / 100.0) * "
+        "(1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text)), 6)"
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            pfx_fp.alias("fingerprint"),
+            F.expr(f"size({_TOKS})").alias("n_tokens"),
+            quality.alias("quality"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("quality") >= 0.5))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
+
+
+SQL_PIPELINE_E2E = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         md5(array_to_string({_SQL_TOKS}[1:8], ' ')) AS fingerprint,
+         len({_SQL_TOKS}) AS n_tokens,
+         ROUND(LEAST(1.0, len({_SQL_TOKS}) / 100.0) *
+               (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / length(text)), 6) AS quality
+  FROM documents
+), kept AS (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM scored
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality
+FROM kept WHERE rn = 1 AND quality >= 0.5
+GROUP BY lang
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
     "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
     "doc_winnow_fingerprint": (q_doc_winnow, SQL_DOC_WINNOW),

@@ -208,7 +208,40 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------------ JSON props extraction
+# The reference stores semi-structured payloads in JSON columns (params /
+# result / s3_urls — database/models.py:56-70). Spark-side: real JSON-path
+# extraction (get_json_object, JVM-side); the oracle pulls the same value
+# with a regex so it needs no JSON extension. One bounded-cardinality
+# shuffle on event_type.
+
+def q_ev_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+SQL_EV_PROPS_JSON = """
+WITH parsed AS (
+  SELECT event_type, CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INT) AS k FROM events
+)
+SELECT event_type, COUNT(k) AS n_with_k, MIN(k) AS min_k, MAX(k) AS max_k,
+       ROUND(AVG(k), 4) AS avg_k
+FROM parsed GROUP BY event_type
+"""
+
+
 EVENT_QUERIES: dict[str, tuple] = {
+    "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
     "ev_asof_join": (q_ev_asof_join, SQL_EV_ASOF),
     "ev_funnel": (q_ev_funnel, SQL_EV_FUNNEL),
