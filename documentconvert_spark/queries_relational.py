@@ -639,7 +639,148 @@ GROUP BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------- ROLLUP: hierarchical totals
+# OLAP rollup (region ⊃ nation) with grouping-set ids — one shuffle; Spark
+# expands grouping sets map-side, so partial aggregation still applies.
+
+def q_a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+SQL_A_ROLLUP = """
+SELECT r_name, n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 4) AS total_bal,
+       GROUPING(r_name, n_name) AS gid
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --------------------------------------------------------------- PIVOT: wide per-day event matrix
+# groupBy().pivot() with an explicit value list — the list keeps the plan
+# a single pass (no extra distinct-scan to discover columns), which is the
+# 100 TB form; the oracle states the same thing as conditional aggregates.
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+SQL_A_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS "view"
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- exact percentiles + median
+# Exact interpolated percentiles (Spark `percentile` == DuckDB
+# quantile_cont). At 100 TB the same query swaps to percentile_approx
+# (t-digest, mergeable map-side) — the exact form is the correctness
+# anchor the approx path is tested against.
+
+def q_a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )
+
+
+SQL_A_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       ROUND(median(l_quantity), 4) AS med_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------- array ops (F17/J4)
+# The reference keeps URL lists in JSON arrays and probes them
+# (s3_urls — models.py:56-70); here: higher-order array functions over the
+# token array — exists / filter / transform / aggregate — all JVM-side.
+
+def q_f_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.selectExpr(
+        "doc_id",
+        "exists(split(lower(text), '\\\\s+'), t -> t = 'spark') AS has_spark",
+        "size(filter(split(lower(text), '\\\\s+'), t -> length(t) > 6)) AS n_long_tokens",
+        "aggregate(transform(split(lower(text), '\\\\s+'), t -> length(t)), 0, (acc, x) -> acc + x) AS total_chars",
+        "array_max(transform(split(lower(text), '\\\\s+'), t -> length(t))) AS max_token_len",
+    )
+
+
+SQL_F_ARRAY_OPS = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t = 'spark')) > 0 AS has_spark,
+       len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 6)) AS n_long_tokens,
+       list_sum(list_transform(string_split_regex(lower(text), '\\s+'), t -> length(t))) AS total_chars,
+       list_max(list_transform(string_split_regex(lower(text), '\\s+'), t -> length(t))) AS max_token_len
+FROM documents WHERE doc_id < 200
+"""
+
+
+# --------------------------------------------------------------- set operations
+# INTERSECT / EXCEPT between customer cohorts (distinct-based set semantics
+# — each is one hash-shuffle on the full row).
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    both = building.intersect(rich).withColumn("cohort", F.lit("both"))
+    only_b = building.subtract(rich).withColumn("cohort", F.lit("building_only"))  # EXCEPT DISTINCT
+    return both.unionByName(only_b).groupBy("cohort").agg(F.count("*").alias("n_cust"))
+
+
+SQL_SET_OPS = """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+     both_c AS (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich),
+     only_b AS (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
+SELECT 'both' AS cohort, COUNT(*) AS n_cust FROM both_c
+UNION ALL
+SELECT 'building_only' AS cohort, COUNT(*) AS n_cust FROM only_b
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "a_rollup": (q_a_rollup, SQL_A_ROLLUP),
+    "a_pivot": (q_a_pivot, SQL_A_PIVOT),
+    "a_percentiles": (q_a_percentiles, SQL_A_PERCENTILES),
+    "f_array_ops": (q_f_array_ops, SQL_F_ARRAY_OPS),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
     "tpch_q4s": (q_tpch_q4s, SQL_TPCH_Q4S),
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
