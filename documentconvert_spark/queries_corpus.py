@@ -293,6 +293,85 @@ SELECT vec_id, c_id AS centroid_id FROM rk WHERE rk = 1
 """
 
 
+# ------------------------------------------------------------ ANN: full IVF top-k search
+# The complete scale path, end to end: (1) every corpus vector is assigned
+# to its nearest centroid bucket (narrow pass, centroids broadcast);
+# (2) each query probes its nProbe=2 nearest buckets; (3) candidates come
+# from an EQUI-join on centroid_id — at 100 TB this is a co-partitioned
+# hash join touching ~nProbe/k of the corpus, not a cross join; (4) exact
+# cosine + top-k inside the probed buckets only. Recall<1 by construction;
+# ann_cosine_topk is the exact baseline it trades against.
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).selectExpr("vec_id", "embedding", f"{_NORM} AS nrm")
+    cents = emb.filter(F.col("vec_id") < 8).selectExpr("vec_id AS c_id", "embedding AS ce", "nrm AS cn")
+
+    def nearest(df, id_col: str, vec_col: str, norm_col: str, n: int):
+        pairs = (
+            df.selectExpr(f"{id_col}", f"{vec_col} AS qe", f"{norm_col} AS qn")
+            .crossJoin(F.broadcast(cents))
+            .withColumn("csim", F.expr(_DOT) / (F.col("qn") * F.col("cn")))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("c_id"))
+        return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= n)
+
+    assign = nearest(emb, "vec_id", "embedding", "nrm", 1).select(
+        "vec_id", F.col("c_id").alias("centroid_id"), F.col("qe").alias("ce2"), F.col("qn").alias("cn2")
+    )
+    probes = nearest(emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", "nrm", 2).select(
+        F.col("vec_id").alias("q_id"), F.col("c_id").alias("centroid_id"),
+        F.col("qe").alias("qe2"), F.col("qn").alias("qn2"),
+    )
+    dot = (
+        "aggregate(zip_with(qe2, ce2, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cand = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("sim", F.expr(dot) / (F.col("qn2") * F.col("cn2")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", F.col("vec_id").alias("n_id"), F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+SQL_ANN_IVF_TOPK = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings),
+cent_pairs AS (
+  SELECT v.vec_id, c.vec_id AS c_id,
+         list_sum(list_transform(range(1, len(v.embedding) + 1),
+                  i -> v.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (v.nrm * c.nrm) AS csim
+  FROM e v JOIN e c ON c.vec_id < 8),
+assign AS (
+  SELECT vec_id, c_id AS centroid_id FROM (
+    SELECT vec_id, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS rk
+    FROM cent_pairs) WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS q_id, c_id AS centroid_id FROM (
+    SELECT vec_id, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS rk
+    FROM cent_pairs WHERE vec_id < 10) WHERE rk <= 2),
+cand AS (
+  SELECT p.q_id, a.vec_id AS n_id,
+         list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)) / (q.nrm * n.nrm) AS sim
+  FROM probes p
+  JOIN assign a ON p.centroid_id = a.centroid_id AND p.q_id <> a.vec_id
+  JOIN e q ON q.vec_id = p.q_id
+  JOIN e n ON n.vec_id = a.vec_id),
+rk AS (
+  SELECT q_id, n_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+  FROM cand)
+SELECT q_id, n_id, ROUND(sim, 4) AS cos_sim FROM rk WHERE rk <= 5
+"""
+
+
 # ------------------------------------------------------------ language ID
 # Marker-token heuristic, deterministic tie order (en > de > fr > es > zh).
 # Counting via length-difference — identical arithmetic in both engines.
@@ -621,6 +700,7 @@ CORPUS_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "ann_ivf_buckets": (q_ann_ivf_buckets, SQL_ANN_IVF),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

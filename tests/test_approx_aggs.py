@@ -1,0 +1,48 @@
+"""Approximate aggregates — the forms a 100 TB job actually runs
+(mergeable sketches, map-side combinable) — anchored to their exact
+counterparts within published error bounds.
+
+`a_percentiles` / `skew_salted_distinct` are the exact contract anchors;
+these tests pin the approx variants to them so swapping exact → approx at
+scale is a measured trade, not a leap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    rsd = 0.05
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx"),
+    ).collect()[0]
+    # HLL++ standard error = rsd; 5 sigma keeps this deterministic-stable
+    assert abs(row.approx - row.exact) <= max(5 * rsd * row.exact, 1)
+
+
+def test_percentile_approx_brackets_exact(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("exact_p99"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
+    ).collect()[0]
+    # accuracy=10000 → rank error ≤ n/10000; value gap bounded via quantile width
+    assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.01
+    assert abs(row.approx_p99 - row.exact_p99) / row.exact_p99 < 0.01
+
+
+def test_approx_aggs_are_partial_aggregable(spark):
+    """Both sketches must show partial (map-side) + final HashAggregate /
+    ObjectHashAggregate — the property that makes them shuffle sketch
+    bytes instead of raw rows."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = ev.groupBy("event_type").agg(F.approx_count_distinct("user_id"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
