@@ -27,10 +27,20 @@ from documentconvert_spark.benchcorpus import build_bench_corpus
 from documentconvert_spark.pipeline import extract_spans, size_aware_split
 from documentconvert_spark.queries_corpus import (
     q_ann_cosine_topk,
+    q_ann_ivf_topk,
     q_dedup_minhash_lsh,
+    q_pipeline_e2e,
     q_text_quality,
 )
-from documentconvert_spark.queries_relational import q_tpch_q1, q_tpch_q3, q_tpch_q5, q_tpch_q6
+from documentconvert_spark.queries_events import q_ev_sessionize
+from documentconvert_spark.queries_relational import (
+    q_a_rollup,
+    q_tpch_q1,
+    q_tpch_q3,
+    q_tpch_q5,
+    q_tpch_q6,
+    q_tpch_q18,
+)
 from documentconvert_spark.session import build_session
 
 WORK = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_work")
@@ -89,9 +99,14 @@ def main() -> None:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q18": q_tpch_q18,
+        "a_rollup": q_a_rollup,
+        "ev_sessionize": q_ev_sessionize,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
+        "pipeline_e2e": q_pipeline_e2e,
     }
     for name, fn in relational.items():
         t = time.monotonic()

@@ -645,19 +645,24 @@ WHERE doc_id < 150 AND doc_id NOT IN (SELECT doc_id FROM dupes)
 
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    pfx_fp = F.expr(f"md5(concat_ws(' ', slice({_TOKS}, 1, 8)))")
-    quality = F.expr(
-        f"round(least(1.0, size({_TOKS}) / 100.0) * "
-        "(1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text)), 6)"
+    # stage the token array once: the split is the expensive expression, and
+    # an explicit intermediate beats relying on codegen subexpr elimination
+    # (~20% at sf0.1)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(_TOKS).alias("toks"),
+        F.expr("length(text) - length(regexp_replace(text, '[.,;:!?]', ''))").alias("n_punct"),
+        F.length("text").alias("n_chars_raw"),
     )
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (
-        docs.select(
+        toks.select(
             "doc_id",
             "lang",
-            pfx_fp.alias("fingerprint"),
-            F.expr(f"size({_TOKS})").alias("n_tokens"),
-            quality.alias("quality"),
+            F.expr("md5(concat_ws(' ', slice(toks, 1, 8)))").alias("fingerprint"),
+            F.size("toks").alias("n_tokens"),
+            F.expr("round(least(1.0, size(toks) / 100.0) * (1.0 - n_punct / n_chars_raw), 6)").alias("quality"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("quality") >= 0.5))
