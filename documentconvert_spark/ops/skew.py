@@ -39,6 +39,33 @@ def salted_agg(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join under join-key skew: each skewed-side row picks one of
+    `n_salt` salts; the dim side is replicated across all salts; the join
+    runs on (key, salt), splitting a hot key's rows over n_salt reducer
+    partitions. Exact for inner/left joins keyed on the dim's unique key.
+
+    Use when AQE's skew-join split can't help: sort-merge feeding a
+    non-splittable downstream exchange, or a dim too large to broadcast
+    but small enough to replicate n_salt-fold. Cost model: dim shuffle
+    volume × n_salt vs the straggler time saved — at 1000 executors a
+    single hot key (one URL host, one boilerplate template) otherwise
+    pins the whole stage on one core.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)).cast("int")
+    salted_fact = skewed.withColumn("_salt", salt)
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return salted_fact.join(replicated_dim, [key, "_salt"], how).drop("_salt")
+
+
 def salted_distinct_count(df: DataFrame, key: str, distinct_col: str, n_salt: int = 16) -> DataFrame:
     """countDistinct under key skew: salt by the *distinct value* so each
     (key, salt) holds a disjoint slice of the distinct set; the final
