@@ -1,0 +1,63 @@
+"""Bucketed co-located join: pre-bucketing both sides of a repeated join
+on the join key eliminates the per-query shuffle entirely — the 100 TB
+pattern for fact tables joined every run (spans ⋈ media, docs ⋈ state).
+The test writes both sides bucketed by the key into a temp warehouse and
+asserts the join plan has NO shuffle on either bucketed side."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    # session-level warehouse is fixed at session start; tables land in a
+    # per-test database inside it instead
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckettest")
+    yield "buckettest"
+    spark.sql("DROP DATABASE IF EXISTS buckettest CASCADE")
+
+
+def test_bucketed_join_no_shuffle(spark, warehouse):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(f"{warehouse}.orders_b")
+    )
+    (
+        lineitem.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(f"{warehouse}.lineitem_b")
+    )
+    ob = spark.table(f"{warehouse}.orders_b")
+    lb = spark.table(f"{warehouse}.lineitem_b")
+    # merge hint: at sf0.001 AQE would broadcast these tiny tables; the
+    # property under test is the shuffle-strategy path a 100 TB fact-fact
+    # join takes
+    joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey).groupBy("o_orderpriority").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan  # bucketed scan active
+    # neither join input re-shuffles: bucket layout satisfies the
+    # distribution requirement (only the final agg may exchange)
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    # and the result is still correct
+    rows = {r.o_orderpriority: r.q for r in joined.collect()}
+    expected = {
+        r.o_orderpriority: r.q
+        for r in lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    assert rows == pytest.approx(expected)
