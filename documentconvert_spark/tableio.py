@@ -27,3 +27,23 @@ def append_table(df: DataFrame, path: str) -> None:
 
 def overwrite_table(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").format(table_format()).save(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 8,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Range-clustered, sorted layout: repartitionByRange gives files
+    DISJOINT key ranges, sortWithinPartitions orders rows inside each.
+    Parquet min/max footer stats (and Iceberg's file-level bounds) then
+    prune whole files/row-groups for range predicates on the sort key —
+    at 100 TB a date- or doc_id-ranged query scans ~1/n_files of the
+    data. (Iceberg analogue: WRITE ORDERED BY; same layout, same skip.)"""
+    out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite").format(table_format())
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
