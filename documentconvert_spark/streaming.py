@@ -197,6 +197,35 @@ def stream_window_rollup(
     )
 
 
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+):
+    """Streaming exact-dedup (twin of the batch `dedup_exact` op):
+    `dropDuplicatesWithinWatermark` keeps the first arrival per key and
+    drops re-deliveries across micro-batches; the watermark bounds the
+    dedup state (keys older than it are evicted), which is what makes
+    exact streaming dedup feasible at 10^12 docs — state holds one
+    watermark-window of keys, not the corpus."""
+    keys = key_cols or ["event_id"]
+    deduped = _events_stream(spark, input_dir, watermark).dropDuplicatesWithinWatermark(keys)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    return (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _close_ready_sessions(
     rows: pd.DataFrame, cur: tuple | None, gap_ns: int
 ) -> tuple[list[tuple], tuple | None]:

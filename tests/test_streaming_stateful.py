@@ -103,6 +103,21 @@ def test_stream_window_rollup_append_parity(spark, tmp_path):
     assert len(again) == 2
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from documentconvert_spark.streaming import stream_dedup
+
+    input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("landing", "out", "ckpt"))
+    # wave 1: event 1 delivered twice in-batch; wave 2 re-delivers events
+    # 1 and 2 (cross-batch duplicates, still inside the watermark)
+    _land(spark, [_ev(1, 0.0, 1), _ev(1, 0.0, 1), _ev(2, 1.0, 1), _ev(3, 2.0, 2)], input_dir)
+    _drain(stream_dedup(spark, input_dir, out_dir, ckpt))
+    _land(spark, [_ev(1, 0.0, 1), _ev(2, 1.0, 1), _ev(4, 3.0, 2)], input_dir)
+    _drain(stream_dedup(spark, input_dir, out_dir, ckpt))
+
+    got = sorted(r.event_id for r in _read_out(spark, out_dir).collect())
+    assert got == [1, 2, 3, 4]  # every key exactly once across both waves
+
+
 def test_stream_sessionize_stateful_parity(spark, tmp_path):
     input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("landing", "out", "ckpt"))
     # user 1: two sessions (gap > 30 min); user 2: one session spanning
