@@ -639,6 +639,188 @@ GROUP BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------- TPC-H Q7-style: bilateral trade volume
+# customer-nation × supplier-nation flows for a nation pair, yearly.
+# Two broadcast dims applied early; the big li⋈orders⋈cust spine shuffles
+# once per equi-key, and the (cn, sn) filter prunes before the agg.
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    n1 = nation.selectExpr("n_nationkey AS c_nk", "n_name AS cust_nation")
+    n2 = nation.selectExpr("n_nationkey AS s_nk", "n_name AS supp_nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+        .filter(
+            ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_5"))
+            | ((F.col("cust_nation") == "NATION_5") & (F.col("supp_nation") == "NATION_2"))
+        )
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       EXTRACT(year FROM l_shipdate) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_5')
+    OR (n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_2'))
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q8-style: market share (agg-of-CASE ratio)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = nation.selectExpr("n_nationkey AS c_nk", "n_regionkey AS c_rk")
+    n2 = nation.selectExpr("n_nationkey AS s_nk", "n_name AS supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))) / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q13-style: order-count distribution
+# LEFT join (customers with zero orders kept) → per-customer count →
+# distribution of counts. Two shuffles by construction; the first carries
+# only (custkey), the second only (count) — both slim.
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(~F.col("o_orderpriority").startswith("5"))
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '5%'
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q15-style: top supplier(s) by revenue
+# revenue view + max-scalar join-back (the classic "argmax via
+# 1-row broadcast" — same plan family as tpch_q22's scalar).
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(supp, revenue.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q19-style: OR-of-ANDs pushdown
+# Disjunctive multi-clause predicate over a join — exercises Catalyst's
+# CNF conversion: the common `l_quantity <= 30` bound and the join key
+# both push below the OR.
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.filter(clause).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # --------------------------------------------------------------- ROLLUP: hierarchical totals
 # OLAP rollup (region ⊃ nation) with grouping-set ids — one shuffle; Spark
 # expands grouping sets map-side, so partial aggregation still applies.
@@ -776,6 +958,11 @@ SELECT 'building_only' AS cohort, COUNT(*) AS n_cust FROM only_b
 
 
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
     "a_rollup": (q_a_rollup, SQL_A_ROLLUP),
     "a_pivot": (q_a_pivot, SQL_A_PIVOT),
     "a_percentiles": (q_a_percentiles, SQL_A_PERCENTILES),
