@@ -635,6 +635,38 @@ WHERE doc_id < 150 AND doc_id NOT IN (SELECT doc_id FROM dupes)
 """
 
 
+# ------------------------------------------------------------ stratified deterministic sampling
+# Training-data curation needs reproducible per-stratum sampling at any
+# scale. Instead of RNG (engine-specific, partitioning-dependent), the
+# sample predicate is pure arithmetic on the key — Knuth's multiplicative
+# hash mod 1000 — so membership is a property of the ROW, identical on
+# every engine, every run, every partitioning. Per-language rates differ
+# (en kept at 20%, others 40%) — the downsample-the-head shape.
+
+# doc_id is folded mod 1000003 first so the product never overflows int64
+# even at 10^12 docs (DuckDB errors on BIGINT overflow; Spark would wrap)
+_SAMPLE_HASH = "pmod((doc_id % 1000003) * 2654435761, 1000)"
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    rate = F.when(F.col("lang") == "en", 200).otherwise(400)
+    return (
+        docs.withColumn("h", F.expr(_SAMPLE_HASH))
+        .filter(F.col("h") < rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("chars_sampled"))
+    )
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS chars_sampled
+FROM documents
+WHERE ((doc_id % 1000003) * 2654435761) % 1000 < CASE WHEN lang = 'en' THEN 200 ELSE 400 END
+GROUP BY lang
+"""
+
+
 # ------------------------------------------------------------ composite training-data pipeline
 # The end-to-end shape a 100 TB training-data job takes: prefix-fingerprint
 # dedup (keep lowest doc_id per fingerprint — one window over one shuffle)
@@ -695,6 +727,7 @@ GROUP BY lang
 
 CORPUS_QUERIES: dict[str, tuple] = {
     "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
     "doc_winnow_fingerprint": (q_doc_winnow, SQL_DOC_WINNOW),
