@@ -28,7 +28,11 @@ def salted_agg(
       {"n": (F.count("*"), F.sum("n")),
        "total": (F.sum("value"), F.sum("total"))}
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    # salt from the ROW CONTENT, never from monotonically_increasing_id():
+    # a stage retry / speculative task re-assigns mono ids, which would
+    # re-salt rows differently than already-fetched shuffle output and
+    # silently corrupt results on the very clusters this helper targets
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")
@@ -58,7 +62,13 @@ def salted_join(
     single hot key (one URL host, one boilerplate template) otherwise
     pins the whole stage on one core.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)).cast("int")
+    if how not in ("inner", "left", "left_outer"):
+        # right/full would emit each unmatched dim row once PER REPLICA —
+        # silent n_salt-fold inflation; refuse rather than corrupt
+        raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
+    # deterministic content-derived salt (see salted_agg): survives stage
+    # retries and speculative execution, unlike monotonically_increasing_id
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salt)).cast("int")
     salted_fact = skewed.withColumn("_salt", salt)
     replicated_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

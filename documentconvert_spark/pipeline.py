@@ -39,7 +39,13 @@ from documentconvert_spark.udfs import extract_dispatch, fix_encoding_udf
 
 HEAVY_QUANTILE = 0.99
 HEAVY_MEDIAN_FACTOR = 8.0  # a doc is heavy only if ≥ 8× the median too
-HEAVY_MAX_FANOUT = 8  # heavy partitions ≤ target_partitions × this
+HEAVY_MAX_FANOUT = 8  # heavy partitions ≥ target_partitions × this only via row cap
+# Arrow batches never span partitions, so capping ROWS per heavy partition
+# caps heavy batch bytes: ≤ 32 × (MB-scale doc) ≈ 10²MB per in-flight
+# batch per core, independent of the session's maxRecordsPerBatch (tuned
+# high for the KB-scale bulk). The price is more, smaller heavy tasks —
+# correct granularity anyway for docs that each take seconds to parse.
+HEAVY_ROWS_PER_TASK = 32
 
 
 def prepare_documents(docs: DataFrame) -> DataFrame:
@@ -75,10 +81,14 @@ def size_aware_split(docs: DataFrame, target_partitions: int) -> tuple[DataFrame
     heavy = docs.filter(F.col("byte_len") >= threshold)
     n_heavy = heavy.count()
     if n_heavy:
-        # one doc per task up to a fan-out cap (at 10^12 docs the tail is
-        # still ~10^10 rows — cap keeps task counts sane; round-robin then
-        # spreads heavies evenly across those tasks)
-        heavy = heavy.repartition(min(n_heavy, target_partitions * HEAVY_MAX_FANOUT))
+        # enough partitions that (a) each holds ≤ HEAVY_ROWS_PER_TASK docs
+        # (bounds Arrow batch bytes — see constant) and (b) small tails
+        # still spread one-doc-per-task up to the fan-out factor
+        n_parts = min(
+            max(n_heavy // HEAVY_ROWS_PER_TASK + 1, target_partitions * HEAVY_MAX_FANOUT),
+            n_heavy,
+        )
+        heavy = heavy.repartition(n_parts)
     return light, heavy
 
 

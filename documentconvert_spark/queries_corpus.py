@@ -306,19 +306,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).selectExpr("vec_id", "embedding", f"{_NORM} AS nrm")
     cents = emb.filter(F.col("vec_id") < 8).selectExpr("vec_id AS c_id", "embedding AS ce", "nrm AS cn")
 
-    def nearest(df, id_col: str, vec_col: str, norm_col: str, n: int):
-        pairs = (
-            df.selectExpr(f"{id_col}", f"{vec_col} AS qe", f"{norm_col} AS qn")
-            .crossJoin(F.broadcast(cents))
-            .withColumn("csim", F.expr(_DOT) / (F.col("qn") * F.col("cn")))
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("c_id"))
-        return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= n)
-
-    assign = nearest(emb, "vec_id", "embedding", "nrm", 1).select(
+    # ONE centroid-distance pass serves both roles: rank 1 over all
+    # vectors = bucket assignment; ranks ≤ nProbe over the query subset =
+    # probe list (per-vector ranking is independent of the other vectors)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
+    ranked = (
+        emb.selectExpr("vec_id", "embedding AS qe", f"nrm AS qn")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.expr(_DOT) / (F.col("qn") * F.col("cn")))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    assign = ranked.filter(F.col("rk") == 1).select(
         "vec_id", F.col("c_id").alias("centroid_id"), F.col("qe").alias("ce2"), F.col("qn").alias("cn2")
     )
-    probes = nearest(emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", "nrm", 2).select(
+    probes = ranked.filter((F.col("vec_id") < 10) & (F.col("rk") <= 2)).select(
         F.col("vec_id").alias("q_id"), F.col("c_id").alias("centroid_id"),
         F.col("qe").alias("qe2"), F.col("qn").alias("qn2"),
     )

@@ -29,11 +29,14 @@ here too:
     each exactly once across restarts.
   - `stream_sessionize`: gap-based sessionization as a custom stateful
     operator via `applyInPandasWithState` (EventTimeTimeout). Open
-    sessions live in the state store keyed by user_id; a session closes
-    either when a later event for the same user exceeds the 30-min gap,
-    or when the watermark passes its timeout. Batch/stream parity: the
-    emitted sessions equal `queries_events.q_ev_sessionize` restricted to
-    watermark-closed sessions (asserted in tests).
+    sessions live in the state store keyed by user_id as interval lists;
+    a session becomes FINAL (emitted, removed) only when the watermark
+    passes its end + gap, so allowed-late and out-of-order events can
+    still extend a session backwards or bridge two open ones. Events
+    older than the watermark are dropped (defined late-data semantics).
+    Batch/stream parity: emitted sessions equal
+    `queries_events.q_ev_sessionize` on the watermark-surviving events,
+    on ANY arrival order (asserted in tests, including late arrivals).
 
 Scale: both stateful ops shuffle once on their grouping key into the
 state-store partitions (`spark.sql.shuffle.partitions` at first run); at
@@ -53,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -63,6 +67,7 @@ from pyspark.sql.types import (
 )
 
 from documentconvert_spark.pipeline import extract_spans
+from documentconvert_spark.queries_events import SESSION_GAP_S
 from documentconvert_spark.schemas import DOCUMENTS_RAW
 
 
@@ -135,8 +140,6 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
-SESSION_GAP_S = 1800.0  # keep in lockstep with queries_events.SESSION_GAP_S
-
 SESSION_OUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -147,13 +150,15 @@ SESSION_OUT_SCHEMA = StructType(
     ]
 )
 
-# open-session state: ns-since-epoch bounds + counters
+# open-session state: parallel arrays of (start_ns, last_ns, n, n_purchase)
+# — MULTIPLE sessions stay open per user until the watermark finalizes
+# them, because an allowed-late event may still extend or bridge them
 SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("start_ns", LongType()),
-        StructField("last_ns", LongType()),
-        StructField("n_events", IntegerType()),
-        StructField("n_purchases", IntegerType()),
+        StructField("starts", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
+        StructField("ns", ArrayType(IntegerType())),
+        StructField("nps", ArrayType(IntegerType())),
     ]
 )
 
@@ -164,6 +169,22 @@ def _events_stream(spark: SparkSession, input_dir: str, watermark: str) -> DataF
         .parquet(input_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
+    )
+
+
+def _start_append_to(df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Shared append-mode sink: per-batch overwrite into a batch_id
+    directory (idempotent under recovery re-runs), availableNow drain."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
@@ -185,16 +206,7 @@ def stream_window_rollup(
         .select(F.col("w.start").alias("day_start"), "event_type", "n_events")
     )
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
-
-    return (
-        agg.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_append_to(agg, out_dir, checkpoint_dir)
 
 
 def stream_dedup(
@@ -214,70 +226,81 @@ def stream_dedup(
     keys = key_cols or ["event_id"]
     deduped = _events_stream(spark, input_dir, watermark).dropDuplicatesWithinWatermark(keys)
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
-
-    return (
-        deduped.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_append_to(deduped, out_dir, checkpoint_dir)
 
 
-def _close_ready_sessions(
-    rows: pd.DataFrame, cur: tuple | None, gap_ns: int
-) -> tuple[list[tuple], tuple | None]:
-    """Fold new event rows (any order) into the open session `cur`;
-    return (closed sessions, still-open session). Pure — unit-testable
-    without a stream."""
-    closed: list[tuple] = []
-    if len(rows):
-        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
-        ts_ns = rows["ts"].astype("int64").to_numpy()
-        is_purchase = (rows["event_type"] == "purchase").to_numpy()
-        for t, p in zip(ts_ns, is_purchase):
-            t, p = int(t), int(p)
-            if cur is None:
-                cur = (t, t, 1, p)
-            elif t - cur[1] > gap_ns:
-                closed.append(cur)
-                cur = (t, t, 1, p)
-            else:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + p)
-    return closed, cur
+def _rows_to_sessions(rows: pd.DataFrame, gap_ns: int, min_ts_ns: int) -> list[tuple]:
+    """Fold a batch of event rows (any order) into mini-sessions
+    (start_ns, last_ns, n, n_purchase); rows older than `min_ts_ns`
+    (the watermark) are dropped — the defined late-data semantics."""
+    if not len(rows):
+        return []
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_ns = rows["ts"].astype("int64").to_numpy()
+    is_purchase = (rows["event_type"] == "purchase").to_numpy()
+    out: list[tuple] = []
+    for t, p in zip(ts_ns, is_purchase):
+        t, p = int(t), int(p)
+        if t < min_ts_ns:
+            continue
+        if out and t - out[-1][1] <= gap_ns:
+            prev = out[-1]
+            out[-1] = (prev[0], max(prev[1], t), prev[2] + 1, prev[3] + p)
+        else:
+            out.append((t, t, 1, p))
+    return out
+
+
+def _merge_sessions(sessions: list[tuple], gap_ns: int) -> list[tuple]:
+    """Interval-merge sessions whose gap is within threshold — this is
+    what lets an allowed-late event extend a session backwards or bridge
+    two open sessions. Pure; order-insensitive."""
+    out: list[tuple] = []
+    for s in sorted(sessions):
+        if out and s[0] - out[-1][1] <= gap_ns:
+            prev = out[-1]
+            out[-1] = (prev[0], max(prev[1], s[1]), prev[2] + s[2], prev[3] + s[3])
+        else:
+            out.append(s)
+    return out
 
 
 def _sessionize_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     (user_id,) = key
     gap_ns = int(SESSION_GAP_S * 1e9)
-    closed: list[tuple] = []
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_ns = wm_ms * 1_000_000
 
-    if state.hasTimedOut:
-        if state.exists:
-            closed.append(tuple(state.get))
-            state.remove()
-    else:
-        cur = tuple(state.get) if state.exists else None
+    open_sessions: list[tuple] = list(zip(*state.get)) if state.exists else []
+    if not state.hasTimedOut:
         for pdf in pdfs:
-            batch_closed, cur = _close_ready_sessions(pdf, cur, gap_ns)
-            closed.extend(batch_closed)
-        if cur is not None:
-            state.update(cur)
-            # fire once the watermark passes session end + gap; the clamp
-            # keeps the timeout legal when the watermark already moved past
-            timeout_ms = max(cur[1] // 1_000_000 + int(SESSION_GAP_S * 1000), state.getCurrentWatermarkMs() + 1)
-            state.setTimeoutTimestamp(timeout_ms)
+            open_sessions = _merge_sessions(
+                open_sessions + _rows_to_sessions(pdf, gap_ns, wm_ns), gap_ns
+            )
 
-    if closed:
+    # a session is FINAL only once the watermark passes its end + gap —
+    # until then a late event could still extend or bridge it, so even
+    # gap-closed sessions wait in state (this is what batch/stream parity
+    # under reordering requires)
+    emit = [s for s in open_sessions if s[1] + gap_ns < wm_ns]
+    keep = [s for s in open_sessions if s[1] + gap_ns >= wm_ns]
+
+    if keep:
+        state.update(tuple(list(col) for col in zip(*keep)))
+        next_close_ms = min(last // 1_000_000 + int(SESSION_GAP_S * 1000) for _, last, _, _ in keep)
+        state.setTimeoutTimestamp(max(next_close_ms, wm_ms + 1))
+    elif state.exists:
+        state.remove()
+
+    if emit:
+        emit.sort()
         yield pd.DataFrame(
             {
-                "user_id": [user_id] * len(closed),
-                "t_start": [pd.Timestamp(s, unit="ns") for s, _, _, _ in closed],
-                "t_end": [pd.Timestamp(e, unit="ns") for _, e, _, _ in closed],
-                "n_events": [n for _, _, n, _ in closed],
-                "n_purchases": [np_ for _, _, _, np_ in closed],
+                "user_id": [user_id] * len(emit),
+                "t_start": [pd.Timestamp(s, unit="ns") for s, _, _, _ in emit],
+                "t_end": [pd.Timestamp(e, unit="ns") for _, e, _, _ in emit],
+                "n_events": [n for _, _, n, _ in emit],
+                "n_purchases": [np_ for _, _, _, np_ in emit],
             }
         )
 
@@ -290,9 +313,11 @@ def stream_sessionize(
     watermark: str = "10 minutes",
 ):
     """Custom stateful operator: 30-min-gap sessionization over the event
-    stream. One shuffle on user_id into state-store partitions; sessions
-    closed by a follow-up event emit immediately, trailing sessions emit
-    when the watermark times them out."""
+    stream. One shuffle on user_id into state-store partitions. Every
+    session is held in state until the watermark passes its end + gap —
+    only then is it final (an allowed-late event may extend a session
+    backwards or bridge two open sessions until that point) — giving
+    exact batch/stream parity on any arrival order within the watermark."""
     sessions = (
         _events_stream(spark, input_dir, watermark)
         .groupBy("user_id")
@@ -305,13 +330,4 @@ def stream_sessionize(
         )
     )
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
-
-    return (
-        sessions.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_append_to(sessions, out_dir, checkpoint_dir)

@@ -12,7 +12,8 @@ import pytest
 from documentconvert_spark.streaming import (
     EVENTS_SCHEMA,
     SESSION_GAP_S,
-    _close_ready_sessions,
+    _merge_sessions,
+    _rows_to_sessions,
     stream_sessionize,
     stream_window_rollup,
 )
@@ -58,7 +59,7 @@ def _oracle_sessions(rows, gap_s: float) -> set[tuple]:
     return out
 
 
-def test_close_ready_sessions_pure():
+def test_rows_to_sessions_and_merge_pure():
     gap_ns = int(SESSION_GAP_S * 1e9)
     rows = pd.DataFrame(
         {
@@ -67,13 +68,27 @@ def test_close_ready_sessions_pure():
             "event_type": ["purchase", "click", "click"],
         }
     )
-    closed, cur = _close_ready_sessions(rows, None, gap_ns)
-    # events at 00:00 and 00:10 form one session; 02:00 starts a new one
-    assert len(closed) == 1 and closed[0][2] == 2 and closed[0][3] == 1
-    assert cur is not None and cur[2] == 1
-    # folding nothing keeps the open session untouched
-    closed2, cur2 = _close_ready_sessions(rows.iloc[0:0], cur, gap_ns)
-    assert closed2 == [] and cur2 == cur
+    sessions = _rows_to_sessions(rows, gap_ns, min_ts_ns=0)
+    # 00:00+00:10 form one session (1 purchase); 02:00 is its own
+    assert len(sessions) == 2
+    assert sessions[0][2] == 2 and sessions[0][3] == 1 and sessions[1][2] == 1
+    # watermark drop: everything below 01:00 discarded
+    wm = pd.Timestamp("2024-03-01 01:00").value
+    assert _rows_to_sessions(rows, gap_ns, min_ts_ns=wm) == [sessions[1]]
+    # empty fold is a no-op
+    assert _rows_to_sessions(rows.iloc[0:0], gap_ns, 0) == []
+
+
+def test_merge_sessions_backward_extension_and_bridge():
+    gap = 100
+    a = (1000, 1200, 3, 1)
+    # late mini-session just before `a` extends it backwards
+    assert _merge_sessions([a, (950, 950, 1, 0)], gap) == [(950, 1200, 4, 1)]
+    # a mini-session in the gap between two opens bridges them into one
+    b = (1400, 1500, 2, 0)
+    assert _merge_sessions([a, b, (1250, 1320, 1, 1)], gap) == [(1000, 1500, 6, 2)]
+    # far-away session stays separate
+    assert _merge_sessions([a, (5000, 5100, 2, 0)], gap) == [a, (5000, 5100, 2, 0)]
 
 
 def test_stream_window_rollup_append_parity(spark, tmp_path):
@@ -121,7 +136,11 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
 def test_stream_sessionize_stateful_parity(spark, tmp_path):
     input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("landing", "out", "ckpt"))
     # user 1: two sessions (gap > 30 min); user 2: one session spanning
-    # the two landing waves (state must carry across restarts)
+    # the two landing waves (state must carry across restarts).
+    # wave 2 also delivers LATE/out-of-order events (watermark after wave 1
+    # is minute 60 = max 70 - delay 10): one inserts mid-session (u2 @62),
+    # one extends an open session forward after a late start (u1 @65) —
+    # the arrival order a real event log actually has.
     wave1 = [
         _ev(1, 0.0, 1),
         _ev(2, 10.0, 1, "purchase"),
@@ -131,6 +150,8 @@ def test_stream_sessionize_stateful_parity(spark, tmp_path):
     ]
     wave2 = [
         _ev(6, 80.0, 2, "purchase"),  # 10 min after wave1's last → same session
+        _ev(8, 62.0, 2),  # late, lands INSIDE u2's open session
+        _ev(9, 65.0, 1),  # late, extends u1's second session
         _ev(7, 300.0, 3),
     ]
     _land(spark, wave1, input_dir)
