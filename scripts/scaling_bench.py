@@ -10,6 +10,11 @@ Methodology notes (all recorded in BENCH.md):
   untimed warm-up pass (Python workers import once; a production job
   amortizes worker startup over hours), then reports the best of two
   timed passes.
+- DRIFT ROBUSTNESS: the sandbox host has co-tenant noise — identical
+  runs minutes apart were observed to swing 2-4×. Each N-vs-4N ratio is
+  therefore measured INTERLEAVED (N, 4N, N, 4N back-to-back, best leg
+  per level) with its hardware control taken in the same window, so a
+  ratio never compares two different host states.
 - A pure-multiprocessing CONTROL (same kernels, same corpus, no Spark)
   establishes the hardware ceiling: this box's 32 hyper-threads scale
   sub-linearly on string-heavy work (SMT sharing, memory bandwidth, turbo
@@ -115,26 +120,36 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else N_DOCS_DEFAULT
     corpus_path = os.path.join(REPO, "_work", f"scaling_corpus_{n_docs}")
 
-    control = _sub(_CONTROL_SNIPPET.format(repo=REPO, n_docs=n_docs,
-                                           big_every=BIG_EVERY, pairs=PAIRS))
-
     rates: dict[int, dict] = {}
-    for cores in sorted({c for pair in PAIRS for c in pair}):
-        rates[cores] = _sub(_RUN_SNIPPET.format(repo=REPO, cores=cores, n_docs=n_docs,
-                                                corpus_path=corpus_path, big_every=BIG_EVERY))
-
+    control: dict[str, float] = {}
     pairs_out = []
     for n, n4 in PAIRS:
-        eff = (rates[n4]["docs_per_sec"] / rates[n]["docs_per_sec"]) / 4.0
-        ctrl_eff = (control[str(n4)] / control[str(n)]) / 4.0
+        # control for THIS pair, in the same host window as its Spark legs
+        pair_control = _sub(_CONTROL_SNIPPET.format(repo=REPO, n_docs=n_docs,
+                                                    big_every=BIG_EVERY, pairs=[(n, n4)]))
+        # interleaved legs: N, 4N, N, 4N — best per level; a host slowdown
+        # mid-pair degrades both levels instead of skewing the ratio
+        best: dict[int, dict] = {}
+        for cores in (n, n4, n, n4):
+            leg = _sub(_RUN_SNIPPET.format(repo=REPO, cores=cores, n_docs=n_docs,
+                                           corpus_path=corpus_path, big_every=BIG_EVERY))
+            if cores not in best or leg["docs_per_sec"] > best[cores]["docs_per_sec"]:
+                best[cores] = leg
+        eff = (best[n4]["docs_per_sec"] / best[n]["docs_per_sec"]) / 4.0
+        ctrl_eff = (pair_control[str(n4)] / pair_control[str(n)]) / 4.0
         pairs_out.append({
             "pair": f"local[{n}] vs local[{n4}]",
-            "rate_n": rates[n]["docs_per_sec"],
-            "rate_4n": rates[n4]["docs_per_sec"],
+            "rate_n": best[n]["docs_per_sec"],
+            "rate_4n": best[n4]["docs_per_sec"],
             "efficiency": round(eff, 3),
             "hardware_control_efficiency": round(ctrl_eff, 3),
             "pass": eff >= 0.8,
         })
+        for c in (n, n4):
+            if c not in rates or best[c]["docs_per_sec"] > rates[c]["docs_per_sec"]:
+                rates[c] = best[c]
+        for w, v in pair_control.items():
+            control[w] = max(control.get(w, 0.0), v)
     result = {
         "n_docs": n_docs,
         "big_every": BIG_EVERY,
