@@ -636,6 +636,72 @@ WHERE doc_id < 150 AND doc_id NOT IN (SELECT doc_id FROM dupes)
 """
 
 
+# ------------------------------------------------------------ benchmark decontamination screen
+# Training-data hygiene: flag corpus docs sharing long n-grams with an
+# evaluation/benchmark set (here: doc_id<50 stands in for the benchmark).
+# 8-gram shingles hash-join against the benchmark's distinct shingle set;
+# at 100 TB the benchmark side is tiny → broadcast, and the corpus side
+# streams through map-side — one narrow pass plus a per-doc aggregate.
+# contamination = |doc ∩ benchmark shingles| / |doc shingles|.
+
+_N8 = 8
+_SHINGLES8 = (
+    f"transform(sequence(1, greatest(size({_TOKS}) - {_N8 - 1}, 0)), "
+    f"i -> concat_ws(' ', slice({_TOKS}, i, {_N8})))"
+)
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench_sh = (
+        docs.filter(F.col("doc_id") < 50)
+        .selectExpr(f"explode(array_distinct({_SHINGLES8})) AS shingle")
+        .distinct()
+    )
+    corpus_sh = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 300)).selectExpr(
+        "doc_id", f"explode(array_distinct({_SHINGLES8})) AS shingle"
+    )
+    overlap = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        sizes.join(overlap, "doc_id", "left")
+        .na.fill(0, ["n_overlap"])
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias("contamination"),
+        )
+        .filter(F.col("n_overlap") > 0)
+    )
+
+
+_SQL_SHINGLES8 = (
+    f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS}) - {_N8 - 2}, 1)), "
+    f"i -> list_aggregate({_SQL_TOKS}[i:i+{_N8 - 1}], 'string_agg', ' ')))"
+)
+
+SQL_DECONTAMINATE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SQL_SHINGLES8}) AS shingle FROM documents WHERE doc_id < 50),
+corpus AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES8}) AS shingle
+  FROM documents WHERE doc_id >= 50 AND doc_id < 300),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+overlap AS (
+  SELECT c.doc_id, COUNT(*) AS n_overlap
+  FROM corpus c JOIN bench b ON c.shingle = b.shingle GROUP BY c.doc_id)
+SELECT s.doc_id, s.n_shingles, o.n_overlap,
+       ROUND(o.n_overlap / s.n_shingles, 6) AS contamination
+FROM sizes s JOIN overlap o ON s.doc_id = o.doc_id
+WHERE o.n_overlap > 0
+"""
+
+
 # ------------------------------------------------------------ stratified deterministic sampling
 # Training-data curation needs reproducible per-stratum sampling at any
 # scale. Instead of RNG (engine-specific, partitioning-dependent), the
@@ -729,6 +795,7 @@ GROUP BY lang
 CORPUS_QUERIES: dict[str, tuple] = {
     "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "decontaminate_overlap": (q_decontaminate_overlap, SQL_DECONTAMINATE),
     "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
     "doc_winnow_fingerprint": (q_doc_winnow, SQL_DOC_WINNOW),
