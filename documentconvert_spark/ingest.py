@@ -58,3 +58,42 @@ def documents_table_as_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("incoming/"), F.col("source"), F.lit("/"), F.col("doc_id_s"), F.lit(".pdf")).alias("source_path"),
         )
     )
+
+
+_SUFFIX_TO_TYPE = {
+    "pdf": "pdf",
+    "html": "markup", "htm": "markup", "docx": "markup", "xlsx": "markup", "pptx": "markup",
+    "png": "image", "jpg": "image", "jpeg": "image",
+}
+
+
+def binary_dir_as_raw(
+    spark: SparkSession,
+    input_dir: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest a directory of raw document FILES via Spark's `binaryFile`
+    source (reference S4 local-file ingest / S5 directory glob,
+    document_service.py batch_* directory walks). The source gives
+    (path, modificationTime, length, content) with partition-parallel
+    reads and pathGlobFilter pushdown; suffix → doc_type mirrors the
+    reference's extension whitelist (document_service.py:49-56) — unknown
+    suffixes are kept with doc_type 'unknown' and fail extraction into
+    error rows (C7) rather than being silently dropped."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    files = reader.load(input_dir)
+    suffix = F.lower(F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1))
+    type_map = F.create_map(*[F.lit(x) for kv in _SUFFIX_TO_TYPE.items() for x in kv])
+    return files.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("doc_id"),
+        F.coalesce(type_map[suffix], F.lit("unknown")).alias("doc_type"),
+        "content",
+        F.col("length").cast("long").alias("byte_len"),
+        F.lit("local").alias("source_bucket"),
+        F.col("path").alias("source_path"),
+    )

@@ -7,6 +7,7 @@ values. Usage: python scripts/verify_contract.py [names...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -17,7 +18,7 @@ import duckdb
 import __spark_entry__ as entrymod
 from documentconvert_spark.session import build_session
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
