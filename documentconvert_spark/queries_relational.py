@@ -957,7 +957,39 @@ SELECT 'building_only' AS cohort, COUNT(*) AS n_cust FROM only_b
 """
 
 
+# --------------------------------------------------------------- salted join under key skew
+# The events table is the skewed fact (hot user_ids); the dim is the
+# per-user first-seen row. The salted plan splits each hot key over 8
+# reducer partitions; the oracle is the PLAIN join — results must be
+# identical, which is the whole point of the rewrite.
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from documentconvert_spark.ops.skew import salted_join
+
+    events = _t(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    joined = salted_join(events.select("event_id", "user_id", "event_type"), dim, "user_id", n_salt=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("first_seen").alias("earliest_first_seen"),
+        )
+    )
+
+
+SQL_SKEW_SALTED_JOIN = """
+WITH dim AS (SELECT user_id, MIN(ts) AS first_seen FROM events GROUP BY user_id)
+SELECT e.event_type, COUNT(*) AS n, COUNT(DISTINCT e.user_id) AS n_users,
+       MIN(d.first_seen) AS earliest_first_seen
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.event_type
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "skew_salted_join": (q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
     "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
     "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
