@@ -636,6 +636,48 @@ WHERE doc_id < 150 AND doc_id NOT IN (SELECT doc_id FROM dupes)
 """
 
 
+# ------------------------------------------------------------ embedding int8 quantization
+# Vector-infra staple: per-vector max-abs scaling to int8 cuts ANN index
+# storage 4× (float32→int8). Pure array math (JVM-side, codegen) —
+# scale = max|x|/127; q[i] = round(x[i]/scale). The check re-expands and
+# reports reconstruction error, so the oracle verifies BOTH the codes and
+# the accuracy claim.
+
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
+    scale = "greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0"
+    # floor(x+0.5) (round-toward-+inf on ties) — bit-identical across
+    # engines, unlike round() whose tie rule differs between Spark/DuckDB
+    q = f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / ({scale}) + 0.5) AS INT))"
+    err = (
+        f"aggregate(zip_with(embedding, {q}, (x, qi) -> pow(CAST(x AS DOUBLE) - qi * ({scale}), 2)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return emb.selectExpr(
+        "vec_id",
+        f"round({scale}, 8) AS scale",
+        f"aggregate({q}, 0, (acc, v) -> acc + abs(v)) AS l1_code",
+        f"round(sqrt({err}), 6) AS recon_rmse_x_sqrtd",
+    )
+
+
+SQL_EMB_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         GREATEST(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-12) / 127.0 AS scale
+  FROM embeddings WHERE vec_id < 200),
+q AS (
+  SELECT vec_id, scale, embedding,
+         list_transform(embedding, x -> CAST(floor(x::DOUBLE / scale + 0.5) AS INT)) AS codes
+  FROM e)
+SELECT vec_id, ROUND(scale, 8) AS scale,
+       list_sum(list_transform(codes, v -> abs(v))) AS l1_code,
+       ROUND(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> pow(embedding[i]::DOUBLE - codes[i] * scale, 2)))), 6) AS recon_rmse_x_sqrtd
+FROM q
+"""
+
+
 # ------------------------------------------------------------ benchmark decontamination screen
 # Training-data hygiene: flag corpus docs sharing long n-grams with an
 # evaluation/benchmark set (here: doc_id<50 stands in for the benchmark).
@@ -796,6 +838,7 @@ CORPUS_QUERIES: dict[str, tuple] = {
     "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "decontaminate_overlap": (q_decontaminate_overlap, SQL_DECONTAMINATE),
+    "emb_quantize_int8": (q_emb_quantize_int8, SQL_EMB_QUANTIZE),
     "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
     "doc_winnow_fingerprint": (q_doc_winnow, SQL_DOC_WINNOW),

@@ -957,6 +957,72 @@ SELECT 'building_only' AS cohort, COUNT(*) AS n_cust FROM only_b
 """
 
 
+# --------------------------------------------------------------- TPC-H Q2-style: min-cost supplier per part
+# Correlated-min subquery → per-part min unit price joined back (the
+# partsupp analogue built from lineitem). Two passes over the fact, both
+# map-side-combinable; the min table is small and broadcastable.
+
+def q_tpch_q2s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter((F.col("p_size") == 15) | (F.col("p_size") == 25))
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    unit = li.select("l_partkey", "l_suppkey", F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("unit_price"))
+    min_unit = unit.groupBy("l_partkey").agg(F.min("unit_price").alias("min_price"))
+    return (
+        unit.join(min_unit, "l_partkey")
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .join(F.broadcast(part), unit.l_partkey == part.p_partkey)
+        .join(supp, unit.l_suppkey == supp.s_suppkey)
+        .groupBy("p_partkey", "p_brand", "p_size")
+        .agg(F.min("s_name").alias("cheapest_supplier"), F.min("min_price").alias("min_price"))
+        .orderBy("p_partkey")
+        .limit(40)
+    )
+
+
+SQL_TPCH_Q2S = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey, ROUND(l_extendedprice / l_quantity, 4) AS unit_price
+  FROM lineitem),
+mn AS (SELECT l_partkey, MIN(unit_price) AS min_price FROM unit GROUP BY l_partkey)
+SELECT p_partkey, p_brand, p_size, MIN(s_name) AS cheapest_supplier, MIN(mn.min_price) AS min_price
+FROM unit
+JOIN mn ON unit.l_partkey = mn.l_partkey AND unit.unit_price = mn.min_price
+JOIN part ON unit.l_partkey = p_partkey
+JOIN supplier ON unit.l_suppkey = s_suppkey
+WHERE p_size IN (15, 25)
+GROUP BY p_partkey, p_brand, p_size
+ORDER BY p_partkey LIMIT 40
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q12-style: two-class conditional counts
+def q_tpch_q12s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12S = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------- salted join under key skew
 # The events table is the skewed fact (hot user_ids); the dim is the
 # per-user first-seen row. The salted plan splits each hot key over 8
@@ -990,6 +1056,8 @@ GROUP BY e.event_type
 
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "skew_salted_join": (q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
+    "tpch_q2s": (q_tpch_q2s, SQL_TPCH_Q2S),
+    "tpch_q12s": (q_tpch_q12s, SQL_TPCH_Q12S),
     "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
     "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
