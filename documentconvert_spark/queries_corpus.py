@@ -636,6 +636,48 @@ WHERE doc_id < 150 AND doc_id NOT IN (SELECT doc_id FROM dupes)
 """
 
 
+# ------------------------------------------------------------ edit-distance near-dup
+# Levenshtein over normalized 40-char prefixes: the fuzzy-match family
+# (typo-level dup detection) complementing token-level Jaccard/MinHash.
+# Bounded candidate set (doc_id<80 → 3.2k pairs); the scale path blocks
+# candidates by a cheap key first (here: same first token) before paying
+# the O(len²) distance — exactly what the join predicate encodes.
+
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 80)
+    pfx = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 40).alias("pfx"),
+        F.split(F.lower(F.trim("text")), r"\s+").getItem(0).alias("block_key"),
+    )
+    a, b = pfx.alias("a"), pfx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.pfx"), F.col("b.pfx")))
+        .filter(F.col("dist") <= 24)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "dist",
+        )
+    )
+
+
+SQL_DEDUP_LEVENSHTEIN = """
+WITH p AS (
+  SELECT doc_id,
+         substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 40) AS pfx,
+         string_split_regex(lower(trim(text)), '\\s+')[1] AS block_key
+  FROM documents WHERE doc_id < 80)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, levenshtein(a.pfx, b.pfx) AS dist
+FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 24
+"""
+
+
 # ------------------------------------------------------------ embedding int8 quantization
 # Vector-infra staple: per-vector max-abs scaling to int8 cuts ANN index
 # storage 4× (float32→int8). Pure array math (JVM-side, codegen) —
@@ -839,6 +881,7 @@ CORPUS_QUERIES: dict[str, tuple] = {
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "decontaminate_overlap": (q_decontaminate_overlap, SQL_DECONTAMINATE),
     "emb_quantize_int8": (q_emb_quantize_int8, SQL_EMB_QUANTIZE),
+    "dedup_levenshtein": (q_dedup_levenshtein, SQL_DEDUP_LEVENSHTEIN),
     "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
     "doc_winnow_fingerprint": (q_doc_winnow, SQL_DOC_WINNOW),

@@ -1023,6 +1023,78 @@ GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------- statistical aggregates pack
+def q_a_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("covar_disc_tax"),
+        F.round(F.skewness("l_extendedprice"), 6).alias("skew_price"),
+    )
+
+
+SQL_A_STATS = """
+SELECT l_linestatus,
+       ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+       ROUND(var_pop(l_quantity), 4) AS var_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_discount, l_tax), 8) AS covar_disc_tax,
+       ROUND(skewness(l_extendedprice), 6) AS skew_price
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------- W5: window frames (rows + range)
+# Moving average over a rows-frame and a 30-minute range-frame sum — the
+# frame variants a time-series surface needs beyond plain rank/lag.
+
+def q_w5_moving_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    w_rows = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    w_range = Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-1800, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w_rows), 6).alias("avg_last4"),
+        F.round(F.sum("value").over(w_range), 6).alias("sum_30min"),
+    )
+
+
+SQL_W5_FRAMES = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS avg_last4,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 6) AS sum_30min
+FROM events WHERE user_id < 20
+"""
+
+
+# --------------------------------------------------------------- histogram binning
+def q_a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.width_bucket(F.col("l_extendedprice"), F.lit(0.0), F.lit(100000.0), F.lit(20))
+    return (
+        li.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("l_extendedprice"), 4).alias("avg_price"))
+    )
+
+
+# DuckDB has no width_bucket; the oracle states the same binning rule
+# arithmetically (bucket 0 below min, n_buckets+1 at/above max)
+SQL_A_HISTOGRAM = """
+SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+            WHEN l_extendedprice >= 100000.0 THEN 21
+            ELSE CAST(FLOOR(l_extendedprice / 5000.0) AS INT) + 1 END AS bucket,
+       COUNT(*) AS n, ROUND(AVG(l_extendedprice), 4) AS avg_price
+FROM lineitem GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------- salted join under key skew
 # The events table is the skewed fact (hot user_ids); the dim is the
 # per-user first-seen row. The salted plan splits each hot key over 8
@@ -1058,6 +1130,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "skew_salted_join": (q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
     "tpch_q2s": (q_tpch_q2s, SQL_TPCH_Q2S),
     "tpch_q12s": (q_tpch_q12s, SQL_TPCH_Q12S),
+    "a_stats_pack": (q_a_stats_pack, SQL_A_STATS),
+    "w5_moving_frames": (q_w5_moving_frames, SQL_W5_FRAMES),
+    "a_histogram": (q_a_histogram, SQL_A_HISTOGRAM),
     "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
     "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
