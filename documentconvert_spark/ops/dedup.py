@@ -84,3 +84,45 @@ def verify_pairs_jaccard(docs: DataFrame, pairs: DataFrame, text_col: str = "tex
         .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected pair graph: every node's
+    label converges to the smallest doc_id in its component — the
+    canonical keeper for a dedup cluster.
+
+    nodes: (doc_id), edges: (doc_a, doc_b). Returns (doc_id, cluster_id).
+
+    Scale notes: each iteration is one join + one min-aggregate, both on
+    the node key; iterations needed = component diameter, which for
+    near-dup clusters is tiny (chains longer than a handful of hops are
+    vanishingly rare). The loop carries only (node, label) pairs —
+    never document content — and localCheckpoints each round so the plan
+    (and its lineage) stays O(1) instead of growing per iteration.
+    Convergence is detected by an exact changed-row count (an action per
+    round, fine for the few rounds the diameter implies).
+    """
+    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
+                (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id")).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels

@@ -636,6 +636,61 @@ WHERE doc_id < 150 AND doc_id NOT IN (SELECT doc_id FROM dupes)
 """
 
 
+# ------------------------------------------------------------ dedup clusters (connected components)
+# The step AFTER pair generation: near-dup pairs form a graph; keeping one
+# doc per CLUSTER (not per pair) requires connected components. Spark side:
+# iterative min-label propagation (ops/dedup.connected_components — one
+# join + min-agg per round, rounds = component diameter). Oracle: DuckDB
+# recursive CTE computing min reachable doc_id. Exactly equal by
+# construction; singletons keep themselves.
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from documentconvert_spark.ops.dedup import connected_components
+
+    nodes = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select("doc_id")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    labels = connected_components(nodes, pairs)
+    return labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("keeper"),
+        F.max("doc_id").alias("max_member"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+sh AS ({{shingles}}),
+sigs AS (
+  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+  FROM sh, generate_series(0, {{k}}) t(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(i / {{rows}}.0) AS INT) AS band,
+         string_agg(sig, ',' ORDER BY i) AS band_key
+  FROM sigs GROUP BY doc_id, 2),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 150
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT MIN(label) AS cluster_id, COUNT(DISTINCT node) AS cluster_size,
+       MIN(label) AS keeper, MAX(node) AS max_member
+FROM (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+GROUP BY label
+"""
+
+SQL_DEDUP_CLUSTERS = SQL_DEDUP_CLUSTERS.format(
+    shingles=_sql_shingles(), k=_MINHASH_K - 1, rows=_BAND_ROWS
+)
+
+
 # ------------------------------------------------------------ edit-distance near-dup
 # Levenshtein over normalized 40-char prefixes: the fuzzy-match family
 # (typo-level dup detection) complementing token-level Jaccard/MinHash.
@@ -882,6 +937,7 @@ CORPUS_QUERIES: dict[str, tuple] = {
     "decontaminate_overlap": (q_decontaminate_overlap, SQL_DECONTAMINATE),
     "emb_quantize_int8": (q_emb_quantize_int8, SQL_EMB_QUANTIZE),
     "dedup_levenshtein": (q_dedup_levenshtein, SQL_DEDUP_LEVENSHTEIN),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
     "doc_winnow_fingerprint": (q_doc_winnow, SQL_DOC_WINNOW),

@@ -240,7 +240,45 @@ FROM parsed GROUP BY event_type
 """
 
 
+# ------------------------------------------------------------ retention cohorts
+# Classic D+k retention: cohort = first-seen day per user; retained(k) =
+# user active k days after their cohort day. Two shuffles (first-seen agg,
+# cohort rollup) carrying only (user, day) pairs.
+
+def q_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = ev.join(first, "user_id").withColumn("k", F.datediff("day", "cohort_day"))
+    return (
+        j.groupBy("cohort_day")
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            F.countDistinct(F.when(F.col("k") == 1, F.col("user_id"))).alias("d1"),
+            F.countDistinct(F.when(F.col("k") == 7, F.col("user_id"))).alias("d7"),
+        )
+        .withColumn("d1_rate", F.round(F.col("d1") / F.col("cohort_size"), 6))
+        .withColumn("d7_rate", F.round(F.col("d7") / F.col("cohort_size"), 6))
+        .withColumn("cohort_day", F.date_format("cohort_day", "yyyy-MM-dd"))
+    )
+
+
+SQL_EV_RETENTION = """
+WITH active AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+first_seen AS (SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id),
+j AS (SELECT a.user_id, f.cohort_day, date_diff('day', f.cohort_day, a.day) AS k
+      FROM active a JOIN first_seen f ON a.user_id = f.user_id)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       COUNT(DISTINCT user_id) AS cohort_size,
+       COUNT(DISTINCT CASE WHEN k = 1 THEN user_id END) AS d1,
+       COUNT(DISTINCT CASE WHEN k = 7 THEN user_id END) AS d7,
+       ROUND(COUNT(DISTINCT CASE WHEN k = 1 THEN user_id END) / COUNT(DISTINCT user_id), 6) AS d1_rate,
+       ROUND(COUNT(DISTINCT CASE WHEN k = 7 THEN user_id END) / COUNT(DISTINCT user_id), 6) AS d7_rate
+FROM j GROUP BY cohort_day
+"""
+
+
 EVENT_QUERIES: dict[str, tuple] = {
+    "ev_retention": (q_ev_retention, SQL_EV_RETENTION),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
     "ev_asof_join": (q_ev_asof_join, SQL_EV_ASOF),
