@@ -105,7 +105,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
     sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         edges.selectExpr("doc_b AS src", "doc_a AS dst")
     )
+    # materialize the edge list once — otherwise the (possibly expensive)
+    # upstream pair-generation DAG re-executes every iteration
+    sym = sym.localCheckpoint(eager=True)
     labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    n_changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -125,4 +129,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
+    if n_changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({n_changed} labels still changing) — component diameter exceeds "
+            "max_iter; raise it rather than returning wrong clusters"
+        )
     return labels

@@ -784,9 +784,12 @@ FROM q
 # contamination = |doc ∩ benchmark shingles| / |doc shingles|.
 
 _N8 = 8
+# short-doc guard: sequence(1, 0) DESCENDS in Spark ([1, 0]) and slice(_, 0, _)
+# throws — a <8-token doc must yield an empty shingle list, as the oracle does
 _SHINGLES8 = (
-    f"transform(sequence(1, greatest(size({_TOKS}) - {_N8 - 1}, 0)), "
-    f"i -> concat_ws(' ', slice({_TOKS}, i, {_N8})))"
+    f"if(size({_TOKS}) < {_N8}, array(), "
+    f"transform(sequence(1, size({_TOKS}) - {_N8 - 1}), "
+    f"i -> concat_ws(' ', slice({_TOKS}, i, {_N8}))))"
 )
 
 
@@ -806,16 +809,11 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_overlap"))
     )
     sizes = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    return (
-        sizes.join(overlap, "doc_id", "left")
-        .na.fill(0, ["n_overlap"])
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_overlap",
-            F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias("contamination"),
-        )
-        .filter(F.col("n_overlap") > 0)
+    return sizes.join(overlap, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias("contamination"),
     )
 
 

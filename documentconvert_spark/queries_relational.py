@@ -1031,7 +1031,15 @@ def q_a_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("covar_disc_tax"),
-        F.round(F.skewness("l_extendedprice"), 6).alias("skew_price"),
+        # Spark skewness is population g1; DuckDB's applies the sample
+        # correction sqrt(n(n-1))/(n-2) — apply it here so both sides
+        # compute the SAME statistic (bias-corrected sample skewness)
+        F.round(
+            F.skewness("l_extendedprice")
+            * F.sqrt(F.count("*") * (F.count("*") - 1))
+            / (F.count("*") - 2),
+            6,
+        ).alias("skew_price"),
     )
 
 

@@ -371,6 +371,11 @@ try:  # the API and its RocksDB requirement are Spark 4+; degrade gracefully
             return list(zip(*v)) if v is not None else []
 
         def _store_and_arm(self, keep: list[tuple], wm_ms: int) -> None:
+            # unlike setTimeoutTimestamp (which replaces), registerTimer
+            # ACCUMULATES — drop stale timers or the per-key timer state
+            # grows one entry per micro-batch
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
             if keep:
                 self._open.update(tuple(list(col) for col in zip(*keep)))
                 next_close_ms = min(
@@ -429,6 +434,11 @@ def stream_sessionize_tws(
     variant (`stream_sessionize`) is the executable path — both share
     the same session algebra (_rows_to_sessions/_merge_sessions/
     _split_final), so semantics are identical."""
+    if not HAS_TRANSFORM_WITH_STATE:
+        raise RuntimeError(
+            "transformWithStateInPandas is unavailable in this PySpark build — "
+            "use stream_sessionize (applyInPandasWithState), which has identical semantics"
+        )
     sessions = (
         _events_stream(spark, input_dir, watermark)
         .groupBy("user_id")
