@@ -1103,6 +1103,59 @@ FROM lineitem GROUP BY 1
 """
 
 
+# --------------------------------------------------------------- data-quality constraint suite
+# Deequ-style declarative checks computed in ONE wide aggregate pass
+# (completeness, uniqueness, domain, range, referential integrity via a
+# broadcast anti-count) — the validation layer a 100 TB ingest runs
+# before promoting a partition. Output: one row per check.
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    orphans = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_anti")
+    wide = li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)).alias("bad_discount"),
+        F.sum(F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)).alias("bad_flag"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias("nonpos_price"),
+        (F.count("*") - F.countDistinct("l_orderkey", "l_linenumber")).alias("dup_keys"),
+    )
+    orphan_count = orphans.agg(F.count("*").alias("v"))
+    checks = wide.crossJoin(F.broadcast(orphan_count)).selectExpr(
+        "stack(6, "
+        "'completeness_l_quantity', null_qty, "
+        "'domain_l_discount_0_1', bad_discount, "
+        "'domain_l_returnflag', bad_flag, "
+        "'range_l_extendedprice_pos', nonpos_price, "
+        "'uniqueness_orderkey_linenumber', dup_keys, "
+        "'ref_integrity_orders', v) AS (check_name, violations)"
+    )
+    return checks.withColumn("passed", F.col("violations") == 0)
+
+
+SQL_DQ_CHECKS = """
+WITH wide AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+         SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount,
+         SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS bad_flag,
+         SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+         COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_keys
+  FROM lineitem),
+orph AS (
+  SELECT COUNT(*) AS v FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+SELECT check_name, violations, violations = 0 AS passed FROM (
+  SELECT 'completeness_l_quantity' AS check_name, null_qty AS violations FROM wide
+  UNION ALL SELECT 'domain_l_discount_0_1', bad_discount FROM wide
+  UNION ALL SELECT 'domain_l_returnflag', bad_flag FROM wide
+  UNION ALL SELECT 'range_l_extendedprice_pos', nonpos_price FROM wide
+  UNION ALL SELECT 'uniqueness_orderkey_linenumber', dup_keys FROM wide
+  UNION ALL SELECT 'ref_integrity_orders', v FROM orph)
+"""
+
+
 # --------------------------------------------------------------- salted join under key skew
 # The events table is the skewed fact (hot user_ids); the dim is the
 # per-user first-seen row. The salted plan splits each hot key over 8
@@ -1141,6 +1194,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "a_stats_pack": (q_a_stats_pack, SQL_A_STATS),
     "w5_moving_frames": (q_w5_moving_frames, SQL_W5_FRAMES),
     "a_histogram": (q_a_histogram, SQL_A_HISTOGRAM),
+    "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
     "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),

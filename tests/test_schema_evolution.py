@@ -1,0 +1,35 @@
+"""Schema evolution on the spans_out table shape: new columns appear
+(mergeSchema), old readers keep working, missing columns read as null —
+the contract an Iceberg table gives and the parquet fallback must keep."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    out = str(tmp_path / "spans_out")
+    v1 = spark.createDataFrame(
+        [("d1", 3, "# a"), ("d2", 5, "# b")], "doc_id string, n_spans int, markdown string"
+    )
+    v1.write.mode("append").parquet(out)
+    # v2 adds a quality column (additive evolution)
+    v2 = spark.createDataFrame(
+        [("d3", 7, "# c", 0.9)], "doc_id string, n_spans int, markdown string, quality double"
+    )
+    v2.write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"doc_id", "n_spans", "markdown", "quality"}
+    rows = {r.doc_id: r for r in merged.collect()}
+    assert rows["d1"].quality is None and rows["d3"].quality == 0.9
+
+    # an old reader projecting only v1 columns still works on mixed files
+    old_view = spark.read.parquet(out).select("doc_id", "n_spans")
+    assert old_view.count() == 3
+
+    # aggregation over the evolved column treats pre-evolution rows as null
+    agg = merged.agg(
+        F.count("quality").alias("with_q"), F.count("*").alias("total")
+    ).collect()[0]
+    assert (agg.with_q, agg.total) == (1, 3)
