@@ -240,6 +240,61 @@ FROM parsed GROUP BY event_type
 """
 
 
+# ------------------------------------------------------------ interval (range) join, binned
+# "events inside promo windows": the naive plan is a BroadcastNestedLoop
+# over `start <= ts < end` — O(|events| × |windows|). The scale rewrite
+# bins time into fixed buckets: each event maps to ONE bin, each window
+# replicates to the bins it covers, the join becomes an EQUI-join on bin
+# plus an exact residual filter. Both engines state the binned algorithm,
+# so the oracle also verifies the rewrite itself.
+
+_BIN_S = 21600  # 6-hour bins
+
+
+def q_ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # deterministic synthetic promo windows: one 12-hour window every 5 days
+    windows = spark.range(0, 6).select(
+        F.col("id").alias("win_id"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id*5 AS INT),6,0,0)").alias("w_start"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id*5 AS INT),18,0,0)").alias("w_end"),
+    )
+    bin_of = lambda c: F.floor(F.col(c).cast("timestamp").cast("double") / _BIN_S)  # noqa: E731
+    ev_b = ev.withColumn("bin", bin_of("ts"))
+    win_b = windows.withColumn(
+        "bin", F.explode(F.sequence(bin_of("w_start"), bin_of("w_end")))
+    )
+    return (
+        ev_b.join(F.broadcast(win_b), "bin")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("win_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+SQL_EV_INTERVAL_JOIN = f"""
+WITH windows AS (
+  SELECT i AS win_id,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i*5) DAY + INTERVAL 6 HOUR AS w_start,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i*5) DAY + INTERVAL 18 HOUR AS w_end
+  FROM range(0, 6) t(i)),
+ev_b AS (SELECT *, CAST(FLOOR(epoch(ts) / {_BIN_S}) AS BIGINT) AS bin FROM events),
+win_b AS (
+  SELECT win_id, w_start, w_end, unnest(range(CAST(FLOOR(epoch(w_start) / {_BIN_S}) AS BIGINT),
+                                  CAST(FLOOR(epoch(w_end) / {_BIN_S}) AS BIGINT) + 1)) AS bin
+  FROM windows)
+SELECT win_id, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 4) AS total_value
+FROM ev_b JOIN win_b USING (bin)
+WHERE ts >= w_start AND ts < w_end
+GROUP BY win_id
+"""
+
+
 # ------------------------------------------------------------ retention cohorts
 # Classic D+k retention: cohort = first-seen day per user; retained(k) =
 # user active k days after their cohort day. Two shuffles (first-seen agg,
@@ -279,6 +334,7 @@ FROM j GROUP BY cohort_day
 
 EVENT_QUERIES: dict[str, tuple] = {
     "ev_retention": (q_ev_retention, SQL_EV_RETENTION),
+    "ev_interval_join": (q_ev_interval_join, SQL_EV_INTERVAL_JOIN),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
     "ev_asof_join": (q_ev_asof_join, SQL_EV_ASOF),

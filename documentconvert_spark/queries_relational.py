@@ -1103,6 +1103,28 @@ FROM lineitem GROUP BY 1
 """
 
 
+# --------------------------------------------------------------- W6: ntile deciles
+def q_w6_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
+
+
+SQL_W6_NTILE = """
+SELECT decile, COUNT(*) AS n, ROUND(MIN(o_totalprice), 4) AS lo, ROUND(MAX(o_totalprice), 4) AS hi
+FROM (SELECT o_totalprice, NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile FROM orders)
+GROUP BY decile
+"""
+
+
 # --------------------------------------------------------------- data-quality constraint suite
 # Deequ-style declarative checks computed in ONE wide aggregate pass
 # (completeness, uniqueness, domain, range, referential integrity via a
@@ -1195,6 +1217,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "w5_moving_frames": (q_w5_moving_frames, SQL_W5_FRAMES),
     "a_histogram": (q_a_histogram, SQL_A_HISTOGRAM),
     "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
+    "w6_ntile": (q_w6_ntile, SQL_W6_NTILE),
     "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
     "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),

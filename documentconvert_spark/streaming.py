@@ -342,6 +342,50 @@ def stream_sessionize(
     return _start_append_to(sessions, out_dir, checkpoint_dir)
 
 
+def stream_click_attribution(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    attribution_window_s: int = 1800,
+):
+    """STREAM-STREAM interval join: each purchase joins the clicks of the
+    same user within the preceding attribution window. Both sides carry
+    watermarks and the join condition bounds the time skew, so Spark can
+    evict join state — the state held is one attribution window of
+    clicks per user, not the stream's history. Inner join: a purchase
+    row is emitted once per matching click, only when the watermark
+    passes the window (append semantics, exactly-once across restarts)."""
+    ev = _events_stream(spark, input_dir, watermark)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window_s} SECONDS")),
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "click_id", "click_ts", "click_value")
+    return _start_append_to(joined, out_dir, checkpoint_dir)
+
+
 # ---------------------------------------------------------------------------
 # transformWithStateInPandas variant (Spark 4 stateful-processor API)
 # ---------------------------------------------------------------------------

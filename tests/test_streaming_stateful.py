@@ -133,6 +133,31 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert got == [1, 2, 3, 4]  # every key exactly once across both waves
 
 
+def test_stream_stream_click_attribution(spark, tmp_path):
+    from documentconvert_spark.streaming import stream_click_attribution
+
+    input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("landing", "out", "ckpt"))
+    # user 1: clicks at 0 and 20, purchase at 25 → both attributed (30-min
+    # window); click at 100 is NOT (after the purchase). user 2's click
+    # at 10 has no purchase. Cross-batch: purchase arrives in wave 2.
+    wave1 = [_ev(1, 0.0, 1), _ev(2, 20.0, 1), _ev(3, 10.0, 2), _ev(4, 100.0, 1)]
+    wave2 = [_ev(5, 25.0, 1, "purchase"), _ev(6, 110.0, 1, "purchase")]
+    _land(spark, wave1, input_dir)
+    stream_click_attribution(spark, input_dir, out_dir, ckpt).awaitTermination()
+    _land(spark, wave2, input_dir)
+    stream_click_attribution(spark, input_dir, out_dir, ckpt).awaitTermination()
+    for i, m in ((998, 60 * 24 * 10), (999, 60 * 24 * 20)):
+        _land(spark, [_ev(i, m, 9)], input_dir)
+        stream_click_attribution(spark, input_dir, out_dir, ckpt).awaitTermination()
+
+    got = sorted(
+        (r.purchase_id, r.click_id) for r in _read_out(spark, out_dir).collect() if r.user_id != 9
+    )
+    # purchase 5 ← clicks 1 (25 min before) and 2 (5 min before);
+    # purchase 6 ← click 4 (10 min before). Click 3: other user. No dups.
+    assert got == [(5, 1), (5, 2), (6, 4)], got
+
+
 def test_stream_sessionize_tws_parity(spark, tmp_path):
     """Same scenario on the transformWithStateInPandas variant (Spark 4
     stateful-processor API, RocksDB state store)."""
