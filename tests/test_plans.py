@@ -95,6 +95,17 @@ def test_q18_aggregates_before_join(spark):
     assert plan.rfind("HashAggregate") > first_join
 
 
+def test_interval_join_is_hash_not_nested_loop(spark):
+    """The binned rewrite must turn the range join into a broadcast HASH
+    join on the bin — a NestedLoop/Cartesian here means the rewrite
+    regressed to the O(n×m) plan."""
+    from documentconvert_spark.queries_events import q_ev_interval_join
+
+    plan = _plan(q_ev_interval_join(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_state_read_prunes_content(spark):
     """Computing metrics over documents must not read the content column."""
     docs_path = f"{SF}/documents.parquet"
