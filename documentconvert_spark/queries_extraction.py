@@ -292,7 +292,50 @@ FROM refs GROUP BY doc_id
 """
 
 
+# ------------------------------------------------------------ input_hint-shape consumption
+# BASELINE.json input_hint: documents may ARRIVE as the interleaved span
+# table `(doc_id, spans array<struct<kind,text,media_ref,offset>>)` —
+# not only as raw bytes. This query materializes that exact shape
+# (collect_list → array_sort; struct field order puts offset first so the
+# sort IS reading order) and computes doc stats purely with array
+# functions over it: size / filter / element_at / aggregate, plus the
+# re-densify invariant offset==index. The oracle states the same results
+# relationally over the span rows.
+
+def q_spans_input_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_expected_parquet()
+    rows = spark.read.parquet(EXPECTED_SPANS_PARQUET)
+    spans_tbl = rows.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("offset", "kind", "text", "media_ref"))).alias("spans")
+    )
+    return spans_tbl.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.expr("size(filter(spans, s -> s.kind = 'figure'))").alias("n_media"),
+        F.expr("try_element_at(filter(spans, s -> s.kind = 'heading'), 1).text").alias("first_heading"),
+        F.expr("aggregate(spans, 0L, (a, s) -> a + length(s.text))").alias("total_text_chars"),
+        F.expr(
+            "aggregate(zip_with(spans, sequence(0, size(spans) - 1), (s, i) -> int(s.offset = i)), "
+            "0, (a, v) -> a + v) = size(spans)"
+        ).alias("offsets_dense"),
+    )
+
+
+SQL_SPANS_INPUT_STATS = f"""
+WITH r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") AS rn
+  FROM read_parquet('{EXPECTED_SPANS_PARQUET}'))
+SELECT doc_id, COUNT(*) AS n_spans,
+       SUM(CASE WHEN kind = 'figure' THEN 1 ELSE 0 END) AS n_media,
+       arg_min(CASE WHEN kind = 'heading' THEN text END, CASE WHEN kind = 'heading' THEN "offset" END) AS first_heading,
+       SUM(length(text)) AS total_text_chars,
+       CAST(SUM(CASE WHEN "offset" = rn - 1 THEN 1 ELSE 0 END) = COUNT(*) AS BOOLEAN) AS offsets_dense
+FROM r GROUP BY doc_id
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
+    "spans_input_stats": (q_spans_input_stats, SQL_SPANS_INPUT_STATS),
     "w1_redensify": (q_w1_redensify, SQL_W1_REDENSIFY),
     "j3_media_join": (q_j3_media_join, SQL_J3_MEDIA_JOIN),
     "extract_span_seq": (q_extract_span_seq, SQL_EXTRACT_SPAN_SEQ),
