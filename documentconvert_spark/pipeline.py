@@ -54,7 +54,21 @@ def prepare_documents(docs: DataFrame) -> DataFrame:
     return docs.withColumn("source_path", fix_encoding_udf(F.col("source_path")))
 
 
-def size_aware_split(docs: DataFrame, target_partitions: int) -> tuple[DataFrame, DataFrame]:
+def heavy_threshold(docs: DataFrame) -> float:
+    """Corpus-profiling half of the split: the byte_len cut separating the
+    heavy tail (p99 AND ≥8× median). One approxQuantile pass; compute it
+    once per corpus and reuse across runs — the stats don't change when
+    the job re-executes."""
+    qs = docs.approxQuantile("byte_len", [0.5, HEAVY_QUANTILE], 0.01)
+    if not qs:
+        return float("inf")
+    median, p99 = qs
+    return max(p99, HEAVY_MEDIAN_FACTOR * median, 1.0)
+
+
+def size_aware_split(
+    docs: DataFrame, target_partitions: int, threshold: float | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Split (light, heavy) at the byte_len p99 so the heavy tail cannot
     serialize a partition.
 
@@ -64,14 +78,13 @@ def size_aware_split(docs: DataFrame, target_partitions: int) -> tuple[DataFrame
     shuffle for nothing. Only the heavy tail — the docs that can serialize
     a partition — is isolated and round-robin spread, and that slice is
     ~1% of rows by construction."""
-    qs = docs.approxQuantile("byte_len", [0.5, HEAVY_QUANTILE], 0.01)
-    if not qs:
-        return docs, docs.limit(0)
-    median, p99 = qs
     # heavy = top-1% AND ≥8× median: a uniform corpus (p99 ≈ median) splits
     # nothing; a skewed corpus isolates exactly its heavy tail. Inclusive
     # bound because on small corpora p99 lands on the max value itself.
-    threshold = max(p99, HEAVY_MEDIAN_FACTOR * median, 1.0)
+    if threshold is None:
+        threshold = heavy_threshold(docs)
+    if threshold == float("inf"):
+        return docs, docs.limit(0)
     light = docs.filter(F.col("byte_len") < threshold)
     # Fan out only when the source yields fewer splits than the target —
     # a 100 TB corpus has plenty of scan splits (no shuffle); a small or
