@@ -1,0 +1,94 @@
+"""Cluster job entrypoint: training-data curation over a documents table.
+
+The batch pipeline a 100 TB corpus runs between crawling and training:
+
+    dedup (prefix-fingerprint keep-first)
+      → quality scoring + threshold filter
+      → deterministic stratified sampling (per-language rates)
+      → range-clustered sorted write (file-level data skipping)
+
+Submit:
+
+    scripts/make_pyfiles.sh
+    spark-submit --master <cluster> \
+      --py-files dist/documentconvert_spark.zip \
+      jobs/run_curate.py \
+      --input <documents parquet/iceberg path> \
+      --output <curated path> \
+      [--quality-min 0.5] [--sample-en 200] [--sample-other 400] [--files 64]
+
+Prints one JSON summary line (rows in/kept at each stage). Deterministic:
+rerunning on the same input yields byte-identical selection (content
+fingerprints and multiplicative-hash sampling — no RNG).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--quality-min", type=float, default=0.5)
+    ap.add_argument("--sample-en", type=int, default=200, help="per-mille keep rate for lang=en")
+    ap.add_argument("--sample-other", type=int, default=400, help="per-mille keep rate otherwise")
+    ap.add_argument("--files", type=int, default=64)
+    ap.add_argument("--master", default=None, help="override master (local testing)")
+    args = ap.parse_args()
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from documentconvert_spark.session import build_session
+    from documentconvert_spark.tableio import write_sorted
+
+    spark = build_session(app_name="curate", master=args.master)
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+
+    toks = "split(lower(trim(text)), '\\\\s+')"
+    scored = docs.select(
+        "*",
+        F.expr(f"md5(concat_ws(' ', slice({toks}, 1, 8)))").alias("_fp"),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"round(least(1.0, size({toks}) / 100.0) * "
+            "(1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text)), 6)"
+        ).alias("quality"),
+    )
+
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    deduped = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    n_dedup = deduped.count()
+
+    filtered = deduped.filter(F.col("quality") >= args.quality_min)
+    n_quality = filtered.count()
+
+    rate = F.when(F.col("lang") == "en", args.sample_en).otherwise(args.sample_other)
+    sampled = filtered.filter(F.expr("pmod((doc_id % 1000003) * 2654435761, 1000)") < rate)
+    n_sampled = sampled.count()
+
+    out = sampled.drop("_fp", "_rn")
+    write_sorted(out, args.output, sort_cols=["doc_id"], n_files=args.files)
+
+    print(
+        json.dumps(
+            {
+                "docs_in": n_in,
+                "after_dedup": n_dedup,
+                "after_quality": n_quality,
+                "after_sampling": n_sampled,
+                "kept_pct": round(100.0 * n_sampled / max(n_in, 1), 2),
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
