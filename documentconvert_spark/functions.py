@@ -1,0 +1,67 @@
+"""Shared, oracle-checked column expressions for the curation surface.
+
+Single source of truth: the driver-contract queries (queries_corpus.py)
+and the production job (jobs/run_curate.py) import THESE definitions, so
+the expressions the DuckDB oracle certifies are the expressions the job
+runs — they cannot silently diverge.
+
+Every expression has a DuckDB twin here (SQL_*) built from portable
+primitives (regex split, md5, arithmetic, nullif), used verbatim in the
+oracle SQL.
+"""
+
+from __future__ import annotations
+
+# whitespace tokenizer (Spark SQL expression string)
+TOKS = "split(lower(trim(text)), '\\\\s+')"
+SQL_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# first-8-token prefix fingerprint (near-dup collapse at head)
+PREFIX_FP = f"md5(concat_ws(' ', slice({TOKS}, 1, 8)))"
+SQL_PREFIX_FP = f"md5(array_to_string({SQL_TOKS}[1:8], ' '))"
+
+# quality score in [0,1]: token-count saturation × (1 - punct density).
+# nullif guards the length-0 edge: ANSI mode (Spark 4 default) turns a
+# bare /0 into a job-aborting error; an empty doc must score NULL (and
+# fall out of any quality >= t filter), not kill the job.
+QUALITY = (
+    f"round(least(1.0, size({TOKS}) / 100.0) * "
+    "(1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) "
+    "/ nullif(length(text), 0)), 6)"
+)
+SQL_QUALITY = (
+    f"ROUND(LEAST(1.0, len({SQL_TOKS}) / 100.0) * "
+    "(1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) "
+    "/ nullif(length(text), 0)), 6)"
+)
+
+# deterministic per-mille sample hash: pure int64 arithmetic on the key
+# (overflow-safe fold first) — identical membership in any engine, any
+# run, any partitioning
+SAMPLE_HASH = "pmod((doc_id % 1000003) * 2654435761, 1000)"
+SQL_SAMPLE_HASH = "((doc_id % 1000003) * 2654435761) % 1000"
+
+
+def with_curation_columns(docs):
+    """Stage the token array ONCE (the split is the expensive expression;
+    an explicit intermediate beats relying on codegen subexpression
+    elimination, ~20% at sf0.1) and derive fingerprint / n_tokens /
+    quality from the staged columns. Same math as QUALITY / PREFIX_FP —
+    this is the Spark-side single source both the contract query
+    (q_pipeline_e2e) and the production job (run_curate) call."""
+    from pyspark.sql import functions as F
+
+    staged = docs.select(
+        "*",
+        F.expr(TOKS).alias("_toks"),
+        F.expr("length(text) - length(regexp_replace(text, '[.,;:!?]', ''))").alias("_n_punct"),
+        F.length("text").alias("_n_chars"),
+    )
+    return staged.select(
+        "*",
+        F.expr("md5(concat_ws(' ', slice(_toks, 1, 8)))").alias("fingerprint"),
+        F.size("_toks").alias("n_tokens"),
+        F.expr(
+            "round(least(1.0, size(_toks) / 100.0) * (1.0 - _n_punct / nullif(_n_chars, 0)), 6)"
+        ).alias("quality"),
+    ).drop("_toks", "_n_punct", "_n_chars")

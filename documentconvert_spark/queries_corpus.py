@@ -847,9 +847,9 @@ WHERE o.n_overlap > 0
 # every engine, every run, every partitioning. Per-language rates differ
 # (en kept at 20%, others 40%) — the downsample-the-head shape.
 
-# doc_id is folded mod 1000003 first so the product never overflows int64
-# even at 10^12 docs (DuckDB errors on BIGINT overflow; Spark would wrap)
-_SAMPLE_HASH = "pmod((doc_id % 1000003) * 2654435761, 1000)"
+# definitions shared with the production job — documentconvert_spark/functions.py
+from documentconvert_spark.functions import SAMPLE_HASH as _SAMPLE_HASH  # noqa: E402
+from documentconvert_spark.functions import SQL_SAMPLE_HASH as _SQL_SAMPLE_HASH  # noqa: E402
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,10 +863,10 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SAMPLE_STRATIFIED = """
+SQL_SAMPLE_STRATIFIED = f"""
 SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS chars_sampled
 FROM documents
-WHERE ((doc_id % 1000003) * 2654435761) % 1000 < CASE WHEN lang = 'en' THEN 200 ELSE 400 END
+WHERE {_SQL_SAMPLE_HASH} < CASE WHEN lang = 'en' THEN 200 ELSE 400 END
 GROUP BY lang
 """
 
@@ -880,26 +880,12 @@ GROUP BY lang
 # n_tokens, quality) — never the text.
 
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    # stage the token array once: the split is the expensive expression, and
-    # an explicit intermediate beats relying on codegen subexpr elimination
-    # (~20% at sf0.1)
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        F.expr(_TOKS).alias("toks"),
-        F.expr("length(text) - length(regexp_replace(text, '[.,;:!?]', ''))").alias("n_punct"),
-        F.length("text").alias("n_chars_raw"),
-    )
+    from documentconvert_spark.functions import with_curation_columns
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (
-        toks.select(
-            "doc_id",
-            "lang",
-            F.expr("md5(concat_ws(' ', slice(toks, 1, 8)))").alias("fingerprint"),
-            F.size("toks").alias("n_tokens"),
-            F.expr("round(least(1.0, size(toks) / 100.0) * (1.0 - n_punct / n_chars_raw), 6)").alias("quality"),
-        )
+        with_curation_columns(docs)
         .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("quality") >= 0.5))
         .groupBy("lang")
@@ -911,13 +897,14 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from documentconvert_spark.functions import SQL_PREFIX_FP, SQL_QUALITY, SQL_SAMPLE_HASH  # noqa: E402
+
 SQL_PIPELINE_E2E = f"""
 WITH scored AS (
   SELECT doc_id, lang,
-         md5(array_to_string({_SQL_TOKS}[1:8], ' ')) AS fingerprint,
+         {SQL_PREFIX_FP} AS fingerprint,
          len({_SQL_TOKS}) AS n_tokens,
-         ROUND(LEAST(1.0, len({_SQL_TOKS}) / 100.0) *
-               (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / length(text)), 6) AS quality
+         {SQL_QUALITY} AS quality
   FROM documents
 ), kept AS (
   SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM scored

@@ -354,9 +354,11 @@ def stream_click_attribution(
     same user within the preceding attribution window. Both sides carry
     watermarks and the join condition bounds the time skew, so Spark can
     evict join state — the state held is one attribution window of
-    clicks per user, not the stream's history. Inner join: a purchase
-    row is emitted once per matching click, only when the watermark
-    passes the window (append semantics, exactly-once across restarts)."""
+    clicks per user, not the stream's history. Inner join: matches emit
+    EAGERLY in the micro-batch where both sides have arrived (the
+    watermark bounds state eviction and late-data drop, it does not
+    delay emission); exactly-once per (purchase, click) across
+    checkpointed restarts."""
     ev = _events_stream(spark, input_dir, watermark)
     clicks = (
         ev.filter(F.col("event_type") == "click")

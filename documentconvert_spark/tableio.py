@@ -21,6 +21,12 @@ def table_format() -> str:
     return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
 
 
+def read_table(spark, path: str) -> DataFrame:
+    """Read-side counterpart of the writers: honors the same format
+    switch, so jobs chain on Iceberg or parquet without special-casing."""
+    return spark.read.format(table_format()).load(path)
+
+
 def append_table(df: DataFrame, path: str) -> None:
     df.write.mode("append").format(table_format()).save(path)
 

@@ -43,37 +43,36 @@ def main() -> None:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # the SAME oracle-verified expressions the driver contract certifies
+    # (documentconvert_spark/functions.py) — the job cannot silently
+    # diverge from the verified curation semantics
+    from documentconvert_spark.functions import SAMPLE_HASH, with_curation_columns
     from documentconvert_spark.session import build_session
-    from documentconvert_spark.tableio import write_sorted
+    from documentconvert_spark.tableio import read_table, write_sorted
 
     spark = build_session(app_name="curate", master=args.master)
-    docs = spark.read.parquet(args.input)
+    docs = read_table(spark, args.input)
     n_in = docs.count()
 
-    toks = "split(lower(trim(text)), '\\\\s+')"
-    scored = docs.select(
-        "*",
-        F.expr(f"md5(concat_ws(' ', slice({toks}, 1, 8)))").alias("_fp"),
-        F.expr(f"size({toks})").alias("n_tokens"),
-        F.expr(
-            f"round(least(1.0, size({toks}) / 100.0) * "
-            "(1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text)), 6)"
-        ).alias("quality"),
+    scored = with_curation_columns(docs)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    # persist the post-dedup slice: three stage counts + the final write
+    # would otherwise re-execute the scan + tokenize + window shuffle
+    deduped = (
+        scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).persist()
     )
-
-    w = Window.partitionBy("_fp").orderBy("doc_id")
-    deduped = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     n_dedup = deduped.count()
 
     filtered = deduped.filter(F.col("quality") >= args.quality_min)
     n_quality = filtered.count()
 
     rate = F.when(F.col("lang") == "en", args.sample_en).otherwise(args.sample_other)
-    sampled = filtered.filter(F.expr("pmod((doc_id % 1000003) * 2654435761, 1000)") < rate)
+    sampled = filtered.filter(F.expr(SAMPLE_HASH) < rate)
     n_sampled = sampled.count()
 
-    out = sampled.drop("_fp", "_rn")
+    out = sampled.drop("fingerprint", "_rn")
     write_sorted(out, args.output, sort_cols=["doc_id"], n_files=args.files)
+    deduped.unpersist()
 
     print(
         json.dumps(
