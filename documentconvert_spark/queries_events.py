@@ -332,7 +332,44 @@ FROM j GROUP BY cohort_day
 """
 
 
+# ------------------------------------------------------------ MapType ops
+# The reference's JSON ORM columns map naturally to MapType in Spark
+# (SURVEY.md §1.2). Build a per-user map event_type -> count with
+# map_from_entries, then consume it with map_keys / element_at /
+# map_filter — the oracle states the same facts relationally (the map is
+# an encoding, the values are what must match).
+
+def q_ev_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 30)
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("counts")
+    )
+    return mapped.select(
+        "user_id",
+        F.size("counts").alias("n_types"),
+        F.array_join(F.map_keys("counts"), ",").alias("types_csv"),
+        F.coalesce(F.element_at("counts", "click"), F.lit(0)).alias("n_clicks"),
+        F.expr("size(map_filter(counts, (k, v) -> v >= 10))").alias("n_types_ge10"),
+    )
+
+
+SQL_EV_MAP_OPS = """
+WITH per_type AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events WHERE user_id < 30
+  GROUP BY user_id, event_type)
+SELECT user_id, COUNT(*) AS n_types,
+       string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
+       COALESCE(MAX(CASE WHEN event_type = 'click' THEN n END), 0) AS n_clicks,
+       SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS n_types_ge10
+FROM per_type GROUP BY user_id
+"""
+
+
 EVENT_QUERIES: dict[str, tuple] = {
+    "ev_map_ops": (q_ev_map_ops, SQL_EV_MAP_OPS),
     "ev_retention": (q_ev_retention, SQL_EV_RETENTION),
     "ev_interval_join": (q_ev_interval_join, SQL_EV_INTERVAL_JOIN),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
