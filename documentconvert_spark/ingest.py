@@ -63,6 +63,7 @@ def documents_table_as_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUFFIX_TO_TYPE = {
     "pdf": "pdf",
     "html": "markup", "htm": "markup", "docx": "markup", "xlsx": "markup", "pptx": "markup",
+    "doc": "markup",
     "png": "image", "jpg": "image", "jpeg": "image",
 }
 
@@ -89,8 +90,15 @@ def binary_dir_as_raw(
     files = reader.load(input_dir)
     suffix = F.lower(F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1))
     type_map = F.create_map(*[F.lit(x) for kv in _SUFFIX_TO_TYPE.items() for x in kv])
+    # binaryFile paths are URIs: non-ASCII names arrive percent-encoded.
+    # Decode them back — the reference's F1 url-decode filename behavior
+    # (utils/encoding_utils.py:26-70): only when %XX escapes are present.
+    raw_name = F.regexp_extract("path", r"([^/]+)$", 1)
+    name = F.when(
+        raw_name.rlike("%[0-9A-Fa-f]{2}"), F.try_url_decode(raw_name)
+    ).otherwise(raw_name)
     return files.select(
-        F.regexp_extract("path", r"([^/]+)$", 1).alias("doc_id"),
+        F.coalesce(name, raw_name).alias("doc_id"),
         F.coalesce(type_map[suffix], F.lit("unknown")).alias("doc_type"),
         "content",
         F.col("length").cast("long").alias("byte_len"),

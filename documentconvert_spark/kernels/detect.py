@@ -1,0 +1,46 @@
+"""Container sniffing: route bytes to the right extraction kernel.
+
+The reference dispatches on the task's *conversion type* and trusts file
+suffixes (`services/document_service.py:83-126`, whitelist :49-56). At
+corpus scale suffixes lie, so the engine keeps the reference's two-type
+dispatch (pdf vs office/markup) but resolves the concrete parser from the
+leading magic bytes of the content itself:
+
+  pdf path    : %PDF-            → real-PDF parser (realpdf)
+                %MINIPDF-1.0     → synthetic layout-stream parser (minipdf)
+  office path : PK\\x03\\x04       → OOXML zip (docx/pptx/xlsx by part names)
+                \\xd0\\xcf\\x11\\xe0 → OLE CFB (legacy .doc)
+                otherwise        → markup/DOM boilerplate strip (minidom)
+
+Unknown/corrupt containers raise ValueError and are contained per-row
+(C7) exactly like the reference's conversion-failure path.
+"""
+
+from __future__ import annotations
+
+from documentconvert_spark.kernels.minidoc import OLE_MAGIC, extract_doc
+from documentconvert_spark.kernels.minidom import extract_minidom
+from documentconvert_spark.kernels.miniooxml import ZIP_MAGIC, extract_ooxml
+from documentconvert_spark.kernels.minipdf import MAGIC as MINIPDF_MAGIC
+from documentconvert_spark.kernels.minipdf import extract_minipdf
+from documentconvert_spark.kernels.realpdf import extract_realpdf
+from documentconvert_spark.kernels.spans import Span
+
+
+def extract_pdf_any(content: bytes) -> list[Span]:
+    head = content.lstrip()[:16] if content else b""
+    if head.startswith(b"%PDF-"):
+        return extract_realpdf(content)
+    if head.startswith(MINIPDF_MAGIC):
+        return extract_minipdf(content)
+    # keep minipdf's error message contract for malformed synthetic docs
+    return extract_minipdf(content)
+
+
+def extract_office_any(content: bytes) -> list[Span]:
+    head = content[:8] if content else b""
+    if head.startswith(ZIP_MAGIC):
+        return extract_ooxml(content)
+    if head.startswith(OLE_MAGIC):
+        return extract_doc(content)
+    return extract_minidom(content)

@@ -1,0 +1,255 @@
+"""Legacy binary Word (.doc) extractor — from scratch, stdlib only.
+
+The reference routes .doc files through headless LibreOffice → PDF → MinerU
+(`services/document_service.py:128-185`; .doc is in its office whitelist at
+:49-56). This module reads the format directly using only the public
+[MS-CFB] (Compound File Binary) and [MS-DOC] specifications:
+
+  1. CFB container: header → FAT (via DIFAT) → directory → stream reads
+     (regular FAT chains and the mini stream for streams < cutoff).
+  2. WordDocument stream: FIB base (magic 0xA5EC), fWhichTblStm flag picks
+     the 1Table/0Table stream, FibRgFcLcb97.fcClx/lcbClx locate the Clx.
+  3. Clx piece table (clxt 0x01 Prc skipped, 0x02 PlcPcd): each Pcd's fc
+     encodes compressed-cp1252 (bit 30, fc/2) vs UTF-16LE text pieces.
+  4. Text → spans: paragraph marks (\\r), table cell/row marks (0x07),
+     field/control characters stripped; consecutive cell-marked chunks
+     become table-grid spans, the rest paragraphs (first non-empty
+     paragraph is treated as the document heading, like a title page).
+
+Best-effort by design: a .doc that defeats the parser raises ValueError and
+is contained as an error row (C7), exactly like the reference's conversion
+failure path (document_service.py:334-383).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+
+OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+_FREE = 0xFFFFFFFF
+_ENDCHAIN = 0xFFFFFFFE
+
+
+class _Cfb:
+    def __init__(self, data: bytes):
+        if data[:8] != OLE_MAGIC:
+            raise ValueError("doc: not an OLE compound file")
+        (self.sect_shift,) = struct.unpack_from("<H", data, 30)
+        (self.mini_shift,) = struct.unpack_from("<H", data, 32)
+        (self.n_fat,) = struct.unpack_from("<I", data, 44)
+        (self.dir_start,) = struct.unpack_from("<I", data, 48)
+        (self.mini_cutoff,) = struct.unpack_from("<I", data, 56)
+        (self.minifat_start,) = struct.unpack_from("<I", data, 60)
+        (self.n_minifat,) = struct.unpack_from("<I", data, 64)
+        (self.difat_start,) = struct.unpack_from("<I", data, 68)
+        (self.n_difat,) = struct.unpack_from("<I", data, 72)
+        self.data = data
+        self.ssz = 1 << self.sect_shift
+        self.mssz = 1 << self.mini_shift
+
+        # DIFAT: 109 entries in header + chained sectors
+        difat = list(struct.unpack_from("<109I", data, 76))
+        nxt = self.difat_start
+        per = self.ssz // 4 - 1
+        for _ in range(self.n_difat):
+            if nxt in (_FREE, _ENDCHAIN):
+                break
+            sec = self._sector(nxt)
+            vals = struct.unpack_from(f"<{per + 1}I", sec, 0)
+            difat.extend(vals[:per])
+            nxt = vals[per]
+        self.fat: list[int] = []
+        for fs in difat:
+            if fs == _FREE:
+                continue
+            self.fat.extend(struct.unpack_from(f"<{self.ssz // 4}I", self._sector(fs), 0))
+
+        self.dir = self._read_chain(self.dir_start)
+        self.entries = []
+        for off in range(0, len(self.dir), 128):
+            e = self.dir[off : off + 128]
+            if len(e) < 128:
+                break
+            (name_len,) = struct.unpack_from("<H", e, 64)
+            if name_len < 2:
+                continue
+            name = e[: name_len - 2].decode("utf-16-le", errors="replace")
+            otype = e[66]
+            (start,) = struct.unpack_from("<I", e, 116)
+            (size,) = struct.unpack_from("<Q", e, 120)
+            self.entries.append((name, otype, start, size))
+
+        # mini stream lives in the root entry's chain
+        root = next((e for e in self.entries if e[1] == 5), None)
+        self.mini_stream = self._read_chain(root[2])[: root[3]] if root else b""
+        self.minifat: list[int] = []
+        if self.n_minifat:
+            mf = self._read_chain(self.minifat_start)
+            self.minifat = list(struct.unpack_from(f"<{len(mf) // 4}I", mf, 0))
+
+    def _sector(self, n: int) -> bytes:
+        off = 512 + n * self.ssz
+        return self.data[off : off + self.ssz]
+
+    def _read_chain(self, start: int, limit: int = 1 << 26) -> bytes:
+        out = bytearray()
+        s = start
+        seen = set()
+        while s not in (_FREE, _ENDCHAIN) and s < len(self.fat) and s not in seen:
+            seen.add(s)
+            out += self._sector(s)
+            if len(out) > limit:
+                break
+            s = self.fat[s]
+        return bytes(out)
+
+    def _read_mini_chain(self, start: int, size: int) -> bytes:
+        out = bytearray()
+        s = start
+        seen = set()
+        while s not in (_FREE, _ENDCHAIN) and s < len(self.minifat) and s not in seen:
+            seen.add(s)
+            out += self.mini_stream[s * self.mssz : (s + 1) * self.mssz]
+            if len(out) >= size:
+                break
+            s = self.minifat[s]
+        return bytes(out[:size])
+
+    def stream(self, name: str) -> bytes:
+        for n, otype, start, size in self.entries:
+            if n == name and otype == 2:
+                if size < self.mini_cutoff:
+                    return self._read_mini_chain(start, size)
+                return self._read_chain(start)[:size]
+        raise ValueError(f"doc: stream {name!r} not found")
+
+
+def _pieces(word: bytes, table: bytes) -> list[tuple[int, int, int, bool]]:
+    """(cp_start, cp_end, fc, compressed) text pieces from the Clx."""
+    (fc_clx,) = struct.unpack_from("<I", word, 0x01A2)
+    (lcb_clx,) = struct.unpack_from("<I", word, 0x01A6)
+    if lcb_clx == 0:
+        raise ValueError("doc: empty Clx (no piece table)")
+    clx = table[fc_clx : fc_clx + lcb_clx]
+    i = 0
+    while i < len(clx):
+        t = clx[i]
+        if t == 0x01:  # Prc: grpprl, skip
+            (cb,) = struct.unpack_from("<H", clx, i + 1)
+            i += 3 + cb
+        elif t == 0x02:  # PlcPcd
+            (lcb,) = struct.unpack_from("<I", clx, i + 1)
+            plc = clx[i + 5 : i + 5 + lcb]
+            n = (len(plc) - 4) // 12  # n+1 CPs of 4 bytes + n PCDs of 8 bytes
+            cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+            out = []
+            for k in range(n):
+                pcd = plc[(n + 1) * 4 + k * 8 : (n + 1) * 4 + (k + 1) * 8]
+                (fc_raw,) = struct.unpack_from("<I", pcd, 2)
+                compressed = bool(fc_raw & 0x40000000)
+                fc = (fc_raw & 0x3FFFFFFF)
+                if compressed:
+                    fc //= 2
+                out.append((cps[k], cps[k + 1], fc, compressed))
+            return out
+        else:
+            raise ValueError(f"doc: unknown clxt byte {t:#x}")
+    raise ValueError("doc: no PlcPcd in Clx")
+
+
+# cp1252 high range differs from latin-1 for 0x80-0x9F; plus MS-DOC maps a few
+_CP1252_FIX = {0x82: "‚", 0x91: "‘", 0x92: "’", 0x93: "“", 0x94: "”",
+               0x95: "•", 0x96: "–", 0x97: "—", 0x85: "…", 0xA0: " "}
+
+
+def _decode_piece(raw: bytes, compressed: bool) -> str:
+    if compressed:
+        try:
+            return raw.decode("cp1252")
+        except (UnicodeDecodeError, LookupError):
+            return "".join(_CP1252_FIX.get(b, chr(b)) for b in raw)
+    return raw.decode("utf-16-le", errors="replace")
+
+
+def extract_doc(content: bytes) -> list[Span]:
+    cfb = _Cfb(content)
+    word = cfb.stream("WordDocument")
+    (magic,) = struct.unpack_from("<H", word, 0)
+    if magic != 0xA5EC:
+        raise ValueError(f"doc: bad FIB magic {magic:#x}")
+    (flags,) = struct.unpack_from("<H", word, 0x000A)
+    which = "1Table" if flags & 0x0200 else "0Table"
+    table = cfb.stream(which)
+    (ccp_text,) = struct.unpack_from("<I", word, 0x004C)
+
+    chunks: list[str] = []
+    remaining = ccp_text
+    for cp_s, cp_e, fc, compressed in _pieces(word, table):
+        if remaining <= 0:
+            break
+        n = min(cp_e - cp_s, remaining)
+        width = 1 if compressed else 2
+        raw = word[fc : fc + n * width]
+        chunks.append(_decode_piece(raw, compressed))
+        remaining -= n
+    text = "".join(chunks)
+
+    # control characters: 0x07 cell/row mark, 0x0D paragraph, 0x0B line break,
+    # 0x0C page break, 0x13-0x15 field chars, 0x01/0x08 pictures/objects
+    spans: list[Span] = []
+    cur_rows: list[str] = []
+    cur_cells: list[str] = []
+    heading_seen = False
+
+    def flush_table() -> None:
+        nonlocal cur_rows
+        if cur_rows:
+            spans.append(Span("table", normalize_text("\n".join(cur_rows)), "", -1))
+            cur_rows = []
+
+    in_field_instr = False
+    for para in text.split("\r"):
+        buf: list[str] = []
+        cells: list[str] = []
+        is_table_para = False
+        for ch in para:
+            o = ord(ch)
+            if o == 0x07:
+                cells.append("".join(buf).strip())
+                buf = []
+                is_table_para = True
+            elif o == 0x13:
+                in_field_instr = True
+            elif o == 0x14:
+                in_field_instr = False
+            elif o == 0x15:
+                in_field_instr = False
+            elif o in (0x01, 0x08):
+                continue  # inline picture/OLE anchor
+            elif o == 0x0B:
+                buf.append("\n")
+            elif o < 0x20 and o not in (0x09,):
+                continue
+            elif not in_field_instr:
+                buf.append(ch)
+        if is_table_para:
+            tail = "".join(buf).strip()
+            if tail:
+                cells.append(tail)
+            cur_rows.append("\t".join(cells))
+            continue
+        flush_table()
+        ptxt = "".join(buf)
+        if ptxt.strip():
+            kind = "paragraph"
+            if not heading_seen and len(ptxt.strip()) <= 80:
+                kind = "heading"
+                heading_seen = True
+            spans.append(Span(kind, normalize_text(ptxt), "", -1))
+    flush_table()
+    if not spans:
+        raise ValueError("doc: no text extracted")
+    return finalize(spans)

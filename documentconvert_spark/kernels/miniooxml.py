@@ -1,0 +1,316 @@
+"""OOXML (docx / pptx / xlsx) extractors — from scratch, stdlib only.
+
+The reference converts Office documents by rasterizing through headless
+LibreOffice and then running the PDF pipeline
+(`services/document_service.py:128-185, 599-650` — office→pdf→markdown).
+This module implements the same observable computation *directly* on the
+OOXML containers (ECMA-376, public spec): unzip, parse the document XML,
+and emit the ordered span IR — headings (paragraph styles / title
+placeholders), paragraphs, tables (tab-cell grid), and figures (media
+relationship targets), in document order. That skips the reference's lossy
+double hop while producing the same interleaved text+media structure its
+test corpus verifies (text, table structure, image refs, ordering —
+`.trae/documents/文档转换功能测试报告.md:409-414`).
+
+Handles the reference's own sample corpus (`/root/reference/test/`):
+`智涌君.docx`, `AI通识课程建设方案.pptx`, `人工智能竞赛训练平台 v20250629.xlsx`.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+
+from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+
+ZIP_MAGIC = b"PK\x03\x04"
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+_R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _rels(z: zipfile.ZipFile, part: str) -> dict[str, str]:
+    """rId -> target path for one package part."""
+    d = part.rsplit("/", 1)[0] if "/" in part else ""
+    name = f"{d}/_rels/{part.rsplit('/', 1)[-1]}.rels" if d else f"_rels/{part}.rels"
+    out: dict[str, str] = {}
+    if name not in z.namelist():
+        return out
+    root = ET.fromstring(z.read(name))
+    for rel in root.iter(f"{_REL}Relationship"):
+        tgt = rel.get("Target", "")
+        if not tgt.startswith("/"):
+            tgt = f"{d}/{tgt}" if d else tgt
+        # normalize ../
+        parts: list[str] = []
+        for seg in tgt.split("/"):
+            if seg == "..":
+                if parts:
+                    parts.pop()
+            elif seg and seg != ".":
+                parts.append(seg)
+        out[rel.get("Id", "")] = "/".join(parts)
+    return out
+
+
+def _media_ref(target: str) -> str:
+    return target.rsplit("/", 1)[-1]
+
+
+# -- docx --------------------------------------------------------------------
+
+_HEADING_STYLE = re.compile(r"(?i)^(heading|title|h)(\d*)$|^[1-9]$|标题")
+
+
+def _docx_paragraph_text(p) -> str:
+    out = []
+    for node in p.iter():
+        tag = node.tag
+        if tag == f"{_W}t":
+            out.append(node.text or "")
+        elif tag in (f"{_W}tab",):
+            out.append("\t")
+        elif tag in (f"{_W}br", f"{_W}cr"):
+            out.append("\n")
+    return "".join(out)
+
+
+def _docx_is_heading(p) -> bool:
+    ppr = p.find(f"{_W}pPr")
+    if ppr is None:
+        return False
+    st = ppr.find(f"{_W}pStyle")
+    if st is not None and _HEADING_STYLE.search(st.get(f"{_W}val", "") or ""):
+        return True
+    # outline level 0-8 set directly
+    lvl = ppr.find(f"{_W}outlineLvl")
+    return lvl is not None and (lvl.get(f"{_W}val") or "9") != "9"
+
+
+def _docx_figures(p, rels: dict[str, str]) -> list[str]:
+    refs = []
+    for blip in p.iter(f"{_A}blip"):
+        rid = blip.get(f"{_R}embed") or blip.get(f"{_R}link")
+        if rid and rid in rels:
+            refs.append(_media_ref(rels[rid]))
+    for imagedata in p.iter("{urn:schemas-microsoft-com:vml}imagedata"):  # legacy VML
+        rid = imagedata.get(f"{_R}id")
+        if rid and rid in rels:
+            refs.append(_media_ref(rels[rid]))
+    return refs
+
+
+def _docx_table_grid(tbl) -> str:
+    rows = []
+    for tr in tbl.findall(f"{_W}tr"):
+        cells = []
+        for tc in tr.findall(f"{_W}tc"):
+            cell_txt = " ".join(
+                _docx_paragraph_text(p).replace("\t", " ")
+                for p in tc.findall(f"{_W}p")
+            )
+            cells.append(cell_txt.strip())
+        rows.append("\t".join(cells))
+    return "\n".join(rows)
+
+
+def extract_docx(content: bytes) -> list[Span]:
+    z = zipfile.ZipFile(io.BytesIO(content))
+    rels = _rels(z, "word/document.xml")
+    root = ET.fromstring(z.read("word/document.xml"))
+    body = root.find(f"{_W}body")
+    if body is None:
+        raise ValueError("docx: no document body")
+    spans: list[Span] = []
+    for el in body:
+        if el.tag == f"{_W}p":
+            for ref in _docx_figures(el, rels):
+                spans.append(Span("figure", "", ref, -1))
+            txt = _docx_paragraph_text(el)
+            if txt.strip():
+                kind = "heading" if _docx_is_heading(el) else "paragraph"
+                spans.append(Span(kind, normalize_text(txt), "", -1))
+        elif el.tag == f"{_W}tbl":
+            grid = _docx_table_grid(el)
+            if grid.strip():
+                spans.append(Span("table", normalize_text(grid), "", -1))
+            for ref in _docx_figures(el, rels):
+                spans.append(Span("figure", "", ref, -1))
+    return finalize(spans)
+
+
+# -- pptx --------------------------------------------------------------------
+
+def _pptx_slide_order(z: zipfile.ZipFile) -> list[str]:
+    pres_rels = _rels(z, "ppt/presentation.xml")
+    root = ET.fromstring(z.read("ppt/presentation.xml"))
+    order = []
+    for sld in root.iter(f"{_P}sldId"):
+        rid = sld.get(f"{_R}id")
+        if rid and rid in pres_rels:
+            order.append(pres_rels[rid])
+    if not order:  # fallback: numeric sort
+        order = sorted(
+            (n for n in z.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+        )
+    return order
+
+
+def _pptx_shape_text(sp) -> list[str]:
+    paras = []
+    for p in sp.iter(f"{_A}p"):
+        runs = [t.text or "" for t in p.iter(f"{_A}t")]
+        txt = "".join(runs)
+        if txt.strip():
+            paras.append(txt)
+    return paras
+
+
+def _pptx_is_title(sp) -> bool:
+    for ph in sp.iter(f"{_P}ph"):
+        if ph.get("type") in ("title", "ctrTitle", "subTitle"):
+            return ph.get("type") != "subTitle"
+    return False
+
+
+def extract_pptx(content: bytes) -> list[Span]:
+    z = zipfile.ZipFile(io.BytesIO(content))
+    spans: list[Span] = []
+    for slide_part in _pptx_slide_order(z):
+        if slide_part not in z.namelist():
+            continue
+        rels = _rels(z, slide_part)
+        root = ET.fromstring(z.read(slide_part))
+        tree = root.find(f"{_P}cSld/{_P}spTree")
+        if tree is None:
+            continue
+
+        def walk(node):
+            for el in node:
+                if el.tag == f"{_P}sp":
+                    paras = _pptx_shape_text(el)
+                    if paras:
+                        kind = "heading" if _pptx_is_title(el) else "paragraph"
+                        spans.append(Span(kind, normalize_text("\n".join(paras)), "", -1))
+                elif el.tag == f"{_P}pic":
+                    for blip in el.iter(f"{_A}blip"):
+                        rid = blip.get(f"{_R}embed")
+                        if rid and rid in rels:
+                            spans.append(Span("figure", "", _media_ref(rels[rid]), -1))
+                elif el.tag == f"{_P}graphicFrame":
+                    tbl = el.find(f".//{_A}tbl")
+                    if tbl is not None:
+                        rows = []
+                        for tr in tbl.findall(f"{_A}tr"):
+                            cells = []
+                            for tc in tr.findall(f"{_A}tc"):
+                                cells.append(" ".join(_pptx_shape_text(tc)).strip())
+                            rows.append("\t".join(cells))
+                        grid = "\n".join(rows)
+                        if grid.strip():
+                            spans.append(Span("table", normalize_text(grid), "", -1))
+                elif el.tag == f"{_P}grpSp":
+                    walk(el)
+
+        walk(tree)
+    return finalize(spans)
+
+
+# -- xlsx --------------------------------------------------------------------
+
+_CELL_REF = re.compile(r"([A-Z]+)(\d+)")
+
+
+def _col_index(ref: str) -> int:
+    m = _CELL_REF.match(ref or "")
+    if not m:
+        return 0
+    n = 0
+    for ch in m.group(1):
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
+def _xlsx_shared_strings(z: zipfile.ZipFile) -> list[str]:
+    if "xl/sharedStrings.xml" not in z.namelist():
+        return []
+    root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+    out = []
+    for si in root.findall(f"{_S}si"):
+        out.append("".join(t.text or "" for t in si.iter(f"{_S}t")))
+    return out
+
+
+def _fmt_num(v: str) -> str:
+    try:
+        f = float(v)
+        if f == int(f) and abs(f) < 1e15:
+            return str(int(f))
+        return v
+    except ValueError:
+        return v
+
+
+def extract_xlsx(content: bytes) -> list[Span]:
+    z = zipfile.ZipFile(io.BytesIO(content))
+    shared = _xlsx_shared_strings(z)
+    wb_rels = _rels(z, "xl/workbook.xml")
+    root = ET.fromstring(z.read("xl/workbook.xml"))
+    spans: list[Span] = []
+    sheets = []
+    for sh in root.iter(f"{_S}sheet"):
+        rid = sh.get(f"{_R}id")
+        target = wb_rels.get(rid or "", "")
+        if target:
+            sheets.append((sh.get("name") or target, target))
+    for name, part in sheets:
+        if part not in z.namelist():
+            continue
+        sroot = ET.fromstring(z.read(part))
+        rows_out: list[str] = []
+        for row in sroot.iter(f"{_S}row"):
+            cells: dict[int, str] = {}
+            for c in row.findall(f"{_S}c"):
+                ci = _col_index(c.get("r", ""))
+                t = c.get("t", "n")
+                if t == "s":
+                    v = c.find(f"{_S}v")
+                    idx = int(v.text) if v is not None and v.text else -1
+                    val = shared[idx] if 0 <= idx < len(shared) else ""
+                elif t == "inlineStr":
+                    val = "".join(tt.text or "" for tt in c.iter(f"{_S}t"))
+                else:
+                    v = c.find(f"{_S}v")
+                    val = _fmt_num(v.text) if v is not None and v.text else ""
+                cells[ci] = val.replace("\t", " ").replace("\n", " ")
+            if cells and any(v.strip() for v in cells.values()):
+                width = max(cells) + 1
+                rows_out.append("\t".join(cells.get(i, "") for i in range(width)))
+        if rows_out:
+            spans.append(Span("heading", normalize_text(name), "", -1))
+            spans.append(Span("table", normalize_text("\n".join(rows_out)), "", -1))
+    return finalize(spans)
+
+
+# -- container sniff ---------------------------------------------------------
+
+def extract_ooxml(content: bytes) -> list[Span]:
+    """Dispatch a PK-zip container to the right OOXML extractor by its
+    content types (mirrors the reference's suffix dispatch,
+    document_service.py:83-126, but on actual container structure)."""
+    z = zipfile.ZipFile(io.BytesIO(content))
+    names = set(z.namelist())
+    if "word/document.xml" in names:
+        return extract_docx(content)
+    if "ppt/presentation.xml" in names:
+        return extract_pptx(content)
+    if "xl/workbook.xml" in names:
+        return extract_xlsx(content)
+    raise ValueError("ooxml: unrecognized OOXML container (no document/presentation/workbook part)")

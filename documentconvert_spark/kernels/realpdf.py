@@ -1,0 +1,880 @@
+"""Real-PDF text+layout extractor — from scratch, stdlib only.
+
+The reference converts real PDFs through MinerU 2.0's GPU pipeline
+(`services/document_service.py:187-392`: bytes → ``pipeline_doc_analyze`` →
+``middle_json`` pages/blocks/lines/spans → ``MakeMode.MM_MD``). This module
+is the engine's own CPU implementation of the same observable computation
+for *actual* PDF files (e.g. the reference's own sample corpus in
+`/root/reference/test/`): parse the PDF object graph, interpret page
+content streams into positioned text runs, then run the identical
+line→block segmentation / font-metric classification the mini-PDF kernel
+uses, emitting the ordered span IR.
+
+Built purely from the public PDF 1.7 specification (ISO 32000-1):
+  - classic xref tables + /Prev chains, and xref *streams* (W-decoded,
+    PNG Up/Sub/Paeth predictors) with object streams (/ObjStm);
+  - object lexer: dicts, arrays, names (#xx escapes), literal and hex
+    strings, refs, numbers, streams (/Length possibly indirect);
+  - FlateDecode via zlib (the only filter the corpus needs; others raise
+    and are contained per-row as error rows, C7);
+  - text extraction: BT/ET, Tf/Tm/Td/TD/T*/TL/', ", Tj/TJ, q/Q/cm,
+    Form XObject recursion, Image XObjects → figure spans;
+  - glyph decode: ToUnicode CMaps (bfchar/bfrange, both forms), 2-byte
+    CIDs for Type0/Identity-H, /Differences name tables for simple fonts,
+    latin-1 fallback.
+
+No state is kept across documents — deterministic for any Arrow batching.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Name(str):
+    """PDF name object (distinct from strings)."""
+
+
+class _Ref(tuple):
+    """Indirect reference (num, gen)."""
+
+
+def _is_ws(b: int) -> bool:
+    return b in _WS
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # '%' comment
+            while i < n and data[i] not in (0x0A, 0x0D):
+                i += 1
+        else:
+            break
+    return i
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+def _parse_object(data: bytes, i: int):
+    """Parse one object at i → (value, next_index)."""
+    i = _skip_ws(data, i)
+    c = data[i : i + 1]
+    if c == b"<":
+        if data[i + 1 : i + 2] == b"<":
+            return _parse_dict(data, i)
+        return _parse_hex_string(data, i)
+    if c == b"(":
+        return _parse_lit_string(data, i)
+    if c == b"/":
+        return _parse_name(data, i)
+    if c == b"[":
+        i += 1
+        arr = []
+        while True:
+            i = _skip_ws(data, i)
+            if data[i : i + 1] == b"]":
+                return arr, i + 1
+            v, i = _parse_object(data, i)
+            arr.append(v)
+    if data.startswith(b"true", i):
+        return True, i + 4
+    if data.startswith(b"false", i):
+        return False, i + 5
+    if data.startswith(b"null", i):
+        return None, i + 4
+    m = _NUM_RE.match(data, i)
+    if m:
+        tok = m.group(0)
+        j = m.end()
+        # maybe "N G R" indirect ref
+        if b"." not in tok:
+            k = _skip_ws(data, j)
+            m2 = re.match(rb"(\d+)\s+R(?![a-zA-Z])", data[k : k + 24])
+            if m2 and tok.isdigit():
+                return _Ref((int(tok), int(m2.group(1)))), k + m2.end()
+            return int(tok), j
+        return float(tok), j
+    raise ValueError(f"pdf: unparsable object at byte {i}: {data[i:i+20]!r}")
+
+
+def _parse_name(data: bytes, i: int):
+    i += 1
+    j = i
+    n = len(data)
+    out = bytearray()
+    while j < n and data[j] not in _WS and data[j] not in _DELIM:
+        if data[j] == 0x23 and j + 2 < n:  # '#xx'
+            out.append(int(data[j + 1 : j + 3], 16))
+            j += 3
+        else:
+            out.append(data[j])
+            j += 1
+    return _Name(out.decode("latin-1")), j
+
+
+def _parse_hex_string(data: bytes, i: int):
+    j = data.index(b">", i)
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii")), j + 1
+
+
+_ESC = {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\x0c",
+        0x28: b"(", 0x29: b")", 0x5C: b"\\"}
+
+
+def _parse_lit_string(data: bytes, i: int):
+    i += 1
+    depth = 1
+    out = bytearray()
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            nxt = data[i + 1]
+            if 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+                j = i + 1
+                oct_s = b""
+                while j < n and len(oct_s) < 3 and 0x30 <= data[j] <= 0x37:
+                    oct_s += data[j : j + 1]
+                    j += 1
+                out.append(int(oct_s, 8) & 0xFF)
+                i = j
+                continue
+            if nxt in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if nxt == 0x0D and data[i : i + 1] == b"\n":
+                    i += 1
+                continue
+            out += _ESC.get(nxt, data[i + 1 : i + 2])
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+        out.append(c)
+        i += 1
+    raise ValueError("pdf: unterminated string")
+
+
+def _parse_dict(data: bytes, i: int):
+    i += 2
+    d = {}
+    while True:
+        i = _skip_ws(data, i)
+        if data[i : i + 2] == b">>":
+            return d, i + 2
+        key, i = _parse_name(data, i)
+        val, i = _parse_object(data, i)
+        d[key] = val
+
+
+def _png_unpredict(raw: bytes, colors: int, columns: int) -> bytes:
+    """Reverse PNG row predictors (used by xref streams, /Predictor >= 10)."""
+    row_len = colors * columns
+    out = bytearray()
+    prev = bytearray(row_len)
+    i = 0
+    while i < len(raw):
+        ft = raw[i]
+        row = bytearray(raw[i + 1 : i + 1 + row_len])
+        i += 1 + row_len
+        for j in range(row_len):
+            a = row[j - colors] if j >= colors else 0
+            b = prev[j]
+            if ft == 1:
+                row[j] = (row[j] + a) & 0xFF
+            elif ft == 2:
+                row[j] = (row[j] + b) & 0xFF
+            elif ft == 3:
+                row[j] = (row[j] + ((a + b) >> 1)) & 0xFF
+            elif ft == 4:
+                c = prev[j - colors] if j >= colors else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+class _Pdf:
+    """Parsed PDF document: xref map + object cache."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.offsets: dict[int, int] = {}          # obj num -> byte offset
+        self.in_objstm: dict[int, tuple[int, int]] = {}  # num -> (stm num, idx)
+        self.cache: dict[int, object] = {}
+        self.trailer: dict = {}
+        self._load_xref()
+
+    # -- xref ---------------------------------------------------------------
+    def _load_xref(self) -> None:
+        data = self.data
+        tail = data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        try:
+            if not m:
+                raise ValueError("no startxref")
+            seen = set()
+            pos = int(m.group(1))
+            while pos not in seen:
+                seen.add(pos)
+                pos = self._read_xref_section(pos)
+                if pos is None:
+                    break
+        except Exception:
+            self._scan_fallback()
+        if not self.offsets and not self.in_objstm:
+            self._scan_fallback()
+        if "Root" not in self.trailer:
+            mm = re.search(rb"/Root\s+(\d+)\s+(\d+)\s+R", data)
+            if mm:
+                self.trailer["Root"] = _Ref((int(mm.group(1)), int(mm.group(2))))
+
+    def _read_xref_section(self, pos: int):
+        data = self.data
+        i = _skip_ws(data, pos)
+        if data.startswith(b"xref", i):
+            i += 4
+            while True:
+                i = _skip_ws(data, i)
+                if data.startswith(b"trailer", i):
+                    trailer, _ = _parse_dict(data, _skip_ws(data, i + 7))
+                    for k, v in trailer.items():
+                        self.trailer.setdefault(k, v)
+                    prev = trailer.get("Prev")
+                    return int(prev) if prev is not None else None
+                m = re.match(rb"(\d+)\s+(\d+)", data[i : i + 40])
+                if not m:
+                    return None
+                start, count = int(m.group(1)), int(m.group(2))
+                i = _skip_ws(data, i + m.end())
+                for k in range(count):
+                    ent = data[i : i + 20]
+                    if ent[17:18] == b"n":
+                        num = start + k
+                        self.offsets.setdefault(num, int(ent[0:10]))
+                    i += 20 if ent[18:20] in (b"\r\n", b" \n", b" \r") else 20
+        else:
+            # xref stream
+            num, obj, _ = self._parse_indirect_at(pos)
+            if not isinstance(obj, tuple):
+                return None
+            d, raw = obj
+            w = [int(x) for x in d.get("W", [1, 1, 1])]
+            index = d.get("Index") or [0, int(d.get("Size", 0))]
+            body = self._decode_stream(d, raw)
+            rec = sum(w)
+            it = 0
+            for s in range(0, len(index), 2):
+                start, count = int(index[s]), int(index[s + 1])
+                for k in range(count):
+                    if it + rec > len(body):
+                        break
+                    f = []
+                    o = it
+                    for width in w:
+                        f.append(int.from_bytes(body[o : o + width], "big") if width else 1)
+                        o += width
+                    it += rec
+                    num_k = start + k
+                    if f[0] == 1:
+                        self.offsets.setdefault(num_k, f[1])
+                    elif f[0] == 2:
+                        self.in_objstm.setdefault(num_k, (f[1], f[2]))
+            for k, v in d.items():
+                self.trailer.setdefault(k, v)
+            prev = d.get("Prev")
+            return int(prev) if prev is not None else None
+        return None
+
+    def _scan_fallback(self) -> None:
+        """Last resort: scan every `N G obj` in the file (later wins)."""
+        for m in re.finditer(rb"(?:^|[\r\n \t>])(\d+)\s+\d+\s+obj\b", self.data):
+            self.offsets[int(m.group(1))] = m.start(1)
+
+    # -- objects ------------------------------------------------------------
+    def _parse_indirect_at(self, pos: int):
+        data = self.data
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", data[pos : pos + 48])
+        if not m:
+            raise ValueError(f"pdf: expected indirect object at {pos}")
+        i = pos + m.end()
+        val, i = _parse_object(data, i)
+        i2 = _skip_ws(data, i)
+        if data.startswith(b"stream", i2):
+            j = i2 + 6
+            if data[j : j + 2] == b"\r\n":
+                j += 2
+            elif data[j : j + 1] in (b"\n", b"\r"):
+                j += 1
+            length = self.resolve(val.get("Length")) if isinstance(val, dict) else None
+            if isinstance(length, int) and data.startswith(b"endstream", _skip_ws(data, j + length)):
+                raw = data[j : j + length]
+            else:
+                end = data.index(b"endstream", j)
+                raw = data[j:end].rstrip(b"\r\n")
+            return int(m.group(1)), (val, raw), i
+        return int(m.group(1)), val, i
+
+    def _decode_stream(self, d: dict, raw: bytes) -> bytes:
+        filt = self.resolve(d.get("Filter"))
+        filters = [filt] if isinstance(filt, _Name) else (filt or [])
+        parms = self.resolve(d.get("DecodeParms")) or self.resolve(d.get("DP"))
+        parms_list = [parms] if isinstance(parms, dict) else (parms or [])
+        for fi, f in enumerate(filters):
+            if f == "FlateDecode":
+                raw = zlib.decompress(raw)
+                p = self.resolve(parms_list[fi]) if fi < len(parms_list) else None
+                if isinstance(p, dict) and int(self.resolve(p.get("Predictor")) or 1) >= 10:
+                    colors = int(self.resolve(p.get("Colors")) or 1)
+                    bpc = int(self.resolve(p.get("BitsPerComponent")) or 8)
+                    cols = int(self.resolve(p.get("Columns")) or 1)
+                    raw = _png_unpredict(raw, colors * bpc // 8, cols)
+            elif f == "ASCIIHexDecode":
+                hx = re.sub(rb"[^0-9A-Fa-f]", b"", raw.split(b">")[0])
+                raw = bytes.fromhex(hx.decode("ascii"))
+            elif f == "ASCII85Decode":
+                import base64
+                raw = base64.a85decode(raw.rstrip(b"~>"), adobe=False)
+            else:
+                raise ValueError(f"pdf: unsupported filter {f}")
+        return raw
+
+    def get(self, num: int):
+        if num in self.cache:
+            return self.cache[num]
+        self.cache[num] = None  # cycle guard
+        try:
+            if num in self.offsets:
+                _, obj, _ = self._parse_indirect_at(self.offsets[num])
+            elif num in self.in_objstm:
+                obj = self._from_objstm(num)
+            else:
+                obj = None
+        except Exception:
+            obj = None
+        self.cache[num] = obj
+        return obj
+
+    def _from_objstm(self, num: int):
+        stm_num, _idx = self.in_objstm[num]
+        stm = self.get(stm_num)
+        if not (isinstance(stm, tuple) and isinstance(stm[0], dict)):
+            return None
+        d, raw = stm
+        body = self._decode_stream(d, raw)
+        n = int(self.resolve(d.get("N")) or 0)
+        first = int(self.resolve(d.get("First")) or 0)
+        i = 0
+        pairs = []
+        for _ in range(n):
+            i = _skip_ws(body, i)
+            m = re.match(rb"(\d+)\s+(\d+)", body[i : i + 40])
+            if not m:
+                break
+            pairs.append((int(m.group(1)), int(m.group(2))))
+            i += m.end()
+        for onum, off in pairs:
+            if onum == num:
+                val, _ = _parse_object(body, first + off)
+                return val
+        return None
+
+    def resolve(self, v, depth: int = 0):
+        while isinstance(v, _Ref) and depth < 32:
+            v = self.get(v[0])
+            depth += 1
+        return v
+
+    def stream_bytes(self, v) -> bytes:
+        v = self.resolve(v)
+        if isinstance(v, tuple) and isinstance(v[0], dict):
+            return self._decode_stream(v[0], v[1])
+        raise ValueError("pdf: expected stream object")
+
+
+# -- fonts -------------------------------------------------------------------
+
+_HEXGRP = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
+    """Parse a ToUnicode CMap → (code→text map, code byte width)."""
+    out: dict[int, str] = {}
+    width = 2
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", cmap, re.S)
+    if m:
+        hx = _HEXGRP.findall(m.group(1))
+        if hx:
+            width = max(1, len(hx[0]) // 2)
+
+    def _u(hexs: bytes) -> str:
+        b = bytes.fromhex(hexs.decode("ascii"))
+        if len(b) % 2:
+            b = b"\x00" + b
+        return b.decode("utf-16-be", errors="replace")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        toks = _HEXGRP.findall(m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            out[int(toks[i], 16)] = _u(toks[i + 1])
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        body = m.group(1)
+        i = 0
+        n = len(body)
+        while i < n:
+            mm = re.compile(rb"\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*").match(body, i)
+            if not mm:
+                break
+            lo, hi = int(mm.group(1), 16), int(mm.group(2), 16)
+            i = mm.end()
+            if body[i : i + 1] == b"[":
+                j = body.index(b"]", i)
+                dsts = _HEXGRP.findall(body[i:j])
+                for k, dst in enumerate(dsts):
+                    if lo + k <= hi:
+                        out[lo + k] = _u(dst)
+                i = j + 1
+            else:
+                mm2 = re.compile(rb"<([0-9A-Fa-f]+)>").match(body, i)
+                if not mm2:
+                    break
+                base_hex = mm2.group(1)
+                base = int(base_hex, 16)
+                for k in range(hi - lo + 1):
+                    b = (base + k).to_bytes(max(2, len(base_hex) // 2), "big")
+                    out[lo + k] = b.decode("utf-16-be", errors="replace")
+                i = mm2.end()
+    return out, width
+
+
+# Minimal Adobe glyph list for /Differences simple-font encodings.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#", "dollar": "$",
+    "percent": "%", "ampersand": "&", "quotesingle": "'", "parenleft": "(",
+    "parenright": ")", "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "colon": ":", "semicolon": ";", "less": "<",
+    "equal": "=", "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~", "bullet": "•", "endash": "–", "emdash": "—",
+    "quoteleft": "‘", "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "fi": "ﬁ", "fl": "ﬂ", "degree": "°",
+    "middot": "·", "periodcentered": "·", "ellipsis": "…",
+}
+for _c in range(0x30, 0x3A):
+    _AGL[chr(_c)] = chr(_c)
+_AGL.update({n: chr(c) for c, n in zip(
+    range(0x30, 0x3A),
+    ["zero", "one", "two", "three", "four", "five", "six", "seven", "eight", "nine"],
+)})
+for _c in list(range(0x41, 0x5B)) + list(range(0x61, 0x7B)):
+    _AGL[chr(_c)] = chr(_c)
+
+
+class _Font:
+    def __init__(self, pdf: _Pdf, fd: dict):
+        self.two_byte = False
+        self.cmap: dict[int, str] = {}
+        self.diff: dict[int, str] = {}
+        subtype = pdf.resolve(fd.get("Subtype"))
+        enc = pdf.resolve(fd.get("Encoding"))
+        if subtype == "Type0":
+            self.two_byte = True  # Identity-H/V or CMap-encoded; corpus uses Identity
+        tu = fd.get("ToUnicode")
+        if tu is not None:
+            try:
+                self.cmap, width = _parse_tounicode(pdf.stream_bytes(tu))
+                self.two_byte = self.two_byte or width == 2
+            except Exception:
+                pass
+        if isinstance(enc, dict):
+            diffs = pdf.resolve(enc.get("Differences"))
+            if isinstance(diffs, list):
+                code = 0
+                for item in diffs:
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    else:
+                        name = str(item)
+                        if name.startswith("uni") and len(name) >= 7:
+                            try:
+                                self.diff[code] = chr(int(name[3:7], 16))
+                            except ValueError:
+                                pass
+                        elif name in _AGL:
+                            self.diff[code] = _AGL[name]
+                        code += 1
+
+    def decode(self, b: bytes) -> str:
+        out = []
+        if self.two_byte:
+            for i in range(0, len(b) - 1, 2):
+                code = (b[i] << 8) | b[i + 1]
+                out.append(self.cmap.get(code, ""))
+        else:
+            for code in b:
+                if code in self.cmap:
+                    out.append(self.cmap[code])
+                elif code in self.diff:
+                    out.append(self.diff[code])
+                elif 0x20 <= code < 0x7F:
+                    out.append(chr(code))
+        return "".join(out)
+
+
+# -- content stream interpreter ---------------------------------------------
+
+def _mat_mul(a, b):
+    return (
+        a[0] * b[0] + a[1] * b[2],
+        a[0] * b[1] + a[1] * b[3],
+        a[2] * b[0] + a[3] * b[2],
+        a[2] * b[1] + a[3] * b[3],
+        a[4] * b[0] + a[5] * b[2] + b[4],
+        a[4] * b[1] + a[5] * b[3] + b[5],
+    )
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+class _Run(tuple):
+    """(page, y, x, size, seq, kind, payload)"""
+
+
+def _content_tokens(body: bytes):
+    """Yield operands/operators from a content stream."""
+    i = 0
+    n = len(body)
+    while i < n:
+        i = _skip_ws(body, i)
+        if i >= n:
+            return
+        c = body[i]
+        if c in b"/<([" or c == 0x3C or (0x30 <= c <= 0x39) or c in b"+-.":
+            try:
+                v, i = _parse_object(body, i)
+            except ValueError:
+                i += 1
+                continue
+            yield ("operand", v)
+        else:
+            j = i
+            while j < n and body[j] not in _WS and body[j] not in _DELIM:
+                j += 1
+            op = body[i:j].decode("latin-1")
+            i = j if j > i else i + 1
+            if op == "BI":  # inline image: skip to EI
+                k = body.find(b"EI", i)
+                i = n if k < 0 else k + 2
+                yield ("op", "BI_skipped")
+                continue
+            if op:
+                yield ("op", op)
+
+
+def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
+               runs: list, ctm, seq_start: int, depth: int = 0) -> int:
+    fonts_res = pdf.resolve(resources.get("Font")) or {}
+    xobjs = pdf.resolve(resources.get("XObject")) or {}
+    font_cache: dict[str, _Font] = {}
+    font: _Font | None = None
+    size = 0.0
+    leading = 0.0
+    tm = _ID
+    tlm = _ID
+    stack = []
+    gstack = []
+    seq = seq_start
+
+    def current_font() -> _Font | None:
+        return font
+
+    def show(sbytes: bytes) -> None:
+        nonlocal seq
+        f = current_font()
+        if f is None or not sbytes:
+            return
+        txt = f.decode(sbytes)
+        if not txt:
+            return
+        dev = _mat_mul(tm, ctm)
+        eff = size * (abs(dev[0]) or 1.0)
+        runs.append((page_no, dev[5], dev[4], eff, seq, "t", txt))
+        seq += 1
+
+    for kind, tok in _content_tokens(body):
+        if kind == "operand":
+            stack.append(tok)
+            continue
+        op = tok
+        try:
+            if op == "BT":
+                tm = tlm = _ID
+            elif op == "ET":
+                pass
+            elif op == "Tf" and len(stack) >= 2:
+                size = float(stack[-1])
+                name = str(stack[-2])
+                if name not in font_cache:
+                    fd = pdf.resolve(fonts_res.get(name))
+                    font_cache[name] = _Font(pdf, fd) if isinstance(fd, dict) else None
+                font = font_cache[name]
+            elif op == "TL" and stack:
+                leading = float(stack[-1])
+            elif op == "Td" and len(stack) >= 2:
+                tlm = _mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+                tm = tlm
+            elif op == "TD" and len(stack) >= 2:
+                leading = -float(stack[-1])
+                tlm = _mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+                tm = tlm
+            elif op == "Tm" and len(stack) >= 6:
+                tlm = tuple(float(v) for v in stack[-6:])
+                tm = tlm
+            elif op == "T*":
+                tlm = _mat_mul((1, 0, 0, 1, 0.0, -leading), tlm)
+                tm = tlm
+            elif op == "Tj" and stack:
+                show(stack[-1] if isinstance(stack[-1], bytes) else b"")
+            elif op == "'" and stack:
+                tlm = _mat_mul((1, 0, 0, 1, 0.0, -leading), tlm)
+                tm = tlm
+                show(stack[-1] if isinstance(stack[-1], bytes) else b"")
+            elif op == '"' and len(stack) >= 3:
+                tlm = _mat_mul((1, 0, 0, 1, 0.0, -leading), tlm)
+                tm = tlm
+                show(stack[-1] if isinstance(stack[-1], bytes) else b"")
+            elif op == "TJ" and stack and isinstance(stack[-1], list):
+                parts = [p for p in stack[-1] if isinstance(p, bytes)]
+                show(b"".join(parts))
+            elif op == "cm" and len(stack) >= 6:
+                ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+            elif op == "q":
+                gstack.append(ctm)
+            elif op == "Q":
+                if gstack:
+                    ctm = gstack.pop()
+            elif op == "Do" and stack and depth < 8:
+                name = str(stack[-1])
+                xo = pdf.resolve(xobjs.get(name))
+                if isinstance(xo, tuple) and isinstance(xo[0], dict):
+                    xd = xo[0]
+                    sub = pdf.resolve(xd.get("Subtype"))
+                    if sub == "Form":
+                        inner_res = pdf.resolve(xd.get("Resources")) or resources
+                        mtx = pdf.resolve(xd.get("Matrix")) or [1, 0, 0, 1, 0, 0]
+                        inner_ctm = _mat_mul(tuple(float(v) for v in mtx), ctm)
+                        try:
+                            seq = _interpret(pdf, pdf.stream_bytes(xo), inner_res,
+                                             page_no, runs, inner_ctm, seq, depth + 1)
+                        except Exception:
+                            pass
+                    elif sub == "Image":
+                        import hashlib
+                        h = hashlib.sha1(xo[1][:4096]).hexdigest()[:12]
+                        dev = _mat_mul(_ID, ctm)
+                        runs.append((page_no, dev[5], dev[4], 0.0, seq, "img", f"{h}.jpg"))
+                        seq += 1
+        except Exception:
+            pass
+        stack.clear()
+    return seq
+
+
+# -- layout: runs → lines → blocks → spans -----------------------------------
+
+_LINE_Y_TOL = 2.5
+_GAP_FACTOR = 1.9
+_HEADING_RATIO = 1.15
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return (
+        0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+        or 0x3000 <= cp <= 0x303F or 0xFF00 <= cp <= 0xFFEF
+        or 0x2E80 <= cp <= 0x2FDF  # CJK radicals + Kangxi (ToUnicode quirk)
+        or 0xF900 <= cp <= 0xFAFF or 0x20000 <= cp <= 0x2FA1F
+    )
+
+
+def _join(parts: list[str]) -> str:
+    out = ""
+    for p in parts:
+        if not out:
+            out = p
+        elif out and p and (_is_cjk(out[-1]) or _is_cjk(p[0])):
+            out += p
+        else:
+            out += " " + p
+    return out
+
+
+def _run_width(txt: str, size: float) -> float:
+    """Rough advance estimate: CJK glyphs ~1 em, latin ~0.55 em."""
+    if size <= 0:
+        size = 10.0
+    return sum(size * (1.0 if _is_cjk(ch) else 0.55) for ch in txt)
+
+
+def _assemble_line(parts: list[tuple[float, int, str, float]]) -> str:
+    """Join positioned runs of one visual line. A space is inserted only
+    when the x-gap between a run's estimated end and the next run's start
+    exceeds the word margin (pdfminer-style), so per-glyph-positioned text
+    ('2 0 2 5') reassembles without phantom spaces."""
+    out = ""
+    prev_end = None
+    for x, _seq, txt, size in parts:
+        if not out:
+            out = txt
+        else:
+            gap = None if prev_end is None else x - prev_end
+            if _is_cjk(out[-1]) and txt and _is_cjk(txt[0]):
+                out += txt
+            elif gap is not None and gap > 0.33 * max(size, 6.0):
+                out += " " + txt
+            elif gap is None and not out.endswith(" "):
+                out += " " + txt
+            else:
+                out += txt
+        prev_end = x + _run_width(txt, size)
+    return out
+
+
+def _runs_to_spans(runs: list) -> list[Span]:
+    # group text runs into lines per page: same y within tolerance
+    lines: list[dict] = []  # {page, y, size, parts:[(x, seq, txt, size)]}
+    figures: list[tuple[int, float, int, str]] = []
+    for page, y, x, size, seq, kind, payload in runs:
+        if kind == "img":
+            figures.append((page, y, seq, payload))
+            continue
+        if not payload.strip():
+            continue
+        placed = None
+        for ln in lines:
+            if ln["page"] == page and abs(ln["y"] - y) <= _LINE_Y_TOL:
+                placed = ln
+                break
+        if placed is None:
+            placed = {"page": page, "y": y, "size": size, "parts": []}
+            lines.append(placed)
+        placed["parts"].append((x, seq, payload, size))
+        placed["size"] = max(placed["size"], size)
+
+    for ln in lines:
+        ln["parts"].sort(key=lambda p: (round(p[0], 1), p[1]))
+        ln["text"] = _assemble_line(ln["parts"])
+        ln["x"] = ln["parts"][0][0]
+
+    lines.sort(key=lambda ln: (ln["page"], -ln["y"], ln["x"]))
+
+    sizes = sorted(ln["size"] for ln in lines if ln["text"].strip())
+    body_size = sizes[len(sizes) // 2] if sizes else 10.0
+
+    spans: list[Span] = []
+    cur: dict | None = None
+
+    def flush() -> None:
+        nonlocal cur
+        if cur is None:
+            return
+        txt = _join(cur["lines"])
+        kind = "heading" if cur["size"] >= body_size * _HEADING_RATIO and cur["size"] > 0 else "paragraph"
+        spans.append(Span(kind, normalize_text(txt), "", -1))
+        cur = None
+
+    fig_iter = sorted(figures, key=lambda f: (f[0], -f[1], f[2]))
+    fi = 0
+    for ln in lines:
+        while fi < len(fig_iter) and (
+            fig_iter[fi][0] < ln["page"]
+            or (fig_iter[fi][0] == ln["page"] and fig_iter[fi][1] > ln["y"])
+        ):
+            flush()
+            spans.append(Span("figure", "", fig_iter[fi][3], -1))
+            fi += 1
+        same_block = (
+            cur is not None
+            and cur["page"] == ln["page"]
+            and abs(cur["size"] - ln["size"]) < 0.5
+            and (cur["last_y"] - ln["y"]) <= _GAP_FACTOR * max(ln["size"], 6.0)
+        )
+        if same_block:
+            cur["lines"].append(ln["text"])
+            cur["last_y"] = ln["y"]
+        else:
+            flush()
+            cur = {"page": ln["page"], "size": ln["size"], "last_y": ln["y"],
+                   "lines": [ln["text"]]}
+    flush()
+    while fi < len(fig_iter):
+        spans.append(Span("figure", "", fig_iter[fi][3], -1))
+        fi += 1
+    return finalize(spans)
+
+
+def extract_realpdf(content: bytes) -> list[Span]:
+    """Real PDF bytes → ordered span IR (the MinerU-path analogue)."""
+    if not content.lstrip()[:5].startswith(b"%PDF-"):
+        raise ValueError("realpdf: missing %PDF header")
+    pdf = _Pdf(content)
+    root = pdf.resolve(pdf.trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise ValueError("realpdf: no document catalog")
+    pages: list[tuple[dict, dict]] = []  # (page dict, inherited resources)
+
+    def walk(node, inherited_res, depth=0):
+        node = pdf.resolve(node)
+        if not isinstance(node, dict) or depth > 64 or len(pages) > 10000:
+            return
+        res = pdf.resolve(node.get("Resources")) or inherited_res
+        t = pdf.resolve(node.get("Type"))
+        if t == "Pages" or (t is None and node.get("Kids") is not None):
+            for kid in pdf.resolve(node.get("Kids")) or []:
+                walk(kid, res, depth + 1)
+        elif t == "Page":
+            pages.append((node, res or {}))
+
+    walk(root.get("Pages"), {})
+    if not pages:
+        raise ValueError("realpdf: no pages")
+
+    runs: list = []
+    seq = 0
+    for page_no, (pg, res) in enumerate(pages):
+        contents = pdf.resolve(pg.get("Contents"))
+        chunks: list[bytes] = []
+        items = contents if isinstance(contents, list) else [pg.get("Contents")]
+        for it in items:
+            try:
+                chunks.append(pdf.stream_bytes(it))
+            except Exception:
+                continue
+        if not chunks:
+            continue
+        body = b"\n".join(chunks)
+        seq = _interpret(pdf, body, res, page_no, runs, _ID, seq)
+    return _runs_to_spans(runs)

@@ -334,7 +334,63 @@ FROM r GROUP BY doc_id
 """
 
 
+# ----------------------------------------------------- real reference documents
+# The reference's own sample corpus (`/root/reference/test/`: 3 binary .doc,
+# 1 .docx, 1 .pptx, 1 .xlsx, 1 real PDF — SURVEY.md §5.1) extracted by the
+# from-scratch real-format kernels (realpdf / miniooxml / minidoc via
+# kernels/detect.py sniffing). The committed expectation parquet pins the
+# exact span sequences; the Spark side recomputes from raw bytes through
+# the binaryFile source + Arrow UDFs. This is the engine-side analogue of
+# the reference's manual sample-document verification
+# (.trae/documents/文档转换功能测试报告.md:36-420), made exact.
+
+_REF_TEST_DIR = "/root/reference/test"
+EXPECTED_REAL_SPANS_PARQUET = os.path.join(_RES_DIR, "expected_real_spans.parquet")
+EXPECTED_REAL_DOCS_PARQUET = os.path.join(_RES_DIR, "expected_real_docs.parquet")
+
+
+def _real_docs_extracted(spark: SparkSession) -> DataFrame:
+    from documentconvert_spark.ingest import binary_dir_as_raw
+
+    return extract_spans(binary_dir_as_raw(spark, _REF_TEST_DIR))
+
+
+def q_real_docs_span_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _real_docs_extracted(spark).filter(F.col("error").isNull())
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.md5(F.col("s.text")).alias("text_md5"),
+    )
+
+
+SQL_REAL_DOCS_SPAN_SEQ = f"""
+SELECT doc_id, "offset", kind, media_ref, md5(text) AS text_md5
+FROM read_parquet('{EXPECTED_REAL_SPANS_PARQUET}')
+"""
+
+
+def q_real_docs_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _real_docs_extracted(spark)
+    return out.select(
+        "doc_id",
+        "status",
+        F.col("n_spans").cast("int").alias("n_spans"),
+        F.md5("markdown").alias("markdown_md5"),
+    )
+
+
+SQL_REAL_DOCS_SUMMARY = f"""
+SELECT doc_id, status, n_spans, markdown_md5
+FROM read_parquet('{EXPECTED_REAL_DOCS_PARQUET}')
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
+    "real_docs_span_seq": (q_real_docs_span_seq, SQL_REAL_DOCS_SPAN_SEQ),
+    "real_docs_summary": (q_real_docs_summary, SQL_REAL_DOCS_SUMMARY),
     "spans_input_stats": (q_spans_input_stats, SQL_SPANS_INPUT_STATS),
     "w1_redensify": (q_w1_redensify, SQL_W1_REDENSIFY),
     "j3_media_join": (q_j3_media_join, SQL_J3_MEDIA_JOIN),

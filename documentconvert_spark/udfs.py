@@ -29,14 +29,17 @@ from documentconvert_spark.kernels.encoding import ensure_utf8
 from documentconvert_spark.kernels.errors import classify_error
 from documentconvert_spark.kernels.markdown import error_markdown as _error_md
 from documentconvert_spark.kernels.markdown import spans_to_markdown as _fold
-from documentconvert_spark.kernels.minidom import extract_minidom
+from documentconvert_spark.kernels.detect import extract_office_any, extract_pdf_any
 from documentconvert_spark.kernels.miniimg import extract_miniimg
-from documentconvert_spark.kernels.minipdf import extract_minipdf
 from documentconvert_spark.schemas import EXTRACT_RESULT
 
+# Magic-byte sniffing inside each type keeps the reference's dispatch
+# (document_service.py:83-126) while transparently handling BOTH the
+# synthetic corpus formats and real PDF / OOXML / OLE documents
+# (kernels/detect.py).
 _KERNELS = {
-    "pdf": extract_minipdf,
-    "markup": extract_minidom,
+    "pdf": extract_pdf_any,
+    "markup": extract_office_any,
     "image": extract_miniimg,
 }
 

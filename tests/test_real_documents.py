@@ -1,0 +1,189 @@
+"""Real reference-document extraction: the engine must reproduce extraction
+on the reference's OWN sample corpus (`/root/reference/test/` — the same 7
+files the reference's manual test procedure uses, SURVEY.md §5.1), through
+from-scratch parsers: realpdf (xref/content-stream/ToUnicode), miniooxml
+(docx/pptx/xlsx), minidoc (OLE CFB + piece table).
+
+Goldens are the committed expectation parquet
+(resources/expected_real_spans.parquet) — exact (kind, text, media_ref,
+offset) per doc_id, so any parser regression or nondeterminism fails here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from documentconvert_spark.kernels.detect import extract_office_any, extract_pdf_any
+from documentconvert_spark.kernels.minidoc import extract_doc
+from documentconvert_spark.kernels.miniooxml import extract_docx, extract_pptx, extract_xlsx
+from documentconvert_spark.kernels.realpdf import extract_realpdf
+
+REF = "/root/reference/test"
+RES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "documentconvert_spark", "resources",
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference sample corpus not mounted"
+)
+
+
+def _read(name: str) -> bytes:
+    with open(os.path.join(REF, name), "rb") as fh:
+        return fh.read()
+
+
+def _dense(spans) -> bool:
+    return [s.offset for s in spans] == list(range(len(spans)))
+
+
+# ---------------------------------------------------------------- real PDF
+
+def test_realpdf_reference_sample():
+    spans = extract_realpdf(_read("服装识别需求描述.pdf"))
+    assert len(spans) >= 15 and _dense(spans)
+    kinds = {s.kind for s in spans}
+    assert "heading" in kinds and "paragraph" in kinds
+    all_text = "".join(s.text for s in spans)
+    # CJK text decoded through ToUnicode CMaps, in reading order
+    assert "服装识别需求描述" in all_text
+    assert "核⼼需求" in all_text or "核心需求" in all_text
+    # per-glyph positioned latin text reassembled without phantom spaces
+    assert "https://maxiang.io" in all_text
+    # document heading classified by font size
+    headings = [s.text for s in spans if s.kind == "heading"]
+    assert any("服装识别需求描述" in h for h in headings)
+
+
+def test_realpdf_determinism():
+    data = _read("服装识别需求描述.pdf")
+    assert extract_realpdf(data) == extract_realpdf(data)
+
+
+def test_realpdf_rejects_garbage():
+    with pytest.raises(ValueError):
+        extract_realpdf(b"not a pdf at all")
+    with pytest.raises(ValueError):
+        extract_realpdf(b"%PDF-1.4\njunk with no structure")
+
+
+# ---------------------------------------------------------------- OOXML
+
+def test_docx_reference_sample():
+    spans = extract_docx(_read("智涌君.docx"))
+    assert _dense(spans)
+    kinds = {s.kind for s in spans}
+    assert {"heading", "paragraph", "figure"} <= kinds
+    # numbered heading styles recognized
+    heads = [s.text for s in spans if s.kind == "heading"]
+    assert any("政策与产业背景" in h for h in heads)
+    # legacy VML imagedata media refs resolved through the rels part
+    figs = [s.media_ref for s in spans if s.kind == "figure"]
+    assert figs and all(r.startswith("image") for r in figs)
+
+
+def test_pptx_reference_sample():
+    spans = extract_pptx(_read("AI通识课程建设方案.pptx"))
+    assert _dense(spans)
+    heads = [s.text for s in spans if s.kind == "heading"]
+    assert any("AI通识课程建设方案" in h for h in heads)  # title placeholder
+    figs = [s.media_ref for s in spans if s.kind == "figure"]
+    assert figs  # p:pic blips resolved via slide rels
+
+
+def test_xlsx_reference_sample():
+    spans = extract_xlsx(_read("人工智能竞赛训练平台 v20250629.xlsx"))
+    assert _dense(spans)
+    assert spans[0].kind == "heading"  # sheet name
+    tables = [s for s in spans if s.kind == "table"]
+    assert tables
+    # shared strings resolved, cells tab-separated in row-major order
+    assert "序号" in tables[0].text and "\t" in tables[0].text
+
+
+# ---------------------------------------------------------------- OLE .doc
+
+@pytest.mark.parametrize("name,phrase", [
+    ("2024年浙江省中考数学试卷.doc", "选择题"),
+    ("2025年杭州中考科学试卷及答案.doc", "科学试卷"),
+    ("2025年浙江省杭州市中考语文试卷.doc", "语文试卷"),
+])
+def test_doc_reference_samples(name, phrase):
+    spans = extract_doc(_read(name))
+    assert len(spans) > 20 and _dense(spans)
+    assert spans[0].kind == "heading"
+    assert phrase in "".join(s.text for s in spans)
+
+
+def test_doc_table_cell_marks():
+    spans = extract_doc(_read("2024年浙江省中考数学试卷.doc"))
+    tables = [s for s in spans if s.kind == "table"]
+    assert tables and any("\t" in t.text for t in tables)
+
+
+# ------------------------------------------------------------ sniffing dispatch
+
+def test_detect_routes_by_magic_not_suffix():
+    # the office path must route zips, OLE and markup correctly
+    assert extract_office_any(_read("智涌君.docx"))
+    assert extract_office_any(_read("2024年浙江省中考数学试卷.doc"))
+    html = b"<html><body><p>hello world content here</p></body></html>"
+    assert extract_office_any(html)
+    # the pdf path must route real PDFs and synthetic minipdf
+    assert extract_pdf_any(_read("服装识别需求描述.pdf"))
+
+
+# ------------------------------------------------------------ golden regression
+
+def test_real_goldens_match_committed_parquet():
+    """Every kernel output must equal the committed expectation parquet —
+    byte-exact (kind, text, media_ref, offset) per doc_id."""
+    tbl = pq.read_table(os.path.join(RES, "expected_real_spans.parquet")).to_pydict()
+    expected: dict[str, list[tuple]] = {}
+    for i, did in enumerate(tbl["doc_id"]):
+        expected.setdefault(did, []).append(
+            (tbl["offset"][i], tbl["kind"][i], tbl["media_ref"][i], tbl["text"][i])
+        )
+    assert len(expected) == 7
+    for name, exp in expected.items():
+        data = _read(name)
+        kern = extract_pdf_any if name.endswith(".pdf") else extract_office_any
+        got = [(s.offset, s.kind, s.media_ref, s.text) for s in kern(data)]
+        assert got == sorted(exp), f"span mismatch for {name}"
+
+
+# ------------------------------------------------------------ Spark end-to-end
+
+def test_spark_extracts_reference_corpus(spark):
+    """binaryFile ingest → sniffing dispatch UDF → spans: all 7 reference
+    samples complete with zero error rows and golden-equal span counts."""
+    from pyspark.sql import functions as F
+
+    from documentconvert_spark.ingest import binary_dir_as_raw
+    from documentconvert_spark.pipeline import extract_spans
+
+    out = extract_spans(binary_dir_as_raw(spark, REF)).cache()
+    rows = out.select("doc_id", "status", "n_spans", "error").collect()
+    assert len(rows) == 7
+    assert all(r.status == "completed" and r.error is None for r in rows)
+    # URI percent-encoding decoded back to the real CJK file names (F1)
+    names = {r.doc_id for r in rows}
+    assert "服装识别需求描述.pdf" in names and "智涌君.docx" in names
+
+    exp = pq.read_table(os.path.join(RES, "expected_real_docs.parquet")).to_pydict()
+    exp_counts = dict(zip(exp["doc_id"], exp["n_spans"]))
+    got_counts = {r.doc_id: r.n_spans for r in rows}
+    assert got_counts == exp_counts
+
+    # figure media refs survive the Arrow round trip
+    figs = (
+        out.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "figure")
+        .count()
+    )
+    assert figs > 0
+    out.unpersist()
