@@ -1209,7 +1209,195 @@ GROUP BY e.event_type
 """
 
 
+# --------------------------------------------------------------- TPC-H Q9-style: profit by nation and year
+# Product-profit decomposition over a 5-way join (lineitem ⋈ part ⋈
+# supplier ⋈ nation ⋈ orders). The testdata has no partsupp, so supply
+# cost is proxied as 60% of p_retailprice — the join/agg shape (two
+# broadcast dims, one fact-fact join, derived measure, two-level group)
+# is exactly q9's. Dims broadcast; the only shuffle is lineitem⋈orders
+# on orderkey + the final two-key aggregation.
+
+def q_tpch_q9s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    # decimal arithmetic end-to-end: the inputs are 2dp-exact doubles, so
+    # casting them to decimals first makes the whole aggregate exact and
+    # independent of Spark-vs-DuckDB addition order / double-rounding ties
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rp = F.col("p_retailprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(4,0)")
+    amount = (ep * (F.lit(1).cast("decimal(2,1)") - disc)
+              - F.lit(0.6).cast("decimal(2,1)") * rp * qty)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("amount", amount)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+SQL_TPCH_Q9S = """
+SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,1)) - CAST(l_discount AS DECIMAL(4,2)))
+                - CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q11-style: important stock (HAVING vs global scalar)
+# Q11's signature plan: per-group value vs a FRACTION OF THE GLOBAL TOTAL —
+# an aggregate filtered against a 1-row scalar subquery. The scalar side
+# is a crossJoin broadcast of a single row (same tactic as tpch_q22);
+# no partsupp, so "value" is supplier-country lineitem revenue per part.
+
+def q_tpch_q11s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    scoped = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    per_part = scoped.groupBy("l_partkey").agg(F.sum("value").alias("part_value"))
+    total = scoped.agg((F.sum("value") * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+SQL_TPCH_Q11S = """
+WITH scoped AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7')
+SELECT l_partkey, ROUND(SUM(value), 2) AS part_value
+FROM scoped
+GROUP BY l_partkey
+HAVING SUM(value) > (SELECT SUM(value) * 0.001 FROM scoped)
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q20-style: nested semi-join chain
+# Q20's plan shape: supplier ⇐semi (parts-of-interest ⇐semi shipped-enough
+# lineitems), then a broadcast nation filter. Both semi-joins stay
+# left_semi (no duplication, probe-side dedup for free).
+
+def q_tpch_q20s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("s"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_9"))
+    shipped_enough = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    return (
+        supp.join(shipped_enough, supp.s_suppkey == shipped_enough.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q20S = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 's%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+  HAVING SUM(l_quantity) > 50)
+AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_3', 'NATION_9'))
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q21-style: EXISTS + NOT-EXISTS self-joins
+# Q21's hardest-in-the-suite shape: a fact row kept iff ANOTHER row of the
+# same order exists from a different supplier (semi self-join) AND no row
+# of the same order from a different supplier shipped LATER (anti
+# self-join on an inequality). The testdata lacks receipt/commit dates, so
+# "kept the order waiting" becomes "was the last to ship in a
+# multi-supplier order" — structurally identical (equi-key + inequality
+# correlation on both self-joins).
+
+def q_tpch_q21s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    exists_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    not_exists_later = exists_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        not_exists_later.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey, "left_semi")
+        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q21S = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate)
+  AND EXISTS (
+    SELECT 1 FROM orders WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "tpch_q9s": (q_tpch_q9s, SQL_TPCH_Q9S),
+    "tpch_q11s": (q_tpch_q11s, SQL_TPCH_Q11S),
+    "tpch_q20s": (q_tpch_q20s, SQL_TPCH_Q20S),
+    "tpch_q21s": (q_tpch_q21s, SQL_TPCH_Q21S),
     "skew_salted_join": (q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
     "tpch_q2s": (q_tpch_q2s, SQL_TPCH_Q2S),
     "tpch_q12s": (q_tpch_q12s, SQL_TPCH_Q12S),
