@@ -60,11 +60,14 @@ def documents_table_as_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the reference's full format whitelist (document_service.py:49-56)
 _SUFFIX_TO_TYPE = {
     "pdf": "pdf",
-    "html": "markup", "htm": "markup", "docx": "markup", "xlsx": "markup", "pptx": "markup",
-    "doc": "markup",
-    "png": "image", "jpg": "image", "jpeg": "image",
+    "html": "markup", "htm": "markup",
+    "doc": "markup", "docx": "markup", "xls": "markup", "xlsx": "markup",
+    "ppt": "markup", "pptx": "markup",
+    "odt": "markup", "ods": "markup", "odp": "markup", "rtf": "markup",
+    "png": "image", "jpg": "image", "jpeg": "image", "bmp": "image", "tiff": "image",
 }
 
 

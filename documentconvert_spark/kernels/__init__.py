@@ -13,6 +13,9 @@ from documentconvert_spark.kernels.miniimg import extract_miniimg
 from documentconvert_spark.kernels.realpdf import extract_realpdf
 from documentconvert_spark.kernels.miniooxml import extract_ooxml
 from documentconvert_spark.kernels.minidoc import extract_doc
+from documentconvert_spark.kernels.miniodf import extract_odf
+from documentconvert_spark.kernels.minirtf import extract_rtf
+from documentconvert_spark.kernels.minibiff import extract_xls, extract_ppt
 from documentconvert_spark.kernels.detect import extract_pdf_any, extract_office_any
 from documentconvert_spark.kernels.markdown import spans_to_markdown, error_markdown
 from documentconvert_spark.kernels.encoding import ensure_utf8, repair_mojibake
@@ -26,6 +29,10 @@ __all__ = [
     "extract_realpdf",
     "extract_ooxml",
     "extract_doc",
+    "extract_odf",
+    "extract_rtf",
+    "extract_xls",
+    "extract_ppt",
     "extract_pdf_any",
     "extract_office_any",
     "spans_to_markdown",

@@ -8,21 +8,34 @@ leading magic bytes of the content itself:
 
   pdf path    : %PDF-            → real-PDF parser (realpdf)
                 %MINIPDF-1.0     → synthetic layout-stream parser (minipdf)
-  office path : PK\\x03\\x04       → OOXML zip (docx/pptx/xlsx by part names)
-                \\xd0\\xcf\\x11\\xe0 → OLE CFB (legacy .doc)
+  office path : PK\\x03\\x04       → zip: OOXML (word/ppt/xl parts) or
+                                   ODF (content.xml: odt/ods/odp)
+                \\xd0\\xcf\\x11\\xe0 → OLE CFB, routed by directory entry:
+                                   WordDocument → .doc, Workbook/Book →
+                                   .xls, PowerPoint Document → .ppt
+                {\\rtf            → RTF tokenizer
                 otherwise        → markup/DOM boilerplate strip (minidom)
 
-Unknown/corrupt containers raise ValueError and are contained per-row
-(C7) exactly like the reference's conversion-failure path.
+This closes the reference's full office whitelist
+(.doc .docx .xls .xlsx .ppt .pptx .odt .ods .odp .rtf,
+document_service.py:49-53). Unknown/corrupt containers raise ValueError
+and are contained per-row (C7) exactly like the reference's
+conversion-failure path.
 """
 
 from __future__ import annotations
 
-from documentconvert_spark.kernels.minidoc import OLE_MAGIC, extract_doc
+import io
+import zipfile
+
+from documentconvert_spark.kernels.minibiff import extract_ppt, extract_xls
+from documentconvert_spark.kernels.minidoc import OLE_MAGIC, _Cfb, extract_doc
 from documentconvert_spark.kernels.minidom import extract_minidom
+from documentconvert_spark.kernels.miniodf import extract_odf
 from documentconvert_spark.kernels.miniooxml import ZIP_MAGIC, extract_ooxml
 from documentconvert_spark.kernels.minipdf import MAGIC as MINIPDF_MAGIC
 from documentconvert_spark.kernels.minipdf import extract_minipdf
+from documentconvert_spark.kernels.minirtf import extract_rtf
 from documentconvert_spark.kernels.realpdf import extract_realpdf
 from documentconvert_spark.kernels.spans import Span
 
@@ -40,7 +53,19 @@ def extract_pdf_any(content: bytes) -> list[Span]:
 def extract_office_any(content: bytes) -> list[Span]:
     head = content[:8] if content else b""
     if head.startswith(ZIP_MAGIC):
+        names = set(zipfile.ZipFile(io.BytesIO(content)).namelist())
+        if "content.xml" in names:
+            return extract_odf(content)
         return extract_ooxml(content)
     if head.startswith(OLE_MAGIC):
-        return extract_doc(content)
+        entries = {e[0] for e in _Cfb(content).entries}
+        if "WordDocument" in entries:
+            return extract_doc(content)
+        if "Workbook" in entries or "Book" in entries:
+            return extract_xls(content)
+        if "PowerPoint Document" in entries:
+            return extract_ppt(content)
+        raise ValueError("ole: unrecognized compound document (no Word/Excel/PowerPoint stream)")
+    if content.lstrip()[:5].startswith(b"{\\rtf"):
+        return extract_rtf(content)
     return extract_minidom(content)

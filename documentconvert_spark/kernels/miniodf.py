@@ -1,0 +1,162 @@
+"""OpenDocument (odt / ods / odp) extractors — from scratch, stdlib only.
+
+The reference's office whitelist includes `.odt .ods .odp`
+(`services/document_service.py:49-53`), routed through headless
+LibreOffice → PDF → MinerU. This module parses the OASIS ODF containers
+(public OASIS spec) directly: unzip, read `content.xml`, emit the span IR
+in document order — mirroring kernels/miniooxml.py for the OOXML family.
+
+  odt: text:h (outline level) → heading, text:p → paragraph,
+       table:table → tab-cell grid, draw:image xlink:href → figure
+  ods: per sheet: heading (table name) + table span; number-columns-repeated
+       honored, office:value-type number/string/date formatting
+  odp: draw:page order; title presentation class → heading; other text
+       frames → paragraphs; draw:image → figure; table:table → table
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from xml.etree import ElementTree as ET
+
+from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+
+_T = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+_TB = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+_D = "{urn:oasis:names:tc:opendocument:xmlns:drawing:1.0}"
+_O = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+_X = "{http://www.w3.org/1999/xlink}"
+_P = "{urn:oasis:names:tc:opendocument:xmlns:presentation:1.0}"
+
+_MAX_REPEAT = 1024  # cap column/row repetition (ODS pads to 16k columns)
+
+
+def _text_of(el) -> str:
+    """Flatten an ODF text container: tabs, line breaks, text:s runs."""
+    parts: list[str] = []
+
+    def walk(node):
+        if node.text:
+            parts.append(node.text)
+        for ch in node:
+            tag = ch.tag
+            if tag == f"{_T}tab":
+                parts.append("\t")
+            elif tag == f"{_T}line-break":
+                parts.append("\n")
+            elif tag == f"{_T}s":
+                parts.append(" " * int(ch.get(f"{_T}c", "1") or "1"))
+            else:
+                walk(ch)
+            if ch.tail:
+                parts.append(ch.tail)
+
+    walk(el)
+    return "".join(parts)
+
+
+def _figures(el) -> list[str]:
+    refs = []
+    for img in el.iter(f"{_D}image"):
+        href = img.get(f"{_X}href", "")
+        if href:
+            refs.append(href.rsplit("/", 1)[-1])
+    return refs
+
+
+def _table_grid(tbl) -> str:
+    rows_out = []
+    for tr in tbl.iter(f"{_TB}table-row"):
+        row_rep = min(int(tr.get(f"{_TB}number-rows-repeated", "1") or "1"), _MAX_REPEAT)
+        cells: list[str] = []
+        for tc in tr:
+            if tc.tag not in (f"{_TB}table-cell", f"{_TB}covered-table-cell"):
+                continue
+            rep = min(int(tc.get(f"{_TB}number-columns-repeated", "1") or "1"), _MAX_REPEAT)
+            if tc.tag == f"{_TB}covered-table-cell":
+                cells.extend([""] * rep)
+                continue
+            vt = tc.get(f"{_O}value-type", "")
+            if vt in ("float", "percentage", "currency"):
+                v = tc.get(f"{_O}value", "")
+                try:
+                    f = float(v)
+                    txt = str(int(f)) if f == int(f) else v
+                except ValueError:
+                    txt = v
+            elif vt == "date":
+                txt = tc.get(f"{_O}date-value", "")
+            elif vt == "boolean":
+                txt = tc.get(f"{_O}boolean-value", "")
+            else:
+                txt = " ".join(_text_of(p) for p in tc.findall(f"{_T}p"))
+            cells.extend([txt.replace("\t", " ").replace("\n", " ").strip()] * rep)
+        while cells and not cells[-1]:
+            cells.pop()
+        if any(c for c in cells):
+            rows_out.extend(["\t".join(cells)] * row_rep)
+    return "\n".join(rows_out)
+
+
+def extract_odf(content: bytes) -> list[Span]:
+    z = zipfile.ZipFile(io.BytesIO(content))
+    if "content.xml" not in z.namelist():
+        raise ValueError("odf: no content.xml in container")
+    root = ET.fromstring(z.read("content.xml"))
+    body = root.find(f"{_O}body")
+    if body is None:
+        raise ValueError("odf: no office:body")
+    spans: list[Span] = []
+
+    text_doc = body.find(f"{_O}text")
+    sheet_doc = body.find(f"{_O}spreadsheet")
+    pres_doc = body.find(f"{_O}presentation")
+
+    if text_doc is not None:  # odt
+        for el in text_doc:
+            if el.tag == f"{_T}h":
+                for ref in _figures(el):
+                    spans.append(Span("figure", "", ref, -1))
+                txt = _text_of(el)
+                if txt.strip():
+                    spans.append(Span("heading", normalize_text(txt), "", -1))
+            elif el.tag in (f"{_T}p", f"{_T}list"):
+                for ref in _figures(el):
+                    spans.append(Span("figure", "", ref, -1))
+                txt = _text_of(el)
+                if txt.strip():
+                    spans.append(Span("paragraph", normalize_text(txt), "", -1))
+            elif el.tag == f"{_TB}table":
+                grid = _table_grid(el)
+                if grid.strip():
+                    spans.append(Span("table", normalize_text(grid), "", -1))
+    elif sheet_doc is not None:  # ods
+        for tbl in sheet_doc.findall(f"{_TB}table"):
+            grid = _table_grid(tbl)
+            if grid.strip():
+                name = tbl.get(f"{_TB}name", "Sheet")
+                spans.append(Span("heading", normalize_text(name), "", -1))
+                spans.append(Span("table", normalize_text(grid), "", -1))
+    elif pres_doc is not None:  # odp
+        for page in pres_doc.findall(f"{_D}page"):
+            for frame in page.iter(f"{_D}frame"):
+                cls = frame.get(f"{_P}class", "")
+                tbox = frame.find(f"{_D}text-box")
+                if tbox is not None:
+                    txt = "\n".join(
+                        _text_of(p) for p in tbox if p.tag in (f"{_T}p", f"{_T}h")
+                    )
+                    if txt.strip():
+                        kind = "heading" if cls == "title" else "paragraph"
+                        spans.append(Span(kind, normalize_text(txt), "", -1))
+                for ref in _figures(frame):
+                    spans.append(Span("figure", "", ref, -1))
+                tbl = frame.find(f"{_TB}table")
+                if tbl is not None:
+                    grid = _table_grid(tbl)
+                    if grid.strip():
+                        spans.append(Span("table", normalize_text(grid), "", -1))
+    else:
+        raise ValueError("odf: unrecognized body (no text/spreadsheet/presentation)")
+    return finalize(spans)

@@ -1,0 +1,198 @@
+"""RTF extractor — from scratch, stdlib only.
+
+`.rtf` is in the reference's office whitelist
+(`services/document_service.py:49-53`). This is a proper RTF tokenizer
+(public Rich Text Format spec): control words with optional numeric
+parameters, `\\'xx` charset escapes (decoded with the document's
+`\\ansicpg` code page), `\\uN` unicode escapes with `\\ucN` skip counts,
+group nesting, and skippable destinations (`{\\*`, fonttbl, pict, …).
+
+Span mapping: `\\par` ends a paragraph; `\\outlinelevelN` or an
+all-bold-large paragraph → heading; `\\cell`/`\\row` build tab-cell table
+grids; `\\pict` groups become figure spans keyed by a content hash
+(analogous to the reference's extracted-image naming).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+
+_CW = re.compile(rb"\\([a-z]{1,32})(-?\d{1,10})? ?", re.I)
+
+_SKIP_DESTS = {
+    b"fonttbl", b"colortbl", b"stylesheet", b"info", b"header", b"footer",
+    b"headerl", b"headerr", b"headerf", b"footerl", b"footerr", b"footerf",
+    b"xe", b"tc", b"object", b"themedata", b"colorschememapping",
+    b"latentstyles", b"datastore", b"listtable", b"listoverridetable",
+    b"rsidtbl", b"generator", b"ftnsep", b"aftnsep",
+}
+
+
+def extract_rtf(content: bytes) -> list[Span]:
+    if not content.lstrip().startswith(b"{\\rtf"):
+        raise ValueError("rtf: missing {\\rtf header")
+    data = content
+    n = len(data)
+    i = 0
+    codepage = "cp1252"
+    uc_skip = 1
+
+    spans: list[Span] = []
+    para: list[str] = []       # current paragraph text
+    cells: list[str] = []      # current table row cells
+    rows: list[str] = []       # current table rows
+    in_table_para = False
+    bold = large = False
+    outline = False
+    para_has_plain = False     # any non-bold-or-small text in paragraph
+    depth = 0
+    skip_until_depth = None    # inside a skipped destination group
+    pict_buf: list[bytes] | None = None
+
+    def flush_para() -> None:
+        nonlocal para, outline, para_has_plain
+        txt = "".join(para)
+        para = []
+        if txt.strip():
+            heading = outline or (not para_has_plain and txt.strip() != "")
+            spans.append(Span("heading" if heading else "paragraph",
+                              normalize_text(txt), "", -1))
+        outline = False
+        para_has_plain = False
+
+    def flush_table() -> None:
+        nonlocal rows
+        if rows:
+            spans.append(Span("table", normalize_text("\n".join(rows)), "", -1))
+            rows = []
+
+    def emit(ch: str) -> None:
+        nonlocal para_has_plain
+        if skip_until_depth is not None:
+            return
+        if pict_buf is not None:
+            return
+        if not (bold and large):
+            if ch.strip():
+                para_has_plain = True
+        para.append(ch)
+
+    while i < n:
+        c = data[i]
+        if c == 0x7B:  # {
+            depth += 1
+            i += 1
+        elif c == 0x7D:  # }
+            if skip_until_depth is not None and depth == skip_until_depth:
+                skip_until_depth = None
+            if pict_buf is not None and depth == pict_depth:
+                blob = b"".join(pict_buf)
+                h = hashlib.sha1(blob).hexdigest()[:12]
+                flush_para()
+                spans.append(Span("figure", "", f"{h}.jpg", -1))
+                pict_buf = None
+            depth -= 1
+            i += 1
+        elif c == 0x5C:  # backslash
+            if data[i + 1 : i + 2] == b"'":
+                byte = int(data[i + 2 : i + 4], 16)
+                try:
+                    emit(bytes([byte]).decode(codepage))
+                except (UnicodeDecodeError, LookupError):
+                    emit("\ufffd")
+                i += 4
+                continue
+            if data[i + 1 : i + 2] in (b"\\", b"{", b"}"):
+                emit(chr(data[i + 1]))
+                i += 2
+                continue
+            if data[i + 1 : i + 2] == b"*":
+                # {\* destination — skip whole group unless we keep it
+                skip_until_depth = depth if skip_until_depth is None else skip_until_depth
+                i += 2
+                continue
+            if data[i + 1 : i + 2] == b"~":
+                emit("\u00a0")
+                i += 2
+                continue
+            m = _CW.match(data, i)
+            if not m:
+                i += 1
+                continue
+            word = m.group(1).lower()
+            num = int(m.group(2)) if m.group(2) else None
+            i = m.end()
+            if skip_until_depth is not None:
+                continue
+            if word == b"ansicpg" and num:
+                codepage = f"cp{num}"
+            elif word == b"uc":
+                uc_skip = num or 0
+            elif word == b"u" and num is not None:
+                emit(chr(num + 65536 if num < 0 else num))
+                # skip the fallback character(s)
+                skipped = 0
+                while skipped < uc_skip and i < n:
+                    if data[i : i + 2] == b"\\'":
+                        i += 4
+                    elif data[i] not in (0x5C, 0x7B, 0x7D, 0x0D, 0x0A):
+                        i += 1
+                    else:
+                        break
+                    skipped += 1
+            elif word in _SKIP_DESTS:
+                skip_until_depth = depth
+            elif word == b"pict":
+                pict_buf = []
+                pict_depth = depth
+            elif word == b"par":
+                if in_table_para:
+                    pass  # cell text continues until \cell
+                else:
+                    flush_table()
+                    flush_para()
+            elif word == b"cell":
+                in_table_para = True
+                cells.append("".join(para).strip())
+                para = []
+            elif word == b"row":
+                rows.append("\t".join(cells))
+                cells = []
+                in_table_para = False
+            elif word == b"intbl":
+                in_table_para = True
+            elif word == b"b":
+                bold = num != 0
+            elif word == b"fs":
+                large = (num or 0) >= 32  # half-points: >=16pt
+            elif word == b"outlinelevel":
+                outline = True
+            elif word in (b"line",):
+                emit("\n")
+            elif word == b"tab":
+                emit("\t")
+            elif word in (b"pard", b"plain"):
+                if word == b"plain":
+                    bold = large = False
+            elif word in (b"bin",) and num:
+                i += num  # binary blob: skip raw bytes
+        elif c in (0x0D, 0x0A):
+            i += 1
+        else:
+            if pict_buf is not None:
+                j = i
+                while j < n and data[j] not in (0x5C, 0x7B, 0x7D, 0x0D, 0x0A):
+                    j += 1
+                pict_buf.append(data[i:j])
+                i = j
+            else:
+                emit(chr(c) if c < 0x80 else bytes([c]).decode(codepage, "replace"))
+                i += 1
+    flush_table()
+    flush_para()
+    if not spans:
+        raise ValueError("rtf: no content extracted")
+    return finalize(spans)

@@ -1,0 +1,325 @@
+"""ODF (odt/ods/odp), RTF, and legacy binary (.xls BIFF8, .ppt) kernels —
+the rest of the reference's office whitelist
+(document_service.py:49-56). Fixtures are synthesized in-test from the
+public specs; the CFB fixtures double as a cross-check of the CFB reader
+(write with an independent minimal writer, read back with the engine's).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+
+import pytest
+
+from documentconvert_spark.kernels.detect import extract_office_any
+from documentconvert_spark.kernels.minibiff import extract_ppt, extract_xls
+from documentconvert_spark.kernels.miniodf import extract_odf
+from documentconvert_spark.kernels.minirtf import extract_rtf
+
+# ------------------------------------------------------------------ ODF
+
+_ODT_CONTENT = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+  xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+  xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
+  xmlns:xlink="http://www.w3.org/1999/xlink">
+ <office:body><office:text>
+  <text:h text:outline-level="1">Annual Report</text:h>
+  <text:p>First paragraph with <text:span>inline span</text:span> text.</text:p>
+  <text:p><draw:frame><draw:image xlink:href="Pictures/chart1.png"/></draw:frame>Caption text</text:p>
+  <table:table table:name="T1">
+   <table:table-row>
+    <table:table-cell office:value-type="string"><text:p>name</text:p></table:table-cell>
+    <table:table-cell office:value-type="float" office:value="42"><text:p>42</text:p></table:table-cell>
+   </table:table-row>
+   <table:table-row>
+    <table:table-cell><text:p>alpha</text:p></table:table-cell>
+    <table:table-cell office:value-type="float" office:value="7.5"><text:p>7.5</text:p></table:table-cell>
+   </table:table-row>
+  </table:table>
+ </office:text></office:body>
+</office:document-content>"""
+
+_ODS_CONTENT = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+  xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">
+ <office:body><office:spreadsheet>
+  <table:table table:name="Budget">
+   <table:table-row>
+    <table:table-cell office:value-type="string"><text:p>item</text:p></table:table-cell>
+    <table:table-cell office:value-type="string" table:number-columns-repeated="2"><text:p>x</text:p></table:table-cell>
+   </table:table-row>
+   <table:table-row>
+    <table:table-cell office:value-type="float" office:value="100"><text:p>100</text:p></table:table-cell>
+    <table:table-cell office:value-type="date" office:date-value="2026-01-02"/>
+    <table:table-cell office:value-type="string"><text:p>ok</text:p></table:table-cell>
+   </table:table-row>
+  </table:table>
+ </office:spreadsheet></office:body>
+</office:document-content>"""
+
+_ODP_CONTENT = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+  xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+  xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
+  xmlns:presentation="urn:oasis:names:tc:opendocument:xmlns:presentation:1.0"
+  xmlns:xlink="http://www.w3.org/1999/xlink">
+ <office:body><office:presentation>
+  <draw:page draw:name="page1">
+   <draw:frame presentation:class="title"><draw:text-box><text:p>Deck Title</text:p></draw:text-box></draw:frame>
+   <draw:frame presentation:class="outline"><draw:text-box><text:p>bullet one</text:p><text:p>bullet two</text:p></draw:text-box></draw:frame>
+   <draw:frame><draw:image xlink:href="Pictures/logo.png"/></draw:frame>
+  </draw:page>
+ </office:presentation></office:body>
+</office:document-content>"""
+
+
+def _odf_zip(content_xml: str, mimetype: str) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", mimetype)
+        z.writestr("content.xml", content_xml)
+    return buf.getvalue()
+
+
+def test_odt():
+    spans = extract_odf(_odf_zip(_ODT_CONTENT, "application/vnd.oasis.opendocument.text"))
+    kinds = [s.kind for s in spans]
+    assert kinds == ["heading", "paragraph", "figure", "paragraph", "table"]
+    assert spans[0].text == "Annual Report"
+    assert "inline span" in spans[1].text
+    assert spans[2].media_ref == "chart1.png"
+    assert spans[4].text == "name\t42\nalpha\t7.5"
+
+
+def test_ods():
+    spans = extract_odf(_odf_zip(_ODS_CONTENT, "application/vnd.oasis.opendocument.spreadsheet"))
+    assert [s.kind for s in spans] == ["heading", "table"]
+    assert spans[0].text == "Budget"
+    assert spans[1].text == "item\tx\tx\n100\t2026-01-02\tok"
+
+
+def test_odp():
+    spans = extract_odf(_odf_zip(_ODP_CONTENT, "application/vnd.oasis.opendocument.presentation"))
+    assert [s.kind for s in spans] == ["heading", "paragraph", "figure"]
+    assert spans[0].text == "Deck Title"
+    assert "bullet one" in spans[1].text and "bullet two" in spans[1].text
+    assert spans[2].media_ref == "logo.png"
+
+
+# ------------------------------------------------------------------ RTF
+
+def test_rtf_basic():
+    rtf = (rb"{\rtf1\ansi\ansicpg1252\deff0"
+           rb"{\fonttbl{\f0 Times New Roman;}}"
+           rb"{\info{\title secret metadata}}"
+           rb"\pard\outlinelevel0\b\fs36 Quarterly Review\b0\fs24\par"
+           b"\\pard First body paragraph with \\'e9 accent and \\u20013? char.\\par"
+           rb"\trowd\intbl cellA\cell cellB\cell\row"
+           rb"\trowd\intbl cellC\cell cellD\cell\row\pard"
+           rb"Last paragraph.\par}")
+    spans = extract_rtf(rtf)
+    kinds = [s.kind for s in spans]
+    assert kinds == ["heading", "paragraph", "table", "paragraph"]
+    assert spans[0].text == "Quarterly Review"
+    assert "é" in spans[1].text and "中" in spans[1].text  # \'e9 +  3
+    assert "secret metadata" not in " ".join(s.text for s in spans)  # \info skipped
+    assert spans[2].text == "cellA\tcellB\ncellC\tcellD"
+
+
+def test_rtf_pict_becomes_figure():
+    rtf = (rb"{\rtf1\ansi Intro\par"
+           rb"{\pict\pngblip\picw100\pich100 a1b2c3d4e5f6}"
+           rb"After image.\par}")
+    spans = extract_rtf(rtf)
+    assert [s.kind for s in spans] == ["paragraph", "figure", "paragraph"]
+    assert spans[1].media_ref.endswith(".jpg")
+
+
+def test_rtf_rejects_non_rtf():
+    with pytest.raises(ValueError):
+        extract_rtf(b"plain text, no rtf header")
+
+
+# ---------------------------------------------------- minimal CFB writer
+
+_FREE = 0xFFFFFFFF
+_ENDCHAIN = 0xFFFFFFFE
+_FATSECT = 0xFFFFFFFD
+
+
+def _dir_entry(name: str, otype: int, start: int, size: int) -> bytes:
+    raw_name = name.encode("utf-16-le") + b"\x00\x00"
+    e = bytearray(128)
+    e[: len(raw_name)] = raw_name
+    struct.pack_into("<H", e, 64, len(raw_name))
+    e[66] = otype
+    e[67] = 1  # black
+    struct.pack_into("<I", e, 68, _FREE)   # left sibling
+    struct.pack_into("<I", e, 72, _FREE)   # right sibling
+    struct.pack_into("<I", e, 76, 1 if otype == 5 else _FREE)  # child
+    struct.pack_into("<I", e, 116, start)
+    struct.pack_into("<Q", e, 120, size)
+    return bytes(e)
+
+
+def write_cfb(streams: list[tuple[str, bytes]]) -> bytes:
+    """Independent minimal [MS-CFB] writer: 512-byte sectors, all streams
+    on the regular FAT (padded past the mini cutoff), single FAT sector."""
+    ssz = 512
+    padded = []
+    for name, data in streams:
+        size = max(len(data), 4096)
+        pad = (-size) % ssz
+        padded.append((name, data + b"\x00" * (size + pad - len(data)), size + pad))
+
+    sectors: list[bytes] = []
+    starts = []
+    for _name, data, _size in padded:
+        starts.append(len(sectors))
+        for off in range(0, len(data), ssz):
+            sectors.append(data[off : off + ssz])
+    dir_sect = len(sectors)
+    entries = [_dir_entry("Root Entry", 5, _ENDCHAIN, 0)]
+    for (name, _d, size), start in zip(padded, starts):
+        entries.append(_dir_entry(name, 2, start, size))
+    dir_data = b"".join(entries)
+    dir_data += b"\x00" * ((-len(dir_data)) % ssz)
+    for off in range(0, len(dir_data), ssz):
+        sectors.append(dir_data[off : off + ssz])
+    n_dir_sects = len(sectors) - dir_sect
+    fat_sect = len(sectors)
+
+    fat = [_FREE] * (ssz // 4)
+    for (name, data, _size), start in zip(padded, starts):
+        n = len(data) // ssz
+        for k in range(n):
+            fat[start + k] = start + k + 1 if k < n - 1 else _ENDCHAIN
+    for k in range(n_dir_sects):
+        fat[dir_sect + k] = dir_sect + k + 1 if k < n_dir_sects - 1 else _ENDCHAIN
+    fat[fat_sect] = _FATSECT
+    sectors.append(struct.pack(f"<{ssz // 4}I", *fat))
+
+    hdr = bytearray(512)
+    hdr[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", hdr, 24, 0x003E)   # minor version
+    struct.pack_into("<H", hdr, 26, 0x0003)   # major version 3
+    struct.pack_into("<H", hdr, 28, 0xFFFE)   # little-endian
+    struct.pack_into("<H", hdr, 30, 9)        # sector shift
+    struct.pack_into("<H", hdr, 32, 6)        # mini sector shift
+    struct.pack_into("<I", hdr, 44, 1)        # n_fat
+    struct.pack_into("<I", hdr, 48, dir_sect)
+    struct.pack_into("<I", hdr, 56, 4096)     # mini cutoff
+    struct.pack_into("<I", hdr, 60, _ENDCHAIN)  # minifat start
+    struct.pack_into("<I", hdr, 64, 0)
+    struct.pack_into("<I", hdr, 68, _ENDCHAIN)  # difat start
+    struct.pack_into("<I", hdr, 72, 0)
+    difat = [fat_sect] + [_FREE] * 108
+    struct.pack_into("<109I", hdr, 76, *difat)
+    return bytes(hdr) + b"".join(sectors)
+
+
+# ------------------------------------------------------------------ .xls
+
+def _biff_rec(op: int, payload: bytes) -> bytes:
+    return struct.pack("<HH", op, len(payload)) + payload
+
+
+def _xl_str8(s: str) -> bytes:
+    """ShortXLUnicodeString, compressed."""
+    b = s.encode("latin-1")
+    return struct.pack("<BB", len(b), 0) + b
+
+
+def _make_xls() -> bytes:
+    # globals: BOF, BOUNDSHEET (offset patched), SST, EOF
+    sst_strings = ["name", "alpha", "beta", "宽字符"]
+    sst_payload = struct.pack("<II", 4, 4)
+    for s in sst_strings:
+        try:
+            raw = s.encode("latin-1")
+            sst_payload += struct.pack("<HB", len(s), 0) + raw
+        except UnicodeEncodeError:
+            raw = s.encode("utf-16-le")
+            sst_payload += struct.pack("<HB", len(s), 1) + raw
+    bof = _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    boundsheet_placeholder = struct.pack("<IBB", 0, 0, 0) + _xl_str8("Data")
+    globals_part = (
+        bof
+        + _biff_rec(0x0085, boundsheet_placeholder)
+        + _biff_rec(0x00FC, sst_payload)
+        + _biff_rec(0x000A, b"")
+    )
+    sheet_off = len(globals_part)
+    # sheet substream: BOF, LABELSST row0 (header), NUMBER + RK row1, EOF
+    sheet = (
+        _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        + _biff_rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))  # A1 = "name"
+        + _biff_rec(0x00FD, struct.pack("<HHHI", 0, 1, 0, 3))  # B1 = "宽字符"
+        + _biff_rec(0x00FD, struct.pack("<HHHI", 1, 0, 0, 1))  # A2 = "alpha"
+        + _biff_rec(0x0203, struct.pack("<HHHd", 1, 1, 0, 12.0))  # B2 = 12
+        + _biff_rec(0x00FD, struct.pack("<HHHI", 2, 0, 0, 2))  # A3 = "beta"
+        + _biff_rec(0x027E, struct.pack("<HHHI", 2, 1, 0, (25 << 2) | 0x02))  # B3 = RK int 25
+        + _biff_rec(0x000A, b"")
+    )
+    # patch BOUNDSHEET lbPlyPos
+    fixed_boundsheet = struct.pack("<I", sheet_off) + boundsheet_placeholder[4:]
+    globals_part = (
+        bof + _biff_rec(0x0085, fixed_boundsheet) + _biff_rec(0x00FC, sst_payload)
+        + _biff_rec(0x000A, b"")
+    )
+    return write_cfb([("Workbook", globals_part + sheet)])
+
+
+def test_xls_biff8():
+    spans = extract_xls(_make_xls())
+    assert [s.kind for s in spans] == ["heading", "table"]
+    assert spans[0].text == "Data"
+    assert spans[1].text == "name\t宽字符\nalpha\t12\nbeta\t25"
+
+
+def test_xls_routed_by_ole_directory():
+    spans = extract_office_any(_make_xls())
+    assert spans[0].text == "Data"
+
+
+# ------------------------------------------------------------------ .ppt
+
+def _ppt_rec(ver_inst: int, rtype: int, payload: bytes) -> bytes:
+    return struct.pack("<HHI", ver_inst, rtype, len(payload)) + payload
+
+
+def _make_ppt() -> bytes:
+    title = "Roadmap 2026".encode("utf-16-le")
+    body = "第一点\r第二点".encode("utf-16-le")
+    bytes_txt = b"ascii only run"
+    slide = _ppt_rec(
+        0x000F, 0x03EE,  # Slide container
+        _ppt_rec(0x0000, 0x0F9F, struct.pack("<I", 0))      # TextHeaderAtom: title
+        + _ppt_rec(0x0000, 0x0FA0, title)                    # TextCharsAtom
+        + _ppt_rec(0x0000, 0x0F9F, struct.pack("<I", 1))    # TextHeaderAtom: body
+        + _ppt_rec(0x0000, 0x0FA0, body)
+        + _ppt_rec(0x0000, 0x0FA8, bytes_txt),               # TextBytesAtom
+    )
+    doc = _ppt_rec(0x000F, 0x03E8, slide)
+    return write_cfb([("PowerPoint Document", doc), ("Current User", b"\x00" * 16)])
+
+
+def test_ppt_text_atoms():
+    spans = extract_ppt(_make_ppt())
+    assert spans[0].kind == "heading" and spans[0].text == "Roadmap 2026"
+    texts = [s.text for s in spans]
+    assert "第一点" in texts and "第二点" in texts and "ascii only run" in texts
+
+
+def test_ppt_routed_by_ole_directory():
+    spans = extract_office_any(_make_ppt())
+    assert spans[0].text == "Roadmap 2026"
