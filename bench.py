@@ -83,6 +83,56 @@ def run_extract_bench(spark, n_docs: int, parallelism: int) -> tuple[float, int]
     return min(one_pass(), one_pass(), key=lambda x: x[0])
 
 
+REF_TEST_DIR = "/root/reference/test"
+
+
+def run_real_docs_bench(spark, sf: float, parallelism: int) -> tuple[float, int]:
+    """Real-format extraction throughput: the reference's 7 sample
+    documents (real PDF / OOXML / OLE binaries) replicated to SF scale and
+    pushed through the same sniffing-dispatch Arrow UDF. Measures the
+    realpdf/miniooxml/minidoc kernels, not the synthetic ones."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(REF_TEST_DIR, "*")))
+    if not files:
+        return 0.0, 0
+    rows = []
+    for p in files:
+        with open(p, "rb") as fh:
+            content = fh.read()
+        name = os.path.basename(p)
+        suffix = name.rsplit(".", 1)[-1].lower()
+        rows.append((name, "pdf" if suffix == "pdf" else "markup", content, len(content)))
+    n_copies = max(int(1000 * sf), 10)
+    base = spark.createDataFrame(
+        rows, "doc_id string, doc_type string, content binary, byte_len long"
+    )
+    docs = (
+        spark.range(n_copies)
+        .crossJoin(base)
+        .select(
+            F.concat_ws("#", "doc_id", F.col("id").cast("string")).alias("doc_id"),
+            "doc_type", "content", "byte_len",
+            F.lit("ref").alias("source_bucket"),
+            F.concat(F.lit("ref/"), "doc_id").alias("source_path"),
+        )
+        .repartition(parallelism * 2)
+        .cache()
+    )
+    n_total = docs.count()  # materialize the replicated corpus outside timing
+
+    def one_pass() -> tuple[float, int]:
+        t0 = time.monotonic()
+        n = force(extract_spans(docs))
+        return time.monotonic() - t0, n
+
+    one_pass()
+    dt, n = min(one_pass(), one_pass(), key=lambda x: x[0])
+    docs.unpersist()
+    assert n == n_total
+    return dt, n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -96,6 +146,10 @@ def main() -> None:
     t0 = time.monotonic()
     extract_s, n_extracted = run_extract_bench(spark, n_docs, cpus)
     queries["extract_pipeline"] = round(extract_s, 3)
+
+    real_s, n_real = run_real_docs_bench(spark, sf, cpus)
+    if n_real:
+        queries["real_docs_extract"] = round(real_s, 3)
 
     relational = {
         "tpch_q1": q_tpch_q1,
@@ -128,6 +182,9 @@ def main() -> None:
         "docs_per_sec": round(n_extracted / extract_s, 1),
         "cpus": cpus,
     }
+    if n_real:
+        result["real_docs"] = n_real
+        result["real_docs_per_sec"] = round(n_real / real_s, 1)
     spark.stop()
     print(json.dumps(result))
 

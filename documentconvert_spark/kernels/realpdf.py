@@ -33,8 +33,8 @@ import zlib
 
 from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
 
-_WS = b"\x00\t\n\x0c\r "
-_DELIM = b"()<>[]{}/%"
+_WS = frozenset(b"\x00\t\n\x0c\r ")
+_DELIM = frozenset(b"()<>[]{}/%")
 
 
 class _Name(str):
@@ -66,13 +66,19 @@ def _skip_ws(data: bytes, i: int) -> int:
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 
 
-def _parse_object(data: bytes, i: int):
-    """Parse one object at i → (value, next_index)."""
+_REF_RE = re.compile(rb"(\d+)\s+R(?![a-zA-Z])")
+
+
+def _parse_object(data: bytes, i: int, refs: bool = True):
+    """Parse one object at i → (value, next_index). refs=False disables
+    the 'N G R' indirect-reference lookahead — content streams contain no
+    refs, and the lookahead per integer operand is the tokenizer's single
+    largest cost on text-dense pages."""
     i = _skip_ws(data, i)
     c = data[i : i + 1]
     if c == b"<":
         if data[i + 1 : i + 2] == b"<":
-            return _parse_dict(data, i)
+            return _parse_dict(data, i, refs)
         return _parse_hex_string(data, i)
     if c == b"(":
         return _parse_lit_string(data, i)
@@ -85,7 +91,7 @@ def _parse_object(data: bytes, i: int):
             i = _skip_ws(data, i)
             if data[i : i + 1] == b"]":
                 return arr, i + 1
-            v, i = _parse_object(data, i)
+            v, i = _parse_object(data, i, refs)
             arr.append(v)
     if data.startswith(b"true", i):
         return True, i + 4
@@ -98,29 +104,25 @@ def _parse_object(data: bytes, i: int):
         tok = m.group(0)
         j = m.end()
         # maybe "N G R" indirect ref
-        if b"." not in tok:
+        if refs and b"." not in tok:
             k = _skip_ws(data, j)
-            m2 = re.match(rb"(\d+)\s+R(?![a-zA-Z])", data[k : k + 24])
+            m2 = _REF_RE.match(data, k, k + 24)
             if m2 and tok.isdigit():
-                return _Ref((int(tok), int(m2.group(1)))), k + m2.end()
+                return _Ref((int(tok), int(m2.group(1)))), m2.end()
             return int(tok), j
-        return float(tok), j
+        return (float(tok) if b"." in tok else int(tok)), j
     raise ValueError(f"pdf: unparsable object at byte {i}: {data[i:i+20]!r}")
 
 
+_NAME_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+
+
 def _parse_name(data: bytes, i: int):
-    i += 1
-    j = i
-    n = len(data)
-    out = bytearray()
-    while j < n and data[j] not in _WS and data[j] not in _DELIM:
-        if data[j] == 0x23 and j + 2 < n:  # '#xx'
-            out.append(int(data[j + 1 : j + 3], 16))
-            j += 3
-        else:
-            out.append(data[j])
-            j += 1
-    return _Name(out.decode("latin-1")), j
+    m = _NAME_RE.match(data, i + 1)
+    raw = m.group(0)
+    if b"#" in raw:
+        raw = re.sub(rb"#([0-9A-Fa-f]{2})", lambda mm: bytes([int(mm.group(1), 16)]), raw)
+    return _Name(raw.decode("latin-1")), m.end()
 
 
 def _parse_hex_string(data: bytes, i: int):
@@ -172,7 +174,7 @@ def _parse_lit_string(data: bytes, i: int):
     raise ValueError("pdf: unterminated string")
 
 
-def _parse_dict(data: bytes, i: int):
+def _parse_dict(data: bytes, i: int, refs: bool = True):
     i += 2
     d = {}
     while True:
@@ -180,7 +182,7 @@ def _parse_dict(data: bytes, i: int):
         if data[i : i + 2] == b">>":
             return d, i + 2
         key, i = _parse_name(data, i)
-        val, i = _parse_object(data, i)
+        val, i = _parse_object(data, i, refs)
         d[key] = val
 
 
@@ -222,6 +224,7 @@ class _Pdf:
         self.offsets: dict[int, int] = {}          # obj num -> byte offset
         self.in_objstm: dict[int, tuple[int, int]] = {}  # num -> (stm num, idx)
         self.cache: dict[int, object] = {}
+        self.font_cache: dict = {}                 # font ref -> _Font (CMaps are expensive)
         self.trailer: dict = {}
         self._load_xref()
 
@@ -574,7 +577,7 @@ def _content_tokens(body: bytes):
         c = body[i]
         if c in b"/<([" or c == 0x3C or (0x30 <= c <= 0x39) or c in b"+-.":
             try:
-                v, i = _parse_object(body, i)
+                v, i = _parse_object(body, i, refs=False)
             except ValueError:
                 i += 1
                 continue
@@ -598,7 +601,6 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
                runs: list, ctm, seq_start: int, depth: int = 0) -> int:
     fonts_res = pdf.resolve(resources.get("Font")) or {}
     xobjs = pdf.resolve(resources.get("XObject")) or {}
-    font_cache: dict[str, _Font] = {}
     font: _Font | None = None
     size = 0.0
     leading = 0.0
@@ -637,10 +639,12 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
             elif op == "Tf" and len(stack) >= 2:
                 size = float(stack[-1])
                 name = str(stack[-2])
-                if name not in font_cache:
-                    fd = pdf.resolve(fonts_res.get(name))
-                    font_cache[name] = _Font(pdf, fd) if isinstance(fd, dict) else None
-                font = font_cache[name]
+                fref = fonts_res.get(name)
+                key = fref if isinstance(fref, _Ref) else (id(resources), name)
+                if key not in pdf.font_cache:
+                    fd = pdf.resolve(fref)
+                    pdf.font_cache[key] = _Font(pdf, fd) if isinstance(fd, dict) else None
+                font = pdf.font_cache[key]
             elif op == "TL" and stack:
                 leading = float(stack[-1])
             elif op == "Td" and len(stack) >= 2:

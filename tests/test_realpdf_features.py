@@ -1,0 +1,200 @@
+"""realpdf parser hardening: synthesized PDFs exercising the spec surface
+the reference sample doesn't hit — cross-reference STREAMS with PNG Up
+predictor, object streams (/ObjStm), literal-string escapes, TJ kerning
+arrays, /Differences simple-font encodings, Form-XObject recursion, Image
+XObjects as figure spans, and multi-page reading order.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from documentconvert_spark.kernels.realpdf import extract_realpdf
+
+
+def _classic_pdf(objects: dict[int, bytes]) -> bytes:
+    """Assemble a classic-xref PDF from {num: object body (after 'N 0 obj')}."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    maxn = max(objects) + 1
+    out += b"xref\n0 %d\n" % maxn
+    out += b"0000000000 65535 f \n"
+    for n in range(1, maxn):
+        out += b"%010d 00000 n \n" % offsets.get(n, 0)
+    out += b"trailer\n<</Size %d /Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n" % (maxn, xref_at)
+    return bytes(out)
+
+
+def _page_tree(kids: list[int]) -> dict[int, bytes]:
+    kid_refs = b" ".join(b"%d 0 R" % k for k in kids)
+    return {
+        1: b"<</Type /Catalog /Pages 2 0 R>>",
+        2: b"<</Type /Pages /Kids [%s] /Count %d>>" % (kid_refs, len(kids)),
+    }
+
+
+def _stream_obj(d: bytes, body: bytes) -> bytes:
+    return b"<<%s /Length %d>>\nstream\n%s\nendstream" % (d, len(body), body)
+
+
+_FONT = b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>"
+
+
+def test_literal_strings_and_tj_arrays():
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (Hello \\(escaped\\) \\110i) Tj "
+        b"0 -14 Td [(Ker)-120(ned)] TJ ET"
+    )
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>> /MediaBox [0 0 612 792]>>"
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert "Hello (escaped) Hi" in text  # \110 octal = 'H'
+    assert "Kerned" in text              # TJ parts concatenated
+
+
+def test_multipage_reading_order_and_heading():
+    objs = _page_tree([3, 6])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 9 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", b"BT /F1 24 Tf 72 700 Td (Title Line) Tj ET BT /F1 10 Tf 72 650 Td (page one body text) Tj ET")
+    objs[6] = b"<</Type /Page /Parent 2 0 R /Contents 7 0 R /Resources <</Font <</F1 9 0 R>>>>>>"
+    objs[7] = _stream_obj(b"", b"BT /F1 10 Tf 72 700 Td (page two body text) Tj ET")
+    objs[9] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert spans[0].kind == "heading" and spans[0].text == "Title Line"
+    texts = [s.text for s in spans]
+    assert texts.index("page one body text") < texts.index("page two body text")
+
+
+def test_differences_encoding():
+    # code 65 remapped to 'bullet', 66 to uni4E2D
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", b"BT /F1 10 Tf 72 700 Td (AB) Tj ET")
+    objs[5] = (b"<</Type /Font /Subtype /Type1 /BaseFont /Custom "
+               b"/Encoding <</Differences [65 /bullet /uni4E2D]>>>>")
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert spans[0].text == "•中"
+
+
+def test_form_xobject_recursion_and_image_figure():
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 8 0 R>> /XObject <</Fm1 5 0 R /Im1 6 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", b"BT /F1 10 Tf 72 700 Td (before form) Tj ET /Fm1 Do q 10 0 0 10 72 300 cm /Im1 Do Q")
+    inner = b"BT /F1 10 Tf 72 500 Td (inside form xobject) Tj ET"
+    objs[5] = _stream_obj(
+        b"/Type /XObject /Subtype /Form /Resources <</Font <</F1 8 0 R>>>>", inner
+    )
+    objs[6] = _stream_obj(b"/Type /XObject /Subtype /Image /Width 4 /Height 4", b"\x00" * 16)
+    objs[8] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = " ".join(s.text for s in spans)
+    assert "before form" in text and "inside form xobject" in text
+    figs = [s for s in spans if s.kind == "figure"]
+    assert len(figs) == 1 and figs[0].media_ref.endswith(".jpg")
+    # figure interleaved below the text (y=300 < 500/700)
+    assert spans[-1].kind == "figure"
+
+
+def test_flate_and_asciihex_filters():
+    content = b"BT /F1 10 Tf 72 700 Td (compressed content line) Tj ET"
+    flate = zlib.compress(content)
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = b"<</Filter /FlateDecode /Length %d>>\nstream\n%s\nendstream" % (len(flate), flate)
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert spans and spans[0].text == "compressed content line"
+
+    hexed = content.hex().encode() + b">"
+    objs[4] = b"<</Filter /ASCIIHexDecode /Length %d>>\nstream\n%s\nendstream" % (len(hexed), hexed)
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert spans and spans[0].text == "compressed content line"
+
+
+def _xrefstream_pdf() -> bytes:
+    """PDF 1.5: catalog/pages/page/font packed in an /ObjStm, xref as a
+    stream with W [1 2 1] and PNG Up predictor."""
+    # object stream holds 1 (catalog), 2 (pages), 3 (page), 5 (font)
+    inner_objs = [
+        (1, b"<</Type /Catalog /Pages 2 0 R>>"),
+        (2, b"<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+        (3, b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"),
+        (5, b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>"),
+    ]
+    header = b""
+    body = b""
+    for num, data in inner_objs:
+        header += b"%d %d " % (num, len(body))
+        body += data + b" "
+    objstm_payload = header + body
+    first = len(header)
+    objstm_z = zlib.compress(objstm_payload)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+
+    def emit(num: int, raw: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + raw + b"\nendobj\n")
+
+    content = b"BT /F1 10 Tf 72 700 Td (from an object stream) Tj ET"
+    emit(4, b"<</Length %d>>\nstream\n%s\nendstream" % (len(content), content))
+    emit(6, b"<</Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d>>\nstream\n%s\nendstream"
+         % (len(inner_objs), first, len(objstm_z), objstm_z))
+
+    xref_at = len(out)
+    # entries for objects 0..7 ; W = [1 2 1]
+    rows = []
+    rows.append(struct.pack(">BHB", 0, 0, 0))                 # 0: free
+    for num in (1, 2, 3):
+        idx = [n for n, _ in inner_objs].index(num)
+        rows.append(struct.pack(">BHB", 2, 6, idx))           # in ObjStm 6
+    rows.append(struct.pack(">BHB", 1, offsets[4], 0))        # 4: direct
+    rows.append(struct.pack(">BHB", 2, 6, 3))                 # 5: in ObjStm idx 3
+    rows.append(struct.pack(">BHB", 1, offsets[6], 0))        # 6: direct
+    rows.append(struct.pack(">BHB", 1, xref_at, 0))           # 7: xref stream itself
+    # PNG Up predictor, columns = 4 bytes
+    pred = bytearray()
+    prev = bytes(4)
+    for r in rows:
+        pred.append(2)
+        pred += bytes((r[i] - prev[i]) & 0xFF for i in range(4))
+        prev = r
+    xref_z = zlib.compress(bytes(pred))
+    out += (b"7 0 obj\n<</Type /XRef /Size 8 /W [1 2 1] /Index [0 8] /Root 1 0 R "
+            b"/Filter /FlateDecode /DecodeParms <</Predictor 12 /Colors 1 /BitsPerComponent 8 /Columns 4>> "
+            b"/Length %d>>\nstream\n%s\nendstream\nendobj\n" % (len(xref_z), xref_z))
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
+def test_xref_stream_and_objstm():
+    spans = extract_realpdf(_xrefstream_pdf())
+    assert len(spans) == 1 and spans[0].text == "from an object stream"
+
+
+def test_scan_fallback_on_broken_xref():
+    pdf = _classic_pdf({**_page_tree([3]),
+                        3: b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>",
+                        4: _stream_obj(b"", b"BT /F1 10 Tf 72 700 Td (survives xref corruption) Tj ET"),
+                        5: _FONT})
+    # corrupt the startxref offset
+    broken = pdf.replace(b"startxref\n", b"startxref\n9999999 ", 1)
+    spans = extract_realpdf(broken)
+    assert spans and spans[0].text == "survives xref corruption"
+
+
+def test_determinism_across_variants():
+    for mk in (_xrefstream_pdf, _xrefstream_pdf):
+        assert extract_realpdf(mk()) == extract_realpdf(mk())
