@@ -1,0 +1,106 @@
+"""Real embedded-media extraction + header-level metadata sniffing.
+
+The reference physically extracts figure crops to `output/images/` and the
+markdown references them (`services/document_service.py:259-304`). The
+engine's analogue at corpus scale: pull the actual embedded media BYTES
+out of each document container into the media side table
+(doc_id, media_ref, content binary), and decode header-level metadata
+(format, width, height) from the bytes themselves — PNG IHDR and JPEG
+SOFn frames parsed directly, no codec libraries.
+
+Containers covered: OOXML (word/media/, ppt/media/, xl/media/), ODF
+(Pictures/), PDF (Image XObject streams, media_ref matching the figure
+spans realpdf emits). OLE-embedded media (escher blips) is out of scope —
+those documents simply contribute no media rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import struct
+import zipfile
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+_ZIP_MEDIA_DIRS = ("word/media/", "ppt/media/", "xl/media/", "Pictures/")
+
+
+def sniff_image_meta(data: bytes) -> tuple[str, int | None, int | None]:
+    """(format, width, height) from the file header alone."""
+    if data[:8] == _PNG_MAGIC and len(data) >= 24 and data[12:16] == b"IHDR":
+        w, h = struct.unpack_from(">II", data, 16)
+        return "png", w, h
+    if data[:2] == b"\xff\xd8":  # JPEG: scan segments for SOFn
+        i = 2
+        n = len(data)
+        while i + 4 <= n and data[i] == 0xFF:
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seg_len,) = struct.unpack_from(">H", data, i + 2)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    h, w = struct.unpack_from(">HH", data, i + 5)
+                    return "jpeg", w, h
+                break
+            i += 2 + seg_len
+        return "jpeg", None, None
+    if data[:6] in _GIF_MAGICS and len(data) >= 10:
+        w, h = struct.unpack_from("<HH", data, 6)
+        return "gif", w, h
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack_from("<ii", data, 18)
+        return "bmp", abs(w), abs(h)
+    if data[:5] == b"<?xml" or data.lstrip()[:4] == b"<svg":
+        return "svg", None, None
+    if data[:4] == b"II*\x00" or data[:4] == b"MM\x00*":
+        return "tiff", None, None
+    return "unknown", None, None
+
+
+def _zip_media(content: bytes) -> list[tuple[str, bytes]]:
+    out = []
+    z = zipfile.ZipFile(io.BytesIO(content))
+    for name in z.namelist():
+        if any(name.startswith(d) for d in _ZIP_MEDIA_DIRS) and not name.endswith("/"):
+            out.append((name.rsplit("/", 1)[-1], z.read(name)))
+    return out
+
+
+def _pdf_media(content: bytes) -> list[tuple[str, bytes]]:
+    """Image XObject streams, keyed exactly as realpdf's figure spans
+    (sha1(first 4 KiB)[:12] + '.jpg') so span⋈media joins line up."""
+    from documentconvert_spark.kernels.realpdf import _Pdf
+
+    pdf = _Pdf(content)
+    out = []
+    seen = set()
+    for num in list(pdf.offsets) + list(pdf.in_objstm):
+        try:
+            obj = pdf.get(num)
+        except Exception:
+            continue
+        if isinstance(obj, tuple) and isinstance(obj[0], dict):
+            d = obj[0]
+            if pdf.resolve(d.get("Subtype")) == "Image":
+                ref = hashlib.sha1(obj[1][:4096]).hexdigest()[:12] + ".jpg"
+                if ref not in seen:
+                    seen.add(ref)
+                    try:
+                        out.append((ref, pdf.stream_bytes(obj)))
+                    except ValueError:
+                        out.append((ref, obj[1]))  # undecodable filter: raw
+    return out
+
+
+def extract_media_files(content: bytes) -> list[tuple[str, bytes]]:
+    """All embedded media in one document container → [(media_ref, bytes)]."""
+    if not content:
+        return []
+    if content[:4] == b"PK\x03\x04":
+        return _zip_media(content)
+    if content.lstrip()[:5].startswith(b"%PDF-"):
+        return _pdf_media(content)
+    return []

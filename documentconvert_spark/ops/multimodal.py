@@ -223,3 +223,54 @@ def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
         media.select("media_ref", j)
         .withColumn("feature", F.round((h % 1000) / 1000.0, 3))
     )
+
+
+# ---------------------------------------------------------------- real media
+
+REAL_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("byte_len", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+
+def extract_real_media(docs_raw: DataFrame) -> DataFrame:
+    """REAL embedded media: walk each document container (OOXML/ODF zip
+    parts, PDF Image XObjects) and emit the actual media bytes plus
+    header-sniffed format/dimensions (kernels/media.py — PNG IHDR, JPEG
+    SOFn, no codec libs). Row-expanding mapInPandas, narrow (no shuffle);
+    media_refs match the figure spans the extractors emit, so
+    spans ⋈ media joins work on real corpora exactly as on synthetic
+    (J3, reference document_service.py:259-304)."""
+    from documentconvert_spark.kernels.media import extract_media_files, sniff_image_meta
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "media_ref", "format", "width",
+                                    "height", "byte_len", "content")}
+            for did, blob in zip(b["doc_id"], b["content"]):
+                try:
+                    media = extract_media_files(bytes(blob) if blob is not None else b"")
+                except Exception:  # noqa: BLE001 — containment (C7)
+                    continue
+                for ref, data in media:
+                    fmt, w, h = sniff_image_meta(data)
+                    rows["doc_id"].append(did)
+                    rows["media_ref"].append(ref)
+                    rows["format"].append(fmt)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["byte_len"].append(len(data))
+                    rows["content"].append(data)
+            df = pd.DataFrame(rows)
+            for c in ("width", "height", "byte_len"):
+                df[c] = df[c].astype("Int32") if len(df) else pd.array([], dtype="Int32")
+            yield df
+
+    return docs_raw.select("doc_id", "content").mapInPandas(gen, schema=REAL_MEDIA_SCHEMA)

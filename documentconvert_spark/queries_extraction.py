@@ -372,6 +372,29 @@ FROM read_parquet('{EXPECTED_REAL_SPANS_PARQUET}')
 """
 
 
+EXPECTED_REAL_MEDIA_PARQUET = os.path.join(_RES_DIR, "expected_real_media.parquet")
+
+
+def q_real_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL embedded media pulled from the reference sample containers
+    (zip parts / PDF Image XObjects) with header-sniffed format and
+    dimensions — the media side table on actual bytes (K6/J3)."""
+    from documentconvert_spark.ingest import binary_dir_as_raw
+    from documentconvert_spark.ops.multimodal import extract_real_media
+
+    m = extract_real_media(binary_dir_as_raw(spark, _REF_TEST_DIR))
+    return m.select(
+        "doc_id", "media_ref", "format", "width", "height", "byte_len",
+        F.md5("content").alias("content_md5"),
+    )
+
+
+SQL_REAL_MEDIA_META = f"""
+SELECT doc_id, media_ref, format, width, height, byte_len, content_md5
+FROM read_parquet('{EXPECTED_REAL_MEDIA_PARQUET}')
+"""
+
+
 def q_real_docs_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _real_docs_extracted(spark)
     return out.select(
@@ -391,6 +414,7 @@ FROM read_parquet('{EXPECTED_REAL_DOCS_PARQUET}')
 EXTRACTION_QUERIES: dict[str, tuple] = {
     "real_docs_span_seq": (q_real_docs_span_seq, SQL_REAL_DOCS_SPAN_SEQ),
     "real_docs_summary": (q_real_docs_summary, SQL_REAL_DOCS_SUMMARY),
+    "real_media_meta": (q_real_media_meta, SQL_REAL_MEDIA_META),
     "spans_input_stats": (q_spans_input_stats, SQL_SPANS_INPUT_STATS),
     "w1_redensify": (q_w1_redensify, SQL_W1_REDENSIFY),
     "j3_media_join": (q_j3_media_join, SQL_J3_MEDIA_JOIN),

@@ -187,3 +187,53 @@ def test_spark_extracts_reference_corpus(spark):
     )
     assert figs > 0
     out.unpersist()
+
+
+# ------------------------------------------------------------ real media bytes
+
+def test_real_media_extraction_kernel():
+    """Embedded media pulled from the real containers with header-sniffed
+    metadata (kernels/media.py) — actual bytes, no codec libs."""
+    from documentconvert_spark.kernels.media import extract_media_files, sniff_image_meta
+
+    media = extract_media_files(_read("AI通识课程建设方案.pptx"))
+    refs = {r for r, _ in media}
+    assert refs == {"image1.png", "image2.svg", "image3.png"}
+    by_ref = dict(media)
+    fmt, w, h = sniff_image_meta(by_ref["image1.png"])
+    assert fmt == "png" and w == 384 and h == 384
+
+    # docx media are JPEGs mis-suffixed .png — content-based sniff wins
+    docx_media = extract_media_files(_read("智涌君.docx"))
+    assert len(docx_media) == 3
+    for _ref, blob in docx_media:
+        fmt, w, h = sniff_image_meta(blob)
+        assert fmt == "jpeg" and w == 1233 and h in (560, 589)
+
+    # non-container docs contribute no media, never raise
+    assert extract_media_files(_read("2024年浙江省中考数学试卷.doc")) == []
+
+
+def test_real_media_refs_match_figure_spans():
+    """The media table keys line up with the figure spans the extractors
+    emit (J3 join integrity on real data)."""
+    from documentconvert_spark.kernels.media import extract_media_files
+    from documentconvert_spark.kernels.miniooxml import extract_docx, extract_pptx
+
+    for name, extractor in [("智涌君.docx", extract_docx),
+                            ("AI通识课程建设方案.pptx", extract_pptx)]:
+        data = _read(name)
+        span_refs = {s.media_ref for s in extractor(data) if s.kind == "figure"}
+        media_refs = {r for r, _ in extract_media_files(data)}
+        assert span_refs <= media_refs, f"{name}: dangling figure refs {span_refs - media_refs}"
+
+
+def test_spark_real_media_table(spark):
+    from documentconvert_spark.ingest import binary_dir_as_raw
+    from documentconvert_spark.ops.multimodal import extract_real_media
+
+    m = extract_real_media(binary_dir_as_raw(spark, REF))
+    rows = m.select("doc_id", "media_ref", "format", "width", "byte_len").collect()
+    assert len(rows) == 6
+    assert all(r.byte_len > 0 for r in rows)
+    assert {r.format for r in rows} == {"png", "svg", "jpeg"}
