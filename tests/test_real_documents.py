@@ -237,3 +237,44 @@ def test_spark_real_media_table(spark):
     assert len(rows) == 6
     assert all(r.byte_len > 0 for r in rows)
     assert {r.format for r in rows} == {"png", "svg", "jpeg"}
+
+
+# ------------------------------------------------------------ streaming real docs
+
+def test_stream_extracts_real_corpus_incrementally(spark, tmp_path):
+    """Structured Streaming over the REAL corpus: land 4 files, drain,
+    land 3 more, drain on the same checkpoint — second wave processes only
+    the new arrivals and doc_ids stay exactly-once (reference poll-worker
+    semantics, enhanced_task_processor.py:255-284, on real formats)."""
+    from documentconvert_spark.ingest import binary_dir_as_raw
+    from documentconvert_spark.streaming import drain
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    raw = binary_dir_as_raw(spark, REF).cache()
+    wave1 = raw.filter(~F_col_endswith_doc())
+    wave2 = raw.filter(F_col_endswith_doc())
+    n1, n2 = wave1.count(), wave2.count()
+    assert n1 == 4 and n2 == 3
+
+    wave1.write.mode("append").parquet(landing)
+    out1 = drain(spark, landing, out_dir, ckpt)
+    assert out1.count() == 4
+    assert out1.filter("error is not null").count() == 0
+
+    wave2.write.mode("append").parquet(landing)
+    out2 = drain(spark, landing, out_dir, ckpt)
+    assert out2.count() == 7
+    assert out2.select("doc_id").distinct().count() == 7  # exactly-once
+    got = {r.doc_id: r.n_spans for r in out2.select("doc_id", "n_spans").collect()}
+    import pyarrow.parquet as _pq
+    exp = _pq.read_table(os.path.join(RES, "expected_real_docs.parquet")).to_pydict()
+    assert got == dict(zip(exp["doc_id"], exp["n_spans"]))
+    raw.unpersist()
+
+
+def F_col_endswith_doc():
+    from pyspark.sql import functions as F
+    return F.col("doc_id").endswith(".doc")
