@@ -916,7 +916,97 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------- PII scrubbing
+# Standard curation pass: detect + redact contact-like strings before
+# training. The testdata corpus is synthetic and PII-free, so both sides
+# first append a deterministic contact line derived from doc_id (same
+# expression in Spark and DuckDB), then run the SAME detection/redaction
+# regexes — the oracle certifies the regex semantics, not the seeding.
+# Scale: pure per-row regexp (JVM codegen, no shuffle except the trivial
+# projection); at 100 TB this is a map-only pass fused into the scan.
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    seeded = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text2", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text2", F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text2", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE, "<PHONE>",
+            )
+        ).alias("redacted_md5"),
+    )
+
+
+SQL_SCRUB_PII = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text2, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text2, '{_PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(text2, '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM seeded
+"""
+
+
+# ----------------------------------------------- intra-doc repetition quality
+# Gopher-style repetition signal: the fraction of word 3-grams that are
+# duplicates within the document. High repetition → low-quality doc.
+# Same shingle primitive as the dedup family; per-row array ops only.
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({_SHINGLES})").alias("n_grams"),
+        F.expr(f"size(array_distinct({_SHINGLES}))").alias("n_distinct"),
+        F.round(
+            F.when(
+                F.expr(f"size({_SHINGLES})") > 0,
+                1.0 - F.expr(f"size(array_distinct({_SHINGLES}))") / F.expr(f"size({_SHINGLES})"),
+            ).otherwise(0.0),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
+SQL_QUALITY_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+  FROM toks)
+SELECT doc_id,
+       len(g) AS n_grams,
+       len(list_distinct(g)) AS n_distinct,
+       ROUND(CASE WHEN len(g) > 0 THEN 1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE) ELSE 0.0 END, 6) AS rep_ratio
+FROM grams
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
+    "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "decontaminate_overlap": (q_decontaminate_overlap, SQL_DECONTAMINATE),

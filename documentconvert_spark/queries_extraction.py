@@ -411,7 +411,59 @@ FROM read_parquet('{EXPECTED_REAL_DOCS_PARQUET}')
 """
 
 
+# ------------------------------------------------ span-level paragraph dedup
+# Curation meets extraction: boilerplate paragraphs repeated ACROSS
+# documents (nav text, license blurbs) are removed span-level, keeping the
+# first occurrence in (doc_id, offset) order — the standard corpus-level
+# paragraph dedup pass, running on the extractor's own output. One shuffle
+# on md5(text); at 100 TB the window is a groupBy-min + semi-join, both
+# partial-aggregated map-side.
+
+def q_dedup_span_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    _ensure_expected_parquet()
+    out = extract_spans(_raw_df(spark)).filter(F.col("error").isNull())
+    paras = (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "paragraph")
+        .select("doc_id", F.col("s.offset").alias("offset"), F.md5("s.text").alias("text_md5"))
+    )
+    w = Window.partitionBy("text_md5").orderBy("doc_id", "offset")
+    flagged = paras.withColumn("is_dup", F.row_number().over(w) > 1)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("is_dup").cast("int")).alias("n_dups_removed"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(F.when(~F.col("is_dup"), F.concat_ws(":", "offset", "text_md5")))
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+
+
+SQL_DEDUP_SPAN_PARAGRAPHS = f"""
+WITH paras AS (
+  SELECT doc_id, "offset", md5(text) AS text_md5
+  FROM read_parquet('{EXPECTED_SPANS_PARQUET}')
+  WHERE kind = 'paragraph'),
+flagged AS (
+  SELECT doc_id, "offset", text_md5,
+         ROW_NUMBER() OVER (PARTITION BY text_md5 ORDER BY doc_id, "offset") > 1 AS is_dup
+  FROM paras)
+SELECT doc_id, COUNT(*) AS n_paras,
+       SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dups_removed,
+       md5(list_aggregate(list_sort(list(CASE WHEN NOT is_dup THEN CAST("offset" AS VARCHAR) || ':' || text_md5 END)), 'string_agg', '|')) AS kept_md5
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
+    "dedup_span_paragraphs": (q_dedup_span_paragraphs, SQL_DEDUP_SPAN_PARAGRAPHS),
     "real_docs_span_seq": (q_real_docs_span_seq, SQL_REAL_DOCS_SPAN_SEQ),
     "real_docs_summary": (q_real_docs_summary, SQL_REAL_DOCS_SUMMARY),
     "real_media_meta": (q_real_media_meta, SQL_REAL_MEDIA_META),
