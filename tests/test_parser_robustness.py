@@ -1,0 +1,82 @@
+"""Parser robustness: corrupted real-world inputs must be CONTAINED.
+
+The UDF layer catches every exception into an error row (C7, reference
+document_service.py:334-383) — but a parser that hangs, loops, or eats
+unbounded memory on malformed bytes would still poison a 100 TB run. This
+suite feeds truncations and byte-flips of the REAL reference documents to
+every kernel and requires each call to finish fast and either return spans
+or raise a normal exception.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+
+import pytest
+
+from documentconvert_spark.kernels.detect import extract_office_any, extract_pdf_any
+
+REF = "/root/reference/test"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference sample corpus not mounted"
+)
+
+_PER_CALL_BUDGET_S = 5.0
+
+
+def _kernel_for(name: str):
+    return extract_pdf_any if name.endswith(".pdf") else extract_office_any
+
+
+def _assert_contained(kern, data: bytes, label: str) -> None:
+    t0 = time.monotonic()
+    try:
+        spans = kern(data)
+        assert isinstance(spans, list)
+    except Exception:
+        pass  # any exception is fine — the UDF layer contains it
+    dt = time.monotonic() - t0
+    assert dt < _PER_CALL_BUDGET_S, f"{label}: parser took {dt:.1f}s on corrupted input"
+
+
+@pytest.mark.parametrize("name", sorted(os.listdir(REF)) if os.path.isdir(REF) else [])
+def test_truncations_contained(name):
+    with open(os.path.join(REF, name), "rb") as fh:
+        data = fh.read()
+    kern = _kernel_for(name)
+    rng = random.Random(f"trunc:{name}")
+    cuts = [0, 1, 7, len(data) // 2, len(data) - 1] + [
+        rng.randrange(len(data)) for _ in range(10)
+    ]
+    for cut in cuts:
+        _assert_contained(kern, data[:cut], f"{name}@trunc{cut}")
+
+
+@pytest.mark.parametrize("name", sorted(os.listdir(REF)) if os.path.isdir(REF) else [])
+def test_byte_flips_contained(name):
+    with open(os.path.join(REF, name), "rb") as fh:
+        data = fh.read()
+    kern = _kernel_for(name)
+    rng = random.Random(f"flip:{name}")
+    for _ in range(10):
+        corrupt = bytearray(data)
+        for _ in range(rng.randrange(1, 50)):
+            corrupt[rng.randrange(len(corrupt))] = rng.randrange(256)
+        _assert_contained(kern, bytes(corrupt), f"{name}@flip")
+
+
+def test_pathological_synthetic_inputs():
+    cases = [
+        b"%PDF-1.4\n" + b"0 0 obj\n<<>>\nendobj\n" * 2000,      # many empty objects
+        b"%PDF-1.4\n<<" * 5000,                                  # deep dict nesting attempt
+        b"{\\rtf1" + b"{" * 20000,                               # unbalanced RTF groups
+        b"{\\rtf1 \\u99999999999999 x}",                         # absurd unicode escape
+        b"PK\x03\x04" + b"\x00" * 4096,                          # zip magic, garbage body
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\xff" * 1024,   # OLE magic, garbage
+    ]
+    for i, data in enumerate(cases):
+        for kern in (extract_pdf_any, extract_office_any):
+            _assert_contained(kern, data, f"pathological#{i}")
