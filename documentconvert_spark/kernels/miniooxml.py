@@ -28,6 +28,7 @@ from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
 ZIP_MAGIC = b"PK\x03\x04"
 
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_M = "{http://schemas.openxmlformats.org/officeDocument/2006/math}"
 _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 _P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
 _R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
@@ -69,8 +70,15 @@ _HEADING_STYLE = re.compile(r"(?i)^(heading|title|h)(\d*)$|^[1-9]$|标题")
 
 
 def _docx_paragraph_text(p) -> str:
+    # math-zone runs are emitted as formula spans, not paragraph text
+    math_nodes: set[int] = set()
+    for math in p.iter(f"{_M}oMath"):
+        for n in math.iter():
+            math_nodes.add(id(n))
     out = []
     for node in p.iter():
+        if id(node) in math_nodes:
+            continue
         tag = node.tag
         if tag == f"{_W}t":
             out.append(node.text or "")
@@ -79,6 +87,17 @@ def _docx_paragraph_text(p) -> str:
         elif tag in (f"{_W}br", f"{_W}cr"):
             out.append("\n")
     return "".join(out)
+
+
+def _docx_formulas(p) -> list[str]:
+    """OMML math zones → linearized formula text (the reference's
+    formulas_detected class, API_COMPLETE_GUIDE.md:490-495)."""
+    out = []
+    for math in p.iter(f"{_M}oMath"):
+        txt = "".join(t.text or "" for t in math.iter(f"{_M}t"))
+        if txt.strip():
+            out.append(txt)
+    return out
 
 
 def _docx_is_heading(p) -> bool:
@@ -136,6 +155,8 @@ def extract_docx(content: bytes) -> list[Span]:
             if txt.strip():
                 kind = "heading" if _docx_is_heading(el) else "paragraph"
                 spans.append(Span(kind, normalize_text(txt), "", -1))
+            for formula in _docx_formulas(el):
+                spans.append(Span("formula", normalize_text(formula), "", -1))
         elif el.tag == f"{_W}tbl":
             grid = _docx_table_grid(el)
             if grid.strip():

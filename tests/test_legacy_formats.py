@@ -323,3 +323,30 @@ def test_ppt_text_atoms():
 def test_ppt_routed_by_ole_directory():
     spans = extract_office_any(_make_ppt())
     assert spans[0].text == "Roadmap 2026"
+
+
+# ------------------------------------------------------------ docx OMML math
+
+def test_docx_omml_formula_spans():
+    """OMML math zones become formula spans and their runs are excluded
+    from the paragraph text (reference formulas_detected class)."""
+    from documentconvert_spark.kernels.miniooxml import extract_docx
+
+    doc_xml = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+            xmlns:m="http://schemas.openxmlformats.org/officeDocument/2006/math">
+ <w:body>
+  <w:p><w:r><w:t>The energy relation</w:t></w:r>
+   <m:oMath><m:r><m:t>E=mc</m:t></m:r><m:sSup><m:e><m:r><m:t></m:t></m:r></m:e>
+     <m:sup><m:r><m:t>2</m:t></m:r></m:sup></m:sSup></m:oMath>
+   <w:r><w:t> holds everywhere.</w:t></w:r></w:p>
+ </w:body>
+</w:document>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc_xml)
+    spans = extract_docx(buf.getvalue())
+    kinds = [s.kind for s in spans]
+    assert kinds == ["paragraph", "formula"]
+    assert spans[0].text == "The energy relation holds everywhere."
+    assert spans[1].text == "E=mc2"
