@@ -768,8 +768,12 @@ def _assemble_line(parts: list[tuple[float, int, str, float]]) -> str:
 
 
 def _runs_to_spans(runs: list) -> list[Span]:
-    # group text runs into lines per page: same y within tolerance
+    # group text runs into lines per page: same y within tolerance.
+    # O(1) placement via (page, quantized-y) buckets — a naive scan over
+    # all lines is O(n²) and crawls on couple-hundred-page documents
+    # (the 167 MB-PDF analogue, reference PROJECT_OVERVIEW.md:769).
     lines: list[dict] = []  # {page, y, size, parts:[(x, seq, txt, size)]}
+    buckets: dict[tuple[int, int], dict] = {}
     figures: list[tuple[int, float, int, str]] = []
     for page, y, x, size, seq, kind, payload in runs:
         if kind == "img":
@@ -777,14 +781,17 @@ def _runs_to_spans(runs: list) -> list[Span]:
             continue
         if not payload.strip():
             continue
+        qy = int(y // _LINE_Y_TOL)
         placed = None
-        for ln in lines:
-            if ln["page"] == page and abs(ln["y"] - y) <= _LINE_Y_TOL:
-                placed = ln
+        for q in (qy, qy - 1, qy + 1):
+            cand = buckets.get((page, q))
+            if cand is not None and abs(cand["y"] - y) <= _LINE_Y_TOL:
+                placed = cand
                 break
         if placed is None:
             placed = {"page": page, "y": y, "size": size, "parts": []}
             lines.append(placed)
+            buckets[(page, qy)] = placed
         placed["parts"].append((x, seq, payload, size))
         placed["size"] = max(placed["size"], size)
 
