@@ -203,12 +203,12 @@ def extract_xls(content: bytes) -> list[Span]:
                 cells[(r, c)] = txt
         if not cells:
             continue
-        max_r = max(k[0] for k in cells)
+        by_row: dict[int, dict[int, str]] = {}
+        for (r, c), v in cells.items():
+            by_row.setdefault(r, {})[c] = v
         rows_out = []
-        for r in range(max_r + 1):
-            row_cells = {c: v for (rr, c), v in cells.items() if rr == r}
-            if not row_cells:
-                continue
+        for r in sorted(by_row):
+            row_cells = by_row[r]
             width = max(row_cells) + 1
             rows_out.append("\t".join(
                 row_cells.get(c, "").replace("\t", " ").replace("\n", " ")
