@@ -107,16 +107,20 @@ def run_real_docs_bench(spark, sf: float, parallelism: int) -> tuple[float, int]
     base = spark.createDataFrame(
         rows, "doc_id string, doc_type string, content binary, byte_len long"
     )
+    # shuffle ONLY the tiny id column, broadcast the 7-row base: the raw
+    # binaries never cross a shuffle (repartition-after-crossJoin moves
+    # n_copies × corpus bytes and OOMs at scale — the exact anti-pattern
+    # the 100 TB design forbids)
     docs = (
         spark.range(n_copies)
-        .crossJoin(base)
+        .repartition(parallelism * 2)
+        .crossJoin(F.broadcast(base))
         .select(
             F.concat_ws("#", "doc_id", F.col("id").cast("string")).alias("doc_id"),
             "doc_type", "content", "byte_len",
             F.lit("ref").alias("source_bucket"),
             F.concat(F.lit("ref/"), "doc_id").alias("source_path"),
         )
-        .repartition(parallelism * 2)
         .cache()
     )
     n_total = docs.count()  # materialize the replicated corpus outside timing
