@@ -96,9 +96,12 @@ def binary_dir_as_raw(
     # binaryFile paths are URIs: non-ASCII names arrive percent-encoded.
     # Decode them back — the reference's F1 url-decode filename behavior
     # (utils/encoding_utils.py:26-70): only when %XX escapes are present.
+    # url_decode is FORM decoding ('+' → space), but URI paths need pure
+    # percent-decoding — protect literal '+' by pre-escaping it to %2B.
     raw_name = F.regexp_extract("path", r"([^/]+)$", 1)
     name = F.when(
-        raw_name.rlike("%[0-9A-Fa-f]{2}"), F.try_url_decode(raw_name)
+        raw_name.rlike("%[0-9A-Fa-f]{2}"),
+        F.try_url_decode(F.regexp_replace(raw_name, r"\+", "%2B")),
     ).otherwise(raw_name)
     return files.select(
         F.coalesce(name, raw_name).alias("doc_id"),

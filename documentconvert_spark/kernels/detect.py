@@ -41,7 +41,8 @@ from documentconvert_spark.kernels.spans import Span
 
 
 def extract_pdf_any(content: bytes) -> list[Span]:
-    head = content.lstrip()[:16] if content else b""
+    # slice before lstrip: sniffing must not copy a 100+ MB document
+    head = content[:1024].lstrip()[:16] if content else b""
     if head.startswith(b"%PDF-"):
         return extract_realpdf(content)
     if head.startswith(MINIPDF_MAGIC):
@@ -53,19 +54,21 @@ def extract_pdf_any(content: bytes) -> list[Span]:
 def extract_office_any(content: bytes) -> list[Span]:
     head = content[:8] if content else b""
     if head.startswith(ZIP_MAGIC):
-        names = set(zipfile.ZipFile(io.BytesIO(content)).namelist())
-        if "content.xml" in names:
-            return extract_odf(content)
-        return extract_ooxml(content)
+        # parse the container once; the chosen extractor reuses it
+        z = zipfile.ZipFile(io.BytesIO(content))
+        if "content.xml" in set(z.namelist()):
+            return extract_odf(content, z)
+        return extract_ooxml(content, z)
     if head.startswith(OLE_MAGIC):
-        entries = {e[0] for e in _Cfb(content).entries}
+        cfb = _Cfb(content)
+        entries = {e[0] for e in cfb.entries}
         if "WordDocument" in entries:
-            return extract_doc(content)
+            return extract_doc(content, cfb)
         if "Workbook" in entries or "Book" in entries:
-            return extract_xls(content)
+            return extract_xls(content, cfb)
         if "PowerPoint Document" in entries:
-            return extract_ppt(content)
+            return extract_ppt(content, cfb)
         raise ValueError("ole: unrecognized compound document (no Word/Excel/PowerPoint stream)")
-    if content.lstrip()[:5].startswith(b"{\\rtf"):
+    if content[:1024].lstrip()[:5].startswith(b"{\\rtf"):
         return extract_rtf(content)
     return extract_minidom(content)

@@ -26,6 +26,13 @@ _GIF_MAGICS = (b"GIF87a", b"GIF89a")
 _ZIP_MEDIA_DIRS = ("word/media/", "ppt/media/", "xl/media/", "Pictures/")
 
 
+def image_media_ref(raw_stream: bytes) -> str:
+    """Stable figure key for a PDF Image XObject. Single definition shared
+    by realpdf's figure spans and the media side table — span ⋈ media join
+    integrity (J3) depends on both sides computing the identical key."""
+    return hashlib.sha1(raw_stream[:4096]).hexdigest()[:12] + ".jpg"
+
+
 def sniff_image_meta(data: bytes) -> tuple[str, int | None, int | None]:
     """(format, width, height) from the file header alone."""
     if data[:8] == _PNG_MAGIC and len(data) >= 24 and data[12:16] == b"IHDR":
@@ -53,7 +60,7 @@ def sniff_image_meta(data: bytes) -> tuple[str, int | None, int | None]:
     if data[:2] == b"BM" and len(data) >= 26:
         w, h = struct.unpack_from("<ii", data, 18)
         return "bmp", abs(w), abs(h)
-    if data[:5] == b"<?xml" or data.lstrip()[:4] == b"<svg":
+    if data[:5] == b"<?xml" or data[:1024].lstrip()[:4] == b"<svg":
         return "svg", None, None
     if data[:4] == b"II*\x00" or data[:4] == b"MM\x00*":
         return "tiff", None, None
@@ -85,7 +92,7 @@ def _pdf_media(content: bytes) -> list[tuple[str, bytes]]:
         if isinstance(obj, tuple) and isinstance(obj[0], dict):
             d = obj[0]
             if pdf.resolve(d.get("Subtype")) == "Image":
-                ref = hashlib.sha1(obj[1][:4096]).hexdigest()[:12] + ".jpg"
+                ref = image_media_ref(obj[1])
                 if ref not in seen:
                     seen.add(ref)
                     try:
@@ -101,6 +108,6 @@ def extract_media_files(content: bytes) -> list[tuple[str, bytes]]:
         return []
     if content[:4] == b"PK\x03\x04":
         return _zip_media(content)
-    if content.lstrip()[:5].startswith(b"%PDF-"):
+    if content[:1024].lstrip()[:5].startswith(b"%PDF-"):
         return _pdf_media(content)
     return []

@@ -83,6 +83,7 @@ def _parse_sst(payload_parts: list[bytes]) -> list[str]:
     pos = 8
     pending_chars = 0
     pending_wide = False
+    pending_skip = 0  # rich-run + ext bytes trailing the chars
     cur: list[str] = []
 
     def cur_part() -> bytes:
@@ -112,6 +113,13 @@ def _parse_sst(payload_parts: list[bytes]) -> list[str]:
                 out.append("".join(cur))
                 cur = []
             continue
+        if pending_skip:
+            # rich-text runs / ext payload after the chars — NOT part of
+            # the next string's header; may itself span CONTINUEs
+            take = min(pending_skip, len(part) - pos)
+            pos += take
+            pending_skip -= take
+            continue
         # new string header
         if pos + 3 > len(part):
             part_idx += 1
@@ -120,21 +128,29 @@ def _parse_sst(payload_parts: list[bytes]) -> list[str]:
         (cch,) = struct.unpack_from("<H", part, pos)
         flags = part[pos + 2]
         pos += 3
+        n_rich = 0
+        cb_ext = 0
         if flags & 0x08:
-            pos += 2  # rich run count — runs data follows the chars; ignored
+            (n_rich,) = struct.unpack_from("<H", part, pos)
+            pos += 2
         if flags & 0x04:
+            (cb_ext,) = struct.unpack_from("<I", part, pos)
             pos += 4
         pending_chars = cch
         pending_wide = bool(flags & 0x01)
-        # note: rich-run/ext payloads after the chars are not skipped in
-        # this simplified reader; acceptable for plain-text workbooks
+        pending_skip = 4 * n_rich + cb_ext
+        if cch == 0:
+            out.append("")
     return out
 
 
 def _rk_value(rk: int) -> str:
     cent = rk & 0x01
     if rk & 0x02:
-        v = float(rk >> 2)
+        iv = rk >> 2
+        if iv & 0x20000000:  # signed 30-bit integer
+            iv -= 1 << 30
+        v = float(iv)
     else:
         v = struct.unpack("<d", struct.pack("<Q", (rk & 0xFFFFFFFC) << 32))[0]
     if cent:
@@ -142,8 +158,8 @@ def _rk_value(rk: int) -> str:
     return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
 
 
-def extract_xls(content: bytes) -> list[Span]:
-    cfb = _Cfb(content)
+def extract_xls(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
+    cfb = cfb or _Cfb(content)
     try:
         wb = cfb.stream("Workbook")
     except ValueError:
@@ -273,8 +289,8 @@ def _walk_ppt(stream: bytes, start: int, end: int, out: list[tuple[str, str]],
         i = body + rlen
 
 
-def extract_ppt(content: bytes) -> list[Span]:
-    cfb = _Cfb(content)
+def extract_ppt(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
+    cfb = cfb or _Cfb(content)
     stream = cfb.stream("PowerPoint Document")
     raw: list[tuple[str, str]] = []
     _walk_ppt(stream, 0, len(stream), raw)

@@ -174,8 +174,8 @@ def _decode_piece(raw: bytes, compressed: bool) -> str:
     return raw.decode("utf-16-le", errors="replace")
 
 
-def extract_doc(content: bytes) -> list[Span]:
-    cfb = _Cfb(content)
+def extract_doc(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
+    cfb = cfb or _Cfb(content)
     word = cfb.stream("WordDocument")
     (magic,) = struct.unpack_from("<H", word, 0)
     if magic != 0xA5EC:

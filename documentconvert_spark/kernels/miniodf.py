@@ -99,8 +99,8 @@ def _table_grid(tbl) -> str:
     return "\n".join(rows_out)
 
 
-def extract_odf(content: bytes) -> list[Span]:
-    z = zipfile.ZipFile(io.BytesIO(content))
+def extract_odf(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
+    z = z or zipfile.ZipFile(io.BytesIO(content))
     if "content.xml" not in z.namelist():
         raise ValueError("odf: no content.xml in container")
     root = ET.fromstring(z.read("content.xml"))

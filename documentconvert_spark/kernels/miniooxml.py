@@ -139,8 +139,8 @@ def _docx_table_grid(tbl) -> str:
     return "\n".join(rows)
 
 
-def extract_docx(content: bytes) -> list[Span]:
-    z = zipfile.ZipFile(io.BytesIO(content))
+def extract_docx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
+    z = z or zipfile.ZipFile(io.BytesIO(content))
     rels = _rels(z, "word/document.xml")
     root = ET.fromstring(z.read("word/document.xml"))
     body = root.find(f"{_W}body")
@@ -201,8 +201,8 @@ def _pptx_is_title(sp) -> bool:
     return False
 
 
-def extract_pptx(content: bytes) -> list[Span]:
-    z = zipfile.ZipFile(io.BytesIO(content))
+def extract_pptx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
+    z = z or zipfile.ZipFile(io.BytesIO(content))
     spans: list[Span] = []
     for slide_part in _pptx_slide_order(z):
         if slide_part not in z.namelist():
@@ -279,8 +279,8 @@ def _fmt_num(v: str) -> str:
         return v
 
 
-def extract_xlsx(content: bytes) -> list[Span]:
-    z = zipfile.ZipFile(io.BytesIO(content))
+def extract_xlsx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
+    z = z or zipfile.ZipFile(io.BytesIO(content))
     shared = _xlsx_shared_strings(z)
     wb_rels = _rels(z, "xl/workbook.xml")
     root = ET.fromstring(z.read("xl/workbook.xml"))
@@ -298,8 +298,11 @@ def extract_xlsx(content: bytes) -> list[Span]:
         rows_out: list[str] = []
         for row in sroot.iter(f"{_S}row"):
             cells: dict[int, str] = {}
+            next_ci = 0  # c/@r is optional; position is implied sequentially
             for c in row.findall(f"{_S}c"):
-                ci = _col_index(c.get("r", ""))
+                ref = c.get("r", "")
+                ci = _col_index(ref) if ref else next_ci
+                next_ci = ci + 1
                 t = c.get("t", "n")
                 if t == "s":
                     v = c.find(f"{_S}v")
@@ -322,16 +325,17 @@ def extract_xlsx(content: bytes) -> list[Span]:
 
 # -- container sniff ---------------------------------------------------------
 
-def extract_ooxml(content: bytes) -> list[Span]:
+def extract_ooxml(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
     """Dispatch a PK-zip container to the right OOXML extractor by its
     content types (mirrors the reference's suffix dispatch,
-    document_service.py:83-126, but on actual container structure)."""
-    z = zipfile.ZipFile(io.BytesIO(content))
+    document_service.py:83-126, but on actual container structure). The
+    ZipFile parses once and is shared with the chosen extractor."""
+    z = z or zipfile.ZipFile(io.BytesIO(content))
     names = set(z.namelist())
     if "word/document.xml" in names:
-        return extract_docx(content)
+        return extract_docx(content, z)
     if "ppt/presentation.xml" in names:
-        return extract_pptx(content)
+        return extract_pptx(content, z)
     if "xl/workbook.xml" in names:
-        return extract_xlsx(content)
+        return extract_xlsx(content, z)
     raise ValueError("ooxml: unrecognized OOXML container (no document/presentation/workbook part)")

@@ -68,7 +68,7 @@ def _join_lines(lines: list[str]) -> str:
 
 
 def extract_minipdf(content: bytes) -> list[Span]:
-    if not content or not content.lstrip().startswith(MAGIC):
+    if not content or not content[:1024].lstrip().startswith(MAGIC):
         raise ValueError("minipdf: missing %MINIPDF header (malformed or truncated document)")
     if EOF not in content:
         raise ValueError("minipdf: missing %%EOF trailer (truncated document)")

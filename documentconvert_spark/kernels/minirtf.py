@@ -32,7 +32,7 @@ _SKIP_DESTS = {
 
 
 def extract_rtf(content: bytes) -> list[Span]:
-    if not content.lstrip().startswith(b"{\\rtf"):
+    if not content[:1024].lstrip().startswith(b"{\\rtf"):
         raise ValueError("rtf: missing {\\rtf header")
     data = content
     n = len(data)
@@ -174,9 +174,17 @@ def extract_rtf(content: bytes) -> list[Span]:
                 emit("\n")
             elif word == b"tab":
                 emit("\t")
-            elif word in (b"pard", b"plain"):
-                if word == b"plain":
-                    bold = large = False
+            elif word == b"pard":
+                # \pard resets paragraph properties incl. \intbl (spec);
+                # pending cells from an unterminated row flush as a row
+                # so their text is not silently dropped
+                if in_table_para:
+                    if cells:
+                        rows.append("\t".join(cells))
+                        cells = []
+                    in_table_para = False
+            elif word == b"plain":
+                bold = large = False
             elif word in (b"bin",) and num:
                 i += num  # binary blob: skip raw bytes
         elif c in (0x0D, 0x0A):

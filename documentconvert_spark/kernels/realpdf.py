@@ -277,7 +277,10 @@ class _Pdf:
                     if ent[17:18] == b"n":
                         num = start + k
                         self.offsets.setdefault(num, int(ent[0:10]))
-                    i += 20 if ent[18:20] in (b"\r\n", b" \n", b" \r") else 20
+                    # spec entries are exactly 20 bytes; some writers emit
+                    # 19 (single-byte EOL) — detect by the next entry's
+                    # digit starting one position early
+                    i += 19 if ent[19:20].isdigit() else 20
         else:
             # xref stream
             num, obj, _ = self._parse_indirect_at(pos)
@@ -423,9 +426,11 @@ _HEXGRP = re.compile(rb"<([0-9A-Fa-f]+)>")
 
 
 def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
-    """Parse a ToUnicode CMap → (code→text map, code byte width)."""
+    """Parse a ToUnicode CMap → (code→text map, code byte width).
+    Width defaults to 1 when codespacerange is absent — assuming 2 would
+    silently blank simple 1-byte fonts whose CMaps omit the range."""
     out: dict[int, str] = {}
-    width = 2
+    width = 1
     m = re.search(rb"begincodespacerange(.*?)endcodespacerange", cmap, re.S)
     if m:
         hx = _HEXGRP.findall(m.group(1))
@@ -696,10 +701,10 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
                         except Exception:
                             pass
                     elif sub == "Image":
-                        import hashlib
-                        h = hashlib.sha1(xo[1][:4096]).hexdigest()[:12]
+                        from documentconvert_spark.kernels.media import image_media_ref
                         dev = _mat_mul(_ID, ctm)
-                        runs.append((page_no, dev[5], dev[4], 0.0, seq, "img", f"{h}.jpg"))
+                        runs.append((page_no, dev[5], dev[4], 0.0, seq, "img",
+                                     image_media_ref(xo[1])))
                         seq += 1
         except Exception:
             pass
@@ -849,7 +854,7 @@ def _runs_to_spans(runs: list) -> list[Span]:
 
 def extract_realpdf(content: bytes) -> list[Span]:
     """Real PDF bytes → ordered span IR (the MinerU-path analogue)."""
-    if not content.lstrip()[:5].startswith(b"%PDF-"):
+    if not content[:1024].lstrip()[:5].startswith(b"%PDF-"):
         raise ValueError("realpdf: missing %PDF header")
     pdf = _Pdf(content)
     root = pdf.resolve(pdf.trailer.get("Root"))

@@ -47,3 +47,16 @@ def test_binary_dir_glob_pushdown(spark, tmp_path):
     only_pdf = binary_dir_as_raw(spark, str(d), glob="*.pdf")
     assert only_pdf.count() == 6
     assert all(r.doc_type == "pdf" for r in only_pdf.collect())
+
+
+def test_doc_id_url_decode_preserves_literal_plus(spark, tmp_path):
+    """URI percent-decoding only: '+' in a filename must survive decoding
+    (form-decode semantics would turn it into a space)."""
+    from documentconvert_spark.ingest import binary_dir_as_raw
+
+    d = tmp_path / "plusdir"
+    d.mkdir()
+    (d / "report+v2 draft.html").write_bytes(b"<html><body><p>x y z</p></body></html>")
+    (d / "plain+name.html").write_bytes(b"<html><body><p>a b c</p></body></html>")
+    names = {r.doc_id for r in binary_dir_as_raw(spark, str(d)).select("doc_id").collect()}
+    assert names == {"report+v2 draft.html", "plain+name.html"}

@@ -350,3 +350,103 @@ def test_docx_omml_formula_spans():
     assert kinds == ["paragraph", "formula"]
     assert spans[0].text == "The energy relation holds everywhere."
     assert spans[1].text == "E=mc2"
+
+
+# ---------------------------------------------- review-finding regressions
+
+def test_xls_negative_rk_values():
+    """RK integers are signed 30-bit: -1 must not decode as 2^30-1."""
+    bof = _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    bs = struct.pack("<IBB", 0, 0, 0) + _xl_str8("Neg")
+    glob_tmp = bof + _biff_rec(0x0085, bs) + _biff_rec(0x000A, b"")
+    neg1 = (((-1) & 0x3FFFFFFF) << 2) | 0x02            # int -1
+    negc = (((-5) & 0x3FFFFFFF) << 2) | 0x03            # int -5 with cent flag = -0.05
+    sheet = (
+        _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        + _biff_rec(0x027E, struct.pack("<HHHI", 0, 0, 0, neg1 & 0xFFFFFFFF))
+        + _biff_rec(0x027E, struct.pack("<HHHI", 0, 1, 0, negc & 0xFFFFFFFF))
+        + _biff_rec(0x000A, b"")
+    )
+    bs2 = struct.pack("<I", len(glob_tmp)) + bs[4:]
+    glob = bof + _biff_rec(0x0085, bs2) + _biff_rec(0x000A, b"")
+    spans = extract_xls(write_cfb([("Workbook", glob + sheet)]))
+    assert spans[1].text == "-1\t-0.05"
+
+
+def test_xls_sst_rich_text_runs_skipped():
+    """fRichSt run payloads after the chars must not desync later strings."""
+    bof = _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    bs = struct.pack("<IBB", 0, 0, 0) + _xl_str8("Rich")
+    glob_tmp = bof + _biff_rec(0x0085, bs) + _biff_rec(0x000A, b"")
+    # string 0: rich (2 runs), string 1: plain — the second must survive
+    sst = struct.pack("<II", 2, 2)
+    sst += struct.pack("<HBH", 4, 0x08, 2) + b"rich" + b"\x00" * 8  # 2 runs x 4B
+    sst += struct.pack("<HB", 5, 0) + b"plain"
+    glob_tmp = bof + _biff_rec(0x0085, bs) + _biff_rec(0x00FC, sst) + _biff_rec(0x000A, b"")
+    sheet = (
+        _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        + _biff_rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))
+        + _biff_rec(0x00FD, struct.pack("<HHHI", 0, 1, 0, 1))
+        + _biff_rec(0x000A, b"")
+    )
+    bs2 = struct.pack("<I", len(glob_tmp)) + bs[4:]
+    glob = bof + _biff_rec(0x0085, bs2) + _biff_rec(0x00FC, sst) + _biff_rec(0x000A, b"")
+    spans = extract_xls(write_cfb([("Workbook", glob + sheet)]))
+    assert spans[1].text == "rich\tplain"
+
+
+def test_xlsx_cells_without_r_attribute():
+    """c/@r is optional — implied sequential positions must not collapse."""
+    from documentconvert_spark.kernels.miniooxml import extract_xlsx
+
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData><row><c t="inlineStr"><is><t>a</t></is></c>
+  <c t="inlineStr"><is><t>b</t></is></c>
+  <c t="inlineStr"><is><t>c</t></is></c></row></sheetData>
+</worksheet>"""
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    spans = extract_xlsx(buf.getvalue())
+    assert spans[1].text == "a\tb\tc"
+
+
+def test_rtf_pard_resets_intbl():
+    """\\pard after an unterminated row must flush the cells and restore
+    normal paragraph flow (spec: \\pard resets \\intbl)."""
+    rtf = (rb"{\rtf1 \trowd\intbl A\cell B\cell\row"
+           rb" \intbl C\cell D\cell \pard Next\par Last\par}")
+    spans = extract_rtf(rtf)
+    kinds = [s.kind for s in spans]
+    assert kinds == ["table", "paragraph", "paragraph"]
+    assert spans[0].text == "A\tB\nC\tD"
+    assert spans[1].text == "Next" and spans[2].text == "Last"
+
+
+def test_realpdf_tounicode_default_width_one():
+    """A 1-byte simple font whose ToUnicode omits codespacerange must not
+    be decoded as 2-byte (which blanks all its text)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_realpdf_features import _classic_pdf, _page_tree, _stream_obj
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincmap\n2 beginbfchar\n<41> <0058>\n<42> <0059>\nendbfchar\nendcmap")
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", b"BT /F1 10 Tf 72 700 Td (AB) Tj ET")
+    objs[5] = b"<</Type /Font /Subtype /TrueType /BaseFont /X /ToUnicode 6 0 R>>"
+    objs[6] = _stream_obj(b"", cmap)
+    from documentconvert_spark.kernels.realpdf import extract_realpdf
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert spans and spans[0].text == "XY"
