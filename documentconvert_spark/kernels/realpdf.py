@@ -89,8 +89,23 @@ def _parse_object(data: bytes, i: int, refs: bool = True):
         arr = []
         while True:
             i = _skip_ws(data, i)
-            if data[i : i + 1] == b"]":
+            b0 = data[i]
+            if b0 == 0x5D:  # ']'
                 return arr, i + 1
+            # fast paths: TJ kerning arrays alternate strings and numbers
+            # by the thousand — recursing through the general parser per
+            # element dominates text-dense pages
+            if not refs and (0x30 <= b0 <= 0x39 or b0 in (0x2B, 0x2D, 0x2E)):
+                m = _NUM_RE.match(data, i)
+                if m:
+                    tok = m.group(0)
+                    arr.append(float(tok) if b"." in tok else int(tok))
+                    i = m.end()
+                    continue
+            if b0 == 0x3C and data[i + 1 : i + 2] != b"<":
+                v, i = _parse_hex_string(data, i)
+                arr.append(v)
+                continue
             v, i = _parse_object(data, i, refs)
             arr.append(v)
     if data.startswith(b"true", i):
@@ -572,7 +587,9 @@ class _Run(tuple):
 
 
 def _content_tokens(body: bytes):
-    """Yield operands/operators from a content stream."""
+    """Yield operands/operators from a content stream. Numbers and names
+    take regex fast paths — text-dense pages emit one operand per glyph,
+    so the general parser's recursion/WS overhead dominates otherwise."""
     i = 0
     n = len(body)
     while i < n:
@@ -580,7 +597,25 @@ def _content_tokens(body: bytes):
         if i >= n:
             return
         c = body[i]
-        if c in b"/<([" or c == 0x3C or (0x30 <= c <= 0x39) or c in b"+-.":
+        if (0x30 <= c <= 0x39) or c in b"+-.":
+            m = _NUM_RE.match(body, i)
+            if m:
+                tok = m.group(0)
+                i = m.end()
+                yield ("operand", float(tok) if b"." in tok else int(tok))
+                continue
+            i += 1
+            continue
+        if c == 0x2F:  # '/name'
+            m = _NAME_RE.match(body, i + 1)
+            raw = m.group(0)
+            i = m.end()
+            if b"#" in raw:
+                raw = re.sub(rb"#([0-9A-Fa-f]{2})",
+                             lambda mm: bytes([int(mm.group(1), 16)]), raw)
+            yield ("operand", _Name(raw.decode("latin-1")))
+            continue
+        if c in b"<([":
             try:
                 v, i = _parse_object(body, i, refs=False)
             except ValueError:
