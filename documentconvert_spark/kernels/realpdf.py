@@ -783,20 +783,34 @@ def _run_width(txt: str, size: float) -> float:
     return sum(size * (1.0 if _is_cjk(ch) else 0.55) for ch in txt)
 
 
-def _assemble_line(parts: list[tuple[float, int, str, float]]) -> str:
-    """Join positioned runs of one visual line. A space is inserted only
-    when the x-gap between a run's estimated end and the next run's start
-    exceeds the word margin (pdfminer-style), so per-glyph-positioned text
-    ('2 0 2 5') reassembles without phantom spaces."""
+_CELL_GAP_EM = 2.0  # x-gap beyond this many em starts a new table cell
+
+
+def _assemble_cells(parts: list[tuple[float, int, str, float]]) -> list[tuple[float, str]]:
+    """Join positioned runs of one visual line into CELLS. Within a cell a
+    space is inserted only when the x-gap between a run's estimated end
+    and the next run's start exceeds the word margin (pdfminer-style), so
+    per-glyph-positioned text ('2 0 2 5') reassembles without phantom
+    spaces; a much larger gap (≥ _CELL_GAP_EM em, never between
+    CJK-adjacent runs) splits a new cell — the column evidence the table
+    detector consumes. Joining cells with single spaces reproduces the
+    plain line text exactly."""
+    cells: list[tuple[float, str]] = []
     out = ""
+    cell_x = 0.0
     prev_end = None
     for x, _seq, txt, size in parts:
         if not out:
             out = txt
+            cell_x = x
         else:
             gap = None if prev_end is None else x - prev_end
             if _is_cjk(out[-1]) and txt and _is_cjk(txt[0]):
                 out += txt
+            elif gap is not None and gap >= _CELL_GAP_EM * max(size, 6.0):
+                cells.append((cell_x, out))
+                out = txt
+                cell_x = x
             elif gap is not None and gap > 0.33 * max(size, 6.0):
                 out += " " + txt
             elif gap is None and not out.endswith(" "):
@@ -804,7 +818,47 @@ def _assemble_line(parts: list[tuple[float, int, str, float]]) -> str:
             else:
                 out += txt
         prev_end = x + _run_width(txt, size)
-    return out
+    if out:
+        cells.append((cell_x, out))
+    return cells
+
+
+_COL_ALIGN_TOL = 8.0   # pt: cell-start x alignment across rows
+_ROW_GAP_FACTOR = 2.6  # max vertical gap between table rows (× font size)
+
+
+def _detect_tables(lines: list[dict]) -> dict[int, int]:
+    """Geometric table-region detection (the MinerU table-detect analogue,
+    north_star): ≥2 consecutive lines on one page whose runs split into
+    the SAME number (≥2) of cells with column x-starts aligned within
+    tolerance form a table region. Conservative by design — headers and
+    ragged multi-column prose don't align across consecutive rows."""
+    groups: dict[int, int] = {}
+    i = 0
+    n = len(lines)
+    while i < n:
+        base = lines[i]
+        if len(base["cells"]) < 2:
+            i += 1
+            continue
+        j = i
+        cols = [x for x, _ in base["cells"]]
+        while j + 1 < n:
+            nxt = lines[j + 1]
+            if (
+                nxt["page"] != base["page"]
+                or len(nxt["cells"]) != len(cols)
+                or (lines[j]["y"] - nxt["y"]) > _ROW_GAP_FACTOR * max(nxt["size"], 6.0)
+                or any(abs(x - cx) > _COL_ALIGN_TOL for (x, _), cx in zip(nxt["cells"], cols))
+            ):
+                break
+            j += 1
+        if j > i:
+            groups[i] = j
+            i = j + 1
+        else:
+            i += 1
+    return groups
 
 
 def _runs_to_spans(runs: list) -> list[Span]:
@@ -837,10 +891,13 @@ def _runs_to_spans(runs: list) -> list[Span]:
 
     for ln in lines:
         ln["parts"].sort(key=lambda p: (round(p[0], 1), p[1]))
-        ln["text"] = _assemble_line(ln["parts"])
+        ln["cells"] = _assemble_cells(ln["parts"])
+        ln["text"] = " ".join(c for _x, c in ln["cells"])
         ln["x"] = ln["parts"][0][0]
 
     lines.sort(key=lambda ln: (ln["page"], -ln["y"], ln["x"]))
+
+    table_end = _detect_tables(lines)  # start line index -> end index (incl.)
 
     sizes = sorted(ln["size"] for ln in lines if ln["text"].strip())
     body_size = sizes[len(sizes) // 2] if sizes else 10.0
@@ -859,7 +916,9 @@ def _runs_to_spans(runs: list) -> list[Span]:
 
     fig_iter = sorted(figures, key=lambda f: (f[0], -f[1], f[2]))
     fi = 0
-    for ln in lines:
+    li = 0
+    while li < len(lines):
+        ln = lines[li]
         while fi < len(fig_iter) and (
             fig_iter[fi][0] < ln["page"]
             or (fig_iter[fi][0] == ln["page"] and fig_iter[fi][1] > ln["y"])
@@ -867,6 +926,15 @@ def _runs_to_spans(runs: list) -> list[Span]:
             flush()
             spans.append(Span("figure", "", fig_iter[fi][3], -1))
             fi += 1
+        end = table_end.get(li)
+        if end is not None:
+            flush()
+            grid = "\n".join(
+                "\t".join(c for _x, c in lines[k]["cells"]) for k in range(li, end + 1)
+            )
+            spans.append(Span("table", normalize_text(grid), "", -1))
+            li = end + 1
+            continue
         same_block = (
             cur is not None
             and cur["page"] == ln["page"]
@@ -880,6 +948,7 @@ def _runs_to_spans(runs: list) -> list[Span]:
             flush()
             cur = {"page": ln["page"], "size": ln["size"], "last_y": ln["y"],
                    "lines": [ln["text"]]}
+        li += 1
     flush()
     while fi < len(fig_iter):
         spans.append(Span("figure", "", fig_iter[fi][3], -1))

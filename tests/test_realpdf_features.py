@@ -198,3 +198,43 @@ def test_scan_fallback_on_broken_xref():
 def test_determinism_across_variants():
     for mk in (_xrefstream_pdf, _xrefstream_pdf):
         assert extract_realpdf(mk()) == extract_realpdf(mk())
+
+
+def test_table_region_detection():
+    """Consecutive aligned multi-column lines become a table span; ragged
+    prose and single headers do not (MinerU table-detect analogue)."""
+    rows = []
+    y = 700
+    # 3-row, 3-column aligned grid
+    for vals in (("name", "qty", "price"), ("bolt", "12", "0.30"), ("nut", "7", "0.10")):
+        rows.append(b"BT /F1 10 Tf 72 %d Td (%s) Tj ET" % (y, vals[0].encode()))
+        rows.append(b"BT /F1 10 Tf 250 %d Td (%s) Tj ET" % (y, vals[1].encode()))
+        rows.append(b"BT /F1 10 Tf 400 %d Td (%s) Tj ET" % (y, vals[2].encode()))
+        y -= 14
+    # normal paragraph below (single column)
+    rows.append(b"BT /F1 10 Tf 72 600 Td (after the table a normal paragraph) Tj ET")
+    content = b"\n".join(rows)
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    kinds = [s.kind for s in spans]
+    assert kinds == ["table", "paragraph"], kinds
+    assert spans[0].text == "name\tqty\tprice\nbolt\t12\t0.30\nnut\t7\t0.10"
+
+
+def test_two_column_header_not_a_table():
+    """A single two-cell line (page header) must NOT become a table."""
+    content = (
+        b"BT /F1 10 Tf 72 770 Td (2026/01/01) Tj ET"
+        b" BT /F1 10 Tf 400 770 Td (report title) Tj ET"
+        b" BT /F1 10 Tf 72 700 Td (body paragraph text here) Tj ET"
+    )
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert all(s.kind != "table" for s in spans)
+    assert any("2026/01/01 report title" in s.text for s in spans)
