@@ -117,28 +117,31 @@ _MINHASH_K = 12
 _BAND_ROWS = 3
 
 
-def _minhash_sigs(sh: DataFrame) -> DataFrame:
-    return (
-        sh.select("doc_id", "shingle", F.explode(F.expr(f"sequence(0, {_MINHASH_K - 1})")).alias("i"))
-        .withColumn("h", F.md5(F.concat_ws(":", F.col("i"), F.col("shingle"))))
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("sig"))
+# All K min-hashes and the banded keys are computed PER ROW with array
+# higher-order functions — no shingle×K row explosion and no shuffle
+# until the (n_docs × n_bands)-row band table self-joins. At 100 TB the
+# only shuffled payload is ~4 short strings per document.
+_BAND_KEYS_EXPR = (
+    f"transform(sequence(0, {_MINHASH_K // _BAND_ROWS - 1}), b -> "
+    f"concat_ws(',', transform(sequence(0, {_BAND_ROWS - 1}), j -> "
+    f"array_min(transform(shingles, s -> "
+    f"md5(concat(cast(b * {_BAND_ROWS} + j AS string), ':', s)))))))"
+)
+
+
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — one row per doc per band."""
+    sh_arr = docs.selectExpr(
+        "doc_id", f"array_distinct({_SHINGLES}) AS shingles"
+    ).filter(F.size("shingles") > 0)
+    return sh_arr.select(
+        "doc_id", F.posexplode(F.expr(_BAND_KEYS_EXPR)).alias("band", "band_key")
     )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
-    sh = docs.selectExpr("doc_id", f"explode(array_distinct({_SHINGLES})) AS shingle")
-    sigs = _minhash_sigs(sh)
-    bands = (
-        sigs.withColumn("band", F.floor(F.col("i") / _BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",", F.expr("transform(array_sort(collect_list(struct(i, sig))), x -> x.sig)")
-            ).alias("band_key")
-        )
-    )
+    bands = _minhash_bands(docs)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -966,7 +966,10 @@ def q_tpch_q2s(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter((F.col("p_size") == 15) | (F.col("p_size") == 25))
     supp = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
-    unit = li.select("l_partkey", "l_suppkey", F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("unit_price"))
+    # raw IEEE division, NO rounding: both engines compute bit-identical
+    # doubles, while round-to-4dp ties (x.xxxx5) split between Spark's
+    # shortest-repr HALF_UP and DuckDB's true-double rounding
+    unit = li.select("l_partkey", "l_suppkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
     min_unit = unit.groupBy("l_partkey").agg(F.min("unit_price").alias("min_price"))
     return (
         unit.join(min_unit, "l_partkey")
@@ -982,7 +985,7 @@ def q_tpch_q2s(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q2S = """
 WITH unit AS (
-  SELECT l_partkey, l_suppkey, ROUND(l_extendedprice / l_quantity, 4) AS unit_price
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
   FROM lineitem),
 mn AS (SELECT l_partkey, MIN(unit_price) AS min_price FROM unit GROUP BY l_partkey)
 SELECT p_partkey, p_brand, p_size, MIN(s_name) AS cheapest_supplier, MIN(mn.min_price) AS min_price
