@@ -1396,7 +1396,41 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------- pure SQL-text API
+# The engine's SQL surface (not just the DataFrame builder): temp views +
+# spark.sql() text with a window over a join — Catalyst plans it
+# identically to the DataFrame form, and the same ANSI text (minus dialect
+# differences) runs on DuckDB as its own oracle.
+
+def q_sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+        SELECT c_mktsegment,
+               o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+               RANK() OVER (PARTITION BY c_mktsegment ORDER BY SUM(CAST(o_totalprice AS DECIMAL(14,2))) DESC) AS rnk
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY c_mktsegment, o_orderpriority
+    """)
+
+
+SQL_SQL_TEXT_API = """
+SELECT c_mktsegment,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+       RANK() OVER (PARTITION BY c_mktsegment ORDER BY SUM(CAST(o_totalprice AS DECIMAL(14,2))) DESC) AS rnk
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY c_mktsegment, o_orderpriority
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "sql_text_api": (q_sql_text_api, SQL_SQL_TEXT_API),
     "tpch_q9s": (q_tpch_q9s, SQL_TPCH_Q9S),
     "tpch_q11s": (q_tpch_q11s, SQL_TPCH_Q11S),
     "tpch_q20s": (q_tpch_q20s, SQL_TPCH_Q20S),
