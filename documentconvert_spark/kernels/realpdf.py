@@ -89,6 +89,8 @@ def _parse_object(data: bytes, i: int, refs: bool = True):
         arr = []
         while True:
             i = _skip_ws(data, i)
+            if i >= len(data):
+                raise ValueError("pdf: unterminated array")
             b0 = data[i]
             if b0 == 0x5D:  # ']'
                 return arr, i + 1
@@ -606,14 +608,9 @@ def _content_tokens(body: bytes):
                 continue
             i += 1
             continue
-        if c == 0x2F:  # '/name'
-            m = _NAME_RE.match(body, i + 1)
-            raw = m.group(0)
-            i = m.end()
-            if b"#" in raw:
-                raw = re.sub(rb"#([0-9A-Fa-f]{2})",
-                             lambda mm: bytes([int(mm.group(1), 16)]), raw)
-            yield ("operand", _Name(raw.decode("latin-1")))
+        if c == 0x2F:  # '/name' — _parse_name itself is non-recursive
+            v, i = _parse_name(body, i)
+            yield ("operand", v)
             continue
         if c in b"<([":
             try:

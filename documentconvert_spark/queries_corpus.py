@@ -26,10 +26,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOKS = "split(lower(trim(text)), '\\\\s+')"
-# word 3-gram shingles from the token array (1-based element_at)
+# word 3-gram shingles from the token array (1-based element_at).
+# Guarded: sequence(1, 0) yields the DESCENDING array [1, 0] — for a
+# document with <3 tokens that makes element_at read past the end and
+# ANSI mode fails the whole query, so short docs get an empty array.
 _SHINGLES = (
-    f"transform(sequence(1, greatest(size({_TOKS}) - 2, 0)), "
-    f"i -> concat_ws(' ', element_at({_TOKS}, i), element_at({_TOKS}, i+1), element_at({_TOKS}, i+2)))"
+    f"CASE WHEN size({_TOKS}) >= 3 THEN "
+    f"transform(sequence(1, size({_TOKS}) - 2), "
+    f"i -> concat_ws(' ', element_at({_TOKS}, i), element_at({_TOKS}, i+1), element_at({_TOKS}, i+2))) "
+    f"ELSE array() END"
 )
 
 _SQL_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"

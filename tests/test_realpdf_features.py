@@ -238,3 +238,14 @@ def test_two_column_header_not_a_table():
     spans = extract_realpdf(_classic_pdf(objs))
     assert all(s.kind != "table" for s in spans)
     assert any("2026/01/01 report title" in s.text for s in spans)
+
+
+def test_truncated_tj_array_degrades_gracefully():
+    """A content stream ending mid-TJ-array must still yield the tokens
+    parsed so far (ValueError is contained inside the tokenizer), never an
+    IndexError that aborts the whole document."""
+    from documentconvert_spark.kernels.realpdf import _content_tokens
+
+    toks = list(_content_tokens(b"BT /F1 10 Tf [ (abc) 5 (def) "))
+    operands = [v for k, v in toks if k == "operand"]
+    assert b"abc" in operands and b"def" in operands
