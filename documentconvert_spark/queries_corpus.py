@@ -1012,7 +1012,70 @@ FROM grams
 """
 
 
+# ------------------------------------------------- capped-bucket LSH join
+# The 100 TB guard the plain LSH self-join lacks: a band_key shared by a
+# huge number of documents (boilerplate, empty-ish pages) makes the
+# self-join quadratic in that bucket. Production dedup caps bucket size —
+# over-full buckets are handled by exact-hash dedup instead, not pairwise.
+# One extra window count over the same shuffle key; no new shuffle.
+
+_LSH_BUCKET_CAP = 8
+
+# 1-row bands for the capped variant: a bucket is every doc sharing ONE
+# minhash value — deliberately coarse so hot buckets actually form and the
+# cap demonstrably prunes them (with 3-row bands at this SF no bucket ever
+# exceeds 2 and the cap would be vacuous)
+_SINGLE_SIG_EXPR = (
+    f"transform(sequence(0, {_MINHASH_K - 1}), i -> "
+    f"array_min(transform(shingles, s -> md5(concat(cast(i AS string), ':', s)))))"
+)
+
+
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    sh_arr = docs.selectExpr(
+        "doc_id", f"array_distinct({_SHINGLES}) AS shingles"
+    ).filter(F.size("shingles") > 0)
+    bands = sh_arr.select(
+        "doc_id", F.posexplode(F.expr(_SINGLE_SIG_EXPR)).alias("band", "band_key")
+    )
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_key"))
+    ).filter(F.col("bucket_n") <= _LSH_BUCKET_CAP)
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SQL_DEDUP_MINHASH_CAPPED = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len({_SQL_TOKS}) - 1, 1)),
+    i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]))) AS shingle
+  FROM documents WHERE doc_id < 300),
+bands AS (
+  SELECT doc_id, i AS band, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS band_key
+  FROM sh, generate_series(0, {_MINHASH_K - 1}) t(i)
+  GROUP BY doc_id, i),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_n FROM bands)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sized a JOIN sized b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE a.bucket_n <= {_LSH_BUCKET_CAP} AND b.bucket_n <= {_LSH_BUCKET_CAP}
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "dedup_minhash_capped": (q_dedup_minhash_capped, SQL_DEDUP_MINHASH_CAPPED),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
