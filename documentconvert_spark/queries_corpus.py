@@ -27,14 +27,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS = "split(lower(trim(text)), '\\\\s+')"
 # word 3-gram shingles from the token array (1-based element_at).
-# Guarded: sequence(1, 0) yields the DESCENDING array [1, 0] — for a
-# document with <3 tokens that makes element_at read past the end and
-# ANSI mode fails the whole query, so short docs get an empty array.
+# Two subtleties:
+#   - guarded: sequence(1, 0) yields the DESCENDING array [1, 0] — for a
+#     document with <3 tokens that makes element_at read past the end and
+#     ANSI mode fails the whole query, so short docs get an empty array;
+#   - the tokenizing split() is BOUND ONCE via a single-element transform
+#     lambda (element_at(transform(array(split..), toks -> ..), 1)) — a
+#     plain CASE WHEN repeats the split per reference, which defeated
+#     common-subexpression elimination and cost ~10× on the minhash path.
 _SHINGLES = (
-    f"CASE WHEN size({_TOKS}) >= 3 THEN "
-    f"transform(sequence(1, size({_TOKS}) - 2), "
-    f"i -> concat_ws(' ', element_at({_TOKS}, i), element_at({_TOKS}, i+1), element_at({_TOKS}, i+2))) "
-    f"ELSE array() END"
+    f"element_at(transform(array({_TOKS}), toks -> "
+    f"CASE WHEN size(toks) >= 3 THEN "
+    f"transform(sequence(1, size(toks) - 2), "
+    f"i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))) "
+    f"ELSE array() END), 1)"
 )
 
 _SQL_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
