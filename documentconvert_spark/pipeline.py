@@ -28,6 +28,7 @@ Scale design (north_rule mandates, SURVEY.md §4):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -202,40 +203,56 @@ def run_extraction_job(
         F.sum(F.coalesce(F.col("n_spans"), F.lit(0))).alias("n_spans_total"),
     )
 
-    started_at = F.current_timestamp()
-    out = out.cache()
-    processed = out.count()
+    # Single materializing action: extraction streams STRAIGHT to the
+    # run-scoped output directory (observation rides the write). Caching
+    # the full spans+markdown output before writing — the previous shape —
+    # pins the run's entire payload in executor memory; at corpus scale
+    # that is the exact anti-pattern the 100 TB design forbids. The narrow
+    # state columns ride along in the output files and are derived by a
+    # column-pruned read-back, which costs a footer-and-small-columns scan,
+    # not a second extraction.
+    import uuid as _uuid
 
-    from documentconvert_spark.tableio import append_table
+    from documentconvert_spark.tableio import overwrite_table, read_table
 
-    append_table(
-        out.select("doc_id", "spans", "markdown", "n_spans", "error", "error_class"),
-        out_path,
+    run_id = _uuid.uuid4().hex[:12]
+    run_dir = os.path.join(out_path, f"run_id={run_id}")
+    started_iso = F.current_timestamp()
+    overwrite_table(
+        out.select(
+            "doc_id", "spans", "markdown", "n_spans", "error", "error_class",
+            "partition_id", "status", "attempt", "processing_s",
+            "source_bucket", "source_path",
+        ),
+        run_dir,
     )
-
-    state_rows = (
-        out.withColumn("started_at", started_at)
-        .withColumn("completed_at", F.current_timestamp())
-        .withColumn("lineage", lineage_column())
-        .select(
-            "doc_id",
-            F.col("partition_id").cast("int").alias("partition_id"),
-            "status",
-            "attempt",
-            "started_at",
-            "completed_at",
-            "processing_s",
-            F.col("n_spans").cast("int").alias("n_spans"),
-            "error",
-            "error_class",
-            "lineage",
-        )
-    )
-    run_id = state.append(state_rows) if processed else None
-
-    live = obs.get if processed else {"n_completed": 0, "n_spans_total": 0}
+    live = obs.get
+    processed = int(live["n_docs"] or 0)
     completed_n = int(live["n_completed"] or 0)
-    out.unpersist()
+
+    if processed:
+        written = read_table(spark, run_dir)
+        state_rows = (
+            written.withColumn("started_at", started_iso)
+            .withColumn("completed_at", F.current_timestamp())
+            .withColumn("lineage", lineage_column())
+            .select(
+                "doc_id",
+                F.col("partition_id").cast("int").alias("partition_id"),
+                "status",
+                "attempt",
+                "started_at",
+                "completed_at",
+                "processing_s",
+                F.col("n_spans").cast("int").alias("n_spans"),
+                "error",
+                "error_class",
+                "lineage",
+            )
+        )
+        state.append(state_rows, run_id=run_id)
+    else:
+        run_id = None
     return JobResult(
         run_id=run_id,
         docs_in=docs_in,

@@ -29,13 +29,22 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-    if shuffle_partitions is None:
-        n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(int(n), 8)
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None and os.environ.get("SPARK_ENV_LOADED"):
+        # running under spark-submit: the submitted --master is already in
+        # the conf — calling .master() here would silently OVERRIDE it
+        # (e.g. a local[32] fallback swallowing a local[2] scaling run)
+        b = SparkSession.builder
+        if shuffle_partitions is None:
+            shuffle_partitions = 32
+    else:
+        master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        if shuffle_partitions is None:
+            n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+            shuffle_partitions = 32 if n == "*" else max(int(n), 8)
+        b = SparkSession.builder.master(master)
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        b.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -43,7 +52,8 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
         # Extraction is compute-dense per byte: favor many small input
         # splits so scan parallelism never caps the UDF stage (default
         # 128m/4m bins a multi-file corpus into a handful of splits).

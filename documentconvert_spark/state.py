@@ -51,10 +51,10 @@ class StateStore:
             .drop("run_id")
         )
 
-    def append(self, df: DataFrame) -> str:
+    def append(self, df: DataFrame, run_id: str | None = None) -> str:
         from documentconvert_spark.tableio import overwrite_table
 
-        run_id = uuid.uuid4().hex[:12]
+        run_id = run_id or uuid.uuid4().hex[:12]
         overwrite_table(
             df.select([f.name for f in EXTRACTION_STATE.fields]),
             os.path.join(self.path, f"run_id={run_id}"),

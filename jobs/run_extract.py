@@ -5,6 +5,7 @@ Submit (north_rule launch shape):
     scripts/make_pyfiles.sh   # builds dist/documentconvert_spark.zip
     spark-submit \
       --master <cluster> \
+      --driver-memory 8g \
       --py-files dist/documentconvert_spark.zip \
       jobs/run_extract.py \
       --input  <documents_raw parquet/iceberg path> \

@@ -1,0 +1,26 @@
+#!/bin/bash
+# Cluster submission template (north_rule launch shape). On a real cluster
+# swap --master for yarn/k8s and size executors; the N-vs-4N scaling run
+# is the same command at two --num-executors (or local[N]) settings.
+#
+# NOTE: spark.driver.memory is a JVM-launch option — setting it inside
+# SparkSession.builder is IGNORED under spark-submit (the driver JVM is
+# already running). It must be passed here. The in-process path
+# (documentconvert_spark.session.build_session) sets it for you.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+bash scripts/make_pyfiles.sh
+
+MASTER="${MASTER:-local[8]}"
+SPARK_SUBMIT="$(python -c 'import pyspark,os;print(os.path.join(pyspark.__path__[0],"bin","spark-submit"))')"
+
+"$SPARK_SUBMIT" \
+  --master "$MASTER" \
+  --driver-memory "${DRIVER_MEM:-8g}" \
+  --py-files dist/documentconvert_spark.zip \
+  jobs/run_extract.py \
+  --input  "${INPUT:?set INPUT to a documents_raw parquet path}" \
+  --output "${OUTPUT:?set OUTPUT}" \
+  --state  "${STATE:?set STATE}" \
+  --rounds "${ROUNDS:-3}"
