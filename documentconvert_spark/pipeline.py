@@ -266,6 +266,24 @@ def run_extraction_job(
     )
 
 
+def read_committed_output(spark: SparkSession, out_path: str, state: StateStore) -> DataFrame:
+    """Exactly-once output reader: the job writes the output run directory
+    BEFORE appending state (both share one run_id), so a crash in that
+    window leaves an orphan output directory whose docs get reprocessed by
+    the next run. Readers that filter to state-committed run_ids see each
+    completed doc exactly once — the Iceberg-snapshot-commit analogue on
+    the parquet fallback."""
+    from documentconvert_spark.tableio import read_table
+
+    out = read_table(spark, out_path)
+    committed = state.run_ids().withColumnRenamed("run_id", "_committed_run_id")
+    return out.join(
+        F.broadcast(committed),
+        out["run_id"].cast("string") == committed["_committed_run_id"],
+        "left_semi",
+    )
+
+
 def partition_metrics(state: StateStore) -> DataFrame:
     """Per-partition tallies (SURVEY.md A3) straight off the state table."""
     return (

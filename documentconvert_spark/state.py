@@ -61,6 +61,25 @@ class StateStore:
         )
         return run_id
 
+    def run_ids(self) -> DataFrame:
+        """Committed run_ids — a run is committed iff its state append
+        landed (the output directory is written FIRST, so an orphan
+        output run_id without state rows marks a crash window)."""
+        if not os.path.isdir(self.path) or not any(
+            e.startswith("run_id=") for e in os.listdir(self.path)
+        ):
+            return self.spark.createDataFrame([], "run_id string")
+        from documentconvert_spark.tableio import table_format
+
+        return (
+            self.spark.read
+            .option("ignoreCorruptFiles", "true")
+            .format(table_format())
+            .load(self.path)
+            .select(F.col("run_id").cast("string"))
+            .distinct()
+        )
+
     # ---- derived views -------------------------------------------------
 
     def latest(self) -> DataFrame:

@@ -125,3 +125,41 @@ def test_job_resume_and_retry(spark, docs_df, tmp_path):
     assert ss["completed"].n == r1.completed
     assert ss["failed"].n == n_poison
     assert abs(ss["completed"].rate + ss["failed"].rate - 1.0) < 1e-9
+
+
+def test_committed_output_reader_excludes_crash_orphans(spark, tmp_path):
+    """A crash between the output write and the state append leaves an
+    orphan output run directory; read_committed_output must exclude it so
+    downstream readers see each doc exactly once (O5 recovery semantics)."""
+    import shutil
+
+    from documentconvert_spark.corpus import corpus_rows, generate_corpus
+    from documentconvert_spark.pipeline import read_committed_output, run_extraction_job
+    from documentconvert_spark.schemas import DOCUMENTS_RAW
+    from documentconvert_spark.state import StateStore
+
+    docs = generate_corpus(30, seed=7)
+    docs_df = spark.createDataFrame(corpus_rows(docs), schema=DOCUMENTS_RAW)
+    out = str(tmp_path / "out")
+    st = StateStore(spark, str(tmp_path / "state"))
+
+    r1 = run_extraction_job(spark, docs_df, out, st, target_partitions=4)
+    assert r1.processed == 30
+
+    # simulate the crash window: an output run dir with NO state append
+    orphan = str(tmp_path / "out" / "run_id=deadbeef0000")
+    committed_dir = str(tmp_path / "out" / f"run_id={r1.run_id}")
+    shutil.copytree(committed_dir, orphan)
+
+    import os
+    raw = spark.read.parquet(out)
+    assert raw.count() == 60  # naive reader double-counts
+
+    good = read_committed_output(spark, out, st)
+    assert good.count() == 30
+    assert good.select("doc_id").distinct().count() == 30
+
+    # the next run re-selects nothing (state is the source of truth)
+    r2 = run_extraction_job(spark, docs_df, out, st, target_partitions=4)
+    n_poison = sum(1 for d in docs if d.expect_error)
+    assert r2.processed == n_poison  # only retryable failures, no completed dups
