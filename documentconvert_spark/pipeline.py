@@ -252,6 +252,11 @@ def run_extraction_job(
         )
         state.append(state_rows, run_id=run_id)
     else:
+        # a no-op rerun wrote only an empty _SUCCESS-marked dir; remove it
+        # so out_path doesn't accumulate pseudo-orphans
+        import shutil
+
+        shutil.rmtree(run_dir, ignore_errors=True)
         run_id = None
     return JobResult(
         run_id=run_id,
@@ -266,22 +271,35 @@ def run_extraction_job(
     )
 
 
-def read_committed_output(spark: SparkSession, out_path: str, state: StateStore) -> DataFrame:
+def read_committed_output(
+    spark: SparkSession,
+    out_path: str,
+    state: StateStore,
+    completed_only: bool = True,
+) -> DataFrame:
     """Exactly-once output reader: the job writes the output run directory
     BEFORE appending state (both share one run_id), so a crash in that
     window leaves an orphan output directory whose docs get reprocessed by
-    the next run. Readers that filter to state-committed run_ids see each
-    completed doc exactly once — the Iceberg-snapshot-commit analogue on
-    the parquet fallback."""
+    the next run. Filtering to state-committed run_ids (derived from state
+    DATA, so compaction-safe; _SUCCESS-gated, so half-appended state never
+    counts) plus completed rows gives each successfully-converted doc
+    EXACTLY ONCE: completed docs are anti-joined away and never reprocessed.
+    ``completed_only=False`` additionally returns failure artifacts — one
+    row per ATTEMPT by design (the reference also writes an error .md per
+    attempt); dedupe by (doc_id, attempt) if single rows are needed.
+
+    Parquet-fallback mechanics (run_id= dirs + partition discovery) — an
+    Iceberg deployment gets this from snapshot commits natively."""
     from documentconvert_spark.tableio import read_table
 
     out = read_table(spark, out_path)
     committed = state.run_ids().withColumnRenamed("run_id", "_committed_run_id")
-    return out.join(
+    good = out.join(
         F.broadcast(committed),
-        out["run_id"].cast("string") == committed["_committed_run_id"],
+        out["run_id"].cast("string") == committed["_committed_run_id"].cast("string"),
         "left_semi",
     )
+    return good.filter(F.col("error").isNull()) if completed_only else good
 
 
 def partition_metrics(state: StateStore) -> DataFrame:

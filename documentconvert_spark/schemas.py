@@ -61,6 +61,10 @@ EXTRACTION_STATE = T.StructType(
         T.StructField("error", T.StringType(), True),
         T.StructField("error_class", T.StringType(), True),
         T.StructField("lineage", T.StringType(), True),
+        # the run that produced this row, as DATA (not just the run_id=
+        # directory name): it must survive state compaction because the
+        # committed-output reader joins output run dirs against it
+        T.StructField("src_run_id", T.StringType(), True),
     ]
 )
 

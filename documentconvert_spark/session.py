@@ -29,16 +29,18 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER")
-    if master is None and os.environ.get("SPARK_ENV_LOADED"):
-        # running under spark-submit: the submitted --master is already in
-        # the conf — calling .master() here would silently OVERRIDE it
-        # (e.g. a local[32] fallback swallowing a local[2] scaling run)
+    if os.environ.get("PYSPARK_GATEWAY_PORT"):
+        # the driver JVM already exists (spark-submit launched it and owns
+        # the gateway): the submitted --master is decided and calling
+        # .master() here would silently OVERRIDE/confuse it (e.g. a
+        # local[32] fallback swallowing a local[2] scaling run). The
+        # gateway port is the precise marker — SPARK_ENV_LOADED is also
+        # set by merely sourcing spark-env.sh in a login shell.
         b = SparkSession.builder
         if shuffle_partitions is None:
             shuffle_partitions = 32
     else:
-        master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
         if shuffle_partitions is None:
             n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
             shuffle_partitions = 32 if n == "*" else max(int(n), 8)
@@ -59,6 +61,9 @@ def build_session(
         # 128m/4m bins a multi-file corpus into a handful of splits).
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "8m")
+        # run_id= partition values are opaque hex STRINGS; type inference
+        # would coerce an all-digit id to long and break string equi-joins
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -36,10 +36,24 @@ class StateStore:
         self.spark = spark
         self.path = path
 
+    def _committed_run_dirs(self) -> list[str]:
+        """run_id= subdirectories whose write COMMITTED (_SUCCESS marker
+        present). A crashed mid-append run may leave part files visible
+        before commitJob finishes — those must be invisible to every
+        reader, or the exactly-once guarantees silently break."""
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for e in os.listdir(self.path):
+            if e.startswith("run_id=") and os.path.exists(
+                os.path.join(self.path, e, "_SUCCESS")
+            ):
+                out.append(e)
+        return sorted(out)
+
     def read(self) -> DataFrame:
-        if not os.path.isdir(self.path) or not any(
-            e.startswith("run_id=") for e in os.listdir(self.path)
-        ):
+        dirs = self._committed_run_dirs()
+        if not dirs:
             return self.spark.createDataFrame([], EXTRACTION_STATE)
         from documentconvert_spark.tableio import table_format
 
@@ -47,7 +61,8 @@ class StateStore:
             self.spark.read
             .option("ignoreCorruptFiles", "true")
             .format(table_format())
-            .load(self.path)
+            .option("basePath", self.path)
+            .load([os.path.join(self.path, d) for d in dirs])
             .drop("run_id")
         )
 
@@ -55,6 +70,9 @@ class StateStore:
         from documentconvert_spark.tableio import overwrite_table
 
         run_id = run_id or uuid.uuid4().hex[:12]
+        df = df.withColumn(
+            "src_run_id", F.coalesce(F.col("src_run_id"), F.lit(run_id))
+        ) if "src_run_id" in df.columns else df.withColumn("src_run_id", F.lit(run_id))
         overwrite_table(
             df.select([f.name for f in EXTRACTION_STATE.fields]),
             os.path.join(self.path, f"run_id={run_id}"),
@@ -62,23 +80,15 @@ class StateStore:
         return run_id
 
     def run_ids(self) -> DataFrame:
-        """Committed run_ids — a run is committed iff its state append
-        landed (the output directory is written FIRST, so an orphan
-        output run_id without state rows marks a crash window)."""
-        if not os.path.isdir(self.path) or not any(
-            e.startswith("run_id=") for e in os.listdir(self.path)
-        ):
-            return self.spark.createDataFrame([], "run_id string")
-        from documentconvert_spark.tableio import table_format
-
-        return (
-            self.spark.read
-            .option("ignoreCorruptFiles", "true")
-            .format(table_format())
-            .load(self.path)
-            .select(F.col("run_id").cast("string"))
-            .distinct()
-        )
+        """Committed producing-run ids — a run is committed iff its state
+        append landed (the output directory is written FIRST, so an
+        orphan output run_id without state rows marks a crash window).
+        Derived from the src_run_id DATA column, so the link survives
+        compact() rewriting the directory names; reads only
+        _SUCCESS-marked dirs, so a half-appended run never counts."""
+        return self.read().select(
+            F.col("src_run_id").cast("string").alias("run_id")
+        ).where(F.col("run_id").isNotNull()).distinct()
 
     # ---- derived views -------------------------------------------------
 

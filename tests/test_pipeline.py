@@ -130,7 +130,10 @@ def test_job_resume_and_retry(spark, docs_df, tmp_path):
 def test_committed_output_reader_excludes_crash_orphans(spark, tmp_path):
     """A crash between the output write and the state append leaves an
     orphan output run directory; read_committed_output must exclude it so
-    downstream readers see each doc exactly once (O5 recovery semantics)."""
+    downstream readers see each completed doc exactly once (O5 recovery
+    semantics) — and the committed link must survive state compaction and
+    ignore half-appended (no _SUCCESS) state runs."""
+    import os
     import shutil
 
     from documentconvert_spark.corpus import corpus_rows, generate_corpus
@@ -151,15 +154,32 @@ def test_committed_output_reader_excludes_crash_orphans(spark, tmp_path):
     committed_dir = str(tmp_path / "out" / f"run_id={r1.run_id}")
     shutil.copytree(committed_dir, orphan)
 
-    import os
     raw = spark.read.parquet(out)
     assert raw.count() == 60  # naive reader double-counts
 
     good = read_committed_output(spark, out, st)
-    assert good.count() == 30
-    assert good.select("doc_id").distinct().count() == 30
+    assert good.count() == r1.completed  # completed rows, exactly once
+    assert good.select("doc_id").distinct().count() == r1.completed
 
-    # the next run re-selects nothing (state is the source of truth)
+    # a half-appended state run (part files, no _SUCCESS) must not count
+    half = str(tmp_path / "state" / "run_id=deadbeef0000")
+    shutil.copytree(str(tmp_path / "state" / f"run_id={r1.run_id}"), half)
+    os.remove(os.path.join(half, "_SUCCESS"))
+    assert st.run_ids().count() == 1  # still only the committed run
+
+    # state compaction rewrites run directories — the committed link is
+    # DATA (src_run_id) and must survive
+    st.compact()
+    good2 = read_committed_output(spark, out, st)
+    assert good2.count() == r1.completed
+
+    # retried failures produce one artifact per attempt (reference writes
+    # an error .md per attempt too) — completed rows stay exactly-once
     r2 = run_extraction_job(spark, docs_df, out, st, target_partitions=4)
     n_poison = sum(1 for d in docs if d.expect_error)
-    assert r2.processed == n_poison  # only retryable failures, no completed dups
+    assert r2.processed == n_poison  # only retryable failures re-selected
+    good3 = read_committed_output(spark, out, st)
+    assert good3.count() == r1.completed
+    assert good3.select("doc_id").distinct().count() == r1.completed
+    with_failures = read_committed_output(spark, out, st, completed_only=False)
+    assert with_failures.count() == r1.completed + 2 * n_poison  # attempts 1+2
