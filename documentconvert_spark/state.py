@@ -57,14 +57,25 @@ class StateStore:
             return self.spark.createDataFrame([], EXTRACTION_STATE)
         from documentconvert_spark.tableio import table_format
 
-        return (
+        loaded = (
             self.spark.read
             .option("ignoreCorruptFiles", "true")
+            .option("mergeSchema", "true")
             .format(table_format())
             .option("basePath", self.path)
             .load([os.path.join(self.path, d) for d in dirs])
-            .drop("run_id")
         )
+        # schema evolution: runs appended before src_run_id existed carry
+        # the producing run only in the directory name — backfill so the
+        # committed-output link holds across the upgrade
+        if "src_run_id" in loaded.columns:
+            loaded = loaded.withColumn(
+                "src_run_id",
+                F.coalesce(F.col("src_run_id"), F.col("run_id").cast("string")),
+            )
+        else:
+            loaded = loaded.withColumn("src_run_id", F.col("run_id").cast("string"))
+        return loaded.drop("run_id")
 
     def append(self, df: DataFrame, run_id: str | None = None) -> str:
         from documentconvert_spark.tableio import overwrite_table

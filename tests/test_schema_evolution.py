@@ -33,3 +33,40 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
         F.count("quality").alias("with_q"), F.count("*").alias("total")
     ).collect()[0]
     assert (agg.with_q, agg.total) == (1, 3)
+
+
+def test_state_src_run_id_backfill_from_directory(spark, tmp_path):
+    """State runs appended BEFORE the src_run_id column existed must still
+    count as committed: read() backfills src_run_id from the run_id=
+    directory name (schema evolution across the upgrade)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from documentconvert_spark.state import StateStore
+
+    path = str(tmp_path / "state")
+    old_dir = os.path.join(path, "run_id=0ld0ld0ld0ld")
+    # old-layout run: no src_run_id column
+    spark.createDataFrame(
+        [("d1", 0, "completed", 1, None, None, 0.1, 5, None, None, "b/d1/markdown")],
+        "doc_id string, partition_id int, status string, attempt int, "
+        "started_at timestamp, completed_at timestamp, processing_s double, "
+        "n_spans int, error string, error_class string, lineage string",
+    ).write.mode("overwrite").parquet(old_dir)
+
+    st = StateStore(spark, path)
+    # new-layout append alongside it
+    new_rows = st.read().limit(0)  # empty, correct schema
+    st.append(
+        spark.createDataFrame(
+            [("d2", 0, "completed", 1, None, None, 0.1, 3, None, None, "b/d2/markdown", None)],
+            st.read().schema,
+        ),
+        run_id="n3wn3wn3wn3w",
+    )
+
+    rows = {r.doc_id: r.src_run_id for r in st.read().select("doc_id", "src_run_id").collect()}
+    assert rows == {"d1": "0ld0ld0ld0ld", "d2": "n3wn3wn3wn3w"}
+    ids = {r.run_id for r in st.run_ids().collect()}
+    assert ids == {"0ld0ld0ld0ld", "n3wn3wn3wn3w"}
