@@ -5,8 +5,13 @@ standard counter is salting: split each key into `n_salt` subkeys, do a
 partial aggregate on (key, salt), then a cheap final aggregate on key.
 Spark's hash aggregate already does map-side partial aggregation, which
 covers *count/sum* skew — salting matters when the per-key state is big
-(collect_list, distinct counts) or when AQE skew handling is unavailable
-(non-join shuffles). The helper keeps the pattern explicit and testable.
+(e.g. collect_list) or when AQE skew handling is unavailable (non-join
+shuffles). The helper keeps the pattern explicit and testable.
+
+DISTINCT counts are the exception: use ``salted_distinct_count`` (salts
+by the distinct VALUE, keeping per-salt slices disjoint). Summing
+per-salt ``countDistinct`` partials from ``salted_agg`` double-counts —
+the row-content salt spreads equal distinct values across salts.
 """
 
 from __future__ import annotations
@@ -20,6 +25,7 @@ def salted_agg(
     key: str,
     aggs: dict[str, tuple[Column, Column]],
     n_salt: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage salted aggregation.
 
@@ -27,12 +33,24 @@ def salted_agg(
     partial runs per (key, salt) and the final merges per key, e.g.
       {"n": (F.count("*"), F.sum("n")),
        "total": (F.sum("value"), F.sum("total"))}
+
+    The (partial, merge) pair must be decomposable — count/sum/min/max,
+    or sum-of-partial-sums style. countDistinct is NOT: identical
+    distinct values land under different salts and their partial counts
+    double-count when merged — use salted_distinct_count instead.
+
+    salt_cols limits which columns feed the salt hash: pass cheap
+    high-cardinality columns (ids, timestamps) when rows carry MB-scale
+    payloads, and note that rows identical across salt_cols share a salt
+    (fully identical duplicate rows cannot be split by ANY deterministic
+    content salt — dedup them first, or live with that subset unsplit).
     """
     # salt from the ROW CONTENT, never from monotonically_increasing_id():
     # a stage retry / speculative task re-assigns mono ids, which would
     # re-salt rows differently than already-fetched shuffle output and
     # silently corrupt results on the very clusters this helper targets
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    cols = salt_cols or df.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")
@@ -49,6 +67,7 @@ def salted_join(
     key: str,
     n_salt: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join under join-key skew: each skewed-side row picks one of
     `n_salt` salts; the dim side is replicated across all salts; the join
@@ -66,9 +85,11 @@ def salted_join(
         # right/full would emit each unmatched dim row once PER REPLICA —
         # silent n_salt-fold inflation; refuse rather than corrupt
         raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
-    # deterministic content-derived salt (see salted_agg): survives stage
-    # retries and speculative execution, unlike monotonically_increasing_id
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salt)).cast("int")
+    # deterministic content-derived salt (see salted_agg for salt_cols and
+    # the identical-rows caveat): survives stage retries and speculative
+    # execution, unlike monotonically_increasing_id
+    cols = salt_cols or skewed.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt)).cast("int")
     salted_fact = skewed.withColumn("_salt", salt)
     replicated_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

@@ -108,6 +108,15 @@ def stream_extract(
 
 
 def read_stream_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    # an availableNow run over an empty landing dir executes ZERO batches,
+    # so the sink never creates out_dir — that is "no output yet", not an
+    # error (reference poll worker also idles on an empty queue)
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame(
+            [], "doc_id string, spans array<struct<kind:string,text:string,"
+                "media_ref:string,offset:int>>, markdown string, n_spans int, "
+                "error string, error_class string"
+        )
     return spark.read.option("basePath", out_dir).parquet(out_dir).drop("batch_id")
 
 

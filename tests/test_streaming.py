@@ -52,3 +52,16 @@ def test_stream_restart_same_checkpoint_noop(spark, tmp_path):
     out = drain(spark, input_dir, out_dir, ckpt)
     assert out.count() == 30
     assert len(os.listdir(out_dir)) >= 1
+
+
+def test_drain_on_empty_landing_returns_empty(spark, tmp_path):
+    """availableNow over an empty landing dir runs zero batches and never
+    creates the sink dir — drain must return an empty frame, not raise
+    PATH_NOT_FOUND (the normal state before the first producer write)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    from documentconvert_spark.streaming import drain
+
+    out = drain(spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    assert out.count() == 0
+    assert "doc_id" in out.columns and "markdown" in out.columns
