@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import re
 import struct
 import zipfile
 
@@ -102,6 +103,29 @@ def _pdf_media(content: bytes) -> list[tuple[str, bytes]]:
     return out
 
 
+_RTF_PICT = re.compile(rb"\\pict[^{}]*?[ \r\n]((?:[0-9a-fA-F]{2}|\s)+)\}")
+
+
+def _rtf_media(content: bytes) -> list[tuple[str, bytes]]:
+    """Hex-encoded \\pict payloads; keyed exactly like minirtf's figure
+    spans: the tokenizer hashes the in-file text it buffers, which keeps
+    spaces/tabs but drops CR/LF — replicate that so span ⋈ media joins
+    line up."""
+    out = []
+    seen = set()
+    for m in _RTF_PICT.finditer(content):
+        hash_text = m.group(1).replace(b"\r", b"").replace(b"\n", b"")
+        try:
+            blob = bytes.fromhex(hash_text.decode("ascii"))  # fromhex skips spaces
+        except ValueError:
+            continue
+        ref = hashlib.sha1(hash_text).hexdigest()[:12] + ".jpg"
+        if ref not in seen:
+            seen.add(ref)
+            out.append((ref, blob))
+    return out
+
+
 def extract_media_files(content: bytes) -> list[tuple[str, bytes]]:
     """All embedded media in one document container → [(media_ref, bytes)]."""
     if not content:
@@ -110,4 +134,6 @@ def extract_media_files(content: bytes) -> list[tuple[str, bytes]]:
         return _zip_media(content)
     if content[:1024].lstrip()[:5].startswith(b"%PDF-"):
         return _pdf_media(content)
+    if content[:1024].lstrip()[:5].startswith(b"{\\rtf"):
+        return _rtf_media(content)
     return []

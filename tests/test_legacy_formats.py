@@ -450,3 +450,21 @@ def test_realpdf_tounicode_default_width_one():
     from documentconvert_spark.kernels.realpdf import extract_realpdf
     spans = extract_realpdf(_classic_pdf(objs))
     assert spans and spans[0].text == "XY"
+
+
+def test_rtf_pict_media_bytes_match_figure_span():
+    """extract_media_files pulls the \\pict payload bytes and its key
+    matches the figure span the RTF tokenizer emits (J3 integrity)."""
+    from documentconvert_spark.kernels.media import extract_media_files
+
+    payload = b"89504e470d0a1a0a" + b"00" * 16  # PNG magic + padding
+    rtf = (b"{\\rtf1\\ansi Intro\\par"
+           b"{\\pict\\pngblip\\picw4\\pich4 " + payload + b"}"
+           b"After.\\par}")
+    spans = extract_rtf(rtf)
+    fig_refs = {s.media_ref for s in spans if s.kind == "figure"}
+    media = extract_media_files(rtf)
+    assert len(media) == 1
+    ref, blob = media[0]
+    assert {ref} == fig_refs
+    assert blob[:8] == b"\x89PNG\r\n\x1a\x0a"
