@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import hashlib
 import io
-import re
 import struct
 import zipfile
 
@@ -103,23 +102,21 @@ def _pdf_media(content: bytes) -> list[tuple[str, bytes]]:
     return out
 
 
-_RTF_PICT = re.compile(rb"\\pict[^{}]*?[ \r\n]((?:[0-9a-fA-F]{2}|\s)+)\}")
-
-
 def _rtf_media(content: bytes) -> list[tuple[str, bytes]]:
-    """Hex-encoded \\pict payloads; keyed exactly like minirtf's figure
-    spans: the tokenizer hashes the in-file text it buffers, which keeps
-    spaces/tabs but drops CR/LF — replicate that so span ⋈ media joins
-    line up."""
+    """Hex-encoded \\pict payloads, collected by the SAME tokenizer walk
+    that emits minirtf's figure spans (extract_rtf media_out hook) — same
+    destination skipping (\\*\\shppict kept, \\nonshppict skipped) and the
+    same buffered-text hash, so span ⋈ media joins line up exactly."""
+    from documentconvert_spark.kernels.minirtf import extract_rtf
+
+    collected: list[tuple[str, bytes]] = []
+    try:
+        extract_rtf(content, media_out=collected)
+    except ValueError:
+        pass  # no extractable content; picts collected before the raise kept
     out = []
     seen = set()
-    for m in _RTF_PICT.finditer(content):
-        hash_text = m.group(1).replace(b"\r", b"").replace(b"\n", b"")
-        try:
-            blob = bytes.fromhex(hash_text.decode("ascii"))  # fromhex skips spaces
-        except ValueError:
-            continue
-        ref = hashlib.sha1(hash_text).hexdigest()[:12] + ".jpg"
+    for ref, blob in collected:
         if ref not in seen:
             seen.add(ref)
             out.append((ref, blob))

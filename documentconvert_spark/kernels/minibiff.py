@@ -105,6 +105,12 @@ def _parse_sst(payload_parts: list[bytes]) -> list[str]:
             avail = len(part) - pos
             width = 2 if pending_wide else 1
             take = min(pending_chars, avail // width)
+            if take == 0:
+                # A wide (UTF-16) run hit a part with an odd number of
+                # remaining bytes: no whole character fits, so the loop
+                # would make no progress forever. Treat the stray byte as
+                # corrupt, abort this string, and move to the next part.
+                raise ValueError("biff: SST wide-string run split on an odd byte boundary")
             raw = part[pos : pos + take * width]
             cur.append(raw.decode("utf-16-le" if pending_wide else "latin-1", "replace"))
             pos += take * width

@@ -91,7 +91,11 @@ class _Cfb:
             self.minifat = list(struct.unpack_from(f"<{len(mf) // 4}I", mf, 0))
 
     def _sector(self, n: int) -> bytes:
-        off = 512 + n * self.ssz
+        # MS-CFB: sector 0 starts at offset 1<<shift (the header occupies a
+        # full sector), i.e. (n+1)*ssz — NOT 512+n*ssz, which only happens to
+        # agree for the common 512-byte v3 files and reads garbage for v4
+        # compound files with 4096-byte sectors.
+        off = (n + 1) * self.ssz
         return self.data[off : off + self.ssz]
 
     def _read_chain(self, start: int, limit: int = 1 << 26) -> bytes:

@@ -28,10 +28,14 @@ _SKIP_DESTS = {
     b"xe", b"tc", b"object", b"themedata", b"colorschememapping",
     b"latentstyles", b"datastore", b"listtable", b"listoverridetable",
     b"rsidtbl", b"generator", b"ftnsep", b"aftnsep",
+    # \nonshppict is the legacy WMF fallback Word writes NEXT TO
+    # {\*\shppict...}; we keep the shppict copy (see the \* peek below) and
+    # skip this one so the same picture is not emitted twice.
+    b"nonshppict",
 }
 
 
-def extract_rtf(content: bytes) -> list[Span]:
+def extract_rtf(content: bytes, media_out: list[tuple[str, bytes]] | None = None) -> list[Span]:
     if not content[:1024].lstrip().startswith(b"{\\rtf"):
         raise ValueError("rtf: missing {\\rtf header")
     data = content
@@ -93,6 +97,14 @@ def extract_rtf(content: bytes) -> list[Span]:
                 h = hashlib.sha1(blob).hexdigest()[:12]
                 flush_para()
                 spans.append(Span("figure", "", f"{h}.jpg", -1))
+                if media_out is not None:
+                    # Same tokenizer walk feeds the media side table, so the
+                    # span ⋈ media key can never drift (was a regex before —
+                    # it disagreed on \*\shppict and on nested subgroups).
+                    try:
+                        media_out.append((f"{h}.jpg", bytes.fromhex(blob.decode("ascii"))))
+                    except (ValueError, UnicodeDecodeError):
+                        pass  # non-hex payload (e.g. \binN form): no bytes row
                 pict_buf = None
             depth -= 1
             i += 1
@@ -110,7 +122,14 @@ def extract_rtf(content: bytes) -> list[Span]:
                 i += 2
                 continue
             if data[i + 1 : i + 2] == b"*":
-                # {\* destination — skip whole group unless we keep it
+                # {\* destination — skip whole group unless we keep it.
+                # {\*\shppict {\pict ...}} is how Word embeds pictures; keep
+                # it (the \nonshppict fallback is skipped instead) so RTF
+                # figures from real Word files still become figure spans.
+                m_peek = _CW.match(data, i + 2)
+                if m_peek is not None and m_peek.group(1).lower() == b"shppict":
+                    i += 2
+                    continue
                 skip_until_depth = depth if skip_until_depth is None else skip_until_depth
                 i += 2
                 continue
@@ -185,8 +204,12 @@ def extract_rtf(content: bytes) -> list[Span]:
                     in_table_para = False
             elif word == b"plain":
                 bold = large = False
-            elif word in (b"bin",) and num:
-                i += num  # binary blob: skip raw bytes
+            elif word in (b"bin",) and num and num > 0:
+                # binary blob: skip raw bytes. Only ever move forward and
+                # clamp to the buffer — a negative/oversized \binN parameter
+                # (crafted or corrupt) must not rewind the cursor into an
+                # infinite re-parse loop.
+                i = min(i + num, n)
         elif c in (0x0D, 0x0A):
             i += 1
         else:
@@ -194,7 +217,11 @@ def extract_rtf(content: bytes) -> list[Span]:
                 j = i
                 while j < n and data[j] not in (0x5C, 0x7B, 0x7D, 0x0D, 0x0A):
                     j += 1
-                pict_buf.append(data[i:j])
+                # Only the pict group's own top-level text is payload; text
+                # inside nested subgroups ({\*\picprop ...}) is metadata and
+                # must not pollute the hex blob or its hash.
+                if depth == pict_depth and skip_until_depth is None:
+                    pict_buf.append(data[i:j])
                 i = j
             else:
                 emit(chr(c) if c < 0x80 else bytes([c]).decode(codepage, "replace"))

@@ -289,7 +289,14 @@ class _Pdf:
                     return None
                 start, count = int(m.group(1)), int(m.group(2))
                 i = _skip_ws(data, i + m.end())
+                # The entry count comes verbatim from the file; clamp it to
+                # what the remaining bytes can actually hold (entries are
+                # 19–20 bytes) so a crafted "0 200000000" subsection cannot
+                # spin for minutes on a 110-byte input.
+                count = min(count, (len(data) - i) // 19 + 1)
                 for k in range(count):
+                    if i >= len(data):
+                        break
                     ent = data[i : i + 20]
                     if ent[17:18] == b"n":
                         num = start + k

@@ -65,12 +65,12 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
-  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
   FROM flagged
 )
 SELECT user_id, sess_seq, COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
        ROUND(epoch(MAX(ts)) - epoch(MIN(ts)), 3) AS duration_s
 FROM numbered GROUP BY user_id, sess_seq
 """
@@ -363,7 +363,7 @@ WITH per_type AS (
 SELECT user_id, COUNT(*) AS n_types,
        string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
        COALESCE(MAX(CASE WHEN event_type = 'click' THEN n END), 0) AS n_clicks,
-       SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS n_types_ge10
+       CAST(SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_ge10
 FROM per_type GROUP BY user_id
 """
 

@@ -126,7 +126,7 @@ def q_a3_batch_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_A3 = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS n_positive,
+       CAST(SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
        COUNT(DISTINCT user_id) AS n_users,
        ROUND(SUM(value), 4) AS total_value
 FROM events GROUP BY event_type
@@ -872,11 +872,11 @@ def q_a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_A_PIVOT = """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS "view"
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
 FROM events GROUP BY 1
 """
 
@@ -927,7 +927,7 @@ SQL_F_ARRAY_OPS = """
 SELECT doc_id,
        len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t = 'spark')) > 0 AS has_spark,
        len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 6)) AS n_long_tokens,
-       list_sum(list_transform(string_split_regex(lower(text), '\\s+'), t -> length(t))) AS total_chars,
+       CAST(list_sum(list_transform(string_split_regex(lower(text), '\\s+'), t -> length(t))) AS BIGINT) AS total_chars,
        list_max(list_transform(string_split_regex(lower(text), '\\s+'), t -> length(t))) AS max_token_len
 FROM documents WHERE doc_id < 200
 """
@@ -1018,8 +1018,8 @@ def q_tpch_q12s(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q12S = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_returnflag
@@ -1162,10 +1162,10 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DQ_CHECKS = """
 WITH wide AS (
   SELECT COUNT(*) AS n_rows,
-         SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
-         SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount,
-         SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS bad_flag,
-         SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+         CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag,
+         CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
          COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_keys
   FROM lineitem),
 orph AS (

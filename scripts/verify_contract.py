@@ -28,7 +28,15 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        s = f"{v:.9g}"
+        # Dtype-sensitive: keep float-ness visible so an int-valued float
+        # (e.g. DuckDB HUGEINT -> pandas float64 rendering 2006.0) does NOT
+        # compare equal to an integer 2006.  The driver's hash compare is
+        # dtype-sensitive in exactly this way; round 1's 7 hash-fails were
+        # invisible locally because this collapsed "2006.0" to "2006".
+        if "." not in s and "e" not in s and "inf" not in s:
+            s += ".0"
+        return s
     return str(v)
 
 

@@ -468,3 +468,44 @@ def test_rtf_pict_media_bytes_match_figure_span():
     ref, blob = media[0]
     assert {ref} == fig_refs
     assert blob[:8] == b"\x89PNG\r\n\x1a\x0a"
+
+
+def test_rtf_shppict_span_media_parity():
+    """Word writes {\\*\\shppict{\\pict <emf>}}{\\nonshppict{\\pict <wmf>}}.
+    The shppict copy must become exactly ONE figure span, and the media side
+    table (same tokenizer walk) must produce exactly one row with the SAME
+    media_ref — round-1 advisor found the old regex emitted orphan rows."""
+    from documentconvert_spark.kernels.media import extract_media_files
+
+    png_hex = b"89504e470d0a1a0a"  # PNG magic as the "modern" payload
+    wmf_hex = b"d7cdc69a00000000"  # placeholder fallback payload
+    rtf = (rb"{\rtf1\ansi Before\par"
+           rb"{\*\shppict{\pict\pngblip\picw100\pich50 " + png_hex + rb"}}"
+           rb"{\nonshppict{\pict\wmetafile8 " + wmf_hex + rb"}}"
+           rb"After\par}")
+    spans = extract_rtf(rtf)
+    figs = [s for s in spans if s.kind == "figure"]
+    assert len(figs) == 1, [s.kind for s in spans]
+    media = extract_media_files(rtf)
+    assert len(media) == 1
+    ref, blob = media[0]
+    assert ref == figs[0].media_ref
+    assert blob == bytes.fromhex(png_hex.decode())
+
+
+def test_rtf_pict_nested_subgroup_hash_consistency():
+    """A {\\pict ...} containing a nested subgroup: the figure span's ref and
+    the media row's ref must still agree (the old regex stopped at the first
+    closing brace while the tokenizer folded subgroup bytes into its hash)."""
+    from documentconvert_spark.kernels.media import extract_media_files
+
+    hex1 = b"dead"
+    hex2 = b"beef"
+    rtf = (rb"{\rtf1\ansi X\par"
+           rb"{\pict\pngblip " + hex1 + rb"{\*\picprop junk}" + hex2 + rb"}}")
+    spans = extract_rtf(rtf)
+    figs = [s for s in spans if s.kind == "figure"]
+    assert len(figs) == 1
+    media = extract_media_files(rtf)
+    assert len(media) == 1
+    assert media[0][0] == figs[0].media_ref

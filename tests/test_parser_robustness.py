@@ -80,3 +80,118 @@ def test_pathological_synthetic_inputs():
     for i, data in enumerate(cases):
         for kern in (extract_pdf_any, extract_office_any):
             _assert_contained(kern, data, f"pathological#{i}")
+
+
+# ---------------------------------------------------------------- regressions
+# Direct reproductions of round-2 advisor findings: crafted inputs that made
+# a parser loop forever (a single such doc would hang a Spark task and
+# violate the C7 containment claim) or read garbage.
+
+def test_sst_odd_continue_terminates():
+    """A wide (UTF-16) SST string whose CONTINUE part has an odd byte count
+    used to make _parse_sst loop forever (take==0 while pos<len)."""
+    import struct
+
+    from documentconvert_spark.kernels.minibiff import _parse_sst
+
+    # SST header: total=1, unique=1; one string, cch=6, wide flag, only 2
+    # bytes of chars in the first part.
+    first = struct.pack("<II", 1, 1) + struct.pack("<HB", 6, 0x01) + "ab".encode("utf-16-le")[:2]
+    cont = b"\x01" + b"cd"  # fresh grbit byte, then an ODD 2+1... make odd:
+    cont = b"\x01" + b"c"   # 1 byte remaining for a wide run -> take==0
+    t0 = time.monotonic()
+    try:
+        _parse_sst([first, cont])
+    except ValueError:
+        pass  # aborting the corrupt string is the expected containment
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_rtf_negative_bin_terminates():
+    """'\\bin-7' used to move the cursor backwards -> infinite re-parse."""
+    from documentconvert_spark.kernels.minirtf import extract_rtf
+
+    t0 = time.monotonic()
+    try:
+        extract_rtf(b"{\\rtf1 \\bin-7 }")
+    except ValueError:
+        pass
+    assert time.monotonic() - t0 < 2.0
+    # oversized positive \binN must clamp to EOF, not wrap or error oddly
+    try:
+        extract_rtf(b"{\\rtf1 hello \\bin999999999 }")
+    except ValueError:
+        pass
+    assert time.monotonic() - t0 < 4.0
+
+
+def test_pdf_xref_count_clamped():
+    """'xref\\n0 200000000' on a 110-byte file used to spin for minutes."""
+    from documentconvert_spark.kernels.realpdf import extract_realpdf
+
+    doc = (b"%PDF-1.4\n"
+           b"xref\n0 200000000\n"
+           b"0000000000 65535 f \n"
+           b"trailer\n<< /Size 2 >>\nstartxref\n9\n%%EOF")
+    t0 = time.monotonic()
+    try:
+        extract_realpdf(doc)
+    except Exception:
+        pass
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_cfb_v4_sector_offsets():
+    """Version-4 compound files use 4096-byte sectors; sector n starts at
+    (n+1)*ssz, not 512+n*ssz. Build a minimal v4 CFB with one stream and
+    check the directory parses with the right payload."""
+    import struct
+
+    from documentconvert_spark.kernels.minidoc import _Cfb
+
+    ssz = 4096
+    # header sector (512 bytes used, padded to 4096)
+    hdr = bytearray(512)
+    hdr[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", hdr, 26, 4)       # major version 4
+    struct.pack_into("<H", hdr, 30, 12)      # sector shift -> 4096
+    struct.pack_into("<H", hdr, 32, 6)       # mini sector shift
+    struct.pack_into("<I", hdr, 44, 1)       # number of FAT sectors
+    struct.pack_into("<I", hdr, 48, 1)       # directory start sector
+    struct.pack_into("<I", hdr, 56, 0x1000)  # mini stream cutoff
+    struct.pack_into("<i", hdr, 60, -2)      # minifat start: ENDOFCHAIN
+    struct.pack_into("<i", hdr, 64, 0)       # n minifat
+    struct.pack_into("<i", hdr, 68, -2)      # DIFAT start: ENDOFCHAIN
+    struct.pack_into("<I", hdr, 72, 0)       # n DIFAT
+    struct.pack_into("<i", hdr, 76, 0)       # DIFAT[0] = FAT at sector 0
+    for off in range(80, 512, 4):
+        struct.pack_into("<i", hdr, off, -1)
+    header = bytes(hdr) + b"\x00" * (ssz - 512)
+
+    # s0=FAT, s1=dir, stream spans s2->s3 (payload > mini cutoff so it uses
+    # the regular FAT chain and actually exercises multi-sector offsets)
+    fat = struct.pack("<4i", -3, -2, 3, -2) + b"\xff" * (ssz - 16)
+    # directory sector: root + one stream entry
+    def dirent(name, otype, start, size):
+        e = bytearray(128)
+        raw = name.encode("utf-16-le")
+        e[0 : len(raw)] = raw
+        struct.pack_into("<H", e, 64, len(raw) + 2)
+        e[66] = otype
+        struct.pack_into("<i", e, 68, -1)  # left
+        struct.pack_into("<i", e, 72, -1)  # right
+        struct.pack_into("<i", e, 76, 1 if otype == 5 else -1)  # child
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    payload = b"PAYLOAD!" * 625  # 5000 bytes: > mini cutoff, spans 2 sectors
+    dirsec = (dirent("Root Entry", 5, 0xFFFFFFFE, 0)
+              + dirent("Data", 2, 2, len(payload)))
+    dirsec += b"\x00" * (ssz - len(dirsec))
+    stream_secs = payload + b"\x00" * (2 * ssz - len(payload))
+
+    blob = header + fat + dirsec + stream_secs
+    cfb = _Cfb(blob)
+    got = cfb.stream("Data")
+    assert got == payload
