@@ -782,7 +782,7 @@ q AS (
          list_transform(embedding, x -> CAST(floor(x::DOUBLE / scale + 0.5) AS INT)) AS codes
   FROM e)
 SELECT vec_id, ROUND(scale, 8) AS scale,
-       list_sum(list_transform(codes, v -> abs(v))) AS l1_code,
+       CAST(list_sum(list_transform(codes, v -> abs(v))) AS BIGINT) AS l1_code,
        ROUND(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
              i -> pow(embedding[i]::DOUBLE - codes[i] * scale, 2)))), 6) AS recon_rmse_x_sqrtd
 FROM q
@@ -878,7 +878,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SAMPLE_STRATIFIED = f"""
-SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS chars_sampled
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
 FROM documents
 WHERE {_SQL_SAMPLE_HASH} < CASE WHEN lang = 'en' THEN 200 ELSE 400 END
 GROUP BY lang
@@ -923,7 +923,7 @@ WITH scored AS (
 ), kept AS (
   SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM scored
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        ROUND(AVG(quality), 6) AS avg_quality
 FROM kept WHERE rn = 1 AND quality >= 0.5
 GROUP BY lang

@@ -285,9 +285,9 @@ def q_j3_media_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_J3_MEDIA_JOIN = f"""
 WITH refs AS ({_SQL_MEDIA_REFS})
 SELECT doc_id, COUNT(*) AS n_media,
-       SUM(CASE WHEN h % 3 = 0 THEN 1 ELSE 0 END) AS n_images,
-       SUM(CASE WHEN h % 3 = 2 THEN 1 ELSE 0 END) AS n_videos,
-       SUM(128 + h % 4096) AS total_payload
+       CAST(SUM(CASE WHEN h % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+       CAST(SUM(CASE WHEN h % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_videos,
+       CAST(SUM(128 + h % 4096) AS BIGINT) AS total_payload
 FROM refs GROUP BY doc_id
 """
 
@@ -326,9 +326,9 @@ WITH r AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") AS rn
   FROM read_parquet('{EXPECTED_SPANS_PARQUET}'))
 SELECT doc_id, COUNT(*) AS n_spans,
-       SUM(CASE WHEN kind = 'figure' THEN 1 ELSE 0 END) AS n_media,
+       CAST(SUM(CASE WHEN kind = 'figure' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
        arg_min(CASE WHEN kind = 'heading' THEN text END, CASE WHEN kind = 'heading' THEN "offset" END) AS first_heading,
-       SUM(length(text)) AS total_text_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_chars,
        CAST(SUM(CASE WHEN "offset" = rn - 1 THEN 1 ELSE 0 END) = COUNT(*) AS BOOLEAN) AS offsets_dense
 FROM r GROUP BY doc_id
 """
@@ -455,7 +455,7 @@ flagged AS (
          ROW_NUMBER() OVER (PARTITION BY text_md5 ORDER BY doc_id, "offset") > 1 AS is_dup
   FROM paras)
 SELECT doc_id, COUNT(*) AS n_paras,
-       SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dups_removed,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_removed,
        md5(list_aggregate(list_sort(list(CASE WHEN NOT is_dup THEN CAST("offset" AS VARCHAR) || ':' || text_md5 END)), 'string_agg', '|')) AS kept_md5
 FROM flagged
 GROUP BY doc_id
