@@ -32,6 +32,7 @@ SPAN_PA = pa.list_(
             ("text", pa.string()),
             ("media_ref", pa.string()),
             ("offset", pa.int32()),
+            ("level", pa.int32()),
         ]
     )
 )
@@ -101,7 +102,7 @@ def extract_spans_arrow(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> D
     )
     ddl = (
         "doc_id string" + keep_ddl +
-        ", spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        ", spans array<struct<kind:string,text:string,media_ref:string,offset:int,level:int>>"
         ", markdown string, n_spans int, error string, error_class string"
     )
     out = src.mapInArrow(run, schema=ddl)

@@ -19,7 +19,7 @@ import random
 from dataclasses import dataclass, field
 
 from documentconvert_spark.kernels.minipdf import GAP_FACTOR
-from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+from documentconvert_spark.kernels.spans import Span, finalize, normalize_text, rank_heading_levels
 from documentconvert_spark.kernels.minipdf import _join_lines  # shared join semantics
 
 CLASSES = [
@@ -109,6 +109,7 @@ class _PdfBuilder:
         self.rng = rng
         self.records: list[tuple[int, float, str]] = []  # (page, y, line)
         self.expected: list[Span] = []
+        self.heading_sizes: dict[int, float] = {}  # expected idx -> font size
         self.page = 1
         self.y = 40.0
         self.page_height = 792.0
@@ -137,6 +138,8 @@ class _PdfBuilder:
             out_lines.append(ln)
             self.y += size * 1.2
         joined = "\n".join(out_lines) if kind == "code" else _join_lines(out_lines)
+        if kind == "heading":
+            self.heading_sizes[len(self.expected)] = size
         self.expected.append(Span(kind, normalize_text(joined), "", -1))
 
     def figure(self, media_ref: str) -> None:
@@ -175,7 +178,8 @@ class _PdfBuilder:
             self.rng.shuffle(lines)
             out.extend(line for _, line in lines)
         out.append("%%EOF")
-        return "\n".join(out).encode("utf-8"), finalize(self.expected)
+        expected = rank_heading_levels(self.expected, self.heading_sizes)
+        return "\n".join(out).encode("utf-8"), finalize(expected)
 
 
 # ---------------------------------------------------------------- mini-DOM
@@ -197,7 +201,7 @@ def _dom_doc(rng: random.Random, doc_id: str, all_table: bool = False) -> tuple[
     else:
         title = _sentence(rng, 3, 6).rstrip(".")
         parts.append(f"<h1>{title}</h1>")
-        expected.append(Span("heading", normalize_text(title), "", -1))
+        expected.append(Span("heading", normalize_text(title), "", -1, 1))
         for bi in range(rng.randint(3, 6)):
             kind = rng.choice(["p", "p", "p", "pre", "img", "table"])
             if kind == "p":

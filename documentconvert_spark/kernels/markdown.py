@@ -16,9 +16,9 @@ from __future__ import annotations
 from documentconvert_spark.kernels.spans import Span
 
 
-def _one(kind: str, text: str, media_ref: str) -> str:
+def _one(kind: str, text: str, media_ref: str, level: int = 0) -> str:
     if kind == "heading":
-        return f"# {text}"
+        return f"{'#' * min(max(level, 1), 6)} {text}"
     if kind == "paragraph":
         return text
     if kind == "code":
@@ -45,10 +45,11 @@ def spans_to_markdown(spans: list) -> str:
     blocks: list[str] = []
     for s in spans:
         if isinstance(s, Span):
-            kind, text, media_ref = s.kind, s.text, s.media_ref
+            kind, text, media_ref, level = s.kind, s.text, s.media_ref, s.level
         else:
             kind, text, media_ref = s["kind"], s["text"], s["media_ref"]
-        blocks.append(_one(kind, text, media_ref))
+            level = s.get("level", 0)
+        blocks.append(_one(kind, text, media_ref, level))
     return "\n\n".join(blocks)
 
 

@@ -237,7 +237,7 @@ def extract_xls(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
                 for c in range(width)
             ))
         if rows_out:
-            spans.append(Span("heading", normalize_text(name), "", -1))
+            spans.append(Span("heading", normalize_text(name), "", -1, 1))
             spans.append(Span("table", normalize_text("\n".join(rows_out)), "", -1))
     if not spans:
         raise ValueError("xls: no cell data extracted")
@@ -312,6 +312,7 @@ def extract_ppt(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
                 spans.append(Span(
                     "heading" if next_is_title else "paragraph",
                     normalize_text(txt), "", -1,
+                    1 if next_is_title else 0,
                 ))
         next_is_title = False
     if not spans:

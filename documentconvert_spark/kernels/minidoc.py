@@ -252,7 +252,8 @@ def extract_doc(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
             if not heading_seen and len(ptxt.strip()) <= 80:
                 kind = "heading"
                 heading_seen = True
-            spans.append(Span(kind, normalize_text(ptxt), "", -1))
+            spans.append(Span(kind, normalize_text(ptxt), "", -1,
+                              1 if kind == "heading" else 0))
     flush_table()
     if not spans:
         raise ValueError("doc: no text extracted")

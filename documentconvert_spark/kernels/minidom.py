@@ -125,7 +125,7 @@ def _emit(node: _Node, spans: list[Span]) -> None:
         if c.tag in HEADINGS:
             txt = normalize_text(_text_of(c))
             if txt:
-                spans.append(Span("heading", txt, "", -1))
+                spans.append(Span("heading", txt, "", -1, int(c.tag[1])))
             continue
         if c.tag == "img":
             src = c.attrs.get("src", "").strip()

@@ -120,7 +120,12 @@ def extract_odf(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
                     spans.append(Span("figure", "", ref, -1))
                 txt = _text_of(el)
                 if txt.strip():
-                    spans.append(Span("heading", normalize_text(txt), "", -1))
+                    try:
+                        lvl = int(el.get(f"{_T}outline-level") or 1)
+                    except ValueError:
+                        lvl = 1
+                    spans.append(Span("heading", normalize_text(txt), "", -1,
+                                      min(max(lvl, 1), 6)))
             elif el.tag in (f"{_T}p", f"{_T}list"):
                 for ref in _figures(el):
                     spans.append(Span("figure", "", ref, -1))
@@ -136,7 +141,7 @@ def extract_odf(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
             grid = _table_grid(tbl)
             if grid.strip():
                 name = tbl.get(f"{_TB}name", "Sheet")
-                spans.append(Span("heading", normalize_text(name), "", -1))
+                spans.append(Span("heading", normalize_text(name), "", -1, 1))
                 spans.append(Span("table", normalize_text(grid), "", -1))
     elif pres_doc is not None:  # odp
         for page in pres_doc.findall(f"{_D}page"):
@@ -149,7 +154,8 @@ def extract_odf(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
                     )
                     if txt.strip():
                         kind = "heading" if cls == "title" else "paragraph"
-                        spans.append(Span(kind, normalize_text(txt), "", -1))
+                        spans.append(Span(kind, normalize_text(txt), "", -1,
+                                          1 if kind == "heading" else 0))
                 for ref in _figures(frame):
                     spans.append(Span("figure", "", ref, -1))
                 tbl = frame.find(f"{_TB}table")

@@ -100,16 +100,25 @@ def _docx_formulas(p) -> list[str]:
     return out
 
 
-def _docx_is_heading(p) -> bool:
+def _docx_heading_level(p) -> int:
+    """0 = not a heading; otherwise depth 1..6 from the style name digit
+    (Heading3, h2, 标题 2 …) or the explicit w:outlineLvl (0-based)."""
     ppr = p.find(f"{_W}pPr")
     if ppr is None:
-        return False
+        return 0
     st = ppr.find(f"{_W}pStyle")
-    if st is not None and _HEADING_STYLE.search(st.get(f"{_W}val", "") or ""):
-        return True
+    if st is not None:
+        val = st.get(f"{_W}val", "") or ""
+        m = _HEADING_STYLE.search(val)
+        if m:
+            digits = re.search(r"(\d+)", val)
+            lvl = int(digits.group(1)) if digits else 1
+            return min(max(lvl, 1), 6)
     # outline level 0-8 set directly
     lvl = ppr.find(f"{_W}outlineLvl")
-    return lvl is not None and (lvl.get(f"{_W}val") or "9") != "9"
+    if lvl is not None and (lvl.get(f"{_W}val") or "9") != "9":
+        return min(int(lvl.get(f"{_W}val")) + 1, 6)
+    return 0
 
 
 def _docx_figures(p, rels: dict[str, str]) -> list[str]:
@@ -153,8 +162,9 @@ def extract_docx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
                 spans.append(Span("figure", "", ref, -1))
             txt = _docx_paragraph_text(el)
             if txt.strip():
-                kind = "heading" if _docx_is_heading(el) else "paragraph"
-                spans.append(Span(kind, normalize_text(txt), "", -1))
+                lvl = _docx_heading_level(el)
+                kind = "heading" if lvl else "paragraph"
+                spans.append(Span(kind, normalize_text(txt), "", -1, lvl))
             for formula in _docx_formulas(el):
                 spans.append(Span("formula", normalize_text(formula), "", -1))
         elif el.tag == f"{_W}tbl":
@@ -218,8 +228,10 @@ def extract_pptx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
                 if el.tag == f"{_P}sp":
                     paras = _pptx_shape_text(el)
                     if paras:
-                        kind = "heading" if _pptx_is_title(el) else "paragraph"
-                        spans.append(Span(kind, normalize_text("\n".join(paras)), "", -1))
+                        title = _pptx_is_title(el)
+                        spans.append(Span("heading" if title else "paragraph",
+                                          normalize_text("\n".join(paras)), "", -1,
+                                          1 if title else 0))
                 elif el.tag == f"{_P}pic":
                     for blip in el.iter(f"{_A}blip"):
                         rid = blip.get(f"{_R}embed")
@@ -318,7 +330,7 @@ def extract_xlsx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
                 width = max(cells) + 1
                 rows_out.append("\t".join(cells.get(i, "") for i in range(width)))
         if rows_out:
-            spans.append(Span("heading", normalize_text(name), "", -1))
+            spans.append(Span("heading", normalize_text(name), "", -1, 1))
             spans.append(Span("table", normalize_text("\n".join(rows_out)), "", -1))
     return finalize(spans)
 

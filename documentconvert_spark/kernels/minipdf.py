@@ -30,7 +30,7 @@ layer, mirroring reference error containment
 
 from __future__ import annotations
 
-from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+from documentconvert_spark.kernels.spans import Span, finalize, normalize_text, rank_heading_levels
 
 MAGIC = b"%MINIPDF-1.0"
 EOF = b"%%EOF"
@@ -109,6 +109,7 @@ def extract_minipdf(content: bytes) -> list[Span]:
     records.sort(key=lambda r: (r[0], r[1], r[2]))
 
     spans: list[Span] = []
+    heading_sizes: dict[int, float] = {}  # span index -> font size
     # Current text-block accumulator: (size, flags, last_y, last_page, lines)
     cur: dict | None = None
 
@@ -121,6 +122,7 @@ def extract_minipdf(content: bytes) -> list[Span]:
             kind, txt = "code", "\n".join(cur["lines"])
         elif "B" in flags and size >= HEADING_MIN_SIZE:
             kind, txt = "heading", _join_lines(cur["lines"])
+            heading_sizes[len(spans)] = size
         else:
             kind, txt = "paragraph", _join_lines(cur["lines"])
         spans.append(Span(kind, normalize_text(txt), "", -1))
@@ -152,4 +154,4 @@ def extract_minipdf(content: bytes) -> list[Span]:
             elif rtype == "eq":
                 spans.append(Span("formula", normalize_text(payload[0]), "", -1))
     flush()
-    return finalize(spans)
+    return finalize(rank_heading_levels(spans, heading_sizes))

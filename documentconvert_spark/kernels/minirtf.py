@@ -50,7 +50,7 @@ def extract_rtf(content: bytes, media_out: list[tuple[str, bytes]] | None = None
     rows: list[str] = []       # current table rows
     in_table_para = False
     bold = large = False
-    outline = False
+    outline = 0                # heading level from \outlinelevelN (0 = none)
     para_has_plain = False     # any non-bold-or-small text in paragraph
     depth = 0
     skip_until_depth = None    # inside a skipped destination group
@@ -61,10 +61,13 @@ def extract_rtf(content: bytes, media_out: list[tuple[str, bytes]] | None = None
         txt = "".join(para)
         para = []
         if txt.strip():
+            # outline carries \outlinelevelN (0-based in RTF) + 1; the
+            # all-bold-large heuristic gets level 1 like a title
             heading = outline or (not para_has_plain and txt.strip() != "")
+            level = outline if outline else (1 if heading else 0)
             spans.append(Span("heading" if heading else "paragraph",
-                              normalize_text(txt), "", -1))
-        outline = False
+                              normalize_text(txt), "", -1, min(level, 6)))
+        outline = 0
         para_has_plain = False
 
     def flush_table() -> None:
@@ -188,7 +191,7 @@ def extract_rtf(content: bytes, media_out: list[tuple[str, bytes]] | None = None
             elif word == b"fs":
                 large = (num or 0) >= 32  # half-points: >=16pt
             elif word == b"outlinelevel":
-                outline = True
+                outline = (num or 0) + 1  # RTF levels are 0-based
             elif word in (b"line",):
                 emit("\n")
             elif word == b"tab":

@@ -31,7 +31,7 @@ from __future__ import annotations
 import re
 import zlib
 
-from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+from documentconvert_spark.kernels.spans import Span, finalize, normalize_text, rank_heading_levels
 
 _WS = frozenset(b"\x00\t\n\x0c\r ")
 _DELIM = frozenset(b"()<>[]{}/%")
@@ -907,6 +907,7 @@ def _runs_to_spans(runs: list) -> list[Span]:
     body_size = sizes[len(sizes) // 2] if sizes else 10.0
 
     spans: list[Span] = []
+    heading_sizes: dict[int, float] = {}  # span index -> font size
     cur: dict | None = None
 
     def flush() -> None:
@@ -915,6 +916,8 @@ def _runs_to_spans(runs: list) -> list[Span]:
             return
         txt = _join(cur["lines"])
         kind = "heading" if cur["size"] >= body_size * _HEADING_RATIO and cur["size"] > 0 else "paragraph"
+        if kind == "heading":
+            heading_sizes[len(spans)] = cur["size"]
         spans.append(Span(kind, normalize_text(txt), "", -1))
         cur = None
 
@@ -957,7 +960,7 @@ def _runs_to_spans(runs: list) -> list[Span]:
     while fi < len(fig_iter):
         spans.append(Span("figure", "", fig_iter[fi][3], -1))
         fi += 1
-    return finalize(spans)
+    return finalize(rank_heading_levels(spans, heading_sizes))
 
 
 def extract_realpdf(content: bytes) -> list[Span]:

@@ -7,12 +7,16 @@ with interleaved media references (`MakeMode.MM_MD`,
 reference `services/document_service.py:263-272`). We flatten that tree to a
 dense, strictly ordered span list per document:
 
-    (kind, text, media_ref, offset)
+    (kind, text, media_ref, offset, level)
 
 kind ∈ {heading, paragraph, code, table, figure, formula};
 ``media_ref`` non-empty iff kind == figure; ``text`` is normalized UTF-8
 (empty for pure-media spans); ``offset`` is the 0-based position within the
-document — dense and strictly increasing, carrying reading order.
+document — dense and strictly increasing, carrying reading order;
+``level`` is the heading depth 1..6 (0 for non-heading spans), preserving
+the title hierarchy MinerU's MM_MD serialization keeps (reference
+`services/document_service.py:272`; multi-level structure observable in
+`.trae/documents/文档转换功能测试报告.md:409-414`).
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ class Span:
     text: str
     media_ref: str
     offset: int
+    level: int = 0  # heading depth 1..6; 0 = not a heading
 
     def as_dict(self) -> dict:
         return {
@@ -36,6 +41,7 @@ class Span:
             "text": self.text,
             "media_ref": self.media_ref,
             "offset": self.offset,
+            "level": self.level,
         }
 
 
@@ -65,4 +71,27 @@ def finalize(spans: list[Span]) -> list[Span]:
     the reference never emits such blocks either.
     """
     kept = [s for s in spans if s.text or s.media_ref]
-    return [Span(s.kind, s.text, s.media_ref, i) for i, s in enumerate(kept)]
+    return [Span(s.kind, s.text, s.media_ref, i, s.level) for i, s in enumerate(kept)]
+
+
+def rank_heading_levels(spans: list[Span], sizes: dict[int, float]) -> list[Span]:
+    """Assign heading levels by font-size rank within one document.
+
+    ``sizes`` maps span index (in ``spans``, pre-finalize) → font size for
+    spans classified as headings. Distinct sizes (quantized to 0.5pt, the
+    same tolerance the block grouping uses) rank descending: the largest
+    becomes level 1, next 2, …, clamped to 6. This mirrors MinerU's
+    font-size-derived title hierarchy for PDFs, where no explicit outline
+    exists. Deterministic and per-document, so it is safe inside Arrow
+    batches.
+    """
+    if not sizes:
+        return spans
+    q = {i: round(v * 2.0) / 2.0 for i, v in sizes.items()}
+    distinct = sorted(set(q.values()), reverse=True)
+    rank = {v: min(i + 1, 6) for i, v in enumerate(distinct)}
+    return [
+        Span(s.kind, s.text, s.media_ref, s.offset, rank[q[i]])
+        if i in q and s.kind == "heading" else s
+        for i, s in enumerate(spans)
+    ]

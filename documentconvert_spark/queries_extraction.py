@@ -46,7 +46,7 @@ def _ensure_expected_parquet() -> None:
         return
     os.makedirs(_RES_DIR, exist_ok=True)
     docs = _contract_corpus()
-    span_rows = {"doc_id": [], "offset": [], "kind": [], "media_ref": [], "text": []}
+    span_rows = {"doc_id": [], "offset": [], "kind": [], "media_ref": [], "text": [], "level": []}
     doc_rows = {"doc_id": [], "status": [], "n_spans": [], "markdown": []}
     for d in docs:
         if d.expect_error:
@@ -65,10 +65,11 @@ def _ensure_expected_parquet() -> None:
             span_rows["kind"].append(s.kind)
             span_rows["media_ref"].append(s.media_ref)
             span_rows["text"].append(s.text)
+            span_rows["level"].append(s.level)
     pq.write_table(
         pa.table(span_rows, schema=pa.schema([
             ("doc_id", pa.string()), ("offset", pa.int32()), ("kind", pa.string()),
-            ("media_ref", pa.string()), ("text", pa.string()),
+            ("media_ref", pa.string()), ("text", pa.string()), ("level", pa.int32()),
         ])),
         EXPECTED_SPANS_PARQUET,
     )
@@ -95,12 +96,13 @@ def q_extract_span_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.offset").alias("offset"),
         F.col("s.kind").alias("kind"),
         F.col("s.media_ref").alias("media_ref"),
+        F.col("s.level").alias("level"),
         F.md5(F.col("s.text")).alias("text_md5"),
     )
 
 
 SQL_EXTRACT_SPAN_SEQ = f"""
-SELECT doc_id, "offset", kind, media_ref, md5(text) AS text_md5
+SELECT doc_id, "offset", kind, media_ref, level, md5(text) AS text_md5
 FROM read_parquet('{EXPECTED_SPANS_PARQUET}')
 """
 
@@ -362,12 +364,13 @@ def q_real_docs_span_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.offset").alias("offset"),
         F.col("s.kind").alias("kind"),
         F.col("s.media_ref").alias("media_ref"),
+        F.col("s.level").alias("level"),
         F.md5(F.col("s.text")).alias("text_md5"),
     )
 
 
 SQL_REAL_DOCS_SPAN_SEQ = f"""
-SELECT doc_id, "offset", kind, media_ref, md5(text) AS text_md5
+SELECT doc_id, "offset", kind, media_ref, level, md5(text) AS text_md5
 FROM read_parquet('{EXPECTED_REAL_SPANS_PARQUET}')
 """
 

@@ -14,6 +14,9 @@ SPAN_STRUCT = T.StructType(
         T.StructField("text", T.StringType(), False),
         T.StructField("media_ref", T.StringType(), False),
         T.StructField("offset", T.IntegerType(), False),
+        # heading depth 1..6 (0 for non-heading spans) — MinerU title
+        # hierarchy (MM_MD), reference services/document_service.py:272
+        T.StructField("level", T.IntegerType(), False),
     ]
 )
 

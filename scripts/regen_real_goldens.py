@@ -1,0 +1,91 @@
+"""Regenerate the real-document golden parquet from the reference's own
+sample corpus (/root/reference/test) using the current kernels.
+
+Run whenever kernel behavior intentionally changes (e.g. heading levels
+added in round 2). Deterministic: same kernels + same files => identical
+parquet. The committed goldens pin exact span sequences; tests and the
+real_docs_* contract queries compare against them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import urllib.parse
+
+sys.path.insert(0, "/root/repo")
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from documentconvert_spark.kernels.detect import extract_office_any, extract_pdf_any
+from documentconvert_spark.kernels.markdown import spans_to_markdown
+from documentconvert_spark.kernels.media import extract_media_files, sniff_image_meta
+
+REF = "/root/reference/test"
+RES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                   "documentconvert_spark", "resources")
+
+
+def main() -> None:
+    span_rows = {"doc_id": [], "offset": [], "kind": [], "media_ref": [], "text": [], "level": []}
+    doc_rows = {"doc_id": [], "status": [], "n_spans": [], "markdown_md5": []}
+    media_rows = {"doc_id": [], "media_ref": [], "format": [], "width": [],
+                  "height": [], "byte_len": [], "content_md5": []}
+    for name in sorted(os.listdir(REF)):
+        doc_id = urllib.parse.unquote(name)
+        with open(os.path.join(REF, name), "rb") as fh:
+            data = fh.read()
+        kern = extract_pdf_any if name.endswith(".pdf") else extract_office_any
+        spans = kern(data)
+        doc_rows["doc_id"].append(doc_id)
+        doc_rows["status"].append("completed")
+        doc_rows["n_spans"].append(len(spans))
+        doc_rows["markdown_md5"].append(
+            hashlib.md5(spans_to_markdown(spans).encode("utf-8")).hexdigest()
+        )
+        for s in spans:
+            span_rows["doc_id"].append(doc_id)
+            span_rows["offset"].append(s.offset)
+            span_rows["kind"].append(s.kind)
+            span_rows["media_ref"].append(s.media_ref)
+            span_rows["text"].append(s.text)
+            span_rows["level"].append(s.level)
+        for ref, blob in extract_media_files(data):
+            fmt, width, height = sniff_image_meta(blob)
+            media_rows["doc_id"].append(doc_id)
+            media_rows["media_ref"].append(ref)
+            media_rows["format"].append(fmt)
+            media_rows["width"].append(width)
+            media_rows["height"].append(height)
+            media_rows["byte_len"].append(len(blob))
+            media_rows["content_md5"].append(hashlib.md5(blob).hexdigest())
+    pq.write_table(
+        pa.table(span_rows, schema=pa.schema([
+            ("doc_id", pa.string()), ("offset", pa.int32()), ("kind", pa.string()),
+            ("media_ref", pa.string()), ("text", pa.string()), ("level", pa.int32()),
+        ])),
+        os.path.join(RES, "expected_real_spans.parquet"),
+    )
+    pq.write_table(
+        pa.table(doc_rows, schema=pa.schema([
+            ("doc_id", pa.string()), ("status", pa.string()),
+            ("n_spans", pa.int32()), ("markdown_md5", pa.string()),
+        ])),
+        os.path.join(RES, "expected_real_docs.parquet"),
+    )
+    pq.write_table(
+        pa.table(media_rows, schema=pa.schema([
+            ("doc_id", pa.string()), ("media_ref", pa.string()), ("format", pa.string()),
+            ("width", pa.int32()), ("height", pa.int32()), ("byte_len", pa.int64()),
+            ("content_md5", pa.string()),
+        ])),
+        os.path.join(RES, "expected_real_media.parquet"),
+    )
+    print(f"docs={len(doc_rows['doc_id'])} spans={len(span_rows['doc_id'])} "
+          f"media={len(media_rows['doc_id'])}")
+
+
+if __name__ == "__main__":
+    main()

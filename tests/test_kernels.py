@@ -119,3 +119,87 @@ def test_error_classifier():
 def test_all_classes_present():
     assert len(CLASSES) == 12
     assert {d.doc_type for d in FIXTURES} == {"pdf", "markup", "image"}
+
+
+# ------------------------------------------------------------ heading levels
+
+def test_heading_levels_html():
+    from documentconvert_spark.kernels.minidom import extract_minidom
+
+    html = (b"<html><body><main><h1>Top</h1><p>some paragraph text here ok</p>"
+            b"<h2>Mid</h2><p>more paragraph text here fine</p>"
+            b"<h3>Low</h3><p>third paragraph body text here</p></main></body></html>")
+    spans = extract_minidom(html)
+    got = [(s.text, s.level) for s in spans if s.kind == "heading"]
+    assert got == [("Top", 1), ("Mid", 2), ("Low", 3)]
+
+
+def test_heading_levels_fold_to_hash_depth():
+    from documentconvert_spark.kernels.markdown import spans_to_markdown
+    from documentconvert_spark.kernels.spans import Span
+
+    md = spans_to_markdown([
+        Span("heading", "A", "", 0, 1),
+        Span("heading", "B", "", 1, 2),
+        Span("heading", "C", "", 2, 6),
+        Span("heading", "D", "", 3, 0),   # legacy spans without level -> '#'
+        Span("paragraph", "p", "", 4),
+    ])
+    assert md.split("\n\n") == ["# A", "## B", "###### C", "# D", "p"]
+
+
+def test_heading_levels_pdf_font_size_rank():
+    """minipdf classifies by font size; distinct heading sizes rank 1..N."""
+    import random
+
+    from documentconvert_spark.corpus import _PdfBuilder
+    from documentconvert_spark.kernels.minipdf import extract_minipdf
+
+    b = _PdfBuilder(random.Random(7))
+    b.text_block("heading", "Document Title", 22.0, "B")
+    b.text_block("paragraph", "body text goes here for the document", 10.0, "")
+    b.text_block("heading", "Section", 16.0, "B")
+    b.text_block("paragraph", "more body text in the section here", 10.0, "")
+    b.text_block("heading", "Subsection", 14.0, "B")
+    content, expected = b.render()
+    got = extract_minipdf(content)
+    assert [(s.text, s.level) for s in got if s.kind == "heading"] == [
+        ("Document Title", 1), ("Section", 2), ("Subsection", 3)]
+    assert [(s.kind, s.text, s.level) for s in got] == [
+        (s.kind, s.text, s.level) for s in expected]
+
+
+def test_heading_levels_rtf_outlinelevel():
+    from documentconvert_spark.kernels.minirtf import extract_rtf
+
+    rtf = (rb"{\rtf1\ansi"
+           rb"{\outlinelevel0 Chapter One\par}"
+           rb"plain paragraph body text here\par"
+           rb"{\outlinelevel1 Section A\par}"
+           rb"second plain paragraph body\par}")
+    spans = extract_rtf(rtf)
+    got = [(s.text, s.level) for s in spans if s.kind == "heading"]
+    assert got == [("Chapter One", 1), ("Section A", 2)]
+
+
+def test_heading_levels_docx_styles():
+    import io
+    import zipfile
+
+    from documentconvert_spark.kernels.miniooxml import extract_docx
+
+    doc_xml = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t>Title</w:t></w:r></w:p>
+  <w:p><w:r><w:t>body paragraph text</w:t></w:r></w:p>
+  <w:p><w:pPr><w:pStyle w:val="Heading2"/></w:pPr><w:r><w:t>Section</w:t></w:r></w:p>
+  <w:p><w:pPr><w:outlineLvl w:val="2"/></w:pPr><w:r><w:t>Deep</w:t></w:r></w:p>
+ </w:body>
+</w:document>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc_xml)
+    spans = extract_docx(buf.getvalue())
+    got = [(s.text, s.level) for s in spans if s.kind == "heading"]
+    assert got == [("Title", 1), ("Section", 2), ("Deep", 3)]
