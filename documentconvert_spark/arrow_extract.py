@@ -19,11 +19,15 @@ from pyspark.sql import functions as F
 from documentconvert_spark.kernels.errors import classify_error
 from documentconvert_spark.kernels.markdown import error_markdown as _error_md
 from documentconvert_spark.kernels.markdown import spans_to_markdown as _fold
-from documentconvert_spark.kernels.minidom import extract_minidom
-from documentconvert_spark.kernels.miniimg import extract_miniimg
-from documentconvert_spark.kernels.minipdf import extract_minipdf
+from documentconvert_spark.kernels.detect import (
+    extract_image_any,
+    extract_office_any,
+    extract_pdf_any,
+)
 
-_KERNELS = {"pdf": extract_minipdf, "markup": extract_minidom, "image": extract_miniimg}
+# same magic-sniffing dispatch as the pandas_udf path (udfs._KERNELS) so the
+# two Arrow backends stay output-identical on real AND synthetic documents
+_KERNELS = {"pdf": extract_pdf_any, "markup": extract_office_any, "image": extract_image_any}
 
 SPAN_PA = pa.list_(
     pa.struct(

@@ -51,6 +51,32 @@ def extract_pdf_any(content: bytes) -> list[Span]:
     return extract_minipdf(content)
 
 
+def extract_image_any(content: bytes) -> list[Span]:
+    """Image-document route (reference ``image_to_markdown``,
+    `services/document_service.py:652-665, 826-907`: accepts real
+    jpg/png/bmp/tiff/webp and OCRs them).
+
+    Synthetic MINIIMG documents carry their own deterministic OCR text.
+    REAL image bytes produce a figure span keyed by content hash with
+    header-sniffed dimensions recorded in the media side table — full OCR
+    needs an engine the sandbox doesn't ship, so text extraction from real
+    images is deliberately absent (the reference's GPU OCR analogue), but
+    the document no longer errors: it flows through the pipeline with its
+    media intact."""
+    from documentconvert_spark.kernels.media import image_file_ref, sniff_image_meta
+    from documentconvert_spark.kernels.miniimg import MAGIC as MINIIMG_MAGIC
+    from documentconvert_spark.kernels.miniimg import extract_miniimg
+    from documentconvert_spark.kernels.spans import finalize
+
+    if content and content.startswith(MINIIMG_MAGIC):
+        return extract_miniimg(content)
+    fmt, _w, _h = sniff_image_meta(content or b"")
+    if fmt != "unknown":
+        return finalize([Span("figure", "", image_file_ref(content, fmt), -1)])
+    # keep miniimg's error message contract for malformed image documents
+    return extract_miniimg(content)
+
+
 def extract_office_any(content: bytes) -> list[Span]:
     head = content[:8] if content else b""
     if head.startswith(ZIP_MAGIC):

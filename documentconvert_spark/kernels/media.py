@@ -33,6 +33,19 @@ def image_media_ref(raw_stream: bytes) -> str:
     return hashlib.sha1(raw_stream[:4096]).hexdigest()[:12] + ".jpg"
 
 
+_IMG_EXT = {"jpeg": "jpg", "png": "png", "gif": "gif", "bmp": "bmp",
+            "tiff": "tiff", "svg": "svg", "webp": "webp"}
+
+
+def image_file_ref(content: bytes, fmt: str) -> str:
+    """Stable media_ref for a standalone image DOCUMENT (the reference
+    accepts raw jpg/png/bmp/tiff/webp inputs and OCRs them,
+    services/document_service.py:826-907). Same hashing shape as
+    image_media_ref so every media key in the engine is content-derived."""
+    ext = _IMG_EXT.get(fmt, "img")
+    return hashlib.sha1(content[:4096]).hexdigest()[:12] + f".{ext}"
+
+
 def sniff_image_meta(data: bytes) -> tuple[str, int | None, int | None]:
     """(format, width, height) from the file header alone."""
     if data[:8] == _PNG_MAGIC and len(data) >= 24 and data[12:16] == b"IHDR":
@@ -64,6 +77,20 @@ def sniff_image_meta(data: bytes) -> tuple[str, int | None, int | None]:
         return "svg", None, None
     if data[:4] == b"II*\x00" or data[:4] == b"MM\x00*":
         return "tiff", None, None
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 30:
+        chunk = data[12:16]
+        if chunk == b"VP8 " and len(data) >= 30:  # lossy: frame header dims
+            w = struct.unpack_from("<H", data, 26)[0] & 0x3FFF
+            h = struct.unpack_from("<H", data, 28)[0] & 0x3FFF
+            return "webp", w, h
+        if chunk == b"VP8L" and len(data) >= 25:  # lossless bitstream dims
+            (bits,) = struct.unpack_from("<I", data, 21)
+            return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if chunk == b"VP8X" and len(data) >= 30:  # extended: canvas size
+            w = int.from_bytes(data[24:27], "little") + 1
+            h = int.from_bytes(data[27:30], "little") + 1
+            return "webp", w, h
+        return "webp", None, None
     return "unknown", None, None
 
 
@@ -133,4 +160,10 @@ def extract_media_files(content: bytes) -> list[tuple[str, bytes]]:
         return _pdf_media(content)
     if content[:1024].lstrip()[:5].startswith(b"{\\rtf"):
         return _rtf_media(content)
+    fmt, _w, _h = sniff_image_meta(content)
+    if fmt != "unknown":
+        # The document IS an image (reference's image_to_markdown input
+        # path): one media row keyed like the figure span the image
+        # extraction kernel emits.
+        return [(image_file_ref(content, fmt), content)]
     return []

@@ -497,19 +497,35 @@ FROM documents
 
 # ------------------------------------------------------------ embedding near-dup
 # Cosine near-duplicate pairs above a threshold — the embedding analogue of
-# MinHash near-dup. Same broadcast-stream shape as the ANN ops; at corpus
-# scale the left side would be the IVF bucketing (ann_ivf_buckets) instead
-# of a full cross join.
+# MinHash near-dup. This IS the scale path: every vector is assigned to its
+# nearest IVF centroid (broadcast centroids, one narrow pass), candidate
+# pairs come from an EQUI-join on the shared bucket — at 100 TB a
+# co-partitioned hash join touching ~1/k of the pair space, never a
+# crossJoin over the corpus. Recall < 1 by construction (pairs split across
+# buckets are missed); the bounded all-pairs verifier for recall
+# measurement is ann_cosine_topk. The oracle replicates the identical
+# bucketing, so the driver hash-verifies the bucketed semantics exactly.
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 300).selectExpr(
         "vec_id", "embedding", f"{_NORM} AS nrm"
     )
-    a = emb.selectExpr("vec_id AS vec_a", "embedding AS qe", "nrm AS qn")
-    b = emb.selectExpr("vec_id AS vec_b", "embedding AS ce", "nrm AS cn")
+    cents = emb.filter(F.col("vec_id") < 8).selectExpr(
+        "vec_id AS c_id", "embedding AS ce", "nrm AS cn"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
+    assign = (
+        emb.selectExpr("vec_id", "embedding AS qe", "nrm AS qn")
+        .crossJoin(F.broadcast(cents))  # corpus x 8 centroids: narrow
+        .withColumn("csim", F.expr(_DOT) / (F.col("qn") * F.col("cn")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("c_id").alias("bucket"), "qe", "qn")
+    )
+    a = assign.selectExpr("vec_id AS vec_a", "bucket", "qe", "qn")
+    b = assign.selectExpr("vec_id AS vec_b", "bucket AS bucket_b", "qe AS ce", "qn AS cn")
     return (
-        F.broadcast(a).crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        a.join(b, (a.bucket == b.bucket_b) & (a.vec_a < b.vec_b))  # equi-join on bucket
         .withColumn("sim", F.expr(_DOT) / (F.col("qn") * F.col("cn")))
         .filter(F.col("sim") >= 0.35)
         .select("vec_a", "vec_b", F.round("sim", 4).alias("cos_sim"))
@@ -521,11 +537,22 @@ WITH e AS (
   SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
   FROM embeddings WHERE vec_id < 300),
+cpairs AS (
+  SELECT v.vec_id, c.vec_id AS c_id,
+         list_sum(list_transform(range(1, len(v.embedding) + 1),
+                  i -> v.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (v.nrm * c.nrm) AS csim
+  FROM e v JOIN e c ON c.vec_id < 8),
+assign AS (
+  SELECT vec_id, c_id AS bucket FROM (
+    SELECT vec_id, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS rk
+    FROM cpairs) WHERE rk = 1),
 sims AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         list_sum(list_transform(range(1, len(a.embedding) + 1),
-                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) AS sim
-  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                  i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) / (ea.nrm * eb.nrm) AS sim
+  FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id)
 SELECT vec_a, vec_b, ROUND(sim, 4) AS cos_sim FROM sims WHERE sim >= 0.35
 """
 

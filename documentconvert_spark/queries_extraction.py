@@ -465,7 +465,130 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------------------------------ real image inputs
+# The reference accepts raw image files as documents and OCRs them
+# (services/document_service.py:826-907, whitelist :55). The sandbox has no
+# OCR engine, so real PNG/JPEG/GIF/BMP inputs produce a figure span keyed
+# by content hash plus a media-side row with header-sniffed dimensions —
+# the document flows through the pipeline instead of erroring; only the
+# OCR text itself is absent. Fixtures are deterministic bytes with REAL
+# format headers (not MINIIMG), so this exercises the production sniff path.
+
+EXPECTED_REAL_IMAGES_PARQUET = os.path.join(_RES_DIR, "expected_real_images.parquet")
+
+
+def _real_image_fixtures() -> list[tuple]:
+    """(doc_id, content, fmt, width, height) — deterministic real-header
+    images plus two corrupt ones that must be contained as error rows."""
+    import random
+    import struct as _st
+
+    rng = random.Random("real-images:42")
+    out = []
+
+    def png(w: int, h: int) -> bytes:
+        ihdr = _st.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        return (b"\x89PNG\r\n\x1a\n" + _st.pack(">I", 13) + b"IHDR" + ihdr
+                + rng.randbytes(4) + rng.randbytes(96))
+
+    def jpeg(w: int, h: int) -> bytes:
+        app0 = b"\xff\xe0" + _st.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        sof0 = (b"\xff\xc0" + _st.pack(">H", 17) + b"\x08" + _st.pack(">HH", h, w)
+                + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+        return b"\xff\xd8" + app0 + sof0 + rng.randbytes(120) + b"\xff\xd9"
+
+    def gif(w: int, h: int) -> bytes:
+        return b"GIF89a" + _st.pack("<HH", w, h) + rng.randbytes(60)
+
+    def bmp(w: int, h: int) -> bytes:
+        hdr = bytearray(b"BM" + bytes(24))
+        _st.pack_into("<ii", hdr, 18, w, h)
+        return bytes(hdr) + rng.randbytes(40)
+
+    builders = {"png": png, "jpeg": jpeg, "gif": gif, "bmp": bmp}
+    i = 0
+    for fmt, build in builders.items():
+        for _ in range(3):
+            w, h = rng.randrange(16, 4096), rng.randrange(16, 4096)
+            out.append((f"img-real-{i:03d}", build(w, h), fmt, w, h))
+            i += 1
+    # corrupt: must become error rows, never media
+    out.append((f"img-real-{i:03d}", rng.randbytes(48), None, None, None))
+    out.append((f"img-real-{i + 1:03d}", b"\x89PNG\r\n\x1a\x00 truncated", None, None, None))
+    return out
+
+
+def _ensure_real_images_parquet() -> None:
+    if os.path.exists(EXPECTED_REAL_IMAGES_PARQUET):
+        return
+    import hashlib
+
+    from documentconvert_spark.kernels.media import image_file_ref
+
+    os.makedirs(_RES_DIR, exist_ok=True)
+    rows = {k: [] for k in ("doc_id", "status", "media_ref", "format",
+                            "width", "height", "byte_len", "content_md5")}
+    for doc_id, content, fmt, w, h in _real_image_fixtures():
+        ok = fmt is not None
+        rows["doc_id"].append(doc_id)
+        rows["status"].append("completed" if ok else "failed")
+        rows["media_ref"].append(image_file_ref(content, fmt) if ok else None)
+        rows["format"].append(fmt)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["byte_len"].append(len(content) if ok else None)
+        rows["content_md5"].append(hashlib.md5(content).hexdigest() if ok else None)
+    pq.write_table(
+        pa.table(rows, schema=pa.schema([
+            ("doc_id", pa.string()), ("status", pa.string()), ("media_ref", pa.string()),
+            ("format", pa.string()), ("width", pa.int32()), ("height", pa.int32()),
+            ("byte_len", pa.int32()), ("content_md5", pa.string()),
+        ])),
+        EXPECTED_REAL_IMAGES_PARQUET,
+    )
+
+
+def q_real_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image documents end-to-end: figure span key == media-table key
+    (span ⋈ media integrity on the raw-image input path), header-sniffed
+    dimensions, corrupt inputs contained as error rows."""
+    from documentconvert_spark.ops.multimodal import extract_real_media
+
+    _ensure_real_images_parquet()
+    rows = [
+        (doc_id, "image", content, len(content), None, None)
+        for doc_id, content, _f, _w, _h in _real_image_fixtures()
+    ]
+    raw = spark.createDataFrame(rows, schema=DOCUMENTS_RAW)
+    ext = extract_spans(raw)
+    fig = ext.select(
+        "doc_id", "status",
+        F.expr("try_element_at(filter(spans, s -> s.kind = 'figure'), 1).media_ref").alias("media_ref"),
+    )
+    media = extract_real_media(raw).select(
+        "doc_id",
+        F.col("media_ref").alias("m_ref"),
+        "format", "width", "height", "byte_len",
+        F.md5("content").alias("content_md5"),
+    )
+    return fig.join(
+        F.broadcast(media),
+        (fig.doc_id == media.doc_id) & (fig.media_ref == media.m_ref),
+        "left",
+    ).select(
+        fig.doc_id, "status", fig.media_ref,
+        "format", "width", "height", "byte_len", "content_md5",
+    )
+
+
+SQL_REAL_IMAGE_META = f"""
+SELECT doc_id, status, media_ref, format, width, height, byte_len, content_md5
+FROM read_parquet('{EXPECTED_REAL_IMAGES_PARQUET}')
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
+    "real_image_meta": (q_real_image_meta, SQL_REAL_IMAGE_META),
     "dedup_span_paragraphs": (q_dedup_span_paragraphs, SQL_DEDUP_SPAN_PARAGRAPHS),
     "real_docs_span_seq": (q_real_docs_span_seq, SQL_REAL_DOCS_SPAN_SEQ),
     "real_docs_summary": (q_real_docs_summary, SQL_REAL_DOCS_SUMMARY),

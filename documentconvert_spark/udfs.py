@@ -29,8 +29,7 @@ from documentconvert_spark.kernels.encoding import ensure_utf8
 from documentconvert_spark.kernels.errors import classify_error
 from documentconvert_spark.kernels.markdown import error_markdown as _error_md
 from documentconvert_spark.kernels.markdown import spans_to_markdown as _fold
-from documentconvert_spark.kernels.detect import extract_office_any, extract_pdf_any
-from documentconvert_spark.kernels.miniimg import extract_miniimg
+from documentconvert_spark.kernels.detect import extract_image_any, extract_office_any, extract_pdf_any
 from documentconvert_spark.schemas import EXTRACT_RESULT
 
 # Magic-byte sniffing inside each type keeps the reference's dispatch
@@ -40,7 +39,7 @@ from documentconvert_spark.schemas import EXTRACT_RESULT
 _KERNELS = {
     "pdf": extract_pdf_any,
     "markup": extract_office_any,
-    "image": extract_miniimg,
+    "image": extract_image_any,
 }
 
 

@@ -97,3 +97,54 @@ def test_media_features_shape(spark, media):
     assert feats.count() == n_media * 8
     r = feats.first()
     assert 0.0 <= r.feature < 1.0
+
+
+# ------------------------------------------------------------ real image inputs
+
+def test_real_image_document_route():
+    """Real PNG/JPEG bytes as the DOCUMENT: figure span keyed identically
+    to the media side table row, header-sniffed dims, no error raised."""
+    import struct
+
+    from documentconvert_spark.kernels.detect import extract_image_any
+    from documentconvert_spark.kernels.media import (
+        extract_media_files,
+        image_file_ref,
+        sniff_image_meta,
+    )
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 40)
+    spans = extract_image_any(png)
+    assert [s.kind for s in spans] == ["figure"]
+    assert spans[0].media_ref == image_file_ref(png, "png")
+    media = extract_media_files(png)
+    assert media == [(spans[0].media_ref, png)]
+    assert sniff_image_meta(png) == ("png", 640, 480)
+
+    # synthetic MINIIMG still routes to the OCR-stub kernel
+    mini = b"MINIIMG-1.0\nref.jpg\nsome ocr text here\n"
+    mspans = extract_image_any(mini)
+    assert [s.kind for s in mspans] == ["figure", "paragraph"]
+
+    # garbage still raises (contained by the UDF layer)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        extract_image_any(b"\x00\x01\x02 not an image at all")
+
+
+def test_webp_sniffing():
+    import struct
+
+    from documentconvert_spark.kernels.media import sniff_image_meta
+
+    # VP8L lossless: 14-bit w-1 / h-1 packed little-endian after signature
+    bits = (99)  # w = 100
+    bits |= (49 << 14)  # h = 50
+    vp8l = (b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8L"
+            + struct.pack("<I", 20) + b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8)
+    assert sniff_image_meta(vp8l) == ("webp", 100, 50)
+    vp8x = (b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8X"
+            + struct.pack("<I", 10) + b"\x00" * 4
+            + (299).to_bytes(3, "little") + (149).to_bytes(3, "little") + b"\x00" * 8)
+    assert sniff_image_meta(vp8x) == ("webp", 300, 150)

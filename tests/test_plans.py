@@ -113,3 +113,17 @@ def test_state_read_prunes_content(spark):
     plan = _plan(df)
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" not in read_schema
+
+
+def test_dedup_embedding_cosine_is_bucketed_not_cartesian(spark):
+    """The named dedup op must be the IVF scale path: candidates from an
+    equi-join on the centroid bucket. The only cross join allowed is the
+    8-row broadcast centroid assignment — never a CartesianProduct over
+    the corpus pair space (round-1 advisor finding)."""
+    from documentconvert_spark.queries_corpus import q_dedup_embedding_cosine
+
+    plan = _plan(q_dedup_embedding_cosine(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the pair join is an equi hash/sort-merge join on the bucket key
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        plan.count("BroadcastHashJoin") >= 1)
