@@ -155,6 +155,15 @@ def main() -> None:
     if n_real:
         queries["real_docs_extract"] = round(real_s, 3)
 
+    def prod_minhash_lsh(spark, sf_dir):
+        """Production banded-LSH path (ops/dedup.py: xxhash64, codegen) —
+        benched next to the md5-portable contract variant; same join shape,
+        ~10x cheaper hashing."""
+        from documentconvert_spark.ops.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        return minhash_lsh_pairs(docs)
+
     relational = {
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -164,6 +173,7 @@ def main() -> None:
         "a_rollup": q_a_rollup,
         "ev_sessionize": q_ev_sessionize,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_lsh_prod": prod_minhash_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,

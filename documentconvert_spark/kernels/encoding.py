@@ -27,11 +27,6 @@ def looks_garbled(s: str) -> bool:
     return len(hi) >= 3 and len(non_ascii) > 0 and len(hi) / len(non_ascii) >= 0.4
 
 
-# Fixed-order repair chain (order is observable behavior, SURVEY.md §7.3):
-# bytes recovered via latin-1, decoded as utf-8 first, then gbk.
-_CHAIN = (("latin-1", "utf-8"), ("latin-1", "gbk"))
-
-
 def _try(s: str, src: str, dst: str) -> str | None:
     try:
         fixed = s.encode(src).decode(dst)
@@ -40,14 +35,44 @@ def _try(s: str, src: str, dst: str) -> str | None:
     return fixed if not looks_garbled(fixed) else None
 
 
+def _try_char_ords(s: str) -> str | None:
+    """Reference strategy 3 (encoding_utils.py:205-213): rebuild the byte
+    string from each character's ordinal, then decode UTF-8. Equivalent to
+    latin-1 for ordinals <= 0xFF but kept as its own step because the
+    reference's chain order is observable behavior."""
+    try:
+        fixed = bytes(ord(c) for c in s).decode("utf-8")
+    except (UnicodeDecodeError, ValueError):
+        return None
+    return fixed if not looks_garbled(fixed) else None
+
+
 def repair_mojibake(s: str) -> str:
-    """Fixed-order repair chain; identity if nothing improves."""
+    """Fixed-order repair chain; identity if nothing improves.
+
+    Mirrors the reference's four strategies in order
+    (encoding_utils.py:172-225): latin-1→utf-8, iso-8859-1→utf-8,
+    char-ords→utf-8, gbk→utf-8 (the last guarded on non-ASCII content,
+    like the reference). One engine extension closes the chain:
+    latin-1→gbk recovers GBK bytes that were displayed as latin-1 — a
+    case the reference's chain cannot repair but CJK corpora hit often.
+    """
     if not looks_garbled(s):
         return s
-    for src, dst in _CHAIN:
+    for src, dst in (("latin-1", "utf-8"), ("iso-8859-1", "utf-8")):
         fixed = _try(s, src, dst)
         if fixed is not None:
             return fixed
+    fixed = _try_char_ords(s)
+    if fixed is not None:
+        return fixed
+    if any(ord(c) > 127 for c in s):
+        fixed = _try(s, "gbk", "utf-8")
+        if fixed is not None:
+            return fixed
+    fixed = _try(s, "latin-1", "gbk")
+    if fixed is not None:
+        return fixed
     return s
 
 

@@ -203,3 +203,29 @@ def test_heading_levels_docx_styles():
     spans = extract_docx(buf.getvalue())
     got = [(s.text, s.level) for s in spans if s.kind == "heading"]
     assert got == [("Title", 1), ("Section", 2), ("Deep", 3)]
+
+
+def test_encoding_repair_full_reference_chain():
+    """All four reference strategies (encoding_utils.py:172-225) in order,
+    plus the engine's latin-1->gbk extension."""
+    # 1/2: latin-1 & iso-8859-1 -> utf-8 (equivalent in Python; both run)
+    g1 = "中文文档".encode("utf-8").decode("latin-1")
+    assert repair_mojibake(g1) == "中文文档"
+    # 3: char-ords -> utf-8 (same bytes, distinct code path)
+    from documentconvert_spark.kernels.encoding import _try_char_ords
+    assert _try_char_ords(g1) == "中文文档"
+    assert _try_char_ords("文") is None  # ord > 255 -> ValueError contained
+    # 4: gbk -> utf-8: utf-8 bytes that were displayed as gbk. NOTE the
+    # detector (like the reference's GARBLED_CHARS list) only recognizes
+    # latin-supplement garble, so this strategy fires only on mixed garble;
+    # the strategy itself is exercised directly here.
+    from documentconvert_spark.kernels.encoding import _try
+    g4 = "数据分析报告".encode("utf-8").decode("gbk", errors="strict")
+    assert _try(g4, "gbk", "utf-8") == "数据分析报告"
+    assert repair_mojibake(g4) == g4  # undetected, passes through (parity)
+    # extension: gbk bytes displayed as latin-1
+    g5 = "数据分析".encode("gbk").decode("latin-1")
+    assert repair_mojibake(g5) == "数据分析"
+    # unrepairable garble returns unchanged
+    junk = "���"
+    assert repair_mojibake(junk) == junk

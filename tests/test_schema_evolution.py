@@ -70,3 +70,44 @@ def test_state_src_run_id_backfill_from_directory(spark, tmp_path):
     assert rows == {"d1": "0ld0ld0ld0ld", "d2": "n3wn3wn3wn3w"}
     ids = {r.run_id for r in st.run_ids().collect()}
     assert ids == {"0ld0ld0ld0ld", "n3wn3wn3wn3w"}
+
+
+def test_pre_upgrade_state_counts_as_committed_output(spark, tmp_path):
+    """End-to-end upgrade honesty: an output run whose state rows were
+    appended BEFORE the src_run_id column existed must still be returned
+    by read_committed_output — old runs must not silently look
+    uncommitted after the schema upgrade (round-2 advisor ask)."""
+    import os
+
+    from documentconvert_spark.pipeline import read_committed_output
+    from documentconvert_spark.state import StateStore
+
+    state_path = str(tmp_path / "state")
+    out_path = str(tmp_path / "out")
+    old_run = "0ldrun0ldrun"
+
+    # pre-upgrade STATE layout: run_id= partition dir, NO src_run_id column
+    spark.createDataFrame(
+        [("d1", 0, "completed", 1, None, None, 0.1, 5, None, None, "b/d1/markdown")],
+        "doc_id string, partition_id int, status string, attempt int, "
+        "started_at timestamp, completed_at timestamp, processing_s double, "
+        "n_spans int, error string, error_class string, lineage string",
+    ).write.mode("overwrite").parquet(os.path.join(state_path, f"run_id={old_run}"))
+
+    # the matching committed output run dir (same run_id, _SUCCESS present)
+    out_run = os.path.join(out_path, f"run_id={old_run}")
+    spark.createDataFrame(
+        [("d1", "completed", 5, "# t", None)],
+        "doc_id string, status string, n_spans int, markdown string, error string",
+    ).write.mode("overwrite").parquet(out_run)
+
+    # an ORPHAN output run (crash before state append): must be excluded
+    spark.createDataFrame(
+        [("d9", "completed", 2, "# x", None)],
+        "doc_id string, status string, n_spans int, markdown string, error string",
+    ).write.mode("overwrite").parquet(os.path.join(out_path, "run_id=0rphan0rphan"))
+
+    st = StateStore(spark, state_path)
+    got = read_committed_output(spark, out_path, st)
+    docs = {r.doc_id for r in got.select("doc_id").collect()}
+    assert docs == {"d1"}  # old run committed; orphan excluded
