@@ -68,6 +68,13 @@ _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 
 _REF_RE = re.compile(rb"(\d+)\s+R(?![a-zA-Z])")
 
+# number optionally followed by "<gen> R" — one match replaces the
+# number-match + ws-skip + ref-lookahead triple on the hot path (large
+# Widths/W arrays parse tens of thousands of numbers per document)
+_NUMREF_RE = re.compile(
+    rb"([+-]?(?:\d+\.?\d*|\.\d+))(?:[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![a-zA-Z]))?"
+)
+
 
 def _parse_object(data: bytes, i: int, refs: bool = True):
     """Parse one object at i → (value, next_index). refs=False disables
@@ -116,17 +123,12 @@ def _parse_object(data: bytes, i: int, refs: bool = True):
         return False, i + 5
     if data.startswith(b"null", i):
         return None, i + 4
-    m = _NUM_RE.match(data, i)
+    m = _NUMREF_RE.match(data, i)
     if m:
-        tok = m.group(0)
-        j = m.end()
-        # maybe "N G R" indirect ref
-        if refs and b"." not in tok:
-            k = _skip_ws(data, j)
-            m2 = _REF_RE.match(data, k, k + 24)
-            if m2 and tok.isdigit():
-                return _Ref((int(tok), int(m2.group(1)))), m2.end()
-            return int(tok), j
+        tok = m.group(1)
+        if refs and m.group(2) is not None and tok.isdigit():
+            return _Ref((int(tok), int(m.group(2)))), m.end()
+        j = m.end(1)
         return (float(tok) if b"." in tok else int(tok)), j
     raise ValueError(f"pdf: unparsable object at byte {i}: {data[i:i+20]!r}")
 
@@ -242,6 +244,8 @@ class _Pdf:
         self.in_objstm: dict[int, tuple[int, int]] = {}  # num -> (stm num, idx)
         self.cache: dict[int, object] = {}
         self.font_cache: dict = {}                 # font ref -> _Font (CMaps are expensive)
+        self._objstm_cache: dict = {}              # stm num -> (body, first, pairs)
+        self.cmap_cache: dict = {}                 # ToUnicode stream ref -> (cmap, width)
         self.trailer: dict = {}
         self._load_xref()
 
@@ -409,22 +413,31 @@ class _Pdf:
 
     def _from_objstm(self, num: int):
         stm_num, _idx = self.in_objstm[num]
-        stm = self.get(stm_num)
-        if not (isinstance(stm, tuple) and isinstance(stm[0], dict)):
-            return None
-        d, raw = stm
-        body = self._decode_stream(d, raw)
-        n = int(self.resolve(d.get("N")) or 0)
-        first = int(self.resolve(d.get("First")) or 0)
-        i = 0
-        pairs = []
-        for _ in range(n):
-            i = _skip_ws(body, i)
-            m = re.match(rb"(\d+)\s+(\d+)", body[i : i + 40])
-            if not m:
-                break
-            pairs.append((int(m.group(1)), int(m.group(2))))
-            i += m.end()
+        # Decode + header-parse each ObjStm ONCE per document: a stream
+        # typically holds dozens-to-hundreds of objects, and re-inflating
+        # it per contained object was the parser's dominant repeated cost.
+        hit = self._objstm_cache.get(stm_num)
+        if hit is None:
+            stm = self.get(stm_num)
+            if not (isinstance(stm, tuple) and isinstance(stm[0], dict)):
+                self._objstm_cache[stm_num] = (b"", 0, [])
+                return None
+            d, raw = stm
+            body = self._decode_stream(d, raw)
+            n = int(self.resolve(d.get("N")) or 0)
+            first = int(self.resolve(d.get("First")) or 0)
+            i = 0
+            pairs = []
+            for _ in range(n):
+                i = _skip_ws(body, i)
+                m = re.match(rb"(\d+)\s+(\d+)", body[i : i + 40])
+                if not m:
+                    break
+                pairs.append((int(m.group(1)), int(m.group(2))))
+                i += m.end()
+            hit = (body, first, pairs)
+            self._objstm_cache[stm_num] = hit
+        body, first, pairs = hit
         for onum, off in pairs:
             if onum == num:
                 val, _ = _parse_object(body, first + off)
@@ -537,7 +550,15 @@ class _Font:
         tu = fd.get("ToUnicode")
         if tu is not None:
             try:
-                self.cmap, width = _parse_tounicode(pdf.stream_bytes(tu))
+                # pages often repeat inline font dicts that share one
+                # ToUnicode stream by ref — parse each CMap once per doc
+                key = tu if isinstance(tu, _Ref) else None
+                hit = pdf.cmap_cache.get(key) if key is not None else None
+                if hit is None:
+                    hit = _parse_tounicode(pdf.stream_bytes(tu))
+                    if key is not None:
+                        pdf.cmap_cache[key] = hit
+                self.cmap, width = hit
                 self.two_byte = self.two_byte or width == 2
             except Exception:
                 pass
