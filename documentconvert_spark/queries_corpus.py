@@ -387,6 +387,38 @@ SELECT q_id, n_id, ROUND(sim, 4) AS cos_sim FROM rk WHERE rk <= 5
 """
 
 
+# ------------------------------------------------------------ ANN: IVF recall accounting
+# The approximate path is only usable if its recall against the exact
+# baseline is measured, not assumed. Per query: recall@5 = |IVF top-5 ∩
+# exact top-5| / 5. At 100 TB this is the standing quality monitor a
+# production ANN deployment runs on a sampled query set.
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_ann_cosine_topk(spark, sf_dir).select("q_id", "n_id")
+    approx = q_ann_ivf_topk(spark, sf_dir).select(
+        F.col("q_id").alias("aq"), F.col("n_id").alias("an")
+    )
+    hits = exact.join(
+        approx, (exact.q_id == approx.aq) & (exact.n_id == approx.an), "left"
+    ).groupBy("q_id").agg(
+        F.sum(F.when(F.col("an").isNotNull(), 1).otherwise(0)).alias("n_hits")
+    )
+    return hits.select(
+        "q_id", "n_hits", F.round(F.col("n_hits") / 5.0, 4).alias("recall_at_5")
+    )
+
+
+SQL_ANN_IVF_RECALL = f"""
+WITH exact AS ({SQL_ANN_TOPK}),
+approx AS ({SQL_ANN_IVF_TOPK})
+SELECT e.q_id,
+       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4) AS recall_at_5
+FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id
+GROUP BY e.q_id
+"""
+
+
 # ------------------------------------------------------------ language ID
 # Marker-token heuristic, deterministic tie order (en > de > fr > es > zh).
 # Counting via length-difference — identical arithmetic in both engines.
@@ -1128,6 +1160,7 @@ CORPUS_QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "ann_ivf_buckets": (q_ann_ivf_buckets, SQL_ANN_IVF),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
