@@ -139,7 +139,7 @@ def _rtf_media(content: bytes) -> list[tuple[str, bytes]]:
     collected: list[tuple[str, bytes]] = []
     try:
         extract_rtf(content, media_out=collected)
-    except ValueError:
+    except (ValueError, LookupError):
         pass  # no extractable content; picts collected before the raise kept
     out = []
     seen = set()

@@ -108,9 +108,15 @@ def _parse_sst(payload_parts: list[bytes]) -> list[str]:
             if take == 0:
                 # A wide (UTF-16) run hit a part with an odd number of
                 # remaining bytes: no whole character fits, so the loop
-                # would make no progress forever. Treat the stray byte as
-                # corrupt, abort this string, and move to the next part.
-                raise ValueError("biff: SST wide-string run split on an odd byte boundary")
+                # would make no progress forever. Abort THIS string (keep
+                # what decoded so far, preserving SST index alignment) and
+                # re-sync at the next part — one corrupt string must not
+                # cost the whole workbook.
+                out.append("".join(cur))
+                cur = []
+                pending_chars = 0
+                pos = len(part)
+                continue
             raw = part[pos : pos + take * width]
             cur.append(raw.decode("utf-16-le" if pending_wide else "latin-1", "replace"))
             pos += take * width

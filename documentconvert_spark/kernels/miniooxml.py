@@ -114,10 +114,15 @@ def _docx_heading_level(p) -> int:
             digits = re.search(r"(\d+)", val)
             lvl = int(digits.group(1)) if digits else 1
             return min(max(lvl, 1), 6)
-    # outline level 0-8 set directly
+    # outline level 0-8 set directly; non-numeric or out-of-range values
+    # keep the old behavior (heading, level 1) instead of crashing the doc
     lvl = ppr.find(f"{_W}outlineLvl")
     if lvl is not None and (lvl.get(f"{_W}val") or "9") != "9":
-        return min(int(lvl.get(f"{_W}val")) + 1, 6)
+        try:
+            n = int(lvl.get(f"{_W}val"))
+        except ValueError:
+            return 1
+        return min(max(n + 1, 1), 6)
     return 0
 
 

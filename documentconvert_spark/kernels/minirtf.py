@@ -105,9 +105,10 @@ def extract_rtf(content: bytes, media_out: list[tuple[str, bytes]] | None = None
                     # span ⋈ media key can never drift (was a regex before —
                     # it disagreed on \*\shppict and on nested subgroups).
                     try:
-                        media_out.append((f"{h}.jpg", bytes.fromhex(blob.decode("ascii"))))
+                        payload = bytes.fromhex(blob.decode("ascii"))
                     except (ValueError, UnicodeDecodeError):
-                        pass  # non-hex payload (e.g. \binN form): no bytes row
+                        payload = blob  # \binN raw payload: the bytes as-is
+                    media_out.append((f"{h}.jpg", payload))
                 pict_buf = None
             depth -= 1
             i += 1
@@ -150,7 +151,16 @@ def extract_rtf(content: bytes, media_out: list[tuple[str, bytes]] | None = None
             if skip_until_depth is not None:
                 continue
             if word == b"ansicpg" and num:
-                codepage = f"cp{num}"
+                # validate once: an unknown/crafted code page must not make
+                # every later decode raise LookupError (errors="replace"
+                # does not help a codec that doesn't exist)
+                try:
+                    import codecs
+
+                    codecs.lookup(f"cp{num}")
+                    codepage = f"cp{num}"
+                except LookupError:
+                    pass  # keep cp1252
             elif word == b"uc":
                 uc_skip = num or 0
             elif word == b"u" and num is not None:
@@ -208,11 +218,17 @@ def extract_rtf(content: bytes, media_out: list[tuple[str, bytes]] | None = None
             elif word == b"plain":
                 bold = large = False
             elif word in (b"bin",) and num and num > 0:
-                # binary blob: skip raw bytes. Only ever move forward and
+                # binary blob: consume raw bytes. Only ever move forward and
                 # clamp to the buffer — a negative/oversized \binN parameter
                 # (crafted or corrupt) must not rewind the cursor into an
-                # infinite re-parse loop.
-                i = min(i + num, n)
+                # infinite re-parse loop. Inside a pict, the payload IS the
+                # picture: fold it into the buffer so the figure span's hash
+                # covers the image bytes (two different \bin pictures must
+                # not collide on an empty-hash media_ref).
+                end = min(i + num, n)
+                if pict_buf is not None and depth == pict_depth:
+                    pict_buf.append(data[i:end])
+                i = end
         elif c in (0x0D, 0x0A):
             i += 1
         else:

@@ -78,7 +78,7 @@ def main() -> None:
     pq.write_table(
         pa.table(media_rows, schema=pa.schema([
             ("doc_id", pa.string()), ("media_ref", pa.string()), ("format", pa.string()),
-            ("width", pa.int32()), ("height", pa.int32()), ("byte_len", pa.int64()),
+            ("width", pa.int32()), ("height", pa.int32()), ("byte_len", pa.int32()),
             ("content_md5", pa.string()),
         ])),
         os.path.join(RES, "expected_real_media.parquet"),

@@ -210,8 +210,25 @@ def _write_bench_md(r: dict) -> None:
         "",
         f"Measured: {r['timestamp']} (local mode, 32-vCPU/125 GiB sandbox).",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    # Replace ONLY the synthetic-corpus sections this script owns (from the
+    # title through the end of the "N vs 4N scaling efficiency" block);
+    # every later hand-written evidence section (real-document scaling,
+    # spark-submit job scaling, soaks, streaming drain) is preserved.
+    path = os.path.join(REPO, "BENCH.md")
+    fresh = "\n".join(lines) + "\n"
+    try:
+        with open(path) as f:
+            existing = f.read()
+    except FileNotFoundError:
+        existing = ""
+    kept = ""
+    for marker in ("\n## Real-document corpus scaling",):
+        idx = existing.find(marker)
+        if idx != -1:
+            kept = existing[idx:]
+            break
+    with open(path, "w") as f:
+        f.write(fresh + kept)
 
 
 if __name__ == "__main__":

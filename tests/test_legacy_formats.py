@@ -509,3 +509,51 @@ def test_rtf_pict_nested_subgroup_hash_consistency():
     media = extract_media_files(rtf)
     assert len(media) == 1
     assert media[0][0] == figs[0].media_ref
+
+
+def test_rtf_bin_pict_content_derived_refs():
+    """\\binN pictures: the figure-span hash must cover the binary payload
+    so two different pictures never collide, and the media row carries the
+    raw bytes."""
+    from documentconvert_spark.kernels.media import extract_media_files
+
+    def doc(payload: bytes) -> bytes:
+        return b"{\\rtf1 {\\pict\\bin" + str(len(payload)).encode() + b" " + payload + b"} x\\par}"
+
+    d1, d2 = doc(b"\x01\x02\x03\x04"), doc(b"\xaa\xbb\xcc\xdd")
+    s1 = [s for s in extract_rtf(d1) if s.kind == "figure"]
+    s2 = [s for s in extract_rtf(d2) if s.kind == "figure"]
+    assert len(s1) == len(s2) == 1
+    assert s1[0].media_ref != s2[0].media_ref
+    m1 = extract_media_files(d1)
+    assert m1 == [(s1[0].media_ref, b"\x01\x02\x03\x04")]
+
+
+def test_rtf_unknown_codepage_contained():
+    """A crafted \\ansicpg99999 must not blow up mid-document with
+    LookupError: the code page validates once and falls back to cp1252."""
+    rtf = b"{\\rtf1\\ansicpg99999 hello \\'e9 world\\par}"
+    spans = extract_rtf(rtf)
+    assert any("hello" in s.text for s in spans)
+    from documentconvert_spark.kernels.media import extract_media_files
+    assert extract_media_files(rtf) == []
+
+
+def test_docx_nonnumeric_outline_level_contained():
+    import io
+    import zipfile
+
+    from documentconvert_spark.kernels.miniooxml import extract_docx
+
+    doc_xml = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:p><w:pPr><w:outlineLvl w:val="body"/></w:pPr><w:r><w:t>Odd heading</w:t></w:r></w:p>
+  <w:p><w:r><w:t>normal paragraph text</w:t></w:r></w:p>
+ </w:body>
+</w:document>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc_xml)
+    spans = extract_docx(buf.getvalue())
+    assert [(s.kind, s.level) for s in spans] == [("heading", 1), ("paragraph", 0)]

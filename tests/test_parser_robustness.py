@@ -97,14 +97,13 @@ def test_sst_odd_continue_terminates():
     # SST header: total=1, unique=1; one string, cch=6, wide flag, only 2
     # bytes of chars in the first part.
     first = struct.pack("<II", 1, 1) + struct.pack("<HB", 6, 0x01) + "ab".encode("utf-16-le")[:2]
-    cont = b"\x01" + b"cd"  # fresh grbit byte, then an ODD 2+1... make odd:
-    cont = b"\x01" + b"c"   # 1 byte remaining for a wide run -> take==0
+    cont = b"\x01" + b"c"   # fresh grbit byte + 1 odd byte for a wide run -> take==0
     t0 = time.monotonic()
-    try:
-        _parse_sst([first, cont])
-    except ValueError:
-        pass  # aborting the corrupt string is the expected containment
+    out = _parse_sst([first, cont])
     assert time.monotonic() - t0 < 2.0
+    # the corrupt string is aborted (partial text kept, index alignment
+    # preserved) — the workbook-level parse continues instead of raising
+    assert len(out) == 1
 
 
 def test_rtf_negative_bin_terminates():
