@@ -156,13 +156,17 @@ def main() -> None:
         queries["real_docs_extract"] = round(real_s, 3)
 
     def prod_minhash_lsh(spark, sf_dir):
-        """Production banded-LSH path (ops/dedup.py: xxhash64, codegen) —
-        benched next to the md5-portable contract variant; same join shape,
-        ~10x cheaper hashing."""
+        """Production banded-LSH path (ops/dedup.py): one xxhash64 per
+        shingle string + k long-mixes, map-side-combined min() signatures,
+        band-key equi-join. Runs the FULL documents table (the md5-portable
+        contract variant caps at doc_id<150 for the oracle)."""
         from documentconvert_spark.ops.dedup import minhash_lsh_pairs
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-        return minhash_lsh_pairs(docs)
+        # the SF table is one small parquet file -> one scan split; at real
+        # scale the scan parallelizes by maxPartitionBytes, so stand in for
+        # that with an explicit split (this shuffle wouldn't exist at 100 TB)
+        return minhash_lsh_pairs(docs.repartition(cpus))
 
     relational = {
         "tpch_q1": q_tpch_q1,

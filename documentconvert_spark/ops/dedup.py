@@ -34,23 +34,32 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs via banded MinHash over xxhash64.
 
     k minhashes (seeded by index i), k/band_rows bands; a pair is a
-    candidate iff some band's signature slice matches exactly."""
-    sh = shingles(docs, text_col)
-    sigs = (
-        sh.select("doc_id", "shingle", F.explode(F.expr(f"sequence(0, {k - 1})")).alias("i"))
-        .withColumn("h", F.xxhash64(F.col("i"), F.col("shingle")))
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("sig"))
+    candidate iff some band's signature slice matches exactly.
+
+    Shape matters more than hash cost at scale. Each shingle STRING is
+    hashed exactly once (xxhash64); the k minhashes are derived from that
+    64-bit value with k cheap long-mixes (xxhash64 over (i, h) — integer
+    inputs, whole-stage codegen). The explode over shingles is NARROW (no
+    shuffle); the min() aggregates combine map-side, so the only shuffled
+    payload is k longs per document, then the band-key equi-join. Never a
+    doc×shingle×k row explosion, and no higher-order-function lambdas
+    (those fall out of codegen into interpreted per-element eval)."""
+    sh = shingles(docs, text_col).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
     )
-    bands = (
-        sigs.withColumn("band", F.floor(F.col("i") / band_rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(",", F.expr("transform(array_sort(collect_list(struct(i, sig))), x -> cast(x.sig as string))"))
-            ).alias("band_key")
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"s{i}") for i in range(k)]
+    )
+    n_bands = k // band_rows
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'band_key', xxhash64({cols}))".format(
+            b=b, cols=", ".join(f"s{b * band_rows + r}" for r in range(band_rows))
         )
+        for b in range(n_bands)
     )
+    bands = sigs.select(
+        "doc_id", F.expr(f"explode(array({band_structs})) AS bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
