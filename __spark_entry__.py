@@ -52,13 +52,18 @@ def entry(spark: SparkSession) -> DataFrame:
 _R1_FIXED = {k: RELATIONAL_QUERIES[k] for k in
              ("tpch_q12s", "a3_batch_tallies", "a_pivot", "f_array_ops", "dq_checks")}
 _R1_PASSED = {k: v for k, v in RELATIONAL_QUERIES.items() if k not in _R1_FIXED}
-# ann_ivf_buckets sits below the window: its bucket assignment is fully
-# exercised inside ann_ivf_topk and ann_ivf_recall (both in the window),
-# and it keeps local-oracle coverage.
-_DEMOTED = {"ann_ivf_buckets": CORPUS_QUERIES["ann_ivf_buckets"]}
+# Below the 50-entry window (all keep local-oracle coverage):
+# ann_ivf_buckets' assignment is fully exercised inside ann_ivf_topk and
+# ann_ivf_recall; multimodal_features shares its MINIMEDIA decode path
+# with multimodal_meta/frames, which stay in the window.
+_DEMOTED = {
+    "ann_ivf_buckets": CORPUS_QUERIES["ann_ivf_buckets"],
+    "multimodal_features": EXTRACTION_QUERIES["multimodal_features"],
+}
 _CORPUS_PRIO = {k: v for k, v in CORPUS_QUERIES.items() if k not in _DEMOTED}
+_EXTRACTION_PRIO = {k: v for k, v in EXTRACTION_QUERIES.items() if k not in _DEMOTED}
 _ALL: dict[str, tuple] = {
-    **EXTRACTION_QUERIES,
+    **_EXTRACTION_PRIO,
     **_CORPUS_PRIO,
     **EVENT_QUERIES,
     **_R1_FIXED,

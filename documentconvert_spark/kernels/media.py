@@ -167,3 +167,110 @@ def extract_media_files(content: bytes) -> list[tuple[str, bytes]]:
         # extraction kernel emits.
         return [(image_file_ref(content, fmt), content)]
     return []
+
+
+# ---------------------------------------------------------------- audio/video
+# Container-level metadata from raw bytes, public specs only (ISO base
+# media / RIFF-WAVE / FLAC STREAMINFO / EBML magic). No codec libraries —
+# this is the inventory pass a training pipeline runs over opaque media
+# columns before any decode.
+
+def _mp4_meta(data: bytes):
+    """Walk top-level ISO-BMFF boxes; moov/mvhd gives duration,
+    moov/trak/tkhd gives presentation width/height (16.16 fixed)."""
+    dur_ms = None
+    width = height = None
+
+    def walk(lo: int, hi: int, depth: int = 0):
+        nonlocal dur_ms, width, height
+        i = lo
+        while i + 8 <= hi and depth < 6:
+            size = int.from_bytes(data[i:i + 4], "big")
+            btype = data[i + 4:i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > hi:
+                    return
+                size = int.from_bytes(data[i + 8:i + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = hi - i
+            if size < hdr:
+                return
+            body = i + hdr
+            end = min(i + size, hi)
+            if btype in (b"moov", b"trak", b"mdia"):
+                walk(body, end, depth + 1)
+            elif btype == b"mvhd" and body < end:
+                ver = data[body]
+                try:
+                    if ver == 1:
+                        ts = int.from_bytes(data[body + 20:body + 24], "big")
+                        dur = int.from_bytes(data[body + 24:body + 32], "big")
+                    else:
+                        ts = int.from_bytes(data[body + 12:body + 16], "big")
+                        dur = int.from_bytes(data[body + 16:body + 20], "big")
+                    if ts:
+                        dur_ms = int(dur * 1000 // ts)
+                except IndexError:
+                    pass
+            elif btype == b"tkhd" and body < end and width is None:
+                ver = data[body]
+                off = body + (92 if ver == 1 else 80)
+                if off + 8 <= end:
+                    w = int.from_bytes(data[off:off + 4], "big") >> 16
+                    h = int.from_bytes(data[off + 4:off + 8], "big") >> 16
+                    if w and h:
+                        width, height = w, h
+            i += size
+
+    walk(0, len(data))
+    return "mp4", width, height, dur_ms
+
+
+def _wav_meta(data: bytes):
+    byterate = None
+    dur_ms = None
+    i = 12
+    n = len(data)
+    while i + 8 <= n:
+        cid = data[i:i + 4]
+        csz = int.from_bytes(data[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 16 <= n:
+            byterate = int.from_bytes(data[i + 16:i + 20], "little")
+        elif cid == b"data" and byterate:
+            dur_ms = int(csz * 1000 // byterate)
+            break
+        i += 8 + csz + (csz & 1)
+    return "wav", None, None, dur_ms
+
+
+def _flac_meta(data: bytes):
+    # STREAMINFO is the mandatory first metadata block: sample rate is the
+    # 20 bits starting at byte 10 of the block body, total samples the
+    # trailing 36 bits of bytes 13..17
+    if len(data) < 4 + 4 + 18:
+        return "flac", None, None, None
+    body = 8  # skip fLaC + block header
+    sr = (int.from_bytes(data[body + 10:body + 13], "big") >> 4) & 0xFFFFF
+    total = ((data[body + 13] & 0x0F) << 32) | int.from_bytes(data[body + 14:body + 18], "big")
+    dur_ms = int(total * 1000 // sr) if sr and total else None
+    return "flac", None, None, dur_ms
+
+
+def sniff_av_meta(data: bytes) -> tuple[str, int | None, int | None, int | None]:
+    """(format, width, height, duration_ms) for audio/video containers;
+    ('unknown', None, None, None) if not recognized."""
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return _mp4_meta(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return _wav_meta(data)
+    if data[:4] == b"fLaC":
+        return _flac_meta(data)
+    if data[:4] == b"OggS":
+        return "ogg", None, None, None
+    if data[:4] == b"\x1aE\xdf\xa3":  # EBML (webm/mkv)
+        return "webm", None, None, None
+    if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+        return "mp3", None, None, None
+    return "unknown", None, None, None

@@ -587,7 +587,137 @@ FROM read_parquet('{EXPECTED_REAL_IMAGES_PARQUET}')
 """
 
 
+# ------------------------------------------------------------ real A/V containers
+# Audio/video inventory pass: container-level metadata (MP4 boxes, WAV
+# RIFF chunks, FLAC STREAMINFO) parsed from raw bytes — the pre-decode
+# sweep a training pipeline runs over opaque media columns. Fixtures are
+# deterministic bytes with REAL container structure; corrupt bytes sniff
+# as 'unknown' rather than erroring.
+
+EXPECTED_REAL_AV_PARQUET = os.path.join(_RES_DIR, "expected_real_av.parquet")
+
+
+def _real_av_fixtures() -> list[tuple]:
+    """(doc_id, content, fmt, width, height, duration_ms)"""
+    import random
+    import struct as _st
+
+    rng = random.Random("real-av:42")
+
+    def _box(t: bytes, payload: bytes) -> bytes:
+        return _st.pack(">I", 8 + len(payload)) + t + payload
+
+    def mp4(w: int, h: int, dur: int) -> bytes:
+        mvhd = _box(b"mvhd", b"\x00" * 12 + _st.pack(">II", 1000, dur) + b"\x00" * 80)
+        tkhd = _box(b"tkhd", b"\x00" * 80 + _st.pack(">II", w << 16, h << 16))
+        moov = _box(b"moov", mvhd + _box(b"trak", tkhd))
+        return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + rng.randbytes(64)
+
+    def wav(sec: int) -> bytes:
+        byterate = 176400
+        return (b"RIFF" + _st.pack("<I", 36 + byterate * sec) + b"WAVE"
+                + b"fmt " + _st.pack("<I", 16)
+                + _st.pack("<HHIIHH", 1, 2, 44100, byterate, 4, 16)
+                + b"data" + _st.pack("<I", byterate * sec) + rng.randbytes(32))
+
+    def flac(sec: int) -> bytes:
+        sr, total = 48000, 48000 * sec
+        si = bytearray(34)
+        si[10] = (sr >> 12) & 0xFF
+        si[11] = (sr >> 4) & 0xFF
+        si[12] = (sr & 0xF) << 4
+        si[13] = (total >> 32) & 0x0F
+        si[14:18] = _st.pack(">I", total & 0xFFFFFFFF)
+        return b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(si) + rng.randbytes(40)
+
+    out = []
+    i = 0
+    for _ in range(3):
+        w, h, dur = rng.randrange(320, 3840), rng.randrange(240, 2160), rng.randrange(1000, 600000)
+        out.append((f"av-{i:03d}", mp4(w, h, dur), "mp4", w, h, dur)); i += 1
+    for _ in range(3):
+        sec = rng.randrange(1, 90)
+        out.append((f"av-{i:03d}", wav(sec), "wav", None, None, sec * 1000)); i += 1
+    for _ in range(3):
+        sec = rng.randrange(1, 90)
+        out.append((f"av-{i:03d}", flac(sec), "flac", None, None, sec * 1000)); i += 1
+    out.append((f"av-{i:03d}", b"OggS" + rng.randbytes(40), "ogg", None, None, None)); i += 1
+    out.append((f"av-{i:03d}", rng.randbytes(48), "unknown", None, None, None))
+    return out
+
+
+def _ensure_real_av_parquet() -> None:
+    if os.path.exists(EXPECTED_REAL_AV_PARQUET):
+        return
+    os.makedirs(_RES_DIR, exist_ok=True)
+    rows = {k: [] for k in ("doc_id", "format", "width", "height", "duration_ms", "byte_len")}
+    for doc_id, content, fmt, w, h, dur in _real_av_fixtures():
+        rows["doc_id"].append(doc_id)
+        rows["format"].append(fmt)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(dur)
+        rows["byte_len"].append(len(content))
+    pq.write_table(
+        pa.table(rows, schema=pa.schema([
+            ("doc_id", pa.string()), ("format", pa.string()), ("width", pa.int32()),
+            ("height", pa.int32()), ("duration_ms", pa.int32()), ("byte_len", pa.int32()),
+        ])),
+        EXPECTED_REAL_AV_PARQUET,
+    )
+
+
+def q_real_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw A/V bytes → container metadata via an Arrow-batched mapInPandas
+    sniff (narrow, no shuffle). Corrupt bytes sniff 'unknown', never error."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from documentconvert_spark.kernels.media import sniff_av_meta
+
+    _ensure_real_av_parquet()
+    rows = [(d, c) for d, c, *_rest in _real_av_fixtures()]
+    raw = spark.createDataFrame(rows, "doc_id string, content binary")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("byte_len", T.IntegerType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in ("doc_id", "format", "width", "height", "duration_ms", "byte_len")}
+            for did, blob in zip(b["doc_id"], b["content"]):
+                data = bytes(blob) if blob is not None else b""
+                fmt, w, h, dur = sniff_av_meta(data)
+                out["doc_id"].append(did)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(dur)
+                out["byte_len"].append(len(data))
+            df = pd.DataFrame(out)
+            for c in ("width", "height", "duration_ms", "byte_len"):
+                df[c] = pd.array(df[c], dtype="Int32")
+            yield df
+
+    return raw.mapInPandas(gen, schema=schema)
+
+
+SQL_REAL_AV_META = f"""
+SELECT doc_id, format, width, height, duration_ms, byte_len
+FROM read_parquet('{EXPECTED_REAL_AV_PARQUET}')
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
+    "real_av_meta": (q_real_av_meta, SQL_REAL_AV_META),
     "real_image_meta": (q_real_image_meta, SQL_REAL_IMAGE_META),
     "dedup_span_paragraphs": (q_dedup_span_paragraphs, SQL_DEDUP_SPAN_PARAGRAPHS),
     "real_docs_span_seq": (q_real_docs_span_seq, SQL_REAL_DOCS_SPAN_SEQ),

@@ -148,3 +148,30 @@ def test_webp_sniffing():
             + struct.pack("<I", 10) + b"\x00" * 4
             + (299).to_bytes(3, "little") + (149).to_bytes(3, "little") + b"\x00" * 8)
     assert sniff_image_meta(vp8x) == ("webp", 300, 150)
+
+
+def test_av_container_sniffing():
+    import struct
+
+    from documentconvert_spark.kernels.media import sniff_av_meta
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 90500) + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00" * 80 + struct.pack(">II", 1920 << 16, 1080 << 16))
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(b"moov", mvhd + box(b"trak", tkhd))
+    assert sniff_av_meta(mp4) == ("mp4", 1920, 1080, 90500)
+
+    wav = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+           + b"data" + struct.pack("<I", 176400 * 3))
+    assert sniff_av_meta(wav) == ("wav", None, None, 3000)
+
+    assert sniff_av_meta(b"OggS....")[0] == "ogg"
+    assert sniff_av_meta(b"\x1aE\xdf\xa3....")[0] == "webm"
+    assert sniff_av_meta(b"ID3\x04....")[0] == "mp3"
+    assert sniff_av_meta(b"garbage bytes here")[0] == "unknown"
+    # truncated/hostile sizes must terminate fast and not raise
+    evil = box(b"ftyp", b"isom") + struct.pack(">I", 0xFFFFFFF0) + b"moov"
+    assert sniff_av_meta(evil)[0] == "mp4"
