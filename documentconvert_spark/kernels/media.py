@@ -10,8 +10,9 @@ SOFn frames parsed directly, no codec libraries.
 
 Containers covered: OOXML (word/media/, ppt/media/, xl/media/), ODF
 (Pictures/), PDF (Image XObject streams, media_ref matching the figure
-spans realpdf emits). OLE-embedded media (escher blips) is out of scope —
-those documents simply contribute no media rows.
+spans realpdf emits), RTF (\pict payloads via the minirtf tokenizer),
+legacy OLE (.doc/.xls/.ppt OfficeArt BLIP records, [MS-ODRAW]), and raw
+image files as whole documents.
 """
 
 from __future__ import annotations
@@ -160,6 +161,8 @@ def extract_media_files(content: bytes) -> list[tuple[str, bytes]]:
         return _pdf_media(content)
     if content[:1024].lstrip()[:5].startswith(b"{\\rtf"):
         return _rtf_media(content)
+    if content[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        return _ole_media(content)
     fmt, _w, _h = sniff_image_meta(content)
     if fmt != "unknown":
         # The document IS an image (reference's image_to_markdown input
@@ -274,3 +277,89 @@ def sniff_av_meta(data: bytes) -> tuple[str, int | None, int | None, int | None]
     if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
         return "mp3", None, None, None
     return "unknown", None, None, None
+
+
+# ------------------------------------------------------------ OfficeArt BLIPs
+# Legacy OLE documents (.doc/.xls/.ppt) embed pictures as OfficeArt BLIP
+# records ([MS-ODRAW]): 8-byte record header (verInstance, fbt, len), one
+# or two 16-byte UIDs, then the raw PNG/JPEG/DIB bytes (bitmap blips carry
+# one extra tag byte). The reference renders these through LibreOffice;
+# the engine carves the actual bytes into the media side table.
+
+_BLIP_FBT = {0xF01A: "emf", 0xF01B: "wmf", 0xF01C: "pict", 0xF01D: "jpeg",
+             0xF01E: "png", 0xF01F: "dib", 0xF029: "jpeg", 0xF02A: "tiff"}
+_IMG_MAGICS = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF8", b"BM",
+               b"II*\x00", b"MM\x00*")
+
+
+def _blip_payload(kind: str, body: bytes) -> bytes | None:
+    """Locate the picture bytes after the UID block. Rather than trusting
+    the instance field to say one-vs-two UIDs, probe both layouts for a
+    real image magic (bitmap blips add a 1-byte tag; metafiles a 34-byte
+    header)."""
+    offs = (17, 33) if kind in ("png", "jpeg", "dib", "tiff") else (50, 66)
+    for off in offs:
+        cand = body[off:]
+        if any(cand.startswith(m) for m in _IMG_MAGICS):
+            # blip record length may include shape-property trailer bytes
+            # after the image; cut at the format's own end marker
+            if cand.startswith(b"\x89PNG"):
+                end = cand.find(b"IEND")
+                if end != -1:
+                    cand = cand[:end + 8]
+            elif cand.startswith(b"\xff\xd8"):
+                end = cand.rfind(b"\xff\xd9")
+                if end != -1:
+                    cand = cand[:end + 2]
+            return cand
+    # DIB blips carry a headerless BITMAPINFOHEADER (starts with biSize=40)
+    if kind == "dib":
+        for off in (17, 33):
+            if body[off:off + 4] == b"\x28\x00\x00\x00":
+                return body[off:]
+    return None
+
+
+def carve_officeart_blips(stream: bytes) -> list[tuple[str, bytes]]:
+    """[(media_ref, bytes)] for every OfficeArt BLIP in an OLE stream,
+    keyed content-derived like every other media ref in the engine."""
+    import struct as _st
+
+    out = []
+    seen = set()
+    i, n = 0, len(stream)
+    while i + 8 <= n:
+        verinst, fbt, ln = _st.unpack_from("<HHI", stream, i)
+        if fbt in _BLIP_FBT and 0 < ln <= n - i - 8:
+            kind = _BLIP_FBT[fbt]
+            pic = _blip_payload(kind, stream[i + 8:i + 8 + ln])
+            if pic:
+                fmt, _w, _h = sniff_image_meta(pic)
+                ref = image_file_ref(pic, fmt if fmt != "unknown" else kind)
+                if ref not in seen:
+                    seen.add(ref)
+                    out.append((ref, pic))
+                i += 8 + ln
+                continue
+        i += 1
+    return out
+
+
+def _ole_media(content: bytes) -> list[tuple[str, bytes]]:
+    from documentconvert_spark.kernels.minidoc import _Cfb
+
+    cfb = _Cfb(content)
+    out = []
+    seen = set()
+    # picture stores by format: Word "Data", PowerPoint "Pictures",
+    # Excel drawing groups live inside the Workbook stream itself
+    for name in ("Data", "Pictures", "Workbook", "Book", "PowerPoint Document", "WordDocument"):
+        try:
+            stream = cfb.stream(name)
+        except ValueError:
+            continue
+        for ref, pic in carve_officeart_blips(stream):
+            if ref not in seen:
+                seen.add(ref)
+                out.append((ref, pic))
+    return out

@@ -210,8 +210,12 @@ def test_real_media_extraction_kernel():
         fmt, w, h = sniff_image_meta(blob)
         assert fmt == "jpeg" and w == 1233 and h in (560, 589)
 
-    # non-container docs contribute no media, never raise
-    assert extract_media_files(_read("2024年浙江省中考数学试卷.doc")) == []
+    # legacy OLE: OfficeArt BLIPs carved from the Data stream, trailer
+    # bytes trimmed at the PNG IEND marker
+    doc_media = extract_media_files(_read("2024年浙江省中考数学试卷.doc"))
+    assert len(doc_media) == 31
+    assert all(blob.startswith(b"\x89PNG") and blob.endswith(b"IEND\xaeB`\x82")
+               for _r, blob in doc_media)
 
 
 def test_real_media_refs_match_figure_spans():
@@ -234,9 +238,11 @@ def test_spark_real_media_table(spark):
 
     m = extract_real_media(binary_dir_as_raw(spark, REF))
     rows = m.select("doc_id", "media_ref", "format", "width", "byte_len").collect()
-    assert len(rows) == 6
+    # 6 OOXML-embedded + 58 OfficeArt BLIPs carved from the 3 legacy .doc
+    assert len(rows) == 64
     assert all(r.byte_len > 0 for r in rows)
     assert {r.format for r in rows} == {"png", "svg", "jpeg"}
+    assert sum(1 for r in rows if r.doc_id.endswith(".doc")) == 58
 
 
 # ------------------------------------------------------------ streaming real docs
