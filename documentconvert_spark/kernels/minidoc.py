@@ -201,18 +201,50 @@ def extract_doc(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
         remaining -= n
     text = "".join(chunks)
 
+    # Inline pictures: each 0x01 char anchors an object. When the count of
+    # anchors exactly equals the count of OfficeArt BLIPs carved from the
+    # Data stream, both follow document order and can be zipped into
+    # interleaved figure spans (the reference renders these through
+    # LibreOffice -> MinerU as inline images). Any mismatch — e.g. OLE
+    # equation objects sharing the anchor char — disables the mapping
+    # rather than risking misplaced refs.
+    fig_refs: list[str] | None = None
+    try:
+        from documentconvert_spark.kernels.media import carve_officeart_blips
+
+        blips = carve_officeart_blips(cfb.stream("Data"))
+        if blips and text.count("\x01") == len(blips):
+            fig_refs = [ref for ref, _pic in blips]
+    except Exception:  # noqa: BLE001 — figure mapping is best-effort
+        fig_refs = None
+
     # control characters: 0x07 cell/row mark, 0x0D paragraph, 0x0B line break,
     # 0x0C page break, 0x13-0x15 field chars, 0x01/0x08 pictures/objects
     spans: list[Span] = []
     cur_rows: list[str] = []
     cur_cells: list[str] = []
     heading_seen = False
+    fig_i = 0
+    pending_figs: list[str] = []
 
     def flush_table() -> None:
         nonlocal cur_rows
         if cur_rows:
             spans.append(Span("table", normalize_text("\n".join(cur_rows)), "", -1))
             cur_rows = []
+        for ref in pending_figs:
+            spans.append(Span("figure", "", ref, -1))
+        pending_figs.clear()
+
+    def emit_text(ptxt: str) -> None:
+        nonlocal heading_seen
+        if ptxt.strip():
+            kind = "paragraph"
+            if not heading_seen and len(ptxt.strip()) <= 80:
+                kind = "heading"
+                heading_seen = True
+            spans.append(Span(kind, normalize_text(ptxt), "", -1,
+                              1 if kind == "heading" else 0))
 
     in_field_instr = False
     for para in text.split("\r"):
@@ -232,7 +264,17 @@ def extract_doc(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
             elif o == 0x15:
                 in_field_instr = False
             elif o in (0x01, 0x08):
-                continue  # inline picture/OLE anchor
+                # inline picture/OLE anchor
+                if o == 0x01 and fig_refs is not None and fig_i < len(fig_refs):
+                    ref = fig_refs[fig_i]
+                    fig_i += 1
+                    if is_table_para:
+                        pending_figs.append(ref)  # after the table flush
+                    else:
+                        emit_text("".join(buf))
+                        buf = []
+                        spans.append(Span("figure", "", ref, -1))
+                continue
             elif o == 0x0B:
                 buf.append("\n")
             elif o < 0x20 and o not in (0x09,):
@@ -246,14 +288,7 @@ def extract_doc(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
             cur_rows.append("\t".join(cells))
             continue
         flush_table()
-        ptxt = "".join(buf)
-        if ptxt.strip():
-            kind = "paragraph"
-            if not heading_seen and len(ptxt.strip()) <= 80:
-                kind = "heading"
-                heading_seen = True
-            spans.append(Span(kind, normalize_text(ptxt), "", -1,
-                              1 if kind == "heading" else 0))
+        emit_text("".join(buf))
     flush_table()
     if not spans:
         raise ValueError("doc: no text extracted")
