@@ -23,3 +23,21 @@ def test_arrow_backend_passthrough(spark):
     out = extract_spans_arrow(docs, passthrough=("source_bucket",))
     assert "source_bucket" in out.columns
     assert out.count() == docs.count()
+
+
+def test_arrow_backend_parity_real_documents(spark):
+    """Both Arrow backends share the magic-sniffing dispatch, so they must
+    agree byte-for-byte on the REAL reference corpus too."""
+    import os
+
+    REF = "/root/reference/test"
+    if not os.path.isdir(REF):
+        import pytest
+        pytest.skip("reference corpus not mounted")
+    from documentconvert_spark.ingest import binary_dir_as_raw
+
+    raw = binary_dir_as_raw(spark, REF)
+    a = extract_spans(raw).select(*COLS)
+    b = extract_spans_arrow(raw).select(*COLS)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
