@@ -78,6 +78,10 @@ def sniff_image_meta(data: bytes) -> tuple[str, int | None, int | None]:
         return "svg", None, None
     if data[:4] == b"II*\x00" or data[:4] == b"MM\x00*":
         return "tiff", None, None
+    if data[:4] == b"\xd7\xcd\xc6\x9a" or data[:4] in (b"\x01\x00\x09\x00", b"\x02\x00\x09\x00"):
+        return "wmf", None, None
+    if len(data) >= 44 and data[:4] == b"\x01\x00\x00\x00" and data[40:44] == b" EMF":
+        return "emf", None, None
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 30:
         chunk = data[12:16]
         if chunk == b"VP8 " and len(data) >= 30:  # lossy: frame header dims
@@ -219,7 +223,10 @@ def _mp4_meta(data: bytes):
                     pass
             elif btype == b"tkhd" and body < end and width is None:
                 ver = data[body]
-                off = body + (92 if ver == 1 else 80)
+                # FullBox(4) + times/ids/reserved (v0: 20, v1: 32) +
+                # reserved(8) + layer/altgroup/volume/reserved(8) +
+                # matrix(36) => width at 76 (v0) / 88 (v1)
+                off = body + (88 if ver == 1 else 76)
                 if off + 8 <= end:
                     w = int.from_bytes(data[off:off + 4], "big") >> 16
                     h = int.from_bytes(data[off + 4:off + 8], "big") >> 16
@@ -239,7 +246,7 @@ def _wav_meta(data: bytes):
     while i + 8 <= n:
         cid = data[i:i + 4]
         csz = int.from_bytes(data[i + 4:i + 8], "little")
-        if cid == b"fmt " and i + 16 <= n:
+        if cid == b"fmt " and i + 20 <= n:
             byterate = int.from_bytes(data[i + 16:i + 20], "little")
         elif cid == b"data" and byterate:
             dur_ms = int(csz * 1000 // byterate)
@@ -274,7 +281,7 @@ def sniff_av_meta(data: bytes) -> tuple[str, int | None, int | None, int | None]
         return "ogg", None, None, None
     if data[:4] == b"\x1aE\xdf\xa3":  # EBML (webm/mkv)
         return "webm", None, None, None
-    if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+    if data[:3] == b"ID3" or (len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0):
         return "mp3", None, None, None
     return "unknown", None, None, None
 
@@ -296,51 +303,77 @@ def _blip_payload(kind: str, body: bytes) -> bytes | None:
     """Locate the picture bytes after the UID block. Rather than trusting
     the instance field to say one-vs-two UIDs, probe both layouts for a
     real image magic (bitmap blips add a 1-byte tag; metafiles a 34-byte
-    header)."""
-    offs = (17, 33) if kind in ("png", "jpeg", "dib", "tiff") else (50, 66)
-    for off in offs:
-        cand = body[off:]
-        if any(cand.startswith(m) for m in _IMG_MAGICS):
-            # blip record length may include shape-property trailer bytes
-            # after the image; cut at the format's own end marker
-            if cand.startswith(b"\x89PNG"):
-                end = cand.find(b"IEND")
-                if end != -1:
-                    cand = cand[:end + 8]
-            elif cand.startswith(b"\xff\xd8"):
-                end = cand.rfind(b"\xff\xd9")
-                if end != -1:
-                    cand = cand[:end + 2]
-            return cand
-    # DIB blips carry a headerless BITMAPINFOHEADER (starts with biSize=40)
-    if kind == "dib":
+    header whose compression byte says whether the payload is deflated)."""
+    if kind in ("png", "jpeg", "dib", "tiff"):
         for off in (17, 33):
-            if body[off:off + 4] == b"\x28\x00\x00\x00":
-                return body[off:]
+            cand = body[off:]
+            if any(cand.startswith(m) for m in _IMG_MAGICS):
+                # blip record length may include shape-property trailer
+                # bytes after the image; cut at the format's own end marker
+                if cand.startswith(b"\x89PNG"):
+                    end = cand.find(b"IEND")
+                    if end != -1:
+                        cand = cand[:end + 8]
+                elif cand.startswith(b"\xff\xd8"):
+                    end = cand.rfind(b"\xff\xd9")
+                    if end != -1:
+                        cand = cand[:end + 2]
+                return cand
+        # DIB blips carry a headerless BITMAPINFOHEADER (biSize=40 first)
+        if kind == "dib":
+            for off in (17, 33):
+                if body[off:off + 4] == b"\x28\x00\x00\x00":
+                    return body[off:]
+        return None
+    # metafiles (emf/wmf/pict): UID(s) + 34-byte header; compression byte
+    # at header offset 32 (0 = deflate, 0xFE = stored)
+    import zlib as _zlib
+
+    for off in (16, 32):
+        hdr = body[off:off + 34]
+        if len(hdr) < 34:
+            continue
+        comp = hdr[32]
+        raw = body[off + 34:]
+        if comp == 0:
+            try:
+                raw = _zlib.decompress(raw)
+            except _zlib.error:
+                continue
+        elif comp != 0xFE:
+            continue
+        if (kind == "emf" and raw[40:44] == b" EMF") or (
+            kind == "wmf" and (raw[:4] == b"\xd7\xcd\xc6\x9a"
+                               or raw[:4] in (b"\x01\x00\x09\x00", b"\x02\x00\x09\x00"))
+        ) or kind == "pict":
+            return raw
     return None
 
 
 def carve_officeart_blips(stream: bytes) -> list[tuple[str, bytes]]:
-    """[(media_ref, bytes)] for every OfficeArt BLIP in an OLE stream,
-    keyed content-derived like every other media ref in the engine."""
+    """[(media_ref, bytes)] for every OfficeArt BLIP in an OLE stream, in
+    stream order, keyed content-derived like every other media ref in the
+    engine. Repeated images appear once per record — callers that need a
+    unique media table dedup by ref; callers that zip against picture
+    anchors (minidoc) need the duplicates to keep counts aligned."""
     import struct as _st
 
     out = []
-    seen = set()
     i, n = 0, len(stream)
     while i + 8 <= n:
         verinst, fbt, ln = _st.unpack_from("<HHI", stream, i)
         if fbt in _BLIP_FBT and 0 < ln <= n - i - 8:
             kind = _BLIP_FBT[fbt]
             pic = _blip_payload(kind, stream[i + 8:i + 8 + ln])
-            if pic:
+            if pic is not None:
                 fmt, _w, _h = sniff_image_meta(pic)
                 ref = image_file_ref(pic, fmt if fmt != "unknown" else kind)
-                if ref not in seen:
-                    seen.add(ref)
-                    out.append((ref, pic))
-                i += 8 + ln
-                continue
+                out.append((ref, pic))
+            # matched a plausible blip record header: skip the whole record
+            # either way (rescanning inside it byte-by-byte is quadratic
+            # and can carve spurious nested matches)
+            i += 8 + ln
+            continue
         i += 1
     return out
 

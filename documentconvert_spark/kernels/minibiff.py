@@ -108,15 +108,12 @@ def _parse_sst(payload_parts: list[bytes]) -> list[str]:
             if take == 0:
                 # A wide (UTF-16) run hit a part with an odd number of
                 # remaining bytes: no whole character fits, so the loop
-                # would make no progress forever. Abort THIS string (keep
-                # what decoded so far, preserving SST index alignment) and
-                # re-sync at the next part — one corrupt string must not
-                # cost the whole workbook.
-                out.append("".join(cur))
-                cur = []
-                pending_chars = 0
-                pos = len(part)
-                continue
+                # would make no progress forever. There is no safe re-sync
+                # point (skipping the part would misparse every later
+                # string header and emit WRONG cell text under valid SST
+                # indices), so fail the workbook — the UDF layer contains
+                # it as an error row (C7), which beats silent corruption.
+                raise ValueError("biff: SST wide-string run split on an odd byte boundary")
             raw = part[pos : pos + take * width]
             cur.append(raw.decode("utf-16-le" if pending_wide else "latin-1", "replace"))
             pos += take * width

@@ -213,20 +213,11 @@ def extract_doc(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
         from documentconvert_spark.kernels.media import carve_officeart_blips
 
         blips = carve_officeart_blips(cfb.stream("Data"))
-        # count only anchors OUTSIDE fields: OLE objects (equations etc.)
-        # anchor inside their EMBED field's 0x13..0x15 range, while plain
-        # inline pictures anchor bare
-        depth = 0
-        bare = 0
-        for ch in text:
-            o = ord(ch)
-            if o == 0x13:
-                depth += 1
-            elif o == 0x15:
-                depth = max(depth - 1, 0)
-            elif o == 0x01 and depth == 0:
-                bare += 1
-        if blips and bare == len(blips):
+        # EVERY 0x01 anchor owns one Data-stream blip in document order:
+        # bare anchors are inline pictures, in-field anchors (EMBED
+        # equations etc.) own their rendered preview metafile — the carver
+        # returns both kinds, so total counts must line up exactly
+        if blips and text.count("\x01") == len(blips):
             fig_refs = [ref for ref, _pic in blips]
     except Exception:  # noqa: BLE001 — figure mapping is best-effort
         fig_refs = None
@@ -260,29 +251,28 @@ def extract_doc(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
                               1 if kind == "heading" else 0))
 
     in_field_instr = False
-    field_depth = 0
     for para in text.split("\r"):
         buf: list[str] = []
         cells: list[str] = []
-        is_table_para = False
+        # table-ness is a property of the whole paragraph — decide it up
+        # front so an anchor in the FIRST cell (before any 0x07) routes to
+        # pending_figs instead of splitting the table
+        is_table_para = "\x07" in para
         for ch in para:
             o = ord(ch)
             if o == 0x07:
                 cells.append("".join(buf).strip())
                 buf = []
-                is_table_para = True
             elif o == 0x13:
                 in_field_instr = True
-                field_depth += 1
             elif o == 0x14:
                 in_field_instr = False
             elif o == 0x15:
                 in_field_instr = False
-                field_depth = max(field_depth - 1, 0)
             elif o in (0x01, 0x08):
-                # inline picture anchor (bare) vs in-field OLE anchor
-                if (o == 0x01 and field_depth == 0
-                        and fig_refs is not None and fig_i < len(fig_refs)):
+                # object anchor: inline picture, or an OLE object's
+                # rendered preview when inside an EMBED field
+                if o == 0x01 and fig_refs is not None and fig_i < len(fig_refs):
                     ref = fig_refs[fig_i]
                     fig_i += 1
                     if is_table_para:

@@ -55,6 +55,7 @@ def extract_rtf(content: bytes, media_out: list[tuple[str, bytes]] | None = None
     depth = 0
     skip_until_depth = None    # inside a skipped destination group
     pict_buf: list[bytes] | None = None
+    pict_has_bin = False       # buffer contains raw \binN payload, not hex
 
     def flush_para() -> None:
         nonlocal para, outline, para_has_plain
@@ -104,12 +105,17 @@ def extract_rtf(content: bytes, media_out: list[tuple[str, bytes]] | None = None
                     # Same tokenizer walk feeds the media side table, so the
                     # span ⋈ media key can never drift (was a regex before —
                     # it disagreed on \*\shppict and on nested subgroups).
-                    try:
-                        payload = bytes.fromhex(blob.decode("ascii"))
-                    except (ValueError, UnicodeDecodeError):
-                        payload = blob  # \binN raw payload: the bytes as-is
+                    if pict_has_bin:
+                        payload = blob  # raw \binN payload — NEVER fromhex
+                        # (an all-hex-chars binary payload must not be halved)
+                    else:
+                        try:
+                            payload = bytes.fromhex(blob.decode("ascii"))
+                        except (ValueError, UnicodeDecodeError):
+                            payload = blob
                     media_out.append((f"{h}.jpg", payload))
                 pict_buf = None
+                pict_has_bin = False
             depth -= 1
             i += 1
         elif c == 0x5C:  # backslash
@@ -148,6 +154,17 @@ def extract_rtf(content: bytes, media_out: list[tuple[str, bytes]] | None = None
             word = m.group(1).lower()
             num = int(m.group(2)) if m.group(2) else None
             i = m.end()
+            if word == b"bin" and num and num > 0:
+                # binary blob: ALWAYS consume the raw bytes (even inside a
+                # skipped destination — otherwise payload bytes leak into
+                # the tokenizer and a stray '}' desyncs group depth).
+                # Only ever move forward and clamp to the buffer.
+                end = min(i + num, n)
+                if pict_buf is not None and depth == pict_depth and skip_until_depth is None:
+                    pict_buf.append(data[i:end])
+                    pict_has_bin = True
+                i = end
+                continue
             if skip_until_depth is not None:
                 continue
             if word == b"ansicpg" and num:
@@ -217,18 +234,7 @@ def extract_rtf(content: bytes, media_out: list[tuple[str, bytes]] | None = None
                     in_table_para = False
             elif word == b"plain":
                 bold = large = False
-            elif word in (b"bin",) and num and num > 0:
-                # binary blob: consume raw bytes. Only ever move forward and
-                # clamp to the buffer — a negative/oversized \binN parameter
-                # (crafted or corrupt) must not rewind the cursor into an
-                # infinite re-parse loop. Inside a pict, the payload IS the
-                # picture: fold it into the buffer so the figure span's hash
-                # covers the image bytes (two different \bin pictures must
-                # not collide on an empty-hash media_ref).
-                end = min(i + num, n)
-                if pict_buf is not None and depth == pict_depth:
-                    pict_buf.append(data[i:end])
-                i = end
+            # (\binN is consumed above, before the destination-skip guard)
         elif c in (0x0D, 0x0A):
             i += 1
         else:

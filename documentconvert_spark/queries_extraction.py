@@ -609,7 +609,7 @@ def _real_av_fixtures() -> list[tuple]:
 
     def mp4(w: int, h: int, dur: int) -> bytes:
         mvhd = _box(b"mvhd", b"\x00" * 12 + _st.pack(">II", 1000, dur) + b"\x00" * 80)
-        tkhd = _box(b"tkhd", b"\x00" * 80 + _st.pack(">II", w << 16, h << 16))
+        tkhd = _box(b"tkhd", b"\x00" * 76 + _st.pack(">II", w << 16, h << 16))
         moov = _box(b"moov", mvhd + _box(b"trak", tkhd))
         return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + rng.randbytes(64)
 

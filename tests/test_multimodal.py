@@ -159,7 +159,9 @@ def test_av_container_sniffing():
         return struct.pack(">I", 8 + len(payload)) + t + payload
 
     mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 90500) + b"\x00" * 80)
-    tkhd = box(b"tkhd", b"\x00" * 80 + struct.pack(">II", 1920 << 16, 1080 << 16))
+    # dims at spec offset 76 (v0): FullBox(4)+times/ids/reserved(20)+
+    # reserved(8)+layer/altgroup/volume/reserved(8)+matrix(36)
+    tkhd = box(b"tkhd", b"\x00" * 76 + struct.pack(">II", 1920 << 16, 1080 << 16))
     mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(b"moov", mvhd + box(b"trak", tkhd))
     assert sniff_av_meta(mp4) == ("mp4", 1920, 1080, 90500)
 
@@ -175,3 +177,16 @@ def test_av_container_sniffing():
     # truncated/hostile sizes must terminate fast and not raise
     evil = box(b"ftyp", b"isom") + struct.pack(">I", 0xFFFFFFF0) + b"moov"
     assert sniff_av_meta(evil)[0] == "mp4"
+
+
+def test_av_sniffing_edge_cases():
+    import struct
+
+    from documentconvert_spark.kernels.media import sniff_av_meta
+
+    # MPEG-1 Layer III with CRC protection starts \xff\xfa — still mp3
+    assert sniff_av_meta(b"\xff\xfa\x90\x00" + b"\x00" * 30)[0] == "mp3"
+    # WAV truncated inside the byterate field: no bogus duration
+    trunc = (b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt "
+             + struct.pack("<I", 16) + b"\x01\x00\x02\x00\x44\xac")
+    assert sniff_av_meta(trunc) == ("wav", None, None, None)

@@ -238,11 +238,12 @@ def test_spark_real_media_table(spark):
 
     m = extract_real_media(binary_dir_as_raw(spark, REF))
     rows = m.select("doc_id", "media_ref", "format", "width", "byte_len").collect()
-    # 6 OOXML-embedded + 58 OfficeArt BLIPs carved from the 3 legacy .doc
-    assert len(rows) == 64
+    # 6 OOXML-embedded + 61 OfficeArt BLIPs carved from the 3 legacy .doc
+    # (58 raster pictures + 3 WMF equation previews)
+    assert len(rows) == 67
     assert all(r.byte_len > 0 for r in rows)
-    assert {r.format for r in rows} == {"png", "svg", "jpeg"}
-    assert sum(1 for r in rows if r.doc_id.endswith(".doc")) == 58
+    assert {r.format for r in rows} == {"png", "svg", "jpeg", "wmf"}
+    assert sum(1 for r in rows if r.doc_id.endswith(".doc")) == 61
 
 
 # ------------------------------------------------------------ streaming real docs
