@@ -10,7 +10,7 @@ SOFn frames parsed directly, no codec libraries.
 
 Containers covered: OOXML (word/media/, ppt/media/, xl/media/), ODF
 (Pictures/), PDF (Image XObject streams, media_ref matching the figure
-spans realpdf emits), RTF (\pict payloads via the minirtf tokenizer),
+spans realpdf emits), RTF (pict payloads via the minirtf tokenizer),
 legacy OLE (.doc/.xls/.ppt OfficeArt BLIP records, [MS-ODRAW]), and raw
 image files as whole documents.
 """
