@@ -81,3 +81,101 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SynthDocsReader(schema, self.options)
+
+
+# ---------------------------------------------------------------- URL source
+# S6: the reference's HTTP-URL input path is an unimplemented TODO
+# (`enhanced_task_processor.py:450-454` — URL tasks raise "not supported
+# yet"). The engine closes it Spark-side: a partition-parallel DataSource
+# that fetches each URL on the executor that owns its slice, with the
+# fetcher injectable (module:function option) so air-gapped environments —
+# including this sandbox and unit tests — substitute a deterministic local
+# fetcher. Failures are CONTAINED per row (content null + error column),
+# never a failed task, matching the engine's C7 error-row discipline.
+
+URL_DOCS_SCHEMA_DDL = (
+    "doc_id string, doc_type string, content binary, byte_len long, "
+    "source_bucket string, source_path string, error string"
+)
+
+
+@dataclass
+class _UrlSlice(InputPartition):
+    urls: list  # [(doc_id, doc_type, url)]
+
+
+def _default_fetcher(url: str) -> bytes:
+    """urllib-based fetch — used only when no fetcher option is given.
+    Bounded: 30 s timeout, 256 MiB cap (a hostile Content-Length must not
+    OOM an executor)."""
+    from urllib.request import urlopen
+
+    with urlopen(url, timeout=30) as resp:  # noqa: S310 — the operator passes explicit URLs
+        return resp.read(256 * 1024 * 1024)
+
+
+def offline_demo_fetcher(url: str) -> bytes:
+    """Deterministic no-network fetcher (tests / air-gapped demos): yields
+    a synthetic image document derived from the URL; paths ending in
+    /missing raise, exercising the per-row containment path."""
+    if url.endswith("/missing"):
+        raise OSError("404 not found")
+    tail = url.rsplit("/", 1)[-1]
+    return f"MINIIMG-1.0\nref-{tail}.jpg\nocr text for {url}\n".encode()
+
+
+def _resolve_fetcher(spec: str | None):
+    if not spec:
+        return _default_fetcher
+    import importlib
+
+    mod, _, fn = spec.rpartition(":")
+    return getattr(importlib.import_module(mod), fn)
+
+
+class UrlDocsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        # urls option: newline-separated "doc_id,doc_type,url" records
+        # (an operator typically builds this from a manifest table)
+        self.records = []
+        for line in (options.get("urls") or "").splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            doc_id, doc_type, url = line.split(",", 2)
+            self.records.append((doc_id, doc_type, url))
+        self.fetcher_spec = options.get("fetcher")
+        self.per_partition = int(options.get("urls_per_partition", 64))
+
+    def partitions(self):
+        step = max(self.per_partition, 1)
+        return [
+            _UrlSlice(self.records[lo:lo + step])
+            for lo in range(0, len(self.records), step)
+        ] or [_UrlSlice([])]
+
+    def read(self, partition: _UrlSlice):
+        fetch = _resolve_fetcher(self.fetcher_spec)
+        for doc_id, doc_type, url in partition.urls:
+            try:
+                blob = fetch(url)
+                yield (doc_id, doc_type, blob, len(blob), "url", url, None)
+            except Exception as exc:  # noqa: BLE001 — per-row containment
+                yield (doc_id, doc_type, None, 0, "url", url,
+                       f"{type(exc).__name__}: {exc}")
+
+
+class UrlDocsDataSource(DataSource):
+    """`spark.dataSource.register(UrlDocsDataSource)`; then
+    `spark.read.format("urldocs").option("urls", manifest).load()` —
+    add `.option("fetcher", "mymodule:myfetch")` to swap transports."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "urldocs"
+
+    def schema(self) -> str:
+        return URL_DOCS_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return UrlDocsReader(schema, self.options)
