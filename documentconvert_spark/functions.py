@@ -65,3 +65,30 @@ def with_curation_columns(docs):
             "round(least(1.0, size(_toks) / 100.0) * (1.0 - _n_punct / nullif(_n_chars, 0)), 6)"
         ).alias("quality"),
     ).drop("_toks", "_n_punct", "_n_chars")
+
+
+# P5: result-file filter (reference gradio_app.py:180-219) — pick the main
+# conversion artifact among an output listing: expected extension, none of
+# the temp/intermediate markers, bounded name length, no 32+ hex run
+# (hash-named intermediates). Pure column expression, pushdown-friendly.
+_P5_EXCLUDES = (
+    "temp", "tmp", "cache", "intermediate", "partial", "processing",
+    "backup", "log", ".bak", "debug", "test", "sample", "example", "draft",
+    "copy", "duplicate", "version", "v1", "v2", "old", "new", "original",
+    "converted_", "output_", "result_", "final_", "processed_",
+)
+
+
+def is_main_result_file(name_col, expected_exts: tuple[str, ...] = (".md", ".json")):
+    """Boolean Column: is this output file the MAIN conversion result?"""
+    from pyspark.sql import functions as F
+
+    low = F.lower(name_col)
+    ok = F.lit(False)
+    for ext in expected_exts:
+        ok = ok | low.endswith(ext)
+    for pat in _P5_EXCLUDES:
+        ok = ok & ~low.contains(pat)
+    ok = ok & (F.length(name_col) <= 100)
+    ok = ok & ~low.rlike("[a-f0-9]{32,}")
+    return ok

@@ -54,9 +54,14 @@ def spans_to_markdown(spans: list) -> str:
 
 
 def error_markdown(doc_id: str, error_class: str, error: str) -> str:
-    """Failure report artifact (reference: document_service.py:347-375)."""
+    """Failure report artifact (reference: document_service.py:347-375),
+    including the class-specific remediation text (F14,
+    document_service.py:426-463)."""
+    from documentconvert_spark.kernels.errors import error_suggestion
+
     return (
         f"# Conversion failed: {doc_id}\n\n"
         f"## Error class\n\n{error_class}\n\n"
-        f"## Detail\n\n```\n{error}\n```\n"
+        f"## Detail\n\n```\n{error}\n```\n\n"
+        f"## Suggestions\n\n{error_suggestion(error_class)}\n"
     )

@@ -229,3 +229,16 @@ def test_encoding_repair_full_reference_chain():
     # unrepairable garble returns unchanged
     junk = "���"
     assert repair_mojibake(junk) == junk
+
+
+def test_error_suggestions_rendered_in_report():
+    """F14 (reference document_service.py:426-463): the failure report
+    carries class-specific remediation text."""
+    from documentconvert_spark.kernels.errors import error_suggestion
+
+    md = error_markdown("d9", "password_protected", "file is password protected")
+    assert "## Suggestions" in md
+    assert "password protected" in md and "Remove the protection" in md
+    # every class resolves to non-empty advice; unknown gets the default
+    for cls in ("oom", "gpu_error", "timeout", "weird_new_class"):
+        assert error_suggestion(cls).startswith("1.")

@@ -86,3 +86,27 @@ def test_salted_distinct_exact(spark):
     salted = salted_distinct_count(events, "event_type", "user_id", n_salt=8)
     plain = events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_distinct"))
     assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_p5_result_file_filter(spark):
+    """P5 (reference gradio_app.py:180-219): the main-artifact pick among
+    an output listing — expected ext, temp/intermediate markers excluded,
+    length cap, hash-run exclusion."""
+    from pyspark.sql import functions as F
+
+    from documentconvert_spark.functions import is_main_result_file
+
+    names = [
+        ("report.md", True),
+        ("report.json", True),
+        ("report.temp.md", False),         # temp marker
+        ("output_report.md", False),       # intermediate prefix
+        ("report.txt", False),             # wrong extension
+        ("d41d8cd98f00b204e9800998ecf8427e.md", False),  # 32-hex run
+        ("x" * 120 + ".md", False),        # name too long
+        ("REPORT.MD", True),               # case-insensitive
+    ]
+    df = spark.createDataFrame([(n,) for n, _e in names], "name string")
+    got = {r.name: r.keep for r in df.select(
+        "name", is_main_result_file(F.col("name")).alias("keep")).collect()}
+    assert got == {n: e for n, e in names}
