@@ -1,0 +1,90 @@
+"""Presigned object URLs (K5) — AWS Signature Version 4, from the public
+specification, no SDK.
+
+The reference generates presigned GET/PUT URLs through boto3
+(`services/s3_upload_service.py:555-587`, `s3_download_service.py:354-386`)
+so task results can be fetched without credentials. The algorithm is pure
+deterministic crypto (an HMAC-SHA256 chain over a canonical request), so
+the engine implements it directly — usable from driver-side serving code
+or a column-level UDF-free batch job that emits result URLs next to the
+lineage column. Verified against the worked example in the public SigV4
+documentation (the canonical 20130524/examplebucket test vector).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+from urllib.parse import quote
+
+
+def _sign(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode("utf-8"), hashlib.sha256).digest()
+
+
+def _signing_key(secret_key: str, date: str, region: str, service: str) -> bytes:
+    k = _sign(("AWS4" + secret_key).encode("utf-8"), date)
+    k = _sign(k, region)
+    k = _sign(k, service)
+    return _sign(k, "aws4_request")
+
+
+def presign_url(
+    bucket: str,
+    key: str,
+    access_key: str,
+    secret_key: str,
+    *,
+    amz_date: str,
+    region: str = "us-east-1",
+    expires_s: int = 3600,
+    method: str = "GET",
+    endpoint: str | None = None,
+    service: str = "s3",
+) -> str:
+    """Query-string-presigned URL (SigV4, UNSIGNED-PAYLOAD).
+
+    ``amz_date`` is the ISO-basic timestamp (``YYYYMMDDTHHMMSSZ``) — passed
+    in rather than read from the clock so the function is a pure,
+    testable mapping (the caller stamps job time).
+    """
+    date = amz_date[:8]
+    host = endpoint or f"{bucket}.s3.amazonaws.com"
+    scope = f"{date}/{region}/{service}/aws4_request"
+    canonical_uri = "/" + quote(key, safe="/~-._")
+
+    params = {
+        "X-Amz-Algorithm": "AWS4-HMAC-SHA256",
+        "X-Amz-Credential": f"{access_key}/{scope}",
+        "X-Amz-Date": amz_date,
+        "X-Amz-Expires": str(expires_s),
+        "X-Amz-SignedHeaders": "host",
+    }
+    canonical_query = "&".join(
+        f"{quote(k, safe='-._~')}={quote(v, safe='-._~')}"
+        for k, v in sorted(params.items())
+    )
+    canonical_request = "\n".join(
+        [
+            method,
+            canonical_uri,
+            canonical_query,
+            f"host:{host}\n",
+            "host",
+            "UNSIGNED-PAYLOAD",
+        ]
+    )
+    string_to_sign = "\n".join(
+        [
+            "AWS4-HMAC-SHA256",
+            amz_date,
+            scope,
+            hashlib.sha256(canonical_request.encode("utf-8")).hexdigest(),
+        ]
+    )
+    signature = hmac.new(
+        _signing_key(secret_key, date, region, service),
+        string_to_sign.encode("utf-8"),
+        hashlib.sha256,
+    ).hexdigest()
+    return f"https://{host}{canonical_uri}?{canonical_query}&X-Amz-Signature={signature}"
