@@ -75,6 +75,14 @@ _NUMREF_RE = re.compile(
     rb"([+-]?(?:\d+\.?\d*|\.\d+))(?:[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![a-zA-Z]))?"
 )
 
+# array-element step: leading ws/comments + number[-ref] | /name | ']'
+_ARR_TOK_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:([+-]?(?:\d+\.?\d*|\.\d+))(?:[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![a-zA-Z]))?"
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(\]))"
+)
+
 
 def _parse_object(data: bytes, i: int, refs: bool = True):
     """Parse one object at i → (value, next_index). refs=False disables
@@ -94,29 +102,46 @@ def _parse_object(data: bytes, i: int, refs: bool = True):
     if c == b"[":
         i += 1
         arr = []
+        append = arr.append
+        n = len(data)
+        # one compiled step per element for the homogeneous runs that
+        # dominate real documents: TJ kerning arrays (thousands of
+        # string/number pairs per text-dense page), font /Widths and CID
+        # /W number arrays, and /Differences glyph-name arrays (hundreds
+        # of entries per embedded font). Strings/refs/nesting fall through
+        # to the per-kind parsers.
+        match = _ARR_TOK_RE.match
         while True:
+            m = match(data, i)
+            if m is not None:
+                num, gen, name, close = m.group(1, 2, 3, 4)
+                if num is not None:
+                    if refs and gen is not None and num.isdigit():
+                        append(_Ref((int(num), int(gen))))
+                        i = m.end()
+                    else:
+                        append(float(num) if b"." in num else int(num))
+                        i = m.end(1)
+                    continue
+                if close is not None:
+                    return arr, m.end()
+                append(_name_of(name))
+                i = m.end()
+                continue
             i = _skip_ws(data, i)
-            if i >= len(data):
+            if i >= n:
                 raise ValueError("pdf: unterminated array")
             b0 = data[i]
-            if b0 == 0x5D:  # ']'
-                return arr, i + 1
-            # fast paths: TJ kerning arrays alternate strings and numbers
-            # by the thousand — recursing through the general parser per
-            # element dominates text-dense pages
-            if not refs and (0x30 <= b0 <= 0x39 or b0 in (0x2B, 0x2D, 0x2E)):
-                m = _NUM_RE.match(data, i)
-                if m:
-                    tok = m.group(0)
-                    arr.append(float(tok) if b"." in tok else int(tok))
-                    i = m.end()
-                    continue
+            if b0 == 0x28:  # '(string)'
+                v, i = _parse_lit_string(data, i)
+                append(v)
+                continue
             if b0 == 0x3C and data[i + 1 : i + 2] != b"<":
                 v, i = _parse_hex_string(data, i)
-                arr.append(v)
+                append(v)
                 continue
             v, i = _parse_object(data, i, refs)
-            arr.append(v)
+            append(v)
     if data.startswith(b"true", i):
         return True, i + 4
     if data.startswith(b"false", i):
@@ -135,13 +160,28 @@ def _parse_object(data: bytes, i: int, refs: bool = True):
 
 _NAME_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 
+# raw name bytes -> interned _Name. Names repeat constantly (/Type /Font
+# /Widths /F1 ...) across dicts, pages, AND documents — the values are
+# pure functions of the bytes, so a module-level cache is safe to share
+# across tasks; capped so hostile inputs can't grow it unboundedly.
+_NAME_CACHE: dict[bytes, "_Name"] = {}
+
+
+def _name_of(raw: bytes) -> "_Name":
+    v = _NAME_CACHE.get(raw)
+    if v is None:
+        dec = raw
+        if b"#" in raw:
+            dec = re.sub(rb"#([0-9A-Fa-f]{2})", lambda mm: bytes([int(mm.group(1), 16)]), raw)
+        v = _Name(dec.decode("latin-1"))
+        if len(_NAME_CACHE) < 8192:
+            _NAME_CACHE[raw] = v
+    return v
+
 
 def _parse_name(data: bytes, i: int):
     m = _NAME_RE.match(data, i + 1)
-    raw = m.group(0)
-    if b"#" in raw:
-        raw = re.sub(rb"#([0-9A-Fa-f]{2})", lambda mm: bytes([int(mm.group(1), 16)]), raw)
-    return _Name(raw.decode("latin-1")), m.end()
+    return _name_of(m.group(0)), m.end()
 
 
 def _parse_hex_string(data: bytes, i: int):
@@ -616,50 +656,76 @@ class _Run(tuple):
     """(page, y, x, size, seq, kind, payload)"""
 
 
+# one compiled step per token: eats whitespace/comments, then captures
+# exactly one of number | /name | operator-word | single delimiter byte.
+# The delimiter catch-all excludes whitespace so a pure-ws tail fails to
+# match (loop end) instead of backtracking a ws byte into group 4.
+_TOK_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:([+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|([^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
+    rb"|([^\x00\t\n\x0c\r ]))"
+)
+
+# operator bytes -> str, interned across calls (a content stream uses a
+# dozen distinct operators, decoded thousands of times otherwise)
+_OP_CACHE: dict[bytes, str] = {}
+
+
 def _content_tokens(body: bytes):
-    """Yield operands/operators from a content stream. Numbers and names
-    take regex fast paths — text-dense pages emit one operand per glyph,
-    so the general parser's recursion/WS overhead dominates otherwise."""
+    """Yield operands/operators from a content stream. One _TOK_RE match
+    per token — text-dense pages emit one operand per glyph, so per-token
+    Python dispatch/WS overhead dominates otherwise."""
     i = 0
     n = len(body)
+    match = _TOK_RE.match
+    op_cache = _OP_CACHE
     while i < n:
-        i = _skip_ws(body, i)
-        if i >= n:
+        m = match(body, i)
+        if m is None:
             return
-        c = body[i]
-        if (0x30 <= c <= 0x39) or c in b"+-.":
-            m = _NUM_RE.match(body, i)
-            if m:
-                tok = m.group(0)
-                i = m.end()
-                yield ("operand", float(tok) if b"." in tok else int(tok))
-                continue
-            i += 1
-            continue
-        if c == 0x2F:  # '/name' — _parse_name itself is non-recursive
-            v, i = _parse_name(body, i)
-            yield ("operand", v)
-            continue
-        if c in b"<([":
-            try:
-                v, i = _parse_object(body, i, refs=False)
-            except ValueError:
-                i += 1
-                continue
-            yield ("operand", v)
-        else:
-            j = i
-            while j < n and body[j] not in _WS and body[j] not in _DELIM:
-                j += 1
-            op = body[i:j].decode("latin-1")
-            i = j if j > i else i + 1
+        num, name, word, delim = m.group(1, 2, 3, 4)
+        i = m.end()
+        if num is not None:
+            yield ("operand", float(num) if b"." in num else int(num))
+        elif word is not None:
+            op = op_cache.get(word)
+            if op is None:
+                op = word.decode("latin-1")
+                if len(op_cache) < 1024:
+                    op_cache[word] = op
             if op == "BI":  # inline image: skip to EI
                 k = body.find(b"EI", i)
                 i = n if k < 0 else k + 2
                 yield ("op", "BI_skipped")
-                continue
-            if op:
+            else:
                 yield ("op", op)
+        elif name is not None:
+            yield ("operand", _name_of(name))
+        else:
+            # delimiter byte: '(' string, '<' hex/dict, '[' array — parse
+            # from the delimiter itself; stray ')]>}{' bytes are skipped
+            try:
+                if delim == b"(":
+                    v, i = _parse_lit_string(body, i - 1)
+                elif delim == b"[" or (delim == b"<" and body[i : i + 1] == b"<"):
+                    v, i = _parse_object(body, i - 1, refs=False)
+                elif delim == b"<":
+                    v, i = _parse_hex_string(body, i - 1)
+                else:
+                    continue
+            except (ValueError, IndexError):
+                # unterminated/truncated string or array at stream end:
+                # skip the delimiter, keep the text already recovered
+                continue
+            yield ("operand", v)
+
+
+_TEXT_OPS = frozenset([
+    "BT", "ET", "Tf", "TL", "Td", "TD", "Tm", "T*", "Tj", "'", '"', "TJ",
+    "cm", "q", "Q", "Do",
+])
 
 
 def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
@@ -696,6 +762,12 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
             stack.append(tok)
             continue
         op = tok
+        if op not in _TEXT_OPS:
+            # path/color/marked-content operators: no text-state effect;
+            # skip the comparison chain (they outnumber text ops on
+            # graphics-heavy pages)
+            stack.clear()
+            continue
         try:
             if op == "BT":
                 tm = tlm = _ID
