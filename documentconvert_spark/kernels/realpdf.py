@@ -75,12 +75,17 @@ _NUMREF_RE = re.compile(
     rb"([+-]?(?:\d+\.?\d*|\.\d+))(?:[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![a-zA-Z]))?"
 )
 
-# array-element step: leading ws/comments + number[-ref] | /name | ']'
+# array-element step: leading ws/comments + number[-ref] | /name | ']' |
+# escape-free (string) | run-together <hex> — the last two cover the string
+# halves of TJ kerning arrays; escaped/nested strings and ws-split hex fall
+# through to the per-kind parsers.
 _ARR_TOK_RE = re.compile(
     rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
     rb"(?:([+-]?(?:\d+\.?\d*|\.\d+))(?:[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![a-zA-Z]))?"
     rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
-    rb"|(\]))"
+    rb"|(\])"
+    rb"|\(([^()\\]*)\)"
+    rb"|<([0-9A-Fa-f]*)>)"
 )
 
 
@@ -114,7 +119,7 @@ def _parse_object(data: bytes, i: int, refs: bool = True):
         while True:
             m = match(data, i)
             if m is not None:
-                num, gen, name, close = m.group(1, 2, 3, 4)
+                num, gen, name, close, lit, hexs = m.group(1, 2, 3, 4, 5, 6)
                 if num is not None:
                     if refs and gen is not None and num.isdigit():
                         append(_Ref((int(num), int(gen))))
@@ -122,6 +127,16 @@ def _parse_object(data: bytes, i: int, refs: bool = True):
                     else:
                         append(float(num) if b"." in num else int(num))
                         i = m.end(1)
+                    continue
+                if lit is not None:
+                    append(lit)
+                    i = m.end()
+                    continue
+                if hexs is not None:
+                    if len(hexs) % 2:
+                        hexs += b"0"
+                    append(bytes.fromhex(hexs.decode("ascii")))
+                    i = m.end()
                     continue
                 if close is not None:
                     return arr, m.end()
@@ -233,15 +248,48 @@ def _parse_lit_string(data: bytes, i: int):
     raise ValueError("pdf: unterminated string")
 
 
+# dict-entry step: leading ws/comments + ('>>' | /key [number[-ref] | /name])
+# — one compiled match covers the '/Key 123', '/Key 5 0 R', and '/Key /Name'
+# entries that make up most of every real dict; container/string/bool values
+# fall through to the general parser.
+_DICT_TOK_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:(>>)"
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"(?:(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+"
+    rb"(?:([+-]?(?:\d+\.?\d*|\.\d+))(?:[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![a-zA-Z]))?"
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)))?)"
+)
+
+
 def _parse_dict(data: bytes, i: int, refs: bool = True):
     i += 2
     d = {}
+    match = _DICT_TOK_RE.match
     while True:
-        i = _skip_ws(data, i)
-        if data[i : i + 2] == b">>":
-            return d, i + 2
-        key, i = _parse_name(data, i)
-        val, i = _parse_object(data, i, refs)
+        m = match(data, i)
+        if m is None:
+            # neither '>>' nor a '/key' next: malformed — surface the same
+            # error the general parser would
+            i = _skip_ws(data, i)
+            raise ValueError(f"pdf: unparsable dict entry at byte {i}: {data[i:i+20]!r}")
+        close, rawkey, num, gen, valname = m.group(1, 2, 3, 4, 5)
+        if close is not None:
+            return d, m.end()
+        key = _name_of(rawkey)
+        if num is not None:
+            if refs and gen is not None and num.isdigit():
+                d[key] = _Ref((int(num), int(gen)))
+                i = m.end()
+            else:
+                d[key] = float(num) if b"." in num else int(num)
+                i = m.end(3)
+            continue
+        if valname is not None:
+            d[key] = _name_of(valname)
+            i = m.end()
+            continue
+        val, i = _parse_object(data, m.end(2), refs)
         d[key] = val
 
 
