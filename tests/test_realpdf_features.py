@@ -249,3 +249,54 @@ def test_truncated_tj_array_degrades_gracefully():
     toks = list(_content_tokens(b"BT /F1 10 Tf [ (abc) 5 (def) "))
     operands = [v for k, v in toks if k == "operand"]
     assert b"abc" in operands and b"def" in operands
+
+
+def test_object_parser_dict_entry_forms():
+    """The single-regex dict step must cover every entry shape: number,
+    float, signed, ref, name (run-together and spaced), hash-escaped
+    names, comments between entries, and fall-through container/bool/
+    string values."""
+    from documentconvert_spark.kernels.realpdf import _Name, _Ref, _parse_object
+
+    data = (b"<< %note\n/Length 42/Parent 5 0 R/Type/Page /Neg -3.5"
+            b"/A#20B /X#2FY/Flag true/T (hi)/Sub <</N 1>>/K [1 2 3] >>tail")
+    d, end = _parse_object(data, 0)
+    assert data[end:] == b"tail" and d == {
+        _Name("Length"): 42, _Name("Parent"): _Ref((5, 0)),
+        _Name("Type"): _Name("Page"), _Name("Neg"): -3.5,
+        _Name("A B"): _Name("X/Y"), _Name("Flag"): True,
+        _Name("T"): b"hi", _Name("Sub"): {_Name("N"): 1},
+        _Name("K"): [1, 2, 3],
+    }
+    # refs=False (content-stream dicts, which never hold refs): a stray
+    # 'N G R' value raises and is contained by the tokenizer's catch
+    with pytest.raises(ValueError):
+        _parse_object(b"<</V 5 0 R>>", 0, refs=False)
+
+
+def test_object_parser_array_string_forms():
+    """TJ-style arrays: escape-free and escaped literals, run-together and
+    whitespace-split hex, empties, and the R-lookahead guard."""
+    from documentconvert_spark.kernels.realpdf import _Ref, _parse_object
+
+    arr, _ = _parse_object(
+        rb"[ (ab) (a\(b) <4142> < 41 4 2 > <414> () <> 1 0 R -.5 %c"
+        b"\n[3]/N]", 0)
+    assert arr == [b"ab", b"a(b", b"AB", b"AB", b"A@", b"", b"",
+                   _Ref((1, 0)), -0.5, [3], "N"]
+
+
+def test_content_tokens_edge_forms():
+    """Content-stream tokenizer: operators glued to delimiters, comments,
+    inline-image skip, dict operands, and stray delimiter recovery."""
+    from documentconvert_spark.kernels.realpdf import _Name, _content_tokens
+
+    toks = list(_content_tokens(
+        b"(x)Tj%comment\n/GS1 gs <</T 1>> BDC ) 5 0 R BI junk EI 1.5 w"))
+    ops = [v for k, v in toks if k == "op"]
+    operands = [v for k, v in toks if k == "operand"]
+    assert ops == ["Tj", "gs", "BDC", "R", "BI_skipped", "w"]
+    assert operands[0] == b"x"
+    assert operands[1] == _Name("GS1")
+    assert {_Name("T"): 1} in operands
+    assert 1.5 in operands
