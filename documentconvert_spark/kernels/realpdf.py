@@ -45,10 +45,6 @@ class _Ref(tuple):
     """Indirect reference (num, gen)."""
 
 
-def _is_ws(b: int) -> bool:
-    return b in _WS
-
-
 def _skip_ws(data: bytes, i: int) -> int:
     n = len(data)
     while i < n:
@@ -63,26 +59,29 @@ def _skip_ws(data: bytes, i: int) -> int:
     return i
 
 
-_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
-
-
-_REF_RE = re.compile(rb"(\d+)\s+R(?![a-zA-Z])")
-
-# number optionally followed by "<gen> R" — one match replaces the
+# shared grammar fragments — the single source of truth the tokenizer
+# regexes below are composed from
+_WSC = rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*+"  # ws/comments; POSSESSIVE so a
+# trailing comment at end-of-input cannot backtrack a byte into the token
+# alternatives and re-lex comment text as a token
+_NAME_CLS = rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]"  # name/operator-word bytes
+_NUM_PAT = rb"[+-]?(?:\d+\.?\d*|\.\d+)"
+# number capture optionally followed by "<gen> R" — one match replaces the
 # number-match + ws-skip + ref-lookahead triple on the hot path (large
 # Widths/W arrays parse tens of thousands of numbers per document)
-_NUMREF_RE = re.compile(
-    rb"([+-]?(?:\d+\.?\d*|\.\d+))(?:[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![a-zA-Z]))?"
-)
+_NUMREF_PAT = (rb"(" + _NUM_PAT + rb")"
+               rb"(?:[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![a-zA-Z]))?")
+
+_NUMREF_RE = re.compile(_NUMREF_PAT)
 
 # array-element step: leading ws/comments + number[-ref] | /name | ']' |
 # escape-free (string) | run-together <hex> — the last two cover the string
 # halves of TJ kerning arrays; escaped/nested strings and ws-split hex fall
 # through to the per-kind parsers.
 _ARR_TOK_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
-    rb"(?:([+-]?(?:\d+\.?\d*|\.\d+))(?:[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![a-zA-Z]))?"
-    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    _WSC
+    + rb"(?:" + _NUMREF_PAT
+    + rb"|/(" + _NAME_CLS + rb"*)"
     rb"|(\])"
     rb"|\(([^()\\]*)\)"
     rb"|<([0-9A-Fa-f]*)>)"
@@ -249,16 +248,16 @@ def _parse_lit_string(data: bytes, i: int):
 
 
 # dict-entry step: leading ws/comments + ('>>' | /key [number[-ref] | /name])
-# — one compiled match covers the '/Key 123', '/Key 5 0 R', and '/Key /Name'
+# — one compiled match covers the '/Key 123', '/Key 5 0 R', and '/Key/Name'
 # entries that make up most of every real dict; container/string/bool values
 # fall through to the general parser.
 _DICT_TOK_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
-    rb"(?:(>>)"
-    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
-    rb"(?:(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+"
-    rb"(?:([+-]?(?:\d+\.?\d*|\.\d+))(?:[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![a-zA-Z]))?"
-    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)))?)"
+    _WSC
+    + rb"(?:(>>)"
+    rb"|/(" + _NAME_CLS + rb"*)"
+    + rb"(?:" + _WSC
+    + rb"(?:" + _NUMREF_PAT
+    + rb"|/(" + _NAME_CLS + rb"*)))?)"
 )
 
 
@@ -709,10 +708,10 @@ class _Run(tuple):
 # The delimiter catch-all excludes whitespace so a pure-ws tail fails to
 # match (loop end) instead of backtracking a ws byte into group 4.
 _TOK_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
-    rb"(?:([+-]?(?:\d+\.?\d*|\.\d+))"
-    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
-    rb"|([^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
+    _WSC
+    + rb"(?:(" + _NUM_PAT + rb")"
+    rb"|/(" + _NAME_CLS + rb"*)"
+    rb"|(" + _NAME_CLS + rb"+)"
     rb"|([^\x00\t\n\x0c\r ]))"
 )
 
@@ -738,6 +737,12 @@ def _content_tokens(body: bytes):
         if num is not None:
             yield ("operand", float(num) if b"." in num else int(num))
         elif word is not None:
+            if word[0] in b"+-.":
+                # malformed number ('-', '-x', '..'): skip the sign byte and
+                # re-lex, instead of emitting a bogus operator that would
+                # clear pending operands in the interpreter
+                i = m.start(3) + 1
+                continue
             op = op_cache.get(word)
             if op is None:
                 op = word.decode("latin-1")

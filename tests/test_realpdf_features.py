@@ -300,3 +300,31 @@ def test_content_tokens_edge_forms():
     assert operands[1] == _Name("GS1")
     assert {_Name("T"): 1} in operands
     assert 1.5 in operands
+
+
+def test_comment_at_stream_end_not_relexed():
+    """A trailing comment (no final newline) must be consumed whole: the
+    possessive ws/comment prefix may not backtrack a byte and re-lex
+    comment text as tokens, and a ']'/'>>' inside a trailing comment may
+    not close an unterminated container."""
+    from documentconvert_spark.kernels.realpdf import _content_tokens, _parse_object
+
+    assert list(_content_tokens(b"(A) Tj %done (x) Tj")) == [
+        ("operand", b"A"), ("op", "Tj")]
+    assert list(_content_tokens(b"(A) Tj %4")) == [("operand", b"A"), ("op", "Tj")]
+    with pytest.raises(ValueError):
+        _parse_object(b"[1 2 %tail]", 0)
+    with pytest.raises(ValueError):
+        _parse_object(b"<</A 1 %x>>", 0)
+
+
+def test_lone_sign_bytes_skipped_not_operators():
+    """Malformed number fragments ('-', '-x', '..') are skipped byte-wise
+    like the pre-regex tokenizer did — emitting them as unknown operators
+    would clear pending operands and silently drop text."""
+    from documentconvert_spark.kernels.realpdf import _content_tokens
+
+    assert list(_content_tokens(b"(A) - Tj")) == [("operand", b"A"), ("op", "Tj")]
+    toks = list(_content_tokens(b"(A) .. -x Tj"))
+    assert ("operand", b"A") in toks and ("op", "Tj") in toks
+    assert not any(v in ("-", "..", "-x") for k, v in toks if k == "op")
