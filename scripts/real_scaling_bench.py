@@ -191,7 +191,7 @@ def _write_bench_md(r: dict) -> None:
             f.write("\n" + "\n".join(lines))
         return
     nxt = existing.find("\n## ", start)
-    tail = existing[nxt + 1:] if nxt != -1 else ""
+    tail = existing[nxt:] if nxt != -1 else ""
     with open(path, "w") as f:
         f.write(existing[:start] + "\n".join(lines) + tail)
 
