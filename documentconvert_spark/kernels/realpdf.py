@@ -15,8 +15,10 @@ Built purely from the public PDF 1.7 specification (ISO 32000-1):
     PNG Up/Sub/Paeth predictors) with object streams (/ObjStm);
   - object lexer: dicts, arrays, names (#xx escapes), literal and hex
     strings, refs, numbers, streams (/Length possibly indirect);
-  - FlateDecode via zlib (the only filter the corpus needs; others raise
-    and are contained per-row as error rows, C7);
+  - stream filters: FlateDecode (zlib), LZWDecode (from-scratch, ISO
+    32000 §7.4.4), RunLengthDecode, ASCIIHexDecode, ASCII85Decode;
+    image-only filters (DCT/CCITT/JBIG2/JPX) raise and are contained
+    per-row as error rows (C7);
   - text extraction: BT/ET, Tf/Tm/Td/TD/T*/TL/', ", Tj/TJ, q/Q/cm,
     Form XObject recursion, Image XObjects → figure spans;
   - glyph decode: ToUnicode CMaps (bfchar/bfrange, both forms), 2-byte
@@ -292,6 +294,63 @@ def _parse_dict(data: bytes, i: int, refs: bool = True):
         d[key] = val
 
 
+def _rle_decode(raw: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000 §7.4.5): <128 → copy n+1 literal bytes,
+    >128 → repeat next byte 257-n times, 128 → EOD."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        length = raw[i]
+        if length == 128:
+            break
+        if length < 128:
+            out += raw[i + 1 : i + 2 + length]
+            i += 2 + length
+        else:
+            out += raw[i + 1 : i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(raw: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (ISO 32000 §7.4.4, TIFF-style): 9→12-bit variable-width
+    codes over 8-bit data; 256 clears the table, 257 is EOD, and the code
+    width grows one entry early under /EarlyChange 1 (the default)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([b]) for b in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    width = 9
+    buf = bits = 0
+    for byte in raw:
+        buf = (buf << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (buf >> bits) & ((1 << width) - 1)
+            if code == 256:
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            size = len(table)
+            if code < size:
+                entry = table[code]
+                if prev is not None and size < 4096:
+                    table.append(prev + entry[:1])
+            elif code == size and prev is not None:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("pdf: corrupt LZW stream")
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _png_unpredict(raw: bytes, colors: int, columns: int) -> bytes:
     """Reverse PNG row predictors (used by xref streams, /Predictor >= 10)."""
     row_len = colors * columns
@@ -478,6 +537,17 @@ class _Pdf:
             elif f == "ASCII85Decode":
                 import base64
                 raw = base64.a85decode(raw.rstrip(b"~>"), adobe=False)
+            elif f == "LZWDecode":
+                p = self.resolve(parms_list[fi]) if fi < len(parms_list) else None
+                ec = self.resolve(p.get("EarlyChange")) if isinstance(p, dict) else None
+                raw = _lzw_decode(raw, 1 if ec is None else int(ec))
+                if isinstance(p, dict) and int(self.resolve(p.get("Predictor")) or 1) >= 10:
+                    colors = int(self.resolve(p.get("Colors")) or 1)
+                    bpc = int(self.resolve(p.get("BitsPerComponent")) or 8)
+                    cols = int(self.resolve(p.get("Columns")) or 1)
+                    raw = _png_unpredict(raw, colors * bpc // 8, cols)
+            elif f == "RunLengthDecode":
+                raw = _rle_decode(raw)
             else:
                 raise ValueError(f"pdf: unsupported filter {f}")
         return raw

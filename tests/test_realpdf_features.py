@@ -328,3 +328,80 @@ def test_lone_sign_bytes_skipped_not_operators():
     toks = list(_content_tokens(b"(A) .. -x Tj"))
     assert ("operand", b"A") in toks and ("op", "Tj") in toks
     assert not any(v in ("-", "..", "-x") for k, v in toks if k == "op")
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Minimal TIFF/PDF LZW encoder (test-local) for round-trip checks."""
+    codes: list[tuple[int, int]] = []
+    d = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    codes.append((256, width))
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in d:
+            w = wc
+            continue
+        codes.append((d[w], width))
+        if next_code < 4096:
+            d[wc] = next_code
+            next_code += 1
+            if next_code + early - 1 >= (1 << width) and width < 12:
+                width += 1
+        w = bytes([ch])
+    if w:
+        codes.append((d[w], width))
+    codes.append((257, width))
+    buf = bits = 0
+    out = bytearray()
+    for code, wd in codes:
+        buf = (buf << wd) | code
+        bits += wd
+        while bits >= 8:
+            bits -= 8
+            out.append((buf >> bits) & 0xFF)
+    if bits:
+        out.append((buf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_and_runlength_filters():
+    """LZWDecode against the ISO 32000 §7.4.4.2 worked example, an
+    encoder round-trip long enough to cross the 9→10-bit width switch,
+    and RunLengthDecode literal/repeat/EOD handling."""
+    from documentconvert_spark.kernels.realpdf import _lzw_decode, _rle_decode
+
+    spec = bytes([0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01])
+    assert _lzw_decode(spec) == bytes([45] * 5 + [65] + [45] * 3 + [66])
+
+    payload = (b"BT /F1 10 Tf 72 700 Td (lzw compressed stream) Tj ET " * 40)
+    assert _lzw_decode(_lzw_encode(payload)) == payload
+    assert _lzw_decode(_lzw_encode(payload, early=0), early_change=0) == payload
+
+    assert _rle_decode(b"\x02abc\xfeZ\x80trailing-junk") == b"abc" + b"Z" * 3
+
+    # end-to-end: a page whose content stream is LZW-encoded
+    content = b"BT /F1 10 Tf 72 700 Td (lzw content line) Tj ET"
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    enc = _lzw_encode(content)
+    objs[4] = b"<</Filter /LZWDecode /Length %d>>\nstream\n%s\nendstream" % (len(enc), enc)
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert spans and spans[0].text == "lzw content line"
+
+    rle = b"".join(
+        bytes([len(chunk) - 1]) + chunk
+        for chunk in (content[i:i + 100] for i in range(0, len(content), 100))
+    ) + b"\x80"
+    objs[4] = b"<</Filter /RunLengthDecode /Length %d>>\nstream\n%s\nendstream" % (len(rle), rle)
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert spans and spans[0].text == "lzw content line"
+
+
+def test_lzw_corrupt_stream_raises():
+    from documentconvert_spark.kernels.realpdf import _lzw_decode
+
+    with pytest.raises(ValueError):
+        # first code after clear references an unassigned table slot
+        _lzw_decode(bytes([0x80, 0x5F, 0xFF, 0xFF]))
