@@ -23,7 +23,10 @@ Built purely from the public PDF 1.7 specification (ISO 32000-1):
     Form XObject recursion, Image XObjects → figure spans;
   - glyph decode: ToUnicode CMaps (bfchar/bfrange, both forms), 2-byte
     CIDs for Type0/Identity-H, /Differences name tables for simple fonts,
-    latin-1 fallback.
+    latin-1 fallback;
+  - encryption (§7.6 standard security handler): RC4 40-/128-bit
+    (V 1-2, R 2-3) with the empty user password, key validated against
+    /U; AES and password-protected documents raise → error rows (C7).
 
 No state is kept across documents — deterministic for any Arrow batching.
 """
@@ -381,6 +384,28 @@ def _png_unpredict(raw: bytes, colors: int, columns: int) -> bytes:
     return bytes(out)
 
 
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+# ISO 32000 §7.6.3.3 Algorithm 2 password pad
+_ENC_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A")
+
+
 class _Pdf:
     """Parsed PDF document: xref map + object cache."""
 
@@ -393,7 +418,64 @@ class _Pdf:
         self._objstm_cache: dict = {}              # stm num -> (body, first, pairs)
         self.cmap_cache: dict = {}                 # ToUnicode stream ref -> (cmap, width)
         self.trailer: dict = {}
+        self._enc_key: bytes | None = None
         self._load_xref()
+        self._setup_encryption()
+
+    # -- encryption (ISO 32000 §7.6, standard security handler) -------------
+    def _setup_encryption(self) -> None:
+        enc = self.trailer.get("Encrypt")
+        if enc is None and b"/Encrypt" in self.data:
+            mm = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.data)
+            if mm:
+                enc = _Ref((int(mm.group(1)), int(mm.group(2))))
+        if enc is None:
+            return
+        enc = self.resolve(enc)
+        if not isinstance(enc, dict):
+            return
+        import hashlib
+
+        filt = self.resolve(enc.get("Filter"))
+        v = int(self.resolve(enc.get("V")) or 0)
+        r = int(self.resolve(enc.get("R")) or 0)
+        if str(filt) != "Standard" or v not in (1, 2) or r not in (2, 3):
+            # AES (V4/V5) and custom handlers: contained as an error row
+            raise ValueError(f"pdf: unsupported encryption Filter={filt} V={v} R={r}")
+        length = 5 if v == 1 else max(5, min(16, int(self.resolve(enc.get("Length")) or 40) // 8))
+        o = self.resolve(enc.get("O")) or b""
+        p = int(self.resolve(enc.get("P")) or 0)
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
+        # Algorithm 2 with the EMPTY user password (the overwhelmingly
+        # common "owner-locked" case); a real user password is a refusal
+        h = hashlib.md5(
+            _ENC_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0).digest()
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:length]).digest()
+        key = h[:length]
+        # Algorithms 4/5: recompute /U and compare — a mismatch means a
+        # non-empty user password protects the document
+        u = self.resolve(enc.get("U")) or b""
+        if r == 2:
+            ok = _rc4(key, _ENC_PAD) == u[:32]
+        else:
+            x = _rc4(key, hashlib.md5(_ENC_PAD + id0).digest())
+            for i in range(1, 20):
+                x = _rc4(bytes(b ^ i for b in key), x)
+            ok = x == u[:16]
+        if not ok:
+            raise ValueError("pdf: password-protected (empty user password rejected)")
+        self._enc_key = key
+
+    def _object_key(self, num: int, gen: int) -> bytes:
+        import hashlib
+
+        k = self._enc_key
+        return hashlib.md5(
+            k + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()[: min(len(k) + 5, 16)]
 
     # -- xref ---------------------------------------------------------------
     def _load_xref(self) -> None:
@@ -514,7 +596,12 @@ class _Pdf:
             else:
                 end = data.index(b"endstream", j)
                 raw = data[j:end].rstrip(b"\r\n")
-            return int(m.group(1)), (val, raw), i
+            num, gen = int(m.group(1)), int(m.group(2))
+            # xref streams are never encrypted (§7.5.8.2); everything else
+            # decrypts with the per-object RC4 key
+            if self._enc_key is not None and val.get("Type") != "XRef":
+                raw = _rc4(self._object_key(num, gen), raw)
+            return num, (val, raw), i
         return int(m.group(1)), val, i
 
     def _decode_stream(self, d: dict, raw: bytes) -> bytes:

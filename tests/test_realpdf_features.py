@@ -405,3 +405,91 @@ def test_lzw_corrupt_stream_raises():
     with pytest.raises(ValueError):
         # first code after clear references an unassigned table slot
         _lzw_decode(bytes([0x80, 0x5F, 0xFF, 0xFF]))
+
+
+def _encrypt_pdf(r: int = 3) -> bytes:
+    """Build an RC4-encrypted single-page PDF (standard security handler,
+    empty user+owner passwords) per ISO 32000 §7.6.3 Algorithms 2/3/5."""
+    import hashlib
+
+    from documentconvert_spark.kernels.realpdf import _ENC_PAD, _rc4
+
+    length = 16 if r == 3 else 5
+    v = 2 if r == 3 else 1
+    p = -44  # typical print/copy-restricted permission bits
+    doc_id = b"\x01\x02" * 8
+
+    # Algorithm 3: /O from the (empty) owner password
+    h = hashlib.md5(_ENC_PAD).digest()
+    if r == 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:length]).digest()
+    okey = h[:length]
+    o = _rc4(okey, _ENC_PAD)
+    if r == 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+
+    # Algorithm 2: file key from the (empty) user password
+    h = hashlib.md5(
+        _ENC_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + doc_id).digest()
+    if r == 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:length]).digest()
+    key = h[:length]
+
+    # Algorithms 4/5: /U
+    if r == 2:
+        u = _rc4(key, _ENC_PAD)
+    else:
+        u = _rc4(key, hashlib.md5(_ENC_PAD + doc_id).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u += b"\x00" * 16
+
+    def obj_key(num: int) -> bytes:
+        return hashlib.md5(
+            key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+        ).digest()[: min(length + 5, 16)]
+
+    content = b"BT /F1 10 Tf 72 700 Td (decrypted text line) Tj ET"
+    enc_content = _rc4(obj_key(4), content)
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = b"<</Length %d>>\nstream\n%s\nendstream" % (len(enc_content), enc_content)
+    objs[5] = _FONT
+    objs[6] = (b"<</Filter /Standard /V %d /R %d /Length %d /P %d "
+               b"/O <%s> /U <%s>>>" % (v, r, length * 8, p, o.hex().encode(), u.hex().encode()))
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    maxn = max(objs) + 1
+    out += b"xref\n0 %d\n" % maxn + b"0000000000 65535 f \n"
+    for n in range(1, maxn):
+        out += b"%010d 00000 n \n" % offsets.get(n, 0)
+    out += (b"trailer\n<</Size %d /Root 1 0 R /Encrypt 6 0 R /ID [<%s> <%s>]>>\n"
+            b"startxref\n%d\n%%%%EOF\n"
+            % (maxn, doc_id.hex().encode(), doc_id.hex().encode(), xref_at))
+    return bytes(out)
+
+
+@pytest.mark.parametrize("r", [2, 3])
+def test_rc4_encrypted_pdf(r):
+    """RC4-encrypted PDFs (40-bit R2 and 128-bit R3, empty user password)
+    decrypt and extract; §7.6.3 key derivation validated against /U."""
+    spans = extract_realpdf(_encrypt_pdf(r))
+    assert spans and spans[0].text == "decrypted text line"
+
+
+def test_password_protected_pdf_rejected():
+    """A non-empty user password (garbage /U) must raise — wrong-key RC4
+    output must never be parsed as content."""
+    data = _encrypt_pdf(3)
+    u_at = data.find(b"/U <") + 4
+    garbled = data[:u_at] + b"00" * 2 + data[u_at + 4:]
+    with pytest.raises(ValueError, match="password"):
+        extract_realpdf(garbled)
