@@ -24,9 +24,11 @@ Built purely from the public PDF 1.7 specification (ISO 32000-1):
   - glyph decode: ToUnicode CMaps (bfchar/bfrange, both forms), 2-byte
     CIDs for Type0/Identity-H, /Differences name tables for simple fonts,
     latin-1 fallback;
-  - encryption (§7.6 standard security handler): RC4 40-/128-bit
-    (V 1-2, R 2-3) with the empty user password, key validated against
-    /U; AES and password-protected documents raise → error rows (C7).
+  - encryption (§7.6 standard security handler, empty user password):
+    RC4 40-/128-bit (V 1-2, R 2-3), crypt filters /V2 and /AESV2
+    (V4/R4), and AES-256 (V5/R6, ISO 32000-2 Algorithm 2.B KDF) with a
+    from-scratch FIPS-197 AES; keys are validated against /U, and
+    genuinely password-protected documents raise → error rows (C7).
 
 No state is kept across documents — deterministic for any Arrow batching.
 """
@@ -405,6 +407,166 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 _ENC_PAD = bytes.fromhex(
     "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A")
 
+# -- AES (FIPS-197, from scratch; needed for /AESV2 and /AESV3 crypt
+# filters plus the R6 key-derivation hash of ISO 32000-2) -------------------
+
+_AES_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76"
+    "ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d83115"
+    "04c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f84"
+    "53d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa8"
+    "51a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d1973"
+    "60814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479"
+    "e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a"
+    "703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df"
+    "8ca1890dbfe6426841992d0fb054bb16")
+_AES_INV_SBOX = bytes(sorted(range(256), key=lambda v: _AES_SBOX[v]))
+_AES_RCON = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36)
+
+
+def _gmul(a: int, b: int) -> int:
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        a = (a << 1) ^ (0x11B if a & 0x80 else 0)
+        b >>= 1
+    return r & 0xFF
+
+
+_M2 = bytes(_gmul(x, 2) for x in range(256))
+_M3 = bytes(_gmul(x, 3) for x in range(256))
+_M9 = bytes(_gmul(x, 9) for x in range(256))
+_M11 = bytes(_gmul(x, 11) for x in range(256))
+_M13 = bytes(_gmul(x, 13) for x in range(256))
+_M14 = bytes(_gmul(x, 14) for x in range(256))
+
+
+def _aes_expand(key: bytes):
+    nk = len(key) // 4
+    rounds = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (rounds + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = [_AES_SBOX[t[1]] ^ _AES_RCON[i // nk - 1],
+                 _AES_SBOX[t[2]], _AES_SBOX[t[3]], _AES_SBOX[t[0]]]
+        elif nk > 6 and i % nk == 4:
+            t = [_AES_SBOX[b] for b in t]
+        w.append([w[i - nk][j] ^ t[j] for j in range(4)])
+    return w, rounds
+
+
+def _aes_enc_block(w, rounds: int, block: bytes) -> bytes:
+    s = [[block[4 * c + r] for c in range(4)] for r in range(4)]
+    for c in range(4):
+        for r in range(4):
+            s[r][c] ^= w[c][r]
+    for rnd in range(1, rounds + 1):
+        for r in range(4):
+            row = s[r]
+            for c in range(4):
+                row[c] = _AES_SBOX[row[c]]
+            if r:
+                s[r] = row[r:] + row[:r]  # ShiftRows: row r rotates left by r
+        if rnd < rounds:
+            for c in range(4):
+                a0, a1, a2, a3 = s[0][c], s[1][c], s[2][c], s[3][c]
+                s[0][c] = _M2[a0] ^ _M3[a1] ^ a2 ^ a3
+                s[1][c] = a0 ^ _M2[a1] ^ _M3[a2] ^ a3
+                s[2][c] = a0 ^ a1 ^ _M2[a2] ^ _M3[a3]
+                s[3][c] = _M3[a0] ^ a1 ^ a2 ^ _M2[a3]
+        for c in range(4):
+            word = w[4 * rnd + c]
+            for r in range(4):
+                s[r][c] ^= word[r]
+    return bytes(s[r][c] for c in range(4) for r in range(4))
+
+
+def _aes_dec_block(w, rounds: int, block: bytes) -> bytes:
+    s = [[block[4 * c + r] for c in range(4)] for r in range(4)]
+    for c in range(4):
+        word = w[4 * rounds + c]
+        for r in range(4):
+            s[r][c] ^= word[r]
+    for rnd in range(rounds - 1, -1, -1):
+        for r in range(4):
+            if r:
+                s[r] = s[r][-r:] + s[r][:-r]  # InvShiftRows: rotate right by r
+            row = s[r]
+            for c in range(4):
+                row[c] = _AES_INV_SBOX[row[c]]
+        for c in range(4):
+            word = w[4 * rnd + c]
+            for r in range(4):
+                s[r][c] ^= word[r]
+        if rnd:
+            for c in range(4):
+                a0, a1, a2, a3 = s[0][c], s[1][c], s[2][c], s[3][c]
+                s[0][c] = _M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3]
+                s[1][c] = _M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3]
+                s[2][c] = _M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3]
+                s[3][c] = _M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3]
+    return bytes(s[r][c] for c in range(4) for r in range(4))
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt, NO padding (len(data) must be a block multiple) —
+    used by the R6 KDF and the test-side encryptor."""
+    w, rounds = _aes_expand(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        prev = _aes_enc_block(w, rounds, bytes(x ^ y for x, y in zip(data[i : i + 16], prev)))
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC decrypt with explicit IV, no padding strip (the /UE and /OE
+    key-wrap blobs use CBC-NoPadding with a zero IV)."""
+    w, rounds = _aes_expand(key)
+    prev = iv
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(x ^ y for x, y in zip(_aes_dec_block(w, rounds, blk), prev))
+        prev = blk
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF stream layout: 16-byte IV prefix + ciphertext; strips PKCS#7."""
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("pdf: malformed AES stream")
+    out = _aes_cbc_decrypt_raw(key, data[:16], data[16:])
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        raise ValueError("pdf: bad AES padding")
+    return out[:-pad]
+
+
+def _r6_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B (AES-256 / R6 KDF)."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
 
 class _Pdf:
     """Parsed PDF document: xref map + object cache."""
@@ -419,6 +581,7 @@ class _Pdf:
         self.cmap_cache: dict = {}                 # ToUnicode stream ref -> (cmap, width)
         self.trailer: dict = {}
         self._enc_key: bytes | None = None
+        self._cipher = "rc4"
         self._load_xref()
         self._setup_encryption()
 
@@ -439,25 +602,55 @@ class _Pdf:
         filt = self.resolve(enc.get("Filter"))
         v = int(self.resolve(enc.get("V")) or 0)
         r = int(self.resolve(enc.get("R")) or 0)
-        if str(filt) != "Standard" or v not in (1, 2) or r not in (2, 3):
-            # AES (V4/V5) and custom handlers: contained as an error row
-            raise ValueError(f"pdf: unsupported encryption Filter={filt} V={v} R={r}")
-        length = 5 if v == 1 else max(5, min(16, int(self.resolve(enc.get("Length")) or 40) // 8))
+        if str(filt) != "Standard":
+            raise ValueError(f"pdf: unsupported security handler {filt}")
+        u = self.resolve(enc.get("U")) or b""
         o = self.resolve(enc.get("O")) or b""
+
+        if v == 5 and r == 6:  # AES-256, ISO 32000-2 §7.6.4
+            if _r6_hash(b"", u[32:40]) == u[:32]:
+                ik = _r6_hash(b"", u[40:48])
+                wrapped = self.resolve(enc.get("UE")) or b""
+            elif _r6_hash(b"", o[32:40], u[:48]) == o[:32]:
+                ik = _r6_hash(b"", o[40:48], u[:48])
+                wrapped = self.resolve(enc.get("OE")) or b""
+            else:
+                raise ValueError("pdf: password-protected (empty user password rejected)")
+            self._enc_key = _aes_cbc_decrypt_raw(ik, bytes(16), wrapped[:32])
+            self._cipher = "aes256"
+            return
+
+        cipher = "rc4"
+        if v == 4 and r == 4:  # crypt filters: /V2 (RC4) or /AESV2
+            stmf = str(self.resolve(enc.get("StmF")) or "Identity")
+            if stmf == "Identity":
+                return  # streams pass through unencrypted
+            cf = self.resolve(enc.get("CF"))
+            cfd = self.resolve(cf.get(_Name(stmf))) if isinstance(cf, dict) else None
+            cfm = str(self.resolve(cfd.get("CFM"))) if isinstance(cfd, dict) else ""
+            if cfm == "AESV2":
+                cipher = "aes"
+            elif cfm != "V2":
+                raise ValueError(f"pdf: unsupported crypt filter {cfm}")
+        elif not (v in (1, 2) and r in (2, 3)):
+            raise ValueError(f"pdf: unsupported encryption V={v} R={r}")
+
+        length = 5 if v == 1 else max(5, min(16, int(self.resolve(enc.get("Length")) or 40) // 8))
         p = int(self.resolve(enc.get("P")) or 0)
         ids = self.resolve(self.trailer.get("ID"))
         id0 = ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
         # Algorithm 2 with the EMPTY user password (the overwhelmingly
         # common "owner-locked" case); a real user password is a refusal
-        h = hashlib.md5(
-            _ENC_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0).digest()
+        seed = _ENC_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+        if r == 4 and self.resolve(enc.get("EncryptMetadata")) is False:
+            seed += b"\xff\xff\xff\xff"
+        h = hashlib.md5(seed).digest()
         if r >= 3:
             for _ in range(50):
                 h = hashlib.md5(h[:length]).digest()
         key = h[:length]
         # Algorithms 4/5: recompute /U and compare — a mismatch means a
         # non-empty user password protects the document
-        u = self.resolve(enc.get("U")) or b""
         if r == 2:
             ok = _rc4(key, _ENC_PAD) == u[:32]
         else:
@@ -468,14 +661,19 @@ class _Pdf:
         if not ok:
             raise ValueError("pdf: password-protected (empty user password rejected)")
         self._enc_key = key
+        self._cipher = cipher
 
-    def _object_key(self, num: int, gen: int) -> bytes:
+    def _decrypt_stream(self, num: int, gen: int, raw: bytes) -> bytes:
+        if self._cipher == "aes256":  # V5: one file key for every stream
+            return _aes_cbc_decrypt(self._enc_key, raw)
         import hashlib
 
         k = self._enc_key
-        return hashlib.md5(
-            k + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        salt = b"sAlT" if self._cipher == "aes" else b""  # §7.6.2 AESV2 salt
+        ok = hashlib.md5(
+            k + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + salt
         ).digest()[: min(len(k) + 5, 16)]
+        return _aes_cbc_decrypt(ok, raw) if self._cipher == "aes" else _rc4(ok, raw)
 
     # -- xref ---------------------------------------------------------------
     def _load_xref(self) -> None:
@@ -598,9 +796,9 @@ class _Pdf:
                 raw = data[j:end].rstrip(b"\r\n")
             num, gen = int(m.group(1)), int(m.group(2))
             # xref streams are never encrypted (§7.5.8.2); everything else
-            # decrypts with the per-object RC4 key
+            # decrypts with the document's cipher
             if self._enc_key is not None and val.get("Type") != "XRef":
-                raw = _rc4(self._object_key(num, gen), raw)
+                raw = self._decrypt_stream(num, gen, raw)
             return num, (val, raw), i
         return int(m.group(1)), val, i
 

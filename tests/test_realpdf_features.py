@@ -493,3 +493,105 @@ def test_password_protected_pdf_rejected():
     garbled = data[:u_at] + b"00" * 2 + data[u_at + 4:]
     with pytest.raises(ValueError, match="password"):
         extract_realpdf(garbled)
+
+
+def _build_encrypted(objs6: bytes, enc_content: bytes, trailer_extra: bytes = b"",
+                     doc_id: bytes = b"\x01\x02" * 8) -> bytes:
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = b"<</Length %d>>\nstream\n%s\nendstream" % (len(enc_content), enc_content)
+    objs[5] = _FONT
+    objs[6] = objs6
+    out = bytearray(b"%PDF-1.6\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    maxn = max(objs) + 1
+    out += b"xref\n0 %d\n" % maxn + b"0000000000 65535 f \n"
+    for n in range(1, maxn):
+        out += b"%010d 00000 n \n" % offsets.get(n, 0)
+    out += (b"trailer\n<</Size %d /Root 1 0 R /Encrypt 6 0 R /ID [<%s> <%s>]%s>>\n"
+            b"startxref\n%d\n%%%%EOF\n"
+            % (maxn, doc_id.hex().encode(), doc_id.hex().encode(), trailer_extra, xref_at))
+    return bytes(out)
+
+
+_CONTENT = b"BT /F1 10 Tf 72 700 Td (decrypted text line) Tj ET"
+
+
+def test_aesv2_encrypted_pdf():
+    """V4/R4 crypt-filter documents with /AESV2: R3-style key derivation
+    plus the sAlT per-object key and IV-prefixed CBC streams."""
+    import hashlib
+
+    from documentconvert_spark.kernels.realpdf import (
+        _ENC_PAD, _aes_cbc_encrypt, _rc4)
+
+    doc_id = b"\x01\x02" * 8
+    p = -3392
+    # empty owner password /O (Algorithm 3, R>=3)
+    h = hashlib.md5(_ENC_PAD).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:16]).digest()
+    okey = h[:16]
+    o = _rc4(okey, _ENC_PAD)
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+    # file key (Algorithm 2)
+    h = hashlib.md5(
+        _ENC_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + doc_id).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:16]).digest()
+    key = h[:16]
+    # /U (Algorithm 5)
+    u = _rc4(key, hashlib.md5(_ENC_PAD + doc_id).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u += b"\x00" * 16
+    # per-object AES key for object 4 gen 0
+    ok4 = hashlib.md5(
+        key + (4).to_bytes(3, "little") + (0).to_bytes(2, "little") + b"sAlT"
+    ).digest()[:16]
+    iv = bytes(range(16))
+    pad = 16 - len(_CONTENT) % 16
+    enc = iv + _aes_cbc_encrypt(ok4, iv, _CONTENT + bytes([pad]) * pad)
+    objs6 = (b"<</Filter /Standard /V 4 /R 4 /Length 128 /P %d /O <%s> /U <%s> "
+             b"/CF <</StdCF <</CFM /AESV2 /AuthEvent /DocOpen /Length 16>>>> "
+             b"/StmF /StdCF /StrF /StdCF>>"
+             % (p, o.hex().encode(), u.hex().encode()))
+    spans = extract_realpdf(_build_encrypted(objs6, enc, doc_id=doc_id))
+    assert spans and spans[0].text == "decrypted text line"
+
+
+def test_aes256_r6_encrypted_pdf():
+    """V5/R6 (AES-256): Algorithm 2.B hash validates the empty user
+    password against /U, /UE unwraps the file key, streams are
+    IV-prefixed AES-256-CBC."""
+    from documentconvert_spark.kernels.realpdf import (
+        _aes_cbc_encrypt, _r6_hash)
+
+    file_key = bytes(range(32))
+    vsalt, ksalt = b"VALSALT!", b"KEYSALT!"
+    u = _r6_hash(b"", vsalt) + vsalt + ksalt
+    ue = _aes_cbc_encrypt(_r6_hash(b"", ksalt), bytes(16), file_key)
+    iv = bytes(range(16))
+    pad = 16 - len(_CONTENT) % 16
+    enc = iv + _aes_cbc_encrypt(file_key, iv, _CONTENT + bytes([pad]) * pad)
+    objs6 = (b"<</Filter /Standard /V 5 /R 6 /Length 256 /P -4 "
+             b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <000000000000000000000000> "
+             b"/CF <</StdCF <</CFM /AESV3 /Length 32>>>> /StmF /StdCF /StrF /StdCF>>"
+             % (b"00" * 48, u.hex().encode(), b"00" * 32, ue.hex().encode()))
+    spans = extract_realpdf(_build_encrypted(objs6, enc))
+    assert spans and spans[0].text == "decrypted text line"
+
+
+def test_aes256_wrong_password_rejected():
+    from documentconvert_spark.kernels.realpdf import _r6_hash
+
+    u = _r6_hash(b"secret", b"VALSALT!") + b"VALSALT!" + b"KEYSALT!"
+    objs6 = (b"<</Filter /Standard /V 5 /R 6 /P -4 /O <%s> /U <%s> /OE <%s> /UE <%s>>>"
+             % (b"00" * 48, u.hex().encode(), b"00" * 32, b"00" * 32))
+    with pytest.raises(ValueError, match="password"):
+        extract_realpdf(_build_encrypted(objs6, b"x" * 48))
