@@ -582,14 +582,18 @@ class _Pdf:
         self.trailer: dict = {}
         self._enc_key: bytes | None = None
         self._cipher = "rc4"
+        self._scan_used = False
         self._load_xref()
         self._setup_encryption()
 
     # -- encryption (ISO 32000 §7.6, standard security handler) -------------
     def _setup_encryption(self) -> None:
         enc = self.trailer.get("Encrypt")
-        if enc is None and b"/Encrypt" in self.data:
-            mm = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.data)
+        if enc is None and self._scan_used:
+            # trailer was unparsable: look for /Encrypt only in the tail,
+            # where trailers live — a body-wide search would mistake page
+            # text that merely MENTIONS '/Encrypt N 0 R' for encryption
+            mm = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.data[-4096:])
             if mm:
                 enc = _Ref((int(mm.group(1)), int(mm.group(2))))
         if enc is None:
@@ -621,6 +625,7 @@ class _Pdf:
             return
 
         cipher = "rc4"
+        length = 5 if v == 1 else max(5, min(16, int(self.resolve(enc.get("Length")) or 40) // 8))
         if v == 4 and r == 4:  # crypt filters: /V2 (RC4) or /AESV2
             stmf = str(self.resolve(enc.get("StmF")) or "Identity")
             if stmf == "Identity":
@@ -630,12 +635,19 @@ class _Pdf:
             cfm = str(self.resolve(cfd.get("CFM"))) if isinstance(cfd, dict) else ""
             if cfm == "AESV2":
                 cipher = "aes"
-            elif cfm != "V2":
+                length = 16  # AESV2 is 128-bit by definition
+            elif cfm == "V2":
+                # key length comes from the CF dict for V4 (top-level
+                # /Length is optional); writers emit bytes OR bits
+                cflen = self.resolve(cfd.get("Length")) if isinstance(cfd, dict) else None
+                if cflen is None:
+                    cflen = self.resolve(enc.get("Length")) or 128
+                cflen = int(cflen)
+                length = max(5, min(16, cflen if cflen <= 40 else cflen // 8))
+            else:
                 raise ValueError(f"pdf: unsupported crypt filter {cfm}")
         elif not (v in (1, 2) and r in (2, 3)):
             raise ValueError(f"pdf: unsupported encryption V={v} R={r}")
-
-        length = 5 if v == 1 else max(5, min(16, int(self.resolve(enc.get("Length")) or 40) // 8))
         p = int(self.resolve(enc.get("P")) or 0)
         ids = self.resolve(self.trailer.get("ID"))
         id0 = ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
@@ -770,6 +782,7 @@ class _Pdf:
 
     def _scan_fallback(self) -> None:
         """Last resort: scan every `N G obj` in the file (later wins)."""
+        self._scan_used = True
         for m in re.finditer(rb"(?:^|[\r\n \t>])(\d+)\s+\d+\s+obj\b", self.data):
             self.offsets[int(m.group(1))] = m.start(1)
 
@@ -802,20 +815,23 @@ class _Pdf:
             return num, (val, raw), i
         return int(m.group(1)), val, i
 
+    def _apply_predictor(self, p, raw: bytes) -> bytes:
+        if isinstance(p, dict) and int(self.resolve(p.get("Predictor")) or 1) >= 10:
+            colors = int(self.resolve(p.get("Colors")) or 1)
+            bpc = int(self.resolve(p.get("BitsPerComponent")) or 8)
+            cols = int(self.resolve(p.get("Columns")) or 1)
+            raw = _png_unpredict(raw, colors * bpc // 8, cols)
+        return raw
+
     def _decode_stream(self, d: dict, raw: bytes) -> bytes:
         filt = self.resolve(d.get("Filter"))
         filters = [filt] if isinstance(filt, _Name) else (filt or [])
         parms = self.resolve(d.get("DecodeParms")) or self.resolve(d.get("DP"))
         parms_list = [parms] if isinstance(parms, dict) else (parms or [])
         for fi, f in enumerate(filters):
+            p = self.resolve(parms_list[fi]) if fi < len(parms_list) else None
             if f == "FlateDecode":
-                raw = zlib.decompress(raw)
-                p = self.resolve(parms_list[fi]) if fi < len(parms_list) else None
-                if isinstance(p, dict) and int(self.resolve(p.get("Predictor")) or 1) >= 10:
-                    colors = int(self.resolve(p.get("Colors")) or 1)
-                    bpc = int(self.resolve(p.get("BitsPerComponent")) or 8)
-                    cols = int(self.resolve(p.get("Columns")) or 1)
-                    raw = _png_unpredict(raw, colors * bpc // 8, cols)
+                raw = self._apply_predictor(p, zlib.decompress(raw))
             elif f == "ASCIIHexDecode":
                 hx = re.sub(rb"[^0-9A-Fa-f]", b"", raw.split(b">")[0])
                 raw = bytes.fromhex(hx.decode("ascii"))
@@ -823,14 +839,8 @@ class _Pdf:
                 import base64
                 raw = base64.a85decode(raw.rstrip(b"~>"), adobe=False)
             elif f == "LZWDecode":
-                p = self.resolve(parms_list[fi]) if fi < len(parms_list) else None
                 ec = self.resolve(p.get("EarlyChange")) if isinstance(p, dict) else None
-                raw = _lzw_decode(raw, 1 if ec is None else int(ec))
-                if isinstance(p, dict) and int(self.resolve(p.get("Predictor")) or 1) >= 10:
-                    colors = int(self.resolve(p.get("Colors")) or 1)
-                    bpc = int(self.resolve(p.get("BitsPerComponent")) or 8)
-                    cols = int(self.resolve(p.get("Columns")) or 1)
-                    raw = _png_unpredict(raw, colors * bpc // 8, cols)
+                raw = self._apply_predictor(p, _lzw_decode(raw, 1 if ec is None else int(ec)))
             elif f == "RunLengthDecode":
                 raw = _rle_decode(raw)
             else:

@@ -453,28 +453,9 @@ def _encrypt_pdf(r: int = 3) -> bytes:
         ).digest()[: min(length + 5, 16)]
 
     content = b"BT /F1 10 Tf 72 700 Td (decrypted text line) Tj ET"
-    enc_content = _rc4(obj_key(4), content)
-    objs = _page_tree([3])
-    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
-    objs[4] = b"<</Length %d>>\nstream\n%s\nendstream" % (len(enc_content), enc_content)
-    objs[5] = _FONT
-    objs[6] = (b"<</Filter /Standard /V %d /R %d /Length %d /P %d "
-               b"/O <%s> /U <%s>>>" % (v, r, length * 8, p, o.hex().encode(), u.hex().encode()))
-
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = {}
-    for num in sorted(objs):
-        offsets[num] = len(out)
-        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
-    xref_at = len(out)
-    maxn = max(objs) + 1
-    out += b"xref\n0 %d\n" % maxn + b"0000000000 65535 f \n"
-    for n in range(1, maxn):
-        out += b"%010d 00000 n \n" % offsets.get(n, 0)
-    out += (b"trailer\n<</Size %d /Root 1 0 R /Encrypt 6 0 R /ID [<%s> <%s>]>>\n"
-            b"startxref\n%d\n%%%%EOF\n"
-            % (maxn, doc_id.hex().encode(), doc_id.hex().encode(), xref_at))
-    return bytes(out)
+    objs6 = (b"<</Filter /Standard /V %d /R %d /Length %d /P %d "
+             b"/O <%s> /U <%s>>>" % (v, r, length * 8, p, o.hex().encode(), u.hex().encode()))
+    return _build_encrypted(objs6, _rc4(obj_key(4), content), doc_id=doc_id)
 
 
 @pytest.mark.parametrize("r", [2, 3])
@@ -595,3 +576,56 @@ def test_aes256_wrong_password_rejected():
              % (b"00" * 48, u.hex().encode(), b"00" * 32, b"00" * 32))
     with pytest.raises(ValueError, match="password"):
         extract_realpdf(_build_encrypted(objs6, b"x" * 48))
+
+
+def test_aesv2_key_length_from_cf_dict_only():
+    """A conforming V4 document may omit the top-level /Length entirely —
+    the AESV2 key is 128-bit by definition and must not shrink to the
+    40-bit default."""
+    import hashlib
+
+    from documentconvert_spark.kernels.realpdf import (
+        _ENC_PAD, _aes_cbc_encrypt, _rc4)
+
+    doc_id = b"\x01\x02" * 8
+    p = -3392
+    h = hashlib.md5(_ENC_PAD).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:16]).digest()
+    okey = h[:16]
+    o = _rc4(okey, _ENC_PAD)
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+    h = hashlib.md5(
+        _ENC_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + doc_id).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:16]).digest()
+    key = h[:16]
+    u = _rc4(key, hashlib.md5(_ENC_PAD + doc_id).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u += b"\x00" * 16
+    ok4 = hashlib.md5(
+        key + (4).to_bytes(3, "little") + (0).to_bytes(2, "little") + b"sAlT"
+    ).digest()[:16]
+    iv = bytes(range(16))
+    pad = 16 - len(_CONTENT) % 16
+    enc = iv + _aes_cbc_encrypt(ok4, iv, _CONTENT + bytes([pad]) * pad)
+    # NO top-level /Length, CF /Length in BYTES (both spec-legal)
+    objs6 = (b"<</Filter /Standard /V 4 /R 4 /P %d /O <%s> /U <%s> "
+             b"/CF <</StdCF <</CFM /AESV2 /Length 16>>>> /StmF /StdCF>>"
+             % (p, o.hex().encode(), u.hex().encode()))
+    spans = extract_realpdf(_build_encrypted(objs6, enc, doc_id=doc_id))
+    assert spans and spans[0].text == "decrypted text line"
+
+
+def test_unencrypted_pdf_mentioning_encrypt_in_text():
+    """Page text containing the literal bytes '/Encrypt 1 0 R' must not
+    trip the encryption fallback on a document with a healthy trailer."""
+    content = b"BT /F1 10 Tf 72 700 Td (mentions /Encrypt 1 0 R in text) Tj ET"
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert spans and "mentions" in spans[0].text
