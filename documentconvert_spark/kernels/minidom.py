@@ -21,6 +21,7 @@ per-row by the UDF layer).
 
 from __future__ import annotations
 
+import html
 import re
 
 from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
@@ -33,8 +34,38 @@ VOID_TAGS = {"img", "br", "hr"}
 MAX_LINK_DENSITY = 0.5
 MIN_BLOCK_CHARS = 10  # shorter non-heading blocks are boilerplate noise
 
-_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\s+[a-zA-Z-]+(?:=\"[^\"]*\")?)*)\s*(/?)>")
-_ATTR_RE = re.compile(r"([a-zA-Z-]+)=\"([^\"]*)\"")
+# real-world attribute syntax: double-quoted, single-quoted, unquoted, or
+# bare boolean — a tag with ANY unmatched attribute form would otherwise
+# fail the tag regex entirely and leak into text content
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:-][\w:.-]*(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]+))?)*)\s*(/?)>"
+)
+_ATTR_RE = re.compile(r"([a-zA-Z_:-][\w:.-]*)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))")
+
+# comments, CDATA, doctype/declarations, and raw-text elements whose body
+# must never reach the tag tokenizer (a '</p>' inside a JS string literal
+# would otherwise corrupt the open-element stack)
+_STRIP_RE = re.compile(
+    r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)|<![^>]*>"
+    r"|<script\b[^>]*>.*?(?:</script\s*>|$)"
+    r"|<style\b[^>]*>.*?(?:</style\s*>|$)",
+    re.S | re.I,
+)
+
+# HTML5-style implied end tags: opening `tag` closes an ancestor run of
+# these while they sit at the top of the open stack
+_IMPLIED_CLOSE = {
+    "li": {"li"},
+    "tr": {"tr", "td", "th"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "option": {"option"},
+}
+_CLOSES_P = (
+    HEADINGS | {"p", "ul", "ol", "table", "div", "section", "article",
+                "aside", "nav", "blockquote", "pre", "li", "form", "hr"}
+)
 
 
 class _Node:
@@ -64,7 +95,16 @@ def _parse(markup: str) -> _Node:
             if node is not root:
                 cur = node.parent
         else:
-            attrs = dict(_ATTR_RE.findall(attr_s or ""))
+            if tag in _CLOSES_P and cur.tag == "p":
+                cur = cur.parent
+            implied = _IMPLIED_CLOSE.get(tag)
+            if implied:
+                while cur is not root and cur.tag in implied:
+                    cur = cur.parent
+            attrs = {
+                mm.group(1).lower(): html.unescape(mm.group(2) or mm.group(3) or mm.group(4) or "")
+                for mm in _ATTR_RE.finditer(attr_s or "")
+            }
             node = _Node(tag, attrs, cur)
             cur.children.append(node)
             if not selfclose and tag not in VOID_TAGS:
@@ -79,7 +119,7 @@ def _text_of(node: _Node) -> str:
     parts: list[str] = []
     for c in node.children:
         if isinstance(c, str):
-            parts.append(c)
+            parts.append(html.unescape(c))
         else:
             parts.append(_text_of(c))
     return " ".join(p for p in (x.strip() for x in parts) if p)
@@ -134,7 +174,9 @@ def _emit(node: _Node, spans: list[Span]) -> None:
             continue
         if c.tag == "pre":
             # preserve line structure of code
-            raw = "\n".join(s for s in (x if isinstance(x, str) else _text_of(x) for x in c.children))
+            raw = "\n".join(
+                s for s in (html.unescape(x) if isinstance(x, str) else _text_of(x)
+                            for x in c.children))
             txt = normalize_text(raw)
             if txt:
                 spans.append(Span("code", txt, "", -1))
@@ -164,7 +206,7 @@ def extract_minidom(content: bytes) -> list[Span]:
     markup = content.decode("utf-8", errors="strict")
     if "<html" not in markup[:256].lower():
         raise ValueError("minidom: missing <html> root (not a markup document)")
-    root = _parse(markup)
+    root = _parse(_STRIP_RE.sub(" ", markup))
     spans: list[Span] = []
     _emit(root, spans)
     return finalize(spans)

@@ -242,3 +242,40 @@ def test_error_suggestions_rendered_in_report():
     # every class resolves to non-empty advice; unknown gets the default
     for cls in ("oom", "gpu_error", "timeout", "weird_new_class"):
         assert error_suggestion(cls).startswith("1.")
+
+
+def test_minidom_real_world_html_tolerance():
+    """Single/unquoted attributes, comments, raw script bodies, entities,
+    and implied end tags — the shapes real web pages actually ship."""
+    from documentconvert_spark.kernels.minidom import extract_minidom
+
+    html = b"""<!DOCTYPE html>
+<html lang=en><head>
+<script type='text/javascript'>if (a < b) { document.write("<p>JS junk</p>"); }
+var s = "</body>";</script>
+<style>p > .x { color: red }</style>
+</head>
+<body>
+<!-- <p>commented-out content must not leak</p> -->
+<div class='article' data-x=1>
+<h2>AT&amp;T &#x4E2D; news</h2>
+<p>First paragraph long enough to keep around for scoring.
+<p>Second paragraph also long enough, implied close of the first.</p>
+<ul><li>item one is long enough to emit<li>item two is long enough too</ul>
+<table><tr><td>a1<td>b1<tr><td>a2<td>b2</table>
+<img src='pic.png?a=1&amp;b=2'>
+</div>
+</body></html>"""
+    spans = extract_minidom(html)
+    kinds = [s.kind for s in spans]
+    texts = [s.text for s in spans]
+    assert kinds.count("paragraph") == 4  # 2 <p> + 2 <li>
+    assert "JS junk" not in " ".join(texts)
+    assert "commented-out" not in " ".join(texts)
+    assert spans[0].kind == "heading" and spans[0].text == "AT&T 中 news"
+    assert spans[0].level == 2
+    grids = [s.text for s in spans if s.kind == "table"]
+    assert grids == ["a1\tb1\na2\tb2"]
+    figs = [s.media_ref for s in spans if s.kind == "figure"]
+    assert figs == ["pic.png?a=1&b=2"]
+    assert texts[1].startswith("First paragraph") and texts[2].startswith("Second paragraph")
