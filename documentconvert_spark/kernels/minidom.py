@@ -45,16 +45,25 @@ _ATTR_RE = re.compile(r"([a-zA-Z_:-][\w:.-]*)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([
 
 # comments, CDATA, doctype/declarations, and raw-text elements whose body
 # must never reach the tag tokenizer (a '</p>' inside a JS string literal
-# would otherwise corrupt the open-element stack)
+# would otherwise corrupt the open-element stack). Replaced with "" —
+# browsers concatenate the surrounding text runs directly (minifiers rely
+# on foo<!-- -->bar reading back as "foobar").
 _STRIP_RE = re.compile(
     r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)|<![^>]*>"
     r"|<script\b[^>]*>.*?(?:</script\s*>|$)"
-    r"|<style\b[^>]*>.*?(?:</style\s*>|$)",
+    r"|<style\b[^>]*>.*?(?:</style\s*>|$)"
+    r"|<textarea\b[^>]*>.*?(?:</textarea\s*>|$)"
+    r"|<title\b[^>]*>.*?(?:</title\s*>|$)"
+    r"|<xmp\b[^>]*>.*?(?:</xmp\s*>|$)",
     re.S | re.I,
 )
 
-# HTML5-style implied end tags: opening `tag` closes an ancestor run of
-# these while they sit at the top of the open stack
+# HTML5-style implied end tags: opening `tag` ends the NEAREST ancestor
+# run of these, looking through still-open inline formatting elements
+# (scope-style, not top-of-stack-only: <p>a <b>x <p>b must still split)
+_INLINE = {"a", "b", "i", "u", "s", "q", "em", "strong", "span", "small",
+           "sub", "sup", "code", "font", "abbr", "cite", "mark", "time",
+           "label", "del", "ins", "kbd", "samp", "var", "wbr", "big", "tt"}
 _IMPLIED_CLOSE = {
     "li": {"li"},
     "tr": {"tr", "td", "th"},
@@ -64,8 +73,22 @@ _IMPLIED_CLOSE = {
 }
 _CLOSES_P = (
     HEADINGS | {"p", "ul", "ol", "table", "div", "section", "article",
-                "aside", "nav", "blockquote", "pre", "li", "form", "hr"}
+                "aside", "nav", "blockquote", "pre", "li", "form", "hr",
+                "figure", "figcaption", "dl", "dt", "dd", "details",
+                "fieldset", "main", "address", "menu"}
 )
+
+
+def _close_through(cur, root, targets, crossable):
+    """Walk up from `cur` through `crossable` tags; if a run containing a
+    `targets` tag is found, return that run's parent (ending the implied
+    elements), else `cur` unchanged."""
+    node, last = cur, None
+    while node is not root and (node.tag in targets or node.tag in crossable):
+        if node.tag in targets:
+            last = node
+        node = node.parent
+    return last.parent if last is not None else cur
 
 
 class _Node:
@@ -95,12 +118,11 @@ def _parse(markup: str) -> _Node:
             if node is not root:
                 cur = node.parent
         else:
-            if tag in _CLOSES_P and cur.tag == "p":
-                cur = cur.parent
+            if tag in _CLOSES_P:
+                cur = _close_through(cur, root, {"p"}, _INLINE)
             implied = _IMPLIED_CLOSE.get(tag)
             if implied:
-                while cur is not root and cur.tag in implied:
-                    cur = cur.parent
+                cur = _close_through(cur, root, implied, _INLINE)
             attrs = {
                 mm.group(1).lower(): html.unescape(mm.group(2) or mm.group(3) or mm.group(4) or "")
                 for mm in _ATTR_RE.finditer(attr_s or "")

@@ -279,3 +279,30 @@ var s = "</body>";</script>
     figs = [s.media_ref for s in spans if s.kind == "figure"]
     assert figs == ["pic.png?a=1&b=2"]
     assert texts[1].startswith("First paragraph") and texts[2].startswith("Second paragraph")
+
+
+def test_minidom_implied_close_through_inline():
+    """A new <p>/<li> must end the previous one even when unclosed inline
+    formatting elements (<b>, <em>, …) sit on top of the open stack, and
+    raw-text bodies (<title>, <textarea>, <xmp>) must never leak text."""
+    from documentconvert_spark.kernels.minidom import extract_minidom
+
+    html = b"""<html><head><title>Site Name | Boilerplate Title</title></head>
+<body><div>
+<p>Alpha paragraph long enough to score, with <b>bold run left unclosed
+<p>Beta paragraph long enough to score and must be a separate span.
+<ul><li>first item long enough <em>emphasis unclosed<li>second item long enough</ul>
+<textarea><p>form junk that is not content</p></textarea>
+<xmp><p>literal markup sample</p></xmp>
+</div></body></html>"""
+    spans = extract_minidom(html)
+    paras = [s.text for s in spans if s.kind == "paragraph"]
+    assert len(paras) == 4
+    assert paras[0].startswith("Alpha") and "Beta" not in paras[0]
+    assert paras[1].startswith("Beta")
+    assert paras[2].startswith("first item") and "second" not in paras[2]
+    assert paras[3].startswith("second item")
+    joined = " ".join(s.text for s in spans)
+    assert "Boilerplate Title" not in joined
+    assert "form junk" not in joined
+    assert "literal markup" not in joined
