@@ -36,18 +36,22 @@ MIN_BLOCK_CHARS = 10  # shorter non-heading blocks are boilerplate noise
 
 # real-world attribute syntax: double-quoted, single-quoted, unquoted, or
 # bare boolean — a tag with ANY unmatched attribute form would otherwise
-# fail the tag regex entirely and leak into text content
+# fail the tag regex entirely and leak into text content. Tag names admit
+# namespaces and dashes (Word-export <o:p>, custom elements <my-widget>)
+# for the same reason.
 _TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+    r"<(/?)([a-zA-Z][\w:.-]*)"
     r"((?:\s+[a-zA-Z_:-][\w:.-]*(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]+))?)*)\s*(/?)>"
 )
 _ATTR_RE = re.compile(r"([a-zA-Z_:-][\w:.-]*)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))")
 
 # comments, CDATA, doctype/declarations, and raw-text elements whose body
 # must never reach the tag tokenizer (a '</p>' inside a JS string literal
-# would otherwise corrupt the open-element stack). Replaced with "" —
-# browsers concatenate the surrounding text runs directly (minifiers rely
-# on foo<!-- -->bar reading back as "foobar").
+# would otherwise corrupt the open-element stack). Comment/CDATA/doctype
+# forms are replaced with "" — browsers concatenate the surrounding text
+# runs directly (minifiers rely on foo<!-- -->bar reading back as
+# "foobar") — while removed raw-text ELEMENTS leave a space so words on
+# either side of a <script>/<title> never fuse.
 _STRIP_RE = re.compile(
     r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)|<![^>]*>"
     r"|<script\b[^>]*>.*?(?:</script\s*>|$)"
@@ -57,6 +61,10 @@ _STRIP_RE = re.compile(
     r"|<xmp\b[^>]*>.*?(?:</xmp\s*>|$)",
     re.S | re.I,
 )
+
+
+def _strip_repl(m: re.Match) -> str:
+    return "" if m.group(0).startswith("<!") else " "
 
 # HTML5-style implied end tags: opening `tag` ends the NEAREST ancestor
 # run of these, looking through still-open inline formatting elements
@@ -228,7 +236,7 @@ def extract_minidom(content: bytes) -> list[Span]:
     markup = content.decode("utf-8", errors="strict")
     if "<html" not in markup[:256].lower():
         raise ValueError("minidom: missing <html> root (not a markup document)")
-    root = _parse(_STRIP_RE.sub(" ", markup))
+    root = _parse(_STRIP_RE.sub(_strip_repl, markup))
     spans: list[Span] = []
     _emit(root, spans)
     return finalize(spans)

@@ -101,17 +101,25 @@ URL_DOCS_SCHEMA_DDL = (
 
 @dataclass
 class _UrlSlice(InputPartition):
-    urls: list  # [(doc_id, doc_type, url)]
+    urls: list  # [(doc_id, doc_type, url, parse_error)]
+
+
+_FETCH_CAP = 256 * 1024 * 1024
 
 
 def _default_fetcher(url: str) -> bytes:
     """urllib-based fetch — used only when no fetcher option is given.
     Bounded: 30 s timeout, 256 MiB cap (a hostile Content-Length must not
-    OOM an executor)."""
+    OOM an executor). An over-cap body RAISES — the read() loop contains
+    it as an error row; silently truncating would hand corrupt bytes
+    downstream as a clean document."""
     from urllib.request import urlopen
 
     with urlopen(url, timeout=30) as resp:  # noqa: S310 — the operator passes explicit URLs
-        return resp.read(256 * 1024 * 1024)
+        blob = resp.read(_FETCH_CAP + 1)
+    if len(blob) > _FETCH_CAP:
+        raise ValueError(f"response body exceeds the {_FETCH_CAP}-byte fetch cap")
+    return blob
 
 
 def offline_demo_fetcher(url: str) -> bytes:
@@ -136,14 +144,23 @@ def _resolve_fetcher(spec: str | None):
 class UrlDocsReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         # urls option: newline-separated "doc_id,doc_type,url" records
-        # (an operator typically builds this from a manifest table)
-        self.records = []
-        for line in (options.get("urls") or "").splitlines():
+        # (an operator typically builds this from a manifest table).
+        # A malformed line becomes an error ROW, not a planning failure —
+        # one bad manifest entry must not abort the whole load.
+        self.records = []  # (doc_id, doc_type, url, parse_error)
+        for lineno, line in enumerate((options.get("urls") or "").splitlines(), 1):
             line = line.strip()
             if not line:
                 continue
-            doc_id, doc_type, url = line.split(",", 2)
-            self.records.append((doc_id, doc_type, url))
+            parts = line.split(",", 2)
+            if len(parts) == 3:
+                self.records.append((parts[0], parts[1], parts[2], None))
+            else:
+                self.records.append((
+                    parts[0], None, None,
+                    f"ValueError: malformed manifest line {lineno} "
+                    f"(expected doc_id,doc_type,url)",
+                ))
         self.fetcher_spec = options.get("fetcher")
         self.per_partition = int(options.get("urls_per_partition", 64))
 
@@ -156,7 +173,10 @@ class UrlDocsReader(DataSourceReader):
 
     def read(self, partition: _UrlSlice):
         fetch = _resolve_fetcher(self.fetcher_spec)
-        for doc_id, doc_type, url in partition.urls:
+        for doc_id, doc_type, url, parse_error in partition.urls:
+            if parse_error is not None:
+                yield (doc_id, doc_type, None, 0, "url", url, parse_error)
+                continue
             try:
                 blob = fetch(url)
                 yield (doc_id, doc_type, blob, len(blob), "url", url, None)

@@ -1,0 +1,51 @@
+"""Shared harness for the two scaling-evidence scripts.
+
+`scaling_bench.py` (synthetic corpus) and `real_scaling_bench.py` (the
+reference's real documents) measure the same thing — N-vs-4N throughput
+scaling efficiency per BASELINE.json's north_rule — with the same
+drift-robust protocol: fresh-JVM subprocess per leg, legs interleaved
+(N, 4N, N, 4N; best per level) so a host slowdown mid-pair degrades both
+levels instead of skewing the ratio, and a same-window multiprocessing
+control for the hardware ceiling. This module holds the protocol so a
+fix to it lands in both scripts at once.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def run_subprocess_json(code: str, cwd: str) -> dict:
+    """Run `code` in a fresh interpreter; parse its last stdout line as JSON."""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=cwd, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def measure_pair_interleaved(run_leg, n: int, n4: int) -> dict[int, dict]:
+    """Run `run_leg(cores) -> {"docs_per_sec": ...}` in N, 4N, N, 4N order,
+    keeping the best leg per level."""
+    best: dict[int, dict] = {}
+    for cores in (n, n4, n, n4):
+        leg = run_leg(cores)
+        if cores not in best or leg["docs_per_sec"] > best[cores]["docs_per_sec"]:
+            best[cores] = leg
+    return best
+
+
+def pair_summary(best: dict[int, dict], control: dict[str, float],
+                 n: int, n4: int, threshold: float = 0.8) -> dict:
+    """One BENCH.md table row: rates, scaling efficiency vs the ideal 4×,
+    and the same-window hardware-control efficiency."""
+    eff = (best[n4]["docs_per_sec"] / best[n]["docs_per_sec"]) / 4.0
+    ctrl_eff = (control[str(n4)] / control[str(n)]) / 4.0
+    return {
+        "pair": f"local[{n}] vs local[{n4}]",
+        "rate_n": best[n]["docs_per_sec"],
+        "rate_4n": best[n4]["docs_per_sec"],
+        "efficiency": round(eff, 3),
+        "hardware_control_efficiency": round(ctrl_eff, 3),
+        "pass": eff >= threshold,
+    }

@@ -1,0 +1,209 @@
+"""Deterministic fuzz campaign over every extraction kernel.
+
+The C7 containment contract (udfs.py: any kernel exception becomes an
+error ROW) makes exceptions harmless — what can still take down an
+executor at corpus scale is a kernel that HANGS (infinite loop /
+catastrophic backtracking), allocates unbounded memory from a crafted
+length field, or amplifies a small input into a giant span list. This
+script hunts exactly those three classes: seeded real documents and
+synthetic corpus docs are mutated deterministically (seeded PRNG —
+every finding is replayable by (seed_name, mutation_index)) and pushed
+through the dispatch kernels under a per-mutant wall-clock alarm, an
+address-space rlimit, and an output-size check.
+
+Usage:
+  python scripts/fuzz_kernels.py [n_mutants_per_seed]      # parent: fan out
+  python scripts/fuzz_kernels.py --chunk SEED LO HI        # worker (internal)
+
+Exit code 0 = no hangs / no oversized outputs. Findings are written to
+_work/fuzz/<seed>_<idx>.bin for replay.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import signal
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF_TEST_DIR = "/root/reference/test"
+OUT_DIR = os.path.join(REPO, "_work", "fuzz")
+PER_MUTANT_TIMEOUT_S = 5.0
+CHUNK_TIMEOUT_S = 600  # parent-side backstop for uninterruptible C loops
+AS_LIMIT_BYTES = 4 << 30
+MAX_OUTPUT_CHARS = 50_000_000  # >50 MB of span text from a <35 MB doc = amplification
+N_DEFAULT = 300
+
+_BIG_INTS = (0x7FFFFFFF, 0xFFFFFFFF, 0x7FFFFFFFFFFFFFFF, 2_000_000_000)
+
+
+def _seed_docs() -> list[tuple[str, str, bytes]]:
+    """(name, route, bytes) — every dispatch route gets real seeds."""
+    seeds = []
+    for fn in sorted(os.listdir(REF_TEST_DIR)):
+        with open(os.path.join(REF_TEST_DIR, fn), "rb") as f:
+            data = f.read()
+        route = "pdf" if fn.endswith(".pdf") else "office"
+        seeds.append((f"ref_{fn.rsplit('.', 1)[-1]}_{len(seeds)}", route, data))
+    from documentconvert_spark.corpus import make_doc_by_index
+
+    for i in range(12):  # synthetic variety: minipdf / markup / image docs
+        d = make_doc_by_index(i, 42, 5)
+        route = {"pdf": "pdf", "markup": "office", "image": "image"}[d.doc_type]
+        seeds.append((f"synth_{d.doc_type}_{i}", route, d.content))
+    return seeds
+
+
+def _mutate(data: bytes, rng: random.Random) -> bytes:
+    buf = bytearray(data)
+    op = rng.randrange(8)
+    if op == 0 and buf:  # flip a handful of bytes
+        for _ in range(rng.randint(1, 16)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+    elif op == 1 and buf:  # truncate
+        del buf[rng.randrange(len(buf)):]
+    elif op == 2 and len(buf) > 2:  # delete a slice
+        a = rng.randrange(len(buf) - 1)
+        del buf[a : a + rng.randint(1, max(1, len(buf) // 8))]
+    elif op == 3 and buf:  # duplicate a slice in place
+        a = rng.randrange(len(buf))
+        chunk = bytes(buf[a : a + rng.randint(1, 4096)])
+        b = rng.randrange(len(buf))
+        buf[b:b] = chunk
+    elif op == 4:  # insert random bytes
+        b = rng.randrange(len(buf) + 1)
+        buf[b:b] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 512)))
+    elif op == 5 and buf:  # zero a slice
+        a = rng.randrange(len(buf))
+        n = rng.randint(1, max(1, len(buf) // 16))
+        buf[a : a + n] = b"\x00" * min(n, len(buf) - a)
+    elif op == 6 and len(buf) >= 8:  # plant a huge little/big-endian length field
+        a = rng.randrange(len(buf) - 8)
+        width = rng.choice((4, 8))
+        v = rng.choice(_BIG_INTS) & ((1 << (8 * width)) - 1)
+        buf[a : a + width] = v.to_bytes(width, rng.choice(("little", "big")))
+    elif op == 7 and len(buf) > 16:  # splice: move a chunk elsewhere
+        a = rng.randrange(len(buf) - 8)
+        chunk = bytes(buf[a : a + rng.randint(4, 4096)])
+        b = rng.randrange(len(buf))
+        buf[b : b + len(chunk)] = chunk
+    return bytes(buf)
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise _Timeout
+
+
+def _run_chunk(seed_name: str, lo: int, hi: int) -> None:
+    import resource
+
+    resource.setrlimit(resource.RLIMIT_AS, (AS_LIMIT_BYTES, AS_LIMIT_BYTES))
+    signal.signal(signal.SIGALRM, _alarm)
+
+    from documentconvert_spark.kernels.detect import (
+        extract_image_any,
+        extract_office_any,
+        extract_pdf_any,
+    )
+
+    routes = {"pdf": extract_pdf_any, "office": extract_office_any,
+              "image": extract_image_any}
+    name, route, data = next(s for s in _seed_docs() if s[0] == seed_name)
+    fn = routes[route]
+    stats = {"ok": 0, "contained": 0, "timeout": 0, "memory": 0, "oversized": 0}
+    findings = []
+    for idx in range(lo, hi):
+        rng = random.Random(f"{name}:{idx}")
+        mutant = _mutate(data, rng)
+        signal.setitimer(signal.ITIMER_REAL, PER_MUTANT_TIMEOUT_S)
+        try:
+            spans = fn(mutant)
+            out_chars = sum(len(s.text) for s in spans)
+            if out_chars > MAX_OUTPUT_CHARS:
+                stats["oversized"] += 1
+                findings.append((idx, f"oversized: {out_chars} chars", mutant))
+            else:
+                stats["ok"] += 1
+        except _Timeout:
+            stats["timeout"] += 1
+            findings.append((idx, "timeout", mutant))
+        except MemoryError:
+            stats["memory"] += 1
+            findings.append((idx, "MemoryError under 4 GiB rlimit", mutant))
+        except Exception:  # noqa: BLE001 — containment is the contract
+            stats["contained"] += 1
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for idx, kind, mutant in findings:
+        with open(os.path.join(OUT_DIR, f"{name}_{idx}.bin"), "wb") as f:
+            f.write(mutant)
+    print(json.dumps({"seed": name, "lo": lo, "hi": hi, "stats": stats,
+                      "findings": [(i, k) for i, k, _ in findings]}))
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--chunk":
+        _run_chunk(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        return
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DEFAULT
+    seeds = _seed_docs()
+    chunk = 50
+    jobs = [(name, lo, min(lo + chunk, n))
+            for name, _route, _data in seeds for lo in range(0, n, chunk)]
+    # a few chunks at a time; each is its own process so a hard (C-level)
+    # hang is killed by the parent timeout and reported with its range
+    totals = {"ok": 0, "contained": 0, "timeout": 0, "memory": 0, "oversized": 0}
+    bad: list[str] = []
+    running: list[tuple[subprocess.Popen, str, int, int]] = []
+    pending = list(jobs)
+    import time as _time
+
+    def reap(block: bool) -> None:
+        for p, name, lo, hi in list(running):
+            if p.poll() is None and not block:
+                continue
+            try:
+                out, _ = p.communicate(timeout=CHUNK_TIMEOUT_S)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                bad.append(f"HARD HANG (uninterruptible): {name} [{lo},{hi})")
+                running.remove((p, name, lo, hi))
+                continue
+            running.remove((p, name, lo, hi))
+            if p.returncode != 0:
+                bad.append(f"worker died rc={p.returncode}: {name} [{lo},{hi})")
+                continue
+            rec = json.loads(out.strip().splitlines()[-1])
+            for k, v in rec["stats"].items():
+                totals[k] += v
+            for idx, kind in rec["findings"]:
+                bad.append(f"{name}:{idx} {kind}")
+
+    while pending or running:
+        while pending and len(running) < max(os.cpu_count() - 2, 1):
+            name, lo, hi = pending.pop()
+            p = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--chunk", name, str(lo), str(hi)],
+                stdout=subprocess.PIPE, text=True, cwd=REPO)
+            running.append((p, name, lo, hi))
+        if running and all(p.poll() is None for p, *_ in running):
+            _time.sleep(0.2)
+        reap(block=not pending)
+
+    print(json.dumps({"totals": totals, "n_per_seed": n, "seeds": len(seeds),
+                      "bad": bad}))
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,9 +17,15 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_common import (  # noqa: E402
+    measure_pair_interleaved,
+    pair_summary,
+    run_subprocess_json,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_TEST_DIR = "/root/reference/test"
@@ -116,9 +122,7 @@ if __name__ == '__main__':
 
 
 def _sub(code: str) -> dict:
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
-                         cwd=REPO, check=True)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    return run_subprocess_json(code, cwd=REPO)
 
 
 def main() -> None:
@@ -128,23 +132,12 @@ def main() -> None:
     for n, n4 in PAIRS:
         ctrl = _sub(_CONTROL_SNIPPET.format(repo=REPO, ref_dir=REF_TEST_DIR,
                                             n_docs=n_copies * 7, workers=[n, n4]))
-        best: dict[int, dict] = {}
-        for cores in (n, n4, n, n4):
-            leg = _sub(_RUN_SNIPPET.format(repo=REPO, ref_dir=REF_TEST_DIR,
-                                           cores=cores, n_copies=n_copies))
-            if cores not in best or leg["docs_per_sec"] > best[cores]["docs_per_sec"]:
-                best[cores] = leg
-        eff = (best[n4]["docs_per_sec"] / best[n]["docs_per_sec"]) / 4.0
-        ctrl_eff = (ctrl[str(n4)] / ctrl[str(n)]) / 4.0
+        best = measure_pair_interleaved(
+            lambda cores: _sub(_RUN_SNIPPET.format(
+                repo=REPO, ref_dir=REF_TEST_DIR, cores=cores, n_copies=n_copies)),
+            n, n4)
         n_docs_total = best[n]["n_docs"]
-        pairs_out.append({
-            "pair": f"local[{n}] vs local[{n4}]",
-            "rate_n": best[n]["docs_per_sec"],
-            "rate_4n": best[n4]["docs_per_sec"],
-            "efficiency": round(eff, 3),
-            "hardware_control_efficiency": round(ctrl_eff, 3),
-            "pass": eff >= 0.8,
-        })
+        pairs_out.append(pair_summary(best, ctrl, n, n4))
     result = {"n_docs": n_docs_total, "pairs": pairs_out,
               "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(result))

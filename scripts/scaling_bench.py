@@ -30,9 +30,15 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_common import (  # noqa: E402
+    measure_pair_interleaved,
+    pair_summary,
+    run_subprocess_json,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_DOCS_DEFAULT = 100_000
@@ -112,9 +118,7 @@ if __name__ == '__main__':
 
 
 def _sub(code: str) -> dict:
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
-                         cwd=REPO, check=True)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    return run_subprocess_json(code, cwd=REPO)
 
 
 def main() -> None:
@@ -128,24 +132,12 @@ def main() -> None:
         # control for THIS pair, in the same host window as its Spark legs
         pair_control = _sub(_CONTROL_SNIPPET.format(repo=REPO, n_docs=n_docs,
                                                     big_every=BIG_EVERY, pairs=[(n, n4)]))
-        # interleaved legs: N, 4N, N, 4N — best per level; a host slowdown
-        # mid-pair degrades both levels instead of skewing the ratio
-        best: dict[int, dict] = {}
-        for cores in (n, n4, n, n4):
-            leg = _sub(_RUN_SNIPPET.format(repo=REPO, cores=cores, n_docs=n_docs,
-                                           corpus_path=corpus_path, big_every=BIG_EVERY))
-            if cores not in best or leg["docs_per_sec"] > best[cores]["docs_per_sec"]:
-                best[cores] = leg
-        eff = (best[n4]["docs_per_sec"] / best[n]["docs_per_sec"]) / 4.0
-        ctrl_eff = (pair_control[str(n4)] / pair_control[str(n)]) / 4.0
-        pairs_out.append({
-            "pair": f"local[{n}] vs local[{n4}]",
-            "rate_n": best[n]["docs_per_sec"],
-            "rate_4n": best[n4]["docs_per_sec"],
-            "efficiency": round(eff, 3),
-            "hardware_control_efficiency": round(ctrl_eff, 3),
-            "pass": eff >= 0.8,
-        })
+        best = measure_pair_interleaved(
+            lambda cores: _sub(_RUN_SNIPPET.format(
+                repo=REPO, cores=cores, n_docs=n_docs,
+                corpus_path=corpus_path, big_every=BIG_EVERY)),
+            n, n4)
+        pairs_out.append(pair_summary(best, pair_control, n, n4))
         for c in (n, n4):
             if c not in rates or best[c]["docs_per_sec"] > rates[c]["docs_per_sec"]:
                 rates[c] = best[c]

@@ -56,6 +56,7 @@ def test_urldocs_source_fetches_and_contains_failures(spark):
         "u1,image,http://example.test/a",
         "u2,image,http://example.test/b",
         "u3,image,http://example.test/missing",
+        "u4,image",  # malformed manifest line: error row, not a planning failure
     ])
     df = (
         spark.read.format("urldocs")
@@ -65,11 +66,12 @@ def test_urldocs_source_fetches_and_contains_failures(spark):
         .load()
     )
     rows = {r.doc_id: r for r in df.collect()}
-    assert len(rows) == 3
+    assert len(rows) == 4
     assert rows["u1"].content is not None and rows["u1"].error is None
     assert rows["u1"].byte_len == len(rows["u1"].content)
     # failure contained per row, not a failed task
     assert rows["u3"].content is None and "404" in rows["u3"].error
+    assert rows["u4"].content is None and "malformed manifest line 4" in rows["u4"].error
 
     # fetched bytes flow straight into the extraction pipeline
     from pyspark.sql import functions as F

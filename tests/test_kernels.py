@@ -306,3 +306,26 @@ def test_minidom_implied_close_through_inline():
     assert "Boilerplate Title" not in joined
     assert "form junk" not in joined
     assert "literal markup" not in joined
+
+
+def test_minidom_namespaced_tags_and_comment_joins():
+    """Word-export namespaced tags (<o:p>) and custom elements must parse
+    as elements, never leak as literal text; a comment splitting a word
+    joins the halves (minifier idiom), while a removed <script> element
+    still separates words."""
+    from documentconvert_spark.kernels.minidom import extract_minidom
+
+    html = b"""<html><body>
+<p>word export text here with enough length <o:p></o:p>trailing words</p>
+<p>data<!-- split -->base systems are the topic of this paragraph</p>
+<p>alpha<script>var x=1;</script>omega separated by a script element</p>
+<my-widget><p>content inside a custom element long enough to score</p></my-widget>
+</body></html>"""
+    spans = extract_minidom(html)
+    paras = [s.text for s in spans if s.kind == "paragraph"]
+    joined = " ".join(paras)
+    assert "<o:p>" not in joined and "o:p" not in joined
+    assert "word export text here" in joined
+    assert "database systems" in paras[1]
+    assert "alpha omega" in paras[2]
+    assert any("custom element" in p for p in paras)
