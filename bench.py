@@ -158,8 +158,9 @@ def main() -> None:
     def prod_minhash_lsh(spark, sf_dir):
         """Production banded-LSH path (ops/dedup.py): one xxhash64 per
         shingle string + k long-mixes, map-side-combined min() signatures,
-        band-key equi-join. Runs the FULL documents table (the md5-portable
-        contract variant caps at doc_id<150 for the oracle)."""
+        band-key equi-join. Runs the FULL documents table (the
+        DuckDB-portable contract variant — one md5 per shingle + k
+        (a·h+b) mod p permutations — caps at doc_id<150 for the oracle)."""
         from documentconvert_spark.ops.dedup import minhash_lsh_pairs
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")

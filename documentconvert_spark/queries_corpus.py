@@ -119,25 +119,65 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
 
 
 # ------------------------------------------------------------ MinHash + LSH
-# The scale path for near-dup at 10^12 docs: k=12 portable min-hashes
-# (min over md5(i:shingle) hex strings — identical in any engine), banded
-# 4×3; candidate pairs share a band bucket. Only signatures shuffle —
-# bytes-per-doc is constant regardless of document size.
+# The scale path for near-dup at 10^12 docs: k=12 portable min-hashes,
+# banded 4×3; candidate pairs share a band bucket. Only signatures
+# shuffle — bytes-per-doc is constant regardless of document size.
+#
+# Each shingle is hashed ONCE (md5 → 60-bit integer), and the K
+# permutations are the universal-hash family (a_i·h + b_i) mod p over
+# that integer — the textbook MinHash construction, and 12× fewer md5
+# calls than hashing (i, shingle) per permutation. Every step is exact
+# 64-bit integer arithmetic both engines share: a_i < 2^31 and
+# h mod p < 2^31 keep the product under 2^62.
 
 _MINHASH_K = 12
 _BAND_ROWS = 3
+_LSH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_LSH_A = [1103515245, 1103577, 777001, 999331, 553105243, 987654323,
+          313222271, 201560503, 104395301, 15485863, 982451653, 472882049]
+_LSH_B = [12345, 67891, 24680, 13579, 424242, 777777,
+          101010, 909090, 31415926, 27182818, 16180339, 14142135]
+
+# one 60-bit integer per shingle, reduced mod p
+_SHINGLE_H_EXPR = (
+    "transform(shingles, s -> "
+    f"cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint) % {_LSH_P}L)"
+)
+
+
+def _sig_expr(i: int) -> str:
+    """Permutation i's min-hash over the per-shingle integer array `hs`."""
+    return (f"array_min(transform(hs, h -> "
+            f"({_LSH_A[i]}L * h + {_LSH_B[i]}L) % {_LSH_P}L))")
 
 
 # All K min-hashes and the banded keys are computed PER ROW with array
 # higher-order functions — no shingle×K row explosion and no shuffle
 # until the (n_docs × n_bands)-row band table self-joins. At 100 TB the
-# only shuffled payload is ~4 short strings per document.
-_BAND_KEYS_EXPR = (
-    f"transform(sequence(0, {_MINHASH_K // _BAND_ROWS - 1}), b -> "
-    f"concat_ws(',', transform(sequence(0, {_BAND_ROWS - 1}), j -> "
-    f"array_min(transform(shingles, s -> "
-    f"md5(concat(cast(b * {_BAND_ROWS} + j AS string), ':', s)))))))"
-)
+# only shuffled payload is ~4 short strings per document. Constants are
+# unrolled into the expression so every lambda stays codegen-friendly.
+_BAND_KEYS_EXPR = "array(" + ", ".join(
+    "concat_ws(',', " + ", ".join(
+        f"cast({_sig_expr(b * _BAND_ROWS + j)} AS string)"
+        for j in range(_BAND_ROWS)
+    ) + ")"
+    for b in range(_MINHASH_K // _BAND_ROWS)
+) + ")"
+
+# DuckDB mirror of the same pipeline: `sh` (doc_id, shingle) → `hs`
+# (doc_id, hm) → `sigs` (doc_id, i, sig). Callers append their own
+# `bands` CTE on top.
+_SQL_A_LIST = "[" + ", ".join(map(str, _LSH_A)) + "]"
+_SQL_B_LIST = "[" + ", ".join(map(str, _LSH_B)) + "]"
+_SQL_HS_SIGS_CTES = f"""hs AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {_LSH_P} AS hm
+  FROM sh),
+sigs AS (
+  SELECT doc_id, i,
+         MIN(({_SQL_A_LIST}[i + 1] * hm + {_SQL_B_LIST}[i + 1]) % {_LSH_P}) AS sig
+  FROM hs, generate_series(0, {_MINHASH_K - 1}) t(i)
+  GROUP BY doc_id, i)"""
 
 
 def _minhash_bands(docs: DataFrame) -> DataFrame:
@@ -145,7 +185,8 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     sh_arr = docs.selectExpr(
         "doc_id", f"array_distinct({_SHINGLES}) AS shingles"
     ).filter(F.size("shingles") > 0)
-    return sh_arr.select(
+    hs = sh_arr.selectExpr("doc_id", f"{_SHINGLE_H_EXPR} AS hs")
+    return hs.select(
         "doc_id", F.posexplode(F.expr(_BAND_KEYS_EXPR)).alias("band", "band_key")
     )
 
@@ -168,13 +209,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_MINHASH = f"""
 WITH sh AS ({_sql_shingles()}),
-sigs AS (
-  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
-  FROM sh, generate_series(0, {_MINHASH_K - 1}) t(i)
-  GROUP BY doc_id, i),
+{_SQL_HS_SIGS_CTES},
 bands AS (
   SELECT doc_id, CAST(FLOOR(i / {_BAND_ROWS}.0) AS INT) AS band,
-         string_agg(sig, ',' ORDER BY i) AS band_key
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
   FROM sigs GROUP BY doc_id, 2)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
@@ -691,13 +729,10 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_KEEP_FIRST = f"""
 WITH sh AS ({_sql_shingles()}),
-sigs AS (
-  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
-  FROM sh, generate_series(0, {_MINHASH_K - 1}) t(i)
-  GROUP BY doc_id, i),
+{_SQL_HS_SIGS_CTES},
 bands AS (
   SELECT doc_id, CAST(FLOOR(i / {_BAND_ROWS}.0) AS INT) AS band,
-         string_agg(sig, ',' ORDER BY i) AS band_key
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
   FROM sigs GROUP BY doc_id, 2),
 dupes AS (
   SELECT DISTINCT b.doc_id
@@ -733,13 +768,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE
 sh AS ({{shingles}}),
-sigs AS (
-  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
-  FROM sh, generate_series(0, {{k}}) t(i)
-  GROUP BY doc_id, i),
+{{hs_sigs}},
 bands AS (
   SELECT doc_id, CAST(FLOOR(i / {{rows}}.0) AS INT) AS band,
-         string_agg(sig, ',' ORDER BY i) AS band_key
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
   FROM sigs GROUP BY doc_id, 2),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -760,7 +792,7 @@ GROUP BY label
 """
 
 SQL_DEDUP_CLUSTERS = SQL_DEDUP_CLUSTERS.format(
-    shingles=_sql_shingles(), k=_MINHASH_K - 1, rows=_BAND_ROWS
+    shingles=_sql_shingles(), hs_sigs=_SQL_HS_SIGS_CTES, rows=_BAND_ROWS
 )
 
 
@@ -1090,10 +1122,9 @@ _LSH_BUCKET_CAP = 8
 # minhash value — deliberately coarse so hot buckets actually form and the
 # cap demonstrably prunes them (with 3-row bands at this SF no bucket ever
 # exceeds 2 and the cap would be vacuous)
-_SINGLE_SIG_EXPR = (
-    f"transform(sequence(0, {_MINHASH_K - 1}), i -> "
-    f"array_min(transform(shingles, s -> md5(concat(cast(i AS string), ':', s)))))"
-)
+_SINGLE_SIG_EXPR = "array(" + ", ".join(
+    f"cast({_sig_expr(i)} AS string)" for i in range(_MINHASH_K)
+) + ")"
 
 
 def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1101,7 +1132,8 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_arr = docs.selectExpr(
         "doc_id", f"array_distinct({_SHINGLES}) AS shingles"
     ).filter(F.size("shingles") > 0)
-    bands = sh_arr.select(
+    hs = sh_arr.selectExpr("doc_id", f"{_SHINGLE_H_EXPR} AS hs")
+    bands = hs.select(
         "doc_id", F.posexplode(F.expr(_SINGLE_SIG_EXPR)).alias("band", "band_key")
     )
     sized = bands.withColumn(
@@ -1126,10 +1158,9 @@ WITH sh AS (
     range(1, greatest(len({_SQL_TOKS}) - 1, 1)),
     i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]))) AS shingle
   FROM documents WHERE doc_id < 300),
+{_SQL_HS_SIGS_CTES},
 bands AS (
-  SELECT doc_id, i AS band, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS band_key
-  FROM sh, generate_series(0, {_MINHASH_K - 1}) t(i)
-  GROUP BY doc_id, i),
+  SELECT doc_id, i AS band, CAST(sig AS VARCHAR) AS band_key FROM sigs),
 sized AS (
   SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_n FROM bands)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

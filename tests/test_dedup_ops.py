@@ -28,3 +28,48 @@ def test_shingles_shape(spark):
     assert sh.columns == ["doc_id", "shingle"]
     row = sh.first()
     assert len(row.shingle.split(" ")) == 3
+
+
+def test_contract_band_keys_match_pure_python(spark):
+    """The DuckDB-portable contract LSH derives its K permutations from ONE
+    md5 per shingle via (a_i*h + b_i) mod p. Pin the unrolled Spark
+    expression against a from-first-principles Python recomputation so a
+    regression in the expression generator (or a Spark conv/% semantics
+    surprise) can't silently desynchronize the Spark/oracle pair."""
+    import hashlib
+
+    from documentconvert_spark.queries_corpus import (
+        _BAND_ROWS,
+        _LSH_A,
+        _LSH_B,
+        _LSH_P,
+        _MINHASH_K,
+        _minhash_bands,
+    )
+
+    texts = {
+        "d1": "the quick brown fox jumps over the lazy dog again and again",
+        "d2": "pack my box with five dozen liquor jugs for the long trip",
+        "d3": "the quick brown fox jumps over the lazy dog again and AGAIN",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id string, text string")
+    got = {
+        (r.doc_id, r.band): r.band_key
+        for r in _minhash_bands(docs).collect()
+    }
+
+    def py_bands(text):
+        toks = text.lower().strip().split()
+        sh = sorted({" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)})
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _LSH_P for s in sh]
+        sigs = [min((_LSH_A[i] * h + _LSH_B[i]) % _LSH_P for h in hs)
+                for i in range(_MINHASH_K)]
+        return {
+            b: ",".join(str(sigs[b * _BAND_ROWS + j]) for j in range(_BAND_ROWS))
+            for b in range(_MINHASH_K // _BAND_ROWS)
+        }
+
+    for doc_id, text in texts.items():
+        for band, key in py_bands(text).items():
+            assert got[(doc_id, band)] == key, (doc_id, band)
