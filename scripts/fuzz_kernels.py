@@ -56,7 +56,56 @@ def _seed_docs() -> list[tuple[str, str, bytes]]:
         d = make_doc_by_index(i, 42, 5)
         route = {"pdf": "pdf", "markup": "office", "image": "image"}[d.doc_type]
         seeds.append((f"synth_{d.doc_type}_{i}", route, d.content))
+    seeds.extend(_format_seeds())
     return seeds
+
+
+def _format_seeds() -> list[tuple[str, str, bytes]]:
+    """Formats the reference corpus and synthetic docs don't cover:
+    RTF (with an embedded \\pict), ODF (zip container), BIFF .xls/.ppt
+    (OLE CFB, built by the test suite's minimal writer), real PNG/JPEG."""
+    import importlib.util
+    import io
+    import struct
+    import zipfile
+
+    rtf = (rb"{\rtf1\ansi\ansicpg1252\deff0{\fonttbl{\f0 T;}}"
+           rb"\pard\outlinelevel0\b\fs36 Heading One\b0\fs24\par"
+           b"\\pard Body with \\'e9 accent and \\u20013? char.\\par"
+           rb"{\pict\pngblip\picw100\pich100 a1b2c3d4e5f6}"
+           rb"\trowd\intbl cellA\cell cellB\cell\row\pard Tail.\par}")
+
+    content_xml = (
+        '<?xml version="1.0"?><office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:text>"
+        '<text:h text:outline-level="1">ODF Title</text:h>'
+        "<text:p>First odf paragraph body.</text:p>"
+        "</office:text></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        z.writestr("content.xml", content_xml)
+    odt = buf.getvalue()
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">IIBBBBB", 64, 48, 8, 2, 0, 0, 0) + b"\x00" * 4
+           + struct.pack(">I", 0) + b"IEND\xaeB`\x82")
+
+    spec = importlib.util.spec_from_file_location(
+        "legacy_builders", os.path.join(REPO, "tests", "test_legacy_formats.py"))
+    legacy = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(legacy)
+
+    return [
+        ("fmt_rtf", "office", rtf),
+        ("fmt_odt", "office", odt),
+        ("fmt_png", "image", png),
+        ("fmt_xls", "office", legacy._make_xls()),
+        ("fmt_ppt", "office", legacy._make_ppt()),
+    ]
 
 
 def _mutate(data: bytes, rng: random.Random) -> bytes:
