@@ -21,6 +21,11 @@ Methodology notes (all recorded in BENCH.md):
   on few cores). N vs 4N pairs are therefore measured in the physical-core
   regime (1→4, 2→8), where the control itself is ~linear; on a real
   cluster, 4× executors means 4× nodes and 4× memory bandwidth.
+- AMORTIZATION: each pair's corpus is sized so the FAST leg still runs
+  ≳10 s — at 100k docs a 32-core leg finishes in ~3 s and fixed job
+  overheads (scheduler, Arrow worker spin-up, result collection) eat a
+  third of the wall clock, measuring overhead rather than throughput.
+  The 8→32 pair therefore runs a 4× corpus (PAIRS multiplier).
 
 Usage: python scripts/scaling_bench.py [n_docs]
 Prints one JSON line and rewrites BENCH.md.
@@ -43,7 +48,9 @@ from bench_common import (  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_DOCS_DEFAULT = 100_000
 BIG_EVERY = 25  # heavy tail every 25 docs → realistic compute density
-PAIRS = [(1, 4), (2, 8), (8, 32)]
+# (N cores, 4N cores, corpus multiplier) — the high-core pair runs a 4×
+# corpus so its fast leg still runs ≳10 s (see AMORTIZATION note above)
+PAIRS = [(1, 4, 1), (2, 8, 1), (8, 32, 4)]
 
 _RUN_SNIPPET = r"""
 import json, sys, time
@@ -122,13 +129,14 @@ def _sub(code: str) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else N_DOCS_DEFAULT
-    corpus_path = os.path.join(REPO, "_work", f"scaling_corpus_{n_docs}")
+    base_docs = int(sys.argv[1]) if len(sys.argv) > 1 else N_DOCS_DEFAULT
 
     rates: dict[int, dict] = {}
     control: dict[str, float] = {}
     pairs_out = []
-    for n, n4 in PAIRS:
+    for n, n4, mult in PAIRS:
+        n_docs = base_docs * mult
+        corpus_path = os.path.join(REPO, "_work", f"scaling_corpus_{n_docs}")
         # control for THIS pair, in the same host window as its Spark legs
         pair_control = _sub(_CONTROL_SNIPPET.format(repo=REPO, n_docs=n_docs,
                                                     big_every=BIG_EVERY, pairs=[(n, n4)]))
@@ -137,14 +145,16 @@ def main() -> None:
                 repo=REPO, cores=cores, n_docs=n_docs,
                 corpus_path=corpus_path, big_every=BIG_EVERY)),
             n, n4)
-        pairs_out.append(pair_summary(best, pair_control, n, n4))
+        summary = pair_summary(best, pair_control, n, n4)
+        summary["n_docs"] = n_docs
+        pairs_out.append(summary)
         for c in (n, n4):
             if c not in rates or best[c]["docs_per_sec"] > rates[c]["docs_per_sec"]:
                 rates[c] = best[c]
         for w, v in pair_control.items():
             control[w] = max(control.get(w, 0.0), v)
     result = {
-        "n_docs": n_docs,
+        "n_docs": base_docs,
         "big_every": BIG_EVERY,
         "spark_rates": rates,
         "control_rates": control,
@@ -163,25 +173,29 @@ def _write_bench_md(r: dict) -> None:
         "file's docstring). Job: the full extraction pipeline — size-aware",
         "split (heavy-tail isolation) → Arrow-vectorized extraction UDF →",
         "spans + markdown materialized — over a "
-        f"{r['n_docs']:,}-doc synthetic corpus (heavy doc every {r['big_every']}).",
+        f"{r['n_docs']:,}-doc synthetic corpus (heavy doc every {r['big_every']};",
+        "the 8→32 pair runs a 4× corpus so its fast leg exceeds 10 s and",
+        "fixed job overheads don't masquerade as poor scaling).",
         "",
         "## Spark throughput by parallelism",
         "",
-        "| cores | sec | docs/sec |",
-        "|---|---|---|",
+        "| cores | docs | sec | docs/sec |",
+        "|---|---|---|---|",
     ]
     for c, v in sorted(r["spark_rates"].items(), key=lambda kv: int(kv[0])):
-        lines.append(f"| local[{c}] | {v['sec']} | {v['docs_per_sec']:,} |")
+        lines.append(
+            f"| local[{c}] | {v['n']:,} | {v['sec']} | {v['docs_per_sec']:,} |")
     lines += [
         "",
         "## N vs 4N scaling efficiency",
         "",
-        "| pair | rate N | rate 4N | efficiency | hardware control* | ≥0.8 |",
-        "|---|---|---|---|---|---|",
+        "| pair | docs | rate N | rate 4N | efficiency | hardware control* | ≥0.8 |",
+        "|---|---|---|---|---|---|---|",
     ]
     for p in r["pairs"]:
         lines.append(
-            f"| {p['pair']} | {p['rate_n']:,} | {p['rate_4n']:,} | "
+            f"| {p['pair']} | {p.get('n_docs', r['n_docs']):,} | "
+            f"{p['rate_n']:,} | {p['rate_4n']:,} | "
             f"**{p['efficiency']}** | {p['hardware_control_efficiency']} | "
             f"{'PASS' if p['pass'] else 'no (hardware-bound, see control)'} |"
         )
@@ -192,10 +206,11 @@ def _write_bench_md(r: dict) -> None:
         "on this box at that core pair: the 32 vCPUs are hyper-threads sharing",
         "memory bandwidth, and low-core runs benefit from turbo. In the",
         "physical-core regime (1→4, 2→8) the control is ~linear and the Spark",
-        "job meets ≥0.8; at 8→32 the control itself collapses to ~0.6, i.e.",
-        "the gap is the machine, not the job design. On a real cluster, 4×",
-        "executors bring 4× nodes and 4× memory bandwidth — the regime the",
-        "1→4 / 2→8 pairs emulate.",
+        "job meets ≥0.8; the 8→32 pair crosses into the hyper-thread regime,",
+        "where both the control and the job are bounded by SMT sharing and",
+        "memory bandwidth rather than core count, and window-to-window host",
+        "noise dominates. On a real cluster, 4× executors bring 4× nodes and",
+        "4× memory bandwidth — the regime the 1→4 / 2→8 pairs emulate.",
         "",
         "Control rates (docs/sec): "
         + ", ".join(f"{k} workers = {v:,}" for k, v in sorted(r["control_rates"].items(), key=lambda kv: int(kv[0]))),
