@@ -1,0 +1,47 @@
+"""Decompression-expansion guards shared by the byte-stream kernels.
+
+At corpus scale (10^12 docs) a single crafted document must not be able
+to take down an executor: C7 containment turns *exceptions* into error
+rows, but an unbounded `zlib.decompress` / LZW / RunLength expansion is
+not an exception — it is a multi-GB allocation that OOM-kills the whole
+JVM worker (and with filter *chains* the stages multiply: Flate alone
+amplifies ~1000x, LZW ~3800x, RunLength 64x). Every decode therefore
+raises `ValueError` past MAX_DECODED_BYTES, which the per-row dispatch
+catches like any other corrupt-input error.
+
+256 MiB comfortably covers real documents (the reference's largest
+handled file is a 167 MB PDF *before* parse; individual content streams
+are far smaller) while bounding worst-case memory per task.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+MAX_DECODED_BYTES = 1 << 28  # 256 MiB per decoded stream
+
+
+def check_decoded_size(n: int, what: str = "stream") -> None:
+    """Raise if a decode has expanded past the per-stream cap."""
+    if n > MAX_DECODED_BYTES:
+        raise ValueError(f"{what}: decoded size over {MAX_DECODED_BYTES} cap")
+
+
+def inflate_capped(raw: bytes, what: str = "stream") -> bytes:
+    """`zlib.decompress` that refuses to expand past MAX_DECODED_BYTES
+    (a plain decompress on a crafted bomb allocates before we can check)."""
+    d = zlib.decompressobj()
+    out = d.decompress(raw, MAX_DECODED_BYTES)
+    if d.unconsumed_tail:
+        raise ValueError(f"{what}: decoded size over {MAX_DECODED_BYTES} cap")
+    return out
+
+
+def zip_read_capped(z, name: str) -> bytes:
+    """`ZipFile.read` with the same expansion cap — the member's header
+    size field lies on crafted archives, so read through the streaming
+    decompressor and stop one byte past the cap."""
+    with z.open(name) as f:
+        out = f.read(MAX_DECODED_BYTES + 1)
+    check_decoded_size(len(out), f"zip member {name}")
+    return out

@@ -22,6 +22,8 @@ import io
 import struct
 import zipfile
 
+from documentconvert_spark.kernels.limits import zip_read_capped
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _GIF_MAGICS = (b"GIF87a", b"GIF89a")
 _ZIP_MEDIA_DIRS = ("word/media/", "ppt/media/", "xl/media/", "Pictures/")
@@ -104,7 +106,7 @@ def _zip_media(content: bytes) -> list[tuple[str, bytes]]:
     z = zipfile.ZipFile(io.BytesIO(content))
     for name in z.namelist():
         if any(name.startswith(d) for d in _ZIP_MEDIA_DIRS) and not name.endswith("/"):
-            out.append((name.rsplit("/", 1)[-1], z.read(name)))
+            out.append((name.rsplit("/", 1)[-1], zip_read_capped(z, name)))
     return out
 
 
@@ -329,6 +331,8 @@ def _blip_payload(kind: str, body: bytes) -> bytes | None:
     # at header offset 32 (0 = deflate, 0xFE = stored)
     import zlib as _zlib
 
+    from documentconvert_spark.kernels.limits import inflate_capped
+
     for off in (16, 32):
         hdr = body[off:off + 34]
         if len(hdr) < 34:
@@ -337,8 +341,8 @@ def _blip_payload(kind: str, body: bytes) -> bytes | None:
         raw = body[off + 34:]
         if comp == 0:
             try:
-                raw = _zlib.decompress(raw)
-            except _zlib.error:
+                raw = inflate_capped(raw, "blip metafile")
+            except (_zlib.error, ValueError):
                 continue
         elif comp != 0xFE:
             continue

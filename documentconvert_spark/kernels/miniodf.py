@@ -20,6 +20,7 @@ import io
 import zipfile
 from xml.etree import ElementTree as ET
 
+from documentconvert_spark.kernels.limits import zip_read_capped
 from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
 
 _T = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
@@ -103,7 +104,7 @@ def extract_odf(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
     z = z or zipfile.ZipFile(io.BytesIO(content))
     if "content.xml" not in z.namelist():
         raise ValueError("odf: no content.xml in container")
-    root = ET.fromstring(z.read("content.xml"))
+    root = ET.fromstring(zip_read_capped(z, "content.xml"))
     body = root.find(f"{_O}body")
     if body is None:
         raise ValueError("odf: no office:body")

@@ -23,6 +23,7 @@ import re
 import zipfile
 from xml.etree import ElementTree as ET
 
+from documentconvert_spark.kernels.limits import zip_read_capped
 from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
 
 ZIP_MAGIC = b"PK\x03\x04"
@@ -43,7 +44,7 @@ def _rels(z: zipfile.ZipFile, part: str) -> dict[str, str]:
     out: dict[str, str] = {}
     if name not in z.namelist():
         return out
-    root = ET.fromstring(z.read(name))
+    root = ET.fromstring(zip_read_capped(z, name))
     for rel in root.iter(f"{_REL}Relationship"):
         tgt = rel.get("Target", "")
         if not tgt.startswith("/"):
@@ -156,7 +157,7 @@ def _docx_table_grid(tbl) -> str:
 def extract_docx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
     z = z or zipfile.ZipFile(io.BytesIO(content))
     rels = _rels(z, "word/document.xml")
-    root = ET.fromstring(z.read("word/document.xml"))
+    root = ET.fromstring(zip_read_capped(z, "word/document.xml"))
     body = root.find(f"{_W}body")
     if body is None:
         raise ValueError("docx: no document body")
@@ -185,7 +186,7 @@ def extract_docx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
 
 def _pptx_slide_order(z: zipfile.ZipFile) -> list[str]:
     pres_rels = _rels(z, "ppt/presentation.xml")
-    root = ET.fromstring(z.read("ppt/presentation.xml"))
+    root = ET.fromstring(zip_read_capped(z, "ppt/presentation.xml"))
     order = []
     for sld in root.iter(f"{_P}sldId"):
         rid = sld.get(f"{_R}id")
@@ -223,7 +224,7 @@ def extract_pptx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
         if slide_part not in z.namelist():
             continue
         rels = _rels(z, slide_part)
-        root = ET.fromstring(z.read(slide_part))
+        root = ET.fromstring(zip_read_capped(z, slide_part))
         tree = root.find(f"{_P}cSld/{_P}spTree")
         if tree is None:
             continue
@@ -279,7 +280,7 @@ def _col_index(ref: str) -> int:
 def _xlsx_shared_strings(z: zipfile.ZipFile) -> list[str]:
     if "xl/sharedStrings.xml" not in z.namelist():
         return []
-    root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+    root = ET.fromstring(zip_read_capped(z, "xl/sharedStrings.xml"))
     out = []
     for si in root.findall(f"{_S}si"):
         out.append("".join(t.text or "" for t in si.iter(f"{_S}t")))
@@ -300,7 +301,7 @@ def extract_xlsx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
     z = z or zipfile.ZipFile(io.BytesIO(content))
     shared = _xlsx_shared_strings(z)
     wb_rels = _rels(z, "xl/workbook.xml")
-    root = ET.fromstring(z.read("xl/workbook.xml"))
+    root = ET.fromstring(zip_read_capped(z, "xl/workbook.xml"))
     spans: list[Span] = []
     sheets = []
     for sh in root.iter(f"{_S}sheet"):
@@ -311,7 +312,7 @@ def extract_xlsx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
     for name, part in sheets:
         if part not in z.namelist():
             continue
-        sroot = ET.fromstring(z.read(part))
+        sroot = ET.fromstring(zip_read_capped(z, part))
         rows_out: list[str] = []
         for row in sroot.iter(f"{_S}row"):
             cells: dict[int, str] = {}

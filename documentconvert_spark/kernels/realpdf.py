@@ -38,6 +38,7 @@ from __future__ import annotations
 import re
 import zlib
 
+from documentconvert_spark.kernels.limits import check_decoded_size, inflate_capped
 from documentconvert_spark.kernels.spans import Span, finalize, normalize_text, rank_heading_levels
 
 _WS = frozenset(b"\x00\t\n\x0c\r ")
@@ -314,6 +315,7 @@ def _rle_decode(raw: bytes) -> bytes:
         else:
             out += raw[i + 1 : i + 2] * (257 - length)
             i += 2
+        check_decoded_size(len(out), "pdf rle")
     return bytes(out)
 
 
@@ -350,6 +352,7 @@ def _lzw_decode(raw: bytes, early_change: int = 1) -> bytes:
             else:
                 raise ValueError("pdf: corrupt LZW stream")
             out += entry
+            check_decoded_size(len(out), "pdf lzw")
             prev = entry
             if len(table) + early_change >= (1 << width) and width < 12:
                 width += 1
@@ -359,6 +362,11 @@ def _lzw_decode(raw: bytes, early_change: int = 1) -> bytes:
 def _png_unpredict(raw: bytes, colors: int, columns: int) -> bytes:
     """Reverse PNG row predictors (used by xref streams, /Predictor >= 10)."""
     row_len = colors * columns
+    # /Columns is file-controlled: a crafted value is a multi-GB
+    # allocation, not a parse error — a real file's row never exceeds
+    # the data that encodes it
+    if row_len > len(raw):
+        raise ValueError("pdf: predictor row wider than stream data")
     out = bytearray()
     prev = bytearray(row_len)
     i = 0
@@ -831,9 +839,11 @@ class _Pdf:
         for fi, f in enumerate(filters):
             p = self.resolve(parms_list[fi]) if fi < len(parms_list) else None
             if f == "FlateDecode":
-                raw = self._apply_predictor(p, zlib.decompress(raw))
+                raw = self._apply_predictor(p, inflate_capped(raw, "pdf flate"))
             elif f == "ASCIIHexDecode":
                 hx = re.sub(rb"[^0-9A-Fa-f]", b"", raw.split(b">")[0])
+                if len(hx) % 2:  # §7.4.2: odd digit count implies a final 0
+                    hx += b"0"
                 raw = bytes.fromhex(hx.decode("ascii"))
             elif f == "ASCII85Decode":
                 import base64
@@ -1114,7 +1124,16 @@ def _content_tokens(body: bytes):
                 if len(op_cache) < 1024:
                     op_cache[word] = op
             if op == "BI":  # inline image: skip to EI
+                # the image payload after ID is raw binary that can
+                # contain the byte pair "EI"; accept it only as a
+                # standalone token (whitespace/EOF on both sides), per
+                # the same heuristic every real reader uses (§8.9.7)
                 k = body.find(b"EI", i)
+                while k >= 0 and not (
+                    (k == 0 or body[k - 1] in b"\x00\t\n\x0c\r ")
+                    and (k + 2 >= n or body[k + 2] in b"\x00\t\n\x0c\r ")
+                ):
+                    k = body.find(b"EI", k + 2)
                 i = n if k < 0 else k + 2
                 yield ("op", "BI_skipped")
             else:

@@ -1,0 +1,129 @@
+"""Decompression-expansion guards (kernels/limits.py).
+
+C7 containment (reference document_service.py:334-383) turns exceptions
+into error rows — but a decompression bomb is an *allocation*, not an
+exception: unguarded, a crafted doc OOM-kills the executor JVM. These
+tests pin that every expanding decode raises a normal ValueError at the
+cap instead.
+"""
+
+from __future__ import annotations
+
+import io
+import time
+import zipfile
+import zlib
+
+import pytest
+
+from documentconvert_spark.kernels import limits
+from documentconvert_spark.kernels.limits import inflate_capped, zip_read_capped
+from documentconvert_spark.kernels.realpdf import (
+    _png_unpredict,
+    _rle_decode,
+    extract_realpdf,
+)
+from tests.test_realpdf_features import _FONT, _classic_pdf, _page_tree
+
+
+def test_inflate_roundtrip_under_cap():
+    data = b"ordinary document bytes " * 100
+    assert inflate_capped(zlib.compress(data)) == data
+
+
+def test_inflate_bomb_raises(monkeypatch):
+    monkeypatch.setattr(limits, "MAX_DECODED_BYTES", 4096)
+    bomb = zlib.compress(bytes(1 << 20))  # 1 MiB of zeros, ~1 KiB packed
+    with pytest.raises(ValueError, match="cap"):
+        inflate_capped(bomb, "test flate")
+    # exactly at the cap is fine
+    assert inflate_capped(zlib.compress(bytes(4096))) == bytes(4096)
+
+
+def test_zip_member_bomb_raises(monkeypatch):
+    monkeypatch.setattr(limits, "MAX_DECODED_BYTES", 4096)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("ok.xml", b"<a/>")
+        z.writestr("bomb.xml", bytes(1 << 20))
+    z = zipfile.ZipFile(io.BytesIO(buf.getvalue()))
+    assert zip_read_capped(z, "ok.xml") == b"<a/>"
+    with pytest.raises(ValueError, match="cap"):
+        zip_read_capped(z, "bomb.xml")
+
+
+def test_rle_bomb_raises(monkeypatch):
+    monkeypatch.setattr(limits, "MAX_DECODED_BYTES", 4096)
+    # each \x81<byte> pair expands to 128 bytes; 64 pairs = 8 KiB > cap
+    with pytest.raises(ValueError, match="cap"):
+        _rle_decode(b"\x81A" * 64 + b"\x80")
+
+
+def test_png_predictor_row_wider_than_stream_raises():
+    # /Columns is file-controlled: a crafted 2^30 value must not become
+    # a multi-GB prev-row allocation
+    with pytest.raises(ValueError, match="predictor"):
+        _png_unpredict(b"\x00\x01\x02\x03", colors=4, columns=1 << 30)
+
+
+def test_asciihex_odd_digit_implies_trailing_zero():
+    # ISO 32000 §7.4.2: an odd final digit decodes as <digit>0
+    content = b"BT /F1 10 Tf 72 700 Td (odd hex tail) Tj ET "  # ends 0x20
+    hexed = content.hex().encode()
+    assert hexed.endswith(b"0")
+    odd = hexed[:-1] + b">"  # drop the implied 0 -> odd digit count
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = b"<</Filter /ASCIIHexDecode /Length %d>>\nstream\n%s\nendstream" % (
+        len(odd),
+        odd,
+    )
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert spans and spans[0].text == "odd hex tail"
+
+
+def test_xml_entity_bomb_contained():
+    """Billion-laughs inside word/document.xml: bundled expat >= 2.4 caps
+    entity amplification and raises a normal ParseError (contained by the
+    UDF layer). Pin it so an expat downgrade can't silently reopen this."""
+    from documentconvert_spark.kernels.miniooxml import extract_docx
+
+    bomb = (
+        '<?xml version="1.0"?><!DOCTYPE a [<!ENTITY e0 "xxxxxxxxxx">'
+        + "".join(
+            f'<!ENTITY e{i + 1} "{"&e%d;" % i * 8}">' for i in range(12)
+        )
+        + "]><a>&e12;</a>"
+    ).encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", bomb)
+    t0 = time.monotonic()
+    with pytest.raises(Exception):
+        extract_docx(buf.getvalue())
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_pdf_double_flate_bomb_contained():
+    """A filter-chain bomb ([/FlateDecode /FlateDecode] over 512 MiB of
+    zeros, ~2 KiB on the wire) must error out promptly at the real cap."""
+    inner = zlib.compress(bytes(1 << 29), 9)
+    wire = zlib.compress(inner, 9)
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = b"<</Filter [/FlateDecode /FlateDecode] /Length %d>>\nstream\n%s\nendstream" % (
+        len(wire),
+        wire,
+    )
+    objs[5] = _FONT
+    t0 = time.monotonic()
+    # the per-page decode guard contains the ValueError into a skipped
+    # page, so a bomb-only PDF extracts to zero spans — what matters is
+    # that it never inflates the 512 MiB and returns promptly
+    try:
+        spans = extract_realpdf(_classic_pdf(objs))
+        assert spans == []
+    except Exception:
+        pass
+    assert time.monotonic() - t0 < 10.0

@@ -302,6 +302,23 @@ def test_content_tokens_edge_forms():
     assert 1.5 in operands
 
 
+def test_inline_image_embedded_ei_bytes_skipped():
+    """The raw payload after ID may contain the byte pair 'EI'; only a
+    whitespace-delimited EI token ends the image (ISO 32000 §8.9.7) — a
+    false match would desync the interpreter into lexing image bytes."""
+    from documentconvert_spark.kernels.realpdf import _content_tokens
+
+    body = (b"BI /W 4 /H 2 ID \x00aEIb\xffEI( \nEI (after)Tj")
+    toks = list(_content_tokens(body))
+    ops = [v for k, v in toks if k == "op"]
+    operands = [v for k, v in toks if k == "operand"]
+    assert ops == ["BI_skipped", "Tj"]
+    assert operands == [b"after"]
+    # EI at end-of-stream (no trailing whitespace) still terminates
+    toks = list(_content_tokens(b"BI ID \x01\x02 EI"))
+    assert [v for k, v in toks if k == "op"] == ["BI_skipped"]
+
+
 def test_comment_at_stream_end_not_relexed():
     """A trailing comment (no final newline) must be consumed whole: the
     possessive ws/comment prefix may not backtrack a byte and re-lex
