@@ -99,10 +99,11 @@ def test_xml_entity_bomb_contained():
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as z:
         z.writestr("word/document.xml", bomb)
-    t0 = time.monotonic()
+    t0 = time.process_time()
     with pytest.raises(Exception):
         extract_docx(buf.getvalue())
-    assert time.monotonic() - t0 < 5.0
+    # CPU time, not wall time: the suite may share the host with a bench run
+    assert time.process_time() - t0 < 5.0
 
 
 def test_pdf_double_flate_bomb_contained():
@@ -117,7 +118,7 @@ def test_pdf_double_flate_bomb_contained():
         wire,
     )
     objs[5] = _FONT
-    t0 = time.monotonic()
+    t0 = time.process_time()
     # the per-page decode guard contains the ValueError into a skipped
     # page, so a bomb-only PDF extracts to zero spans — what matters is
     # that it never inflates the 512 MiB and returns promptly
@@ -126,4 +127,5 @@ def test_pdf_double_flate_bomb_contained():
         assert spans == []
     except Exception:
         pass
-    assert time.monotonic() - t0 < 10.0
+    # CPU time, not wall time: the suite may share the host with a bench run
+    assert time.process_time() - t0 < 10.0
