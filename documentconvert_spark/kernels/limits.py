@@ -34,6 +34,12 @@ def inflate_capped(raw: bytes, what: str = "stream") -> bytes:
     out = d.decompress(raw, MAX_DECODED_BYTES)
     if d.unconsumed_tail:
         raise ValueError(f"{what}: decoded size over {MAX_DECODED_BYTES} cap")
+    if not d.eof:
+        # plain zlib.decompress raises here too — returning partial data
+        # for a truncated stream would silently emit spans a complete
+        # parse never produces (trailing garbage stays fine: eof is set
+        # and the extra bytes land in unused_data)
+        raise ValueError(f"{what}: truncated deflate stream")
     return out
 
 

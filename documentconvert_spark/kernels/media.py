@@ -106,7 +106,12 @@ def _zip_media(content: bytes) -> list[tuple[str, bytes]]:
     z = zipfile.ZipFile(io.BytesIO(content))
     for name in z.namelist():
         if any(name.startswith(d) for d in _ZIP_MEDIA_DIRS) and not name.endswith("/"):
-            out.append((name.rsplit("/", 1)[-1], zip_read_capped(z, name)))
+            try:
+                out.append((name.rsplit("/", 1)[-1], zip_read_capped(z, name)))
+            except ValueError:
+                # one over-cap member must not drop the document's other
+                # media (same per-item containment as _pdf_media below)
+                continue
     return out
 
 

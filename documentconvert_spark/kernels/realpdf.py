@@ -38,7 +38,8 @@ from __future__ import annotations
 import re
 import zlib
 
-from documentconvert_spark.kernels.limits import check_decoded_size, inflate_capped
+from documentconvert_spark.kernels import limits
+from documentconvert_spark.kernels.limits import inflate_capped
 from documentconvert_spark.kernels.spans import Span, finalize, normalize_text, rank_heading_levels
 
 _WS = frozenset(b"\x00\t\n\x0c\r ")
@@ -305,6 +306,7 @@ def _rle_decode(raw: bytes) -> bytes:
     >128 → repeat next byte 257-n times, 128 → EOD."""
     out = bytearray()
     i, n = 0, len(raw)
+    cap = limits.MAX_DECODED_BYTES  # read once per call (hot loop)
     while i < n:
         length = raw[i]
         if length == 128:
@@ -315,7 +317,8 @@ def _rle_decode(raw: bytes) -> bytes:
         else:
             out += raw[i + 1 : i + 2] * (257 - length)
             i += 2
-        check_decoded_size(len(out), "pdf rle")
+        if len(out) > cap:
+            raise ValueError("pdf rle: decoded size over cap")
     return bytes(out)
 
 
@@ -328,6 +331,7 @@ def _lzw_decode(raw: bytes, early_change: int = 1) -> bytes:
     prev: bytes | None = None
     width = 9
     buf = bits = 0
+    cap = limits.MAX_DECODED_BYTES  # read once per call (hot loop)
     for byte in raw:
         buf = (buf << 8) | byte
         bits += 8
@@ -352,7 +356,8 @@ def _lzw_decode(raw: bytes, early_change: int = 1) -> bytes:
             else:
                 raise ValueError("pdf: corrupt LZW stream")
             out += entry
-            check_decoded_size(len(out), "pdf lzw")
+            if len(out) > cap:
+                raise ValueError("pdf lzw: decoded size over cap")
             prev = entry
             if len(table) + early_change >= (1 << width) and width < 12:
                 width += 1
@@ -1126,12 +1131,14 @@ def _content_tokens(body: bytes):
             if op == "BI":  # inline image: skip to EI
                 # the image payload after ID is raw binary that can
                 # contain the byte pair "EI"; accept it only as a
-                # standalone token (whitespace/EOF on both sides), per
-                # the same heuristic every real reader uses (§8.9.7)
+                # standalone token — whitespace before (the tight filter
+                # every real reader applies, §8.9.7) and any token
+                # boundary after: whitespace, EOF, or a delimiter byte,
+                # since '(next)Tj' may legally follow EI with no space
                 k = body.find(b"EI", i)
                 while k >= 0 and not (
-                    (k == 0 or body[k - 1] in b"\x00\t\n\x0c\r ")
-                    and (k + 2 >= n or body[k + 2] in b"\x00\t\n\x0c\r ")
+                    body[k - 1] in b"\x00\t\n\x0c\r "
+                    and (k + 2 >= n or body[k + 2] in b"\x00\t\n\x0c\r ()<>[]{}/%")
                 ):
                     k = body.find(b"EI", k + 2)
                 i = n if k < 0 else k + 2

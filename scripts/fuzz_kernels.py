@@ -64,7 +64,6 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
     """Formats the reference corpus and synthetic docs don't cover:
     RTF (with an embedded \\pict), ODF (zip container), BIFF .xls/.ppt
     (OLE CFB, built by the test suite's minimal writer), real PNG/JPEG."""
-    import importlib.util
     import io
     import struct
     import zipfile
@@ -94,17 +93,14 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
            + struct.pack(">IIBBBBB", 64, 48, 8, 2, 0, 0, 0) + b"\x00" * 4
            + struct.pack(">I", 0) + b"IEND\xaeB`\x82")
 
-    spec = importlib.util.spec_from_file_location(
-        "legacy_builders", os.path.join(REPO, "tests", "test_legacy_formats.py"))
-    legacy = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(legacy)
+    from tests.test_legacy_formats import _make_ppt, _make_xls  # REPO is on sys.path
 
     return [
         ("fmt_rtf", "office", rtf),
         ("fmt_odt", "office", odt),
         ("fmt_png", "image", png),
-        ("fmt_xls", "office", legacy._make_xls()),
-        ("fmt_ppt", "office", legacy._make_ppt()),
+        ("fmt_xls", "office", _make_xls()),
+        ("fmt_ppt", "office", _make_ppt()),
     ]
 
 

@@ -40,6 +40,35 @@ def test_inflate_bomb_raises(monkeypatch):
     assert inflate_capped(zlib.compress(bytes(4096))) == bytes(4096)
 
 
+def test_inflate_truncated_stream_raises():
+    """A truncated Flate stream must raise (as plain zlib.decompress does),
+    not silently return partial data — partial text would emit spans a
+    complete parse never produces."""
+    comp = zlib.compress(b"full document content " * 200)
+    with pytest.raises(ValueError, match="truncated"):
+        inflate_capped(comp[: len(comp) // 2], "test flate")
+    # trailing garbage after a complete stream stays tolerated
+    assert inflate_capped(comp + b"garbage") == b"full document content " * 200
+
+
+def test_zip_media_one_bomb_member_keeps_the_rest(monkeypatch):
+    """Per-member containment: one over-cap image must not drop the
+    document's other media (mirrors _pdf_media's per-item handling)."""
+    from documentconvert_spark.kernels.media import _zip_media
+
+    monkeypatch.setattr(limits, "MAX_DECODED_BYTES", 4096)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("word/media/image1.png", b"ok-bytes")
+        z.writestr("word/media/bomb.png", bytes(1 << 20))
+        z.writestr("word/media/image2.png", b"more-bytes")
+    got = _zip_media(buf.getvalue())
+    assert [(n, b) for n, b in got] == [
+        ("image1.png", b"ok-bytes"),
+        ("image2.png", b"more-bytes"),
+    ]
+
+
 def test_zip_member_bomb_raises(monkeypatch):
     monkeypatch.setattr(limits, "MAX_DECODED_BYTES", 4096)
     buf = io.BytesIO()

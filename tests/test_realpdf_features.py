@@ -317,6 +317,11 @@ def test_inline_image_embedded_ei_bytes_skipped():
     # EI at end-of-stream (no trailing whitespace) still terminates
     toks = list(_content_tokens(b"BI ID \x01\x02 EI"))
     assert [v for k, v in toks if k == "op"] == ["BI_skipped"]
+    # a delimiter terminates the EI keyword just like whitespace does
+    # (ISO 32000 §7.2.3): '(text)Tj' may follow with no space between
+    toks = list(_content_tokens(b"BI /W 1 /H 1 ID x EI(next text)Tj"))
+    assert [v for k, v in toks if k == "op"] == ["BI_skipped", "Tj"]
+    assert [v for k, v in toks if k == "operand"] == [b"next text"]
 
 
 def test_comment_at_stream_end_not_relexed():
