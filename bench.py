@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from documentconvert_spark.benchcorpus import build_bench_corpus
-from documentconvert_spark.pipeline import extract_spans, heavy_threshold, size_aware_split
+from documentconvert_spark.pipeline import corpus_stats, extract_spans, size_aware_split
 from documentconvert_spark.queries_corpus import (
     q_ann_cosine_topk,
     q_ann_ivf_topk,
@@ -69,11 +69,11 @@ def run_extract_bench(spark, n_docs: int, parallelism: int) -> tuple[float, int]
     docs = build_bench_corpus(spark, n_docs, corpus_path, big_every=500, partitions=max(parallelism * 2, 8))
     # corpus profiling (quantile cut) is one-time work per corpus, like a
     # production job profiling its input — keep it out of the timed passes
-    threshold = heavy_threshold(docs)
+    stats = corpus_stats(docs)
 
     def one_pass() -> tuple[float, int]:
         t0 = time.monotonic()
-        light, heavy = size_aware_split(docs, target_partitions=parallelism * 2, threshold=threshold)
+        light, heavy = size_aware_split(docs, target_partitions=parallelism * 2, stats=stats)
         out = extract_spans(light).unionByName(extract_spans(heavy))
         n = force(out)
         return time.monotonic() - t0, n

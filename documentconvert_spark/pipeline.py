@@ -47,6 +47,14 @@ HEAVY_MAX_FANOUT = 8  # heavy partitions ≥ target_partitions × this only via 
 # high for the KB-scale bulk). The price is more, smaller heavy tasks —
 # correct granularity anyway for docs that each take seconds to parse.
 HEAVY_ROWS_PER_TASK = 32
+# Heavy-tail isolation only pays when a single doc is a multi-second task
+# or a giant Arrow batch — i.e. at MB scale. Below this cut the scan's own
+# maxPartitionBytes bound already balances partitions, and the isolation
+# branch (a second content scan over row groups its filter cannot skip,
+# because heavy docs interleave with light ones, plus a shuffle) costs
+# more than it saves: measured 2× the whole write phase on a 160k-doc
+# corpus whose p99 cut was 40 KB.
+HEAVY_MIN_BYTES = 1 << 20
 
 
 def prepare_documents(docs: DataFrame) -> DataFrame:
@@ -55,43 +63,111 @@ def prepare_documents(docs: DataFrame) -> DataFrame:
     return docs.withColumn("source_path", fix_encoding_udf(F.col("source_path")))
 
 
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size strings: '134217728', '16m', '128MB', '1g'."""
+    s = str(v).strip().lower().removesuffix("b")
+    if s and s[-1] in _SIZE_SUFFIX:
+        return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
+    return int(s or 0)
+
+
+@dataclass(frozen=True)
+class CorpusStats:
+    """One column-pruned aggregate pass over byte_len: everything the split
+    needs to make its partitioning decisions without executing the extraction
+    DAG. Compute once per corpus and reuse across runs — the stats don't
+    change when the job re-executes."""
+
+    n: int
+    total_bytes: int
+    median: float
+    p99: float
+
+    @property
+    def heavy_threshold(self) -> float:
+        """The byte_len cut separating the heavy tail (p99 AND ≥8× median):
+        a uniform corpus (p99 ≈ median) splits nothing; a skewed corpus
+        isolates exactly its heavy tail."""
+        if self.n == 0:
+            return float("inf")
+        return max(self.p99, HEAVY_MEDIAN_FACTOR * self.median, 1.0)
+
+
+def corpus_stats(docs: DataFrame) -> CorpusStats:
+    """Profile the corpus in ONE job: row count, total bytes, and the
+    byte_len percentiles the heavy cut derives from. Column-pruned to
+    byte_len only, so the pre-pass is cheap at any scale."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("byte_len"), F.lit(0)).alias("total_bytes"),
+        F.expr(
+            f"approx_percentile(byte_len, array(0.5, {HEAVY_QUANTILE}), 1000)"
+        ).alias("pct"),
+    ).first()
+    if not row or not row["n"] or row["pct"] is None:
+        return CorpusStats(0, 0, 0.0, 0.0)
+    median, p99 = row["pct"]
+    return CorpusStats(int(row["n"]), int(row["total_bytes"]), float(median), float(p99))
+
+
 def heavy_threshold(docs: DataFrame) -> float:
-    """Corpus-profiling half of the split: the byte_len cut separating the
-    heavy tail (p99 AND ≥8× median). One approxQuantile pass; compute it
-    once per corpus and reuse across runs — the stats don't change when
-    the job re-executes."""
-    qs = docs.approxQuantile("byte_len", [0.5, HEAVY_QUANTILE], 0.01)
-    if not qs:
-        return float("inf")
-    median, p99 = qs
-    return max(p99, HEAVY_MEDIAN_FACTOR * median, 1.0)
+    """Back-compat wrapper: the heavy cut alone (see CorpusStats)."""
+    return corpus_stats(docs).heavy_threshold
 
 
 def size_aware_split(
-    docs: DataFrame, target_partitions: int, threshold: float | None = None
+    docs: DataFrame,
+    target_partitions: int,
+    stats: CorpusStats | None = None,
+    small_corpus_bytes: float | None = None,
+    heavy_min_bytes: int = HEAVY_MIN_BYTES,
 ) -> tuple[DataFrame, DataFrame]:
-    """Split (light, heavy) at the byte_len p99 so the heavy tail cannot
-    serialize a partition.
+    """Size-aware partitioning, returned as a (light, heavy) pair. Three
+    regimes, decided from CorpusStats alone — nothing here triggers a
+    content scan or an AQE stage materialization:
 
-    The light slice is deliberately NOT reshuffled: a parquet/Iceberg scan
-    already yields byte-balanced splits (spark.sql.files.maxPartitionBytes),
-    so repartitioning the bulk of a 100 TB corpus would add a full-corpus
-    shuffle for nothing. Only the heavy tail — the docs that can serialize
-    a partition — is isolated and round-robin spread, and that slice is
-    ~1% of rows by construction."""
-    # heavy = top-1% AND ≥8× median: a uniform corpus (p99 ≈ median) splits
-    # nothing; a skewed corpus isolates exactly its heavy tail. Inclusive
-    # bound because on small corpora p99 lands on the max value itself.
-    if threshold is None:
-        threshold = heavy_threshold(docs)
-    if threshold == float("inf"):
+    **Small corpus** (everything fits in target_partitions scan splits):
+    one round-robin repartition of the whole frame and an empty heavy
+    slice. One scan, one shuffle — the two-branch form would scan the
+    corpus twice for no benefit, and round-robin placement spreads the
+    heavy docs maximally evenly (every n-th row) while partition bytes
+    stay ≤ maxPartitionBytes by the regime bound, which also bounds every
+    Arrow batch.
+
+    **Large corpus, KB-scale tail** (the heavy cut lands under
+    heavy_min_bytes): no split at all — the frame rides its scan splits.
+    maxPartitionBytes already byte-bounds every partition, no single doc
+    can serialize one, and the isolation branch would cost a second
+    content scan plus a shuffle for zero benefit (see HEAVY_MIN_BYTES).
+
+    **Large corpus, genuinely heavy tail** (the 100 TB case with MB-scale
+    outliers — the reference's 167 MB PDF): the light slice is
+    deliberately NOT reshuffled; a parquet/Iceberg scan already yields
+    byte-balanced splits no bigger than maxPartitionBytes, so
+    repartitioning the bulk would add a full-corpus shuffle for nothing.
+    Only the heavy tail — the docs that are each a multi-second task — is
+    isolated (a pushdown-friendly byte_len re-scan) and round-robin
+    spread, and that slice is ~1% of rows by construction."""
+    if stats is None:
+        stats = corpus_stats(docs)
+    threshold = stats.heavy_threshold
+    if small_corpus_bytes is None:
+        max_split = _parse_bytes(
+            docs.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        small_corpus_bytes = target_partitions * max_split
+    if threshold != float("inf") and stats.total_bytes <= small_corpus_bytes:
+        return docs.repartition(target_partitions), docs.limit(0)
+    if threshold == float("inf") or threshold < heavy_min_bytes:
+        # KB-regime corpus: no doc can serialize a partition (scan splits
+        # are byte-bounded), so the whole frame rides its scan splits —
+        # zero shuffles, one content pass
         return docs, docs.limit(0)
+    # Inclusive bound because on small corpora p99 lands on the max itself.
     light = docs.filter(F.col("byte_len") < threshold)
-    # Fan out only when the source yields fewer splits than the target —
-    # a 100 TB corpus has plenty of scan splits (no shuffle); a small or
-    # few-file corpus gets one cheap rebalance instead of starving cores.
-    if light.rdd.getNumPartitions() < target_partitions:
-        light = light.repartition(target_partitions)
     heavy = docs.filter(F.col("byte_len") >= threshold)
     n_heavy = heavy.count()
     if n_heavy:
@@ -165,16 +241,41 @@ def run_extraction_job(
     t0 = time.monotonic()
     target_partitions = target_partitions or spark.sparkContext.defaultParallelism
 
-    docs = prepare_documents(docs)
-    docs_in = docs.count()
+    # ONE profiling pass over the raw frame (UDF- and join-free plan, pruned
+    # to byte_len) yields the input count AND the split's partitioning
+    # stats. Thresholds from the full corpus rather than the post-anti-join
+    # remainder is deliberate: the cut stays stable across resume runs.
+    stats = corpus_stats(docs)
+    docs_in = stats.n
 
-    todo = (
-        docs.join(state.completed_ids(), "doc_id", "left_anti")
-        .join(state.terminal_failed_ids(), "doc_id", "left_anti")
-        .join(state.attempts(), "doc_id", "left")
-        .withColumn("attempt", (F.coalesce(F.col("prev_attempt"), F.lit(0)) + 1).cast("int"))
-        .drop("prev_attempt")
-    )
+    docs = prepare_documents(docs)
+    # Work selection runs on a SLIM doc_id projection, never on the fat
+    # frame: an anti-join planned as sort-merge shuffles its whole left
+    # side, and letting `content` ride that shuffle is the single most
+    # expensive mistake this job can make (measured: +70% on the write
+    # phase — AQE's runtime SMJ→BHJ rescue still pays the map-side
+    # shuffle write of every content byte). Joining ids first keeps any
+    # shuffle to ~20 bytes/doc at any scale; the one fat join below
+    # broadcasts the todo list while it is small (AQE decides from the
+    # materialized size), and on a warehouse deployment both sides are
+    # bucketed by doc_id (Iceberg `bucket(N, doc_id)`), making it a
+    # storage-partitioned join with no shuffle at all.
+    if state.is_empty():
+        # fresh corpus (metadata-only check): everything is todo on
+        # attempt 1 — no join in the plan at all
+        todo = docs.withColumn("attempt", F.lit(1).cast("int"))
+    else:
+        todo_ids = (
+            docs.select("doc_id")
+            .join(state.completed_ids(), "doc_id", "left_anti")
+            .join(state.terminal_failed_ids(), "doc_id", "left_anti")
+            .join(state.attempts(), "doc_id", "left")
+            .withColumn(
+                "attempt", (F.coalesce(F.col("prev_attempt"), F.lit(0)) + 1).cast("int")
+            )
+            .drop("prev_attempt")
+        )
+        todo = docs.join(todo_ids, "doc_id", "inner")
     # bounded, priority-ordered work selection (reference: fetch worker
     # pulls `limit=max_concurrent_tasks` pending tasks per poll in strict
     # high>normal>low order, enhanced_task_processor.py:259-307). orderBy+
@@ -183,7 +284,7 @@ def run_extraction_job(
         todo = todo.orderBy(priority_expr) if priority_expr is not None else todo
         todo = todo.limit(max_docs)
 
-    light, heavy = size_aware_split(todo, target_partitions)
+    light, heavy = size_aware_split(todo, target_partitions, stats=stats)
     extracted = [
         extract_spans(part, passthrough=("source_bucket", "source_path", "attempt"))
         for part in (light, heavy)

@@ -51,6 +51,13 @@ class StateStore:
                 out.append(e)
         return sorted(out)
 
+    def is_empty(self) -> bool:
+        """True when no run has ever committed — a METADATA-ONLY check
+        (directory listing here; current-snapshot row count on Iceberg),
+        so callers can skip work-selection joins on a fresh corpus
+        without touching data files."""
+        return not self._committed_run_dirs()
+
     def read(self) -> DataFrame:
         dirs = self._committed_run_dirs()
         if not dirs:

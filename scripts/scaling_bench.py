@@ -58,18 +58,18 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from documentconvert_spark.session import build_session
 from documentconvert_spark.benchcorpus import build_bench_corpus
-from documentconvert_spark.pipeline import extract_spans, heavy_threshold, size_aware_split
+from documentconvert_spark.pipeline import corpus_stats, extract_spans, size_aware_split
 
 cores = {cores}
 spark = build_session(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                       shuffle_partitions=max(cores * 2, 8))
 docs = build_bench_corpus(spark, {n_docs}, {corpus_path!r}, big_every={big_every},
                           partitions=64)
-threshold = heavy_threshold(docs)  # one-time corpus profiling, untimed
+stats = corpus_stats(docs)  # one-time corpus profiling, untimed
 
 def run():
     t0 = time.monotonic()
-    light, heavy = size_aware_split(docs, target_partitions=cores * 2, threshold=threshold)
+    light, heavy = size_aware_split(docs, target_partitions=cores * 2, stats=stats)
     out = extract_spans(light).unionByName(extract_spans(heavy))
     row = out.agg(F.count("*").alias("n"), F.sum(F.length("markdown")),
                   F.sum("n_spans")).collect()[0]

@@ -73,12 +73,37 @@ def test_encoding_repair_on_ingest(spark, docs_df):
 def test_size_aware_split_isolates_heavy_tail(spark):
     docs = [make_doc("F-HEAD", i) for i in range(60)] + [make_doc("F-BIG", 0)]
     df = spark.createDataFrame(corpus_rows(docs), schema=DOCUMENTS_RAW)
-    light, heavy = size_aware_split(df, target_partitions=4)
+    # small_corpus_bytes=0 pins the LARGE-corpus regime (two-branch split);
+    # heavy_min_bytes=0 lets the 40 KB fixture doc count as heavy
+    light, heavy = size_aware_split(
+        df, target_partitions=4, small_corpus_bytes=0, heavy_min_bytes=0
+    )
     heavy_ids = [r.doc_id for r in heavy.select("doc_id").collect()]
     assert heavy_ids == ["fbig-000000"]
     assert light.count() == 60
     # each heavy doc gets its own partition
     assert heavy.rdd.getNumPartitions() == 1
+
+
+def test_size_aware_split_kb_tail_skips_isolation(spark):
+    docs = [make_doc("F-HEAD", i) for i in range(60)] + [make_doc("F-BIG", 0)]
+    df = spark.createDataFrame(corpus_rows(docs), schema=DOCUMENTS_RAW)
+    # large regime but the p99 cut is KB-scale (40 KB fixture): scan splits
+    # already bound partition bytes, so no isolation branch and no shuffle
+    light, heavy = size_aware_split(df, target_partitions=4, small_corpus_bytes=0)
+    assert heavy.count() == 0
+    assert light.count() == 61
+
+
+def test_size_aware_split_small_regime_single_pass(spark):
+    docs = [make_doc("F-HEAD", i) for i in range(60)] + [make_doc("F-BIG", 0)]
+    df = spark.createDataFrame(corpus_rows(docs), schema=DOCUMENTS_RAW)
+    # a corpus under target×maxPartitionBytes takes the one-shuffle path:
+    # everything in the light frame, heavy empty, cores all fed
+    light, heavy = size_aware_split(df, target_partitions=4)
+    assert heavy.count() == 0
+    assert light.count() == 61
+    assert light.rdd.getNumPartitions() == 4
 
 
 def test_job_resume_and_retry(spark, docs_df, tmp_path):
