@@ -129,13 +129,13 @@ def size_aware_split(
     regimes, decided from CorpusStats alone — nothing here triggers a
     content scan or an AQE stage materialization:
 
-    **Small corpus** (everything fits in target_partitions scan splits):
-    one round-robin repartition of the whole frame and an empty heavy
-    slice. One scan, one shuffle — the two-branch form would scan the
-    corpus twice for no benefit, and round-robin placement spreads the
-    heavy docs maximally evenly (every n-th row) while partition bytes
-    stay ≤ maxPartitionBytes by the regime bound, which also bounds every
-    Arrow batch.
+    **Small corpus** (too few bytes for the scan to feed every core —
+    total under target × openCostInBytes, the floor of Spark's adaptive
+    split sizing): one round-robin repartition of the whole frame and an
+    empty heavy slice. One scan, one cheap bounded shuffle — the
+    two-branch form would scan the corpus twice for no benefit, and
+    round-robin placement spreads the heavy docs maximally evenly (every
+    n-th row).
 
     **Large corpus, KB-scale tail** (the heavy cut lands under
     heavy_min_bytes): no split at all — the frame rides its scan splits.
@@ -155,10 +155,16 @@ def size_aware_split(
         stats = corpus_stats(docs)
     threshold = stats.heavy_threshold
     if small_corpus_bytes is None:
-        max_split = _parse_bytes(
-            docs.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        # Spark's split sizing (FilePartition.maxSplitBytes) adapts
+        # bytes-per-split down to max(openCostInBytes, total/parallelism),
+        # so a scan only yields fewer than target_partitions splits when
+        # total_bytes < target × openCost — below that line one cheap
+        # shuffle (bounded by that same product) fixes core starvation;
+        # above it the scan feeds every core by itself.
+        open_cost = _parse_bytes(
+            docs.sparkSession.conf.get("spark.sql.files.openCostInBytes", "4194304")
         )
-        small_corpus_bytes = target_partitions * max_split
+        small_corpus_bytes = target_partitions * open_cost
     if threshold != float("inf") and stats.total_bytes <= small_corpus_bytes:
         return docs.repartition(target_partitions), docs.limit(0)
     if threshold == float("inf") or threshold < heavy_min_bytes:

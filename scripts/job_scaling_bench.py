@@ -216,6 +216,7 @@ def _write_bench_md(r: dict) -> None:
         "10^12-doc regime) plus the shared-bandwidth ceiling the control",
         "row bounds.",
         "",
+        "",
     ]
     path = os.path.join(REPO, "BENCH.md")
     with open(path) as f:
