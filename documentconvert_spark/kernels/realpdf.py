@@ -770,9 +770,18 @@ class _Pdf:
             index = d.get("Index") or [0, int(d.get("Size", 0))]
             body = self._decode_stream(d, raw)
             rec = sum(w)
+            if rec <= 0:
+                # /W is file-controlled: [0 0 0] makes every entry zero
+                # bytes wide, so the per-entry loop below would never hit
+                # its body-exhaustion break — a crafted /Index count then
+                # spins forever on a 100-byte file
+                return None
             it = 0
             for s in range(0, len(index), 2):
                 start, count = int(index[s]), int(index[s + 1])
+                # clamp the file-controlled count to what the decoded body
+                # can actually hold (same guard as the classic-xref path)
+                count = min(count, (len(body) - it) // rec + 1)
                 for k in range(count):
                     if it + rec > len(body):
                         break
@@ -974,8 +983,15 @@ def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
                     break
                 base_hex = mm2.group(1)
                 base = int(base_hex, 16)
-                for k in range(hi - lo + 1):
-                    b = (base + k).to_bytes(max(2, len(base_hex) // 2), "big")
+                # lo/hi come verbatim from the file; a ToUnicode code is at
+                # most 2 bytes (the map keys are 16-bit CIDs here), so any
+                # range wider than 64K is garbage — without the clamp a
+                # crafted <0000> <ffffffffff> range iterates 2^40 times
+                for k in range(min(hi - lo + 1, 0x10000)):
+                    try:
+                        b = (base + k).to_bytes(max(2, len(base_hex) // 2), "big")
+                    except OverflowError:
+                        break  # dst counter outgrew its own hex width
                     out[lo + k] = b.decode("utf-16-be", errors="replace")
                 i = mm2.end()
     return out, width
@@ -1509,11 +1525,17 @@ def extract_realpdf(content: bytes) -> list[Span]:
     if not isinstance(root, dict):
         raise ValueError("realpdf: no document catalog")
     pages: list[tuple[dict, dict]] = []  # (page dict, inherited resources)
+    visited: set[int] = set()  # a /Kids entry that cycles back to an already
+    # walked node would otherwise blow up exponentially (depth cap alone
+    # doesn't help: two self-references per node is 2^64 calls)
 
     def walk(node, inherited_res, depth=0):
         node = pdf.resolve(node)
         if not isinstance(node, dict) or depth > 64 or len(pages) > 10000:
             return
+        if id(node) in visited:
+            return
+        visited.add(id(node))
         res = pdf.resolve(node.get("Resources")) or inherited_res
         t = pdf.resolve(node.get("Type"))
         if t == "Pages" or (t is None and node.get("Kids") is not None):

@@ -142,6 +142,54 @@ def test_pdf_xref_count_clamped():
     assert time.monotonic() - t0 < 2.0
 
 
+def test_pdf_xref_stream_zero_width_records():
+    """An xref STREAM with /W [0 0 0] makes every record zero bytes wide,
+    so the body-exhaustion break never fires — a crafted /Index count then
+    used to spin forever on a ~150-byte file."""
+    from documentconvert_spark.kernels.realpdf import _Pdf
+
+    doc = (b"%PDF-1.5\n"
+           b"1 0 obj\n"
+           b"<< /Type /XRef /W [0 0 0] /Index [0 4000000000] /Size 10 /Length 5 >>\n"
+           b"stream\nAAAAA\nendstream\nendobj\n"
+           b"startxref\n9\n%%EOF")
+    t0 = time.monotonic()
+    _Pdf(doc)
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_pdf_bfrange_width_clamped():
+    """A ToUnicode bfrange <0000> <ffffffffff> with a destination wide
+    enough never to overflow used to iterate 2^40 times."""
+    from documentconvert_spark.kernels.realpdf import _parse_tounicode
+
+    cmap = b"beginbfrange <0000> <ffffffffff> <00000000000041> endbfrange"
+    t0 = time.monotonic()
+    out, _w = _parse_tounicode(cmap)
+    assert time.monotonic() - t0 < 2.0
+    assert len(out) <= 0x10000
+    # a legitimate 2-byte range still maps fully
+    out2, _ = _parse_tounicode(b"beginbfrange <0041> <005a> <0061> endbfrange")
+    assert out2[0x41] == "a" and out2[0x5A] == "z"
+
+
+def test_pdf_page_tree_cycle_bounded():
+    """A /Pages node whose /Kids lists itself twice is 2^64 walk calls
+    under a depth cap alone; the visited set must bound it."""
+    from documentconvert_spark.kernels.realpdf import extract_realpdf
+
+    doc = (b"%PDF-1.4\n"
+           b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+           b"2 0 obj << /Type /Pages /Kids [2 0 R 2 0 R] /Count 1 >> endobj\n"
+           b"trailer << /Root 1 0 R >>\n%%EOF")
+    t0 = time.monotonic()
+    try:
+        extract_realpdf(doc)
+    except ValueError:
+        pass  # "no pages" — contained as an error row
+    assert time.monotonic() - t0 < 2.0
+
+
 def test_cfb_v4_sector_offsets():
     """Version-4 compound files use 4096-byte sectors; sector n starts at
     (n+1)*ssz, not 512+n*ssz. Build a minimal v4 CFB with one stream and
