@@ -50,13 +50,20 @@ class _Cfb:
         self.ssz = 1 << self.sect_shift
         self.mssz = 1 << self.mini_shift
 
-        # DIFAT: 109 entries in header + chained sectors
+        # DIFAT: 109 entries in header + chained sectors. Both the count
+        # and the chain pointers are file-controlled: without the cycle
+        # guard + sector-count clamp, a DIFAT sector whose next-pointer is
+        # itself under n_difat=0xFFFFFFFE spins ~4 billion iterations,
+        # each appending 127 FAT indices (CPU + memory bomb).
         difat = list(struct.unpack_from("<109I", data, 76))
         nxt = self.difat_start
         per = self.ssz // 4 - 1
-        for _ in range(self.n_difat):
-            if nxt in (_FREE, _ENDCHAIN):
+        seen_difat: set[int] = set()
+        max_sectors = len(data) // self.ssz + 1
+        for _ in range(min(self.n_difat, max_sectors)):
+            if nxt in (_FREE, _ENDCHAIN) or nxt in seen_difat:
                 break
+            seen_difat.add(nxt)
             sec = self._sector(nxt)
             vals = struct.unpack_from(f"<{per + 1}I", sec, 0)
             difat.extend(vals[:per])

@@ -190,6 +190,37 @@ def test_pdf_page_tree_cycle_bounded():
     assert time.monotonic() - t0 < 2.0
 
 
+def test_cfb_difat_cycle_bounded():
+    """A DIFAT sector whose next-pointer is itself, under
+    n_difat=0xFFFFFFFE, used to spin ~4 billion iterations appending 127
+    FAT indices each (CPU + memory bomb)."""
+    import struct
+
+    from documentconvert_spark.kernels.minidoc import _Cfb
+
+    hdr = bytearray(512)
+    hdr[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", hdr, 30, 9)
+    struct.pack_into("<H", hdr, 32, 6)
+    struct.pack_into("<I", hdr, 48, 0xFFFFFFFE)
+    struct.pack_into("<I", hdr, 56, 0x1000)
+    struct.pack_into("<i", hdr, 60, -2)
+    struct.pack_into("<I", hdr, 68, 0)           # DIFAT start = sector 0
+    struct.pack_into("<I", hdr, 72, 0xFFFFFFFE)  # n_difat = ~4B
+    for off in range(76, 512, 4):
+        struct.pack_into("<i", hdr, off, -1)
+    sec0 = bytearray(512)
+    for off in range(0, 508, 4):
+        struct.pack_into("<i", sec0, off, -1)
+    struct.pack_into("<I", sec0, 508, 0)         # next DIFAT sector = itself
+    t0 = time.monotonic()
+    try:
+        _Cfb(bytes(hdr) + bytes(sec0))
+    except Exception:
+        pass  # struct/Value errors are contained per-row
+    assert time.monotonic() - t0 < 2.0
+
+
 def test_cfb_v4_sector_offsets():
     """Version-4 compound files use 4096-byte sectors; sector n starts at
     (n+1)*ssz, not 512+n*ssz. Build a minimal v4 CFB with one stream and
