@@ -47,7 +47,9 @@ def _text_of(el) -> str:
             elif tag == f"{_T}line-break":
                 parts.append("\n")
             elif tag == f"{_T}s":
-                parts.append(" " * int(ch.get(f"{_T}c", "1") or "1"))
+                # text:c is file-controlled; uncapped it allocates that
+                # many spaces (a 12-digit count is a ~1 TB string)
+                parts.append(" " * min(int(ch.get(f"{_T}c", "1") or "1"), _MAX_REPEAT))
             else:
                 walk(ch)
             if ch.tail:

@@ -274,7 +274,10 @@ def _col_index(ref: str) -> int:
     n = 0
     for ch in m.group(1):
         n = n * 26 + (ord(ch) - 64)
-    return n - 1
+    # the ref string is file-controlled: r="ZZZZZZZZZZ1" decodes to column
+    # ~1.4e14, and the row-padding range(width) below would iterate that
+    # many times. Clamp to the format's own limit (XFD = 16384 columns).
+    return min(n - 1, 16383)
 
 
 def _xlsx_shared_strings(z: zipfile.ZipFile) -> list[str]:

@@ -221,6 +221,60 @@ def test_cfb_difat_cycle_bounded():
     assert time.monotonic() - t0 < 2.0
 
 
+def test_xlsx_column_ref_clamped():
+    """A cell ref r="ZZZZZZZZZZ1" decodes to column ~1.4e14; the row
+    padding used to build a range() that long."""
+    import io
+    import zipfile
+
+    from documentconvert_spark.kernels.miniooxml import extract_xlsx
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr(
+            "xl/workbook.xml",
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>')
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            '<sheetData><row r="1"><c r="ZZZZZZZZZZ1" t="inlineStr"><is><t>x</t></is></c></row>'
+            '</sheetData></worksheet>')
+    t0 = time.monotonic()
+    spans = extract_xlsx(buf.getvalue())
+    assert time.monotonic() - t0 < 2.0
+    assert any(s.kind == "table" for s in spans)
+
+
+def test_odf_space_run_clamped():
+    """<text:s text:c="999999999999"/> used to allocate that many spaces."""
+    import io
+    import zipfile
+
+    from documentconvert_spark.kernels.miniodf import extract_odf
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        z.writestr(
+            "content.xml",
+            '<office:document-content '
+            'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+            'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+            '<office:body><office:text><text:p>a<text:s text:c="999999999999"/>b'
+            '</text:p></office:text></office:body></office:document-content>')
+    t0 = time.monotonic()
+    spans = extract_odf(buf.getvalue())
+    assert time.monotonic() - t0 < 2.0
+    assert spans and all(len(s.text) < 10000 for s in spans)
+
+
 def test_cfb_v4_sector_offsets():
     """Version-4 compound files use 4096-byte sectors; sector n starts at
     (n+1)*ssz, not 512+n*ssz. Build a minimal v4 CFB with one stream and
