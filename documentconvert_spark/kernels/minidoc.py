@@ -63,6 +63,14 @@ class _Cfb:
         for _ in range(min(self.n_difat, max_sectors)):
             if nxt in (_FREE, _ENDCHAIN) or nxt in seen_difat:
                 break
+            # Each DIFAT entry names one FAT sector that covers ssz/4
+            # sectors; entries past the file's own sector count can only
+            # index beyond EOF, so a forged chain where every sector is a
+            # valid link must not keep growing the list (the cycle guard
+            # bounds ITERATIONS, but ~127 entries per iteration times
+            # 128 FAT ints per entry is still an allocation bomb).
+            if len(difat) * (per + 1) >= max_sectors:
+                break
             seen_difat.add(nxt)
             sec = self._sector(nxt)
             vals = struct.unpack_from(f"<{per + 1}I", sec, 0)
@@ -72,6 +80,8 @@ class _Cfb:
         for fs in difat:
             if fs == _FREE:
                 continue
+            if len(self.fat) >= max_sectors:
+                break
             self.fat.extend(struct.unpack_from(f"<{self.ssz // 4}I", self._sector(fs), 0))
 
         self.dir = self._read_chain(self.dir_start)

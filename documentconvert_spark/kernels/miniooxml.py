@@ -23,7 +23,7 @@ import re
 import zipfile
 from xml.etree import ElementTree as ET
 
-from documentconvert_spark.kernels.limits import zip_read_capped
+from documentconvert_spark.kernels.limits import check_decoded_size, zip_read_capped
 from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
 
 ZIP_MAGIC = b"PK\x03\x04"
@@ -267,17 +267,19 @@ def extract_pptx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
 
 
-def _col_index(ref: str) -> int:
+def _col_index(ref: str) -> int | None:
     m = _CELL_REF.match(ref or "")
     if not m:
-        return 0
+        return None
     n = 0
     for ch in m.group(1):
         n = n * 26 + (ord(ch) - 64)
     # the ref string is file-controlled: r="ZZZZZZZZZZ1" decodes to column
     # ~1.4e14, and the row-padding range(width) below would iterate that
-    # many times. Clamp to the format's own limit (XFD = 16384 columns).
-    return min(n - 1, 16383)
+    # many times. Past the format's own limit (XFD = 16384 columns) the
+    # ref is invalid — report that rather than clamping, which would
+    # silently alias the cell onto a real XFD neighbour.
+    return n - 1 if n - 1 <= 16383 else None
 
 
 def _xlsx_shared_strings(z: zipfile.ZipFile) -> list[str]:
@@ -317,12 +319,17 @@ def extract_xlsx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
             continue
         sroot = ET.fromstring(zip_read_capped(z, part))
         rows_out: list[str] = []
+        out_chars = 0
         for row in sroot.iter(f"{_S}row"):
             cells: dict[int, str] = {}
             next_ci = 0  # c/@r is optional; position is implied sequentially
             for c in row.findall(f"{_S}c"):
                 ref = c.get("r", "")
-                ci = _col_index(ref) if ref else next_ci
+                # an unparseable or beyond-XFD ref falls back to the
+                # implied sequential position (never aliased onto XFD)
+                ci = (_col_index(ref) if ref else None)
+                if ci is None:
+                    ci = next_ci
                 next_ci = ci + 1
                 t = c.get("t", "n")
                 if t == "s":
@@ -337,7 +344,14 @@ def extract_xlsx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
                 cells[ci] = val.replace("\t", " ").replace("\n", " ")
             if cells and any(v.strip() for v in cells.values()):
                 width = max(cells) + 1
-                rows_out.append("\t".join(cells.get(i, "") for i in range(width)))
+                line = "\t".join(cells.get(i, "") for i in range(width))
+                # the per-ref clamp bounds one row at ~16 KB of padding,
+                # but a sheet of millions of 60-byte rows each claiming
+                # r="XFD1" still amplifies ~270x — cap the CUMULATIVE
+                # emitted text like any other decode expansion
+                out_chars += len(line)
+                check_decoded_size(out_chars, f"xlsx sheet {name!r} text")
+                rows_out.append(line)
         if rows_out:
             spans.append(Span("heading", normalize_text(name), "", -1, 1))
             spans.append(Span("table", normalize_text("\n".join(rows_out)), "", -1))

@@ -113,11 +113,6 @@ def corpus_stats(docs: DataFrame) -> CorpusStats:
     return CorpusStats(int(row["n"]), int(row["total_bytes"]), float(median), float(p99))
 
 
-def heavy_threshold(docs: DataFrame) -> float:
-    """Back-compat wrapper: the heavy cut alone (see CorpusStats)."""
-    return corpus_stats(docs).heavy_threshold
-
-
 def size_aware_split(
     docs: DataFrame,
     target_partitions: int,
@@ -289,8 +284,21 @@ def run_extraction_job(
     if max_docs is not None:
         todo = todo.orderBy(priority_expr) if priority_expr is not None else todo
         todo = todo.limit(max_docs)
+        # GlobalLimit / TakeOrderedAndProject emit ONE output partition;
+        # without a rescue the whole bounded batch would extract as a
+        # single task (the split's large-corpus branches deliberately do
+        # not reshuffle). One round-robin shuffle of ≤ max_docs rows —
+        # bounded by the caller's own knob — restores parallelism.
+        todo = todo.repartition(target_partitions)
 
-    light, heavy = size_aware_split(todo, target_partitions, stats=stats)
+    light, heavy = size_aware_split(
+        todo,
+        target_partitions,
+        stats=stats,
+        # a max_docs batch was just round-robin spread above; the
+        # small-corpus rescue would shuffle it a second time for nothing
+        small_corpus_bytes=-1.0 if max_docs is not None else None,
+    )
     extracted = [
         extract_spans(part, passthrough=("source_bucket", "source_path", "attempt"))
         for part in (light, heavy)

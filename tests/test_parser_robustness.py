@@ -329,3 +329,95 @@ def test_cfb_v4_sector_offsets():
     cfb = _Cfb(blob)
     got = cfb.stream("Data")
     assert got == payload
+
+
+def test_cfb_difat_fanout_bounded():
+    """The cycle guard bounds DIFAT iterations, but a crafted file where
+    every sector is a VALID chain link still used to grow `difat` by 127
+    entries per sector and `fat` by 128 ints per entry — ~32 ints of
+    allocation per input byte, an OOM (not an exception) from a small doc.
+    Both lists must stay bounded by the file's own sector count."""
+    import struct
+
+    from documentconvert_spark.kernels.minidoc import _Cfb
+
+    n_sectors = 512  # 256 KB body
+    hdr = bytearray(512)
+    hdr[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", hdr, 30, 9)           # 512-byte sectors
+    struct.pack_into("<H", hdr, 32, 6)
+    struct.pack_into("<i", hdr, 48, -2)          # dir start: ENDOFCHAIN
+    struct.pack_into("<I", hdr, 56, 0x1000)
+    struct.pack_into("<i", hdr, 60, -2)          # minifat: ENDOFCHAIN
+    struct.pack_into("<I", hdr, 68, 0)           # DIFAT start = sector 0
+    struct.pack_into("<I", hdr, 72, 0xFFFFFFFE)  # forged DIFAT count
+    for off in range(76, 512, 4):
+        struct.pack_into("<i", hdr, off, -1)     # header DIFAT entries FREE
+    body = bytearray(512 * n_sectors)
+    for s in range(n_sectors):
+        base = s * 512
+        for off in range(0, 508, 4):
+            struct.pack_into("<I", body, base + off, 1)  # in-bounds FAT ref
+        # every sector links to the next: a fully valid, maximal chain
+        struct.pack_into("<I", body, base + 508, (s + 1) % n_sectors)
+    data = bytes(hdr) + bytes(body)
+    t0 = time.monotonic()
+    cfb = _Cfb(data)
+    assert time.monotonic() - t0 < 2.0
+    max_sectors = len(data) // 512 + 1
+    assert len(cfb.fat) <= max_sectors + 128
+
+
+def _xlsx_with_sheet(sheet_xml: str) -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr(
+            "xl/workbook.xml",
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>')
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f'<sheetData>{sheet_xml}</sheetData></worksheet>')
+    return buf.getvalue()
+
+
+def test_xlsx_padding_expansion_capped(monkeypatch):
+    """The per-ref clamp bounds one row at XFD (16384 cells ≈ 16 KB of tab
+    padding), but N rows each claiming r="XFD1" amplify ~270x — the
+    cumulative sheet text must trip the decode-expansion cap instead of
+    allocating tens of GB from a small XML part."""
+    import pytest as _pytest
+
+    from documentconvert_spark.kernels import limits
+    from documentconvert_spark.kernels.miniooxml import extract_xlsx
+
+    monkeypatch.setattr(limits, "MAX_DECODED_BYTES", 60_000)
+    rows = "".join(
+        '<row><c r="XFD1" t="inlineStr"><is><t>x</t></is></c></row>'
+        for _ in range(10)
+    )
+    with _pytest.raises(ValueError):
+        extract_xlsx(_xlsx_with_sheet(rows))
+
+
+def test_xlsx_out_of_range_ref_not_aliased():
+    """XFD1 is the last legal column; an invalid XFE1 in the same row used
+    to clamp onto column 16383 and silently overwrite the real XFD cell.
+    It must fall back to the implied sequential position instead."""
+    from documentconvert_spark.kernels.miniooxml import extract_xlsx
+
+    row = ('<row><c r="XFD1" t="inlineStr"><is><t>AA</t></is></c>'
+           '<c r="XFE1" t="inlineStr"><is><t>BB</t></is></c></row>')
+    spans = extract_xlsx(_xlsx_with_sheet(row))
+    table = next(s for s in spans if s.kind == "table")
+    assert "AA\tBB" in table.text

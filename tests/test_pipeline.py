@@ -208,3 +208,26 @@ def test_committed_output_reader_excludes_crash_orphans(spark, tmp_path):
     assert good3.select("doc_id").distinct().count() == r1.completed
     with_failures = read_committed_output(spark, out, st, completed_only=False)
     assert with_failures.count() == r1.completed + 2 * n_poison  # attempts 1+2
+
+
+def test_max_docs_batch_is_parallel(spark, docs_df, tmp_path):
+    """orderBy().limit() / limit() plan as TakeOrderedAndProject /
+    GlobalLimit — ONE output partition. A max_docs-bounded batch must be
+    re-spread across tasks, not extracted serially (the split's
+    large-corpus branches deliberately do not reshuffle, so without the
+    rescue the whole batch rides the limit's single partition)."""
+    out = str(tmp_path / "spans_out")
+    st = StateStore(spark, str(tmp_path / "state"))
+    # pin the LARGE-corpus regime (where no branch reshuffles) — in the
+    # small regime the one-shuffle rescue would mask the limit collapse
+    old = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1")
+    try:
+        r = run_extraction_job(
+            spark, docs_df, out, st, target_partitions=4, max_docs=20
+        )
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old)
+    assert r.processed == 20
+    got = spark.read.parquet(out)
+    assert got.select("partition_id").distinct().count() > 1
