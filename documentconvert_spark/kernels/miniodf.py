@@ -20,7 +20,7 @@ import io
 import zipfile
 from xml.etree import ElementTree as ET
 
-from documentconvert_spark.kernels.limits import zip_read_capped
+from documentconvert_spark.kernels.limits import check_decoded_size, zip_read_capped
 from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
 
 _T = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
@@ -36,10 +36,21 @@ _MAX_REPEAT = 1024  # cap column/row repetition (ODS pads to 16k columns)
 def _text_of(el) -> str:
     """Flatten an ODF text container: tabs, line breaks, text:s runs."""
     parts: list[str] = []
+    n_chars = 0
+
+    def emit(s: str) -> None:
+        # the per-run clamp bounds ONE text:s at _MAX_REPEAT spaces, but
+        # millions of ~20-byte <text:s text:c="99"/> elements still
+        # amplify ~50x — cap the cumulative flattened text like any
+        # other decode expansion
+        nonlocal n_chars
+        n_chars += len(s)
+        check_decoded_size(n_chars, "odf text run")
+        parts.append(s)
 
     def walk(node):
         if node.text:
-            parts.append(node.text)
+            emit(node.text)
         for ch in node:
             tag = ch.tag
             if tag == f"{_T}tab":
@@ -49,11 +60,11 @@ def _text_of(el) -> str:
             elif tag == f"{_T}s":
                 # text:c is file-controlled; uncapped it allocates that
                 # many spaces (a 12-digit count is a ~1 TB string)
-                parts.append(" " * min(int(ch.get(f"{_T}c", "1") or "1"), _MAX_REPEAT))
+                emit(" " * min(int(ch.get(f"{_T}c", "1") or "1"), _MAX_REPEAT))
             else:
                 walk(ch)
             if ch.tail:
-                parts.append(ch.tail)
+                emit(ch.tail)
 
     walk(el)
     return "".join(parts)
@@ -70,6 +81,7 @@ def _figures(el) -> list[str]:
 
 def _table_grid(tbl) -> str:
     rows_out = []
+    out_chars = 0
     for tr in tbl.iter(f"{_TB}table-row"):
         row_rep = min(int(tr.get(f"{_TB}number-rows-repeated", "1") or "1"), _MAX_REPEAT)
         cells: list[str] = []
@@ -79,6 +91,8 @@ def _table_grid(tbl) -> str:
             rep = min(int(tc.get(f"{_TB}number-columns-repeated", "1") or "1"), _MAX_REPEAT)
             if tc.tag == f"{_TB}covered-table-cell":
                 cells.extend([""] * rep)
+                if len(cells) > 16384:
+                    raise ValueError("odf: table row wider than the 16384-column format limit")
                 continue
             vt = tc.get(f"{_O}value-type", "")
             if vt in ("float", "percentage", "currency"):
@@ -95,10 +109,22 @@ def _table_grid(tbl) -> str:
             else:
                 txt = " ".join(_text_of(p) for p in tc.findall(f"{_T}p"))
             cells.extend([txt.replace("\t", " ").replace("\n", " ").strip()] * rep)
+            # a 10 MB row of 200k cell elements × 1024 repeats each would
+            # build a 200M-entry list before the grid-text cap below even
+            # sees it; ODS's own format limit is 16384 columns
+            if len(cells) > 16384:
+                raise ValueError("odf: table row wider than the 16384-column format limit")
         while cells and not cells[-1]:
             cells.pop()
         if any(c for c in cells):
-            rows_out.extend(["\t".join(cells)] * row_rep)
+            line = "\t".join(cells)
+            # rows-repeated × columns-repeated multiply: one ~100-byte
+            # row claiming 1024×1024 expands to ~1M cells, a ~20,000x
+            # amplification even under the per-run clamps — cap the
+            # CUMULATIVE grid text like any other decode expansion
+            out_chars += (len(line) + 1) * row_rep
+            check_decoded_size(out_chars, "odf table grid")
+            rows_out.extend([line] * row_rep)
     return "\n".join(rows_out)
 
 

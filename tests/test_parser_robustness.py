@@ -421,3 +421,71 @@ def test_xlsx_out_of_range_ref_not_aliased():
     spans = extract_xlsx(_xlsx_with_sheet(row))
     table = next(s for s in spans if s.kind == "table")
     assert "AA\tBB" in table.text
+
+
+def _odf_with_content(body_xml: str) -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        z.writestr(
+            "content.xml",
+            '<office:document-content '
+            'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+            'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+            'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">'
+            f'<office:body><office:text>{body_xml}</office:text>'
+            '</office:body></office:document-content>')
+    return buf.getvalue()
+
+
+def test_odf_cumulative_space_runs_capped(monkeypatch):
+    """One text:s is clamped to 1024 spaces, but millions of ~20-byte
+    elements still amplify ~50x — the cumulative flattened text must trip
+    the decode-expansion cap."""
+    import pytest as _pytest
+
+    from documentconvert_spark.kernels import limits
+    from documentconvert_spark.kernels.miniodf import extract_odf
+
+    monkeypatch.setattr(limits, "MAX_DECODED_BYTES", 60_000)
+    runs = '<text:s text:c="1024"/>' * 100  # 100 KB of spaces from 2.3 KB
+    with _pytest.raises(ValueError):
+        extract_odf(_odf_with_content(f"<text:p>a{runs}b</text:p>"))
+
+
+def test_odf_table_repeat_product_capped(monkeypatch):
+    """rows-repeated × columns-repeated multiply: one ~150-byte row
+    claiming 1024×1024 expands to ~1M cells (~20,000x). The cumulative
+    grid text must trip the cap before the allocation happens."""
+    import pytest as _pytest
+
+    from documentconvert_spark.kernels import limits
+    from documentconvert_spark.kernels.miniodf import extract_odf
+
+    monkeypatch.setattr(limits, "MAX_DECODED_BYTES", 60_000)
+    body = ('<table:table table:name="S1"><table:table-row '
+            'table:number-rows-repeated="1024">'
+            '<table:table-cell table:number-columns-repeated="1024" '
+            'office:value-type="string"><text:p>xx</text:p>'
+            '</table:table-cell></table:table-row></table:table>')
+    with _pytest.raises(ValueError):
+        extract_odf(_odf_with_content(body))
+
+
+def test_odf_row_width_format_limit():
+    """Many repeated cell ELEMENTS in one row build the cells list before
+    any text-size cap can see it — a row wider than ODS's own 16384-column
+    format limit must error instead of allocating without bound."""
+    import pytest as _pytest
+
+    from documentconvert_spark.kernels.miniodf import extract_odf
+
+    cell = ('<table:table-cell table:number-columns-repeated="1024" '
+            'office:value-type="string"><text:p>x</text:p></table:table-cell>')
+    body = (f'<table:table table:name="S1"><table:table-row>{cell * 20}'
+            '</table:table-row></table:table>')
+    with _pytest.raises(ValueError):
+        extract_odf(_odf_with_content(body))
