@@ -104,9 +104,61 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
     ]
 
 
+_DIGIT_RUN = None  # compiled lazily (re import kept local to the workers)
+
+
+def _amplify_digits(data: bytes, rng: random.Random) -> bytes:
+    """Replace one ASCII decimal run with a huge value — the text-format
+    analogue of the binary planted-length mutator: XML repeat counts
+    (text:c, number-rows-repeated), xlsx cell refs, PDF xref/object
+    counts, RTF \\binN parameters are all file-controlled decimals."""
+    import re
+
+    global _DIGIT_RUN
+    if _DIGIT_RUN is None:
+        _DIGIT_RUN = re.compile(rb"\d{1,9}")
+    runs = [m.span() for m in _DIGIT_RUN.finditer(data[: 1 << 20])]
+    if not runs:
+        return data
+    a, b = runs[rng.randrange(len(runs))]
+    big = str(rng.choice(_BIG_INTS)).encode()
+    return data[:a] + big + data[b:]
+
+
+def _mutate_zip_member(data: bytes, rng: random.Random) -> bytes:
+    """Container-aware mutation: byte flips inside a PK-zip corrupt the
+    deflate stream and die at the CRC check, so the XML *content* paths
+    (ODF repeat attributes, xlsx refs/sharedStrings) never get exercised.
+    Re-zip with one member mutated at the text level instead."""
+    import io
+    import zipfile
+
+    src = zipfile.ZipFile(io.BytesIO(data))
+    names = src.namelist()
+    if not names:
+        return data
+    victim = names[rng.randrange(len(names))]
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as dst:
+        for n in names:
+            raw = src.read(n)
+            if n == victim:
+                if rng.randrange(2):
+                    raw = _amplify_digits(raw, rng)
+                else:  # tile a small chunk many times: cumulative amplification
+                    if raw:
+                        a = rng.randrange(len(raw))
+                        chunk = raw[a : a + rng.randint(1, 256)]
+                        reps = rng.randint(2, (1 << 19) // max(len(chunk), 1))
+                        b = rng.randrange(len(raw) + 1)
+                        raw = raw[:b] + chunk * reps + raw[b:]
+            dst.writestr(n, raw)
+    return out.getvalue()
+
+
 def _mutate(data: bytes, rng: random.Random) -> bytes:
     buf = bytearray(data)
-    op = rng.randrange(8)
+    op = rng.randrange(10)
     if op == 0 and buf:  # flip a handful of bytes
         for _ in range(rng.randint(1, 16)):
             buf[rng.randrange(len(buf))] = rng.randrange(256)
@@ -137,6 +189,13 @@ def _mutate(data: bytes, rng: random.Random) -> bytes:
         chunk = bytes(buf[a : a + rng.randint(4, 4096)])
         b = rng.randrange(len(buf))
         buf[b : b + len(chunk)] = chunk
+    elif op == 8:  # huge ASCII decimal (text-format length/repeat fields)
+        return _amplify_digits(bytes(buf), rng)
+    elif op == 9 and buf[:4] == b"PK\x03\x04":  # mutate INSIDE the container
+        try:
+            return _mutate_zip_member(bytes(buf), rng)
+        except Exception:
+            return bytes(buf)
     return bytes(buf)
 
 
