@@ -11,12 +11,15 @@ Submit (north_rule launch shape):
       --input  <documents_raw parquet/iceberg path> \
       --output <spans_out path> \
       --state  <state table path> \
-      [--partitions N] [--rounds 3]
+      [--partitions N] [--rounds 3] [--max-docs N]
 
 Rerunning the same command after any interruption resumes from the state
 table (anti-join work selection); --rounds>1 retries failed docs with
 exponential backoff (1/2/4 s — reference TASK_PROCESSING_GUIDE.md:89-93)
-up to the per-doc attempt cap.
+up to the per-doc attempt cap. --max-docs bounds each round to a batch
+(the reference fetch-worker polls `limit=max_concurrent_tasks` pending
+tasks, enhanced_task_processor.py:259-307); rounds then drain batches
+until one selects nothing.
 """
 
 from __future__ import annotations
@@ -34,6 +37,15 @@ def main() -> None:
     ap.add_argument("--state", required=True)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument(
+        "--max-docs",
+        type=int,
+        default=None,
+        help="bounded batches: process at most this many docs per round "
+        "(the reference fetch-worker pulls limit=max_concurrent_tasks "
+        "pending tasks per poll); rounds continue until a round finds "
+        "nothing left, still capped by --rounds",
+    )
     ap.add_argument("--master", default=None, help="override master (local testing)")
     ap.add_argument(
         "--warmup-docs",
@@ -71,11 +83,20 @@ def main() -> None:
 
     backoff = 1.0
     for rnd in range(1, args.rounds + 1):
-        r = run_extraction_job(spark, docs, args.output, state, target_partitions=args.partitions)
+        r = run_extraction_job(
+            spark,
+            docs,
+            args.output,
+            state,
+            target_partitions=args.partitions,
+            max_docs=args.max_docs,
+        )
         print(json.dumps({"round": rnd, **r.__dict__}))
-        if r.failed == 0:
-            break
-        if rnd < args.rounds:
+        if r.processed == 0:
+            break  # nothing left to select — corpus drained (or all terminal)
+        if r.failed == 0 and args.max_docs is None:
+            break  # unbatched run converged in one pass
+        if rnd < args.rounds and r.failed:
             time.sleep(backoff)  # 1/2/4 s exponential backoff between retry rounds
             backoff *= 2
     spark.stop()
