@@ -110,3 +110,36 @@ def test_p5_result_file_filter(spark):
     got = {r.name: r.keep for r in df.select(
         "name", is_main_result_file(F.col("name")).alias("keep")).collect()}
     assert got == {n: e for n, e in names}
+
+
+def test_run_curate_cli_end_to_end(tmp_path):
+    """jobs/run_curate.py is a product surface with its own wiring (stage
+    counts, persist, sorted write) — drive the literal CLI in a fresh
+    interpreter against a small documents table and check the printed
+    stage funnel plus the written output."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "curated")
+    env = {**os.environ, "PYTHONPATH": repo}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "run_curate.py"),
+         "--input", src, "--output", out,
+         "--quality-min", "0.3", "--sample-en", "500", "--sample-other", "500",
+         "--files", "4", "--master", "local[4]"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    # funnel must be monotone and the write must match the final count
+    assert (summary["docs_in"] >= summary["after_dedup"]
+            >= summary["after_quality"] >= summary["after_sampling"] > 0)
+    written = pq.read_table(out)
+    assert written.num_rows == summary["after_sampling"]
+    assert "fingerprint" not in written.schema.names  # internals dropped
