@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from documentconvert_spark.ingest import documents_table_as_raw
 from documentconvert_spark.pipeline import extract_spans
-from documentconvert_spark.queries_corpus import CORPUS_QUERIES
+from documentconvert_spark.queries_corpus import CORPUS_QUERIES, CORPUS_QUERIES_EXTRA
 from documentconvert_spark.queries_events import EVENT_QUERIES
 from documentconvert_spark.queries_extraction import EXTRACTION_QUERIES, _ensure_expected_parquet
 from documentconvert_spark.queries_relational import RELATIONAL_QUERIES
@@ -69,6 +69,7 @@ _ALL: dict[str, tuple] = {
     **_R1_FIXED,
     **_DEMOTED,
     **_R1_PASSED,
+    **CORPUS_QUERIES_EXTRA,
 }
 
 

@@ -1170,6 +1170,65 @@ WHERE a.bucket_n <= {_LSH_BUCKET_CAP} AND b.bucket_n <= {_LSH_BUCKET_CAP}
 """
 
 
+# ------------------------------------------------------- URL blocklist filter
+# Domain/URL filtering is the first gate of every web-scale curation
+# pipeline (C4 drops blocklisted domains; RefinedWeb filters by blocklist
+# + URL patterns before any content-level step — it is the cheapest
+# filter, so it runs first). The synthetic documents table carries no URL
+# column, so one is seeded deterministically from (source, doc_id). Scale
+# shape: the blocklist is a DIM TABLE broadcast into a left_anti join —
+# the corpus side streams with no shuffle at any scale — plus a JVM-regex
+# pattern reject for URL shapes a list can't enumerate.
+
+_BLOCKED_SOURCES = ("src3", "src7", "src13")
+_URL_REJECT_RE = r"(/ads/|\.click/|\?utm_spam=)"
+
+
+def q_filter_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    seeded = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"),
+            F.when((F.col("doc_id") % 11) == 0, F.lit("/ads/"))
+            .when((F.col("doc_id") % 13) == 0, F.lit("/a?utm_spam=1&p="))
+            .otherwise(F.lit("/p/")),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    blocklist = F.broadcast(
+        spark.createDataFrame([(s,) for s in _BLOCKED_SOURCES], "source string")
+    )
+    kept = seeded.join(blocklist, "source", "left_anti").filter(
+        ~F.col("url").rlike(_URL_REJECT_RE)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_FILTER_URL_BLOCKLIST = f"""
+WITH seeded AS (
+  SELECT source, doc_id,
+         'https://' || source || '.example.com' ||
+         CASE WHEN doc_id % 11 = 0 THEN '/ads/'
+              WHEN doc_id % 13 = 0 THEN '/a?utm_spam=1&p='
+              ELSE '/p/' END || CAST(doc_id AS VARCHAR) AS url
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(doc_id) AS max_doc_id
+FROM seeded
+WHERE source NOT IN {_BLOCKED_SOURCES!r}
+  AND NOT regexp_matches(url, '{_URL_REJECT_RE}')
+GROUP BY source
+ORDER BY source
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "dedup_minhash_capped": (q_dedup_minhash_capped, SQL_DEDUP_MINHASH_CAPPED),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
@@ -1195,4 +1254,11 @@ CORPUS_QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+}
+
+# Registered AFTER the driver's 50-entry window (the window composition in
+# __spark_entry__ is pinned; additions here must not shift it). Local
+# oracle coverage via scripts/verify_contract.py like every other entry.
+CORPUS_QUERIES_EXTRA: dict[str, tuple] = {
+    "filter_url_blocklist": (q_filter_url_blocklist, SQL_FILTER_URL_BLOCKLIST),
 }
