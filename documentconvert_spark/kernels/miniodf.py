@@ -90,6 +90,11 @@ def _table_grid(tbl) -> str:
                 continue
             rep = min(int(tc.get(f"{_TB}number-columns-repeated", "1") or "1"), _MAX_REPEAT)
             if tc.tag == f"{_TB}covered-table-cell":
+                # each pad cell still costs one tab in the join, times
+                # rows-repeated — charge it, or covered-cell runs become
+                # the one uncharged path to a giant grid
+                out_chars += rep * row_rep
+                check_decoded_size(out_chars, "odf table grid")
                 cells.extend([""] * rep)
                 if len(cells) > 16384:
                     raise ValueError("odf: table row wider than the 16384-column format limit")
@@ -108,22 +113,29 @@ def _table_grid(tbl) -> str:
                 txt = tc.get(f"{_O}boolean-value", "")
             else:
                 txt = " ".join(_text_of(p) for p in tc.findall(f"{_T}p"))
+            # budget BEFORE the references multiply: one cell whose
+            # _text_of flattens to ~250 MB (legal under its own per-call
+            # cap) with columns-repeated=1024 × rows-repeated=1024 would
+            # otherwise materialize the product in the "\t".join below
+            # before any check ran. The repeat factors are part of the
+            # charge — the refs are cheap but the join is not.
+            out_chars += (len(txt) + 1) * rep * row_rep
+            check_decoded_size(out_chars, "odf table grid")
             cells.extend([txt.replace("\t", " ").replace("\n", " ").strip()] * rep)
             # a 10 MB row of 200k cell elements × 1024 repeats each would
-            # build a 200M-entry list before the grid-text cap below even
+            # build a 200M-entry list before the grid-text cap above even
             # sees it; ODS's own format limit is 16384 columns
             if len(cells) > 16384:
                 raise ValueError("odf: table row wider than the 16384-column format limit")
         while cells and not cells[-1]:
             cells.pop()
         if any(c for c in cells):
-            line = "\t".join(cells)
             # rows-repeated × columns-repeated multiply: one ~100-byte
             # row claiming 1024×1024 expands to ~1M cells, a ~20,000x
-            # amplification even under the per-run clamps — cap the
-            # CUMULATIVE grid text like any other decode expansion
-            out_chars += (len(line) + 1) * row_rep
-            check_decoded_size(out_chars, "odf table grid")
+            # amplification even under the per-run clamps — the repeat
+            # products were charged against the cumulative budget above,
+            # so this join materializes at most the 256 MiB cap
+            line = "\t".join(cells)
             rows_out.extend([line] * row_rep)
     return "\n".join(rows_out)
 

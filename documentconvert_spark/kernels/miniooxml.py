@@ -341,15 +341,21 @@ def extract_xlsx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
                 else:
                     v = c.find(f"{_S}v")
                     val = _fmt_num(v.text) if v is not None and v.text else ""
+                # budget BEFORE the row joins: N cells each referencing a
+                # ~250 MB shared string (legal under the per-member zip
+                # cap) would otherwise materialize N x 250 MB in the
+                # "\t".join below before any check ran
+                out_chars += len(val) + 1
+                check_decoded_size(out_chars, f"xlsx sheet {name!r} text")
                 cells[ci] = val.replace("\t", " ").replace("\n", " ")
             if cells and any(v.strip() for v in cells.values()):
                 width = max(cells) + 1
                 line = "\t".join(cells.get(i, "") for i in range(width))
                 # the per-ref clamp bounds one row at ~16 KB of padding,
                 # but a sheet of millions of 60-byte rows each claiming
-                # r="XFD1" still amplifies ~270x — cap the CUMULATIVE
-                # emitted text like any other decode expansion
-                out_chars += len(line)
+                # r="XFD1" still amplifies ~270x — the padding tabs count
+                # against the same cumulative budget as the cell text
+                out_chars += width - len(cells)
                 check_decoded_size(out_chars, f"xlsx sheet {name!r} text")
                 rows_out.append(line)
         if rows_out:

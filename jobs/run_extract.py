@@ -94,8 +94,11 @@ def main() -> None:
         print(json.dumps({"round": rnd, **r.__dict__}))
         if r.processed == 0:
             break  # nothing left to select — corpus drained (or all terminal)
-        if r.failed == 0 and args.max_docs is None:
-            break  # unbatched run converged in one pass
+        if r.failed == 0 and (args.max_docs is None or r.processed < args.max_docs):
+            # converged: an unbatched clean pass, or a clean PARTIAL batch
+            # (the selection found less than the batch bound, so nothing
+            # remains — skip the otherwise-wasted empty confirmation round)
+            break
         if rnd < args.rounds and r.failed:
             time.sleep(backoff)  # 1/2/4 s exponential backoff between retry rounds
             backoff *= 2

@@ -190,12 +190,24 @@ def _mutate(data: bytes, rng: random.Random) -> bytes:
         b = rng.randrange(len(buf))
         buf[b : b + len(chunk)] = chunk
     elif op == 8:  # huge ASCII decimal (text-format length/repeat fields)
-        return _amplify_digits(bytes(buf), rng)
-    elif op == 9 and buf[:4] == b"PK\x03\x04":  # mutate INSIDE the container
-        try:
-            return _mutate_zip_member(bytes(buf), rng)
-        except Exception:
-            return bytes(buf)
+        out = _amplify_digits(bytes(buf), rng)
+        if out != bytes(buf):
+            return out
+        # no decimal run in range — degrade to a byte flip so every
+        # iteration is a REAL mutant (replaying the pristine seed would
+        # inflate the campaign's parsed-clean count)
+        if buf:
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        return bytes(buf)
+    elif op == 9:  # mutate INSIDE a PK-zip container
+        if buf[:4] == b"PK\x03\x04":
+            try:
+                return _mutate_zip_member(bytes(buf), rng)
+            except Exception:
+                pass
+        if buf:  # non-container seed (or unreadable zip) — degrade to a flip
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        return bytes(buf)
     return bytes(buf)
 
 

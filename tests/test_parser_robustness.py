@@ -489,3 +489,76 @@ def test_odf_row_width_format_limit():
             '</table:table-row></table:table>')
     with _pytest.raises(ValueError):
         extract_odf(_odf_with_content(body))
+
+
+def test_xlsx_budget_charged_before_row_join(monkeypatch):
+    """The cumulative cap must fire while CELLS accumulate, not after the
+    row's "\\t".join has materialized: N cells all referencing one big
+    shared string (legal under the per-member zip cap) would otherwise
+    allocate N x len(string) before the first check."""
+    import io
+    import tracemalloc
+    import zipfile
+
+    import pytest as _pytest
+
+    from documentconvert_spark.kernels import limits
+    from documentconvert_spark.kernels.miniooxml import extract_xlsx
+
+    monkeypatch.setattr(limits, "MAX_DECODED_BYTES", 60_000)
+    big = "S" * 50_000
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr(
+            "xl/workbook.xml",
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>')
+        z.writestr(
+            "xl/sharedStrings.xml",
+            '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f'<si><t>{big}</t></si></sst>')
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            '<sheetData><row>' + '<c t="s"><v>0</v></c>' * 200 + '</row>'
+            '</sheetData></worksheet>')
+    tracemalloc.start()
+    with _pytest.raises(ValueError):
+        extract_xlsx(buf.getvalue())
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # 200 cells x 50 KB = 10 MB if the join ran first; budget-first keeps
+    # the peak at ~2 strings + parser overhead
+    assert peak < 2_000_000, f"allocated {peak} bytes before the cap fired"
+
+
+def test_odf_budget_charged_before_grid_join(monkeypatch):
+    """Repeat factors must be charged when the cell is SEEN: one big cell
+    x columns-repeated x rows-repeated would otherwise materialize the
+    whole product in the row join before the first check."""
+    import tracemalloc
+
+    import pytest as _pytest
+
+    from documentconvert_spark.kernels import limits
+    from documentconvert_spark.kernels.miniodf import extract_odf
+
+    monkeypatch.setattr(limits, "MAX_DECODED_BYTES", 60_000)
+    big = "O" * 50_000
+    body = ('<table:table table:name="S1">'
+            '<table:table-row table:number-rows-repeated="1024">'
+            '<table:table-cell table:number-columns-repeated="1024" '
+            f'office:value-type="string"><text:p>{big}</text:p>'
+            '</table:table-cell></table:table-row></table:table>')
+    tracemalloc.start()
+    with _pytest.raises(ValueError):
+        extract_odf(_odf_with_content(body))
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 2_000_000, f"allocated {peak} bytes before the cap fired"

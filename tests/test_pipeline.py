@@ -218,8 +218,12 @@ def test_max_docs_batch_is_parallel(spark, docs_df, tmp_path):
     rescue the whole batch rides the limit's single partition)."""
     out = str(tmp_path / "spans_out")
     st = StateStore(spark, str(tmp_path / "state"))
-    # pin the LARGE-corpus regime (where no branch reshuffles) — in the
-    # small regime the one-shuffle rescue would mask the limit collapse
+    # The fixed code never reads openCostInBytes on the max_docs path
+    # (it pins small_corpus_bytes=-1.0) — this override exists for the
+    # REGRESSION case: if someone removes the batch respread AND its
+    # regime pin, the tiny fixture corpus would land in the small-corpus
+    # rescue and repartition anyway, masking the limit collapse this
+    # test is here to catch.
     old = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
     spark.conf.set("spark.sql.files.openCostInBytes", "1")
     try:
