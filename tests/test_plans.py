@@ -127,3 +127,32 @@ def test_dedup_embedding_cosine_is_bucketed_not_cartesian(spark):
     # the pair join is an equi hash/sort-merge join on the bucket key
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         plan.count("BroadcastHashJoin") >= 1)
+
+
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Registry-wide scale invariant: every one of the contract queries
+    must plan without a CartesianProduct, and BroadcastNestedLoopJoin may
+    appear only where the build side is bounded by construction (ANN
+    centroid/query-set broadcasts, 1-row scalar subqueries). Plans are
+    built driver-side only — nothing executes."""
+    import __spark_entry__ as entrymod
+
+    # BNLJ whitelist: build side bounded by construction
+    bnlj_ok = {
+        "ann_cosine_topk",      # query-set broadcast (brute-force baseline)
+        "ann_ivf_buckets",      # 8-centroid broadcast assignment
+        "ann_ivf_topk",
+        "ann_ivf_recall",
+        "dedup_embedding_cosine",  # same centroid assignment, then equi-join
+        "dq_checks",            # 1-row scalar-subquery cross joins
+        "tpch_q11s",            # scalar threshold subquery
+        "tpch_q22",             # scalar avg-balance subquery
+    }
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders[name] = "cartesian"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders[name] = "unlisted-bnlj"
+    assert not offenders, offenders
