@@ -23,8 +23,16 @@ from __future__ import annotations
 
 import struct
 
+from documentconvert_spark.kernels.limits import check_decoded_size
 from documentconvert_spark.kernels.minidoc import _Cfb
 from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+
+# BIFF8's own sheet bounds: 256 columns (IV), 65536 rows. The column
+# field is a u16, so a crafted record can claim c=65535 and the row
+# padding below would emit ~64 KB of tabs per 14-byte record (~4,700x
+# amplification) — cells beyond the format's own grid are invalid and
+# ignored, exactly like beyond-XFD refs in the xlsx path.
+_MAX_COL = 255
 
 
 # -- .xls (BIFF8) ------------------------------------------------------------
@@ -201,31 +209,44 @@ def extract_xls(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
     spans: list[Span] = []
     for name, lb in sheets:
         cells: dict[tuple[int, int], str] = {}
+        out_chars = 0
+
+        def put(r: int, c: int, val: str) -> None:
+            # budget BEFORE the grid joins: N 14-byte LABELSST records all
+            # referencing one big SST string would otherwise materialize
+            # N x len(string) in the per-row "\t".join below
+            nonlocal out_chars
+            if c > _MAX_COL:
+                return
+            out_chars += len(val) + 1
+            check_decoded_size(out_chars, "xls sheet text")
+            cells[(r, c)] = val
+
         for op, _off, payload in _records(wb, lb):
             if op == 0x000A:  # EOF — end of this sheet substream
                 break
             if op == 0x00FD and len(payload) >= 10:  # LABELSST
                 r, c, _xf, isst = struct.unpack_from("<HHHI", payload, 0)
                 if 0 <= isst < len(sst):
-                    cells[(r, c)] = sst[isst]
+                    put(r, c, sst[isst])
             elif op == 0x0203 and len(payload) >= 14:  # NUMBER
                 r, c, _xf = struct.unpack_from("<HHH", payload, 0)
                 (v,) = struct.unpack_from("<d", payload, 6)
-                cells[(r, c)] = str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
+                put(r, c, str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v))
             elif op == 0x027E and len(payload) >= 10:  # RK
                 r, c, _xf = struct.unpack_from("<HHH", payload, 0)
                 (rk,) = struct.unpack_from("<I", payload, 6)
-                cells[(r, c)] = _rk_value(rk)
+                put(r, c, _rk_value(rk))
             elif op == 0x00BD:  # MULRK
                 r, c_first = struct.unpack_from("<HH", payload, 0)
                 n_rk = (len(payload) - 6) // 6
                 for k in range(n_rk):
                     (rk,) = struct.unpack_from("<I", payload, 4 + k * 6 + 2)
-                    cells[(r, c_first + k)] = _rk_value(rk)
+                    put(r, c_first + k, _rk_value(rk))
             elif op == 0x0204 and len(payload) >= 8:  # LABEL (BIFF8 inline)
                 r, c, _xf = struct.unpack_from("<HHH", payload, 0)
                 txt, _ = _read_xl_string(payload, 6)
-                cells[(r, c)] = txt
+                put(r, c, txt)
         if not cells:
             continue
         by_row: dict[int, dict[int, str]] = {}

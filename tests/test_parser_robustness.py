@@ -562,3 +562,62 @@ def test_odf_budget_charged_before_grid_join(monkeypatch):
     _cur, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
     assert peak < 2_000_000, f"allocated {peak} bytes before the cap fired"
+
+
+def _xls_with_cells(cells, sst_strings):
+    """Minimal BIFF8 .xls: one sheet, LABELSST cells -> shared strings."""
+    import struct
+
+    from tests.test_legacy_formats import _biff_rec, _xl_str8, write_cfb
+
+    sst_payload = struct.pack("<II", len(sst_strings), len(sst_strings))
+    for s in sst_strings:
+        sst_payload += struct.pack("<HB", len(s), 0) + s.encode("latin-1")
+    bof = _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    boundsheet = struct.pack("<IBB", 0, 0, 0) + _xl_str8("Data")
+    globals_part = (bof + _biff_rec(0x0085, boundsheet)
+                    + _biff_rec(0x00FC, sst_payload) + _biff_rec(0x000A, b""))
+    sheet = _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    for r, c, isst in cells:
+        sheet += _biff_rec(0x00FD, struct.pack("<HHHI", r, c, 0, isst))
+    sheet += _biff_rec(0x000A, b"")
+    fixed = struct.pack("<I", len(globals_part)) + boundsheet[4:]
+    globals_part = (bof + _biff_rec(0x0085, fixed)
+                    + _biff_rec(0x00FC, sst_payload) + _biff_rec(0x000A, b""))
+    return write_cfb([("Workbook", globals_part + sheet)])
+
+
+def test_xls_far_column_ignored():
+    """The BIFF column field is a u16: a cell claiming c=65535 used to pad
+    its row with ~64 KB of tabs from one 14-byte record (BIFF8's own grid
+    stops at column IV=255). Invalid columns are ignored, like beyond-XFD
+    refs in xlsx."""
+    from documentconvert_spark.kernels.minibiff import extract_xls
+
+    data = _xls_with_cells([(0, 0, 0), (0, 65535, 1)], ["keep", "far"])
+    spans = extract_xls(data)
+    table = next(s for s in spans if s.kind == "table")
+    assert "keep" in table.text and "far" not in table.text
+    assert len(table.text) < 100
+
+
+def test_xls_sst_fanout_budget(monkeypatch):
+    """N 14-byte LABELSST records all referencing one big shared string
+    must trip the cumulative budget as cells accumulate, before any row
+    join materializes the fan-out."""
+    import tracemalloc
+
+    import pytest as _pytest
+
+    from documentconvert_spark.kernels import limits
+    from documentconvert_spark.kernels.minibiff import extract_xls
+
+    monkeypatch.setattr(limits, "MAX_DECODED_BYTES", 60_000)
+    big = "S" * 50_000
+    data = _xls_with_cells([(r, 0, 0) for r in range(200)], [big])
+    tracemalloc.start()
+    with _pytest.raises(ValueError):
+        extract_xls(data)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 2_000_000, f"allocated {peak} bytes before the cap fired"
