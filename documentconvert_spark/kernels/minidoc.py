@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import struct
 
+from documentconvert_spark.kernels.limits import check_decoded_size
 from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
 
 OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -208,12 +209,20 @@ def extract_doc(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
 
     chunks: list[str] = []
     remaining = ccp_text
+    decoded = 0
     for cp_s, cp_e, fc, compressed in _pieces(word, table):
         if remaining <= 0:
             break
         n = min(cp_e - cp_s, remaining)
         width = 1 if compressed else 2
         raw = word[fc : fc + n * width]
+        # `remaining` counts CLAIMED chars (ccp_text and the cp ranges are
+        # both file-controlled u32s), but each piece APPENDS its actual
+        # slice — N overlapping PCDs all pointing at the same fc would
+        # otherwise accumulate N x len(word) before the join below.
+        # Charge what is actually decoded.
+        decoded += len(raw)
+        check_decoded_size(decoded, "doc text pieces")
         chunks.append(_decode_piece(raw, compressed))
         remaining -= n
     text = "".join(chunks)

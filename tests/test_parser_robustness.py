@@ -621,3 +621,41 @@ def test_xls_sst_fanout_budget(monkeypatch):
     _cur, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
     assert peak < 2_000_000, f"allocated {peak} bytes before the cap fired"
+
+
+def test_doc_overlapping_pieces_budget(monkeypatch):
+    """ccp_text and the piece-table cp ranges are file-controlled u32s:
+    N overlapping PCDs all pointing at the same fc each append their
+    actual slice, so a small .doc used to accumulate N x len(word) of
+    decoded text before the join. The budget must fire on ACTUAL decoded
+    bytes as pieces accumulate."""
+    import struct
+    import tracemalloc
+
+    import pytest as _pytest
+
+    from documentconvert_spark.kernels import limits
+    from documentconvert_spark.kernels.minidoc import extract_doc
+    from tests.test_legacy_formats import write_cfb
+
+    monkeypatch.setattr(limits, "MAX_DECODED_BYTES", 60_000)
+    word = bytearray(40_000)
+    struct.pack_into("<H", word, 0, 0xA5EC)       # FIB magic
+    struct.pack_into("<H", word, 0x0A, 0)         # flags -> 0Table
+    struct.pack_into("<I", word, 0x4C, 0xFFFFFF)  # ccp_text forged huge
+    n = 100
+    cps = [k * 10_000 for k in range(n + 1)]
+    plc = struct.pack(f"<{n + 1}I", *cps)
+    for _ in range(n):
+        # every PCD: compressed, fc -> the same offset 0x400
+        plc += struct.pack("<HIH", 0, 0x40000000 | 0x400, 0)
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    struct.pack_into("<I", word, 0x1A2, 0)        # fc_clx in table stream
+    struct.pack_into("<I", word, 0x1A6, len(clx))
+    data = write_cfb([("WordDocument", bytes(word)), ("0Table", clx)])
+    tracemalloc.start()
+    with _pytest.raises(ValueError):
+        extract_doc(data)
+    peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert peak < 2_000_000, f"allocated {peak} bytes before the cap fired"
