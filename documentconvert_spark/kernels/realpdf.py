@@ -1189,7 +1189,19 @@ _TEXT_OPS = frozenset([
 
 
 def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
-               runs: list, ctm, seq_start: int, depth: int = 0) -> int:
+               runs: list, ctm, seq_start: int, depth: int = 0,
+               budget: list | None = None) -> int:
+    # The depth cap below stops self-referential forms, but not BREADTH:
+    # a stream of K "/F Do" ops invoking a form that itself holds K Do ops
+    # re-interprets (and re-emits runs for) the same bytes K^depth times —
+    # a crafted few-hundred-KB file becomes years of work and unbounded
+    # runs. A budget of total interpreted bytes, shared down the
+    # recursion, bounds the whole page at the decode-expansion cap.
+    if budget is None:
+        budget = [limits.MAX_DECODED_BYTES]
+    budget[0] -= len(body)
+    if budget[0] < 0:
+        raise ValueError("pdf: interpreted content over the expansion cap")
     fonts_res = pdf.resolve(resources.get("Font")) or {}
     xobjs = pdf.resolve(resources.get("XObject")) or {}
     font: _Font | None = None
@@ -1228,6 +1240,12 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
             # graphics-heavy pages)
             stack.clear()
             continue
+        # checked OUTSIDE the per-op containment try (and outside the Do
+        # branch's best-effort try): once a nested form exhausts the
+        # budget, the exhaustion must propagate up every level instead of
+        # being swallowed as a broken-form error with silent truncation
+        if budget[0] < 0:
+            raise ValueError("pdf: interpreted content over the expansion cap")
         try:
             if op == "BT":
                 tm = tlm = _ID
@@ -1289,7 +1307,8 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
                         inner_ctm = _mat_mul(tuple(float(v) for v in mtx), ctm)
                         try:
                             seq = _interpret(pdf, pdf.stream_bytes(xo), inner_res,
-                                             page_no, runs, inner_ctm, seq, depth + 1)
+                                             page_no, runs, inner_ctm, seq, depth + 1,
+                                             budget)
                         except Exception:
                             pass
                     elif sub == "Image":
@@ -1550,6 +1569,10 @@ def extract_realpdf(content: bytes) -> list[Span]:
 
     runs: list = []
     seq = 0
+    # ONE interpreter budget for the whole document: per-page budgets
+    # would let 10k pages sharing a single big (or form-amplified)
+    # stream multiply the cap right back into a CPU/memory bomb
+    budget = [limits.MAX_DECODED_BYTES]
     for page_no, (pg, res) in enumerate(pages):
         contents = pdf.resolve(pg.get("Contents"))
         chunks: list[bytes] = []
@@ -1562,5 +1585,5 @@ def extract_realpdf(content: bytes) -> list[Span]:
         if not chunks:
             continue
         body = b"\n".join(chunks)
-        seq = _interpret(pdf, body, res, page_no, runs, _ID, seq)
+        seq = _interpret(pdf, body, res, page_no, runs, _ID, seq, budget=budget)
     return _runs_to_spans(runs)

@@ -659,3 +659,40 @@ def test_doc_overlapping_pieces_budget(monkeypatch):
     peak = tracemalloc.get_traced_memory()[1]
     tracemalloc.stop()
     assert peak < 2_000_000, f"allocated {peak} bytes before the cap fired"
+
+
+def test_pdf_form_breadth_amplification_bounded(monkeypatch):
+    """The Do recursion depth cap stops self-reference but not BREADTH:
+    100 Do ops per level across 3 nested forms re-interpret the leaf
+    1M times (days of CPU from a ~10 KB file). The per-document
+    interpreted-bytes budget must stop it."""
+    import pytest as _pytest
+
+    from documentconvert_spark.kernels import limits
+    from documentconvert_spark.kernels.realpdf import extract_realpdf
+    from tests.test_realpdf_features import _classic_pdf
+
+    monkeypatch.setattr(limits, "MAX_DECODED_BYTES", 100_000)
+
+    def form(child_ref: bytes | None, body: bytes) -> bytes:
+        res = (b"/Resources <</XObject <</N " + child_ref + b">>>> "
+               ) if child_ref else b""
+        return (b"<</Subtype /Form " + res
+                + b"/Length %d>>\nstream\n" % len(body) + body + b"\nendstream")
+
+    fan = b"/N Do\n" * 100
+    leaf_body = b"q Q " * 250  # ~1 KB of no-op graphics state per leaf visit
+    objects = {
+        1: b"<</Type /Catalog /Pages 2 0 R>>",
+        2: b"<</Type /Pages /Kids [3 0 R] /Count 1>>",
+        3: (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources <</XObject <</N 5 0 R>>>>>>"),
+        4: b"<</Length %d>>\nstream\n%s\nendstream" % (len(fan), fan),
+        5: form(b"6 0 R", fan),
+        6: form(b"7 0 R", fan),
+        7: form(None, leaf_body),
+    }
+    t0 = time.monotonic()
+    with _pytest.raises(ValueError):
+        extract_realpdf(_classic_pdf(objects))
+    assert time.monotonic() - t0 < 3.0
