@@ -29,7 +29,12 @@ from bench_common import (  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_TEST_DIR = "/root/reference/test"
-N_COPIES_DEFAULT = 400  # × 7 docs = 2,800-doc corpus
+# × 7 docs = 8,400-doc corpus: sized so the FASTEST leg (8 cores at
+# ~390 docs/s) runs >20 s — at the old 2,800-doc size that leg finished
+# in ~7 s and per-leg fixed overhead (JVM spin-up amortization, import
+# warm) was ~15-20% of the measurement, enough for one noisy window to
+# flip a pair below 0.8 (same lesson as job_scaling_bench's corpus rule)
+N_COPIES_DEFAULT = 1200
 PAIRS = [(1, 4), (2, 8)]  # physical-core regime (see scaling_bench.py)
 
 _RUN_SNIPPET = r"""
