@@ -103,7 +103,10 @@ def run_real_docs_bench(spark, sf: float, parallelism: int) -> tuple[float, int]
         name = os.path.basename(p)
         suffix = name.rsplit(".", 1)[-1].lower()
         rows.append((name, "pdf" if suffix == "pdf" else "markup", content, len(content)))
-    n_copies = max(int(1000 * sf), 10)
+    # sized so a timed pass runs seconds, not ~1 s: at 700 docs (the old
+    # 100×sf) the ~1 s of fixed plan/scheduling overhead was ~half the
+    # measurement and the reported docs/s swung ±40% between runs
+    n_copies = max(int(6000 * sf), 10)
     base = spark.createDataFrame(
         rows, "doc_id string, doc_type string, content binary, byte_len long"
     )
