@@ -1437,6 +1437,159 @@ def _detect_tables(lines: list[dict]) -> dict[int, int]:
     return groups
 
 
+# -- multi-column reading order ----------------------------------------------
+
+_GUTTER_HALF_PT = 6.0     # clearance required on each side of a column gutter
+_COL_MIN_BOTH = 8         # min lines with content on both sides of the gutter
+_COL_MAX_SPAN_FRAC = 0.2  # fraction of lines allowed to cross it (titles)
+_COL_MIN_SUPPORT = 0.8    # fraction of lines that must be consistent with it
+_COL_MIN_FILL = 0.45      # mean text fill of each column (tables are sparser)
+
+
+def _cell_extents(ln: dict) -> list[tuple[float, float]]:
+    size = max(ln["size"], 6.0)
+    return [(x, x + _run_width(txt, size)) for x, txt in ln["cells"]]
+
+
+def _find_gutter(plines: list[dict]) -> float | None:
+    """Detect a two-column page: a vertical whitespace band that most
+    lines either stay on one side of or jump across (one cell per side),
+    centrally located, with BOTH columns well filled by text. The fill
+    condition separates a two-column page from a two-column table —
+    table cells are short relative to their column, body text fills it
+    (the MinerU layout/reading-order analogue, north_star). Conservative
+    on purpose: a miss degrades to the old top-to-bottom order, a
+    misfire would silently reorder table rows."""
+    if len(plines) < _COL_MIN_BOTH + 2:
+        return None
+    ext = [_cell_extents(ln) for ln in plines if ln["cells"]]
+    if not ext:
+        return None
+    x0 = min(e[0][0] for e in ext)
+    x1 = max(e[-1][1] for e in ext)
+    width = x1 - x0
+    if width <= 100.0:
+        return None
+    cand: dict[int, int] = {}
+    for pieces in ext:
+        for (_s0, e0), (s1, _e1) in zip(pieces, pieces[1:]):
+            if s1 - e0 >= 2 * _GUTTER_HALF_PT:
+                q = round((e0 + s1) / 2 / 8.0)
+                cand[q] = cand.get(q, 0) + 1
+    best: tuple[tuple[int, int], float] | None = None
+    for q in sorted(cand, key=cand.get, reverse=True)[:12]:
+        xs = q * 8.0
+        if not (x0 + 0.30 * width <= xs <= x0 + 0.70 * width):
+            continue
+        both_n = span_n = side_n = 0
+        fill_l: list[float] = []
+        fill_r: list[float] = []
+        for pieces in ext:
+            if any(s < xs - _GUTTER_HALF_PT and e > xs + _GUTTER_HALF_PT
+                   for s, e in pieces):
+                span_n += 1
+                continue
+            lp = [p for p in pieces if (p[0] + p[1]) / 2 <= xs]
+            rp = [p for p in pieces if (p[0] + p[1]) / 2 > xs]
+            if lp and rp:
+                both_n += 1
+            else:
+                side_n += 1
+            if lp:
+                fill_l.append((lp[-1][1] - lp[0][0]) / max(xs - _GUTTER_HALF_PT - x0, 1.0))
+            if rp:
+                fill_r.append((rp[-1][1] - rp[0][0]) / max(x1 - xs - _GUTTER_HALF_PT, 1.0))
+        total = len(ext)
+        if (
+            both_n >= _COL_MIN_BOTH
+            and span_n <= _COL_MAX_SPAN_FRAC * total
+            and both_n + side_n >= _COL_MIN_SUPPORT * total
+            and fill_l and sum(fill_l) / len(fill_l) >= _COL_MIN_FILL
+            and fill_r and sum(fill_r) / len(fill_r) >= _COL_MIN_FILL
+        ):
+            score = (both_n, -span_n)
+            if best is None or score > best[0]:
+                best = (score, xs)
+    return None if best is None else best[1]
+
+
+def _split_line(ln: dict, xs: float) -> tuple[dict | None, dict | None]:
+    """Split one bucketed visual line at the gutter into per-column lines
+    (same-y runs from both columns land in one y-bucket)."""
+
+    def mk(parts: list) -> dict | None:
+        if not parts:
+            return None
+        d = {"page": ln["page"], "y": ln["y"], "size": max(p[3] for p in parts),
+             "parts": parts}
+        d["cells"] = _assemble_cells(parts)
+        d["text"] = " ".join(c for _x, c in d["cells"])
+        d["x"] = parts[0][0]
+        return d
+
+    lp: list = []
+    rp: list = []
+    for part in ln["parts"]:
+        x, _seq, txt, psize = part
+        (lp if x + _run_width(txt, psize) / 2 <= xs else rp).append(part)
+    return mk(lp), mk(rp)
+
+
+def _order_page(plines: list[dict], pfigs: list[tuple]) -> list[tuple[str, object]]:
+    """One page's lines + figures in reading order as ('line', dict) /
+    ('fig', media_ref) items. Single-column pages keep the top-to-bottom
+    order; a detected two-column page emits left column then right column
+    per SEGMENT, where full-width (gutter-crossing) lines — titles,
+    section heads — delimit segments."""
+    plines = sorted(plines, key=lambda ln: (-ln["y"], ln["x"]))
+    pfigs = sorted(pfigs, key=lambda f: (-f[0], f[2]))
+    items: list[tuple[str, object]] = []
+    gutter = _find_gutter(plines)
+    if gutter is None:
+        fi = 0
+        for ln in plines:
+            while fi < len(pfigs) and pfigs[fi][0] > ln["y"]:
+                items.append(("fig", pfigs[fi][3]))
+                fi += 1
+            items.append(("line", ln))
+        items.extend(("fig", f[3]) for f in pfigs[fi:])
+        return items
+
+    seg_l: list[tuple[str, object]] = []
+    seg_r: list[tuple[str, object]] = []
+
+    def flush_seg() -> None:
+        items.extend(seg_l)
+        items.extend(seg_r)
+        seg_l.clear()
+        seg_r.clear()
+
+    fi = 0
+
+    def place_figs(limit_y: float) -> None:
+        nonlocal fi
+        while fi < len(pfigs) and pfigs[fi][0] > limit_y:
+            _y, x, _seq, payload = pfigs[fi]
+            (seg_l if x <= gutter else seg_r).append(("fig", payload))
+            fi += 1
+
+    for ln in plines:
+        place_figs(ln["y"])
+        if any(s < gutter - _GUTTER_HALF_PT and e > gutter + _GUTTER_HALF_PT
+               for s, e in _cell_extents(ln)):
+            flush_seg()
+            items.append(("line", ln))
+            continue
+        left, right = _split_line(ln, gutter)
+        if left is not None:
+            seg_l.append(("line", left))
+        if right is not None:
+            seg_r.append(("line", right))
+    place_figs(float("-inf"))
+    flush_seg()
+    return items
+
+
 def _runs_to_spans(runs: list) -> list[Span]:
     # group text runs into lines per page: same y within tolerance.
     # O(1) placement via (page, quantized-y) buckets — a naive scan over
@@ -1444,10 +1597,10 @@ def _runs_to_spans(runs: list) -> list[Span]:
     # (the 167 MB-PDF analogue, reference PROJECT_OVERVIEW.md:769).
     lines: list[dict] = []  # {page, y, size, parts:[(x, seq, txt, size)]}
     buckets: dict[tuple[int, int], dict] = {}
-    figures: list[tuple[int, float, int, str]] = []
+    figures: list[tuple[int, float, float, int, str]] = []
     for page, y, x, size, seq, kind, payload in runs:
         if kind == "img":
-            figures.append((page, y, seq, payload))
+            figures.append((page, y, x, seq, payload))
             continue
         if not payload.strip():
             continue
@@ -1471,7 +1624,25 @@ def _runs_to_spans(runs: list) -> list[Span]:
         ln["text"] = " ".join(c for _x, c in ln["cells"])
         ln["x"] = ln["parts"][0][0]
 
-    lines.sort(key=lambda ln: (ln["page"], -ln["y"], ln["x"]))
+    # per-page reading order (multi-column aware), figures interleaved
+    by_page_lines: dict[int, list[dict]] = {}
+    for ln in lines:
+        by_page_lines.setdefault(ln["page"], []).append(ln)
+    by_page_figs: dict[int, list[tuple]] = {}
+    for page, y, x, seq, payload in figures:
+        by_page_figs.setdefault(page, []).append((y, x, seq, payload))
+    stream: list[tuple[str, object]] = []
+    for page in sorted(set(by_page_lines) | set(by_page_figs)):
+        stream.extend(_order_page(by_page_lines.get(page, []),
+                                  by_page_figs.get(page, [])))
+    lines = [o for k, o in stream if k == "line"]
+    pre_figs: dict[int, list[str]] = {}  # line index -> figure refs before it
+    idx = 0
+    for k, o in stream:
+        if k == "fig":
+            pre_figs.setdefault(idx, []).append(o)
+        else:
+            idx += 1
 
     table_end = _detect_tables(lines)  # start line index -> end index (incl.)
 
@@ -1493,18 +1664,12 @@ def _runs_to_spans(runs: list) -> list[Span]:
         spans.append(Span(kind, normalize_text(txt), "", -1))
         cur = None
 
-    fig_iter = sorted(figures, key=lambda f: (f[0], -f[1], f[2]))
-    fi = 0
     li = 0
     while li < len(lines):
-        ln = lines[li]
-        while fi < len(fig_iter) and (
-            fig_iter[fi][0] < ln["page"]
-            or (fig_iter[fi][0] == ln["page"] and fig_iter[fi][1] > ln["y"])
-        ):
+        for payload in pre_figs.get(li, ()):
             flush()
-            spans.append(Span("figure", "", fig_iter[fi][3], -1))
-            fi += 1
+            spans.append(Span("figure", "", payload, -1))
+        ln = lines[li]
         end = table_end.get(li)
         if end is not None:
             flush()
@@ -1512,13 +1677,19 @@ def _runs_to_spans(runs: list) -> list[Span]:
                 "\t".join(c for _x, c in lines[k]["cells"]) for k in range(li, end + 1)
             )
             spans.append(Span("table", normalize_text(grid), "", -1))
+            # figures anchored inside the table region surface after it
+            for k in range(li + 1, end + 1):
+                for payload in pre_figs.get(k, ()):
+                    spans.append(Span("figure", "", payload, -1))
             li = end + 1
             continue
         same_block = (
             cur is not None
             and cur["page"] == ln["page"]
             and abs(cur["size"] - ln["size"]) < 0.5
-            and (cur["last_y"] - ln["y"]) <= _GAP_FACTOR * max(ln["size"], 6.0)
+            # upward jumps (negative gap) are column transitions on a
+            # multi-column page — start a new block, never merge up
+            and 0 <= (cur["last_y"] - ln["y"]) <= _GAP_FACTOR * max(ln["size"], 6.0)
         )
         if same_block:
             cur["lines"].append(ln["text"])
@@ -1529,9 +1700,8 @@ def _runs_to_spans(runs: list) -> list[Span]:
                    "lines": [ln["text"]]}
         li += 1
     flush()
-    while fi < len(fig_iter):
-        spans.append(Span("figure", "", fig_iter[fi][3], -1))
-        fi += 1
+    for payload in pre_figs.get(len(lines), ()):
+        spans.append(Span("figure", "", payload, -1))
     return finalize(rank_heading_levels(spans, heading_sizes))
 
 

@@ -651,3 +651,114 @@ def test_unencrypted_pdf_mentioning_encrypt_in_text():
     objs[5] = _FONT
     spans = extract_realpdf(_classic_pdf(objs))
     assert spans and "mentions" in spans[0].text
+
+
+# -- multi-column reading order ----------------------------------------------
+
+
+def _two_col_page(rows: int = 10, with_mid_head: bool = False) -> bytes:
+    """Classic paper layout: full-width title, then `rows` lines in each of
+    two columns (left x=72, right x=320), same y per row pair; optionally a
+    full-width section head halfway down (a segment delimiter)."""
+    parts = [b"BT /F1 24 Tf 150 760 Td (Two Column Doc) Tj ET"]
+    y = 720
+    for i in range(rows):
+        if with_mid_head and i == rows // 2:
+            parts.append(
+                b"BT /F1 18 Tf 140 %d Td (Middle Section Heading Here) Tj ET" % y
+            )
+            y -= 24
+        parts.append(
+            b"BT /F1 10 Tf 72 %d Td (leftrow%d body text filling the column) Tj ET"
+            % (y, i)
+        )
+        parts.append(
+            b"BT /F1 10 Tf 320 %d Td (rightrow%d body text filling the column) Tj ET"
+            % (y, i)
+        )
+        y -= 14
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", b"\n".join(parts))
+    objs[5] = _FONT
+    return _classic_pdf(objs)
+
+
+def test_two_column_reading_order():
+    """A two-column page reads left column fully, then right column —
+    not line-interleaved, and never as one giant two-cell table."""
+    spans = extract_realpdf(_two_col_page())
+    assert spans[0].kind == "heading" and spans[0].text == "Two Column Doc"
+    assert all(s.kind != "table" for s in spans)
+    text = "\n".join(s.text for s in spans)
+    assert text.index("leftrow9") < text.index("rightrow0")
+    # within each column the rows stay in top-to-bottom order
+    for col in ("leftrow", "rightrow"):
+        pos = [text.index(f"{col}{i}") for i in range(10)]
+        assert pos == sorted(pos)
+
+
+def test_two_column_segments_break_at_fullwidth_heading():
+    """A full-width heading mid-page delimits column segments: everything
+    above it (left then right) precedes it; everything below follows."""
+    spans = extract_realpdf(_two_col_page(rows=20, with_mid_head=True))
+    text = "\n".join(s.text for s in spans)
+    head = text.index("Middle Section Heading Here")
+    assert text.index("leftrow9") < head < text.index("leftrow10")
+    assert text.index("rightrow9") < head < text.index("rightrow10")
+    # above-segment right column precedes the heading, below-segment left
+    # column follows it
+    assert text.index("rightrow0") < head < text.index("rightrow10")
+
+
+def test_two_column_table_of_short_cells_stays_table():
+    """Many aligned rows of SHORT key/value cells are a table, not a
+    two-column page — the fill-ratio guard keeps row order intact."""
+    rows = []
+    y = 700
+    for i in range(10):
+        rows.append(b"BT /F1 10 Tf 72 %d Td (k%d) Tj ET" % (y, i))
+        rows.append(b"BT /F1 10 Tf 320 %d Td (v%d) Tj ET" % (y, i))
+        y -= 14
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", b"\n".join(rows))
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    tables = [s for s in spans if s.kind == "table"]
+    assert len(tables) == 1
+    assert tables[0].text.splitlines()[0] == "k0\tv0"
+    assert tables[0].text.splitlines()[-1] == "k9\tv9"
+
+
+def test_two_column_figure_stays_in_its_column():
+    """A figure anchored in the right column surfaces with the right
+    column's flow, after the full left column."""
+    parts = []
+    y = 720
+    for i in range(10):
+        parts.append(
+            b"BT /F1 10 Tf 72 %d Td (leftrow%d body text filling the column) Tj ET"
+            % (y, i)
+        )
+        parts.append(
+            b"BT /F1 10 Tf 320 %d Td (rightrow%d body text filling the column) Tj ET"
+            % (y, i)
+        )
+        y -= 14
+    # image placed in the right column between rows 4 and 5
+    parts.append(b"q 40 0 0 30 340 %d cm /Im1 Do Q" % (720 - 4 * 14 - 7))
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R>> /XObject <</Im1 6 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", b"\n".join(parts))
+    objs[5] = _FONT
+    objs[6] = _stream_obj(b"/Type /XObject /Subtype /Image /Width 4 /Height 4", b"\x00" * 16)
+    spans = extract_realpdf(_classic_pdf(objs))
+    kinds_text = [(s.kind, s.text) for s in spans]
+    fig_at = next(i for i, s in enumerate(spans) if s.kind == "figure")
+    before = "\n".join(s.text for s in spans[:fig_at])
+    after = "\n".join(s.text for s in spans[fig_at:])
+    assert "leftrow9" in before          # whole left column precedes the figure
+    assert "rightrow4" in before, kinds_text
+    assert "rightrow5" in after, kinds_text
