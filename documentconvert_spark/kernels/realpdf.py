@@ -1329,6 +1329,21 @@ _LINE_Y_TOL = 2.5
 _GAP_FACTOR = 1.9
 _HEADING_RATIO = 1.15
 
+# a line opening with one of these starts its own block: the block fold
+# otherwise joins a tight-spaced bullet/numbered list into one paragraph
+# blob ("• a • b • c"), where the reference's layout engine emits one
+# block per list item. Wrapped continuation lines (no marker) still merge
+# into their item by the normal size/gap rule. Bare hyphens need trailing
+# whitespace (minus signs, ranges); CJK enumerators (1、 一、) carry their
+# own delimiter.
+_LIST_MARKER_RE = re.compile(
+    r"^(?:[•‣▪◦·●○◆■]"                 # bullet glyphs
+    r"|[-–—*]\s"                        # dash/star bullets (space required)
+    r"|\(?\d{1,3}[.)、]\s?"             # 1.  2)  (3)  4、
+    r"|[a-zA-Z][.)]\s"                  # a.  B)
+    r"|[一二三四五六七八九十百]+[、.．]"  # 一、 十二、
+    r")")
+
 
 def _is_cjk(ch: str) -> bool:
     cp = ord(ch)
@@ -1435,6 +1450,54 @@ def _detect_tables(lines: list[dict]) -> dict[int, int]:
         else:
             i += 1
     return groups
+
+
+# -- page furniture (running headers / footers / page numbers) ---------------
+
+_DIGIT_RUN_RE = re.compile(r"\d+")
+_FURNITURE_BAND_PT = 18.0  # page-edge band: pt from the top/bottom-most line
+_FURNITURE_FRAC = 0.6      # fraction of pages a line must recur on (min 2)
+_FURNITURE_MAX_CHARS = 120
+
+
+def _strip_page_furniture(lines: list[dict]) -> list[dict]:
+    """Drop running page headers, footers and page numbers — the
+    'discarded blocks' of the reference's layout model (main-content
+    extraction, north_rule). A line is furniture when its
+    digit-normalized text (digit runs → '#', so 'Page 3' matches
+    'Page 12' and '1/2' matches '2/2') recurs in the same page-edge band
+    — within 18 pt of the page's top- or bottom-most line; a POSITIONAL
+    band, so sparse pages don't stretch it over body text — on ≥60% of
+    pages (minimum 2). Single-page documents are untouched: repetition is
+    the evidence, and without it a dateline is indistinguishable from
+    content."""
+    pages: dict[int, list[dict]] = {}
+    for ln in lines:
+        pages.setdefault(ln["page"], []).append(ln)
+    if len(pages) < 2:
+        return lines
+    keys: dict[tuple[str, str], set[int]] = {}  # (band, key) -> pages seen
+    tag: dict[int, tuple[str, str]] = {}        # id(line) -> (band, key)
+    for page, pls in pages.items():
+        ys = [ln["y"] for ln in pls]
+        top, bot = max(ys), min(ys)
+        for ln in pls:
+            t = _DIGIT_RUN_RE.sub("#", ln["text"].strip())
+            if not t or len(t) > _FURNITURE_MAX_CHARS:
+                continue
+            if ln["y"] >= top - _FURNITURE_BAND_PT:
+                band = "top"
+            elif ln["y"] <= bot + _FURNITURE_BAND_PT:
+                band = "bot"
+            else:
+                continue
+            keys.setdefault((band, t), set()).add(page)
+            tag[id(ln)] = (band, t)
+    need = max(2, -(-len(pages) * 3 // 5))  # ceil(0.6 × pages)
+    drop = {k for k, seen in keys.items() if len(seen) >= need}
+    if not drop:
+        return lines
+    return [ln for ln in lines if tag.get(id(ln)) not in drop]
 
 
 # -- multi-column reading order ----------------------------------------------
@@ -1624,6 +1687,8 @@ def _runs_to_spans(runs: list) -> list[Span]:
         ln["text"] = " ".join(c for _x, c in ln["cells"])
         ln["x"] = ln["parts"][0][0]
 
+    lines = _strip_page_furniture(lines)
+
     # per-page reading order (multi-column aware), figures interleaved
     by_page_lines: dict[int, list[dict]] = {}
     for ln in lines:
@@ -1690,6 +1755,7 @@ def _runs_to_spans(runs: list) -> list[Span]:
             # upward jumps (negative gap) are column transitions on a
             # multi-column page — start a new block, never merge up
             and 0 <= (cur["last_y"] - ln["y"]) <= _GAP_FACTOR * max(ln["size"], 6.0)
+            and not _LIST_MARKER_RE.match(ln["text"])
         )
         if same_block:
             cur["lines"].append(ln["text"])

@@ -762,3 +762,85 @@ def test_two_column_figure_stays_in_its_column():
     assert "leftrow9" in before          # whole left column precedes the figure
     assert "rightrow4" in before, kinds_text
     assert "rightrow5" in after, kinds_text
+
+
+# -- page furniture + list blocks ---------------------------------------------
+
+
+def _three_page_doc(header: bool = True) -> bytes:
+    objs = _page_tree([3, 6, 8])
+    bodies = []
+    for i, (pg, ct) in enumerate(((3, 4), (6, 7), (8, 9))):
+        parts = []
+        if header:
+            parts.append(b"BT /F1 9 Tf 72 780 Td (ACME Quarterly Report 2025) Tj ET")
+        parts.append(
+            b"BT /F1 10 Tf 72 700 Td (page %d unique body content line) Tj ET" % (i + 1)
+        )
+        parts.append(b"BT /F1 10 Tf 72 650 Td (more body prose for page %d) Tj ET" % (i + 1))
+        parts.append(b"BT /F1 9 Tf 280 60 Td (Page %d of 3) Tj ET" % (i + 1))
+        objs[pg] = (b"<</Type /Page /Parent 2 0 R /Contents %d 0 R "
+                    b"/Resources <</Font <</F1 11 0 R>>>>>>" % ct)
+        objs[ct] = _stream_obj(b"", b"\n".join(parts))
+        bodies.append(parts)
+    objs[11] = _FONT
+    return _classic_pdf(objs)
+
+
+def test_repeating_headers_and_page_numbers_dropped():
+    """Running headers and 'Page N of M' footers repeat across pages in
+    the page-edge bands — dropped as furniture (main-content extraction);
+    per-page unique body text survives."""
+    spans = extract_realpdf(_three_page_doc())
+    text = "\n".join(s.text for s in spans)
+    assert "ACME Quarterly Report" not in text
+    assert "Page 1 of 3" not in text and "Page 3 of 3" not in text
+    for i in (1, 2, 3):
+        assert f"page {i} unique body content line" in text
+
+
+def test_single_page_edges_kept():
+    """No repetition evidence on a single page — a top dateline stays."""
+    content = (
+        b"BT /F1 9 Tf 72 780 Td (2025-01-01 draft) Tj ET\n"
+        b"BT /F1 10 Tf 72 700 Td (body content line) Tj ET"
+    )
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    text = "\n".join(s.text for s in extract_realpdf(_classic_pdf(objs)))
+    assert "2025-01-01 draft" in text and "body content line" in text
+
+
+def test_distinct_top_lines_kept():
+    """Different top-of-page lines (chapter titles) are not furniture."""
+    objs = _page_tree([3, 6])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 9 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", b"BT /F1 14 Tf 72 780 Td (Chapter One Intro) Tj ET BT /F1 10 Tf 72 700 Td (alpha body) Tj ET")
+    objs[6] = b"<</Type /Page /Parent 2 0 R /Contents 7 0 R /Resources <</Font <</F1 9 0 R>>>>>>"
+    objs[7] = _stream_obj(b"", b"BT /F1 14 Tf 72 780 Td (Chapter Two Methods) Tj ET BT /F1 10 Tf 72 700 Td (beta body) Tj ET")
+    objs[9] = _FONT
+    text = "\n".join(s.text for s in extract_realpdf(_classic_pdf(objs)))
+    assert "Chapter One Intro" in text and "Chapter Two Methods" in text
+
+
+def test_list_items_stay_separate_blocks():
+    """Tight-spaced bulleted/numbered lines emit one block per item, not
+    one merged paragraph; wrapped continuations still join their item."""
+    rows = [
+        b"BT /F1 10 Tf 72 700 Td (intro line before the list) Tj ET",
+        b"BT /F1 10 Tf 72 686 Td (1. first item text) Tj ET",
+        b"BT /F1 10 Tf 72 672 Td (2. second item which wraps onto) Tj ET",
+        b"BT /F1 10 Tf 86 658 Td (a continuation line) Tj ET",
+        b"BT /F1 10 Tf 72 644 Td (3. third item text) Tj ET",
+    ]
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", b"\n".join(rows))
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    texts = [s.text for s in spans]
+    assert "1. first item text" in texts
+    assert "2. second item which wraps onto a continuation line" in texts
+    assert "3. third item text" in texts
