@@ -1339,8 +1339,11 @@ _HEADING_RATIO = 1.15
 _LIST_MARKER_RE = re.compile(
     r"^(?:[•‣▪◦·●○◆■]"                 # bullet glyphs
     r"|[-–—*]\s"                        # dash/star bullets (space required)
-    r"|\(?\d{1,3}[.)、]\s?"             # 1.  2)  (3)  4、
-    r"|[a-zA-Z][.)]\s"                  # a.  B)
+    r"|\(?\d{1,3}[.)、](?!\d)\s?"       # 1.  2)  (3)  4、 — not 1.5 (decimal)
+    r"|[a-z][.)]\s"                     # a.  b) — lowercase only: an
+                                        # uppercase 'A. Smith' opening a
+                                        # wrapped citation line is a name
+                                        # initial, not an enumerator
     r"|[一二三四五六七八九十百]+[、.．]"  # 一、 十二、
     r")")
 
@@ -1458,6 +1461,15 @@ _DIGIT_RUN_RE = re.compile(r"\d+")
 _FURNITURE_BAND_PT = 18.0  # page-edge band: pt from the top/bottom-most line
 _FURNITURE_FRAC = 0.6      # fraction of pages a line must recur on (min 2)
 _FURNITURE_MAX_CHARS = 120
+_FURNITURE_MIN_PAGE_LINES = 4  # sparse pages neither contribute nor strip
+# digit-normalized shapes that are furniture WITHOUT any letters: bare
+# page numbers and n-of-m forms. Anything else needs ≥3 letters/CJK to
+# qualify — otherwise a numeric table row at a page edge ('123  456' →
+# '#  #') digit-matches its siblings on every page and vanishes.
+_PAGE_NO_RE = re.compile(
+    r"^(?:-*\s*#\s*-*|#\s*/\s*#|page\s*#(?:\s*(?:of|/)\s*#)?|第\s*#\s*页)$",
+    re.IGNORECASE)
+_LETTERS_RE = re.compile(r"[^\W\d_#]", re.UNICODE)
 
 
 def _strip_page_furniture(lines: list[dict]) -> list[dict]:
@@ -1479,12 +1491,16 @@ def _strip_page_furniture(lines: list[dict]) -> list[dict]:
     keys: dict[tuple[str, str], set[int]] = {}  # (band, key) -> pages seen
     tag: dict[int, tuple[str, str]] = {}        # id(line) -> (band, key)
     for page, pls in pages.items():
+        if len(pls) < _FURNITURE_MIN_PAGE_LINES:
+            continue  # too sparse to tell body from furniture
         ys = [ln["y"] for ln in pls]
         top, bot = max(ys), min(ys)
         for ln in pls:
             t = _DIGIT_RUN_RE.sub("#", ln["text"].strip())
             if not t or len(t) > _FURNITURE_MAX_CHARS:
                 continue
+            if not _PAGE_NO_RE.match(t) and len(_LETTERS_RE.findall(t)) < 3:
+                continue  # numeric-only line that isn't a page-number shape
             if ln["y"] >= top - _FURNITURE_BAND_PT:
                 band = "top"
             elif ln["y"] <= bot + _FURNITURE_BAND_PT:
@@ -1495,6 +1511,23 @@ def _strip_page_furniture(lines: list[dict]) -> list[dict]:
             tag[id(ln)] = (band, t)
     need = max(2, -(-len(pages) * 3 // 5))  # ceil(0.6 × pages)
     drop = {k for k, seen in keys.items() if len(seen) >= need}
+    if not drop:
+        return lines
+    # survivor guard: if stripping would leave any page with fewer than
+    # two lines, the "furniture" there was most of the page — cancel the
+    # offending keys entirely rather than strip that page inconsistently
+    while drop:
+        cancelled = False
+        for pls in pages.values():
+            kept = [ln for ln in pls if tag.get(id(ln)) not in drop]
+            if len(kept) < 2:
+                for ln in pls:
+                    k = tag.get(id(ln))
+                    if k in drop:
+                        drop.discard(k)
+                        cancelled = True
+        if not cancelled:
+            break
     if not drop:
         return lines
     return [ln for ln in lines if tag.get(id(ln)) not in drop]
@@ -1510,8 +1543,11 @@ _COL_MIN_FILL = 0.45      # mean text fill of each column (tables are sparser)
 
 
 def _cell_extents(ln: dict) -> list[tuple[float, float]]:
-    size = max(ln["size"], 6.0)
-    return [(x, x + _run_width(txt, size)) for x, txt in ln["cells"]]
+    ext = ln.get("_ext")  # memoized: _find_gutter and the ordering loop
+    if ext is None:       # both walk every line of a multi-column page
+        size = max(ln["size"], 6.0)
+        ext = ln["_ext"] = [(x, x + _run_width(txt, size)) for x, txt in ln["cells"]]
+    return ext
 
 
 def _find_gutter(plines: list[dict]) -> float | None:

@@ -844,3 +844,61 @@ def test_list_items_stay_separate_blocks():
     assert "1. first item text" in texts
     assert "2. second item which wraps onto a continuation line" in texts
     assert "3. third item text" in texts
+
+
+def test_numeric_rows_and_short_pages_not_furniture():
+    """Review repro: pages whose only lines digit-normalize identically
+    (numeric totals rows, per-page body differing only in a digit) must
+    NOT be emptied — numeric-only lines need a page-number shape, sparse
+    pages don't participate, and a survivor guard cancels keys that
+    would gut a page."""
+    objs = _page_tree([3, 6])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 9 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", b"BT /F1 10 Tf 72 700 Td (body prose for page 1 here) Tj ET BT /F1 10 Tf 72 100 Td (100  155) Tj ET")
+    objs[6] = b"<</Type /Page /Parent 2 0 R /Contents 7 0 R /Resources <</Font <</F1 9 0 R>>>>>>"
+    objs[7] = _stream_obj(b"", b"BT /F1 10 Tf 72 700 Td (body prose for page 2 here) Tj ET BT /F1 10 Tf 72 100 Td (200  255) Tj ET")
+    objs[9] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert "body prose for page 1 here" in text
+    assert "body prose for page 2 here" in text
+    assert "100 155" in text and "200 255" in text
+
+
+def test_bare_page_numbers_dropped():
+    """A lone page number at the bottom edge matches the page-number
+    shape whitelist and is stripped even though it has no letters."""
+    objs = _page_tree([3, 6])
+    body = (b"BT /F1 10 Tf 72 700 Td (%s alpha content line) Tj ET "
+            b"BT /F1 10 Tf 72 686 Td (%s beta content line) Tj ET "
+            b"BT /F1 10 Tf 72 672 Td (%s gamma content line) Tj ET "
+            b"BT /F1 10 Tf 300 60 Td (%s) Tj ET")
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 9 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", body % (b"first", b"first", b"first", b"1"))
+    objs[6] = b"<</Type /Page /Parent 2 0 R /Contents 7 0 R /Resources <</Font <</F1 9 0 R>>>>>>"
+    objs[7] = _stream_obj(b"", body % (b"second", b"second", b"second", b"2"))
+    objs[9] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    texts = [s.text for s in spans]
+    assert "1" not in texts and "2" not in texts
+    assert any("first alpha" in t for t in texts)
+
+
+def test_decimal_and_initial_lines_do_not_split_blocks():
+    """'1.5 million...' and 'A. Smith...' at a wrapped line's start are
+    prose continuations, not list markers (review repro)."""
+    rows = [
+        b"BT /F1 10 Tf 72 700 Td (the budget grew to about) Tj ET",
+        b"BT /F1 10 Tf 72 686 Td (1.5 million dollars last year) Tj ET",
+        b"BT /F1 10 Tf 72 672 Td (per the analysis of) Tj ET",
+        b"BT /F1 10 Tf 72 658 Td (A. Smith and colleagues) Tj ET",
+    ]
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", b"\n".join(rows))
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    paras = [s for s in spans if s.kind == "paragraph"]
+    assert len(paras) == 1, [s.text for s in spans]
+    assert "about 1.5 million" in paras[0].text
+    assert "of A. Smith" in paras[0].text
