@@ -1365,6 +1365,17 @@ def _join(parts: list[str]) -> str:
             out = p
         elif out and p and (_is_cjk(out[-1]) or _is_cjk(p[0])):
             out += p
+        elif (
+            # line-break hyphenation: 'informa-' + 'tion' → 'information'.
+            # Lowercase-to-lowercase only, so 'IL-' + '6' and 'COVID-'
+            # keep their hyphen. A compound wrapped exactly at its own
+            # hyphen ('state-' + 'of-the-art') is indistinguishable and
+            # loses it — syllable hyphenation in justified text is far
+            # more common, so this is the standard extractor trade
+            len(out) >= 2 and out[-1] == "-" and out[-2].islower()
+            and p[:1].islower()
+        ):
+            out = out[:-1] + p
         else:
             out += " " + p
     return out
@@ -1634,16 +1645,26 @@ def _split_line(ln: dict, xs: float) -> tuple[dict | None, dict | None]:
     return mk(lp), mk(rp)
 
 
+_MAX_COL_DEPTH = 2  # nested gutter splits: 2 → up to four columns
+
+
 def _order_page(plines: list[dict], pfigs: list[tuple]) -> list[tuple[str, object]]:
-    """One page's lines + figures in reading order as ('line', dict) /
-    ('fig', media_ref) items. Single-column pages keep the top-to-bottom
-    order; a detected two-column page emits left column then right column
-    per SEGMENT, where full-width (gutter-crossing) lines — titles,
-    section heads — delimit segments."""
+    return _order_region(plines, pfigs, 0)
+
+
+def _order_region(plines: list[dict], pfigs: list[tuple],
+                  depth: int) -> list[tuple[str, object]]:
+    """A page region's lines + figures in reading order as ('line', dict)
+    / ('fig', media_ref) items. Single-column regions keep top-to-bottom
+    order; a detected gutter emits left column then right column per
+    SEGMENT, where full-width (gutter-crossing) lines — titles, section
+    heads — delimit segments. Each side recurses (three-column layouts:
+    the right side of the first split still holds two columns), with the
+    same conservative evidence thresholds per level and a depth cap."""
     plines = sorted(plines, key=lambda ln: (-ln["y"], ln["x"]))
     pfigs = sorted(pfigs, key=lambda f: (-f[0], f[2]))
     items: list[tuple[str, object]] = []
-    gutter = _find_gutter(plines)
+    gutter = _find_gutter(plines) if depth < _MAX_COL_DEPTH else None
     if gutter is None:
         fi = 0
         for ln in plines:
@@ -1654,22 +1675,22 @@ def _order_page(plines: list[dict], pfigs: list[tuple]) -> list[tuple[str, objec
         items.extend(("fig", f[3]) for f in pfigs[fi:])
         return items
 
-    seg_l: list[tuple[str, object]] = []
-    seg_r: list[tuple[str, object]] = []
+    seg_lines: tuple[list[dict], list[dict]] = ([], [])
+    seg_figs: tuple[list[tuple], list[tuple]] = ([], [])
 
     def flush_seg() -> None:
-        items.extend(seg_l)
-        items.extend(seg_r)
-        seg_l.clear()
-        seg_r.clear()
+        for side in (0, 1):
+            items.extend(_order_region(seg_lines[side], seg_figs[side], depth + 1))
+            seg_lines[side].clear()
+            seg_figs[side].clear()
 
     fi = 0
 
     def place_figs(limit_y: float) -> None:
         nonlocal fi
         while fi < len(pfigs) and pfigs[fi][0] > limit_y:
-            _y, x, _seq, payload = pfigs[fi]
-            (seg_l if x <= gutter else seg_r).append(("fig", payload))
+            f = pfigs[fi]
+            seg_figs[0 if f[1] <= gutter else 1].append(f)
             fi += 1
 
     for ln in plines:
@@ -1681,9 +1702,9 @@ def _order_page(plines: list[dict], pfigs: list[tuple]) -> list[tuple[str, objec
             continue
         left, right = _split_line(ln, gutter)
         if left is not None:
-            seg_l.append(("line", left))
+            seg_lines[0].append(left)
         if right is not None:
-            seg_r.append(("line", right))
+            seg_lines[1].append(right)
     place_figs(float("-inf"))
     flush_seg()
     return items

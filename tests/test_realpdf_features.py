@@ -902,3 +902,43 @@ def test_decimal_and_initial_lines_do_not_split_blocks():
     assert len(paras) == 1, [s.text for s in spans]
     assert "about 1.5 million" in paras[0].text
     assert "of A. Smith" in paras[0].text
+
+
+def test_three_column_reading_order():
+    """Three columns: the first split's right side recurses and splits
+    again, so all of column A precedes B precedes C."""
+    parts = []
+    y = 720
+    # columns at x=40, 230, 420; ~28 chars each at 6.5pt font ≈ 100pt wide
+    for i in range(12):
+        for cx, name in ((40, b"aaa"), (230, b"bbb"), (420, b"ccc")):
+            parts.append(
+                b"BT /F1 6.5 Tf %d %d Td (%scol%d filling text of the col) Tj ET"
+                % (cx, y, name, i)
+            )
+        y -= 10
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", b"\n".join(parts))
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert text.index("aaacol11") < text.index("bbbcol0"), text[:300]
+    assert text.index("bbbcol11") < text.index("ccccol0")
+
+
+def test_hyphenated_line_wrap_joins():
+    """'informa-' + 'tion' dehyphenates; 'IL-' + '6' keeps its hyphen."""
+    rows = [
+        b"BT /F1 10 Tf 72 700 Td (we store all of the informa-) Tj ET",
+        b"BT /F1 10 Tf 72 686 Td (tion in one place using IL-) Tj ET",
+        b"BT /F1 10 Tf 72 672 Td (6 compatible formats) Tj ET",
+    ]
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", b"\n".join(rows))
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = spans[0].text
+    assert "information in one place" in text, text
+    assert "IL- 6" in text, text
