@@ -1225,6 +1225,15 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
         if not txt:
             return
         dev = _mat_mul(tm, ctm)
+        # non-horizontal baseline (b component) = rotated text: a diagonal
+        # watermark ('DRAFT' at 45°) or sideways margin text shreds into
+        # one-glyph lines interleaved with content under y-bucketing —
+        # the layout engine treats it as decoration and drops it. The c
+        # threshold is loose (0.6) because fake-italic shear matrices
+        # [1 0 0.21 1] are ordinary body text
+        if (abs(dev[1]) > 0.1 * (abs(dev[0]) + 1e-9)
+                or abs(dev[2]) > 0.6 * (abs(dev[3]) + 1e-9)):
+            return
         eff = size * (abs(dev[0]) or 1.0)
         runs.append((page_no, dev[5], dev[4], eff, seq, "t", txt))
         seq += 1

@@ -942,3 +942,28 @@ def test_hyphenated_line_wrap_joins():
     text = spans[0].text
     assert "information in one place" in text, text
     assert "IL- 6" in text, text
+
+
+def test_rotated_watermark_dropped_italic_kept():
+    """A 45-degree watermark and 90-degree margin text are decoration
+    (they shred into one-glyph lines under y-bucketing); fake-italic
+    shear [1 0 0.21 1] is ordinary body text and stays."""
+    content = (
+        b"BT /F1 10 Tf 72 700 Td (normal body line) Tj ET "
+        # fake italic: shear matrix, horizontal baseline
+        b"BT /F1 10 Tf 1 0 0.21 1 72 650 Tm (sheared italic line) Tj ET "
+        # 45-degree diagonal watermark
+        b"BT /F1 40 Tf 0.707 0.707 -0.707 0.707 200 300 Tm (DRAFT) Tj ET "
+        # 90-degree sideways margin text
+        b"BT /F1 8 Tf 0 1 -1 0 20 400 Tm (printed by docgen) Tj ET"
+    )
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert "normal body line" in text
+    assert "sheared italic line" in text
+    assert "DRAFT" not in text
+    assert "printed by docgen" not in text
