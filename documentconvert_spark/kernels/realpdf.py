@@ -1021,6 +1021,9 @@ for _c in list(range(0x41, 0x5B)) + list(range(0x61, 0x7B)):
     _AGL[chr(_c)] = chr(_c)
 
 
+_MONO_NAME_RE = re.compile(r"courier|mono|consol|menlo|typewriter|fixed", re.IGNORECASE)
+
+
 class _Font:
     def __init__(self, pdf: _Pdf, fd: dict):
         self.two_byte = False
@@ -1028,6 +1031,24 @@ class _Font:
         self.diff: dict[int, str] = {}
         subtype = pdf.resolve(fd.get("Subtype"))
         enc = pdf.resolve(fd.get("Encoding"))
+        # fixed-pitch detection → code-block classification downstream:
+        # the BaseFont name, else the FixedPitch flag (PDF 32000 §9.8.2
+        # bit 1) on the descriptor (descendant's for Type0 fonts)
+        base = str(pdf.resolve(fd.get("BaseFont")) or "")
+        self.mono = bool(_MONO_NAME_RE.search(base))
+        if not self.mono:
+            try:
+                desc_owner = fd
+                if subtype == "Type0":
+                    desc_list = pdf.resolve(fd.get("DescendantFonts")) or []
+                    d0 = pdf.resolve(desc_list[0]) if desc_list else None
+                    if isinstance(d0, dict):
+                        desc_owner = d0
+                desc = pdf.resolve(desc_owner.get("FontDescriptor"))
+                if isinstance(desc, dict):
+                    self.mono = bool(int(pdf.resolve(desc.get("Flags")) or 0) & 1)
+            except Exception:
+                pass
         if subtype == "Type0":
             self.two_byte = True  # Identity-H/V or CMap-encoded; corpus uses Identity
         tu = fd.get("ToUnicode")
@@ -1096,7 +1117,7 @@ _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
 class _Run(tuple):
-    """(page, y, x, size, seq, kind, payload)"""
+    """(page, y, x, size, seq, kind, payload, mono)"""
 
 
 # one compiled step per token: eats whitespace/comments, then captures
@@ -1235,7 +1256,7 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
                 or abs(dev[2]) > 0.6 * (abs(dev[3]) + 1e-9)):
             return
         eff = size * (abs(dev[0]) or 1.0)
-        runs.append((page_no, dev[5], dev[4], eff, seq, "t", txt))
+        runs.append((page_no, dev[5], dev[4], eff, seq, "t", txt, f.mono))
         seq += 1
 
     for kind, tok in _content_tokens(body):
@@ -1324,7 +1345,7 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
                         from documentconvert_spark.kernels.media import image_media_ref
                         dev = _mat_mul(_ID, ctm)
                         runs.append((page_no, dev[5], dev[4], 0.0, seq, "img",
-                                     image_media_ref(xo[1])))
+                                     image_media_ref(xo[1]), False))
                         seq += 1
         except Exception:
             pass
@@ -1413,7 +1434,7 @@ def _assemble_cells(parts: list[tuple[float, int, str, float]]) -> list[tuple[fl
     out = ""
     cell_x = 0.0
     prev_end = None
-    for x, _seq, txt, size in parts:
+    for x, _seq, txt, size, *_m in parts:
         if not out:
             out = txt
             cell_x = x
@@ -1644,12 +1665,14 @@ def _split_line(ln: dict, xs: float) -> tuple[dict | None, dict | None]:
         d["cells"] = _assemble_cells(parts)
         d["text"] = " ".join(c for _x, c in d["cells"])
         d["x"] = parts[0][0]
+        chars = sum(len(p[2]) for p in parts) or 1
+        d["mono"] = sum(len(p[2]) for p in parts if p[4]) / chars >= 0.66
         return d
 
     lp: list = []
     rp: list = []
     for part in ln["parts"]:
-        x, _seq, txt, psize = part
+        x, _seq, txt, psize = part[:4]
         (lp if x + _run_width(txt, psize) / 2 <= xs else rp).append(part)
     return mk(lp), mk(rp)
 
@@ -1724,10 +1747,10 @@ def _runs_to_spans(runs: list) -> list[Span]:
     # O(1) placement via (page, quantized-y) buckets — a naive scan over
     # all lines is O(n²) and crawls on couple-hundred-page documents
     # (the 167 MB-PDF analogue, reference PROJECT_OVERVIEW.md:769).
-    lines: list[dict] = []  # {page, y, size, parts:[(x, seq, txt, size)]}
+    lines: list[dict] = []  # {page, y, size, parts:[(x, seq, txt, size, mono)]}
     buckets: dict[tuple[int, int], dict] = {}
     figures: list[tuple[int, float, float, int, str]] = []
-    for page, y, x, size, seq, kind, payload in runs:
+    for page, y, x, size, seq, kind, payload, mono in runs:
         if kind == "img":
             figures.append((page, y, x, seq, payload))
             continue
@@ -1744,7 +1767,7 @@ def _runs_to_spans(runs: list) -> list[Span]:
             placed = {"page": page, "y": y, "size": size, "parts": []}
             lines.append(placed)
             buckets[(page, qy)] = placed
-        placed["parts"].append((x, seq, payload, size))
+        placed["parts"].append((x, seq, payload, size, mono))
         placed["size"] = max(placed["size"], size)
 
     for ln in lines:
@@ -1752,6 +1775,8 @@ def _runs_to_spans(runs: list) -> list[Span]:
         ln["cells"] = _assemble_cells(ln["parts"])
         ln["text"] = " ".join(c for _x, c in ln["cells"])
         ln["x"] = ln["parts"][0][0]
+        chars = sum(len(p[2]) for p in ln["parts"]) or 1
+        ln["mono"] = sum(len(p[2]) for p in ln["parts"] if p[4]) / chars >= 0.66
 
     lines = _strip_page_furniture(lines)
 
@@ -1788,10 +1813,15 @@ def _runs_to_spans(runs: list) -> list[Span]:
         nonlocal cur
         if cur is None:
             return
-        txt = _join(cur["lines"])
-        kind = "heading" if cur["size"] >= body_size * _HEADING_RATIO and cur["size"] > 0 else "paragraph"
-        if kind == "heading":
+        if cur["size"] >= body_size * _HEADING_RATIO and cur["size"] > 0:
+            kind, txt = "heading", _join(cur["lines"])
             heading_sizes[len(spans)] = cur["size"]
+        elif cur["mono_n"] * 2 > len(cur["lines"]):
+            # fixed-pitch majority → code block; keep the line structure
+            # (code is line-significant, prose-joining would destroy it)
+            kind, txt = "code", "\n".join(cur["lines"])
+        else:
+            kind, txt = "paragraph", _join(cur["lines"])
         spans.append(Span(kind, normalize_text(txt), "", -1))
         cur = None
 
@@ -1822,14 +1852,17 @@ def _runs_to_spans(runs: list) -> list[Span]:
             # multi-column page — start a new block, never merge up
             and 0 <= (cur["last_y"] - ln["y"]) <= _GAP_FACTOR * max(ln["size"], 6.0)
             and not _LIST_MARKER_RE.match(ln["text"])
+            # code and prose never share a block, whatever the spacing
+            and (cur["mono_n"] * 2 > len(cur["lines"])) == ln.get("mono", False)
         )
         if same_block:
             cur["lines"].append(ln["text"])
             cur["last_y"] = ln["y"]
+            cur["mono_n"] += 1 if ln.get("mono") else 0
         else:
             flush()
             cur = {"page": ln["page"], "size": ln["size"], "last_y": ln["y"],
-                   "lines": [ln["text"]]}
+                   "lines": [ln["text"]], "mono_n": 1 if ln.get("mono") else 0}
         li += 1
     flush()
     for payload in pre_figs.get(len(lines), ()):

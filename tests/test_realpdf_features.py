@@ -967,3 +967,43 @@ def test_rotated_watermark_dropped_italic_kept():
     assert "sheared italic line" in text
     assert "DRAFT" not in text
     assert "printed by docgen" not in text
+
+
+def test_monospace_block_becomes_code_span():
+    """A Courier-font block classifies as a code span with line structure
+    preserved; the surrounding proportional text stays prose."""
+    rows = [
+        b"BT /F1 10 Tf 72 700 Td (the example below shows the call) Tj ET",
+        b"BT /F2 10 Tf 72 680 Td (def add\\(a, b\\):) Tj ET",
+        b"BT /F2 10 Tf 90 666 Td (return a + b) Tj ET",
+        b"BT /F1 10 Tf 72 640 Td (which returns the sum of both) Tj ET",
+    ]
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R /F2 6 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", b"\n".join(rows))
+    objs[5] = _FONT
+    objs[6] = b"<</Type /Font /Subtype /Type1 /BaseFont /Courier>>"
+    spans = extract_realpdf(_classic_pdf(objs))
+    kinds = [s.kind for s in spans]
+    assert kinds == ["paragraph", "code", "paragraph"], [(s.kind, s.text) for s in spans]
+    code = spans[1].text
+    assert code.splitlines() == ["def add(a, b):", "return a + b"]
+
+
+def test_fixedpitch_flag_marks_code():
+    """A font with no mono-ish name but FixedPitch descriptor flag set
+    (PDF 32000 9.8.2 bit 1) still classifies as code."""
+    rows = [
+        b"BT /F2 10 Tf 72 680 Td (x = compute\\(\\)) Tj ET",
+        b"BT /F2 10 Tf 72 666 Td (print\\(x\\)) Tj ET",
+    ]
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F2 6 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", b"\n".join(rows))
+    objs[6] = (b"<</Type /Font /Subtype /Type1 /BaseFont /CustomCo "
+               b"/FontDescriptor 7 0 R>>")
+    objs[7] = b"<</Type /FontDescriptor /FontName /CustomCo /Flags 1>>"
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert [s.kind for s in spans] == ["code"], [(s.kind, s.text) for s in spans]
