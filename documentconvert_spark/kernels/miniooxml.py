@@ -127,6 +127,35 @@ def _docx_heading_level(p) -> int:
     return 0
 
 
+_CODE_STYLE = re.compile(r"(?i)code|preformatted|macro|console|terminal")
+_MONO_FONT = re.compile(r"(?i)courier|mono|consol|menlo|typewriter|fixed")
+
+
+def _docx_is_code(p) -> bool:
+    """Code paragraph: a code-ish paragraph style, or ≥2/3 of the run
+    text in a fixed-pitch font (w:rFonts ascii/hAnsi) — the docx
+    counterpart of the PDF fixed-pitch block classification."""
+    ppr = p.find(f"{_W}pPr")
+    if ppr is not None:
+        st = ppr.find(f"{_W}pStyle")
+        if st is not None and _CODE_STYLE.search(st.get(f"{_W}val", "") or ""):
+            return True
+    mono = total = 0
+    for r in p.findall(f"{_W}r"):
+        n = sum(len(t.text or "") for t in r.findall(f"{_W}t"))
+        if not n:
+            continue
+        total += n
+        rpr = r.find(f"{_W}rPr")
+        fonts = rpr.find(f"{_W}rFonts") if rpr is not None else None
+        name = ""
+        if fonts is not None:
+            name = fonts.get(f"{_W}ascii") or fonts.get(f"{_W}hAnsi") or ""
+        if _MONO_FONT.search(name):
+            mono += n
+    return mono > 0 and mono * 3 >= total * 2
+
+
 def _docx_figures(p, rels: dict[str, str]) -> list[str]:
     refs = []
     for blip in p.iter(f"{_A}blip"):
@@ -169,8 +198,20 @@ def extract_docx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
             txt = _docx_paragraph_text(el)
             if txt.strip():
                 lvl = _docx_heading_level(el)
-                kind = "heading" if lvl else "paragraph"
-                spans.append(Span(kind, normalize_text(txt), "", -1, lvl))
+                if lvl:
+                    kind = "heading"
+                elif _docx_is_code(el):
+                    kind = "code"
+                else:
+                    kind = "paragraph"
+                if kind == "code" and spans and spans[-1].kind == "code":
+                    # consecutive code paragraphs are lines of one block
+                    prev = spans.pop()
+                    spans.append(Span("code",
+                                      prev.text + "\n" + normalize_text(txt),
+                                      "", -1))
+                else:
+                    spans.append(Span(kind, normalize_text(txt), "", -1, lvl))
             for formula in _docx_formulas(el):
                 spans.append(Span("formula", normalize_text(formula), "", -1))
         elif el.tag == f"{_W}tbl":

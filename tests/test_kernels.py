@@ -329,3 +329,36 @@ def test_minidom_namespaced_tags_and_comment_joins():
     assert "database systems" in paras[1]
     assert "alpha omega" in paras[2]
     assert any("custom element" in p for p in paras)
+
+
+def test_docx_code_blocks():
+    """Code-ish paragraph styles and mono-font runs classify as code;
+    consecutive code paragraphs merge into one line-structured block
+    (the docx counterpart of the PDF fixed-pitch classification)."""
+    import io
+    import zipfile
+
+    from documentconvert_spark.kernels.miniooxml import extract_docx
+
+    doc_xml = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:p><w:r><w:t>prose before the snippet</w:t></w:r></w:p>
+  <w:p><w:pPr><w:pStyle w:val="CodeBlock"/></w:pPr><w:r><w:t>def f():</w:t></w:r></w:p>
+  <w:p><w:r><w:rPr><w:rFonts w:ascii="Consolas"/></w:rPr><w:t>    return 1</w:t></w:r></w:p>
+  <w:p><w:r><w:t>prose after</w:t></w:r></w:p>
+  <w:p><w:r><w:rPr><w:rFonts w:ascii="Courier New"/></w:rPr><w:t>x = 1</w:t></w:r><w:r><w:t> and then a much longer proportional tail that outweighs it</w:t></w:r></w:p>
+ </w:body>
+</w:document>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc_xml)
+    spans = extract_docx(buf.getvalue())
+    got = [(s.kind, s.text) for s in spans]
+    assert got[0] == ("paragraph", "prose before the snippet")
+    # (normalize_text collapses leading indentation — the IR-wide
+    # convention shared with the PDF path and the golden oracles)
+    assert got[1][0] == "code" and got[1][1].splitlines() == ["def f():", "return 1"]
+    assert got[2] == ("paragraph", "prose after")
+    # mixed paragraph with mono minority stays prose
+    assert got[3][0] == "paragraph"
