@@ -25,6 +25,12 @@ import struct
 
 from documentconvert_spark.kernels.limits import check_decoded_size
 from documentconvert_spark.kernels.minidoc import _Cfb
+from documentconvert_spark.kernels.miniooxml import (
+    _DATE_FMT_IDS,
+    _TIME_ONLY_IDS,
+    _is_date_code,
+    excel_serial_to_text,
+)
 from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
 
 # BIFF8's own sheet bounds: 256 columns (IV), 65536 rows. The column
@@ -161,7 +167,7 @@ def _parse_sst(payload_parts: list[bytes]) -> list[str]:
     return out
 
 
-def _rk_value(rk: int) -> str:
+def _rk_value(rk: int) -> float:
     cent = rk & 0x01
     if rk & 0x02:
         iv = rk >> 2
@@ -172,6 +178,10 @@ def _rk_value(rk: int) -> str:
         v = struct.unpack("<d", struct.pack("<Q", (rk & 0xFFFFFFFC) << 32))[0]
     if cent:
         v /= 100.0
+    return v
+
+
+def _num_text(v: float) -> str:
     return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
 
 
@@ -182,12 +192,32 @@ def extract_xls(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
     except ValueError:
         wb = cfb.stream("Book")
 
-    # pass 1: globals — SST (with CONTINUEs) and BOUNDSHEETs
+    # pass 1: globals — SST (with CONTINUEs), BOUNDSHEETs, and the
+    # number-format machinery (FORMAT strings, XF ifmt indirection,
+    # Date1904) so date cells render as dates, not day serials — the
+    # BIFF ifmt builtins share ECMA-376's numFmtId numbering
     sst: list[str] = []
     sheets: list[tuple[str, int]] = []
+    custom_date: dict[int, bool] = {}
+    xf_date: list[bool] = []
+    xf_time: list[bool] = []
+    date1904 = False
     it = _records(wb)
     for op, _off, payload in it:
-        if op == 0x00FC:  # SST
+        if op == 0x0022 and len(payload) >= 2:  # Date1904
+            date1904 = bool(struct.unpack_from("<H", payload, 0)[0])
+        elif op == 0x041E and len(payload) >= 5:  # FORMAT
+            (ifmt,) = struct.unpack_from("<H", payload, 0)
+            try:
+                code, _ = _read_xl_string(payload, 2)
+            except (struct.error, IndexError):
+                code = ""
+            custom_date[ifmt] = _is_date_code(code)
+        elif op == 0x00E0 and len(payload) >= 4:  # XF
+            (ifmt,) = struct.unpack_from("<H", payload, 2)
+            xf_date.append(ifmt in _DATE_FMT_IDS or custom_date.get(ifmt, False))
+            xf_time.append(ifmt in _TIME_ONLY_IDS)
+        elif op == 0x00FC:  # SST
             parts = [payload]
             for op2, _o2, p2 in it:
                 if op2 == 0x003C:  # CONTINUE
@@ -222,6 +252,11 @@ def extract_xls(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
             check_decoded_size(out_chars, "xls sheet text")
             cells[(r, c)] = val
 
+        def num_cell(v: float, xf: int) -> str:
+            if 0 <= xf < len(xf_date) and xf_date[xf]:
+                return excel_serial_to_text(repr(v), date1904, xf_time[xf])
+            return _num_text(v)
+
         for op, _off, payload in _records(wb, lb):
             if op == 0x000A:  # EOF — end of this sheet substream
                 break
@@ -230,19 +265,19 @@ def extract_xls(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
                 if 0 <= isst < len(sst):
                     put(r, c, sst[isst])
             elif op == 0x0203 and len(payload) >= 14:  # NUMBER
-                r, c, _xf = struct.unpack_from("<HHH", payload, 0)
+                r, c, xf = struct.unpack_from("<HHH", payload, 0)
                 (v,) = struct.unpack_from("<d", payload, 6)
-                put(r, c, str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v))
+                put(r, c, num_cell(v, xf))
             elif op == 0x027E and len(payload) >= 10:  # RK
-                r, c, _xf = struct.unpack_from("<HHH", payload, 0)
+                r, c, xf = struct.unpack_from("<HHH", payload, 0)
                 (rk,) = struct.unpack_from("<I", payload, 6)
-                put(r, c, _rk_value(rk))
+                put(r, c, num_cell(_rk_value(rk), xf))
             elif op == 0x00BD:  # MULRK
                 r, c_first = struct.unpack_from("<HH", payload, 0)
                 n_rk = (len(payload) - 6) // 6
                 for k in range(n_rk):
-                    (rk,) = struct.unpack_from("<I", payload, 4 + k * 6 + 2)
-                    put(r, c_first + k, _rk_value(rk))
+                    xf, rk = struct.unpack_from("<HI", payload, 4 + k * 6)
+                    put(r, c_first + k, num_cell(_rk_value(rk), xf))
             elif op == 0x0204 and len(payload) >= 8:  # LABEL (BIFF8 inline)
                 r, c, _xf = struct.unpack_from("<HHH", payload, 0)
                 txt, _ = _read_xl_string(payload, 6)

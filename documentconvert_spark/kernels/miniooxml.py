@@ -343,11 +343,85 @@ def _fmt_num(v: str) -> str:
         return v
 
 
+# Excel stores dates/times as day serials plus a number FORMAT on the
+# cell style; without format awareness a date column extracts as bare
+# serials ('45123') where the reference's converter renders dates. The
+# built-in date/time numFmtIds per ECMA-376 §18.8.30:
+_DATE_FMT_IDS = (set(range(14, 23)) | set(range(27, 37))
+                 | set(range(45, 48)) | set(range(50, 59)))
+_TIME_ONLY_IDS = {18, 19, 20, 21, 45, 46, 47}
+_EXCEL_MAX_SERIAL = 2958466  # 9999-12-31
+
+
+def _is_date_code(code: str) -> bool:
+    """A custom formatCode is a date format when, after stripping quoted
+    literals, [sections] and escapes, it still has y/m/d/h/s tokens and
+    no numeric placeholders (# 0 @)."""
+    bare = re.sub(r'"[^"]*"|\[[^\]]*\]|\\.', "", code)
+    return bool(re.search(r"[ymdhs]", bare, re.IGNORECASE)) and not re.search(r"[#0@?]", bare)
+
+
+def _xlsx_date_styles(z: zipfile.ZipFile) -> tuple[list[bool], list[bool]]:
+    """Per-cellXf index: (renders-as-date, time-only)."""
+    try:
+        root = ET.fromstring(zip_read_capped(z, "xl/styles.xml"))
+    except (KeyError, ET.ParseError, ValueError):
+        return [], []
+    custom: dict[int, bool] = {}
+    for nf in root.iter(f"{_S}numFmt"):
+        try:
+            fid = int(nf.get("numFmtId") or -1)
+        except ValueError:
+            continue
+        custom[fid] = _is_date_code(nf.get("formatCode") or "")
+    is_date: list[bool] = []
+    time_only: list[bool] = []
+    xfs = root.find(f"{_S}cellXfs")
+    for xf in (xfs.findall(f"{_S}xf") if xfs is not None else []):
+        try:
+            fid = int(xf.get("numFmtId") or 0)
+        except ValueError:
+            fid = 0
+        is_date.append(fid in _DATE_FMT_IDS or custom.get(fid, False))
+        time_only.append(fid in _TIME_ONLY_IDS)
+    return is_date, time_only
+
+
+def excel_serial_to_text(v: str, date1904: bool = False,
+                         time_only: bool = False) -> str:
+    """Day serial → ISO date / time text (shared with the BIFF .xls
+    path). Epoch 1899-12-30 (the usual convention — exact only for
+    serials ≥ 61, i.e. after Excel's phantom 1900-02-29; the two-month
+    window of 1900 is off by one day, like most extractors) or
+    1904-01-01 under the Mac date system."""
+    import datetime as _dt
+
+    try:
+        f = float(v)
+    except ValueError:
+        return v
+    if not (0 <= f < _EXCEL_MAX_SERIAL):
+        return _fmt_num(v)
+    secs = round((f % 1.0) * 86400)
+    if time_only or f < 1:
+        return f"{secs // 3600:02d}:{secs % 3600 // 60:02d}:{secs % 60:02d}"
+    epoch = _dt.date(1904, 1, 1) if date1904 else _dt.date(1899, 12, 30)
+    day = epoch + _dt.timedelta(days=int(f) + (1 if secs >= 86400 else 0))
+    if secs % 86400 == 0:
+        return day.isoformat()
+    secs %= 86400
+    return f"{day.isoformat()} {secs // 3600:02d}:{secs % 3600 // 60:02d}:{secs % 60:02d}"
+
+
 def extract_xlsx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
     z = z or zipfile.ZipFile(io.BytesIO(content))
     shared = _xlsx_shared_strings(z)
     wb_rels = _rels(z, "xl/workbook.xml")
     root = ET.fromstring(zip_read_capped(z, "xl/workbook.xml"))
+    wpr = root.find(f"{_S}workbookPr")
+    date1904 = (wpr is not None
+                and (wpr.get("date1904") or "").lower() in ("1", "true"))
+    date_styles, time_only = _xlsx_date_styles(z)
     spans: list[Span] = []
     sheets = []
     for sh in root.iter(f"{_S}sheet"):
@@ -382,6 +456,12 @@ def extract_xlsx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
                 else:
                     v = c.find(f"{_S}v")
                     val = _fmt_num(v.text) if v is not None and v.text else ""
+                    if val and t == "n":
+                        s_attr = c.get("s") or ""
+                        si = int(s_attr) if s_attr.isdigit() else -1
+                        if 0 <= si < len(date_styles) and date_styles[si]:
+                            val = excel_serial_to_text(
+                                v.text, date1904, time_only[si])
                 # budget BEFORE the row joins: N cells each referencing a
                 # ~250 MB shared string (legal under the per-member zip
                 # cap) would otherwise materialize N x 250 MB in the

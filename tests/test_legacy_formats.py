@@ -579,3 +579,77 @@ def test_doc_anchor_in_first_table_cell(tmp_path):
     # un-split (an anchor in a first cell must not fragment the grid)
     assert kinds["figure"] == 31 and kinds["table"] == 3
     assert any("\t" in s.text for s in spans if s.kind == "table")
+
+
+def test_xlsx_date_cells_render_as_dates():
+    """Numeric cells styled with a date numFmt render ISO dates/times
+    instead of raw day serials; unstyled numbers stay numbers."""
+    from documentconvert_spark.kernels.miniooxml import extract_xlsx
+
+    # serial 45123 = 2023-07-16; 45123.5 adds 12:00:00; 0.75 = 18:00:00
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row><c r="A1" s="1"><v>45123</v></c>
+   <c r="B1" s="2"><v>45123.5</v></c>
+   <c r="C1" s="3"><v>0.75</v></c>
+   <c r="D1"><v>45123</v></c>
+   <c r="E1" s="4"><v>45123</v></c></row>
+ </sheetData></worksheet>"""
+    styles = """<?xml version="1.0"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy/mm/dd"/></numFmts>
+ <cellXfs count="5">
+  <xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="22"/>
+  <xf numFmtId="21"/><xf numFmtId="164"/>
+ </cellXfs></styleSheet>"""
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/styles.xml", styles)
+    spans = extract_xlsx(buf.getvalue())
+    cells = spans[1].text.split("\t")
+    assert cells == ["2023-07-16", "2023-07-16 12:00:00", "18:00:00",
+                     "45123", "2023-07-16"], cells
+
+
+def test_xls_biff_date_cells_render_as_dates():
+    """BIFF NUMBER/RK cells whose XF points at a date ifmt render as
+    dates (FORMAT custom code + builtin ifmt both work)."""
+    sst_payload = struct.pack("<II", 1, 1) + struct.pack("<HB", 4, 0) + b"when"
+    bof = _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    # XF 0: general; XF 1: builtin date 14; XF 2: custom FORMAT 164
+    fmt164 = struct.pack("<H", 164) + struct.pack("<HB", 8, 0) + b"yyyy\\-mm"
+    xf = lambda ifmt: _biff_rec(0x00E0, struct.pack("<HH", 0, ifmt) + b"\x00" * 12)
+    boundsheet_placeholder = struct.pack("<IBB", 0, 0, 0) + _xl_str8("D")
+    def build(globals_mid: bytes) -> tuple[bytes, int]:
+        part = bof + globals_mid + _biff_rec(0x000A, b"")
+        return part, len(part)
+    mid = (_biff_rec(0x041E, fmt164) + xf(0) + xf(14) + xf(164)
+           + _biff_rec(0x0085, boundsheet_placeholder)
+           + _biff_rec(0x00FC, sst_payload))
+    globals_part, sheet_off = build(mid)
+    sheet = (
+        _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        + _biff_rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))          # A1 "when"
+        + _biff_rec(0x0203, struct.pack("<HHHd", 1, 0, 1, 45123.0))    # A2 date
+        + _biff_rec(0x027E, struct.pack("<HHHI", 2, 0, 2, (45124 << 2) | 0x02))  # A3 RK date
+        + _biff_rec(0x0203, struct.pack("<HHHd", 3, 0, 0, 45123.0))    # A4 plain
+        + _biff_rec(0x000A, b"")
+    )
+    mid_fixed = (_biff_rec(0x041E, fmt164) + xf(0) + xf(14) + xf(164)
+                 + _biff_rec(0x0085, struct.pack("<I", sheet_off) + boundsheet_placeholder[4:])
+                 + _biff_rec(0x00FC, sst_payload))
+    globals_part, _ = build(mid_fixed)
+    spans = extract_xls(write_cfb([("Workbook", globals_part + sheet)]))
+    rows = spans[1].text.splitlines()
+    assert rows == ["when", "2023-07-16", "2023-07-17", "45123"], rows
