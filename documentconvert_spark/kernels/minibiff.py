@@ -27,9 +27,12 @@ from documentconvert_spark.kernels.limits import check_decoded_size
 from documentconvert_spark.kernels.minidoc import _Cfb
 from documentconvert_spark.kernels.miniooxml import (
     _DATE_FMT_IDS,
+    _PERCENT_FMT_IDS,
     _TIME_ONLY_IDS,
     _is_date_code,
+    _is_percent_code,
     excel_serial_to_text,
+    percent_to_text,
 )
 from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
 
@@ -199,8 +202,10 @@ def extract_xls(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
     sst: list[str] = []
     sheets: list[tuple[str, int]] = []
     custom_date: dict[int, bool] = {}
+    custom_pct: dict[int, bool] = {}
     xf_date: list[bool] = []
     xf_time: list[bool] = []
+    xf_pct: list[bool] = []
     date1904 = False
     it = _records(wb)
     for op, _off, payload in it:
@@ -213,10 +218,12 @@ def extract_xls(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
             except (struct.error, IndexError):
                 code = ""
             custom_date[ifmt] = _is_date_code(code)
+            custom_pct[ifmt] = _is_percent_code(code)
         elif op == 0x00E0 and len(payload) >= 4:  # XF
             (ifmt,) = struct.unpack_from("<H", payload, 2)
             xf_date.append(ifmt in _DATE_FMT_IDS or custom_date.get(ifmt, False))
             xf_time.append(ifmt in _TIME_ONLY_IDS)
+            xf_pct.append(ifmt in _PERCENT_FMT_IDS or custom_pct.get(ifmt, False))
         elif op == 0x00FC:  # SST
             parts = [payload]
             for op2, _o2, p2 in it:
@@ -255,12 +262,40 @@ def extract_xls(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
         def num_cell(v: float, xf: int) -> str:
             if 0 <= xf < len(xf_date) and xf_date[xf]:
                 return excel_serial_to_text(repr(v), date1904, xf_time[xf])
+            if 0 <= xf < len(xf_pct) and xf_pct[xf]:
+                return percent_to_text(repr(v))
             return _num_text(v)
 
+        pending_str: tuple[int, int] | None = None  # FORMULA cell awaiting STRING
         for op, _off, payload in _records(wb, lb):
             if op == 0x000A:  # EOF — end of this sheet substream
                 break
-            if op == 0x00FD and len(payload) >= 10:  # LABELSST
+            if op == 0x0207 and pending_str is not None:  # STRING (formula result)
+                try:
+                    txt, _ = _read_xl_string(payload, 0)
+                    put(*pending_str, txt)
+                except (struct.error, IndexError):
+                    pass
+                pending_str = None
+                continue
+            pending_str = None
+            if op == 0x0006 and len(payload) >= 14:  # FORMULA (cached value)
+                r, c, xf = struct.unpack_from("<HHH", payload, 0)
+                if struct.unpack_from("<H", payload, 12)[0] == 0xFFFF:
+                    kind = payload[6]
+                    if kind == 0:  # string result in the following STRING record
+                        pending_str = (r, c)
+                    elif kind == 1:  # boolean
+                        put(r, c, "TRUE" if payload[8] else "FALSE")
+                    # kind 2 (error) / 3 (blank): emit nothing
+                else:
+                    (v,) = struct.unpack_from("<d", payload, 6)
+                    put(r, c, num_cell(v, xf))
+            elif op == 0x0205 and len(payload) >= 8:  # BOOLERR
+                r, c, _xf = struct.unpack_from("<HHH", payload, 0)
+                if payload[7] == 0:  # boolean (1 = error code: emit nothing)
+                    put(r, c, "TRUE" if payload[6] else "FALSE")
+            elif op == 0x00FD and len(payload) >= 10:  # LABELSST
                 r, c, _xf, isst = struct.unpack_from("<HHHI", payload, 0)
                 if 0 <= isst < len(sst):
                     put(r, c, sst[isst])

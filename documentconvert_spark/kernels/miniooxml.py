@@ -350,6 +350,7 @@ def _fmt_num(v: str) -> str:
 _DATE_FMT_IDS = (set(range(14, 23)) | set(range(27, 37))
                  | set(range(45, 48)) | set(range(50, 59)))
 _TIME_ONLY_IDS = {18, 19, 20, 21, 45, 46, 47}
+_PERCENT_FMT_IDS = {9, 10}
 _EXCEL_MAX_SERIAL = 2958466  # 9999-12-31
 
 
@@ -361,21 +362,37 @@ def _is_date_code(code: str) -> bool:
     return bool(re.search(r"[ymdhs]", bare, re.IGNORECASE)) and not re.search(r"[#0@?]", bare)
 
 
-def _xlsx_date_styles(z: zipfile.ZipFile) -> tuple[list[bool], list[bool]]:
-    """Per-cellXf index: (renders-as-date, time-only)."""
+def _is_percent_code(code: str) -> bool:
+    bare = re.sub(r'"[^"]*"|\[[^\]]*\]|\\.', "", code)
+    return "%" in bare and not re.search(r"[ymdhs]", bare, re.IGNORECASE)
+
+
+def percent_to_text(v: str) -> str:
+    try:
+        return _fmt_num(repr(round(float(v) * 100, 10))) + "%"
+    except ValueError:
+        return v
+
+
+def _xlsx_date_styles(z: zipfile.ZipFile) -> tuple[list[bool], list[bool], list[bool]]:
+    """Per-cellXf index: (renders-as-date, time-only, renders-as-percent)."""
     try:
         root = ET.fromstring(zip_read_capped(z, "xl/styles.xml"))
     except (KeyError, ET.ParseError, ValueError):
-        return [], []
+        return [], [], []
     custom: dict[int, bool] = {}
+    custom_pct: dict[int, bool] = {}
     for nf in root.iter(f"{_S}numFmt"):
         try:
             fid = int(nf.get("numFmtId") or -1)
         except ValueError:
             continue
-        custom[fid] = _is_date_code(nf.get("formatCode") or "")
+        code = nf.get("formatCode") or ""
+        custom[fid] = _is_date_code(code)
+        custom_pct[fid] = _is_percent_code(code)
     is_date: list[bool] = []
     time_only: list[bool] = []
+    is_pct: list[bool] = []
     xfs = root.find(f"{_S}cellXfs")
     for xf in (xfs.findall(f"{_S}xf") if xfs is not None else []):
         try:
@@ -384,7 +401,8 @@ def _xlsx_date_styles(z: zipfile.ZipFile) -> tuple[list[bool], list[bool]]:
             fid = 0
         is_date.append(fid in _DATE_FMT_IDS or custom.get(fid, False))
         time_only.append(fid in _TIME_ONLY_IDS)
-    return is_date, time_only
+        is_pct.append(fid in _PERCENT_FMT_IDS or custom_pct.get(fid, False))
+    return is_date, time_only, is_pct
 
 
 def excel_serial_to_text(v: str, date1904: bool = False,
@@ -421,7 +439,7 @@ def extract_xlsx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
     wpr = root.find(f"{_S}workbookPr")
     date1904 = (wpr is not None
                 and (wpr.get("date1904") or "").lower() in ("1", "true"))
-    date_styles, time_only = _xlsx_date_styles(z)
+    date_styles, time_only, pct_styles = _xlsx_date_styles(z)
     spans: list[Span] = []
     sheets = []
     for sh in root.iter(f"{_S}sheet"):
@@ -453,6 +471,10 @@ def extract_xlsx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
                     val = shared[idx] if 0 <= idx < len(shared) else ""
                 elif t == "inlineStr":
                     val = "".join(tt.text or "" for tt in c.iter(f"{_S}t"))
+                elif t == "b":
+                    v = c.find(f"{_S}v")
+                    val = ("TRUE" if (v is not None and (v.text or "").strip() == "1")
+                           else "FALSE") if v is not None else ""
                 else:
                     v = c.find(f"{_S}v")
                     val = _fmt_num(v.text) if v is not None and v.text else ""
@@ -462,6 +484,8 @@ def extract_xlsx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
                         if 0 <= si < len(date_styles) and date_styles[si]:
                             val = excel_serial_to_text(
                                 v.text, date1904, time_only[si])
+                        elif 0 <= si < len(pct_styles) and pct_styles[si]:
+                            val = percent_to_text(v.text)
                 # budget BEFORE the row joins: N cells each referencing a
                 # ~250 MB shared string (legal under the per-member zip
                 # cap) would otherwise materialize N x 250 MB in the

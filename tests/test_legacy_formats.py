@@ -653,3 +653,69 @@ def test_xls_biff_date_cells_render_as_dates():
     spans = extract_xls(write_cfb([("Workbook", globals_part + sheet)]))
     rows = spans[1].text.splitlines()
     assert rows == ["when", "2023-07-16", "2023-07-17", "45123"], rows
+
+
+def test_xlsx_percent_bool_and_formula_cells():
+    """Percent-styled cells scale and suffix %, booleans render
+    TRUE/FALSE (xlsx); BIFF FORMULA cached results surface (numeric,
+    boolean, and string-via-STRING-record), BOOLERR booleans too."""
+    from documentconvert_spark.kernels.miniooxml import extract_xlsx
+
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData><row>
+  <c r="A1" s="1"><v>0.125</v></c>
+  <c r="B1" t="b"><v>1</v></c>
+  <c r="C1" t="b"><v>0</v></c>
+  <c r="D1"><f>SUM(1,2)</f><v>3</v></c>
+ </row></sheetData></worksheet>"""
+    styles = """<?xml version="1.0"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="9"/></cellXfs></styleSheet>"""
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/styles.xml", styles)
+    spans = extract_xlsx(buf.getvalue())
+    assert spans[1].text.split("\t") == ["12.5%", "TRUE", "FALSE", "3"]
+
+
+def test_xls_formula_and_boolerr_cells():
+    sst_payload = struct.pack("<II", 1, 1) + struct.pack("<HB", 3, 0) + b"hdr"
+    bof = _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    xf = lambda ifmt: _biff_rec(0x00E0, struct.pack("<HH", 0, ifmt) + b"\x00" * 12)
+    boundsheet_placeholder = struct.pack("<IBB", 0, 0, 0) + _xl_str8("D")
+    def glb(off: int) -> bytes:
+        return (bof + xf(0) + xf(9)
+                + _biff_rec(0x0085, struct.pack("<I", off) + boundsheet_placeholder[4:])
+                + _biff_rec(0x00FC, sst_payload) + _biff_rec(0x000A, b""))
+    sheet_off = len(glb(0))
+    # FORMULA cached numeric (percent xf), FORMULA bool, FORMULA string +
+    # STRING record, BOOLERR bool, BOOLERR error (dropped)
+    f_num = struct.pack("<HHH", 0, 0, 1) + struct.pack("<d", 0.25) + b"\x00\x00\x00\x00\x00\x00"
+    f_bool = struct.pack("<HHH", 0, 1, 0) + bytes([1, 0, 1, 0, 0, 0, 0xFF, 0xFF]) + b"\x00" * 6
+    f_str = struct.pack("<HHH", 0, 2, 0) + bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF]) + b"\x00" * 6
+    s_rec = struct.pack("<HB", 2, 0) + b"ok"
+    b_true = struct.pack("<HHH", 1, 0, 0) + bytes([1, 0])
+    b_err = struct.pack("<HHH", 1, 1, 0) + bytes([0x17, 1])
+    sheet = (
+        _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        + _biff_rec(0x0006, f_num)
+        + _biff_rec(0x0006, f_bool)
+        + _biff_rec(0x0006, f_str) + _biff_rec(0x0207, s_rec)
+        + _biff_rec(0x0205, b_true)
+        + _biff_rec(0x0205, b_err)
+        + _biff_rec(0x000A, b"")
+    )
+    spans = extract_xls(write_cfb([("Workbook", glb(sheet_off) + sheet)]))
+    rows = spans[1].text.splitlines()
+    assert rows == ["25%\tTRUE\tok", "TRUE"], rows
