@@ -29,6 +29,7 @@ from documentconvert_spark.kernels.miniooxml import (
     _DATE_FMT_IDS,
     _PERCENT_FMT_IDS,
     _TIME_ONLY_IDS,
+    _fmt_num,
     _is_date_code,
     _is_percent_code,
     excel_serial_to_text,
@@ -185,7 +186,7 @@ def _rk_value(rk: int) -> float:
 
 
 def _num_text(v: float) -> str:
-    return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
+    return _fmt_num(repr(v))  # same int-collapse rule as the xlsx path
 
 
 def extract_xls(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
@@ -278,7 +279,11 @@ def extract_xls(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
                     pass
                 pending_str = None
                 continue
-            pending_str = None
+            if op not in (0x04BC, 0x0221, 0x0236):
+                # ShrFmla / Array / Table may sit between a FORMULA and
+                # its STRING result ([MS-XLS] 2.4.127); anything else
+                # orphans the pending string cell
+                pending_str = None
             if op == 0x0006 and len(payload) >= 14:  # FORMULA (cached value)
                 r, c, xf = struct.unpack_from("<HHH", payload, 0)
                 if struct.unpack_from("<H", payload, 12)[0] == 0xFFFF:

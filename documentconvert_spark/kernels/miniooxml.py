@@ -24,7 +24,12 @@ import zipfile
 from xml.etree import ElementTree as ET
 
 from documentconvert_spark.kernels.limits import check_decoded_size, zip_read_capped
-from documentconvert_spark.kernels.spans import Span, finalize, normalize_text
+from documentconvert_spark.kernels.spans import (
+    MONO_FONT_RE,
+    Span,
+    finalize,
+    normalize_text,
+)
 
 ZIP_MAGIC = b"PK\x03\x04"
 
@@ -128,7 +133,7 @@ def _docx_heading_level(p) -> int:
 
 
 _CODE_STYLE = re.compile(r"(?i)code|preformatted|macro|console|terminal")
-_MONO_FONT = re.compile(r"(?i)courier|mono|consol|menlo|typewriter|fixed")
+_MONO_FONT = MONO_FONT_RE
 
 
 def _docx_is_code(p) -> bool:
@@ -141,7 +146,10 @@ def _docx_is_code(p) -> bool:
         if st is not None and _CODE_STYLE.search(st.get(f"{_W}val", "") or ""):
             return True
     mono = total = 0
-    for r in p.findall(f"{_W}r"):
+    # all descendant runs (hyperlinks, tracked changes) — the same
+    # population _docx_paragraph_text emits, else classification and
+    # output text diverge
+    for r in p.iter(f"{_W}r"):
         n = sum(len(t.text or "") for t in r.findall(f"{_W}t"))
         if not n:
             continue
@@ -191,12 +199,15 @@ def extract_docx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
     if body is None:
         raise ValueError("docx: no document body")
     spans: list[Span] = []
+    blank_break = False  # a blank paragraph separates two code listings
     for el in body:
         if el.tag == f"{_W}p":
             for ref in _docx_figures(el, rels):
                 spans.append(Span("figure", "", ref, -1))
             txt = _docx_paragraph_text(el)
-            if txt.strip():
+            if not txt.strip():
+                blank_break = True
+            else:
                 lvl = _docx_heading_level(el)
                 if lvl:
                     kind = "heading"
@@ -204,7 +215,8 @@ def extract_docx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
                     kind = "code"
                 else:
                     kind = "paragraph"
-                if kind == "code" and spans and spans[-1].kind == "code":
+                if (kind == "code" and not blank_break
+                        and spans and spans[-1].kind == "code"):
                     # consecutive code paragraphs are lines of one block
                     prev = spans.pop()
                     spans.append(Span("code",
@@ -212,6 +224,7 @@ def extract_docx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
                                       "", -1))
                 else:
                     spans.append(Span(kind, normalize_text(txt), "", -1, lvl))
+                blank_break = False
             for formula in _docx_formulas(el):
                 spans.append(Span("formula", normalize_text(formula), "", -1))
         elif el.tag == f"{_W}tbl":
@@ -382,7 +395,10 @@ def _xlsx_date_styles(z: zipfile.ZipFile) -> tuple[list[bool], list[bool], list[
         return [], [], []
     custom: dict[int, bool] = {}
     custom_pct: dict[int, bool] = {}
-    for nf in root.iter(f"{_S}numFmt"):
+    # top-level numFmts only: dxfs (conditional-format differentials)
+    # also hold numFmt elements and may reuse colliding ids
+    nfs = root.find(f"{_S}numFmts")
+    for nf in (nfs.findall(f"{_S}numFmt") if nfs is not None else []):
         try:
             fid = int(nf.get("numFmtId") or -1)
         except ValueError:
@@ -420,14 +436,21 @@ def excel_serial_to_text(v: str, date1904: bool = False,
         return v
     if not (0 <= f < _EXCEL_MAX_SERIAL):
         return _fmt_num(v)
-    secs = round((f % 1.0) * 86400)
+    secs = round((f % 1.0) * 86400) % 86400  # 0.9999999 rounds to a full
+    # day — roll over to 00:00:00 rather than emit the invalid 24:00:00
     if time_only or f < 1:
         return f"{secs // 3600:02d}:{secs % 3600 // 60:02d}:{secs % 60:02d}"
     epoch = _dt.date(1904, 1, 1) if date1904 else _dt.date(1899, 12, 30)
-    day = epoch + _dt.timedelta(days=int(f) + (1 if secs >= 86400 else 0))
-    if secs % 86400 == 0:
+    rollover = 1 if round((f % 1.0) * 86400) >= 86400 else 0
+    try:
+        day = epoch + _dt.timedelta(days=int(f) + rollover)
+    except OverflowError:
+        # the 1900-system range check above over-admits 1904-epoch
+        # serials near the top; a garbage number under a date format
+        # must not turn the whole workbook into an error row
+        return _fmt_num(v)
+    if secs == 0:
         return day.isoformat()
-    secs %= 86400
     return f"{day.isoformat()} {secs // 3600:02d}:{secs % 3600 // 60:02d}:{secs % 60:02d}"
 
 

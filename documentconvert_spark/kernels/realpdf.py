@@ -40,7 +40,13 @@ import zlib
 
 from documentconvert_spark.kernels import limits
 from documentconvert_spark.kernels.limits import inflate_capped
-from documentconvert_spark.kernels.spans import Span, finalize, normalize_text, rank_heading_levels
+from documentconvert_spark.kernels.spans import (
+    MONO_FONT_RE,
+    Span,
+    finalize,
+    normalize_text,
+    rank_heading_levels,
+)
 
 _WS = frozenset(b"\x00\t\n\x0c\r ")
 _DELIM = frozenset(b"()<>[]{}/%")
@@ -1021,7 +1027,7 @@ for _c in list(range(0x41, 0x5B)) + list(range(0x61, 0x7B)):
     _AGL[chr(_c)] = chr(_c)
 
 
-_MONO_NAME_RE = re.compile(r"courier|mono|consol|menlo|typewriter|fixed", re.IGNORECASE)
+_MONO_NAME_RE = MONO_FONT_RE  # shared with the docx classifier (spans.py)
 
 
 class _Font:
@@ -1878,12 +1884,12 @@ def extract_realpdf(content: bytes) -> list[Span]:
     root = pdf.resolve(pdf.trailer.get("Root"))
     if not isinstance(root, dict):
         raise ValueError("realpdf: no document catalog")
-    pages: list[tuple[dict, dict]] = []  # (page dict, inherited resources)
+    pages: list[tuple[dict, dict, int]] = []  # (page, inherited res, rotate)
     visited: set[int] = set()  # a /Kids entry that cycles back to an already
     # walked node would otherwise blow up exponentially (depth cap alone
     # doesn't help: two self-references per node is 2^64 calls)
 
-    def walk(node, inherited_res, depth=0):
+    def walk(node, inherited_res, inherited_rot=0, depth=0):
         node = pdf.resolve(node)
         if not isinstance(node, dict) or depth > 64 or len(pages) > 10000:
             return
@@ -1891,12 +1897,17 @@ def extract_realpdf(content: bytes) -> list[Span]:
             return
         visited.add(id(node))
         res = pdf.resolve(node.get("Resources")) or inherited_res
+        rot = pdf.resolve(node.get("Rotate"))  # inheritable, §7.7.3.4
+        try:
+            rot = int(rot) % 360 if rot is not None else inherited_rot
+        except (TypeError, ValueError):
+            rot = inherited_rot
         t = pdf.resolve(node.get("Type"))
         if t == "Pages" or (t is None and node.get("Kids") is not None):
             for kid in pdf.resolve(node.get("Kids")) or []:
-                walk(kid, res, depth + 1)
+                walk(kid, res, rot, depth + 1)
         elif t == "Page":
-            pages.append((node, res or {}))
+            pages.append((node, res or {}, rot))
 
     walk(root.get("Pages"), {})
     if not pages:
@@ -1908,7 +1919,18 @@ def extract_realpdf(content: bytes) -> list[Span]:
     # would let 10k pages sharing a single big (or form-amplified)
     # stream multiply the cap right back into a CPU/memory bomb
     budget = [limits.MAX_DECODED_BYTES]
-    for page_no, (pg, res) in enumerate(pages):
+    # display transform for the page /Rotate attribute (clockwise view
+    # rotation): scanner/OCR output often writes content pre-rotated
+    # with a compensating /Rotate, so the rotated-baseline decoration
+    # filter must see DISPLAY coordinates, not raw PDF space — without
+    # this, every text run on such a page would be dropped as rotated
+    _ROT_CTM = {
+        0: _ID,
+        90: (0.0, -1.0, 1.0, 0.0, 0.0, 0.0),
+        180: (-1.0, 0.0, 0.0, -1.0, 0.0, 0.0),
+        270: (0.0, 1.0, -1.0, 0.0, 0.0, 0.0),
+    }
+    for page_no, (pg, res, rot) in enumerate(pages):
         contents = pdf.resolve(pg.get("Contents"))
         chunks: list[bytes] = []
         items = contents if isinstance(contents, list) else [pg.get("Contents")]
@@ -1920,5 +1942,6 @@ def extract_realpdf(content: bytes) -> list[Span]:
         if not chunks:
             continue
         body = b"\n".join(chunks)
-        seq = _interpret(pdf, body, res, page_no, runs, _ID, seq, budget=budget)
+        seq = _interpret(pdf, body, res, page_no, runs,
+                         _ROT_CTM.get(rot, _ID), seq, budget=budget)
     return _runs_to_spans(runs)

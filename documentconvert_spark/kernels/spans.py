@@ -21,10 +21,18 @@ the title hierarchy MinerU's MM_MD serialization keeps (reference
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from dataclasses import dataclass
 
 KINDS = ("heading", "paragraph", "code", "table", "figure", "formula")
+
+# fixed-pitch font-name detection, shared by the PDF and docx code-block
+# classifiers. "mono(?!type)" keeps Monaco / JetBrains Mono / monospace
+# while excluding the Monotype foundry's proportional faces (Monotype
+# Corsiva on a certificate is prose, not code).
+MONO_FONT_RE = re.compile(
+    r"courier|consol|menlo|monaco|typewriter|fixed|mono(?!type)", re.IGNORECASE)
 
 
 @dataclass(frozen=True)

@@ -362,3 +362,26 @@ def test_docx_code_blocks():
     assert got[2] == ("paragraph", "prose after")
     # mixed paragraph with mono minority stays prose
     assert got[3][0] == "paragraph"
+
+
+def test_docx_code_listings_separated_by_blank_paragraph():
+    """Two code listings with a blank paragraph between them stay two
+    spans — the blank line is a block boundary in the source."""
+    import io
+    import zipfile
+
+    from documentconvert_spark.kernels.miniooxml import extract_docx
+
+    doc_xml = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:p><w:r><w:rPr><w:rFonts w:ascii="Consolas"/></w:rPr><w:t>first()</w:t></w:r></w:p>
+  <w:p/>
+  <w:p><w:r><w:rPr><w:rFonts w:ascii="Consolas"/></w:rPr><w:t>second()</w:t></w:r></w:p>
+ </w:body>
+</w:document>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc_xml)
+    spans = extract_docx(buf.getvalue())
+    assert [(s.kind, s.text) for s in spans] == [("code", "first()"), ("code", "second()")]

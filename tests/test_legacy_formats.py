@@ -719,3 +719,69 @@ def test_xls_formula_and_boolerr_cells():
     spans = extract_xls(write_cfb([("Workbook", glb(sheet_off) + sheet)]))
     rows = spans[1].text.splitlines()
     assert rows == ["25%\tTRUE\tok", "TRUE"], rows
+
+
+def test_excel_serial_edge_cases():
+    from documentconvert_spark.kernels.miniooxml import excel_serial_to_text
+
+    # 1904-epoch serial near the 1900-system cap must not raise
+    assert excel_serial_to_text("2958000", date1904=True) == "2958000"
+    # fraction rounding to a full day rolls to the next date / 00:00:00
+    assert excel_serial_to_text("0.9999999", time_only=True) == "00:00:00"
+    assert excel_serial_to_text("45123.9999999") == "2023-07-17"
+    assert excel_serial_to_text("2958465.9999999") == "2958465.9999999"
+
+
+def test_xls_shrfmla_between_formula_and_string():
+    """[MS-XLS] allows ShrFmla/Array/Table between a FORMULA and its
+    STRING result — the cached string must still land in its cell."""
+    sst_payload = struct.pack("<II", 0, 0)
+    bof = _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    boundsheet_placeholder = struct.pack("<IBB", 0, 0, 0) + _xl_str8("D")
+    def glb(off: int) -> bytes:
+        return (bof
+                + _biff_rec(0x0085, struct.pack("<I", off) + boundsheet_placeholder[4:])
+                + _biff_rec(0x00FC, sst_payload) + _biff_rec(0x000A, b""))
+    sheet_off = len(glb(0))
+    f_str = struct.pack("<HHH", 0, 0, 0) + bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF]) + b"\x00" * 6
+    s_rec = struct.pack("<HB", 5, 0) + b"hello"
+    sheet = (
+        _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        + _biff_rec(0x0006, f_str)
+        + _biff_rec(0x04BC, b"\x00" * 8)   # ShrFmla in between
+        + _biff_rec(0x0207, s_rec)
+        + _biff_rec(0x000A, b"")
+    )
+    spans = extract_xls(write_cfb([("Workbook", glb(sheet_off) + sheet)]))
+    assert spans[1].text == "hello"
+
+
+def test_xlsx_dxfs_numfmt_does_not_pollute():
+    """A conditional-format dxf reusing a numFmtId must not override the
+    top-level numFmts classification."""
+    from documentconvert_spark.kernels.miniooxml import extract_xlsx
+
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData><row><c r="A1" s="1"><v>45123</v></c></row></sheetData></worksheet>"""
+    styles = """<?xml version="1.0"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy-mm-dd"/></numFmts>
+ <cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="164"/></cellXfs>
+ <dxfs count="1"><dxf><numFmt numFmtId="164" formatCode="0.00"/></dxf></dxfs>
+</styleSheet>"""
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/styles.xml", styles)
+    spans = extract_xlsx(buf.getvalue())
+    assert spans[1].text == "2023-07-16"

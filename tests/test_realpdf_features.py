@@ -1007,3 +1007,33 @@ def test_fixedpitch_flag_marks_code():
     objs[7] = b"<</Type /FontDescriptor /FontName /CustomCo /Flags 1>>"
     spans = extract_realpdf(_classic_pdf(objs))
     assert [s.kind for s in spans] == ["code"], [(s.kind, s.text) for s in spans]
+
+
+def test_page_rotate_compensated_text_kept():
+    """Scanner output: /Rotate 90 page whose content writes text with a
+    compensating rotation matrix — upright on screen, must be extracted
+    (the decoration filter sees display coordinates)."""
+    content = (
+        b"BT /F1 12 Tf 0 1 -1 0 100 100 Tm (rotated but upright text) Tj ET "
+        b"BT /F1 12 Tf 0 1 -1 0 114 100 Tm (second line of the scan) Tj ET"
+    )
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Rotate 90 /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert "rotated but upright text" in text, spans
+    assert "second line of the scan" in text
+
+
+def test_monotype_corsiva_is_not_code():
+    """'Monotype Corsiva' (proportional cursive) must not classify as a
+    fixed-pitch code font despite containing 'mono'."""
+    from documentconvert_spark.kernels.spans import MONO_FONT_RE
+    assert not MONO_FONT_RE.search("MonotypeCorsiva")
+    assert not MONO_FONT_RE.search("Monotype Corsiva")
+    assert MONO_FONT_RE.search("JetBrains Mono")
+    assert MONO_FONT_RE.search("Monaco")
+    assert MONO_FONT_RE.search("monospace")
