@@ -347,14 +347,25 @@ FROM r GROUP BY doc_id
 # (.trae/documents/文档转换功能测试报告.md:36-420), made exact.
 
 _REF_TEST_DIR = "/root/reference/test"
+# crafted fixtures (scripts/gen_extra_fixtures.py) pinning multi-column /
+# furniture / rotated-text / code-block / spreadsheet-format behaviors
+# under the same driver-checked golden oracle as the reference samples
+_EXTRA_DOCS_DIR = os.path.join(_RES_DIR, "extra_docs")
 EXPECTED_REAL_SPANS_PARQUET = os.path.join(_RES_DIR, "expected_real_spans.parquet")
 EXPECTED_REAL_DOCS_PARQUET = os.path.join(_RES_DIR, "expected_real_docs.parquet")
 
 
-def _real_docs_extracted(spark: SparkSession) -> DataFrame:
+def _real_docs_raw(spark: SparkSession) -> DataFrame:
     from documentconvert_spark.ingest import binary_dir_as_raw
 
-    return extract_spans(binary_dir_as_raw(spark, _REF_TEST_DIR))
+    raw = binary_dir_as_raw(spark, _REF_TEST_DIR)
+    if os.path.isdir(_EXTRA_DOCS_DIR):
+        raw = raw.unionByName(binary_dir_as_raw(spark, _EXTRA_DOCS_DIR))
+    return raw
+
+
+def _real_docs_extracted(spark: SparkSession) -> DataFrame:
+    return extract_spans(_real_docs_raw(spark))
 
 
 def q_real_docs_span_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,10 +393,9 @@ def q_real_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL embedded media pulled from the reference sample containers
     (zip parts / PDF Image XObjects) with header-sniffed format and
     dimensions — the media side table on actual bytes (K6/J3)."""
-    from documentconvert_spark.ingest import binary_dir_as_raw
     from documentconvert_spark.ops.multimodal import extract_real_media
 
-    m = extract_real_media(binary_dir_as_raw(spark, _REF_TEST_DIR))
+    m = extract_real_media(_real_docs_raw(spark))
     return m.select(
         "doc_id", "media_ref", "format", "width", "height", "byte_len",
         F.md5("content").alias("content_md5"),

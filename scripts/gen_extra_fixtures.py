@@ -1,0 +1,202 @@
+"""Generate the crafted real-format fixture documents in
+documentconvert_spark/resources/extra_docs/.
+
+The reference's 7 sample files exercise the common paths; these
+deterministic fixtures pin the layout behaviors the samples don't hit —
+multi-column reading order, page furniture removal, list blocks,
+rotated-text filtering, code-block classification, spreadsheet
+date/percent/boolean/formula rendering — so they sit under the SAME
+driver-checked golden oracle (`real_docs_span_seq` et al.) instead of
+only unit tests. Deterministic: fixed bytes, fixed zip timestamps.
+Re-run + `scripts/regen_real_goldens.py` after intentional kernel
+changes.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import zipfile
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "documentconvert_spark", "resources", "extra_docs")
+
+_FONT = b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>"
+_COURIER = b"<</Type /Font /Subtype /Type1 /BaseFont /Courier>>"
+
+
+def _classic_pdf(objects: dict[int, bytes]) -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    maxn = max(objects) + 1
+    out += b"xref\n0 %d\n" % maxn
+    out += b"0000000000 65535 f \n"
+    for n in range(1, maxn):
+        out += b"%010d 00000 n \n" % offsets.get(n, 0)
+    out += b"trailer\n<</Size %d /Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n" % (maxn, xref_at)
+    return bytes(out)
+
+
+def _page_tree(kids: list[int]) -> dict[int, bytes]:
+    kid_refs = b" ".join(b"%d 0 R" % k for k in kids)
+    return {
+        1: b"<</Type /Catalog /Pages 2 0 R>>",
+        2: b"<</Type /Pages /Kids [%s] /Count %d>>" % (kid_refs, len(kids)),
+    }
+
+
+def _stream_obj(d: bytes, body: bytes) -> bytes:
+    return b"<<%s /Length %d>>\nstream\n%s\nendstream" % (d, len(body), body)
+
+
+def two_column_pdf() -> bytes:
+    parts = [b"BT /F1 24 Tf 150 760 Td (Two Column Fixture) Tj ET"]
+    y = 720
+    for i in range(12):
+        if i == 6:
+            parts.append(b"BT /F1 18 Tf 140 %d Td (Mid Section Marker Line) Tj ET" % y)
+            y -= 24
+        parts.append(
+            b"BT /F1 10 Tf 72 %d Td (leftcol%02d body text filling the col) Tj ET"
+            % (y, i))
+        parts.append(
+            b"BT /F1 10 Tf 320 %d Td (rightcol%02d body text filling the col) Tj ET"
+            % (y, i))
+        y -= 14
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", b"\n".join(parts))
+    objs[5] = _FONT
+    return _classic_pdf(objs)
+
+
+def furniture_code_pdf() -> bytes:
+    """3 pages: running header + 'Page N of 3' footer (furniture), a
+    numbered list, and a Courier code block."""
+    objs = _page_tree([3, 6, 8])
+    pages = [(3, 4), (6, 7), (8, 9)]
+    for i, (pg, ct) in enumerate(pages):
+        parts = [b"BT /F1 9 Tf 72 780 Td (Fixture Report Header 2025) Tj ET"]
+        y = 700
+        if i == 0:
+            parts.append(b"BT /F1 16 Tf 72 730 Td (Fixture Document Title) Tj ET")
+            for k in range(1, 4):
+                parts.append(
+                    b"BT /F1 10 Tf 72 %d Td (%d. numbered item %d in the list) Tj ET"
+                    % (y, k, k))
+                y -= 14
+        elif i == 1:
+            parts.append(b"BT /F1 10 Tf 72 700 Td (prose before the snippet here) Tj ET")
+            parts.append(b"BT /F2 10 Tf 72 680 Td (def fixture\\(\\):) Tj ET")
+            parts.append(b"BT /F2 10 Tf 90 666 Td (return 42) Tj ET")
+            parts.append(b"BT /F1 10 Tf 72 640 Td (prose after the snippet here) Tj ET")
+        else:
+            parts.append(b"BT /F1 10 Tf 72 700 Td (closing page body content line) Tj ET")
+            parts.append(b"BT /F1 10 Tf 72 686 Td (informa-) Tj ET")
+            parts.append(b"BT /F1 10 Tf 72 672 Td (tion joined across the wrap) Tj ET")
+        parts.append(b"BT /F1 9 Tf 280 60 Td (Page %d of 3) Tj ET" % (i + 1))
+        objs[pg] = (b"<</Type /Page /Parent 2 0 R /Contents %d 0 R "
+                    b"/Resources <</Font <</F1 11 0 R /F2 12 0 R>>>>>>" % ct)
+        objs[ct] = _stream_obj(b"", b"\n".join(parts))
+    objs[11] = _FONT
+    objs[12] = _COURIER
+    return _classic_pdf(objs)
+
+
+def rotated_pdf() -> bytes:
+    """Page 1: /Rotate 90 with compensated (upright) text. Page 2: a
+    diagonal watermark over normal text — watermark dropped."""
+    objs = _page_tree([3, 6])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Rotate 90 /Contents 4 0 R "
+               b"/Resources <</Font <</F1 9 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", (
+        b"BT /F1 12 Tf 0 1 -1 0 100 100 Tm (upright scan line one) Tj ET "
+        b"BT /F1 12 Tf 0 1 -1 0 114 100 Tm (upright scan line two) Tj ET"))
+    objs[6] = b"<</Type /Page /Parent 2 0 R /Contents 7 0 R /Resources <</Font <</F1 9 0 R>>>>>>"
+    objs[7] = _stream_obj(b"", (
+        b"BT /F1 10 Tf 72 700 Td (normal body above watermark) Tj ET "
+        b"BT /F1 48 Tf 0.707 0.707 -0.707 0.707 200 300 Tm (FIXTURE) Tj ET "
+        b"BT /F1 10 Tf 72 650 Td (normal body below watermark) Tj ET"))
+    objs[9] = _FONT
+    return _classic_pdf(objs)
+
+
+def _det_zip(members: list[tuple[str, str]]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        for name, data in members:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            z.writestr(zi, data)
+    return buf.getvalue()
+
+
+def dates_xlsx() -> bytes:
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row><c r="A1" t="inlineStr"><is><t>when</t></is></c>
+   <c r="B1" t="inlineStr"><is><t>share</t></is></c>
+   <c r="C1" t="inlineStr"><is><t>ok</t></is></c>
+   <c r="D1" t="inlineStr"><is><t>total</t></is></c></row>
+  <row><c r="A2" s="1"><v>45123</v></c>
+   <c r="B2" s="2"><v>0.125</v></c>
+   <c r="C2" t="b"><v>1</v></c>
+   <c r="D2"><f>SUM(1,2)</f><v>3</v></c></row>
+ </sheetData></worksheet>"""
+    styles = """<?xml version="1.0"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="9"/></cellXfs>
+</styleSheet>"""
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets><sheet name="Fixture" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>"""
+    return _det_zip([
+        ("xl/workbook.xml", wb),
+        ("xl/_rels/workbook.xml.rels", rels),
+        ("xl/worksheets/sheet1.xml", sheet),
+        ("xl/styles.xml", styles),
+    ])
+
+
+def code_docx() -> bytes:
+    doc_xml = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t>Code Fixture</w:t></w:r></w:p>
+  <w:p><w:r><w:t>prose before the listing</w:t></w:r></w:p>
+  <w:p><w:pPr><w:pStyle w:val="CodeBlock"/></w:pPr><w:r><w:t>def a():</w:t></w:r></w:p>
+  <w:p><w:r><w:rPr><w:rFonts w:ascii="Consolas"/></w:rPr><w:t>    return 1</w:t></w:r></w:p>
+  <w:p/>
+  <w:p><w:r><w:rPr><w:rFonts w:ascii="Courier New"/></w:rPr><w:t>standalone()</w:t></w:r></w:p>
+  <w:p><w:r><w:t>prose after the listings</w:t></w:r></w:p>
+ </w:body>
+</w:document>"""
+    return _det_zip([("word/document.xml", doc_xml)])
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    fixtures = {
+        "fixture_two_column.pdf": two_column_pdf(),
+        "fixture_furniture_code.pdf": furniture_code_pdf(),
+        "fixture_rotated.pdf": rotated_pdf(),
+        "fixture_dates.xlsx": dates_xlsx(),
+        "fixture_code.docx": code_docx(),
+    }
+    for name, data in fixtures.items():
+        with open(os.path.join(OUT, name), "wb") as fh:
+            fh.write(data)
+        print(f"{name}: {len(data)} bytes")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,9 @@ from documentconvert_spark.kernels.media import extract_media_files, sniff_image
 REF = "/root/reference/test"
 RES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                    "documentconvert_spark", "resources")
+# crafted deterministic fixtures (scripts/gen_extra_fixtures.py) pinning
+# layout behaviors the reference samples don't hit
+EXTRA = os.path.join(RES, "extra_docs")
 
 
 def main() -> None:
@@ -33,9 +36,13 @@ def main() -> None:
     doc_rows = {"doc_id": [], "status": [], "n_spans": [], "markdown_md5": []}
     media_rows = {"doc_id": [], "media_ref": [], "format": [], "width": [],
                   "height": [], "byte_len": [], "content_md5": []}
-    for name in sorted(os.listdir(REF)):
+    files = [(name, os.path.join(REF, name)) for name in sorted(os.listdir(REF))]
+    if os.path.isdir(EXTRA):
+        files += [(name, os.path.join(EXTRA, name))
+                  for name in sorted(os.listdir(EXTRA))]
+    for name, path in files:
         doc_id = urllib.parse.unquote(name)
-        with open(os.path.join(REF, name), "rb") as fh:
+        with open(path, "rb") as fh:
             data = fh.read()
         kern = extract_pdf_any if name.endswith(".pdf") else extract_office_any
         spans = kern(data)

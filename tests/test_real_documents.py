@@ -32,8 +32,14 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+EXTRA = os.path.join(RES, "extra_docs")  # crafted fixtures in the same goldens
+
+
 def _read(name: str) -> bytes:
-    with open(os.path.join(REF, name), "rb") as fh:
+    path = os.path.join(REF, name)
+    if not os.path.exists(path):
+        path = os.path.join(EXTRA, name)
+    with open(path, "rb") as fh:
         return fh.read()
 
 
@@ -151,7 +157,7 @@ def test_real_goldens_match_committed_parquet():
         expected.setdefault(did, []).append(
             (tbl["offset"][i], tbl["kind"][i], tbl["media_ref"][i], tbl["text"][i])
         )
-    assert len(expected) == 7
+    assert len(expected) == 12  # 7 reference samples + 5 crafted fixtures
     for name, exp in expected.items():
         data = _read(name)
         kern = extract_pdf_any if name.endswith(".pdf") else extract_office_any
@@ -180,7 +186,10 @@ def test_spark_extracts_reference_corpus(spark):
     exp = pq.read_table(os.path.join(RES, "expected_real_docs.parquet")).to_pydict()
     exp_counts = dict(zip(exp["doc_id"], exp["n_spans"]))
     got_counts = {r.doc_id: r.n_spans for r in rows}
-    assert got_counts == exp_counts
+    # this test ingests the REFERENCE dir only; the goldens also carry
+    # the crafted fixtures (covered by the contract queries)
+    assert got_counts == {k: v for k, v in exp_counts.items() if k in got_counts}
+    assert len(got_counts) == 7
 
     # figure media refs survive the Arrow round trip
     figs = (
@@ -281,7 +290,8 @@ def test_stream_extracts_real_corpus_incrementally(spark, tmp_path):
     got = {r.doc_id: r.n_spans for r in out2.select("doc_id", "n_spans").collect()}
     import pyarrow.parquet as _pq
     exp = _pq.read_table(os.path.join(RES, "expected_real_docs.parquet")).to_pydict()
-    assert got == dict(zip(exp["doc_id"], exp["n_spans"]))
+    exp_counts = dict(zip(exp["doc_id"], exp["n_spans"]))
+    assert got == {k: v for k, v in exp_counts.items() if k in got} and len(got) == 7
     raw.unpersist()
 
 
