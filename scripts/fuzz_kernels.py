@@ -45,11 +45,14 @@ _BIG_INTS = (0x7FFFFFFF, 0xFFFFFFFF, 0x7FFFFFFFFFFFFFFF, 2_000_000_000)
 def _seed_docs() -> list[tuple[str, str, bytes]]:
     """(name, route, bytes) — every dispatch route gets real seeds."""
     seeds = []
-    for fn in sorted(os.listdir(REF_TEST_DIR)):
-        with open(os.path.join(REF_TEST_DIR, fn), "rb") as f:
-            data = f.read()
-        route = "pdf" if fn.endswith(".pdf") else "office"
-        seeds.append((f"ref_{fn.rsplit('.', 1)[-1]}_{len(seeds)}", route, data))
+    extra = os.path.join(REPO, "documentconvert_spark", "resources", "extra_docs")
+    dirs = [REF_TEST_DIR] + ([extra] if os.path.isdir(extra) else [])
+    for d in dirs:
+        for fn in sorted(os.listdir(d)):
+            with open(os.path.join(d, fn), "rb") as f:
+                data = f.read()
+            route = "pdf" if fn.endswith(".pdf") else "office"
+            seeds.append((f"ref_{fn.rsplit('.', 1)[-1]}_{len(seeds)}", route, data))
     from documentconvert_spark.corpus import make_doc_by_index
 
     for i in range(12):  # synthetic variety: minipdf / markup / image docs
