@@ -17,6 +17,7 @@ from __future__ import annotations
 import io
 import os
 import struct
+import sys
 import zipfile
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -183,7 +184,130 @@ def code_docx() -> bytes:
     return _det_zip([("word/document.xml", doc_xml)])
 
 
+# -- legacy whitelist formats (odt/ods/odp, rtf, BIFF .xls, binary .ppt) -----
+# built with the test suite's independent minimal writers so the whole
+# office whitelist sits under the driver-checked golden oracle, not only
+# under unit tests
+
+def legacy_rtf() -> bytes:
+    return (rb"{\rtf1\ansi\ansicpg1252\deff0"
+            rb"{\fonttbl{\f0 Times New Roman;}}"
+            rb"\pard\outlinelevel0\b\fs36 Legacy RTF Fixture\b0\fs24\par"
+            b"\\pard Body paragraph with \\'e9 accent and \\u20013? char.\\par"
+            rb"\trowd\intbl cellA\cell cellB\cell\row"
+            rb"\trowd\intbl cellC\cell cellD\cell\row\pard"
+            rb"{\pict\pngblip\picw100\pich100 a1b2c3d4e5f6}"
+            rb"Closing paragraph.\par}")
+
+
+def _odf_zip(content_xml: str, mimetype: str) -> bytes:
+    return _det_zip([("mimetype", mimetype), ("content.xml", content_xml)])
+
+
+_ODT_CONTENT = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+  xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+  xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
+  xmlns:xlink="http://www.w3.org/1999/xlink">
+ <office:body><office:text>
+  <text:h text:outline-level="1">ODT Fixture Report</text:h>
+  <text:p>First paragraph with <text:span>inline span</text:span> text.</text:p>
+  <text:h text:outline-level="2">Numbers</text:h>
+  <table:table table:name="T1">
+   <table:table-row>
+    <table:table-cell office:value-type="string"><text:p>name</text:p></table:table-cell>
+    <table:table-cell office:value-type="float" office:value="42"><text:p>42</text:p></table:table-cell>
+   </table:table-row>
+  </table:table>
+ </office:text></office:body>
+</office:document-content>"""
+
+_ODS_CONTENT = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+  xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">
+ <office:body><office:spreadsheet>
+  <table:table table:name="Ledger">
+   <table:table-row>
+    <table:table-cell office:value-type="string"><text:p>item</text:p></table:table-cell>
+    <table:table-cell office:value-type="date" office:date-value="2026-01-02"/>
+   </table:table-row>
+   <table:table-row>
+    <table:table-cell office:value-type="float" office:value="100"><text:p>100</text:p></table:table-cell>
+    <table:table-cell office:value-type="string"><text:p>ok</text:p></table:table-cell>
+   </table:table-row>
+  </table:table>
+ </office:spreadsheet></office:body>
+</office:document-content>"""
+
+_ODP_CONTENT = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+  xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
+  xmlns:presentation="urn:oasis:names:tc:opendocument:xmlns:presentation:1.0"
+  xmlns:xlink="http://www.w3.org/1999/xlink">
+ <office:body><office:presentation>
+  <draw:page draw:name="page1">
+   <draw:frame presentation:class="title"><draw:text-box><text:p>ODP Fixture Deck</text:p></draw:text-box></draw:frame>
+   <draw:frame presentation:class="outline"><draw:text-box><text:p>bullet one</text:p><text:p>bullet two</text:p></draw:text-box></draw:frame>
+  </draw:page>
+ </office:presentation></office:body>
+</office:document-content>"""
+
+
+def biff_xls() -> bytes:
+    from test_legacy_formats import _biff_rec, _xl_str8, write_cfb
+
+    sst_payload = (struct.pack("<II", 2, 2)
+                   + struct.pack("<HB", 4, 0) + b"name"
+                   + struct.pack("<HB", 4, 0) + b"when")
+    bof = _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    xf = lambda ifmt: _biff_rec(0x00E0, struct.pack("<HH", 0, ifmt) + b"\x00" * 12)
+    boundsheet_placeholder = struct.pack("<IBB", 0, 0, 0) + _xl_str8("Grid")
+
+    def glb(off: int) -> bytes:
+        return (bof + xf(0) + xf(14)
+                + _biff_rec(0x0085, struct.pack("<I", off) + boundsheet_placeholder[4:])
+                + _biff_rec(0x00FC, sst_payload) + _biff_rec(0x000A, b""))
+
+    sheet = (
+        _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        + _biff_rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))           # "name"
+        + _biff_rec(0x00FD, struct.pack("<HHHI", 0, 1, 0, 1))           # "when"
+        + _biff_rec(0x0203, struct.pack("<HHHd", 1, 0, 0, 12.0))
+        + _biff_rec(0x0203, struct.pack("<HHHd", 1, 1, 1, 45123.0))     # date
+        + _biff_rec(0x027E, struct.pack("<HHHI", 2, 0, 0, (25 << 2) | 0x02))
+        + _biff_rec(0x0205, struct.pack("<HHH", 2, 1, 0) + bytes([1, 0]))  # TRUE
+        + _biff_rec(0x000A, b"")
+    )
+    return write_cfb([("Workbook", glb(len(glb(0))) + sheet)])
+
+
+def binary_ppt() -> bytes:
+    from test_legacy_formats import _ppt_rec, write_cfb
+
+    title = "PPT Fixture Deck".encode("utf-16-le")
+    body = "第一点\r第二点".encode("utf-16-le")
+    slide = _ppt_rec(
+        0x000F, 0x03EE,
+        _ppt_rec(0x0000, 0x0F9F, struct.pack("<I", 0))
+        + _ppt_rec(0x0000, 0x0FA0, title)
+        + _ppt_rec(0x0000, 0x0F9F, struct.pack("<I", 1))
+        + _ppt_rec(0x0000, 0x0FA0, body)
+        + _ppt_rec(0x0000, 0x0FA8, b"ascii only run"),
+    )
+    doc = _ppt_rec(0x000F, 0x03E8, slide)
+    return write_cfb([("PowerPoint Document", doc), ("Current User", b"\x00" * 16)])
+
+
 def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    sys.path.insert(0, os.path.join(repo, "tests"))
     os.makedirs(OUT, exist_ok=True)
     fixtures = {
         "fixture_two_column.pdf": two_column_pdf(),
@@ -191,6 +315,12 @@ def main() -> None:
         "fixture_rotated.pdf": rotated_pdf(),
         "fixture_dates.xlsx": dates_xlsx(),
         "fixture_code.docx": code_docx(),
+        "fixture_legacy.rtf": legacy_rtf(),
+        "fixture_report.odt": _odf_zip(_ODT_CONTENT, "application/vnd.oasis.opendocument.text"),
+        "fixture_ledger.ods": _odf_zip(_ODS_CONTENT, "application/vnd.oasis.opendocument.spreadsheet"),
+        "fixture_deck.odp": _odf_zip(_ODP_CONTENT, "application/vnd.oasis.opendocument.presentation"),
+        "fixture_grid.xls": biff_xls(),
+        "fixture_deck.ppt": binary_ppt(),
     }
     for name, data in fixtures.items():
         with open(os.path.join(OUT, name), "wb") as fh:
