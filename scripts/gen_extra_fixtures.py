@@ -304,6 +304,29 @@ def binary_ppt() -> bytes:
     return write_cfb([("PowerPoint Document", doc), ("Current User", b"\x00" * 16)])
 
 
+def boilerplate_html() -> bytes:
+    """Real-world-shaped page: nav/header/footer chrome, a link-farm
+    sidebar (jusText-style link-density drop), unquoted attrs, entities,
+    headings, a pre block and a table — the minidom main-content path."""
+    return (
+        b"<!DOCTYPE html><html><head><title>t</title>"
+        b"<script>var tracked = 1;</script><style>.x{color:red}</style></head>"
+        b"<body><header>Site chrome banner</header>"
+        b"<nav><a href=/>Home</a> <a href=/a>Archive</a></nav>"
+        b"<div id=main>"
+        b"<h1>HTML Fixture &amp; Friends</h1>"
+        b"<p>Opening paragraph body text that is long enough to keep.</p>"
+        b"<h2>Details</h2>"
+        b"<p>Second paragraph with an <b>inline</b> emphasis kept.</p>"
+        b"<pre>def keep():\n    return 'code'</pre>"
+        b"<table><tr><td>k</td><td>v</td></tr><tr><td>a</td><td>1</td></tr></table>"
+        b"</div>"
+        b"<div class=sidebar><a href=/1>rel one</a> <a href=/2>rel two</a> "
+        b"<a href=/3>rel three</a></div>"
+        b"<footer>copyright fixture corp</footer></body></html>"
+    )
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -321,6 +344,7 @@ def main() -> None:
         "fixture_deck.odp": _odf_zip(_ODP_CONTENT, "application/vnd.oasis.opendocument.presentation"),
         "fixture_grid.xls": biff_xls(),
         "fixture_deck.ppt": binary_ppt(),
+        "fixture_page.html": boilerplate_html(),
     }
     for name, data in fixtures.items():
         with open(os.path.join(OUT, name), "wb") as fh:

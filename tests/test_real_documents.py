@@ -157,7 +157,7 @@ def test_real_goldens_match_committed_parquet():
         expected.setdefault(did, []).append(
             (tbl["offset"][i], tbl["kind"][i], tbl["media_ref"][i], tbl["text"][i])
         )
-    assert len(expected) == 18  # 7 reference samples + 11 crafted fixtures
+    assert len(expected) == 19  # 7 reference samples + 12 crafted fixtures
     for name, exp in expected.items():
         data = _read(name)
         kern = extract_pdf_any if name.endswith(".pdf") else extract_office_any
