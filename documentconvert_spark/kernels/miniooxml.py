@@ -182,9 +182,12 @@ def _docx_table_grid(tbl) -> str:
     for tr in tbl.findall(f"{_W}tr"):
         cells = []
         for tc in tr.findall(f"{_W}tc"):
+            # iter, not findall: Word nests layout tables inside cells;
+            # direct-children-only collection silently drops the nested
+            # table's entire text (flattened into the host cell here)
             cell_txt = " ".join(
                 _docx_paragraph_text(p).replace("\t", " ")
-                for p in tc.findall(f"{_W}p")
+                for p in tc.iter(f"{_W}p")
             )
             cells.append(cell_txt.strip())
         rows.append("\t".join(cells))

@@ -385,3 +385,28 @@ def test_docx_code_listings_separated_by_blank_paragraph():
         z.writestr("word/document.xml", doc_xml)
     spans = extract_docx(buf.getvalue())
     assert [(s.kind, s.text) for s in spans] == [("code", "first()"), ("code", "second()")]
+
+
+def test_docx_nested_table_text_not_dropped():
+    """Word nests layout tables inside cells; the nested table's text
+    must flatten into the host cell, not vanish."""
+    import io
+    import zipfile
+
+    from documentconvert_spark.kernels.miniooxml import extract_docx
+
+    doc_xml = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:tbl><w:tr><w:tc>
+    <w:p><w:r><w:t>outer cell</w:t></w:r></w:p>
+    <w:tbl><w:tr><w:tc><w:p><w:r><w:t>nested text</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+  </w:tc><w:tc><w:p><w:r><w:t>second</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+ </w:body>
+</w:document>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc_xml)
+    spans = extract_docx(buf.getvalue())
+    assert spans[0].kind == "table"
+    assert spans[0].text == "outer cell nested text\tsecond"
