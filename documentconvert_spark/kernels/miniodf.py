@@ -79,6 +79,25 @@ def _figures(el) -> list[str]:
     return refs
 
 
+def _cell_paragraphs(tc) -> list:
+    """All text:p / text:h under a cell — including inside text:list
+    items and sections (direct-children findall dropped those) — but NOT
+    under a nested table, whose rows the deep row iterator already emits
+    as rows of the outer grid."""
+    out: list = []
+
+    def walk(el) -> None:
+        for c in el:
+            if c.tag == f"{_TB}table":
+                continue
+            if c.tag in (f"{_T}p", f"{_T}h"):
+                out.append(c)
+            walk(c)
+
+    walk(tc)
+    return out
+
+
 def _table_grid(tbl) -> str:
     rows_out = []
     out_chars = 0
@@ -112,7 +131,7 @@ def _table_grid(tbl) -> str:
             elif vt == "boolean":
                 txt = tc.get(f"{_O}boolean-value", "")
             else:
-                txt = " ".join(_text_of(p) for p in tc.findall(f"{_T}p"))
+                txt = " ".join(_text_of(p) for p in _cell_paragraphs(tc))
             # budget BEFORE the references multiply: one cell whose
             # _text_of flattens to ~250 MB (legal under its own per-call
             # cap) with columns-repeated=1024 × rows-repeated=1024 would

@@ -785,3 +785,25 @@ def test_xlsx_dxfs_numfmt_does_not_pollute():
         z.writestr("xl/styles.xml", styles)
     spans = extract_xlsx(buf.getvalue())
     assert spans[1].text == "2023-07-16"
+
+
+def test_odf_list_text_inside_cell_kept():
+    """text:p inside a text:list item in a cell (direct-children findall
+    dropped it); nested-table text is not duplicated into the host cell
+    (its rows are already emitted by the deep row iterator)."""
+    content = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+  xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">
+ <office:body><office:spreadsheet>
+  <table:table table:name="S">
+   <table:table-row>
+    <table:table-cell><text:list><text:list-item><text:p>listed value</text:p></text:list-item></text:list></table:table-cell>
+    <table:table-cell><text:p>plain</text:p></table:table-cell>
+   </table:table-row>
+  </table:table>
+ </office:spreadsheet></office:body>
+</office:document-content>"""
+    spans = extract_odf(_odf_zip(content, "application/vnd.oasis.opendocument.spreadsheet"))
+    assert spans[1].text == "listed value\tplain"
