@@ -201,9 +201,19 @@ def extract_docx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
     body = root.find(f"{_W}body")
     if body is None:
         raise ValueError("docx: no document body")
+    def _blocks(parent):
+        """Direct block elements, descending through w:sdt content
+        controls (Word wraps TOCs, cover pages and form regions in them;
+        skipping unknown tags would silently drop that text)."""
+        for el in parent:
+            if el.tag in (f"{_W}sdt", f"{_W}sdtContent"):
+                yield from _blocks(el)
+            else:
+                yield el
+
     spans: list[Span] = []
     blank_break = False  # a blank paragraph separates two code listings
-    for el in body:
+    for el in _blocks(body):
         if el.tag == f"{_W}p":
             for ref in _docx_figures(el, rels):
                 spans.append(Span("figure", "", ref, -1))

@@ -410,3 +410,32 @@ def test_docx_nested_table_text_not_dropped():
     spans = extract_docx(buf.getvalue())
     assert spans[0].kind == "table"
     assert spans[0].text == "outer cell nested text\tsecond"
+
+
+def test_docx_sdt_content_controls_unwrapped():
+    """Word wraps TOCs and form regions in w:sdt content controls; their
+    paragraphs and tables must extract, not silently vanish."""
+    import io
+    import zipfile
+
+    from documentconvert_spark.kernels.miniooxml import extract_docx
+
+    doc_xml = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:p><w:r><w:t>before the control</w:t></w:r></w:p>
+  <w:sdt><w:sdtPr/><w:sdtContent>
+    <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t>TOC Heading</w:t></w:r></w:p>
+    <w:p><w:r><w:t>controlled paragraph text</w:t></w:r></w:p>
+  </w:sdtContent></w:sdt>
+  <w:p><w:r><w:t>after the control</w:t></w:r></w:p>
+ </w:body>
+</w:document>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc_xml)
+    spans = extract_docx(buf.getvalue())
+    texts = [s.text for s in spans]
+    assert texts == ["before the control", "TOC Heading",
+                     "controlled paragraph text", "after the control"], texts
+    assert spans[1].kind == "heading" and spans[1].level == 1
