@@ -187,9 +187,42 @@ def _table_grid(node: _Node) -> str:
 
 
 def _emit(node: _Node, spans: list[Span]) -> None:
+    # bare text sitting directly in a container (<div>prose</div>, dd,
+    # figcaption — no <p> wrapper) is ordinary prose on real pages;
+    # accumulate consecutive text nodes and flush them as a paragraph in
+    # document order rather than silently dropping them. The same
+    # jusText-style link-density guard applies — a link-farm sidebar
+    # without <p> wrappers is still boilerplate
+    pending: list[str] = []
+    pending_link = 0
+
+    def flush_bare() -> None:
+        nonlocal pending_link
+        if not pending:
+            return
+        raw = " ".join(pending)
+        link = pending_link
+        pending.clear()
+        pending_link = 0
+        total = len(raw.strip())
+        if total and link / total > MAX_LINK_DENSITY:
+            return
+        txt = normalize_text(raw)
+        if len(txt) >= MIN_BLOCK_CHARS:
+            spans.append(Span("paragraph", txt, "", -1))
+
     for c in node.children:
         if isinstance(c, str):
+            pending.append(c)
             continue
+        if c.tag in _INLINE:
+            # <div>Some <b>bold</b> prose</div>: inline markup flattens
+            # into the running text instead of fragmenting it
+            t = _text_of(c)
+            pending.append(t)
+            pending_link += len(t) if c.tag == "a" else _link_chars(c)
+            continue
+        flush_bare()
         if c.tag in BLACKLIST:
             continue  # boilerplate subtree: dropped wholesale
         if c.tag in HEADINGS:
@@ -230,6 +263,7 @@ def _emit(node: _Node, spans: list[Span]) -> None:
             continue
         # container (div/main/article/section/ul/body/...): recurse
         _emit(c, spans)
+    flush_bare()
 
 
 def extract_minidom(content: bytes) -> list[Span]:

@@ -439,3 +439,22 @@ def test_docx_sdt_content_controls_unwrapped():
     assert texts == ["before the control", "TOC Heading",
                      "controlled paragraph text", "after the control"], texts
     assert spans[1].kind == "heading" and spans[1].level == 1
+
+
+def test_minidom_bare_container_text_kept():
+    """Text directly inside a div (no <p> wrapper) with inline markup is
+    ordinary prose; a link farm without <p> wrappers is still dropped by
+    the link-density guard."""
+    from documentconvert_spark.kernels.minidom import extract_minidom
+
+    html = (b"<html><body>"
+            b"<div>Bare prose with <b>inline bold</b> kept intact here.</div>"
+            b"<dl><dt>Term</dt><dd>Definition text for the term here.</dd></dl>"
+            b"<div><a href=/1>link one</a> <a href=/2>link two</a> "
+            b"<a href=/3>link three</a></div>"
+            b"</body></html>")
+    spans = extract_minidom(html)
+    texts = [s.text for s in spans]
+    assert "Bare prose with inline bold kept intact here." in texts
+    assert "Definition text for the term here." in texts
+    assert not any("link one" in t for t in texts)
