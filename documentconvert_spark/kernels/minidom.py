@@ -186,6 +186,17 @@ def _table_grid(node: _Node) -> str:
     return "\n".join(rows)
 
 
+def _has_block(node: _Node) -> bool:
+    """True when an (inline) element hosts block-level content or an
+    image anywhere below it."""
+    for c in node.children:
+        if isinstance(c, str):
+            continue
+        if c.tag in BLOCK_TAGS or _has_block(c):
+            return True
+    return False
+
+
 def _emit(node: _Node, spans: list[Span]) -> None:
     # bare text sitting directly in a container (<div>prose</div>, dd,
     # figcaption — no <p> wrapper) is ordinary prose on real pages;
@@ -213,11 +224,23 @@ def _emit(node: _Node, spans: list[Span]) -> None:
 
     for c in node.children:
         if isinstance(c, str):
-            pending.append(c)
+            # entity decode here matches _text_of; raw '&amp;' would
+            # otherwise survive only on this path (and inflate the
+            # length/link-density counts)
+            pending.append(html.unescape(c))
             continue
-        if c.tag in _INLINE:
+        if c.tag == "br":
+            # a line break continues the same bare-text block — flushing
+            # here would fragment 'Call now:<br>555-1234' into pieces
+            # each separately subject to the minimum-length guard
+            pending.append(" ")
+            continue
+        if c.tag in _INLINE and not _has_block(c):
             # <div>Some <b>bold</b> prose</div>: inline markup flattens
-            # into the running text instead of fragmenting it
+            # into the running text instead of fragmenting it. Inline
+            # elements HOSTING block content (card links: <a><h3>…
+            # <p>…</p></a>, linked images) stay on the container path so
+            # their figures/headings/paragraphs still emit
             t = _text_of(c)
             pending.append(t)
             pending_link += len(t) if c.tag == "a" else _link_chars(c)

@@ -82,16 +82,20 @@ def _figures(el) -> list[str]:
 def _cell_paragraphs(tc) -> list:
     """All text:p / text:h under a cell — including inside text:list
     items and sections (direct-children findall dropped those) — but NOT
-    under a nested table, whose rows the deep row iterator already emits
-    as rows of the outer grid."""
+    under a nested table (whose rows the deep row iterator already emits
+    as rows of the outer grid), inside office:annotation (reviewer
+    comments are not cell content), or inside an already-collected
+    paragraph (its _text_of flatten covers descendants — descending
+    again would emit frame captions twice)."""
     out: list = []
 
     def walk(el) -> None:
         for c in el:
-            if c.tag == f"{_TB}table":
+            if c.tag in (f"{_TB}table", f"{_O}annotation"):
                 continue
             if c.tag in (f"{_T}p", f"{_T}h"):
                 out.append(c)
+                continue
             walk(c)
 
     walk(tc)
@@ -209,9 +213,9 @@ def extract_odf(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
                 cls = frame.get(f"{_P}class", "")
                 tbox = frame.find(f"{_D}text-box")
                 if tbox is not None:
-                    txt = "\n".join(
-                        _text_of(p) for p in tbox if p.tag in (f"{_T}p", f"{_T}h")
-                    )
+                    # _cell_paragraphs, not direct children: slide bullet
+                    # text lives in text:list > text:list-item > text:p
+                    txt = "\n".join(_text_of(p) for p in _cell_paragraphs(tbox))
                     if txt.strip():
                         kind = "heading" if cls == "title" else "paragraph"
                         spans.append(Span(kind, normalize_text(txt), "", -1,

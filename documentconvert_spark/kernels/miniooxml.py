@@ -177,17 +177,44 @@ def _docx_figures(p, rels: dict[str, str]) -> list[str]:
     return refs
 
 
+def _unwrap_sdt(parent, tag: str):
+    """Direct `tag` children, descending through w:sdt content controls
+    (repeating-section controls wrap table rows and cells too)."""
+    for el in parent:
+        if el.tag in (f"{_W}sdt", f"{_W}sdtContent"):
+            yield from _unwrap_sdt(el, tag)
+        elif el.tag == tag:
+            yield el
+
+
+def _cell_paragraphs(tc) -> list:
+    """Top-level w:p under a cell — including inside nested layout
+    tables and sdt wrappers (direct-children findall dropped those) —
+    WITHOUT descending into a collected paragraph: its deep
+    _docx_paragraph_text flatten already covers w:p nested in drawing
+    text boxes (w:txbxContent), which a plain tc.iter would emit
+    twice."""
+    out: list = []
+
+    def walk(el) -> None:
+        for c in el:
+            if c.tag == f"{_W}p":
+                out.append(c)
+                continue
+            walk(c)
+
+    walk(tc)
+    return out
+
+
 def _docx_table_grid(tbl) -> str:
     rows = []
-    for tr in tbl.findall(f"{_W}tr"):
+    for tr in _unwrap_sdt(tbl, f"{_W}tr"):
         cells = []
-        for tc in tr.findall(f"{_W}tc"):
-            # iter, not findall: Word nests layout tables inside cells;
-            # direct-children-only collection silently drops the nested
-            # table's entire text (flattened into the host cell here)
+        for tc in _unwrap_sdt(tr, f"{_W}tc"):
             cell_txt = " ".join(
                 _docx_paragraph_text(p).replace("\t", " ")
-                for p in tc.iter(f"{_W}p")
+                for p in _cell_paragraphs(tc)
             )
             cells.append(cell_txt.strip())
         rows.append("\t".join(cells))

@@ -458,3 +458,57 @@ def test_minidom_bare_container_text_kept():
     assert "Bare prose with inline bold kept intact here." in texts
     assert "Definition text for the term here." in texts
     assert not any("link one" in t for t in texts)
+
+
+def test_minidom_inline_with_block_content_not_flattened():
+    """Card links (<a><h3>…<p>…</a>) and linked images keep their block
+    spans; bare entities decode; <br> does not fragment bare text."""
+    from documentconvert_spark.kernels.minidom import extract_minidom
+
+    html = (b"<html><body>"
+            b"<div><a href=/art><h3>Card Title</h3>"
+            b"<p>teaser paragraph long enough to keep around</p></a></div>"
+            b"<div><a href=/x><img src=pic.jpg></a></div>"
+            b"<div>Fish &amp; Chips &#8212; best in town</div>"
+            b"<div>Call now:<br>555-1234 x99</div>"
+            b"</body></html>")
+    spans = extract_minidom(html)
+    by_kind = {}
+    for s in spans:
+        by_kind.setdefault(s.kind, []).append(s)
+    assert any(s.text == "Card Title" for s in by_kind.get("heading", []))
+    assert any("teaser paragraph" in s.text for s in by_kind.get("paragraph", []))
+    assert any(s.media_ref == "pic.jpg" for s in by_kind.get("figure", []))
+    texts = [s.text for s in spans]
+    assert "Fish & Chips — best in town" in texts
+    assert "Call now: 555-1234 x99" in texts
+
+
+def test_docx_sdt_rows_and_textbox_paragraphs():
+    """sdt-wrapped table rows extract; a text box inside a cell
+    paragraph is emitted once, not twice."""
+    import io
+    import zipfile
+
+    from documentconvert_spark.kernels.miniooxml import extract_docx
+
+    doc_xml = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:tbl>
+   <w:tr><w:tc><w:p><w:r><w:t>plain row</w:t></w:r></w:p></w:tc></w:tr>
+   <w:sdt><w:sdtContent>
+    <w:tr><w:tc><w:p><w:r><w:t>controlled row</w:t></w:r></w:p></w:tc></w:tr>
+   </w:sdtContent></w:sdt>
+   <w:tr><w:tc><w:p><w:r><w:t>host</w:t></w:r>
+     <w:txbxContent><w:p><w:r><w:t>BOXTEXT</w:t></w:r></w:p></w:txbxContent>
+   </w:p></w:tc></w:tr>
+  </w:tbl>
+ </w:body>
+</w:document>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc_xml)
+    spans = extract_docx(buf.getvalue())
+    assert spans[0].kind == "table"
+    assert spans[0].text.splitlines() == ["plain row", "controlled row", "hostBOXTEXT"]

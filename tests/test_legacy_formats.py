@@ -807,3 +807,37 @@ def test_odf_list_text_inside_cell_kept():
 </office:document-content>"""
     spans = extract_odf(_odf_zip(content, "application/vnd.oasis.opendocument.spreadsheet"))
     assert spans[1].text == "listed value\tplain"
+
+
+def test_odf_annotations_excluded_and_odp_bullets_kept():
+    """Cell comments (office:annotation) stay out of table text; odp
+    bullet text inside text:list items in a text-box extracts."""
+    ods = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+  xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">
+ <office:body><office:spreadsheet><table:table table:name="S">
+  <table:table-row><table:table-cell>
+    <office:annotation><text:p>REVIEWER NOTE</text:p></office:annotation>
+    <text:p>visible value</text:p>
+  </table:table-cell></table:table-row>
+ </table:table></office:spreadsheet></office:body></office:document-content>"""
+    spans = extract_odf(_odf_zip(ods, "application/vnd.oasis.opendocument.spreadsheet"))
+    assert spans[1].text == "visible value"
+
+    odp = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+  xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
+  xmlns:presentation="urn:oasis:names:tc:opendocument:xmlns:presentation:1.0">
+ <office:body><office:presentation><draw:page draw:name="p1">
+  <draw:frame presentation:class="outline"><draw:text-box>
+   <text:list><text:list-item><text:p>bullet alpha</text:p></text:list-item>
+    <text:list-item><text:p>bullet beta</text:p></text:list-item></text:list>
+  </draw:text-box></draw:frame>
+ </draw:page></office:presentation></office:body></office:document-content>"""
+    spans = extract_odf(_odf_zip(odp, "application/vnd.oasis.opendocument.presentation"))
+    texts = "\n".join(s.text for s in spans)
+    assert "bullet alpha" in texts and "bullet beta" in texts
