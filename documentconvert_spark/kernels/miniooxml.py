@@ -19,6 +19,7 @@ Handles the reference's own sample corpus (`/root/reference/test/`):
 from __future__ import annotations
 
 import io
+import math
 import re
 import zipfile
 from xml.etree import ElementTree as ET
@@ -389,10 +390,12 @@ def _xlsx_shared_strings(z: zipfile.ZipFile) -> list[str]:
 def _fmt_num(v: str) -> str:
     try:
         f = float(v)
-        if f == int(f) and abs(f) < 1e15:
+        # inf/nan must render as-is, never error the workbook: int(inf)
+        # raises OverflowError and int(nan) ValueError before the == test.
+        if math.isfinite(f) and f == int(f) and abs(f) < 1e15:
             return str(int(f))
         return v
-    except ValueError:
+    except (ValueError, OverflowError):
         return v
 
 

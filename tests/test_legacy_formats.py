@@ -787,6 +787,49 @@ def test_xlsx_dxfs_numfmt_does_not_pollute():
     assert spans[1].text == "2023-07-16"
 
 
+def test_xlsx_nonfinite_numbers_do_not_error_workbook():
+    """<v>1e999</v> parses as +inf; int(inf) raises OverflowError which
+    _fmt_num previously didn't catch — a single garbage cell under a
+    date/percent/plain style must not turn the workbook into an error
+    row. Covers all three style routes plus nan."""
+    from documentconvert_spark.kernels.miniooxml import (
+        _fmt_num, extract_xlsx, percent_to_text)
+
+    assert _fmt_num("1e999") == "1e999"
+    assert _fmt_num("-1e999") == "-1e999"
+    assert _fmt_num("nan") == "nan"
+    assert percent_to_text("1e999").endswith("%")
+
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData><row>
+  <c r="A1" s="1"><v>1e999</v></c>
+  <c r="B1" s="2"><v>1e999</v></c>
+  <c r="C1"><v>-1e999</v></c>
+  <c r="D1"><v>nan</v></c>
+ </row></sheetData></worksheet>"""
+    styles = """<?xml version="1.0"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="9"/>
+ </cellXfs></styleSheet>"""
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/styles.xml", styles)
+    spans = extract_xlsx(buf.getvalue())  # must not raise
+    cells = spans[1].text.split("\t")
+    assert cells[0] == "1e999" and cells[2] == "-1e999", cells
+
+
 def test_odf_list_text_inside_cell_kept():
     """text:p inside a text:list item in a cell (direct-children findall
     dropped it); nested-table text is not duplicated into the host cell
