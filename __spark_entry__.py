@@ -44,33 +44,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering matters: the driver's correctness gate checks the FIRST 50
-# entries, so the engine's raison d'être (extraction + corpus/LLM-pipeline
-# ops) goes first, then all event queries, then the relational queries whose
-# round-1 oracles were dtype-fixed this round; the remaining relational
-# queries (all driver-verified PASS in round 1, CORRECTNESS_r01.json) close
-# the dict and keep their local-oracle coverage.
-_R1_FIXED = {k: RELATIONAL_QUERIES[k] for k in
-             ("tpch_q12s", "a3_batch_tallies", "a_pivot", "f_array_ops", "dq_checks")}
-_R1_PASSED = {k: v for k, v in RELATIONAL_QUERIES.items() if k not in _R1_FIXED}
-# Below the 50-entry window (all keep local-oracle coverage):
-# ann_ivf_buckets' assignment is fully exercised inside ann_ivf_topk and
-# ann_ivf_recall; multimodal_features shares its MINIMEDIA decode path
-# with multimodal_meta/frames, which stay in the window.
-_DEMOTED = {
-    "ann_ivf_buckets": CORPUS_QUERIES["ann_ivf_buckets"],
-    "multimodal_features": EXTRACTION_QUERIES["multimodal_features"],
-}
-_CORPUS_PRIO = {k: v for k, v in CORPUS_QUERIES.items() if k not in _DEMOTED}
-_EXTRACTION_PRIO = {k: v for k, v in EXTRACTION_QUERIES.items() if k not in _DEMOTED}
-_ALL: dict[str, tuple] = {
-    **_EXTRACTION_PRIO,
-    **_CORPUS_PRIO,
-    **EVENT_QUERIES,
-    **_R1_FIXED,
-    **_DEMOTED,
-    **_R1_PASSED,
-    **CORPUS_QUERIES_EXTRA,
-}
+# entries. _WINDOW pins those 50 by name (tests assert the invariant), so
+# a registry edit can't silently de-verify anything. Rotation history:
+#   r1: relational/tpch family (40 green, CORRECTNESS_r01.json)
+#   r2: extraction + corpus + events + 5 dtype-fixed relational (50/50 green)
+#   r3: swap OUT ev_retention/ev_funnel/token_stats (keep their green r2
+#       rows), swap IN the 3 never-driver-verified queries
+#       (ann_ivf_buckets, multimodal_features, filter_url_blocklist) —
+#       after r3 every contract query has a green driver row.
+_WINDOW: tuple[str, ...] = (
+    "real_av_meta", "real_image_meta", "dedup_span_paragraphs",
+    "real_docs_span_seq", "real_docs_summary", "real_media_meta",
+    "spans_input_stats", "w1_redensify", "j3_media_join",
+    "extract_span_seq", "extract_doc_summary", "extract_kind_counts",
+    "multimodal_meta", "multimodal_frames", "dedup_minhash_capped",
+    "scrub_pii", "quality_repetition", "pipeline_e2e",
+    "sample_stratified", "decontaminate_overlap", "emb_quantize_int8",
+    "dedup_levenshtein", "dedup_clusters", "dedup_keep_first",
+    "dedup_embedding_cosine", "doc_winnow_fingerprint", "token_bpeish",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_recall",
+    "lang_id", "text_quality",
+    "ann_ivf_buckets", "multimodal_features", "filter_url_blocklist",
+    "ev_map_ops", "ev_interval_join", "ev_props_json", "ev_sessionize",
+    "ev_asof_join", "ev_window_rollup",
+    "tpch_q12s", "a3_batch_tallies", "a_pivot", "f_array_ops", "dq_checks",
+)
+_PARTS: tuple[dict, ...] = (
+    EXTRACTION_QUERIES, CORPUS_QUERIES, EVENT_QUERIES,
+    RELATIONAL_QUERIES, CORPUS_QUERIES_EXTRA,
+)
+_MERGED: dict[str, tuple] = {}
+for _part in _PARTS:
+    _MERGED.update(_part)
+assert sum(len(p) for p in _PARTS) == len(_MERGED), "query name collision"
+assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50, "window must be 50 unique"
+# windowed first (driver-checked), then everything else in stable merge order
+_ALL: dict[str, tuple] = {name: _MERGED[name] for name in _WINDOW}
+_ALL.update({k: v for k, v in _MERGED.items() if k not in _ALL})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
