@@ -35,6 +35,7 @@ No state is kept across documents — deterministic for any Arrow batching.
 
 from __future__ import annotations
 
+import math
 import re
 import zlib
 
@@ -1215,20 +1216,32 @@ _TEXT_OPS = frozenset([
 ])
 
 
+class _BudgetExceeded(ValueError):
+    """Interpreted-bytes budget exhausted. A dedicated type so
+    extract_realpdf can stop interpreting further pages and finalize the
+    runs already collected (graceful truncation of a legitimately huge
+    document) while form-level containment still re-raises it."""
+
+
 def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
                runs: list, ctm, seq_start: int, depth: int = 0,
-               budget: list | None = None) -> int:
+               budget: list | None = None, rot_runs: list | None = None) -> int:
     # The depth cap below stops self-referential forms, but not BREADTH:
     # a stream of K "/F Do" ops invoking a form that itself holds K Do ops
     # re-interprets (and re-emits runs for) the same bytes K^depth times —
     # a crafted few-hundred-KB file becomes years of work and unbounded
     # runs. A budget of total interpreted bytes, shared down the
-    # recursion, bounds the whole page at the decode-expansion cap.
+    # recursion, bounds the whole DOCUMENT (one pool across pages — a
+    # per-page pool would let 10k pages multiply the cap back into a
+    # bomb) at the decode-expansion cap; exhaustion truncates, see
+    # _BudgetExceeded.
     if budget is None:
         budget = [limits.MAX_DECODED_BYTES]
     budget[0] -= len(body)
     if budget[0] < 0:
-        raise ValueError("pdf: interpreted content over the expansion cap")
+        raise _BudgetExceeded("pdf: interpreted content over the expansion cap")
+    if rot_runs is None:
+        rot_runs = []
     fonts_res = pdf.resolve(resources.get("Font")) or {}
     xobjs = pdf.resolve(resources.get("XObject")) or {}
     font: _Font | None = None
@@ -1252,17 +1265,33 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
         if not txt:
             return
         dev = _mat_mul(tm, ctm)
-        # non-horizontal baseline (b component) = rotated text: a diagonal
-        # watermark ('DRAFT' at 45°) or sideways margin text shreds into
-        # one-glyph lines interleaved with content under y-bucketing —
-        # the layout engine treats it as decoration and drops it. The c
-        # threshold is loose (0.6) because fake-italic shear matrices
-        # [1 0 0.21 1] are ordinary body text
-        if (abs(dev[1]) > 0.1 * (abs(dev[0]) + 1e-9)
-                or abs(dev[2]) > 0.6 * (abs(dev[3]) + 1e-9)):
+        # Baseline orientation from the (a, b) column. Horizontal is the
+        # normal case; a DIAGONAL baseline (45° 'DRAFT' watermark) is
+        # always decoration — it shreds into one-glyph lines interleaved
+        # with content under y-bucketing. Axis-aligned 90/180/270 runs
+        # are parked in rot_runs: a page whose content is uniformly
+        # rotated in PDF space WITHOUT a compensating /Rotate (landscape
+        # content on a portrait MediaBox, some OCR layers) must not
+        # silently extract as empty — extract_realpdf keeps a rotation
+        # class when it forms the page majority (coordinates re-mapped),
+        # and drops it as sideways-margin decoration otherwise.
+        a, b = dev[0], dev[1]
+        if abs(b) <= 0.1 * (abs(a) + 1e-9):
+            orient = 0 if a >= 0 else 180
+        elif abs(a) <= 0.1 * (abs(b) + 1e-9):
+            orient = 90 if b > 0 else 270
+        else:
             return
-        eff = size * (abs(dev[0]) or 1.0)
-        runs.append((page_no, dev[5], dev[4], eff, seq, "t", txt, f.mono))
+        # the c threshold is loose (0.6) because fake-italic shear
+        # matrices [1 0 0.21 1] are ordinary body text
+        if orient == 0 and abs(dev[2]) > 0.6 * (abs(dev[3]) + 1e-9):
+            return
+        eff = size * (math.hypot(a, b) or 1.0)
+        if orient == 0:
+            runs.append((page_no, dev[5], dev[4], eff, seq, "t", txt, f.mono))
+        else:
+            rot_runs.append((orient, page_no, dev[5], dev[4], eff, seq,
+                             "t", txt, f.mono))
         seq += 1
 
     for kind, tok in _content_tokens(body):
@@ -1344,7 +1373,7 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
                         try:
                             seq = _interpret(pdf, pdf.stream_bytes(xo), inner_res,
                                              page_no, runs, inner_ctm, seq, depth + 1,
-                                             budget)
+                                             budget, rot_runs)
                         except Exception:
                             pass
                     elif sub == "Image":
@@ -1930,6 +1959,15 @@ def extract_realpdf(content: bytes) -> list[Span]:
         180: (-1.0, 0.0, 0.0, -1.0, 0.0, 0.0),
         270: (0.0, 1.0, -1.0, 0.0, 0.0, 0.0),
     }
+    # device (x, y) → reading-frame coordinates for a page whose text
+    # baselines are uniformly rotated by the class angle (the inverse
+    # view rotation: 90 = clockwise quarter turn, so (0,1) baselines
+    # become (1,0))
+    _UNROT = {
+        90: lambda x, y: (y, -x),
+        180: lambda x, y: (-x, -y),
+        270: lambda x, y: (-y, x),
+    }
     for page_no, (pg, res, rot) in enumerate(pages):
         contents = pdf.resolve(pg.get("Contents"))
         chunks: list[bytes] = []
@@ -1942,6 +1980,36 @@ def extract_realpdf(content: bytes) -> list[Span]:
         if not chunks:
             continue
         body = b"\n".join(chunks)
-        seq = _interpret(pdf, body, res, page_no, runs,
-                         _ROT_CTM.get(rot, _ID), seq, budget=budget)
+        start = len(runs)
+        rot_runs: list = []
+        truncated = False
+        try:
+            seq = _interpret(pdf, body, res, page_no, runs,
+                             _ROT_CTM.get(rot, _ID), seq, budget=budget,
+                             rot_runs=rot_runs)
+        except _BudgetExceeded:
+            # a legitimate very large document (summed decoded content
+            # over MAX_DECODED_BYTES) degrades to a truncated extraction
+            # instead of a whole-document error row; the per-op budget
+            # re-check inside _interpret guarantees no further bytes are
+            # interpreted past this point
+            truncated = True
+        if rot_runs:
+            # majority-rotation rescue: content rotated in PDF space
+            # without a compensating /Rotate. A class that outnumbers
+            # this page's horizontal text runs is the page content —
+            # re-map coordinates and keep; minority classes stay dropped
+            # (sideways margin text / stamps).
+            horiz = sum(1 for r in runs[start:] if r[5] == "t")
+            by_class: dict[int, list] = {}
+            for rr in rot_runs:
+                by_class.setdefault(rr[0], []).append(rr)
+            dominant = max(by_class, key=lambda k: len(by_class[k]))
+            if len(by_class[dominant]) > horiz:
+                unrot = _UNROT[dominant]
+                for (_o, pno, y, x, eff, rseq, kind, txt, mono) in by_class[dominant]:
+                    nx, ny = unrot(x, y)
+                    runs.append((pno, ny, nx, eff, rseq, kind, txt, mono))
+        if truncated:
+            break
     return _runs_to_spans(runs)

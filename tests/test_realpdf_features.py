@@ -1037,3 +1037,84 @@ def test_monotype_corsiva_is_not_code():
     assert MONO_FONT_RE.search("JetBrains Mono")
     assert MONO_FONT_RE.search("Monaco")
     assert MONO_FONT_RE.search("monospace")
+
+
+def test_uniformly_rotated_page_content_kept():
+    """A page whose content is uniformly 90-degree rotated in PDF space
+    WITHOUT a compensating /Rotate (landscape content on a portrait
+    MediaBox, some OCR layers) must extract, not silently come out
+    empty: when one rotation class is the majority of a page's text
+    runs, its coordinates are re-mapped into the reading frame."""
+    # reading position (x, y) → device Tm = [0 1 -1 0  -y  x]
+    lines = [b"first rotated line", b"second rotated line",
+             b"third rotated line", b"fourth rotated line"]
+    content = b" ".join(
+        b"BT /F1 10 Tf 0 1 -1 0 %d 72 Tm (%s) Tj ET" % (-(700 - 20 * i), t)
+        for i, t in enumerate(lines))
+    # one horizontal run: minority, but horizontal always stays
+    content += b" BT /F1 6 Tf 300 400 Td (stamp) Tj ET"
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    for t in lines:
+        assert t.decode() in text, text
+    assert "stamp" in text
+    # reading order preserved after the re-map
+    idx = [text.index(t.decode()) for t in lines]
+    assert idx == sorted(idx), text
+
+
+def test_minority_rotated_runs_still_decoration():
+    """Sideways margin text on a normal page (rotated runs a minority)
+    keeps being dropped — the majority rescue must not resurrect it."""
+    content = (
+        b"BT /F1 10 Tf 72 700 Td (body one) Tj ET "
+        b"BT /F1 10 Tf 72 680 Td (body two) Tj ET "
+        b"BT /F1 10 Tf 72 660 Td (body three) Tj ET "
+        b"BT /F1 8 Tf 0 1 -1 0 20 400 Tm (sideways stamp) Tj ET "
+        b"BT /F1 8 Tf 0 -1 1 0 590 400 Tm (other margin) Tj ET"
+    )
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert "body one" in text and "body three" in text
+    assert "sideways stamp" not in text and "other margin" not in text
+
+
+def test_interpreter_budget_truncates_instead_of_erroring(monkeypatch):
+    """A document whose summed interpreted content exceeds the doc-level
+    budget finalizes the runs already collected (truncation) instead of
+    raising out of extract_realpdf as a whole-document error."""
+    from documentconvert_spark.kernels import limits as _limits
+
+    def page_content(tag: bytes) -> bytes:
+        # ~150 bytes of content per page: under the per-stream cap we
+        # patch below, but two pages together exceed it
+        filler = b" ".join(b"BT /F1 10 Tf 72 %d Td (%s line %d) Tj ET"
+                           % (700 - 20 * i, tag, i) for i in range(3))
+        return filler
+
+    objs = _page_tree([3, 6])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", page_content(b"pageone"))
+    objs[5] = _FONT
+    objs[6] = b"<</Type /Page /Parent 2 0 R /Contents 7 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[7] = _stream_obj(b"", page_content(b"pagetwo"))
+    pdf = _classic_pdf(objs)
+
+    # sanity: both pages extract under the real cap
+    full = "\n".join(s.text for s in extract_realpdf(pdf))
+    assert "pageone line 0" in full and "pagetwo line 0" in full
+
+    body_len = len(page_content(b"pageone"))
+    monkeypatch.setattr(_limits, "MAX_DECODED_BYTES", body_len + 10)
+    spans = extract_realpdf(pdf)  # must not raise
+    text = "\n".join(s.text for s in spans)
+    assert "pageone line 0" in text and "pageone line 2" in text
+    assert "pagetwo" not in text
