@@ -392,3 +392,50 @@ def corpus_rows(docs: list[RawDoc]) -> list[tuple]:
 def expected_rows(docs: list[RawDoc]) -> list[tuple]:
     """Rows matching the documents_spans schema (FIXTURES.md Table 2)."""
     return [(d.doc_id, [s.as_dict() for s in d.expected]) for d in docs]
+
+
+# -- rendered-text PNG (the OCR fixture generator) ----------------------------
+# Generator side of the miniocr golden split: renders lines of the shared
+# public-style 5×7 font into a real PNG with its own encoder (IHDR/IDAT,
+# zlib, CRC32, filter-0 scanlines) — kernels/miniocr.py must decode the
+# bytes back to the exact text through an independent decode path.
+
+def render_text_png(lines: list[str], scale: int = 2, margin: int = 8,
+                    color: bool = False) -> bytes:
+    import struct as _struct
+    import zlib as _zlib
+
+    from documentconvert_spark.kernels.miniocr import CELL_H, CELL_W, FONT_5X7
+
+    ncols = max((len(ln) for ln in lines), default=0)
+    w = 2 * margin + max(ncols * CELL_W - 1, 1) * scale
+    h = 2 * margin + max(len(lines) * CELL_H - 1, 1) * scale
+    grid = [bytearray([255]) * w for _ in range(h)]
+    for li, ln in enumerate(lines):
+        for ci, ch in enumerate(ln):
+            rows = FONT_5X7.get(ch.upper())
+            if rows is None:
+                continue
+            for gy, grow in enumerate(rows):
+                for gx, bit in enumerate(grow):
+                    if bit != "X":
+                        continue
+                    y0 = margin + (li * CELL_H + gy) * scale
+                    x0 = margin + (ci * CELL_W + gx) * scale
+                    for dy in range(scale):
+                        for dx in range(scale):
+                            grid[y0 + dy][x0 + dx] = 0
+    if color:
+        raster = b"".join(b"\x00" + bytes(v for px in row for v in (px, px, px))
+                          for row in grid)
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    else:
+        raster = b"".join(b"\x00" + bytes(row) for row in grid)
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (_struct.pack(">I", len(body)) + typ + body
+                + _struct.pack(">I", _zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(raster, 9)) + chunk(b"IEND", b""))

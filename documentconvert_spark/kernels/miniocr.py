@@ -1,0 +1,277 @@
+"""Deterministic bitmap-glyph OCR over a known 5×7 font (C4 text parity).
+
+The reference OCRs real images through the MinerU CLI (GPU models,
+`services/document_service.py:826-907`, 300 s timeout) — an engine the
+sandbox does not ship. What *is* achievable from scratch, and what this
+module implements, is the observable behavior on a bounded input class:
+a PNG whose text is rendered in a known public-style 5×7 bitmap font
+(the classic HD44780/GLCD glyph grid) decodes back to its exact text,
+so `image_to_markdown` produces text spans end-to-end instead of a bare
+figure. Real-world photos and antialiased screenshots deliberately fail
+the grid checks and fall back to figure-only extraction.
+
+Pipeline: from-scratch PNG decode (IHDR/IDAT, zlib inflate through the
+shared expansion cap, scanline unfilter per the PNG spec §6 filter
+types 0–4) → binarize → split text lines on blank scanlines → split
+glyphs on blank columns → normalize each glyph to its ink bounding box
+at the inferred integer scale → exact-match against the font table.
+
+Everything here is per-row Python inside the Arrow-batched extraction
+UDF — no Spark shuffle, bounded by the same interpreted-bytes caps as
+the other kernels.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from documentconvert_spark.kernels.limits import MAX_DECODED_BYTES
+
+# -- font --------------------------------------------------------------------
+# 5×7 glyph grid in the style of the classic HD44780 character generator
+# ROM / GLCD fonts ('X' = ink). Uppercase + digits + basic punctuation:
+# enough for deterministic fixture round-trips; lowercase x-height and
+# descender glyphs would break the blank-scanline band rule and are
+# deliberately out of scope for a from-scratch matcher.
+FONT_5X7: dict[str, tuple[str, ...]] = {
+    "A": (".XXX.", "X...X", "X...X", "XXXXX", "X...X", "X...X", "X...X"),
+    "B": ("XXXX.", "X...X", "X...X", "XXXX.", "X...X", "X...X", "XXXX."),
+    "C": (".XXX.", "X...X", "X....", "X....", "X....", "X...X", ".XXX."),
+    "D": ("XXXX.", "X...X", "X...X", "X...X", "X...X", "X...X", "XXXX."),
+    "E": ("XXXXX", "X....", "X....", "XXXX.", "X....", "X....", "XXXXX"),
+    "F": ("XXXXX", "X....", "X....", "XXXX.", "X....", "X....", "X...."),
+    "G": (".XXX.", "X...X", "X....", "X.XXX", "X...X", "X...X", ".XXX."),
+    "H": ("X...X", "X...X", "X...X", "XXXXX", "X...X", "X...X", "X...X"),
+    "I": (".XXX.", "..X..", "..X..", "..X..", "..X..", "..X..", ".XXX."),
+    "J": ("..XXX", "...X.", "...X.", "...X.", "...X.", "X..X.", ".XX.."),
+    "K": ("X...X", "X..X.", "X.X..", "XX...", "X.X..", "X..X.", "X...X"),
+    "L": ("X....", "X....", "X....", "X....", "X....", "X....", "XXXXX"),
+    "M": ("X...X", "XX.XX", "X.X.X", "X.X.X", "X...X", "X...X", "X...X"),
+    "N": ("X...X", "XX..X", "X.X.X", "X..XX", "X...X", "X...X", "X...X"),
+    "O": (".XXX.", "X...X", "X...X", "X...X", "X...X", "X...X", ".XXX."),
+    "P": ("XXXX.", "X...X", "X...X", "XXXX.", "X....", "X....", "X...."),
+    "Q": (".XXX.", "X...X", "X...X", "X...X", "X.X.X", "X..X.", ".XX.X"),
+    "R": ("XXXX.", "X...X", "X...X", "XXXX.", "X.X..", "X..X.", "X...X"),
+    "S": (".XXXX", "X....", "X....", ".XXX.", "....X", "....X", "XXXX."),
+    "T": ("XXXXX", "..X..", "..X..", "..X..", "..X..", "..X..", "..X.."),
+    "U": ("X...X", "X...X", "X...X", "X...X", "X...X", "X...X", ".XXX."),
+    "V": ("X...X", "X...X", "X...X", "X...X", "X...X", ".X.X.", "..X.."),
+    "W": ("X...X", "X...X", "X...X", "X.X.X", "X.X.X", "X.X.X", ".X.X."),
+    "X": ("X...X", "X...X", ".X.X.", "..X..", ".X.X.", "X...X", "X...X"),
+    "Y": ("X...X", "X...X", ".X.X.", "..X..", "..X..", "..X..", "..X.."),
+    "Z": ("XXXXX", "....X", "...X.", "..X..", ".X...", "X....", "XXXXX"),
+    "0": (".XXX.", "X...X", "X..XX", "X.X.X", "XX..X", "X...X", ".XXX."),
+    "1": ("..X..", ".XX..", "..X..", "..X..", "..X..", "..X..", ".XXX."),
+    "2": (".XXX.", "X...X", "....X", "...X.", "..X..", ".X...", "XXXXX"),
+    "3": ("XXXXX", "...X.", "..X..", "...X.", "....X", "X...X", ".XXX."),
+    "4": ("...X.", "..XX.", ".X.X.", "X..X.", "XXXXX", "...X.", "...X."),
+    "5": ("XXXXX", "X....", "XXXX.", "....X", "....X", "X...X", ".XXX."),
+    "6": ("..XX.", ".X...", "X....", "XXXX.", "X...X", "X...X", ".XXX."),
+    "7": ("XXXXX", "....X", "...X.", "..X..", ".X...", ".X...", ".X..."),
+    "8": (".XXX.", "X...X", "X...X", ".XXX.", "X...X", "X...X", ".XXX."),
+    "9": (".XXX.", "X...X", "X...X", ".XXXX", "....X", "...X.", ".XX.."),
+    ".": (".....", ".....", ".....", ".....", ".....", ".XX..", ".XX.."),
+    ",": (".....", ".....", ".....", ".....", ".XX..", "..X..", ".X..."),
+    ":": (".....", ".XX..", ".XX..", ".....", ".XX..", ".XX..", "....."),
+    "-": (".....", ".....", ".....", "XXXXX", ".....", ".....", "....."),
+    "!": ("..X..", "..X..", "..X..", "..X..", "..X..", ".....", "..X.."),
+    "?": (".XXX.", "X...X", "....X", "...X.", "..X..", ".....", "..X.."),
+    "(": ("...X.", "..X..", ".X...", ".X...", ".X...", "..X..", "...X."),
+    ")": (".X...", "..X..", "...X.", "...X.", "...X.", "..X..", ".X..."),
+    "/": ("....X", "....X", "...X.", "..X..", ".X...", "X....", "X...."),
+    "+": (".....", "..X..", "..X..", "XXXXX", "..X..", "..X..", "....."),
+    "=": (".....", ".....", "XXXXX", ".....", "XXXXX", ".....", "....."),
+}
+
+GLYPH_W, GLYPH_H, CELL_W, CELL_H = 5, 7, 6, 8
+
+
+def _crop(rows: tuple[str, ...]) -> tuple[str, ...]:
+    """Glyph bitmap → its ink bounding box (the match key: absolute cell
+    position is unrecoverable once lines band on blank scanlines)."""
+    rs = [i for i, r in enumerate(rows) if "X" in r]
+    cs = [j for j in range(len(rows[0])) if any(r[j] == "X" for r in rows)]
+    return tuple(rows[i][cs[0]:cs[-1] + 1] for i in range(rs[0], rs[-1] + 1))
+
+
+_CROPPED: dict[tuple[str, ...], str] = {}
+for _ch, _rows in FONT_5X7.items():
+    _key = _crop(_rows)
+    assert _key not in _CROPPED, f"font: cropped-pattern collision {_ch!r}/{_CROPPED[_key]!r}"
+    _CROPPED[_key] = _ch
+    # glyph segmentation splits on blank columns: an internal all-blank
+    # column inside one glyph's bbox would shred it into two
+    assert all("X" in col for col in zip(*_key)), f"font: internal blank column in {_ch!r}"
+
+
+# -- PNG decode (spec: W3C PNG, chunks + filters §6) --------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_MAX_PIXELS = 4 << 20  # 4 MP: far above any text fixture, bounds the
+# per-pixel Python loops (charge-on-sight, before the IDAT inflate)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_gray(data: bytes) -> tuple[int, int, list[bytearray]]:
+    """PNG bytes → (width, height, rows of 8-bit gray). Supports the
+    shapes a rendered-text fixture can take — 8-bit grayscale / RGB /
+    RGBA, non-interlaced — and raises ValueError on anything else."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("png: bad magic")
+    pos = 8
+    w = h = ct = -1
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        (ln,), typ = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("png: truncated chunk")
+        if typ == b"IHDR":
+            w, h, depth, ct, comp, filt, inter = struct.unpack(">IIBBBBB", body[:13])
+            if depth != 8 or ct not in (0, 2, 6) or comp or filt or inter:
+                raise ValueError("png: unsupported IHDR shape")
+            if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+                raise ValueError("png: dimensions over cap")
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + crc
+    if w < 0 or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    bpp = {0: 1, 2: 3, 6: 4}[ct]
+    stride = w * bpp
+    if (stride + 1) * h > MAX_DECODED_BYTES:
+        raise ValueError("png: raster over decode cap")
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), (stride + 1) * h)
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("png: truncated raster")
+    rows: list[bytearray] = []
+    prev = bytearray(stride)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError("png: unknown filter type")
+        prev = line
+        if bpp == 1:
+            rows.append(line)
+        else:  # ITU-R 601 luma, integer form
+            rows.append(bytearray(
+                (line[i] * 299 + line[i + 1] * 587 + line[i + 2] * 114) // 1000
+                for i in range(0, stride, bpp)))
+    return w, h, rows
+
+
+# -- glyph matching -----------------------------------------------------------
+
+_INK = 128  # gray < _INK is ink (black text on white)
+
+
+def _downsample(cells: list[list[bool]], s: int) -> tuple[str, ...] | None:
+    """Ink grid → pattern rows at 1/s, requiring every s×s block to be
+    uniform — antialiased or off-grid input fails here by design."""
+    hh, ww = len(cells), len(cells[0])
+    if hh % s or ww % s:
+        return None
+    out = []
+    for by in range(0, hh, s):
+        row = []
+        for bx in range(0, ww, s):
+            block = [cells[by + dy][bx + dx] for dy in range(s) for dx in range(s)]
+            if all(block):
+                row.append("X")
+            elif not any(block):
+                row.append(".")
+            else:
+                return None
+        out.append("".join(row))
+    return tuple(out)
+
+
+def ocr_png_text(data: bytes) -> list[str]:
+    """PNG bytes → decoded text lines, or [] when the image is not a
+    clean grid rendering of the known font (the figure-only fallback)."""
+    try:
+        w, h, gray = decode_png_gray(data)
+    except (ValueError, struct.error, zlib.error):
+        return []
+    ink = [[p < _INK for p in row] for row in gray]
+    row_has = [any(r) for r in ink]
+    bands: list[tuple[int, int]] = []
+    y = 0
+    while y < h:
+        if row_has[y]:
+            y0 = y
+            while y < h and row_has[y]:
+                y += 1
+            bands.append((y0, y))
+        else:
+            y += 1
+    if not bands:
+        return []
+    big = max(b1 - b0 for b0, b1 in bands)
+    if big % GLYPH_H:
+        return []
+    s = big // GLYPH_H
+    lines: list[str] = []
+    unknown = total = 0
+    for b0, b1 in bands:
+        col_has = [any(ink[y][x] for y in range(b0, b1)) for x in range(w)]
+        text = ""
+        prev_end: int | None = None
+        x = 0
+        while x < w:
+            if not col_has[x]:
+                x += 1
+                continue
+            x0 = x
+            while x < w and col_has[x]:
+                x += 1
+            # inter-glyph gaps are ≤ 5s (1 blank grid col + ≤2 blank glyph
+            # edge cols each side); a space cell pushes the gap to ≥ 7s
+            if prev_end is not None and x0 - prev_end >= 6 * s:
+                text += " "
+            prev_end = x
+            ys = [yy for yy in range(b0, b1) if any(ink[yy][xx] for xx in range(x0, x))]
+            cells = [[ink[yy][xx] for xx in range(x0, x)] for yy in range(ys[0], ys[-1] + 1)]
+            pat = _downsample(cells, s)
+            ch = _CROPPED.get(pat) if pat is not None else None
+            total += 1
+            if ch is None:
+                unknown += 1
+                ch = "�"
+            text += ch
+        lines.append(text)
+    # a photo or off-font screenshot that happens to band cleanly must
+    # not emit replacement-character soup
+    if total == 0 or unknown * 5 > total:
+        return []
+    return lines

@@ -327,6 +327,22 @@ def boilerplate_html() -> bytes:
     )
 
 
+def ocr_pngs() -> dict[str, bytes]:
+    """Rendered-text PNGs for the miniocr glyph matcher (C4 OCR parity):
+    grayscale at two scales plus an RGB variant; decoded text lands as
+    paragraph spans after the figure span in the golden corpus."""
+    from documentconvert_spark.corpus import render_text_png
+
+    return {
+        "fixture_ocr_note.png": render_text_png(
+            ["SCANNED NOTE 1", "TOTAL DUE: 42.50", "PAY BY 2024-06-30!"],
+            scale=2),
+        "fixture_ocr_badge.png": render_text_png(
+            ["BUILD PASSING", "COVERAGE = 97?", "(SEE LOG / RUN 12)"],
+            scale=3, color=True),
+    }
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -345,6 +361,7 @@ def main() -> None:
         "fixture_grid.xls": biff_xls(),
         "fixture_deck.ppt": binary_ppt(),
         "fixture_page.html": boilerplate_html(),
+        **ocr_pngs(),
     }
     for name, data in fixtures.items():
         with open(os.path.join(OUT, name), "wb") as fh:

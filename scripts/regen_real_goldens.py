@@ -19,7 +19,11 @@ sys.path.insert(0, "/root/repo")
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from documentconvert_spark.kernels.detect import extract_office_any, extract_pdf_any
+from documentconvert_spark.kernels.detect import (
+    extract_image_any,
+    extract_office_any,
+    extract_pdf_any,
+)
 from documentconvert_spark.kernels.markdown import spans_to_markdown
 from documentconvert_spark.kernels.media import extract_media_files, sniff_image_meta
 
@@ -44,7 +48,12 @@ def main() -> None:
         doc_id = urllib.parse.unquote(name)
         with open(path, "rb") as fh:
             data = fh.read()
-        kern = extract_pdf_any if name.endswith(".pdf") else extract_office_any
+        if name.endswith(".pdf"):
+            kern = extract_pdf_any
+        elif name.rsplit(".", 1)[-1] in ("png", "jpg", "jpeg", "bmp", "tiff"):
+            kern = extract_image_any
+        else:
+            kern = extract_office_any
         spans = kern(data)
         doc_rows["doc_id"].append(doc_id)
         doc_rows["status"].append("completed")

@@ -1,0 +1,120 @@
+"""miniocr: from-scratch PNG decode + 5×7 bitmap-glyph matching (C4 text
+parity). Generator (corpus.render_text_png, own encoder) vs parser
+(kernels/miniocr.py) split — same oracle style as the synthetic corpus."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from documentconvert_spark.corpus import render_text_png
+from documentconvert_spark.kernels.miniocr import (
+    FONT_5X7,
+    decode_png_gray,
+    ocr_png_text,
+)
+
+
+@pytest.mark.parametrize("scale", [1, 2, 3])
+def test_round_trip_all_glyphs(scale):
+    alphabet = "".join(sorted(FONT_5X7))
+    lines = [alphabet[i:i + 12] for i in range(0, len(alphabet), 12)]
+    assert ocr_png_text(render_text_png(lines, scale=scale)) == lines
+
+
+def test_round_trip_sentences_with_spaces():
+    lines = ["HELLO SPARK WORLD", "LINE 2: DEDUP + ANN!", "THE END."]
+    assert ocr_png_text(render_text_png(lines, scale=2)) == lines
+
+
+def test_rgb_png_round_trip():
+    lines = ["RGB VARIANT 123"]
+    assert ocr_png_text(render_text_png(lines, scale=2, color=True)) == lines
+
+
+def test_lowercase_renders_as_uppercase():
+    assert ocr_png_text(render_text_png(["hello"], scale=2)) == ["HELLO"]
+
+
+def test_all_scanline_filters_decode():
+    """Re-encode a fixture raster using filters 1-4 (Sub/Up/Average/Paeth)
+    — render_text_png only emits filter 0, so pin the other decode paths
+    directly."""
+    src = render_text_png(["FILTER TEST 42"], scale=2)
+    w, h, rows = decode_png_gray(src)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    out = bytearray()
+    prev = bytearray(w)
+    for y, row in enumerate(rows):
+        ft = (y % 4) + 1
+        out.append(ft)
+        for i, v in enumerate(row):
+            a = row[i - 1] if i else 0
+            c = prev[i - 1] if i else 0
+            pred = {1: a, 2: prev[i], 3: (a + prev[i]) >> 1, 4: paeth(a, prev[i], c)}[ft]
+            out.append((v - pred) & 0xFF)
+        prev = row
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    refiltered = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                  + chunk(b"IDAT", zlib.compress(bytes(out)))
+                  + chunk(b"IEND", b""))
+    assert ocr_png_text(refiltered) == ["FILTER TEST 42"]
+
+
+def test_photo_like_noise_returns_no_text():
+    """Non-grid content (pseudo-random noise) must fall back to [] — the
+    figure-only path — not replacement-character soup."""
+    import random
+
+    rng = random.Random(7)
+    w = h = 64
+    raster = b"".join(
+        b"\x00" + bytes(rng.randrange(256) for _ in range(w)) for _ in range(h))
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    noisy = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
+    assert ocr_png_text(noisy) == []
+
+
+def test_blank_png_returns_no_text():
+    assert ocr_png_text(render_text_png([""], scale=2)) == []
+
+
+def test_truncated_and_garbage_inputs_contained():
+    good = render_text_png(["OK"], scale=2)
+    assert ocr_png_text(good[:20]) == []
+    assert ocr_png_text(b"\x89PNG\r\n\x1a\nnotachunk") == []
+    assert ocr_png_text(b"") == []
+    with pytest.raises(ValueError):
+        decode_png_gray(b"JFIF")
+
+
+def test_dimension_cap_charged_before_inflate():
+    """A crafted IHDR claiming giant dimensions raises before any
+    allocation proportional to the claim (charge-on-sight)."""
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 100)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png_gray(bomb)

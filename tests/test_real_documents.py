@@ -157,10 +157,17 @@ def test_real_goldens_match_committed_parquet():
         expected.setdefault(did, []).append(
             (tbl["offset"][i], tbl["kind"][i], tbl["media_ref"][i], tbl["text"][i])
         )
-    assert len(expected) == 19  # 7 reference samples + 12 crafted fixtures
+    assert len(expected) == 21  # 7 reference samples + 14 crafted fixtures
     for name, exp in expected.items():
         data = _read(name)
-        kern = extract_pdf_any if name.endswith(".pdf") else extract_office_any
+        if name.endswith(".pdf"):
+            kern = extract_pdf_any
+        elif name.endswith(".png"):
+            from documentconvert_spark.kernels.detect import extract_image_any
+
+            kern = extract_image_any
+        else:
+            kern = extract_office_any
         got = [(s.offset, s.kind, s.media_ref, s.text) for s in kern(data)]
         assert got == sorted(exp), f"span mismatch for {name}"
 
