@@ -42,6 +42,7 @@ import zlib
 from documentconvert_spark.kernels import limits
 from documentconvert_spark.kernels.limits import inflate_capped
 from documentconvert_spark.kernels.spans import (
+    MATH_FONT_RE,
     MONO_FONT_RE,
     Span,
     finalize,
@@ -1043,6 +1044,9 @@ class _Font:
         # bit 1) on the descriptor (descendant's for Type0 fonts)
         base = str(pdf.resolve(fd.get("BaseFont")) or "")
         self.mono = bool(_MONO_NAME_RE.search(base))
+        # math faces (Symbol/CMMI/CMSY/CMEX/…) → formula classification;
+        # subset-tag prefixes ('ABCDEF+CMMI10') pass the search() match
+        self.math = bool(MATH_FONT_RE.search(base))
         if not self.mono:
             try:
                 desc_owner = fd
@@ -1288,10 +1292,11 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
             return
         eff = size * (math.hypot(a, b) or 1.0)
         if orient == 0:
-            runs.append((page_no, dev[5], dev[4], eff, seq, "t", txt, f.mono))
+            runs.append((page_no, dev[5], dev[4], eff, seq, "t", txt,
+                         f.mono, f.math))
         else:
             rot_runs.append((orient, page_no, dev[5], dev[4], eff, seq,
-                             "t", txt, f.mono))
+                             "t", txt, f.mono, f.math))
         seq += 1
 
     for kind, tok in _content_tokens(body):
@@ -1380,7 +1385,7 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
                         from documentconvert_spark.kernels.media import image_media_ref
                         dev = _mat_mul(_ID, ctm)
                         runs.append((page_no, dev[5], dev[4], 0.0, seq, "img",
-                                     image_media_ref(xo[1]), False))
+                                     image_media_ref(xo[1]), False, False))
                         seq += 1
         except Exception:
             pass
@@ -1411,6 +1416,18 @@ _LIST_MARKER_RE = re.compile(
                                         # initial, not an enumerator
     r"|[一二三四五六七八九十百]+[、.．]"  # 一、 十二、
     r")")
+
+
+def _is_math_glyph(ch: str) -> bool:
+    cp = ord(ch)
+    return (
+        0x2200 <= cp <= 0x22FF      # mathematical operators (∀ … ⋿)
+        or 0x27C0 <= cp <= 0x27EF   # misc mathematical symbols-A
+        or 0x2980 <= cp <= 0x29FF   # misc mathematical symbols-B
+        or 0x2A00 <= cp <= 0x2AFF   # supplemental operators
+        or 0x1D400 <= cp <= 0x1D7FF  # mathematical alphanumerics
+        or cp in (0x00B1, 0x00D7, 0x00F7)  # ± × ÷ (latin-1 block)
+    )
 
 
 def _is_cjk(ch: str) -> bool:
@@ -1785,7 +1802,7 @@ def _runs_to_spans(runs: list) -> list[Span]:
     lines: list[dict] = []  # {page, y, size, parts:[(x, seq, txt, size, mono)]}
     buckets: dict[tuple[int, int], dict] = {}
     figures: list[tuple[int, float, float, int, str]] = []
-    for page, y, x, size, seq, kind, payload, mono in runs:
+    for page, y, x, size, seq, kind, payload, mono, mathf in runs:
         if kind == "img":
             figures.append((page, y, x, seq, payload))
             continue
@@ -1802,7 +1819,7 @@ def _runs_to_spans(runs: list) -> list[Span]:
             placed = {"page": page, "y": y, "size": size, "parts": []}
             lines.append(placed)
             buckets[(page, qy)] = placed
-        placed["parts"].append((x, seq, payload, size, mono))
+        placed["parts"].append((x, seq, payload, size, mono, mathf))
         placed["size"] = max(placed["size"], size)
 
     for ln in lines:
@@ -1812,6 +1829,15 @@ def _runs_to_spans(runs: list) -> list[Span]:
         ln["x"] = ln["parts"][0][0]
         chars = sum(len(p[2]) for p in ln["parts"]) or 1
         ln["mono"] = sum(len(p[2]) for p in ln["parts"] if p[4]) / chars >= 0.66
+        # formula evidence: math-font character majority, or — for
+        # embedded fonts whose names say nothing — density of math
+        # glyphs (ToUnicode-mapped operators, ∀…⋿ and the supplemental
+        # operator blocks) among the line's non-space characters
+        mchars = sum(len(p[2]) for p in ln["parts"] if p[5])
+        glyphs = [c for c in ln["text"] if not c.isspace()]
+        mglyphs = sum(1 for c in glyphs if _is_math_glyph(c))
+        ln["math"] = (mchars * 2 >= chars
+                      or (len(glyphs) >= 3 and mglyphs * 4 >= len(glyphs)))
 
     lines = _strip_page_furniture(lines)
 
@@ -1848,7 +1874,13 @@ def _runs_to_spans(runs: list) -> list[Span]:
         nonlocal cur
         if cur is None:
             return
-        if cur["size"] >= body_size * _HEADING_RATIO and cur["size"] > 0:
+        if cur["math_n"] * 2 > len(cur["lines"]):
+            # math-font/glyph majority → displayed formula (checked
+            # before the heading rule: equations are often set larger
+            # than body text). Reference pipeline: formula_enable=True,
+            # document_service.py:240-246; 'formulas_detected' class.
+            kind, txt = "formula", _join(cur["lines"])
+        elif cur["size"] >= body_size * _HEADING_RATIO and cur["size"] > 0:
             kind, txt = "heading", _join(cur["lines"])
             heading_sizes[len(spans)] = cur["size"]
         elif cur["mono_n"] * 2 > len(cur["lines"]):
@@ -1889,15 +1921,20 @@ def _runs_to_spans(runs: list) -> list[Span]:
             and not _LIST_MARKER_RE.match(ln["text"])
             # code and prose never share a block, whatever the spacing
             and (cur["mono_n"] * 2 > len(cur["lines"])) == ln.get("mono", False)
+            # neither do formulas and prose: a displayed equation between
+            # two paragraph lines must not dissolve into the paragraph
+            and (cur["math_n"] * 2 > len(cur["lines"])) == ln.get("math", False)
         )
         if same_block:
             cur["lines"].append(ln["text"])
             cur["last_y"] = ln["y"]
             cur["mono_n"] += 1 if ln.get("mono") else 0
+            cur["math_n"] += 1 if ln.get("math") else 0
         else:
             flush()
             cur = {"page": ln["page"], "size": ln["size"], "last_y": ln["y"],
-                   "lines": [ln["text"]], "mono_n": 1 if ln.get("mono") else 0}
+                   "lines": [ln["text"]], "mono_n": 1 if ln.get("mono") else 0,
+                   "math_n": 1 if ln.get("math") else 0}
         li += 1
     flush()
     for payload in pre_figs.get(len(lines), ()):
@@ -2007,9 +2044,9 @@ def extract_realpdf(content: bytes) -> list[Span]:
             dominant = max(by_class, key=lambda k: len(by_class[k]))
             if len(by_class[dominant]) > horiz:
                 unrot = _UNROT[dominant]
-                for (_o, pno, y, x, eff, rseq, kind, txt, mono) in by_class[dominant]:
+                for (_o, pno, y, x, eff, rseq, kind, txt, mono, mathf) in by_class[dominant]:
                     nx, ny = unrot(x, y)
-                    runs.append((pno, ny, nx, eff, rseq, kind, txt, mono))
+                    runs.append((pno, ny, nx, eff, rseq, kind, txt, mono, mathf))
         if truncated:
             break
     return _runs_to_spans(runs)

@@ -34,6 +34,15 @@ KINDS = ("heading", "paragraph", "code", "table", "figure", "formula")
 MONO_FONT_RE = re.compile(
     r"courier|consol|menlo|monaco|typewriter|fixed|mono(?!type)", re.IGNORECASE)
 
+# math-font detection → formula classification in the real-PDF layout
+# path (reference: formula_enable=True pipeline, document_service.py:
+# 240-246, 'formulas_detected' statistic). Names cover the TeX Computer
+# Modern math faces (CMMI/CMSY/CMEX + AMS msam/msbm), Adobe Symbol, and
+# the OpenType math families (Cambria Math, STIX Math, MT Extra).
+MATH_FONT_RE = re.compile(
+    r"symbol|cmmi|cmsy|cmex|cmbsy|msam|msbm|mt-?extra|mtmi|euclid|math",
+    re.IGNORECASE)
+
 
 @dataclass(frozen=True)
 class Span:

@@ -127,6 +127,38 @@ def rotated_pdf() -> bytes:
     return _classic_pdf(objs)
 
 
+def formula_pdf() -> bytes:
+    """Displayed equations in math faces (subset-tagged CMMI + Symbol)
+    between prose, plus a ToUnicode-mapped operator line — pins
+    kind='formula' spans from the real-PDF path in the golden corpus
+    (reference: formula_enable pipeline, formulas_detected class)."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n1 begincmap\n"
+            b"1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+            b"6 beginbfchar\n"
+            b"<41> <2211>\n<42> <003d>\n<43> <222B>\n"
+            b"<44> <0066>\n<45> <2264>\n<46> <221E>\n"
+            b"endbfchar\nendcmap")
+    content = (
+        b"BT /F1 20 Tf 72 760 Td (Formula Fixture) Tj ET "
+        b"BT /F1 10 Tf 72 720 Td (the closed form derived below holds) Tj ET "
+        b"BT /F2 14 Tf 180 690 Td (E = mc2 + p2c2) Tj ET "
+        b"BT /F1 10 Tf 72 660 Td (and the bound follows from the sum) Tj ET "
+        b"BT /F3 12 Tf 180 630 Td (ABCDEF) Tj ET "
+        b"BT /F4 12 Tf 180 600 Td (a + b = g) Tj ET "
+        b"BT /F1 10 Tf 72 570 Td (which completes the argument) Tj ET"
+    )
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R /F2 6 0 R /F3 7 0 R /F4 9 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    objs[6] = b"<</Type /Font /Subtype /Type1 /BaseFont /ABCDEF+CMMI10>>"
+    objs[7] = b"<</Type /Font /Subtype /TrueType /BaseFont /EMBEDX /ToUnicode 8 0 R>>"
+    objs[8] = _stream_obj(b"", cmap)
+    objs[9] = b"<</Type /Font /Subtype /Type1 /BaseFont /Symbol>>"
+    return _classic_pdf(objs)
+
+
 def _det_zip(members: list[tuple[str, str]]) -> bytes:
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
@@ -352,6 +384,7 @@ def main() -> None:
         "fixture_two_column.pdf": two_column_pdf(),
         "fixture_furniture_code.pdf": furniture_code_pdf(),
         "fixture_rotated.pdf": rotated_pdf(),
+        "fixture_formula.pdf": formula_pdf(),
         "fixture_dates.xlsx": dates_xlsx(),
         "fixture_code.docx": code_docx(),
         "fixture_legacy.rtf": legacy_rtf(),

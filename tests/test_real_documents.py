@@ -157,7 +157,9 @@ def test_real_goldens_match_committed_parquet():
         expected.setdefault(did, []).append(
             (tbl["offset"][i], tbl["kind"][i], tbl["media_ref"][i], tbl["text"][i])
         )
-    assert len(expected) == 21  # 7 reference samples + 14 crafted fixtures
+    assert len(expected) == 22  # 7 reference samples + 15 crafted fixtures
+    # the formula fixture keeps real-PDF formula spans pinned in the corpus
+    assert any(k == "formula" for (_o, k, _m, _t) in expected["fixture_formula.pdf"])
     for name, exp in expected.items():
         data = _read(name)
         if name.endswith(".pdf"):

@@ -1118,3 +1118,72 @@ def test_interpreter_budget_truncates_instead_of_erroring(monkeypatch):
     text = "\n".join(s.text for s in spans)
     assert "pageone line 0" in text and "pageone line 2" in text
     assert "pagetwo" not in text
+
+
+def test_math_font_lines_become_formula_spans():
+    """Lines set in a math face (Symbol/CMMI/CMSY/CMEX — subset-tagged
+    too) classify as kind='formula', their own block, while surrounding
+    prose stays paragraph. The equation is LARGER than body text to pin
+    that the formula rule beats the heading rule."""
+    content = (
+        b"BT /F1 10 Tf 72 700 Td (the energy relation is shown below) Tj ET "
+        b"BT /F2 14 Tf 200 670 Td (E = mc2 + p2c2) Tj ET "
+        b"BT /F1 10 Tf 72 640 Td (which holds for a free particle) Tj ET"
+    )
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R /F2 6 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    objs[6] = b"<</Type /Font /Subtype /Type1 /BaseFont /ABCDEF+CMMI10>>"
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert [s.kind for s in spans] == ["paragraph", "formula", "paragraph"], \
+        [(s.kind, s.text) for s in spans]
+    assert spans[1].text == "E = mc2 + p2c2"
+
+
+def test_math_glyph_density_formula_without_math_font_name():
+    """An embedded font whose name says nothing but whose ToUnicode maps
+    to mathematical-operator glyphs classifies by glyph density."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n1 begincmap\n"
+            b"1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+            b"5 beginbfchar\n"
+            b"<41> <2211>\n"   # A -> N-ary summation
+            b"<42> <222B>\n"   # B -> integral
+            b"<43> <2264>\n"   # C -> <=
+            b"<44> <0078>\n"   # D -> x
+            b"<45> <0079>\n"   # E -> y
+            b"endbfchar\nendcmap")
+    content = (
+        b"BT /F1 10 Tf 72 700 Td (prose line before the equation) Tj ET "
+        b"BT /F2 10 Tf 200 670 Td (ABCDE) Tj ET "
+        b"BT /F1 10 Tf 72 640 Td (prose line after the equation) Tj ET"
+    )
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R /F2 6 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    objs[6] = b"<</Type /Font /Subtype /TrueType /BaseFont /EMBEDX /ToUnicode 7 0 R>>"
+    objs[7] = _stream_obj(b"", cmap)
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert [s.kind for s in spans] == ["paragraph", "formula", "paragraph"], \
+        [(s.kind, s.text) for s in spans]
+    assert spans[1].text == "∑∫≤xy"
+
+
+def test_sparse_math_glyphs_in_prose_stay_paragraph():
+    """A prose sentence that mentions one multiplication sign must not
+    flip to formula (density threshold, not presence)."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n1 begincmap\n"
+            b"1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+            b"1 beginbfchar\n<2a> <00d7>\nendbfchar\nendcmap")
+    content = b"BT /F2 10 Tf 72 700 Td (speedup of 4* on eight cores) Tj ET"
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F2 6 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[6] = b"<</Type /Font /Subtype /TrueType /BaseFont /EMBEDX /ToUnicode 7 0 R>>"
+    objs[7] = _stream_obj(b"", cmap)
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert [s.kind for s in spans] == ["paragraph"], [(s.kind, s.text) for s in spans]
