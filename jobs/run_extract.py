@@ -48,6 +48,16 @@ def main() -> None:
     )
     ap.add_argument("--master", default=None, help="override master (local testing)")
     ap.add_argument(
+        "--compact-state",
+        action="store_true",
+        help="after the rounds finish, collapse the state table's run "
+        "directories into one committed snapshot holding the latest row "
+        "per doc_id (Iceberg expire_snapshots + rewrite analogue): at "
+        "corpus scale the per-run directory count is what makes latest() "
+        "reconstruction slow, so long-lived pipelines should compact "
+        "periodically; resume semantics are unchanged",
+    )
+    ap.add_argument(
         "--warmup-docs",
         type=int,
         default=0,
@@ -102,6 +112,11 @@ def main() -> None:
         if rnd < args.rounds and r.failed:
             time.sleep(backoff)  # 1/2/4 s exponential backoff between retry rounds
             backoff *= 2
+    if args.compact_state and not state.is_empty():
+        n_before = len(state._committed_run_dirs())
+        state.compact()
+        print(json.dumps({"compacted_runs": n_before,
+                          "runs_after": len(state._committed_run_dirs())}))
     spark.stop()
 
 

@@ -143,3 +143,49 @@ def test_run_curate_cli_end_to_end(tmp_path):
     written = pq.read_table(out)
     assert written.num_rows == summary["after_sampling"]
     assert "fingerprint" not in written.schema.names  # internals dropped
+
+
+def test_run_extract_cli_compacts_state(spark, tmp_path):
+    """Drive the literal jobs/run_extract.py CLI with --compact-state: the
+    retry rounds leave multiple state run directories (poison docs fail
+    and re-append); the flag must collapse them into ONE committed
+    snapshot, and a rerun of the same command must resume to 'nothing
+    left' — the scale guard for latest() reconstruction, which reads
+    every run directory (state.py)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs = spark.createDataFrame(
+        corpus_rows(generate_corpus(30, big_every=0)), schema=DOCUMENTS_RAW
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    env = {**os.environ, "PYTHONPATH": repo}
+    cmd = [sys.executable, os.path.join(repo, "jobs", "run_extract.py"),
+           "--input", src, "--output", out, "--state", state,
+           "--partitions", "4", "--rounds", "3", "--master", "local[4]",
+           "--compact-state"]
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=repo,
+                          env=env, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [json.loads(ln) for ln in proc.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    rounds = [ln for ln in lines if "round" in ln]
+    assert rounds and rounds[0]["processed"] == 30
+    compacted = [ln for ln in lines if "compacted_runs" in ln]
+    assert compacted and compacted[0]["compacted_runs"] == len(rounds)
+    assert compacted[0]["runs_after"] == 1
+    dirs = [e for e in os.listdir(state) if e.startswith("run_id=")]
+    assert len(dirs) == 1
+
+    # resume on the compacted snapshot: nothing left (poison docs are
+    # terminal-failed at the attempt cap, completed docs stay completed)
+    proc2 = subprocess.run(cmd, capture_output=True, text=True, cwd=repo,
+                           env=env, timeout=300)
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    rounds2 = [json.loads(ln) for ln in proc2.stdout.strip().splitlines()
+               if ln.startswith("{") and "round" in ln]
+    assert rounds2[0]["processed"] == 0
