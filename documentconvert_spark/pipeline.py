@@ -225,6 +225,25 @@ class JobResult:
     wall_s: float
 
 
+def select_work_ids(docs: DataFrame, state: StateStore) -> DataFrame:
+    """Slim work selection: (doc_id, attempt) still to do. Runs on a
+    doc_id-only projection (see the shuffle-cost note in
+    run_extraction_job); duplicate/hot doc_ids on the LEFT side (repeated
+    crawl output) are handled by AQE's skew-join split — LeftAnti skew is
+    left-side-only, which is exactly this shape — pinned by
+    tests/test_skew_join.py."""
+    return (
+        docs.select("doc_id")
+        .join(state.completed_ids(), "doc_id", "left_anti")
+        .join(state.terminal_failed_ids(), "doc_id", "left_anti")
+        .join(state.attempts(), "doc_id", "left")
+        .withColumn(
+            "attempt", (F.coalesce(F.col("prev_attempt"), F.lit(0)) + 1).cast("int")
+        )
+        .drop("prev_attempt")
+    )
+
+
 def run_extraction_job(
     spark: SparkSession,
     docs: DataFrame,
@@ -266,17 +285,7 @@ def run_extraction_job(
         # attempt 1 — no join in the plan at all
         todo = docs.withColumn("attempt", F.lit(1).cast("int"))
     else:
-        todo_ids = (
-            docs.select("doc_id")
-            .join(state.completed_ids(), "doc_id", "left_anti")
-            .join(state.terminal_failed_ids(), "doc_id", "left_anti")
-            .join(state.attempts(), "doc_id", "left")
-            .withColumn(
-                "attempt", (F.coalesce(F.col("prev_attempt"), F.lit(0)) + 1).cast("int")
-            )
-            .drop("prev_attempt")
-        )
-        todo = docs.join(todo_ids, "doc_id", "inner")
+        todo = docs.join(select_work_ids(docs, state), "doc_id", "inner")
     # bounded, priority-ordered work selection (reference: fetch worker
     # pulls `limit=max_concurrent_tasks` pending tasks per poll in strict
     # high>normal>low order, enhanced_task_processor.py:259-307). orderBy+

@@ -123,7 +123,15 @@ class StateStore:
         )
 
     def completed_ids(self) -> DataFrame:
-        return self.read().filter(F.col("status") == "completed").select("doc_id").distinct()
+        """Completed doc_ids, duplicates allowed (a crash between output
+        write and state append can legitimately double-append). Every
+        consumer is the probe side of a left_anti join, where duplicates
+        are semantically free — and NOT deduplicating is a plan property:
+        a distinct's final HashAggregate between the shuffle and the join
+        breaks the SMJ(Sort(Shuffle), Sort(Shuffle)) shape AQE's
+        OptimizeSkewedJoin matches, so the resume anti-join would stop
+        being skew-splittable (tests/test_skew_join.py pins this)."""
+        return self.read().filter(F.col("status") == "completed").select("doc_id")
 
     def terminal_failed_ids(self) -> DataFrame:
         """Docs that exhausted retries — the DLQ slice (SURVEY.md §2.10)."""

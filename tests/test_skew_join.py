@@ -52,3 +52,77 @@ def test_salted_join_splits_hot_key(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     # the shuffle must hash on (k, _salt), not k alone
     assert "_salt" in plan
+
+
+def test_resume_work_selection_skew_split_under_hot_doc_id(spark, tmp_path):
+    """The resume path's slim anti-join under key skew: when half the
+    input rows share one hot doc_id (repeated crawl output), AQE's
+    skew-join split must break the hot shuffle partition into parallel
+    sub-reads instead of serializing it into one straggler task —
+    LeftAnti supports left-side-only skew split, which is exactly the
+    work-selection shape. Evidence: skew=true on the SortMergeJoin and a
+    skewed AQEShuffleRead in the final adaptive plan, plus row-level
+    correctness of the selection itself."""
+    from documentconvert_spark.pipeline import select_work_ids
+    from documentconvert_spark.schemas import EXTRACTION_STATE
+    from documentconvert_spark.state import StateStore
+
+    overrides = {
+        # force SMJ (no broadcast rescue) and make the tiny test shuffle
+        # cross the skew thresholds; production keeps the defaults where
+        # the same 5x-median rule fires at real partition sizes
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # sizes are COMPRESSED shuffle bytes — 20k copies of one hot
+        # string lz4 to a few KB, so the thresholds must sit well under
+        # that; production keeps the defaults where real payloads cross
+        # the same 5x-median rule at MB scale
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # the selection chains three joins on doc_id; splitting the first
+        # join's hot partition breaks the hash distribution the next join
+        # wants, so plain AQE declines — this knob tells it the straggler
+        # costs more than the extra exchange (true at corpus scale: the
+        # hot partition is a multi-GB task, the re-shuffle is slim ids)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        docs = spark.range(0, 40000).select(
+            F.when(F.col("id") % 2 == 0, F.lit("hotdoc"))
+            .otherwise(F.concat(F.lit("d"), F.col("id"))).alias("doc_id"),
+            F.repeat(F.lit("x"), 64).alias("pad"),
+        )
+        st = StateStore(spark, str(tmp_path / "state"))
+        # completed: the hot doc itself plus half the unique ids
+        done = spark.range(0, 10000).select(
+            F.concat(F.lit("d"), (F.col("id") * 2 + 1)).alias("doc_id")
+        ).union(spark.createDataFrame([("hotdoc",)], "doc_id string"))
+        st.append(done.select(
+            "doc_id",
+            F.lit("completed").alias("status"),
+            F.lit(1).cast("int").alias("attempt"),
+            *[F.lit(None).cast(f.dataType).alias(f.name)
+              for f in EXTRACTION_STATE.fields
+              if f.name not in ("doc_id", "status", "attempt")],
+        ))
+
+        todo = select_work_ids(docs, st)
+        rows = todo.collect()
+        # correctness: hot rows and completed uniques anti-joined away
+        got = {r.doc_id for r in rows}
+        assert "hotdoc" not in got
+        assert len(rows) == 10000 and all(r.attempt == 1 for r in rows)
+        plan = todo._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan or "skewed" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
