@@ -400,20 +400,30 @@ def extract_ppt(content: bytes, cfb: _Cfb | None = None) -> list[Span]:
     raw: list[tuple[str, str]] = []
     _walk_ppt(stream, 0, len(stream), raw)
     spans: list[Span] = []
-    next_is_title = False
+    next_tx_type: int | None = None
+    deck_titled = False  # deck title = level 1, later slide titles = 2
+    # (Tx_TYPE_CENTERTITLE is always the deck/section title)
     for kind, val in raw:
         if kind == "__txheader__":
-            next_is_title = int(val) in _TITLE_TYPES
+            next_tx_type = int(val)
             continue
+        is_title = next_tx_type in _TITLE_TYPES
+        if is_title:
+            lvl = 1 if (next_tx_type == 6 or not deck_titled) else 2
+        else:
+            lvl = 0
+        emitted = False
         for para in val.replace("\x0b", "\n").split("\r"):
             txt = "".join(ch for ch in para if ord(ch) >= 0x20 or ch in "\n\t")
             if txt.strip():
                 spans.append(Span(
-                    "heading" if next_is_title else "paragraph",
-                    normalize_text(txt), "", -1,
-                    1 if next_is_title else 0,
+                    "heading" if is_title else "paragraph",
+                    normalize_text(txt), "", -1, lvl,
                 ))
-        next_is_title = False
+                emitted = True
+        if is_title and emitted:
+            deck_titled = True
+        next_tx_type = None
     if not spans:
         raise ValueError("ppt: no text extracted")
     return finalize(spans)

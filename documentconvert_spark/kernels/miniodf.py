@@ -208,6 +208,7 @@ def extract_odf(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
                 spans.append(Span("heading", normalize_text(name), "", -1, 1))
                 spans.append(Span("table", normalize_text(grid), "", -1))
     elif pres_doc is not None:  # odp
+        deck_titled = False  # deck title = level 1, later slide titles = 2
         for page in pres_doc.findall(f"{_D}page"):
             for frame in page.iter(f"{_D}frame"):
                 cls = frame.get(f"{_P}class", "")
@@ -215,11 +216,36 @@ def extract_odf(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
                 if tbox is not None:
                     # _cell_paragraphs, not direct children: slide bullet
                     # text lives in text:list > text:list-item > text:p
-                    txt = "\n".join(_text_of(p) for p in _cell_paragraphs(tbox))
-                    if txt.strip():
-                        kind = "heading" if cls == "title" else "paragraph"
-                        spans.append(Span(kind, normalize_text(txt), "", -1,
-                                          1 if kind == "heading" else 0))
+                    paras = _cell_paragraphs(tbox)
+                    if cls == "title":
+                        txt = "\n".join(_text_of(p) for p in paras)
+                        if txt.strip():
+                            spans.append(Span("heading", normalize_text(txt),
+                                              "", -1, 1 if not deck_titled else 2))
+                            deck_titled = True
+                    elif any(p.tag == f"{_T}h" for p in paras):
+                        # a box carrying explicit text:h outline headings:
+                        # emit in document order with their outline levels
+                        # (the odt rule), prose paragraphs individually
+                        for p in paras:
+                            txt = _text_of(p)
+                            if not txt.strip():
+                                continue
+                            if p.tag == f"{_T}h":
+                                try:
+                                    lvl = int(p.get(f"{_T}outline-level") or 1)
+                                except ValueError:
+                                    lvl = 1
+                                spans.append(Span("heading", normalize_text(txt),
+                                                  "", -1, min(max(lvl, 1), 6)))
+                            else:
+                                spans.append(Span("paragraph", normalize_text(txt),
+                                                  "", -1))
+                    else:
+                        txt = "\n".join(_text_of(p) for p in paras)
+                        if txt.strip():
+                            spans.append(Span("paragraph", normalize_text(txt),
+                                              "", -1))
                 for ref in _figures(frame):
                     spans.append(Span("figure", "", ref, -1))
                 tbl = frame.find(f"{_TB}table")

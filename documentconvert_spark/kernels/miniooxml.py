@@ -305,16 +305,25 @@ def _pptx_shape_text(sp) -> list[str]:
     return paras
 
 
-def _pptx_is_title(sp) -> bool:
+def _pptx_title_type(sp) -> str | None:
+    """Placeholder type when the shape is a title ('title' / 'ctrTitle'),
+    else None (subTitle is prose, not a heading)."""
     for ph in sp.iter(f"{_P}ph"):
         if ph.get("type") in ("title", "ctrTitle", "subTitle"):
-            return ph.get("type") != "subTitle"
-    return False
+            t = ph.get("type")
+            return None if t == "subTitle" else t
+    return None
 
 
 def extract_pptx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]:
     z = z or zipfile.ZipFile(io.BytesIO(content))
     spans: list[Span] = []
+    # Heading depth mirrors deck structure rather than a flat 1: the deck
+    # title (a ctrTitle placeholder, or the first title seen when the
+    # cover layout uses a plain one) is level 1, every later slide title
+    # level 2 — the ppt analogue of the outline levels docx/PDF/HTML/RTF
+    # already carry.
+    deck_titled = False
     for slide_part in _pptx_slide_order(z):
         if slide_part not in z.namelist():
             continue
@@ -325,14 +334,20 @@ def extract_pptx(content: bytes, z: zipfile.ZipFile | None = None) -> list[Span]
             continue
 
         def walk(node):
+            nonlocal deck_titled
             for el in node:
                 if el.tag == f"{_P}sp":
                     paras = _pptx_shape_text(el)
                     if paras:
-                        title = _pptx_is_title(el)
-                        spans.append(Span("heading" if title else "paragraph",
+                        ttype = _pptx_title_type(el)
+                        if ttype is not None:
+                            lvl = 1 if (ttype == "ctrTitle" or not deck_titled) else 2
+                            deck_titled = True
+                        else:
+                            lvl = 0
+                        spans.append(Span("heading" if ttype else "paragraph",
                                           normalize_text("\n".join(paras)), "", -1,
-                                          1 if title else 0))
+                                          lvl))
                 elif el.tag == f"{_P}pic":
                     for blip in el.iter(f"{_A}blip"):
                         rid = blip.get(f"{_R}embed")

@@ -287,6 +287,10 @@ _ODP_CONTENT = """<?xml version="1.0" encoding="UTF-8"?>
    <draw:frame presentation:class="title"><draw:text-box><text:p>ODP Fixture Deck</text:p></draw:text-box></draw:frame>
    <draw:frame presentation:class="outline"><draw:text-box><text:p>bullet one</text:p><text:p>bullet two</text:p></draw:text-box></draw:frame>
   </draw:page>
+  <draw:page draw:name="page2">
+   <draw:frame presentation:class="title"><draw:text-box><text:p>Second Slide Topic</text:p></draw:text-box></draw:frame>
+   <draw:frame presentation:class="outline"><draw:text-box><text:h text:outline-level="3">Sub Point Heading</text:h><text:p>detail line under it</text:p></draw:text-box></draw:frame>
+  </draw:page>
  </office:presentation></office:body>
 </office:document-content>"""
 
@@ -332,7 +336,16 @@ def binary_ppt() -> bytes:
         + _ppt_rec(0x0000, 0x0FA0, body)
         + _ppt_rec(0x0000, 0x0FA8, b"ascii only run"),
     )
-    doc = _ppt_rec(0x000F, 0x03E8, slide)
+    # second slide: its title pins the deck-title convention (first
+    # title = level 1, later slide titles = level 2) in the goldens
+    slide2 = _ppt_rec(
+        0x000F, 0x03EE,
+        _ppt_rec(0x0000, 0x0F9F, struct.pack("<I", 0))
+        + _ppt_rec(0x0000, 0x0FA8, b"Second Slide Topic")
+        + _ppt_rec(0x0000, 0x0F9F, struct.pack("<I", 1))
+        + _ppt_rec(0x0000, 0x0FA8, b"supporting detail line"),
+    )
+    doc = _ppt_rec(0x000F, 0x03E8, slide + slide2)
     return write_cfb([("PowerPoint Document", doc), ("Current User", b"\x00" * 16)])
 
 

@@ -884,3 +884,73 @@ def test_odf_annotations_excluded_and_odp_bullets_kept():
     spans = extract_odf(_odf_zip(odp, "application/vnd.oasis.opendocument.presentation"))
     texts = "\n".join(s.text for s in spans)
     assert "bullet alpha" in texts and "bullet beta" in texts
+
+
+def test_pptx_deck_title_levels():
+    """Slide-title heading depth mirrors deck structure: the ctrTitle
+    cover (or first title) is level 1, later slide titles level 2 —
+    not a flat 1 (the ppt analogue of docx outline levels)."""
+    from documentconvert_spark.kernels.miniooxml import extract_pptx
+
+    def slide(body: str) -> str:
+        return ('<?xml version="1.0"?>'
+                '<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+                ' xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+                f'<p:cSld><p:spTree>{body}</p:spTree></p:cSld></p:sld>')
+
+    def sp(ph_type: str, text: str) -> str:
+        return ('<p:sp><p:nvSpPr><p:nvPr>'
+                f'<p:ph type="{ph_type}"/>'
+                '</p:nvPr></p:nvSpPr><p:txBody>'
+                f'<a:p><a:r><a:t>{text}</a:t></a:r></a:p></p:txBody></p:sp>')
+
+    pres = ('<?xml version="1.0"?>'
+            '<p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+            ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<p:sldIdLst><p:sldId id="256" r:id="rId1"/>'
+            '<p:sldId id="257" r:id="rId2"/><p:sldId id="258" r:id="rId3"/>'
+            '</p:sldIdLst></p:presentation>')
+    rels = ('<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://a/slide" Target="slides/slide1.xml"/>'
+            '<Relationship Id="rId2" Type="http://a/slide" Target="slides/slide2.xml"/>'
+            '<Relationship Id="rId3" Type="http://a/slide" Target="slides/slide3.xml"/>'
+            '</Relationships>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("ppt/presentation.xml", pres)
+        z.writestr("ppt/_rels/presentation.xml.rels", rels)
+        z.writestr("ppt/slides/slide1.xml",
+                   slide(sp("ctrTitle", "Deck Title") + sp("subTitle", "the subtitle")))
+        z.writestr("ppt/slides/slide2.xml",
+                   slide(sp("title", "Topic One") + sp("body", "content a")))
+        z.writestr("ppt/slides/slide3.xml", slide(sp("title", "Topic Two")))
+    spans = extract_pptx(buf.getvalue())
+    got = [(s.kind, s.level, s.text) for s in spans]
+    assert got == [
+        ("heading", 1, "Deck Title"),
+        ("paragraph", 0, "the subtitle"),
+        ("heading", 2, "Topic One"),
+        ("paragraph", 0, "content a"),
+        ("heading", 2, "Topic Two"),
+    ], got
+
+
+def test_ppt_and_odp_deck_title_levels():
+    """Binary .ppt and ODP follow the same deck-title convention, and ODP
+    text:h outline levels inside boxes are honored."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.gen_extra_fixtures import _ODP_CONTENT as FIXTURE_ODP
+    from scripts.gen_extra_fixtures import binary_ppt
+
+    odp = extract_office_any(_odf_zip(
+        FIXTURE_ODP, "application/vnd.oasis.opendocument.presentation"))
+    heads = [(s.level, s.text) for s in odp if s.kind == "heading"]
+    assert heads == [(1, "ODP Fixture Deck"), (2, "Second Slide Topic"),
+                     (3, "Sub Point Heading")], heads
+
+    ppt = extract_office_any(binary_ppt())
+    heads = [(s.level, s.text) for s in ppt if s.kind == "heading"]
+    assert heads == [(1, "PPT Fixture Deck"), (2, "Second Slide Topic")], heads
