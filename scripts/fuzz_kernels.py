@@ -97,6 +97,8 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
            + struct.pack(">I", 0) + b"IEND\xaeB`\x82")
 
     from tests.test_legacy_formats import _make_ppt, _make_xls  # REPO is on sys.path
+    from tests.test_realpdf_features import (  # encrypted/filtered PDF builders
+        _aes256_pdf, _aesv2_pdf, _encrypt_pdf, _lzw_pdf)
 
     return [
         ("fmt_rtf", "office", rtf),
@@ -104,6 +106,14 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         ("fmt_png", "image", png),
         ("fmt_xls", "office", _make_xls()),
         ("fmt_ppt", "office", _make_ppt()),
+        # the round-3 attack surface: RC4 (R2/R3), AESV2, AES-256/R6
+        # decryption and the LZW filter — mutants hit key derivation,
+        # /Encrypt dict parsing, CBC unpadding and LZW table growth
+        ("fmt_pdf_rc4r2", "pdf", _encrypt_pdf(2)),
+        ("fmt_pdf_rc4r3", "pdf", _encrypt_pdf(3)),
+        ("fmt_pdf_aesv2", "pdf", _aesv2_pdf()),
+        ("fmt_pdf_aes256", "pdf", _aes256_pdf()),
+        ("fmt_pdf_lzw", "pdf", _lzw_pdf()),
     ]
 
 

@@ -1,0 +1,82 @@
+"""Scale an SF directory by key-shifted replication (sf0.1 -> sf1).
+
+The driver generates /root/testdata/sf{0.001,0.01,0.1}; the 10x point
+the VERDICT asks for (sf1) doesn't exist and /root/testdata is
+read-only, so synthesize it: replicate every scalable table K times with
+foreign keys shifted consistently per replica (joins stay 1:1 with the
+source shape, group counts scale linearly, value distributions are
+untouched).
+
+Document TEXT is rotated through a per-replica bijective letter
+substitution: identical replication would multiply every planted
+duplicate group by K and LSH candidate pairs would grow as K^2 -- a
+data-construction artifact, not a plan property. A bijection preserves
+length, word structure and intra-replica duplicate structure, so dedup
+work scales linearly like the real corpus would.
+
+Usage: python scripts/gen_sf.py [src_dir] [dst_dir] [K]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SHIFT = 100_000_000  # > any source key; replica i adds i*SHIFT
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+# table -> key columns shifted per replica (None = fixed dim, copy once)
+TABLES: dict[str, list[str] | None] = {
+    "region": None,
+    "nation": None,
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
+    "documents": ["doc_id"],
+}
+
+
+def _rot(i: int) -> str:
+    r = (i * 7) % 26  # gcd(7,26)=1 -> distinct rotation per replica i<26
+    return ALPHA[r:] + ALPHA[:r]
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "_work", "sf1")
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for table, shifts in TABLES.items():
+        path = os.path.join(src, f"{table}.parquet")
+        out = os.path.join(dst, f"{table}.parquet")
+        cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{path}'").fetchall()]
+        if shifts is None:
+            con.sql(f"COPY (SELECT * FROM '{path}') TO '{out}' (FORMAT PARQUET)")
+            print(f"{table}: copied dim")
+            continue
+        selects = []
+        for i in range(k):
+            exprs = []
+            for c in cols:
+                if c in shifts:
+                    exprs.append(f"{c} + {i * SHIFT} AS {c}")
+                elif table == "documents" and c == "text" and i > 0:
+                    exprs.append(f"translate(text, '{ALPHA}', '{_rot(i)}') AS text")
+                else:
+                    exprs.append(c)
+            selects.append(f"SELECT {', '.join(exprs)} FROM '{path}'")
+        con.sql(f"COPY ({' UNION ALL '.join(selects)}) TO '{out}' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+        print(f"{table}: {n} rows ({k} replicas)")
+
+
+if __name__ == "__main__":
+    main()

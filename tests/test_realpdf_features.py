@@ -387,6 +387,17 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
     return bytes(out)
 
 
+def _lzw_pdf(content: bytes = b"BT /F1 10 Tf 72 700 Td (lzw content line) Tj ET") -> bytes:
+    """Single page whose content stream is LZW-encoded. Module-level
+    builder so the fuzzer can seed from it."""
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    enc = _lzw_encode(content)
+    objs[4] = b"<</Filter /LZWDecode /Length %d>>\nstream\n%s\nendstream" % (len(enc), enc)
+    objs[5] = _FONT
+    return _classic_pdf(objs)
+
+
 def test_lzw_and_runlength_filters():
     """LZWDecode against the ISO 32000 §7.4.4.2 worked example, an
     encoder round-trip long enough to cross the 9→10-bit width switch,
@@ -404,14 +415,12 @@ def test_lzw_and_runlength_filters():
 
     # end-to-end: a page whose content stream is LZW-encoded
     content = b"BT /F1 10 Tf 72 700 Td (lzw content line) Tj ET"
-    objs = _page_tree([3])
-    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
-    enc = _lzw_encode(content)
-    objs[4] = b"<</Filter /LZWDecode /Length %d>>\nstream\n%s\nendstream" % (len(enc), enc)
-    objs[5] = _FONT
-    spans = extract_realpdf(_classic_pdf(objs))
+    spans = extract_realpdf(_lzw_pdf(content))
     assert spans and spans[0].text == "lzw content line"
 
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[5] = _FONT
     rle = b"".join(
         bytes([len(chunk) - 1]) + chunk
         for chunk in (content[i:i + 100] for i in range(0, len(content), 100))
@@ -524,9 +533,10 @@ def _build_encrypted(objs6: bytes, enc_content: bytes, trailer_extra: bytes = b"
 _CONTENT = b"BT /F1 10 Tf 72 700 Td (decrypted text line) Tj ET"
 
 
-def test_aesv2_encrypted_pdf():
-    """V4/R4 crypt-filter documents with /AESV2: R3-style key derivation
-    plus the sAlT per-object key and IV-prefixed CBC streams."""
+def _aesv2_pdf() -> bytes:
+    """V4/R4 crypt-filter document with /AESV2: R3-style key derivation
+    plus the sAlT per-object key and IV-prefixed CBC streams. Module-level
+    builder so the fuzzer can seed from it."""
     import hashlib
 
     from documentconvert_spark.kernels.realpdf import (
@@ -564,14 +574,19 @@ def test_aesv2_encrypted_pdf():
              b"/CF <</StdCF <</CFM /AESV2 /AuthEvent /DocOpen /Length 16>>>> "
              b"/StmF /StdCF /StrF /StdCF>>"
              % (p, o.hex().encode(), u.hex().encode()))
-    spans = extract_realpdf(_build_encrypted(objs6, enc, doc_id=doc_id))
+    return _build_encrypted(objs6, enc, doc_id=doc_id)
+
+
+def test_aesv2_encrypted_pdf():
+    spans = extract_realpdf(_aesv2_pdf())
     assert spans and spans[0].text == "decrypted text line"
 
 
-def test_aes256_r6_encrypted_pdf():
+def _aes256_pdf() -> bytes:
     """V5/R6 (AES-256): Algorithm 2.B hash validates the empty user
     password against /U, /UE unwraps the file key, streams are
-    IV-prefixed AES-256-CBC."""
+    IV-prefixed AES-256-CBC. Module-level builder so the fuzzer can seed
+    from it."""
     from documentconvert_spark.kernels.realpdf import (
         _aes_cbc_encrypt, _r6_hash)
 
@@ -586,7 +601,11 @@ def test_aes256_r6_encrypted_pdf():
              b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <000000000000000000000000> "
              b"/CF <</StdCF <</CFM /AESV3 /Length 32>>>> /StmF /StdCF /StrF /StdCF>>"
              % (b"00" * 48, u.hex().encode(), b"00" * 32, ue.hex().encode()))
-    spans = extract_realpdf(_build_encrypted(objs6, enc))
+    return _build_encrypted(objs6, enc)
+
+
+def test_aes256_r6_encrypted_pdf():
+    spans = extract_realpdf(_aes256_pdf())
     assert spans and spans[0].text == "decrypted text line"
 
 
