@@ -145,6 +145,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(int(200_000 * sf), 2_000))))
+    # heap sized to the SF: at sf1 the replicated real-doc corpus caches
+    # ~15 GB of binary rows, and unrolling that through the default 8g
+    # local heap OOMs mid-materialization (on a cluster this is executor
+    # memory scaling with the data each executor holds)
+    if sf >= 1:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
 
     spark = build_session(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16))
 
@@ -222,6 +228,15 @@ def main() -> None:
     if n_real:
         result["real_docs"] = n_real
         result["real_docs_per_sec"] = round(n_real / real_s, 1)
+    # the 10x point: /root/testdata tops out at sf0.1 and a fresh sf1 run
+    # adds ~10 min of wall to every driver round, so the sf1 suite is run
+    # out-of-band (scripts/gen_sf.py + SPARK_GRAFT_SF_DIR=_work/sf1) and
+    # its RECORDED result rides along here, clearly labeled as such
+    if sf < 1:
+        sf1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json")
+        if os.path.exists(sf1_path):
+            with open(sf1_path) as fh:
+                result["sf1_recorded"] = json.load(fh)
     spark.stop()
     print(json.dumps(result))
 

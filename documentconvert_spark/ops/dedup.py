@@ -16,13 +16,30 @@ from pyspark.sql import functions as F
 _TOKS = "split(lower(trim({col})), '\\\\s+')"
 
 
-def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    toks = _TOKS.format(col=text_col)
-    sh = (
-        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', " + ", ".join(f"element_at({toks}, i+{j})" for j in range(n)) + "))"
+def _shingle_arr(text_col: str, n: int, gram: str) -> str:
+    """Word n-gram array with the tokenizing split() BOUND ONCE.
+
+    `gram` is an expression over `element_at(toks, i+j)`. The binding
+    goes through a single-element transform lambda (array(split..) ->
+    toks): referencing the split() subexpression directly inside the
+    n-gram lambda re-evaluates the regex split per element access —
+    O(tokens^2) per document, measured 5x+ on the full-table LSH path
+    at sf1. Same trick as queries_corpus._SHINGLES. The CASE guard
+    keeps sequence() ascending for <n-token docs (ANSI element_at
+    would read past the end on the descending [1, 0])."""
+    return (
+        f"element_at(transform(array({_TOKS.format(col=text_col)}), toks -> "
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), i -> {gram}) "
+        f"ELSE array() END), 1)"
     )
-    return docs.selectExpr("doc_id", f"explode(array_distinct({sh})) AS shingle")
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    gram = "concat_ws(' ', " + ", ".join(f"element_at(toks, i+{j})" for j in range(n)) + ")"
+    return docs.selectExpr(
+        "doc_id", f"explode(array_distinct({_shingle_arr(text_col, n, gram)})) AS shingle"
+    )
 
 
 def minhash_lsh_pairs(
@@ -36,16 +53,20 @@ def minhash_lsh_pairs(
     k minhashes (seeded by index i), k/band_rows bands; a pair is a
     candidate iff some band's signature slice matches exactly.
 
-    Shape matters more than hash cost at scale. Each shingle STRING is
-    hashed exactly once (xxhash64); the k minhashes are derived from that
+    Shape matters more than hash cost at scale. Each shingle is hashed
+    exactly once — xxhash64 straight over the n token slots, so no
+    per-shingle string is ever concatenated (tokens come from a
+    whitespace split, so the triple -> hash mapping is as collision-free
+    as hashing the joined string); the k minhashes are derived from that
     64-bit value with k cheap long-mixes (xxhash64 over (i, h) — integer
     inputs, whole-stage codegen). The explode over shingles is NARROW (no
     shuffle); the min() aggregates combine map-side, so the only shuffled
     payload is k longs per document, then the band-key equi-join. Never a
-    doc×shingle×k row explosion, and no higher-order-function lambdas
-    (those fall out of codegen into interpreted per-element eval)."""
-    sh = shingles(docs, text_col).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
+    doc×shingle×k row explosion, and the tokenizing split runs once per
+    document (see _shingle_arr), not once per element access."""
+    gram = "xxhash64(" + ", ".join(f"element_at(toks, i+{j})" for j in range(3)) + ")"
+    sh = docs.selectExpr(
+        "doc_id", f"explode(array_distinct({_shingle_arr(text_col, 3, gram)})) AS h"
     )
     sigs = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"s{i}") for i in range(k)]

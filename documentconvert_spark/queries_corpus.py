@@ -890,11 +890,16 @@ FROM q
 
 _N8 = 8
 # short-doc guard: sequence(1, 0) DESCENDS in Spark ([1, 0]) and slice(_, 0, _)
-# throws — a <8-token doc must yield an empty shingle list, as the oracle does
+# throws — a <8-token doc must yield an empty shingle list, as the oracle does.
+# The tokenizing split() is bound once via the single-element transform
+# (same trick as _SHINGLES above): slice(split(..), i, 8) INSIDE the
+# lambda body would re-run the regex split per shingle position —
+# O(tokens^2) per document.
 _SHINGLES8 = (
-    f"if(size({_TOKS}) < {_N8}, array(), "
-    f"transform(sequence(1, size({_TOKS}) - {_N8 - 1}), "
-    f"i -> concat_ws(' ', slice({_TOKS}, i, {_N8}))))"
+    f"element_at(transform(array({_TOKS}), toks -> "
+    f"if(size(toks) < {_N8}, array(), "
+    f"transform(sequence(1, size(toks) - {_N8 - 1}), "
+    f"i -> concat_ws(' ', slice(toks, i, {_N8}))))), 1)"
 )
 
 
