@@ -122,10 +122,17 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png_gray(data: bytes) -> tuple[int, int, list[bytearray]]:
+def decode_png_gray(data: bytes, bilevel: bool = False) -> tuple[int, int, list[bytearray]]:
     """PNG bytes → (width, height, rows of 8-bit gray). Supports the
     shapes a rendered-text fixture can take — 8-bit grayscale / RGB /
-    RGBA, non-interlaced — and raises ValueError on anything else."""
+    RGBA, non-interlaced — and raises ValueError on anything else.
+
+    With bilevel=True the decode is an OCR pre-filter: inflation is
+    streamed row by row and ABORTS on the first pixel that is neither
+    near-black nor near-white. A photo or antialiased screenshot (the
+    overwhelming majority of real-world PNGs) fails within its first
+    scanline, so the extraction hot path pays ~one row of Python per
+    non-text PNG instead of a full per-pixel raster decode."""
     if data[:8] != _PNG_MAGIC:
         raise ValueError("png: bad magic")
     pos = 8
@@ -154,15 +161,34 @@ def decode_png_gray(data: bytes) -> tuple[int, int, list[bytearray]]:
     if (stride + 1) * h > MAX_DECODED_BYTES:
         raise ValueError("png: raster over decode cap")
     d = zlib.decompressobj()
-    raw = d.decompress(b"".join(idat), (stride + 1) * h)
-    if len(raw) < (stride + 1) * h:
-        raise ValueError("png: truncated raster")
+    pending = memoryview(b"".join(idat))
+    buf = bytearray()
+
+    def pull(n: int) -> bytes:
+        # stream exactly n inflated bytes (bounded: max_length caps each
+        # step), so a bilevel abort never pays for the rest of the raster
+        nonlocal pending, buf
+        while len(buf) < n:
+            if d.unconsumed_tail:
+                chunk = d.decompress(d.unconsumed_tail, n - len(buf))
+            elif pending:
+                chunk = d.decompress(pending, n - len(buf))
+                pending = memoryview(b"")
+            else:
+                raise ValueError("png: truncated raster")
+            if not chunk and not d.unconsumed_tail:
+                raise ValueError("png: truncated raster")
+            buf.extend(chunk)
+        out = bytes(buf[:n])
+        del buf[:n]
+        return out
+
     rows: list[bytearray] = []
     prev = bytearray(stride)
     for y in range(h):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1:off + 1 + stride])
+        rowbytes = pull(stride + 1)
+        ftype = rowbytes[0]
+        line = bytearray(rowbytes[1:])
         if ftype == 1:  # Sub
             for i in range(bpp, stride):
                 line[i] = (line[i] + line[i - bpp]) & 0xFF
@@ -182,11 +208,14 @@ def decode_png_gray(data: bytes) -> tuple[int, int, list[bytearray]]:
             raise ValueError("png: unknown filter type")
         prev = line
         if bpp == 1:
-            rows.append(line)
+            gray = line
         else:  # ITU-R 601 luma, integer form
-            rows.append(bytearray(
+            gray = bytearray(
                 (line[i] * 299 + line[i + 1] * 587 + line[i + 2] * 114) // 1000
-                for i in range(0, stride, bpp)))
+                for i in range(0, stride, bpp))
+        if bilevel and any(32 < p < 224 for p in gray):
+            raise ValueError("png: not a bilevel text render")
+        rows.append(gray)
     return w, h, rows
 
 
@@ -220,7 +249,7 @@ def ocr_png_text(data: bytes) -> list[str]:
     """PNG bytes → decoded text lines, or [] when the image is not a
     clean grid rendering of the known font (the figure-only fallback)."""
     try:
-        w, h, gray = decode_png_gray(data)
+        w, h, gray = decode_png_gray(data, bilevel=True)
     except (ValueError, struct.error, zlib.error):
         return []
     ink = [[p < _INK for p in row] for row in gray]
@@ -242,7 +271,7 @@ def ocr_png_text(data: bytes) -> list[str]:
         return []
     s = big // GLYPH_H
     lines: list[str] = []
-    unknown = total = 0
+    total = 0
     for b0, b1 in bands:
         col_has = [any(ink[y][x] for y in range(b0, b1)) for x in range(w)]
         text = ""
@@ -264,14 +293,15 @@ def ocr_png_text(data: bytes) -> list[str]:
             cells = [[ink[yy][xx] for xx in range(x0, x)] for yy in range(ys[0], ys[-1] + 1)]
             pat = _downsample(cells, s)
             ch = _CROPPED.get(pat) if pat is not None else None
-            total += 1
             if ch is None:
-                unknown += 1
-                ch = "�"
+                # ANY unmatched glyph rejects the whole image: a partial
+                # decode would flow replacement-character soup into
+                # paragraph spans (and on into dedup/goldens) — the
+                # documented contract is exact text or figure-only
+                return []
+            total += 1
             text += ch
         lines.append(text)
-    # a photo or off-font screenshot that happens to band cleanly must
-    # not emit replacement-character soup
-    if total == 0 or unknown * 5 > total:
+    if total == 0:
         return []
     return lines

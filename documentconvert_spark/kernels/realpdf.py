@@ -1315,7 +1315,7 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
         # budget, the exhaustion must propagate up every level instead of
         # being swallowed as a broken-form error with silent truncation
         if budget[0] < 0:
-            raise ValueError("pdf: interpreted content over the expansion cap")
+            raise _BudgetExceeded("pdf: interpreted content over the expansion cap")
         try:
             if op == "BT":
                 tm = tlm = _ID
@@ -1379,6 +1379,11 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
                             seq = _interpret(pdf, pdf.stream_bytes(xo), inner_res,
                                              page_no, runs, inner_ctm, seq, depth + 1,
                                              budget, rot_runs)
+                        except _BudgetExceeded:
+                            # exhaustion is not a broken form: it must
+                            # reach extract_realpdf for graceful doc-level
+                            # truncation, through every containment layer
+                            raise
                         except Exception:
                             pass
                     elif sub == "Image":
@@ -1387,6 +1392,8 @@ def _interpret(pdf: _Pdf, body: bytes, resources: dict, page_no: int,
                         runs.append((page_no, dev[5], dev[4], 0.0, seq, "img",
                                      image_media_ref(xo[1]), False, False))
                         seq += 1
+        except _BudgetExceeded:
+            raise
         except Exception:
             pass
         stack.clear()
@@ -2042,11 +2049,22 @@ def extract_realpdf(content: bytes) -> list[Span]:
             for rr in rot_runs:
                 by_class.setdefault(rr[0], []).append(rr)
             dominant = max(by_class, key=lambda k: len(by_class[k]))
+            rescued = None
             if len(by_class[dominant]) > horiz:
+                rescued = dominant
                 unrot = _UNROT[dominant]
                 for (_o, pno, y, x, eff, rseq, kind, txt, mono, mathf) in by_class[dominant]:
                     nx, ny = unrot(x, y)
                     runs.append((pno, ny, nx, eff, rseq, kind, txt, mono, mathf))
+            # minority 180° runs (upside-down stamp, head-to-foot two-up
+            # form) are still CONTENT: their baseline is x-axis-aligned so
+            # y-bucketing lines them up like any horizontal run — keep
+            # them at their raw coordinates rather than silently losing
+            # the text. Minority 90/270 stays dropped (sideways margin
+            # text shreds into one-glyph lines under y-bucketing).
+            if rescued != 180:
+                for (_o, pno, y, x, eff, rseq, kind, txt, mono, mathf) in by_class.get(180, []):
+                    runs.append((pno, y, x, eff, rseq, kind, txt, mono, mathf))
         if truncated:
             break
     return _runs_to_spans(runs)

@@ -226,14 +226,21 @@ class JobResult:
 
 
 def select_work_ids(docs: DataFrame, state: StateStore) -> DataFrame:
-    """Slim work selection: (doc_id, attempt) still to do. Runs on a
-    doc_id-only projection (see the shuffle-cost note in
-    run_extraction_job); duplicate/hot doc_ids on the LEFT side (repeated
-    crawl output) are handled by AQE's skew-join split — LeftAnti skew is
-    left-side-only, which is exactly this shape — pinned by
-    tests/test_skew_join.py."""
+    """Slim work selection: one (doc_id, attempt) row per UNIQUE doc_id
+    still to do. Runs on a doc_id-only projection (see the shuffle-cost
+    note in run_extraction_job). The distinct() is load-bearing twice
+    over: (a) duplicate doc_ids in the input (repeated crawl output)
+    would otherwise multiply through run_extraction_job's inner join
+    back — K copies of one doc become K×K extraction rows; (b) a HOT
+    duplicate key is collapsed by the distinct's partial aggregation
+    map-side, BEFORE any shuffle, so the anti-join chain never sees the
+    skew at all (and the joins reuse the distinct's doc_id exchange —
+    no extra shuffle). Pinned by tests/test_skew_join.py; general
+    skewed-join salting for joins that can't pre-collapse lives in
+    ops/skew.salted_join."""
     return (
         docs.select("doc_id")
+        .distinct()
         .join(state.completed_ids(), "doc_id", "left_anti")
         .join(state.terminal_failed_ids(), "doc_id", "left_anti")
         .join(state.attempts(), "doc_id", "left")

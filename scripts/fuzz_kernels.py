@@ -100,10 +100,17 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
     from tests.test_realpdf_features import (  # encrypted/filtered PDF builders
         _aes256_pdf, _aesv2_pdf, _encrypt_pdf, _lzw_pdf)
 
+    from documentconvert_spark.corpus import render_text_png
+
     return [
         ("fmt_rtf", "office", rtf),
         ("fmt_odt", "office", odt),
         ("fmt_png", "image", png),
+        # rendered-text PNGs: mutants reach the miniocr streaming inflate,
+        # scanline unfilters, bilevel abort and glyph matcher (the bare
+        # fmt_png seed has no IDAT, so it never leaves the chunk walker)
+        ("fmt_png_ocr", "image", render_text_png(["FUZZ TARGET 1", "LINE 2.3"], scale=2)),
+        ("fmt_png_ocr_rgb", "image", render_text_png(["COLOR RGB"], scale=3, color=True)),
         ("fmt_xls", "office", _make_xls()),
         ("fmt_ppt", "office", _make_ppt()),
         # the round-3 attack surface: RC4 (R2/R3), AESV2, AES-256/R6

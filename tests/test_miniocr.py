@@ -93,6 +93,53 @@ def test_photo_like_noise_returns_no_text():
     assert ocr_png_text(noisy) == []
 
 
+def test_single_unknown_glyph_rejects_whole_image():
+    """One off-font glyph among many known ones must reject the image
+    entirely (figure-only fallback) — a partial decode would flow
+    replacement-character soup into paragraph spans."""
+    src = render_text_png(["ABCDEFGH"], scale=2)
+    w, h, rows = decode_png_gray(src)
+    # corrupt glyph 'A': ink one whole 2x2 grid block at a blank cell
+    # (row 0, col 0 of 'A' is blank) — stays bilevel and grid-aligned,
+    # so only the pattern match can reject it
+    for dy in range(2):
+        for dx in range(2):
+            rows[8 + dy][8 + dx] = 0
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    raster = b"".join(b"\x00" + bytes(r) for r in rows)
+    corrupted = (b"\x89PNG\r\n\x1a\n"
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                 + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
+    assert ocr_png_text(corrupted) == []
+
+
+def test_antialiased_input_aborts_on_first_row():
+    """Gray (non-bilevel) pixels must abort the streamed decode on their
+    first scanline — the extraction hot path's guard against paying a
+    full per-pixel Python decode for every real-world photo PNG."""
+    src = render_text_png(["FAST PATH"], scale=2)
+    w, h, rows = decode_png_gray(src)
+    rows[0][0] = 128  # one antialiased pixel in the first row
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    raster = b"".join(b"\x00" + bytes(r) for r in rows)
+    aa = (b"\x89PNG\r\n\x1a\n"
+          + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+          + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
+    assert ocr_png_text(aa) == []
+    with pytest.raises(ValueError, match="bilevel"):
+        decode_png_gray(aa, bilevel=True)
+    # the permissive decode still reads it fully
+    assert decode_png_gray(aa)[0] == w
+
+
 def test_blank_png_returns_no_text():
     assert ocr_png_text(render_text_png([""], scale=2)) == []
 

@@ -665,9 +665,9 @@ def test_pdf_form_breadth_amplification_bounded(monkeypatch):
     """The Do recursion depth cap stops self-reference but not BREADTH:
     100 Do ops per level across 3 nested forms re-interpret the leaf
     1M times (days of CPU from a ~10 KB file). The per-document
-    interpreted-bytes budget must stop it."""
-    import pytest as _pytest
-
+    interpreted-bytes budget must stop it — as graceful truncation
+    (the doc-level budget semantics: finalize runs collected so far,
+    no error row), and FAST: the time bound is the security property."""
     from documentconvert_spark.kernels import limits
     from documentconvert_spark.kernels.realpdf import extract_realpdf
     from tests.test_realpdf_features import _classic_pdf
@@ -693,6 +693,7 @@ def test_pdf_form_breadth_amplification_bounded(monkeypatch):
         7: form(None, leaf_body),
     }
     t0 = time.monotonic()
-    with _pytest.raises(ValueError):
-        extract_realpdf(_classic_pdf(objects))
+    spans = extract_realpdf(_classic_pdf(objects))  # must not raise
     assert time.monotonic() - t0 < 3.0
+    # nothing but no-op graphics state was interpreted before exhaustion
+    assert spans == []

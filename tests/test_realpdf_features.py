@@ -1139,6 +1139,63 @@ def test_interpreter_budget_truncates_instead_of_erroring(monkeypatch):
     assert "pagetwo" not in text
 
 
+def test_budget_exhaustion_inside_form_truncates(monkeypatch):
+    """Budget exhaustion INSIDE a Form XObject must reach extract_realpdf
+    as graceful truncation — not be swallowed by the Do branch's
+    broken-form containment and then re-raised as a plain ValueError
+    that errors the whole document (losing the already-extracted runs)."""
+    from documentconvert_spark.kernels import limits as _limits
+
+    page_body = (
+        b"BT /F1 10 Tf 72 700 Td (kept before the form) Tj ET "
+        b"/Fx Do "
+        b"BT /F1 10 Tf 72 680 Td (after the form) Tj ET"
+    )
+    form_body = b" ".join(
+        b"BT /F1 8 Tf 100 %d Td (form filler line %d) Tj ET" % (600 - 12 * i, i)
+        for i in range(20))
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R>> /XObject <</Fx 6 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", page_body)
+    objs[5] = _FONT
+    objs[6] = _stream_obj(b"/Type /XObject /Subtype /Form", form_body)
+    pdf = _classic_pdf(objs)
+
+    # sanity under the real cap: both page and form text extract
+    full = "\n".join(s.text for s in extract_realpdf(pdf))
+    assert "kept before the form" in full and "form filler line 0" in full
+
+    # cap so the page body fits but the form's entry charge exhausts it
+    monkeypatch.setattr(_limits, "MAX_DECODED_BYTES", len(page_body) + 10)
+    spans = extract_realpdf(pdf)  # must not raise
+    text = "\n".join(s.text for s in spans)
+    assert "kept before the form" in text, spans
+    assert "form filler" not in text
+
+
+def test_minority_upside_down_text_kept():
+    """A MINORITY of 180-degree runs (upside-down stamped receipt on a
+    mostly-normal scan, head-to-foot two-up form) is still content: the
+    baseline is x-axis-aligned so y-bucketing lines it up — it must be
+    extracted, not silently dropped with the sideways decoration."""
+    content = (
+        b"BT /F1 10 Tf 72 700 Td (body one) Tj ET "
+        b"BT /F1 10 Tf 72 680 Td (body two) Tj ET "
+        b"BT /F1 10 Tf 72 660 Td (body three) Tj ET "
+        # upside-down: Tm = [-1 0 0 -1 x y]
+        b"BT /F1 10 Tf -1 0 0 -1 300 200 Tm (upside down receipt total 42.00) Tj ET"
+    )
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert "body one" in text and "body three" in text
+    assert "upside down receipt total 42.00" in text, text
+
+
 def test_math_font_lines_become_formula_spans():
     """Lines set in a math face (Symbol/CMMI/CMSY/CMEX — subset-tagged
     too) classify as kind='formula', their own block, while surrounding

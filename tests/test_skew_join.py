@@ -55,14 +55,17 @@ def test_salted_join_splits_hot_key(spark):
 
 
 def test_resume_work_selection_skew_split_under_hot_doc_id(spark, tmp_path):
-    """The resume path's slim anti-join under key skew: when half the
-    input rows share one hot doc_id (repeated crawl output), AQE's
-    skew-join split must break the hot shuffle partition into parallel
-    sub-reads instead of serializing it into one straggler task —
-    LeftAnti supports left-side-only skew split, which is exactly the
-    work-selection shape. Evidence: skew=true on the SortMergeJoin and a
-    skewed AQEShuffleRead in the final adaptive plan, plus row-level
-    correctness of the selection itself."""
+    """The resume path's work selection under key skew: when half the
+    input rows share one hot doc_id (repeated crawl output), the slim
+    projection's distinct() must collapse the hot key MAP-SIDE (partial
+    aggregation before the exchange), so the anti-join chain never sees
+    a skewed shuffle partition at all — stronger than splitting the
+    skew after the fact. Evidence: (a) one row per unique doc_id comes
+    back even when the hot id is itself still-todo (the K^2-join guard:
+    run_extraction_job's inner join back multiplies by this frame's
+    per-id multiplicity), (b) the adaptive plan carries a partial
+    HashAggregate under the first exchange, and no skewed shuffle read
+    appears because none is needed."""
     from documentconvert_spark.pipeline import select_work_ids
     from documentconvert_spark.schemas import EXTRACTION_STATE
     from documentconvert_spark.state import StateStore
@@ -98,10 +101,11 @@ def test_resume_work_selection_skew_split_under_hot_doc_id(spark, tmp_path):
             F.repeat(F.lit("x"), 64).alias("pad"),
         )
         st = StateStore(spark, str(tmp_path / "state"))
-        # completed: the hot doc itself plus half the unique ids
+        # completed: half the unique ids — the hot doc stays TODO, so its
+        # 20k duplicate rows must collapse to exactly one selected row
         done = spark.range(0, 10000).select(
             F.concat(F.lit("d"), (F.col("id") * 2 + 1)).alias("doc_id")
-        ).union(spark.createDataFrame([("hotdoc",)], "doc_id string"))
+        )
         st.append(done.select(
             "doc_id",
             F.lit("completed").alias("status"),
@@ -113,13 +117,23 @@ def test_resume_work_selection_skew_split_under_hot_doc_id(spark, tmp_path):
 
         todo = select_work_ids(docs, st)
         rows = todo.collect()
-        # correctness: hot rows and completed uniques anti-joined away
-        got = {r.doc_id for r in rows}
-        assert "hotdoc" not in got
-        assert len(rows) == 10000 and all(r.attempt == 1 for r in rows)
+        # correctness + the K^2 guard: completed uniques anti-joined
+        # away; the 20k hot duplicates collapse to ONE selected row
+        got = [r.doc_id for r in rows]
+        assert got.count("hotdoc") == 1
+        assert len(rows) == len(set(got)) == 10001
+        assert all(r.attempt == 1 for r in rows)
         plan = todo._jdf.queryExecution().executedPlan().toString()
-        assert "skew=true" in plan, plan[:1500]
-        assert "AQEShuffleRead skewed" in plan or "skewed" in plan, plan[:1500]
+        # the hot key never reaches a shuffle at full multiplicity: the
+        # distinct's partial aggregate runs under the exchange
+        assert "HashAggregate" in plan, plan[:1500]
+        import re
+        # a partial aggregate must appear BELOW (after, in toString's
+        # top-down rendering) the first Exchange that feeds the joins
+        first_exchange = plan.index("Exchange")
+        assert re.search(r"HashAggregate.*keys=\[doc_id", plan[first_exchange:]), plan[:1500]
+        # and with the skew pre-collapsed, AQE has nothing to split
+        assert "skew=true" not in plan
     finally:
         for k, v in saved.items():
             if v is None:
