@@ -111,8 +111,11 @@ def furniture_code_pdf() -> bytes:
 
 def rotated_pdf() -> bytes:
     """Page 1: /Rotate 90 with compensated (upright) text. Page 2: a
-    diagonal watermark over normal text — watermark dropped."""
-    objs = _page_tree([3, 6])
+    diagonal watermark over normal text — watermark dropped. Page 3:
+    a minority upside-down (180°) stamp on a normal page — kept as
+    content (x-axis-aligned baseline), while sideways margin text on
+    the same page stays dropped."""
+    objs = _page_tree([3, 6, 10])
     objs[3] = (b"<</Type /Page /Parent 2 0 R /Rotate 90 /Contents 4 0 R "
                b"/Resources <</Font <</F1 9 0 R>>>>>>")
     objs[4] = _stream_obj(b"", (
@@ -124,7 +127,23 @@ def rotated_pdf() -> bytes:
         b"BT /F1 48 Tf 0.707 0.707 -0.707 0.707 200 300 Tm (FIXTURE) Tj ET "
         b"BT /F1 10 Tf 72 650 Td (normal body below watermark) Tj ET"))
     objs[9] = _FONT
+    objs[10] = b"<</Type /Page /Parent 2 0 R /Contents 11 0 R /Resources <</Font <</F1 9 0 R>>>>>>"
+    objs[11] = _stream_obj(b"", (
+        b"BT /F1 10 Tf 72 700 Td (stamped page body first line) Tj ET "
+        b"BT /F1 10 Tf 72 680 Td (stamped page body second line) Tj ET "
+        b"BT /F1 10 Tf 72 660 Td (stamped page body third line) Tj ET "
+        b"BT /F1 10 Tf -1 0 0 -1 300 240 Tm (received upside down stamp) Tj ET "
+        b"BT /F1 8 Tf 0 1 -1 0 20 400 Tm (sideways margin note) Tj ET"))
     return _classic_pdf(objs)
+
+
+def encrypted_pdf() -> bytes:
+    """An RC4/R3-encrypted single-page PDF (ISO 32000 §7.6) — pins the
+    decryption path under the golden oracle, not just unit tests. Built
+    by the same module-level builder the unit tests and fuzz seeds use."""
+    from tests.test_realpdf_features import _encrypt_pdf
+
+    return _encrypt_pdf(3)
 
 
 def formula_pdf() -> bytes:
@@ -398,6 +417,7 @@ def main() -> None:
         "fixture_furniture_code.pdf": furniture_code_pdf(),
         "fixture_rotated.pdf": rotated_pdf(),
         "fixture_formula.pdf": formula_pdf(),
+        "fixture_encrypted.pdf": encrypted_pdf(),
         "fixture_dates.xlsx": dates_xlsx(),
         "fixture_code.docx": code_docx(),
         "fixture_legacy.rtf": legacy_rtf(),

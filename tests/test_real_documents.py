@@ -157,9 +157,15 @@ def test_real_goldens_match_committed_parquet():
         expected.setdefault(did, []).append(
             (tbl["offset"][i], tbl["kind"][i], tbl["media_ref"][i], tbl["text"][i])
         )
-    assert len(expected) == 22  # 7 reference samples + 15 crafted fixtures
+    assert len(expected) == 23  # 7 reference samples + 16 crafted fixtures
     # the formula fixture keeps real-PDF formula spans pinned in the corpus
     assert any(k == "formula" for (_o, k, _m, _t) in expected["fixture_formula.pdf"])
+    # the encrypted fixture keeps RC4 decryption pinned in the corpus
+    assert any("decrypted" in t for (_o, _k, _m, t) in expected["fixture_encrypted.pdf"])
+    # minority upside-down stamps are content; sideways margin text is not
+    rot = [t for (_o, _k, _m, t) in expected["fixture_rotated.pdf"]]
+    assert any("upside down stamp" in t for t in rot)
+    assert not any("sideways margin" in t for t in rot)
     for name, exp in expected.items():
         data = _read(name)
         if name.endswith(".pdf"):
