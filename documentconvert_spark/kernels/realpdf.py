@@ -2059,12 +2059,21 @@ def extract_realpdf(content: bytes) -> list[Span]:
             # minority 180° runs (upside-down stamp, head-to-foot two-up
             # form) are still CONTENT: their baseline is x-axis-aligned so
             # y-bucketing lines them up like any horizontal run — keep
-            # them at their raw coordinates rather than silently losing
-            # the text. Minority 90/270 stays dropped (sideways margin
-            # text shreds into one-glyph lines under y-bucketing).
-            if rescued != 180:
+            # them rather than silently losing the text. Two conditions:
+            # only on an unrescued (horizontal-frame) page — relative to a
+            # 90/270-rescued reading frame a 180-in-PDF-space run is
+            # SIDEWAYS decoration and its raw coordinates are in the wrong
+            # frame entirely — and remapped through _UNROT[180] (negated
+            # coords): 180° text advances toward -x and stacks toward +y,
+            # so raw coordinates would reverse both the segment order
+            # within a line and the line order within a multi-line stamp.
+            # Minority 90/270 stays dropped (sideways margin text shreds
+            # into one-glyph lines under y-bucketing).
+            if rescued is None:
+                u180 = _UNROT[180]
                 for (_o, pno, y, x, eff, rseq, kind, txt, mono, mathf) in by_class.get(180, []):
-                    runs.append((pno, y, x, eff, rseq, kind, txt, mono, mathf))
+                    nx, ny = u180(x, y)
+                    runs.append((pno, ny, nx, eff, rseq, kind, txt, mono, mathf))
         if truncated:
             break
     return _runs_to_spans(runs)

@@ -126,11 +126,11 @@ class StateStore:
         """Completed doc_ids, duplicates allowed (a crash between output
         write and state append can legitimately double-append). Every
         consumer is the probe side of a left_anti join, where duplicates
-        are semantically free — and NOT deduplicating is a plan property:
-        a distinct's final HashAggregate between the shuffle and the join
-        breaks the SMJ(Sort(Shuffle), Sort(Shuffle)) shape AQE's
-        OptimizeSkewedJoin matches, so the resume anti-join would stop
-        being skew-splittable (tests/test_skew_join.py pins this)."""
+        are semantically free, so a distinct here would only add agg
+        work. Hot-key skew on the resume path is handled one level up:
+        select_work_ids distincts its slim LEFT projection, whose partial
+        aggregation collapses duplicates map-side before any shuffle
+        (tests/test_skew_join.py pins that plan shape)."""
         return self.read().filter(F.col("status") == "completed").select("doc_id")
 
     def terminal_failed_ids(self) -> DataFrame:

@@ -17,6 +17,23 @@ from documentconvert_spark.kernels.miniocr import (
 )
 
 
+def _chunk(typ: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+
+def _gray_png(w: int, h: int, raster: bytes) -> bytes:
+    """8-bit grayscale non-interlaced PNG around an already-filtered
+    raster (each scanline prefixed by its filter-type byte)."""
+    return (b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(raster)) + _chunk(b"IEND", b""))
+
+
+def _filter0(rows: list) -> bytes:
+    return b"".join(b"\x00" + bytes(r) for r in rows)
+
+
 @pytest.mark.parametrize("scale", [1, 2, 3])
 def test_round_trip_all_glyphs(scale):
     alphabet = "".join(sorted(FONT_5X7))
@@ -62,15 +79,7 @@ def test_all_scanline_filters_decode():
             out.append((v - pred) & 0xFF)
         prev = row
 
-    def chunk(typ, body):
-        return (struct.pack(">I", len(body)) + typ + body
-                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
-
-    refiltered = (b"\x89PNG\r\n\x1a\n"
-                  + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
-                  + chunk(b"IDAT", zlib.compress(bytes(out)))
-                  + chunk(b"IEND", b""))
-    assert ocr_png_text(refiltered) == ["FILTER TEST 42"]
+    assert ocr_png_text(_gray_png(w, h, bytes(out))) == ["FILTER TEST 42"]
 
 
 def test_photo_like_noise_returns_no_text():
@@ -82,15 +91,7 @@ def test_photo_like_noise_returns_no_text():
     w = h = 64
     raster = b"".join(
         b"\x00" + bytes(rng.randrange(256) for _ in range(w)) for _ in range(h))
-
-    def chunk(typ, body):
-        return (struct.pack(">I", len(body)) + typ + body
-                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
-
-    noisy = (b"\x89PNG\r\n\x1a\n"
-             + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
-             + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
-    assert ocr_png_text(noisy) == []
+    assert ocr_png_text(_gray_png(w, h, raster)) == []
 
 
 def test_single_unknown_glyph_rejects_whole_image():
@@ -105,16 +106,7 @@ def test_single_unknown_glyph_rejects_whole_image():
     for dy in range(2):
         for dx in range(2):
             rows[8 + dy][8 + dx] = 0
-
-    def chunk(typ, body):
-        return (struct.pack(">I", len(body)) + typ + body
-                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
-
-    raster = b"".join(b"\x00" + bytes(r) for r in rows)
-    corrupted = (b"\x89PNG\r\n\x1a\n"
-                 + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
-                 + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
-    assert ocr_png_text(corrupted) == []
+    assert ocr_png_text(_gray_png(w, h, _filter0(rows))) == []
 
 
 def test_antialiased_input_aborts_on_first_row():
@@ -124,20 +116,30 @@ def test_antialiased_input_aborts_on_first_row():
     src = render_text_png(["FAST PATH"], scale=2)
     w, h, rows = decode_png_gray(src)
     rows[0][0] = 128  # one antialiased pixel in the first row
-
-    def chunk(typ, body):
-        return (struct.pack(">I", len(body)) + typ + body
-                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
-
-    raster = b"".join(b"\x00" + bytes(r) for r in rows)
-    aa = (b"\x89PNG\r\n\x1a\n"
-          + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
-          + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
+    aa = _gray_png(w, h, _filter0(rows))
     assert ocr_png_text(aa) == []
     with pytest.raises(ValueError, match="bilevel"):
         decode_png_gray(aa, bilevel=True)
     # the permissive decode still reads it fully
     assert decode_png_gray(aa)[0] == w
+
+
+def test_streamed_inflate_is_linear_in_raster():
+    """The row-streamed inflate must not re-feed the whole remaining
+    IDAT per row (zlib copies unconsumed_tail back out on every call —
+    O(rows × IDAT) if fed unsliced). A large bilevel image decodes in
+    time comparable to a single-shot inflate, far under the quadratic
+    regime (~0.27 s measured pre-fix for this shape)."""
+    import time
+
+    w = h = 1600  # 2.5 MP, under the 4 MP cap
+    rows = [bytes([255] * w) for _ in range(h)]
+    png = _gray_png(w, h, _filter0(rows))
+    t0 = time.monotonic()
+    got_w, got_h, _ = decode_png_gray(png, bilevel=True)
+    dt = time.monotonic() - t0
+    assert (got_w, got_h) == (w, h)
+    assert dt < 1.0, f"streamed inflate took {dt:.2f}s — quadratic re-feed?"
 
 
 def test_blank_png_returns_no_text():
@@ -151,17 +153,18 @@ def test_truncated_and_garbage_inputs_contained():
     assert ocr_png_text(b"") == []
     with pytest.raises(ValueError):
         decode_png_gray(b"JFIF")
+    # truncated IDAT (inflates to less than the raster) is contained too
+    w, h, rows = decode_png_gray(good)
+    short = _gray_png(w, h, _filter0(rows)[: (w + 1) * (h // 2)])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png_gray(short)
 
 
 def test_dimension_cap_charged_before_inflate():
     """A crafted IHDR claiming giant dimensions raises before any
     allocation proportional to the claim (charge-on-sight)."""
-    def chunk(typ, body):
-        return (struct.pack(">I", len(body)) + typ + body
-                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
-
     bomb = (b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0))
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 100)) + chunk(b"IEND", b""))
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 100)) + _chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_png_gray(bomb)

@@ -1176,15 +1176,19 @@ def test_budget_exhaustion_inside_form_truncates(monkeypatch):
 
 def test_minority_upside_down_text_kept():
     """A MINORITY of 180-degree runs (upside-down stamped receipt on a
-    mostly-normal scan, head-to-foot two-up form) is still content: the
-    baseline is x-axis-aligned so y-bucketing lines it up — it must be
-    extracted, not silently dropped with the sideways decoration."""
+    mostly-normal scan, head-to-foot two-up form) is still content and
+    must be extracted in the FLIPPED reading frame: 180° text advances
+    toward -x and stacks toward +y, so raw coordinates would reverse
+    both segment order within a line and line order within a stamp."""
     content = (
         b"BT /F1 10 Tf 72 700 Td (body one) Tj ET "
         b"BT /F1 10 Tf 72 680 Td (body two) Tj ET "
         b"BT /F1 10 Tf 72 660 Td (body three) Tj ET "
-        # upside-down: Tm = [-1 0 0 -1 x y]
-        b"BT /F1 10 Tf -1 0 0 -1 300 200 Tm (upside down receipt total 42.00) Tj ET"
+        # upside-down stamp, two Tj segments on one line (the second
+        # continues toward -x) plus a second stamp line at HIGHER raw y
+        b"BT /F1 10 Tf -1 0 0 -1 300 200 Tm (TOTAL DUE ) Tj ET "
+        b"BT /F1 10 Tf -1 0 0 -1 240 200 Tm (42.00) Tj ET "
+        b"BT /F1 10 Tf -1 0 0 -1 300 214 Tm (SECOND STAMP LINE) Tj ET"
     )
     objs = _page_tree([3])
     objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
@@ -1193,7 +1197,32 @@ def test_minority_upside_down_text_kept():
     spans = extract_realpdf(_classic_pdf(objs))
     text = "\n".join(s.text for s in spans)
     assert "body one" in text and "body three" in text
-    assert "upside down receipt total 42.00" in text, text
+    # segment order intact, and the line printed at lower raw y reads
+    # first (it is the upper line once the stamp is flipped upright)
+    assert "TOTAL DUE 42.00" in text, text
+    assert text.index("TOTAL DUE") < text.index("SECOND STAMP LINE"), text
+
+
+def test_minority_180_on_rescued_page_stays_dropped():
+    """On a page whose reading frame is a 90/270 majority rescue, a
+    180-in-PDF-space run is SIDEWAYS relative to the rescued frame —
+    decoration, and its raw coordinates are in the wrong frame entirely.
+    It must not be injected into the remapped content."""
+    lines = [b"first rotated line", b"second rotated line",
+             b"third rotated line", b"fourth rotated line"]
+    content = b" ".join(
+        b"BT /F1 10 Tf 0 1 -1 0 %d 72 Tm (%s) Tj ET" % (-(700 - 20 * i), t)
+        for i, t in enumerate(lines))
+    content += b" BT /F1 8 Tf -1 0 0 -1 300 400 Tm (not upside down here) Tj ET"
+    objs = _page_tree([3])
+    objs[3] = b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>"
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert "not upside down here" not in text, text
+    idx = [text.index(t.decode()) for t in lines]
+    assert idx == sorted(idx), text
 
 
 def test_math_font_lines_become_formula_spans():
