@@ -1031,10 +1031,117 @@ for _c in list(range(0x41, 0x5B)) + list(range(0x61, 0x7B)):
 
 _MONO_NAME_RE = MONO_FONT_RE  # shared with the docx classifier (spans.py)
 
+# predefined CMaps whose 2-byte character code IS the Unicode value
+# (ISO 32000 §9.7.5.2 / Adobe CMap resources: UniGB-UCS2-H, UniJIS-UTF16-V,
+# …) — text decodes as UTF-16BE with no ToUnicode needed
+_UNI_CMAP_RE = re.compile(r"^Uni\w+-(?:UCS2|UTF16)-[HV]$")
+
+_TTF_CMAP_CAP = 1 << 17  # mapping-count cap: the inversion dict is the
+# only allocation that grows with FONT-claimed (not input-sized) counts
+
+
+def _invert_ttf_cmap(ttf: bytes) -> dict[int, str]:
+    """Embedded TrueType font → {glyph id: unicode char}, inverted from
+    its 'cmap' table (format 12 preferred, else format 4). This is what
+    a PDF viewer's text extractor does for Identity-H CID fonts that
+    ship no ToUnicode: the only code→text evidence is the font's own
+    unicode→glyph mapping, run backwards. Best-effort: returns {} on any
+    structural problem (caller keeps the empty-cmap fallback)."""
+    if len(ttf) < 12:
+        return {}
+    num_tables = int.from_bytes(ttf[4:6], "big")
+    cmap_off = None
+    for i in range(min(num_tables, 64)):
+        rec = 12 + 16 * i
+        if rec + 16 > len(ttf):
+            break
+        if ttf[rec:rec + 4] == b"cmap":
+            cmap_off = int.from_bytes(ttf[rec + 8:rec + 12], "big")
+            break
+    if cmap_off is None or cmap_off + 4 > len(ttf):
+        return {}
+    n_sub = int.from_bytes(ttf[cmap_off + 2:cmap_off + 4], "big")
+    best = None  # (priority, subtable offset, format)
+    for i in range(min(n_sub, 32)):
+        rec = cmap_off + 4 + 8 * i
+        if rec + 8 > len(ttf):
+            break
+        pid = int.from_bytes(ttf[rec:rec + 2], "big")
+        eid = int.from_bytes(ttf[rec + 2:rec + 4], "big")
+        off = cmap_off + int.from_bytes(ttf[rec + 4:rec + 8], "big")
+        if off + 2 > len(ttf):
+            continue
+        fmt = int.from_bytes(ttf[off:off + 2], "big")
+        pri = None
+        if fmt == 12 and (pid, eid) in ((3, 10), (0, 4), (0, 6)):
+            pri = 0  # full-repertoire unicode
+        elif fmt == 4 and (pid, eid) in ((3, 1), (0, 3), (0, 2), (0, 1), (0, 0)):
+            pri = 1  # BMP unicode
+        if pri is not None and (best is None or pri < best[0]):
+            best = (pri, off, fmt)
+    if best is None:
+        return {}
+    _, off, fmt = best
+    gid2uni: dict[int, str] = {}
+    if fmt == 4:
+        segx2 = int.from_bytes(ttf[off + 6:off + 8], "big")
+        ends = off + 14
+        starts = ends + segx2 + 2  # + reservedPad
+        deltas = starts + segx2
+        ranges = deltas + segx2
+        if ranges + segx2 > len(ttf):
+            return {}
+        for s in range(segx2 // 2):
+            end = int.from_bytes(ttf[ends + 2 * s:ends + 2 * s + 2], "big")
+            start = int.from_bytes(ttf[starts + 2 * s:starts + 2 * s + 2], "big")
+            delta = int.from_bytes(ttf[deltas + 2 * s:deltas + 2 * s + 2], "big")
+            ro = int.from_bytes(ttf[ranges + 2 * s:ranges + 2 * s + 2], "big")
+            if start == 0xFFFF:
+                continue
+            for code in range(start, min(end, 0xFFFE) + 1):
+                if 0xD800 <= code <= 0xDFFF:
+                    continue
+                if ro == 0:
+                    g = (code + delta) & 0xFFFF
+                else:
+                    gi = ranges + 2 * s + ro + 2 * (code - start)
+                    if gi + 2 > len(ttf):
+                        continue
+                    g = int.from_bytes(ttf[gi:gi + 2], "big")
+                    if g:
+                        g = (g + delta) & 0xFFFF
+                if g and g not in gid2uni:
+                    gid2uni[g] = chr(code)
+                    if len(gid2uni) >= _TTF_CMAP_CAP:
+                        return gid2uni
+    else:  # format 12: sequential map groups of uint32 triples
+        if off + 16 > len(ttf):
+            return {}
+        ngroups = int.from_bytes(ttf[off + 12:off + 16], "big")
+        p = off + 16
+        for _ in range(min(ngroups, 1 << 16)):
+            if p + 12 > len(ttf):
+                break
+            sc = int.from_bytes(ttf[p:p + 4], "big")
+            ec = int.from_bytes(ttf[p + 4:p + 8], "big")
+            sg = int.from_bytes(ttf[p + 8:p + 12], "big")
+            p += 12
+            for k in range(min(ec - sc + 1, _TTF_CMAP_CAP)):
+                code = sc + k
+                if code > 0x10FFFF or 0xD800 <= code <= 0xDFFF:
+                    break
+                g = sg + k
+                if g and g not in gid2uni:
+                    gid2uni[g] = chr(code)
+                    if len(gid2uni) >= _TTF_CMAP_CAP:
+                        return gid2uni
+    return gid2uni
+
 
 class _Font:
     def __init__(self, pdf: _Pdf, fd: dict):
         self.two_byte = False
+        self.utf16 = False
         self.cmap: dict[int, str] = {}
         self.diff: dict[int, str] = {}
         subtype = pdf.resolve(fd.get("Subtype"))
@@ -1077,6 +1184,38 @@ class _Font:
                 self.two_byte = self.two_byte or width == 2
             except Exception:
                 pass
+        if subtype == "Type0" and not self.cmap:
+            # no ToUnicode: without a recovery every glyph decodes to ""
+            # and the run is silently dropped — total content loss.
+            # (a) predefined Unicode CMaps: the 2-byte code IS the
+            # Unicode value, decode as UTF-16BE; (b) Identity-H with an
+            # embedded TrueType program: invert the font's own 'cmap'
+            # (gid→unicode), routed through CIDToGIDMap when present —
+            # what a viewer's text extractor does. CIDFontType0 (CFF)
+            # without ToUnicode stays unrecovered (empty decode).
+            if _UNI_CMAP_RE.match(str(enc or "")):
+                self.utf16 = True
+            else:
+                try:
+                    desc_list = pdf.resolve(fd.get("DescendantFonts")) or []
+                    d0 = pdf.resolve(desc_list[0]) if desc_list else None
+                    if isinstance(d0, dict):
+                        desc = pdf.resolve(d0.get("FontDescriptor"))
+                        ff = pdf.resolve(desc.get("FontFile2")) if isinstance(desc, dict) else None
+                        if isinstance(ff, tuple) and isinstance(ff[0], dict):
+                            gid2uni = _invert_ttf_cmap(pdf._decode_stream(ff[0], ff[1]))
+                            c2g = pdf.resolve(d0.get("CIDToGIDMap"))
+                            if isinstance(c2g, tuple) and isinstance(c2g[0], dict):
+                                m = pdf._decode_stream(c2g[0], c2g[1])
+                                self.cmap = {
+                                    cid: gid2uni[(m[2 * cid] << 8) | m[2 * cid + 1]]
+                                    for cid in range(len(m) // 2)
+                                    if ((m[2 * cid] << 8) | m[2 * cid + 1]) in gid2uni
+                                }
+                            else:  # CIDToGIDMap absent or /Identity
+                                self.cmap = gid2uni
+                except Exception:
+                    pass
         if isinstance(enc, dict):
             diffs = pdf.resolve(enc.get("Differences"))
             if isinstance(diffs, list):
@@ -1096,6 +1235,8 @@ class _Font:
                         code += 1
 
     def decode(self, b: bytes) -> str:
+        if self.utf16:
+            return b[: len(b) & ~1].decode("utf-16-be", errors="ignore")
         out = []
         if self.two_byte:
             for i in range(0, len(b) - 1, 2):

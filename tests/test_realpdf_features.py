@@ -1225,6 +1225,92 @@ def test_minority_180_on_rescued_page_stays_dropped():
     assert idx == sorted(idx), text
 
 
+def test_predefined_unicode_cmap_decodes_without_tounicode():
+    """A Type0 font using a predefined Unicode CMap (UniGB-UCS2-H et al,
+    ISO 32000 §9.7.5.2) and NO ToUnicode: the 2-byte character code IS
+    the Unicode value, so the text must decode as UTF-16BE instead of
+    silently dropping the whole run (empty cmap -> empty decode)."""
+    content = (
+        b"BT /F1 12 Tf 72 700 Td <4F60597D4E16754C> Tj ET "  # UTF-16BE CJK
+        b"BT /F1 12 Tf 72 680 Td <00480049> Tj ET"           # 'HI'
+    )
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = (b"<</Type /Font /Subtype /Type0 /BaseFont /SomeGB "
+               b"/Encoding /UniGB-UCS2-H>>")
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert "你好世界" in text, spans
+    assert "HI" in text
+
+
+def _ttf_with_cmap4(mapping: dict[int, int]) -> bytes:
+    """Minimal TrueType blob holding only a (3,1) format-4 cmap: one
+    segment per mapped code point plus the 0xFFFF terminator."""
+    segs = sorted(mapping.items())
+    segcount = len(segs) + 1
+    end_codes = [c for c, _ in segs] + [0xFFFF]
+    start_codes = list(end_codes)
+    deltas = [(g - c) & 0xFFFF for c, g in segs] + [1]
+    ros = [0] * segcount
+
+    def u16s(vals):
+        return b"".join(struct.pack(">H", v) for v in vals)
+
+    body = u16s(end_codes) + b"\x00\x00" + u16s(start_codes) + u16s(deltas) + u16s(ros)
+    sub = struct.pack(">HHHHHHH", 4, 14 + len(body), 0, segcount * 2, 0, 0, 0) + body
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+    return (struct.pack(">IHHHH", 0x00010000, 1, 0, 0, 0)
+            + b"cmap" + struct.pack(">III", 0, 28, len(cmap)) + cmap)
+
+
+def test_identity_h_without_tounicode_recovers_via_embedded_cmap():
+    """Identity-H CIDFontType2 with no ToUnicode but an embedded TrueType
+    program: the font's own 'cmap' (unicode→gid), run backwards, is the
+    only code→text evidence — the viewer-extractor recovery. Previously
+    such runs decoded to '' and vanished."""
+    ttf = _ttf_with_cmap4({0x48: 5, 0x45: 3, 0x4C: 7, 0x4F: 9})  # H E L O
+    content = b"BT /F1 12 Tf 72 700 Td <00050003000700070009> Tj ET"  # gids HELLO
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = (b"<</Type /Font /Subtype /Type0 /BaseFont /EmbedX "
+               b"/Encoding /Identity-H /DescendantFonts [6 0 R]>>")
+    objs[6] = (b"<</Type /Font /Subtype /CIDFontType2 /BaseFont /EmbedX "
+               b"/CIDToGIDMap /Identity /FontDescriptor 7 0 R>>")
+    objs[7] = b"<</Type /FontDescriptor /FontName /EmbedX /FontFile2 8 0 R>>"
+    objs[8] = _stream_obj(b"/Length1 %d" % len(ttf), ttf)
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert "HELLO" in text, spans
+
+
+def test_identity_h_cid_to_gid_stream_routes_the_inversion():
+    """Same recovery with a CIDToGIDMap STREAM: code (=CID) goes through
+    the map to a glyph id before the inverted-cmap lookup."""
+    ttf = _ttf_with_cmap4({0x4F: 5, 0x4B: 9})  # O->gid5, K->gid9
+    # cid 1 -> gid 5 ('O'), cid 2 -> gid 9 ('K')
+    c2g = b"\x00\x00\x00\x05\x00\x09"
+    content = b"BT /F1 12 Tf 72 700 Td <00010002> Tj ET"
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = (b"<</Type /Font /Subtype /Type0 /BaseFont /EmbedY "
+               b"/Encoding /Identity-H /DescendantFonts [6 0 R]>>")
+    objs[6] = (b"<</Type /Font /Subtype /CIDFontType2 /BaseFont /EmbedY "
+               b"/CIDToGIDMap 9 0 R /FontDescriptor 7 0 R>>")
+    objs[7] = b"<</Type /FontDescriptor /FontName /EmbedY /FontFile2 8 0 R>>"
+    objs[8] = _stream_obj(b"/Length1 %d" % len(ttf), ttf)
+    objs[9] = _stream_obj(b"", c2g)
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert "OK" in text, spans
+
+
 def test_math_font_lines_become_formula_spans():
     """Lines set in a math face (Symbol/CMMI/CMSY/CMEX — subset-tagged
     too) classify as kind='formula', their own block, while surrounding
