@@ -1216,6 +1216,18 @@ class _Font:
                                 self.cmap = gid2uni
                 except Exception:
                     pass
+        # simple-font named base encodings (§9.6.5): bytes 0x80–0xFF carry
+        # accented/European text; without this the >0x7F fallback in
+        # decode() drops them (ASCII-only chr()). Differences entries
+        # still override per code. StandardEncoding's upper half differs
+        # from both codecs and stays ASCII-fallback-only.
+        self.high_codec = ""
+        base_enc = enc.get("BaseEncoding") if isinstance(enc, dict) else enc
+        base_name = str(pdf.resolve(base_enc) or "")
+        if base_name == "WinAnsiEncoding":
+            self.high_codec = "cp1252"
+        elif base_name == "MacRomanEncoding":
+            self.high_codec = "mac_roman"
         if isinstance(enc, dict):
             diffs = pdf.resolve(enc.get("Differences"))
             if isinstance(diffs, list):
@@ -1250,6 +1262,8 @@ class _Font:
                     out.append(self.diff[code])
                 elif 0x20 <= code < 0x7F:
                     out.append(chr(code))
+                elif code >= 0x80 and self.high_codec:
+                    out.append(bytes((code,)).decode(self.high_codec, errors="ignore"))
         return "".join(out)
 
 

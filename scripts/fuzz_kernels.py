@@ -98,7 +98,7 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
 
     from tests.test_legacy_formats import _make_ppt, _make_xls  # REPO is on sys.path
     from tests.test_realpdf_features import (  # encrypted/filtered PDF builders
-        _aes256_pdf, _aesv2_pdf, _encrypt_pdf, _lzw_pdf)
+        _aes256_pdf, _aesv2_pdf, _cidfont_pdf, _encrypt_pdf, _lzw_pdf)
 
     from documentconvert_spark.corpus import render_text_png
 
@@ -121,6 +121,9 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         ("fmt_pdf_aesv2", "pdf", _aesv2_pdf()),
         ("fmt_pdf_aes256", "pdf", _aes256_pdf()),
         ("fmt_pdf_lzw", "pdf", _lzw_pdf()),
+        # Identity-H + embedded TTF, no ToUnicode: mutants land on the
+        # TrueType cmap inversion (table directory, format 4 segments)
+        ("fmt_pdf_cidfont", "pdf", _cidfont_pdf()),
     ]
 
 

@@ -1225,6 +1225,34 @@ def test_minority_180_on_rescued_page_stays_dropped():
     assert idx == sorted(idx), text
 
 
+def test_winansi_and_macroman_high_bytes_decode():
+    """Simple fonts with named base encodings: bytes 0x80–0xFF carry
+    accented text (café, naïve) that the ASCII-only fallback silently
+    dropped. WinAnsi maps per cp1252, MacRoman per the Mac OS Roman set;
+    a Differences entry still overrides its code."""
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (caf\xe9 win) Tj ET "     # 0xE9 = é in cp1252
+        b"BT /F2 12 Tf 72 680 Td (caf\x8e mac) Tj ET "     # 0x8E = é in mac_roman
+        b"BT /F3 12 Tf 72 660 Td (x\xe9y) Tj ET"           # Differences overrides 0xE9
+    )
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R /F2 6 0 R /F3 7 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = (b"<</Type /Font /Subtype /Type1 /BaseFont /Helv "
+               b"/Encoding /WinAnsiEncoding>>")
+    objs[6] = (b"<</Type /Font /Subtype /Type1 /BaseFont /Helv "
+               b"/Encoding /MacRomanEncoding>>")
+    objs[7] = (b"<</Type /Font /Subtype /Type1 /BaseFont /Helv "
+               b"/Encoding <</BaseEncoding /WinAnsiEncoding "
+               b"/Differences [233 /zero]>>>>")
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert "café win" in text, spans
+    assert "café mac" in text, spans
+    assert "x0y" in text, spans
+
+
 def test_predefined_unicode_cmap_decodes_without_tounicode():
     """A Type0 font using a predefined Unicode CMap (UniGB-UCS2-H et al,
     ISO 32000 §9.7.5.2) and NO ToUnicode: the 2-byte character code IS
@@ -1266,11 +1294,10 @@ def _ttf_with_cmap4(mapping: dict[int, int]) -> bytes:
             + b"cmap" + struct.pack(">III", 0, 28, len(cmap)) + cmap)
 
 
-def test_identity_h_without_tounicode_recovers_via_embedded_cmap():
-    """Identity-H CIDFontType2 with no ToUnicode but an embedded TrueType
-    program: the font's own 'cmap' (unicode→gid), run backwards, is the
-    only code→text evidence — the viewer-extractor recovery. Previously
-    such runs decoded to '' and vanished."""
+def _cidfont_pdf() -> bytes:
+    """Identity-H CIDFontType2, NO ToUnicode, embedded TrueType program —
+    the text is only recoverable by inverting the font's own cmap.
+    Shared with the fuzzer (mutants land on the TTF table parsing)."""
     ttf = _ttf_with_cmap4({0x48: 5, 0x45: 3, 0x4C: 7, 0x4F: 9})  # H E L O
     content = b"BT /F1 12 Tf 72 700 Td <00050003000700070009> Tj ET"  # gids HELLO
     objs = _page_tree([3])
@@ -1283,7 +1310,15 @@ def test_identity_h_without_tounicode_recovers_via_embedded_cmap():
                b"/CIDToGIDMap /Identity /FontDescriptor 7 0 R>>")
     objs[7] = b"<</Type /FontDescriptor /FontName /EmbedX /FontFile2 8 0 R>>"
     objs[8] = _stream_obj(b"/Length1 %d" % len(ttf), ttf)
-    spans = extract_realpdf(_classic_pdf(objs))
+    return _classic_pdf(objs)
+
+
+def test_identity_h_without_tounicode_recovers_via_embedded_cmap():
+    """Identity-H CIDFontType2 with no ToUnicode but an embedded TrueType
+    program: the font's own 'cmap' (unicode→gid), run backwards, is the
+    only code→text evidence — the viewer-extractor recovery. Previously
+    such runs decoded to '' and vanished."""
+    spans = extract_realpdf(_cidfont_pdf())
     text = "\n".join(s.text for s in spans)
     assert "HELLO" in text, spans
 
