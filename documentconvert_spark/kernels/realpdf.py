@@ -1138,6 +1138,34 @@ def _invert_ttf_cmap(ttf: bytes) -> dict[int, str]:
     return gid2uni
 
 
+_CIDCHAR_RE = re.compile(rb"begincidchar(.*?)endcidchar", re.S)
+_CIDRANGE_RE = re.compile(rb"begincidrange(.*?)endcidrange", re.S)
+_CIDCHAR_ENTRY = re.compile(rb"<([0-9A-Fa-f]+)>\s+(\d+)")
+_CIDRANGE_ENTRY = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)")
+
+
+def _parse_cid_cmap(body: bytes) -> dict[int, int]:
+    """Embedded CMap stream (a Type0 font's /Encoding) → {code: CID}.
+    Only the cidchar/cidrange sections matter for text recovery; 2-byte
+    codes assumed (the codespace of every practical CID CMap). Capped at
+    the same mapping budget as the TTF inversion."""
+    out: dict[int, int] = {}
+    for m in _CIDCHAR_RE.finditer(body):
+        for e in _CIDCHAR_ENTRY.finditer(m.group(1)):
+            out[int(e.group(1), 16)] = int(e.group(2))
+            if len(out) >= _TTF_CMAP_CAP:
+                return out
+    for m in _CIDRANGE_RE.finditer(body):
+        for e in _CIDRANGE_ENTRY.finditer(m.group(1)):
+            lo, hi = int(e.group(1), 16), int(e.group(2), 16)
+            cid = int(e.group(3))
+            for k in range(min(hi - lo + 1, _TTF_CMAP_CAP)):
+                out.setdefault(lo + k, cid + k)
+                if len(out) >= _TTF_CMAP_CAP:
+                    return out
+    return out
+
+
 class _Font:
     def __init__(self, pdf: _Pdf, fd: dict):
         self.two_byte = False
@@ -1207,13 +1235,26 @@ class _Font:
                             c2g = pdf.resolve(d0.get("CIDToGIDMap"))
                             if isinstance(c2g, tuple) and isinstance(c2g[0], dict):
                                 m = pdf._decode_stream(c2g[0], c2g[1])
-                                self.cmap = {
+                                cid2uni = {
                                     cid: gid2uni[(m[2 * cid] << 8) | m[2 * cid + 1]]
                                     for cid in range(len(m) // 2)
                                     if ((m[2 * cid] << 8) | m[2 * cid + 1]) in gid2uni
                                 }
                             else:  # CIDToGIDMap absent or /Identity
-                                self.cmap = gid2uni
+                                cid2uni = gid2uni
+                            if isinstance(enc, tuple) and isinstance(enc[0], dict):
+                                # /Encoding is an embedded CMap STREAM:
+                                # route code→CID through it before the
+                                # CID→unicode lookup (Identity otherwise)
+                                code2cid = _parse_cid_cmap(
+                                    pdf._decode_stream(enc[0], enc[1]))
+                                self.cmap = {
+                                    code: cid2uni[cid]
+                                    for code, cid in code2cid.items()
+                                    if cid in cid2uni
+                                }
+                            else:
+                                self.cmap = cid2uni
                 except Exception:
                     pass
         # simple-font named base encodings (§9.6.5): bytes 0x80–0xFF carry

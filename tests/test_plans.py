@@ -163,7 +163,7 @@ def test_driver_window_is_the_intended_50():
     any registry edit that reorders them silently de-verifies operators.
     Pin the window to the explicit _WINDOW list and the r3 rotation goals:
     the 3 queries that had never seen a driver row are in-window, and the
-    full registry (93 entries) is collision-free."""
+    full registry (94 entries as of r3) is collision-free."""
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())

@@ -1323,6 +1323,32 @@ def test_identity_h_without_tounicode_recovers_via_embedded_cmap():
     assert "HELLO" in text, spans
 
 
+def test_embedded_cmap_stream_encoding_routes_code_to_cid():
+    """A Type0 font whose /Encoding is an embedded CMap STREAM (custom
+    code→CID mapping) with no ToUnicode: the code routes through the
+    CMap's cidrange/cidchar sections, then CID→glyph→unicode via the
+    embedded TrueType inversion."""
+    ttf = _ttf_with_cmap4({0x41: 0x10, 0x42: 0x11, 0x5A: 0x20})  # A B Z
+    cmap_body = (b"/CIDInit /ProcSet findresource begin\n"
+                 b"1 begincidrange\n<0001> <0002> 16\nendcidrange\n"
+                 b"1 begincidchar\n<0009> 32\nendcidchar\nendcmap")
+    content = b"BT /F1 12 Tf 72 700 Td <000100020009> Tj ET"  # -> A B Z
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = (b"<</Type /Font /Subtype /Type0 /BaseFont /EmbedZ "
+               b"/Encoding 9 0 R /DescendantFonts [6 0 R]>>")
+    objs[6] = (b"<</Type /Font /Subtype /CIDFontType2 /BaseFont /EmbedZ "
+               b"/CIDToGIDMap /Identity /FontDescriptor 7 0 R>>")
+    objs[7] = b"<</Type /FontDescriptor /FontName /EmbedZ /FontFile2 8 0 R>>"
+    objs[8] = _stream_obj(b"/Length1 %d" % len(ttf), ttf)
+    objs[9] = _stream_obj(b"/CMapName /Custom-H", cmap_body)
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert "ABZ" in text, spans
+
+
 def test_identity_h_cid_to_gid_stream_routes_the_inversion():
     """Same recovery with a CIDToGIDMap STREAM: code (=CID) goes through
     the map to a glyph id before the inverted-cmap lookup."""
