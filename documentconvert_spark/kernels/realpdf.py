@@ -1033,11 +1033,16 @@ _MONO_NAME_RE = MONO_FONT_RE  # shared with the docx classifier (spans.py)
 
 # predefined CMaps whose 2-byte character code IS the Unicode value
 # (ISO 32000 §9.7.5.2 / Adobe CMap resources: UniGB-UCS2-H, UniJIS-UTF16-V,
-# …) — text decodes as UTF-16BE with no ToUnicode needed
-_UNI_CMAP_RE = re.compile(r"^Uni\w+-(?:UCS2|UTF16)-[HV]$")
+# UniJIS-UCS2-HW-H, …) — text decodes as UTF-16BE with no ToUnicode needed
+_UNI_CMAP_RE = re.compile(r"^Uni\w+-(?:UCS2|UTF16)(?:-HW)?-[HV]$")
 
 _TTF_CMAP_CAP = 1 << 17  # mapping-count cap: the inversion dict is the
 # only allocation that grows with FONT-claimed (not input-sized) counts
+_CMAP_ITER_BUDGET = 1 << 21  # total-ITERATION cap for the inversion and
+# CMap-range loops: an entry cap alone can't bound work, because crafted
+# repeated segments/ranges re-cover codes that add no new entries (the
+# 16-bit gid space also tops out below _TTF_CMAP_CAP, making the entry
+# cap unreachable) — per-document CPU must be bounded by construction
 
 
 def _invert_ttf_cmap(ttf: bytes) -> dict[int, str]:
@@ -1083,6 +1088,7 @@ def _invert_ttf_cmap(ttf: bytes) -> dict[int, str]:
         return {}
     _, off, fmt = best
     gid2uni: dict[int, str] = {}
+    budget = _CMAP_ITER_BUDGET
     if fmt == 4:
         segx2 = int.from_bytes(ttf[off + 6:off + 8], "big")
         ends = off + 14
@@ -1098,7 +1104,11 @@ def _invert_ttf_cmap(ttf: bytes) -> dict[int, str]:
             ro = int.from_bytes(ttf[ranges + 2 * s:ranges + 2 * s + 2], "big")
             if start == 0xFFFF:
                 continue
-            for code in range(start, min(end, 0xFFFE) + 1):
+            span = min(end, 0xFFFE) - start + 1
+            if span > budget:
+                return gid2uni
+            budget -= max(span, 1)
+            for code in range(start, start + span):
                 if 0xD800 <= code <= 0xDFFF:
                     continue
                 if ro == 0:
@@ -1126,10 +1136,16 @@ def _invert_ttf_cmap(ttf: bytes) -> dict[int, str]:
             ec = int.from_bytes(ttf[p + 4:p + 8], "big")
             sg = int.from_bytes(ttf[p + 8:p + 12], "big")
             p += 12
-            for k in range(min(ec - sc + 1, _TTF_CMAP_CAP)):
+            span = min(ec, 0x10FFFF) - sc + 1
+            if span <= 0:
+                continue
+            if span > budget:
+                return gid2uni
+            budget -= span
+            for k in range(span):
                 code = sc + k
-                if code > 0x10FFFF or 0xD800 <= code <= 0xDFFF:
-                    break
+                if 0xD800 <= code <= 0xDFFF:
+                    continue  # skip the surrogate block, keep the rest
                 g = sg + k
                 if g and g not in gid2uni:
                     gid2uni[g] = chr(code)
@@ -1150,16 +1166,24 @@ def _parse_cid_cmap(body: bytes) -> dict[int, int]:
     codes assumed (the codespace of every practical CID CMap). Capped at
     the same mapping budget as the TTF inversion."""
     out: dict[int, int] = {}
+    budget = _CMAP_ITER_BUDGET
     for m in _CIDCHAR_RE.finditer(body):
         for e in _CIDCHAR_ENTRY.finditer(m.group(1)):
             out[int(e.group(1), 16)] = int(e.group(2))
-            if len(out) >= _TTF_CMAP_CAP:
+            budget -= 1
+            if len(out) >= _TTF_CMAP_CAP or budget <= 0:
                 return out
     for m in _CIDRANGE_RE.finditer(body):
         for e in _CIDRANGE_ENTRY.finditer(m.group(1)):
             lo, hi = int(e.group(1), 16), int(e.group(2), 16)
             cid = int(e.group(3))
-            for k in range(min(hi - lo + 1, _TTF_CMAP_CAP)):
+            span = min(hi - lo + 1, _TTF_CMAP_CAP)
+            if span <= 0:
+                continue
+            if span > budget:  # work cap, not just entries: repeated
+                return out     # identical ranges re-cover existing keys
+            budget -= span
+            for k in range(span):
                 out.setdefault(lo + k, cid + k)
                 if len(out) >= _TTF_CMAP_CAP:
                     return out
@@ -1182,15 +1206,18 @@ class _Font:
         # math faces (Symbol/CMMI/CMSY/CMEX/…) → formula classification;
         # subset-tag prefixes ('ABCDEF+CMMI10') pass the search() match
         self.math = bool(MATH_FONT_RE.search(base))
+        d0 = None  # Type0 descendant CIDFont dict, resolved exactly once
+        if subtype == "Type0":
+            try:
+                desc_list = pdf.resolve(fd.get("DescendantFonts")) or []
+                cand = pdf.resolve(desc_list[0]) if desc_list else None
+                if isinstance(cand, dict):
+                    d0 = cand
+            except Exception:
+                pass
         if not self.mono:
             try:
-                desc_owner = fd
-                if subtype == "Type0":
-                    desc_list = pdf.resolve(fd.get("DescendantFonts")) or []
-                    d0 = pdf.resolve(desc_list[0]) if desc_list else None
-                    if isinstance(d0, dict):
-                        desc_owner = d0
-                desc = pdf.resolve(desc_owner.get("FontDescriptor"))
+                desc = pdf.resolve((d0 or fd).get("FontDescriptor"))
                 if isinstance(desc, dict):
                     self.mono = bool(int(pdf.resolve(desc.get("Flags")) or 0) & 1)
             except Exception:
@@ -1221,12 +1248,20 @@ class _Font:
             # (gid→unicode), routed through CIDToGIDMap when present —
             # what a viewer's text extractor does. CIDFontType0 (CFF)
             # without ToUnicode stays unrecovered (empty decode).
-            if _UNI_CMAP_RE.match(str(enc or "")):
+            enc_name = enc if isinstance(enc, str) else ""
+            if _UNI_CMAP_RE.match(enc_name):
                 self.utf16 = True
-            else:
+            elif enc_name in ("Identity-H", "Identity-V") or (
+                isinstance(enc, tuple) and isinstance(enc[0], dict)
+            ):
+                # only code→CID mappings we can actually FOLLOW: Identity,
+                # or an embedded CMap stream (parsed below). Any OTHER
+                # predefined CMap (GBK-EUC-H, 90ms-RKSJ-H, UniGB-UTF8-H…)
+                # has a nontrivial code→CID table this engine doesn't
+                # ship — assuming Identity there would extract WRONG text,
+                # which for a hash-verified pipeline is worse than the
+                # empty-decode drop.
                 try:
-                    desc_list = pdf.resolve(fd.get("DescendantFonts")) or []
-                    d0 = pdf.resolve(desc_list[0]) if desc_list else None
                     if isinstance(d0, dict):
                         desc = pdf.resolve(d0.get("FontDescriptor"))
                         ff = pdf.resolve(desc.get("FontFile2")) if isinstance(desc, dict) else None

@@ -1349,6 +1349,92 @@ def test_embedded_cmap_stream_encoding_routes_code_to_cid():
     assert "ABZ" in text, spans
 
 
+def test_non_identity_predefined_cmap_stays_dropped_not_garbage():
+    """A predefined NON-Unicode CMap (GBK-EUC-H: mixed-width codes, a
+    nontrivial code→CID table this engine doesn't ship) must NOT be
+    treated as Identity — that would extract WRONG text, worse for a
+    hash-verified pipeline than the empty-decode drop."""
+    ttf = _ttf_with_cmap4({0x41: 1, 0x42: 2})
+    content = (b"BT /F1 12 Tf 72 700 Td <00010002> Tj ET "
+               b"BT /F2 12 Tf 72 680 Td (plain ascii line) Tj ET")
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R /F2 9 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = (b"<</Type /Font /Subtype /Type0 /BaseFont /SomeGBK "
+               b"/Encoding /GBK-EUC-H /DescendantFonts [6 0 R]>>")
+    objs[6] = (b"<</Type /Font /Subtype /CIDFontType2 /BaseFont /SomeGBK "
+               b"/CIDToGIDMap /Identity /FontDescriptor 7 0 R>>")
+    objs[7] = b"<</Type /FontDescriptor /FontName /SomeGBK /FontFile2 8 0 R>>"
+    objs[8] = _stream_obj(b"/Length1 %d" % len(ttf), ttf)
+    objs[9] = _FONT
+    spans = extract_realpdf(_classic_pdf(objs))
+    text = "\n".join(s.text for s in spans)
+    assert "plain ascii line" in text
+    assert "A" not in text and "B" not in text, text  # no Identity guess
+
+
+def test_ucs2_hw_variant_cmap_name_matches():
+    """UniJIS-UCS2-HW-H (half-width variant) codes are still UCS-2."""
+    content = b"BT /F1 12 Tf 72 700 Td <00480057> Tj ET"  # 'HW'
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = (b"<</Type /Font /Subtype /Type0 /BaseFont /SomeJIS "
+               b"/Encoding /UniJIS-UCS2-HW-H>>")
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert "HW" in "\n".join(s.text for s in spans)
+
+
+def test_ttf_cmap_inversion_iteration_budget():
+    """A crafted font with thousands of repeated full-width segments
+    (each re-covering the same codes, adding no new entries) must be
+    bounded by the ITERATION budget — the entry cap alone is
+    unreachable (16-bit gid space) and the loop would burn ~2e9 Python
+    iterations otherwise."""
+    import time as _time
+
+    nseg = 4000
+    segs = b"".join(struct.pack(">H", 0xFFFE) for _ in range(nseg))  # ends
+    starts = b"".join(struct.pack(">H", 0x0020) for _ in range(nseg))
+    deltas = b"\x00\x00" * nseg
+    ros = b"\x00\x00" * nseg
+    segcount = nseg + 1
+    body = (segs + struct.pack(">H", 0xFFFF) + b"\x00\x00"
+            + starts + struct.pack(">H", 0xFFFF)
+            + deltas + struct.pack(">H", 1)
+            + ros + b"\x00\x00")
+    sub = struct.pack(">HHHHHHH", 4, 14 + len(body), 0, segcount * 2, 0, 0, 0) + body
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+    ttf = (struct.pack(">IHHHH", 0x00010000, 1, 0, 0, 0)
+           + b"cmap" + struct.pack(">III", 0, 28, len(cmap)) + cmap)
+    from documentconvert_spark.kernels.realpdf import _invert_ttf_cmap
+
+    t0 = _time.monotonic()
+    out = _invert_ttf_cmap(ttf)
+    dt = _time.monotonic() - t0
+    assert dt < 2.0, f"inversion took {dt:.1f}s — iteration budget not applied"
+    assert out  # the first pass still harvested real mappings
+
+
+def test_cid_cmap_stream_iteration_budget():
+    """Repeated identical full-range cidrange lines re-cover existing
+    keys via setdefault — the work cap must fire even though the entry
+    cap never can."""
+    import time as _time
+
+    from documentconvert_spark.kernels.realpdf import _parse_cid_cmap
+
+    body = (b"1 begincidrange\n" + b"<0000> <FFFF> 0\n" * 2000
+            + b"endcidrange\n")
+    t0 = _time.monotonic()
+    out = _parse_cid_cmap(body)
+    dt = _time.monotonic() - t0
+    assert dt < 2.0, f"cid cmap parse took {dt:.1f}s"
+    assert out[0] == 0 and out[0xFFFF] == 0xFFFF
+
+
 def test_identity_h_cid_to_gid_stream_routes_the_inversion():
     """Same recovery with a CIDToGIDMap STREAM: code (=CID) goes through
     the map to a glyph id before the inverted-cmap lookup."""
