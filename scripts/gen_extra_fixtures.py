@@ -146,6 +146,36 @@ def encrypted_pdf() -> bytes:
     return _encrypt_pdf(3)
 
 
+def fonts_pdf() -> bytes:
+    """No-ToUnicode text recovery under the golden oracle: page 1 is an
+    Identity-H CIDFontType2 whose text is only recoverable by inverting
+    the embedded TrueType cmap; page 2 uses WinAnsi / MacRoman base
+    encodings with high-byte accented text."""
+    from tests.test_realpdf_features import _ttf_with_cmap4
+
+    ttf = _ttf_with_cmap4({0x43: 5, 0x49: 6, 0x44: 7})  # C I D
+    objs = _page_tree([3, 10])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", b"BT /F1 12 Tf 72 700 Td <000500060007> Tj ET")
+    objs[5] = (b"<</Type /Font /Subtype /Type0 /BaseFont /EmbedG "
+               b"/Encoding /Identity-H /DescendantFonts [6 0 R]>>")
+    objs[6] = (b"<</Type /Font /Subtype /CIDFontType2 /BaseFont /EmbedG "
+               b"/CIDToGIDMap /Identity /FontDescriptor 7 0 R>>")
+    objs[7] = b"<</Type /FontDescriptor /FontName /EmbedG /FontFile2 8 0 R>>"
+    objs[8] = _stream_obj(b"/Length1 %d" % len(ttf), ttf)
+    objs[10] = (b"<</Type /Page /Parent 2 0 R /Contents 11 0 R "
+                b"/Resources <</Font <</F2 12 0 R /F3 13 0 R>>>>>>")
+    objs[11] = _stream_obj(b"", (
+        b"BT /F2 11 Tf 72 700 Td (caf\xe9 cr\xe8me br\xfbl\xe9e) Tj ET "
+        b"BT /F3 11 Tf 72 680 Td (na\x95ve r\x8esum\x8e) Tj ET"))
+    objs[12] = (b"<</Type /Font /Subtype /Type1 /BaseFont /Helv "
+                b"/Encoding /WinAnsiEncoding>>")
+    objs[13] = (b"<</Type /Font /Subtype /Type1 /BaseFont /Helv "
+                b"/Encoding /MacRomanEncoding>>")
+    return _classic_pdf(objs)
+
+
 def formula_pdf() -> bytes:
     """Displayed equations in math faces (subset-tagged CMMI + Symbol)
     between prose, plus a ToUnicode-mapped operator line — pins
@@ -418,6 +448,7 @@ def main() -> None:
         "fixture_rotated.pdf": rotated_pdf(),
         "fixture_formula.pdf": formula_pdf(),
         "fixture_encrypted.pdf": encrypted_pdf(),
+        "fixture_fonts.pdf": fonts_pdf(),
         "fixture_dates.xlsx": dates_xlsx(),
         "fixture_code.docx": code_docx(),
         "fixture_legacy.rtf": legacy_rtf(),

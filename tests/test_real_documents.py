@@ -157,7 +157,10 @@ def test_real_goldens_match_committed_parquet():
         expected.setdefault(did, []).append(
             (tbl["offset"][i], tbl["kind"][i], tbl["media_ref"][i], tbl["text"][i])
         )
-    assert len(expected) == 23  # 7 reference samples + 16 crafted fixtures
+    assert len(expected) == 24  # 7 reference samples + 17 crafted fixtures
+    # no-ToUnicode CID recovery + WinAnsi/MacRoman high bytes stay pinned
+    fonts = [t for (_o, _k, _m, t) in expected["fixture_fonts.pdf"]]
+    assert any("CID" in t for t in fonts) and any("café crème" in t for t in fonts)
     # the formula fixture keeps real-PDF formula spans pinned in the corpus
     assert any(k == "formula" for (_o, k, _m, _t) in expected["fixture_formula.pdf"])
     # the encrypted fixture keeps RC4 decryption pinned in the corpus
