@@ -1251,11 +1251,14 @@ class _Font:
             enc_name = enc if isinstance(enc, str) else ""
             if _UNI_CMAP_RE.match(enc_name):
                 self.utf16 = True
-            elif enc_name in ("Identity-H", "Identity-V") or (
-                isinstance(enc, tuple) and isinstance(enc[0], dict)
+            elif (
+                enc is None  # missing /Encoding: broken generators; viewers assume Identity
+                or enc_name in ("Identity-H", "Identity-V")
+                or (isinstance(enc, tuple) and isinstance(enc[0], dict))
             ):
-                # only code→CID mappings we can actually FOLLOW: Identity,
-                # or an embedded CMap stream (parsed below). Any OTHER
+                # only code→CID mappings we can actually FOLLOW: Identity
+                # (named or implied by a missing /Encoding), or an
+                # embedded CMap stream (parsed below). Any OTHER
                 # predefined CMap (GBK-EUC-H, 90ms-RKSJ-H, UniGB-UTF8-H…)
                 # has a nontrivial code→CID table this engine doesn't
                 # ship — assuming Identity there would extract WRONG text,
@@ -1264,15 +1267,32 @@ class _Font:
                 try:
                     if isinstance(d0, dict):
                         desc = pdf.resolve(d0.get("FontDescriptor"))
-                        ff = pdf.resolve(desc.get("FontFile2")) if isinstance(desc, dict) else None
-                        if isinstance(ff, tuple) and isinstance(ff[0], dict):
-                            gid2uni = _invert_ttf_cmap(pdf._decode_stream(ff[0], ff[1]))
+                        ff_ref = desc.get("FontFile2") if isinstance(desc, dict) else None
+                        # the inversion is budgeted PER CALL; repeated
+                        # font dicts sharing one FontFile2 by ref (the
+                        # common inline-font-dict shape, and the crafted
+                        # N-fonts amplification) must pay it once per
+                        # DOCUMENT — same cache discipline as ToUnicode
+                        ff_key = ("ttfinv", ff_ref) if isinstance(ff_ref, _Ref) else None
+                        gid2uni = pdf.cmap_cache.get(ff_key) if ff_key else None
+                        if gid2uni is None:
+                            ff = pdf.resolve(ff_ref)
+                            gid2uni = (
+                                _invert_ttf_cmap(pdf._decode_stream(ff[0], ff[1]))
+                                if isinstance(ff, tuple) and isinstance(ff[0], dict)
+                                else {}
+                            )
+                            if ff_key:
+                                pdf.cmap_cache[ff_key] = gid2uni
+                        if gid2uni:
                             c2g = pdf.resolve(d0.get("CIDToGIDMap"))
                             if isinstance(c2g, tuple) and isinstance(c2g[0], dict):
                                 m = pdf._decode_stream(c2g[0], c2g[1])
+                                # CIDs are 16-bit: entries past 2×65536
+                                # bytes are unreachable by any code
                                 cid2uni = {
                                     cid: gid2uni[(m[2 * cid] << 8) | m[2 * cid + 1]]
-                                    for cid in range(len(m) // 2)
+                                    for cid in range(min(len(m) // 2, 1 << 16))
                                     if ((m[2 * cid] << 8) | m[2 * cid + 1]) in gid2uni
                                 }
                             else:  # CIDToGIDMap absent or /Identity
@@ -1280,9 +1300,16 @@ class _Font:
                             if isinstance(enc, tuple) and isinstance(enc[0], dict):
                                 # /Encoding is an embedded CMap STREAM:
                                 # route code→CID through it before the
-                                # CID→unicode lookup (Identity otherwise)
-                                code2cid = _parse_cid_cmap(
-                                    pdf._decode_stream(enc[0], enc[1]))
+                                # CID→unicode lookup (Identity otherwise);
+                                # cached by ref like the inversion
+                                enc_ref = fd.get("Encoding")
+                                ek = ("cidcmap", enc_ref) if isinstance(enc_ref, _Ref) else None
+                                code2cid = pdf.cmap_cache.get(ek) if ek else None
+                                if code2cid is None:
+                                    code2cid = _parse_cid_cmap(
+                                        pdf._decode_stream(enc[0], enc[1]))
+                                    if ek:
+                                        pdf.cmap_cache[ek] = code2cid
                                 self.cmap = {
                                     code: cid2uni[cid]
                                     for code, cid in code2cid.items()

@@ -1349,6 +1349,61 @@ def test_embedded_cmap_stream_encoding_routes_code_to_cid():
     assert "ABZ" in text, spans
 
 
+def test_type0_missing_encoding_still_recovers():
+    """A Type0 font dict with NO /Encoding key (spec-invalid, produced
+    by broken generators; viewers assume Identity-H) must still recover
+    through the embedded-TTF inversion — the no-Identity-guess gate is
+    about named non-Unicode CMaps, not about a missing name."""
+    ttf = _ttf_with_cmap4({0x4F: 5, 0x4B: 6})  # O K
+    content = b"BT /F1 12 Tf 72 700 Td <00050006> Tj ET"
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <</F1 5 0 R>>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[5] = (b"<</Type /Font /Subtype /Type0 /BaseFont /NoEnc "
+               b"/DescendantFonts [6 0 R]>>")
+    objs[6] = (b"<</Type /Font /Subtype /CIDFontType2 /BaseFont /NoEnc "
+               b"/CIDToGIDMap /Identity /FontDescriptor 7 0 R>>")
+    objs[7] = b"<</Type /FontDescriptor /FontName /NoEnc /FontFile2 8 0 R>>"
+    objs[8] = _stream_obj(b"/Length1 %d" % len(ttf), ttf)
+    spans = extract_realpdf(_classic_pdf(objs))
+    assert "OK" in "\n".join(s.text for s in spans), spans
+
+
+def test_shared_fontfile_inversion_cached_per_document():
+    """N font dicts sharing one FontFile2 by ref must run the (budgeted
+    but expensive) cmap inversion ONCE per document — the crafted
+    N-tiny-fonts amplification and the common repeated-inline-font-dict
+    shape both collapse onto the ref-keyed cache."""
+    from unittest import mock
+
+    from documentconvert_spark.kernels import realpdf as rp
+
+    ttf = _ttf_with_cmap4({0x41 + i: 5 + i for i in range(4)})
+    n_fonts = 12
+    fonts = b" ".join(
+        b"/F%d %d 0 R" % (i, 10 + i) for i in range(n_fonts))
+    content = b" ".join(
+        b"BT /F%d 10 Tf 72 %d Td <0005> Tj ET" % (i, 720 - 10 * i)
+        for i in range(n_fonts))
+    objs = _page_tree([3])
+    objs[3] = (b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources <</Font <<" + fonts + b">>>>>>")
+    objs[4] = _stream_obj(b"", content)
+    objs[6] = (b"<</Type /Font /Subtype /CIDFontType2 /BaseFont /Shared "
+               b"/CIDToGIDMap /Identity /FontDescriptor 7 0 R>>")
+    objs[7] = b"<</Type /FontDescriptor /FontName /Shared /FontFile2 8 0 R>>"
+    objs[8] = _stream_obj(b"/Length1 %d" % len(ttf), ttf)
+    for i in range(n_fonts):
+        objs[10 + i] = (b"<</Type /Font /Subtype /Type0 /BaseFont /Shared%d "
+                        b"/Encoding /Identity-H /DescendantFonts [6 0 R]>>" % i)
+    pdf_bytes = _classic_pdf(objs)
+    with mock.patch.object(rp, "_invert_ttf_cmap", wraps=rp._invert_ttf_cmap) as spy:
+        spans = extract_realpdf(pdf_bytes)
+    assert spy.call_count == 1, spy.call_count
+    assert "A" in "\n".join(s.text for s in spans)
+
+
 def test_non_identity_predefined_cmap_stays_dropped_not_garbage():
     """A predefined NON-Unicode CMap (GBK-EUC-H: mixed-width codes, a
     nontrivial code→CID table this engine doesn't ship) must NOT be
@@ -1414,7 +1469,9 @@ def test_ttf_cmap_inversion_iteration_budget():
     t0 = _time.monotonic()
     out = _invert_ttf_cmap(ttf)
     dt = _time.monotonic() - t0
-    assert dt < 2.0, f"inversion took {dt:.1f}s — iteration budget not applied"
+    # generous load-safe bound: the budgeted path runs ~0.2 s; the
+    # unbudgeted ~2e9-iteration path runs minutes
+    assert dt < 30.0, f"inversion took {dt:.1f}s — iteration budget not applied"
     assert out  # the first pass still harvested real mappings
 
 
@@ -1431,7 +1488,7 @@ def test_cid_cmap_stream_iteration_budget():
     t0 = _time.monotonic()
     out = _parse_cid_cmap(body)
     dt = _time.monotonic() - t0
-    assert dt < 2.0, f"cid cmap parse took {dt:.1f}s"
+    assert dt < 30.0, f"cid cmap parse took {dt:.1f}s"  # budgeted ~0.2 s; unbudgeted minutes
     assert out[0] == 0 and out[0xFFFF] == 0xFFFF
 
 
