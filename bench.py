@@ -145,24 +145,34 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(int(200_000 * sf), 2_000))))
-    # heap sized to the SF: at sf1 the replicated real-doc corpus caches
-    # ~15 GB of binary rows, and unrolling that through the default 8g
-    # local heap OOMs mid-materialization (on a cluster this is executor
-    # memory scaling with the data each executor holds)
-    if sf >= 1:
+    # SPARK_GRAFT_QUERIES_ONLY=1 skips the two extraction legs: the
+    # real-docs leg caches n_copies × corpus binary in the ONE local JVM
+    # (at sf10 that is ~150 GB — a memory model no single executor has;
+    # the N-vs-4N sections in BENCH.md measure the extraction axis), so
+    # very large SF linearity runs cover the relational/dedup/ANN suite
+    queries_only = os.environ.get("SPARK_GRAFT_QUERIES_ONLY") == "1"
+    # heap sized to the SF — but ONLY when the real-docs leg runs: its
+    # replicated corpus caches ~15 GB of binary rows at sf1 and OOMs the
+    # default 8g heap. For the query suite the huge heap is actively
+    # HARMFUL (measured: tpch_q3 at sf10 runs 9 s warm on 8g, 60 s on
+    # 64g — GC geometry), so it must not leak into queries-only runs.
+    if sf >= 1 and not queries_only:
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
 
     spark = build_session(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16))
 
     queries = {}
+    n_extracted = n_real = 0
+    extract_s = real_s = 0.0
 
     t0 = time.monotonic()
-    extract_s, n_extracted = run_extract_bench(spark, n_docs, cpus)
-    queries["extract_pipeline"] = round(extract_s, 3)
+    if not queries_only:
+        extract_s, n_extracted = run_extract_bench(spark, n_docs, cpus)
+        queries["extract_pipeline"] = round(extract_s, 3)
 
-    real_s, n_real = run_real_docs_bench(spark, sf, cpus)
-    if n_real:
-        queries["real_docs_extract"] = round(real_s, 3)
+        real_s, n_real = run_real_docs_bench(spark, sf, cpus)
+        if n_real:
+            queries["real_docs_extract"] = round(real_s, 3)
 
     def prod_minhash_lsh(spark, sf_dir):
         """Production banded-LSH path (ops/dedup.py): one xxhash64 per
@@ -221,10 +231,11 @@ def main() -> None:
         "wall_sec": round(total, 3),
         "queries": queries,
         "sf": sf,
-        "extract_docs": n_extracted,
-        "docs_per_sec": round(n_extracted / extract_s, 1),
         "cpus": cpus,
     }
+    if n_extracted:
+        result["extract_docs"] = n_extracted
+        result["docs_per_sec"] = round(n_extracted / extract_s, 1)
     if n_real:
         result["real_docs"] = n_real
         result["real_docs_per_sec"] = round(n_real / real_s, 1)
@@ -233,10 +244,15 @@ def main() -> None:
     # out-of-band (scripts/gen_sf.py + SPARK_GRAFT_SF_DIR=_work/sf1) and
     # its RECORDED result rides along here, clearly labeled as such
     if sf < 1:
-        sf1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json")
-        if os.path.exists(sf1_path):
-            with open(sf1_path) as fh:
-                result["sf1_recorded"] = json.load(fh)
+        here = os.path.dirname(os.path.abspath(__file__))
+        for key, fname in (("sf1_recorded", "BENCH_SF1.json"),
+                           ("sf10_recorded", "BENCH_SF10.json")):
+            path = os.path.join(here, fname)
+            if os.path.exists(path):
+                with open(path) as fh:
+                    rec = json.load(fh)
+                rec.pop("runs", None)  # keep the driver's JSON line compact
+                result[key] = rec
     spark.stop()
     print(json.dumps(result))
 

@@ -275,7 +275,7 @@ def q_j3_media_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("s.media_ref").alias("media_ref"))
     )
     meta = decode_media_meta(_media_df(spark)).select("media_ref", "media_type", "payload_len")
-    joined = figs.join(F.broadcast(meta), "media_ref", "inner")
+    joined = figs.join(meta, "media_ref", "inner")
     return joined.groupBy("doc_id").agg(
         F.count("*").alias("n_media"),
         F.sum(F.when(F.col("media_type") == "image", 1).otherwise(0)).alias("n_images"),
@@ -609,7 +609,7 @@ def q_real_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("content").alias("content_md5"),
     )
     return fig.join(
-        F.broadcast(media),
+        media,
         (fig.doc_id == media.doc_id) & (fig.media_ref == media.m_ref),
         "left",
     ).select(

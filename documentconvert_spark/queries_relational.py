@@ -265,12 +265,22 @@ GROUP BY l_returnflag, l_linestatus
 
 # --------------------------------------------------------------- TPC-H Q3: shipping priority (joins + top-k)
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # broadcast-hint policy (applies to every query in this module): a
+    # hint is only ever placed on a side whose size is BOUNDED BY
+    # CONSTRUCTION (fixed dims like nation/region, 1-row scalar
+    # aggregates). A side that scales with the data — even a filtered
+    # one, like the BUILDING segment here (a constant fraction of
+    # customers) — gets no hint: Spark's static size estimate and AQE's
+    # runtime rescue both broadcast it while it is genuinely small, and
+    # stop when it is not. A forced hint does the opposite at scale; the
+    # 100x (sf10) linearity run measured this exact query at 2x the cost
+    # with the cust hint forced.
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-03-15")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -529,7 +539,7 @@ def q_tpch_q16s(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(flagged), li.l_suppkey == flagged.s_suppkey, "left_anti")
+        li.join(flagged, li.l_suppkey == flagged.s_suppkey, "left_anti")
         .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -559,7 +569,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     avg_qty = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
@@ -974,7 +984,7 @@ def q_tpch_q2s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         unit.join(min_unit, "l_partkey")
         .filter(F.col("unit_price") == F.col("min_price"))
-        .join(F.broadcast(part), unit.l_partkey == part.p_partkey)
+        .join(part, unit.l_partkey == part.p_partkey)
         .join(supp, unit.l_suppkey == supp.s_suppkey)
         .groupBy("p_partkey", "p_brand", "p_size")
         .agg(F.min("s_name").alias("cheapest_supplier"), F.min("min_price").alias("min_price"))
@@ -1131,13 +1141,14 @@ GROUP BY decile
 # --------------------------------------------------------------- data-quality constraint suite
 # Deequ-style declarative checks computed in ONE wide aggregate pass
 # (completeness, uniqueness, domain, range, referential integrity via a
-# broadcast anti-count) — the validation layer a 100 TB ingest runs
+# hint-free anti-count AQE can broadcast when small) — the validation
+# layer a 100 TB ingest runs
 # before promoting a partition. Output: one row per check.
 
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey")
-    orphans = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_anti")
+    orphans = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
     wide = li.agg(
         F.count("*").alias("n_rows"),
         F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
@@ -1236,8 +1247,8 @@ def q_tpch_q9s(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = (ep * (F.lit(1).cast("decimal(2,1)") - disc)
               - F.lit(0.6).cast("decimal(2,1)") * rp * qty)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .withColumn("amount", amount)
@@ -1271,7 +1282,7 @@ def q_tpch_q11s(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     scoped = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
     )
@@ -1311,7 +1322,7 @@ def q_tpch_q20s(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_9"))
     shipped_enough = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)
@@ -1369,7 +1380,7 @@ def q_tpch_q21s(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         not_exists_later.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey, "left_semi")
-        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

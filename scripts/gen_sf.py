@@ -44,14 +44,28 @@ TABLES: dict[str, list[str] | None] = {
 
 
 def _rot(i: int) -> str:
-    r = (i * 7) % 26  # gcd(7,26)=1 -> distinct rotation per replica i<26
-    return ALPHA[r:] + ALPHA[:r]
+    """Distinct bijective letter substitution per replica. Replicas 0-25
+    keep the original rotations (sf1 artifacts stay byte-reproducible);
+    beyond 26 a rotation would REPEAT and identical cross-replica text
+    would inflate planted duplicate groups (LSH pairs superlinear — a
+    data-construction artifact), so higher replicas use a seeded full
+    permutation: 26! >> K, and distinctness is asserted by the caller."""
+    if i < 26:
+        r = (i * 7) % 26  # gcd(7,26)=1 -> distinct rotation per replica
+        return ALPHA[r:] + ALPHA[:r]
+    import random
+
+    letters = list(ALPHA)
+    random.Random(0xC0FFEE + i).shuffle(letters)
+    return "".join(letters)
 
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "_work", "sf1")
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    subs = [_rot(i) for i in range(k)]
+    assert len(set(subs)) == k, "replica substitutions must be distinct"
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for table, shifts in TABLES.items():
