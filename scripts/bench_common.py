@@ -25,13 +25,22 @@ def run_subprocess_json(code: str, cwd: str) -> dict:
 
 
 def measure_pair_interleaved(run_leg, n: int, n4: int) -> dict[int, dict]:
-    """Run `run_leg(cores) -> {"docs_per_sec": ...}` in N, 4N, N, 4N order,
-    keeping the best leg per level."""
+    """Run `run_leg(cores) -> {"docs_per_sec": ...}` in N, 4N, N, 4N, N, 4N
+    order, keeping the best leg per level. Three reps per level because
+    host noise on the shared sandbox swings multi-core legs by ±30%
+    window to window; interleaving keeps a mid-pair slowdown from skewing
+    the ratio, best-of-3 gives each level a fair shot at a quiet window.
+    Every leg's rate is preserved in best[cores]["all_rates"] so the
+    variance is visible in the recorded evidence, not hidden by the max."""
     best: dict[int, dict] = {}
-    for cores in (n, n4, n, n4):
+    rates: dict[int, list] = {n: [], n4: []}
+    for cores in (n, n4, n, n4, n, n4):
         leg = run_leg(cores)
+        rates[cores].append(leg["docs_per_sec"])
         if cores not in best or leg["docs_per_sec"] > best[cores]["docs_per_sec"]:
             best[cores] = leg
+    for cores in (n, n4):
+        best[cores]["all_rates"] = rates[cores]
     return best
 
 
@@ -45,6 +54,8 @@ def pair_summary(best: dict[int, dict], control: dict[str, float],
         "pair": f"local[{n}] vs local[{n4}]",
         "rate_n": best[n]["docs_per_sec"],
         "rate_4n": best[n4]["docs_per_sec"],
+        "all_rates_n": best[n].get("all_rates"),
+        "all_rates_4n": best[n4].get("all_rates"),
         "efficiency": round(eff, 3),
         "hardware_control_efficiency": round(ctrl_eff, 3),
         "pass": eff >= threshold,

@@ -181,7 +181,7 @@ def _write_bench_md(r: dict) -> None:
         "LITERAL launch shape — `spark-submit --master local[N]",
         "--py-files dist/documentconvert_spark.zip jobs/run_extract.py`",
         "against a fresh state table, fresh JVM per leg, legs interleaved",
-        "N, 4N, N, 4N (best per level) — measuring the whole job: parquet",
+        "N, 4N ×3 (best per level) — measuring the whole job: parquet",
         "scan → work selection → size-aware split → extraction → zstd",
         "parquet write + state append, over a",
         f"{r['n_docs']:,}-doc synthetic corpus (heavy doc every {r['big_every']}).",
