@@ -400,11 +400,9 @@ def expected_rows(docs: list[RawDoc]) -> list[tuple]:
 # zlib, CRC32, filter-0 scanlines) — kernels/miniocr.py must decode the
 # bytes back to the exact text through an independent decode path.
 
-def render_text_png(lines: list[str], scale: int = 2, margin: int = 8,
-                    color: bool = False) -> bytes:
-    import struct as _struct
-    import zlib as _zlib
-
+def _render_text_grid(lines: list[str], scale: int, margin: int) -> tuple[int, int, list[bytearray]]:
+    """Shared raster for the rendered-text fixtures: black 5×7 glyphs on
+    white, one grid cell per character, `scale`× integer upscale."""
     from documentconvert_spark.kernels.miniocr import CELL_H, CELL_W, FONT_5X7
 
     ncols = max((len(ln) for ln in lines), default=0)
@@ -425,6 +423,15 @@ def render_text_png(lines: list[str], scale: int = 2, margin: int = 8,
                     for dy in range(scale):
                         for dx in range(scale):
                             grid[y0 + dy][x0 + dx] = 0
+    return w, h, grid
+
+
+def render_text_png(lines: list[str], scale: int = 2, margin: int = 8,
+                    color: bool = False) -> bytes:
+    import struct as _struct
+    import zlib as _zlib
+
+    w, h, grid = _render_text_grid(lines, scale, margin)
     if color:
         raster = b"".join(b"\x00" + bytes(v for px in row for v in (px, px, px))
                           for row in grid)
@@ -439,3 +446,113 @@ def render_text_png(lines: list[str], scale: int = 2, margin: int = 8,
 
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", _zlib.compress(raster, 9)) + chunk(b"IEND", b""))
+
+
+def render_text_jpeg(lines: list[str], scale: int = 2, margin: int = 8) -> bytes:
+    """Rendered-text fixture as a NEAR-LOSSLESS baseline JPEG (generator
+    side of the C4 OCR pair — the reference OCRs real ``jpg`` input,
+    `services/document_service.py:652-665`).
+
+    From-scratch T.81 encoder: one gray component, quant table all ones
+    (the only regime where exact glyph matching can survive a lossy
+    format — reconstruction error is FDCT/IDCT rounding only, ≤2 gray
+    levels), and fixed-length huffman tables (all DC categories at 4
+    bits, all 162 AC symbols at 8 bits — canonical, spec-valid, and
+    independent of the decoder's Annex-K-free table parsing)."""
+    import struct as _struct
+
+    import numpy as np
+
+    w, h, grid = _render_text_grid(lines, scale, margin)
+    bw, bh = -(-w // 8), -(-h // 8)
+    pad = np.full((bh * 8, bw * 8), 255.0)
+    pad[:h, :w] = np.frombuffer(b"".join(bytes(r) for r in grid),
+                                dtype=np.uint8).reshape(h, w)
+    # FDCT basis (T.81 A.3.3): F = T (f-128) T^T
+    basis = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            c = (0.5 / np.sqrt(2.0)) if k == 0 else 0.5
+            basis[k, n] = c * np.cos((2 * n + 1) * k * np.pi / 16.0)
+    blocks = (pad - 128.0).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coef = np.rint(basis[None, None] @ blocks @ basis.T[None, None]).astype(int)
+    zz = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    dc_syms = list(range(12))                      # categories, 4-bit codes
+    ac_syms = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
+    ac_code = {s: i for i, s in enumerate(ac_syms)}
+    bits_out = []
+
+    def put(code: int, nbits: int) -> None:
+        bits_out.append((code, nbits))
+
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            blk = coef[by, bx].ravel()
+            zzv = [int(blk[z]) for z in zz]
+            diff = zzv[0] - pred
+            pred = zzv[0]
+            # DC: category code then magnitude bits
+            t = 0
+            a = abs(diff)
+            while a:
+                t += 1
+                a >>= 1
+            put(dc_syms.index(t), 4)
+            if t:
+                put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            run = 0
+            for k in range(1, 64):
+                v = zzv[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put(ac_code[0xF0], 8)
+                    run -= 16
+                s = 0
+                a = abs(v)
+                while a:
+                    s += 1
+                    a >>= 1
+                put(ac_code[(run << 4) | s], 8)
+                put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                put(ac_code[0x00], 8)  # EOB
+    # bit-pack MSB-first with 0xFF00 stuffing, pad final byte with 1s
+    acc = 0
+    nacc = 0
+    scan = bytearray()
+    for code, nbits in bits_out:
+        acc = (acc << nbits) | (code & ((1 << nbits) - 1))
+        nacc += nbits
+        while nacc >= 8:
+            byte = (acc >> (nacc - 8)) & 0xFF
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)
+            nacc -= 8
+            acc &= (1 << nacc) - 1
+    if nacc:
+        byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, _struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht_dc_bits = [0] * 16
+    dht_dc_bits[3] = len(dc_syms)  # all length 4
+    dht_ac_bits = [0] * 16
+    dht_ac_bits[7] = len(ac_syms)  # all length 8
+    dht = (seg(0xC4, bytes([0x00]) + bytes(dht_dc_bits) + bytes(dc_syms))
+           + seg(0xC4, bytes([0x10]) + bytes(dht_ac_bits) + bytes(ac_syms)))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(scan) + b"\xff\xd9")

@@ -68,6 +68,10 @@ _SUFFIX_TO_TYPE = {
     "ppt": "markup", "pptx": "markup",
     "odt": "markup", "ods": "markup", "odp": "markup", "rtf": "markup",
     "png": "image", "jpg": "image", "jpeg": "image", "bmp": "image", "tiff": "image",
+    # superset of the reference's input whitelist: it collects .gif from
+    # its OCR output dir (document_service.py:301) without accepting it as
+    # input; content-based sniffing makes accepting them here free
+    "gif": "image", "webp": "image",
 }
 
 

@@ -262,6 +262,64 @@ def _wav_meta(data: bytes):
     return "wav", None, None, dur_ms
 
 
+def decode_wav_samples(data: bytes) -> tuple[int, int, "array.array"]:
+    """RIFF/WAVE PCM bytes → (sample_rate, channels, mono int16 samples).
+
+    The real-codec analogue of the MINIMEDIA audio path: integer PCM
+    (8/16-bit, any channel count) decoded from the spec (RIFF chunks +
+    WAVEFORMAT), channels averaged to mono. Float/ADPCM/extensible
+    raise ValueError — containment upstream, like every other kernel.
+    """
+    import array
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("wav: bad magic")
+    fmt = None
+    i = 12
+    n = len(data)
+    while i + 8 <= n:
+        cid = data[i:i + 4]
+        csz = int.from_bytes(data[i + 4:i + 8], "little")
+        body = data[i + 8:i + 8 + csz]
+        if cid == b"fmt " and len(body) >= 16:
+            tag = int.from_bytes(body[0:2], "little")
+            ch = int.from_bytes(body[2:4], "little")
+            sr = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if tag != 1:
+                raise ValueError("wav: non-PCM format unsupported")
+            if bits not in (8, 16) or not 1 <= ch <= 8 or sr <= 0:
+                raise ValueError("wav: unsupported PCM shape")
+            fmt = (ch, sr, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("wav: data before fmt chunk")
+            if len(body) < csz:
+                raise ValueError("wav: truncated data chunk")
+            from documentconvert_spark.kernels.limits import check_decoded_size
+            check_decoded_size(csz, "wav data")
+            ch, sr, bits = fmt
+            out = array.array("h")
+            if bits == 16:
+                frame = 2 * ch
+                usable = csz - csz % frame
+                raw = array.array("h")
+                raw.frombytes(body[:usable])
+                if ch == 1:
+                    out = raw
+                else:
+                    out.extend(sum(raw[j:j + ch]) // ch
+                               for j in range(0, len(raw), ch))
+            else:  # 8-bit PCM is unsigned; recenter to int16 range
+                usable = csz - csz % ch
+                for j in range(0, usable, ch):
+                    s = sum(body[j + k] for k in range(ch)) // ch
+                    out.append((s - 128) << 8)
+            return sr, ch, out
+        i += 8 + csz + (csz & 1)
+    raise ValueError("wav: no data chunk")
+
+
 def _flac_meta(data: bytes):
     # STREAMINFO is the mandatory first metadata block: sample rate is the
     # 20 bits starting at byte 10 of the block body, total samples the

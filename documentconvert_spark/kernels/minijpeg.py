@@ -1,0 +1,443 @@
+"""Baseline JPEG (ITU-T T.81) luma decoder — from scratch, no codec libs.
+
+The reference's image route accepts real ``jpg`` files and the media it
+carves out of Office/PDF containers is mostly JPEG
+(`services/document_service.py:652-665`; carved blobs in the sample
+documents are baseline SOF0 — gray, 4:4:4 and 4:2:0). The engine needs
+*pixels*, not just header dims, for the real-codec feature path
+(`ops/multimodal.py`) and for OCR over near-lossless renders — and the
+sandbox ships no PIL/ffmpeg, so this module implements the decoder from
+the public spec (ITU-T T.81: markers B.2, huffman decode F.2.2, IDCT
+A.3.3).
+
+Scope — exactly the baseline class the corpus contains:
+
+* SOF0/SOF1, 8-bit precision, 1 or 3 components, any H/V sampling with
+  Y at full resolution (Hmax/Vmax), interleaved or single-component
+  scans, restart markers, 8/16-bit DQT.
+* Output is the **Y plane only**: gray == Y by the YCbCr definition
+  (ITU-R 601 luma), so chroma blocks are entropy-decoded just to advance
+  the bitstream (interleaved scans) or skipped bytewise (non-interleaved
+  chroma scans) — no chroma IDCT, no color convert.
+* Progressive (SOF2), arithmetic coding, 12-bit, and CMYK raise
+  ValueError — callers fall back to the header-sniffed figure-only path.
+
+Bounds: pixel count capped before any allocation (`max_pixels`), raster
+bytes under the shared MAX_DECODED_BYTES, and the entropy loop is
+naturally bounded by the input length (every decoded symbol consumes at
+least one bit; pad injection past the scan's marker is tracked and
+raised as truncation). Per-row Python + one vectorized numpy IDCT over
+the stacked Y blocks; no Spark shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from documentconvert_spark.kernels.limits import MAX_DECODED_BYTES
+
+_MAX_PIXELS_DEFAULT = 4 << 20  # matches miniocr's PNG cap
+
+# zigzag scan order (T.81 Figure A.6): index = zigzag position → raster index
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# IDCT-II basis (T.81 A.3.3): pixels = T.T @ coefs @ T, T[k,n] = c(k)/2 · cos((2n+1)kπ/16)
+_T = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _c = (0.5 / np.sqrt(2.0)) if _k == 0 else 0.5
+        _T[_k, _n] = _c * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+_UNZIG = np.argsort(np.array(ZIGZAG))  # raster index → zigzag position
+
+
+class _Bits:
+    """Entropy-segment bit reader: 0xFF00 unstuffing inline, markers are
+    never consumed (pad zeros are injected instead and counted — a pad
+    burst before the segment's MCUs are done means truncation)."""
+
+    __slots__ = ("d", "p", "buf", "n", "pads")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.p = pos
+        self.buf = 0
+        self.n = 0
+        self.pads = 0
+
+    def _next_byte(self) -> int:
+        d, p = self.d, self.p
+        if p >= len(d):
+            self.pads += 1
+            return 0
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 < len(d) and d[p + 1] == 0x00:
+                self.p = p + 2
+                return 0xFF
+            self.pads += 1  # marker (RST/EOI/next segment): do not consume
+            return 0
+        self.p = p + 1
+        return b
+
+    def peek(self, k: int) -> int:
+        while self.n < k:
+            self.buf = ((self.buf << 8) | self._next_byte()) & 0xFFFFFFFF
+            self.n += 8
+        return (self.buf >> (self.n - k)) & ((1 << k) - 1)
+
+    def skip(self, k: int) -> None:
+        self.n -= k
+
+    def get(self, k: int) -> int:
+        v = self.peek(k)
+        self.n -= k
+        return v
+
+    def sync_restart(self, m: int) -> None:
+        """Byte-align and consume the expected RSTm marker (T.81 E.1.5)."""
+        if self.pads > 3:  # more pad than one 24-bit lookahead can inject
+            raise ValueError("jpeg: truncated entropy segment")
+        self.buf = 0
+        self.n = 0
+        self.pads = 0
+        d = self.d
+        p = self.p
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1  # fill bytes
+        if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + (m & 7):
+            raise ValueError("jpeg: missing restart marker")
+        self.p = p + 2
+
+
+def _build_huff(bits: list[int], vals: bytes):
+    """Canonical table (T.81 Annex C) + an 8-bit LUT fast path."""
+    lut: list[tuple[int, int] | None] = [None] * 256
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        nb = bits[length - 1]
+        valptr[length] = k
+        mincode[length] = code
+        if nb:
+            if length <= 8:
+                for i in range(nb):
+                    base = (code + i) << (8 - length)
+                    entry = (vals[k + i], length)
+                    for x in range(1 << (8 - length)):
+                        lut[base + x] = entry
+            maxcode[length] = code + nb - 1
+            code += nb
+            k += nb
+        code <<= 1
+    if k != len(vals):
+        raise ValueError("jpeg: huffman table count mismatch")
+    return lut, mincode, maxcode, valptr, vals
+
+
+def _decode_sym(br: _Bits, tbl) -> int:
+    lut = tbl[0]
+    e = lut[br.peek(8)]
+    if e is not None:
+        br.skip(e[1])
+        return e[0]
+    _, mincode, maxcode, valptr, vals = tbl
+    code = br.get(8)  # 8 bits already known not to terminate
+    length = 8
+    while True:
+        length += 1
+        if length > 16:
+            raise ValueError("jpeg: bad huffman code")
+        code = (code << 1) | br.get(1)
+        if code <= maxcode[length]:
+            return vals[valptr[length] + code - mincode[length]]
+
+
+def _extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude (T.81 F.2.2.1 EXTEND)."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _skip_entropy(data: bytes, pos: int) -> int:
+    """Advance past an entropy segment without decoding (possible because
+    real markers are never stuffed): used for chroma-only scans."""
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffing / restart
+            pos += 2
+            continue
+        if nxt == 0xFF:  # fill byte
+            pos += 1
+            continue
+        return pos
+    return len(data)
+
+
+def parse_jpeg_quant(data: bytes) -> dict[int, list[int]]:
+    """DQT tables only (zigzag order) — the cheap pre-filter for the OCR
+    gate: a near-lossless render has every luma quant value ≤ 2, a photo
+    never does, and this parse never touches entropy data."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: bad magic")
+    tables: dict[int, list[int]] = {}
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker desync")
+        m = data[pos + 1]
+        if m == 0xFF:
+            pos += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if m in (0xDA, 0xD9):  # SOS / EOI: past the tables
+            break
+        ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if m == 0xDB:
+            seg = data[pos + 4:pos + 2 + ln]
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    vals = [struct.unpack(">H", seg[i + 2 * j:i + 2 * j + 2])[0]
+                            for j in range(64)]
+                    i += 128
+                else:
+                    vals = list(seg[i:i + 64])
+                    i += 64
+                if len(vals) < 64:
+                    raise ValueError("jpeg: short DQT")
+                tables[tq] = vals
+        pos += 2 + ln
+    return tables
+
+
+def decode_jpeg_gray(data: bytes,
+                     max_pixels: int = _MAX_PIXELS_DEFAULT
+                     ) -> tuple[int, int, list[bytearray]]:
+    """Baseline JPEG bytes → (width, height, rows of 8-bit luma)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: bad magic")
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, tuple] = {}
+    huff_ac: dict[int, tuple] = {}
+    import array as _array
+
+    restart = 0
+    frame = None  # (w, h, comps) with comps = [(cid, H, V, tq), ...]
+    ny_blocks = 0
+    coefs = _array.array("i")
+    _ZBLOCK = _array.array("i", bytes(256))  # 64 zero int32s
+    positions: list[tuple[int, int]] = []  # (bx, by) per stored Y block
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker desync")
+        m = data[pos + 1]
+        if m == 0xFF:
+            pos += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if m == 0xD9:  # EOI
+            break
+        if pos + 4 > len(data):
+            raise ValueError("jpeg: truncated segment")
+        ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if ln < 2 or pos + 2 + ln > len(data):
+            raise ValueError("jpeg: truncated segment")
+        seg = data[pos + 4:pos + 2 + ln]
+        if m == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    qt[tq] = [struct.unpack(">H", seg[i + 2 * j:i + 2 * j + 2])[0]
+                              for j in range(64)]
+                    i += 128
+                else:
+                    qt[tq] = list(seg[i:i + 64])
+                    i += 64
+                if len(qt[tq]) < 64 or any(not isinstance(v, int) for v in qt[tq]):
+                    raise ValueError("jpeg: short DQT")
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                vals = seg[i + 17:i + 17 + n]
+                if len(vals) < n:
+                    raise ValueError("jpeg: short DHT")
+                (huff_ac if tc else huff_dc)[th] = _build_huff(bits, vals)
+                i += 17 + n
+        elif m in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline-decodable)
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("jpeg: unsupported precision")
+            if nc not in (1, 3):
+                raise ValueError("jpeg: unsupported component count")
+            if w <= 0 or h <= 0 or w * h > max_pixels:
+                raise ValueError("jpeg: dimensions over cap")
+            if w * h > MAX_DECODED_BYTES:
+                raise ValueError("jpeg: raster over decode cap")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            if any(cH < 1 or cV < 1 or cH > 4 or cV > 4 for _, cH, cV, _ in comps):
+                raise ValueError("jpeg: bad sampling factors")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if comps[0][1] != hmax or comps[0][2] != vmax:
+                raise ValueError("jpeg: luma not at full resolution")
+            frame = (w, h, comps, hmax, vmax)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: non-baseline frame (progressive/arith)")
+        elif m == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: scan before frame header")
+            w, h, comps, hmax, vmax = frame
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si:3 + 2 * si]
+                comp = next((c for c in comps if c[0] == cs), None)
+                if comp is None:
+                    raise ValueError("jpeg: scan references unknown component")
+                scan.append((comp, tt >> 4, tt & 15))
+            data_start = pos + 2 + ln
+            is_luma_scan = any(c[0] is comps[0] for c in scan)
+            if not is_luma_scan:  # chroma-only: skip bytewise, no decode
+                pos = _skip_entropy(data, data_start)
+                continue
+            mcu_w = 8 * hmax
+            mcu_h = 8 * vmax
+            if ns == 1:
+                comp, _, _ = scan[0]
+                cw = -(-w * comp[1] // hmax)
+                ch = -(-h * comp[2] // vmax)
+                mcus_x = -(-cw // 8)
+                mcus_y = -(-ch // 8)
+                per_mcu = [(comp, scan[0][1], scan[0][2], 1, 1)]
+            else:
+                mcus_x = -(-w // mcu_w)
+                mcus_y = -(-h // mcu_h)
+                per_mcu = [(c, td, ta, c[1], c[2]) for c, td, ta in scan]
+            br = _Bits(data, data_start)
+            preds = {c[0][0]: 0 for c in scan}
+            mcu_count = mcus_x * mcus_y
+            try:
+                tabs = [(huff_dc[td], huff_ac[ta]) for _, td, ta in scan]
+            except KeyError:
+                raise ValueError("jpeg: scan uses undefined huffman table") from None
+            peek, skip, get = br.peek, br.skip, br.get
+            for mi in range(mcu_count):
+                if restart and mi and mi % restart == 0:
+                    br.sync_restart((mi // restart - 1) & 7)
+                    for cid in preds:
+                        preds[cid] = 0
+                my, mx = divmod(mi, mcus_x)
+                for (comp, td, ta, ch_, cv_), (dct, act) in zip(per_mcu, tabs):
+                    is_y = comp is comps[0]
+                    ac_lut = act[0]
+                    for v in range(cv_):
+                        for u in range(ch_):
+                            if is_y:
+                                base = len(coefs)
+                                coefs.extend(_ZBLOCK)
+                                if ns == 1:
+                                    positions.append((mx, my))
+                                else:
+                                    positions.append((mx * ch_ + u, my * cv_ + v))
+                            t = _decode_sym(br, dct)
+                            if t > 15:
+                                raise ValueError("jpeg: bad DC category")
+                            if t:
+                                preds[comp[0]] += _extend(get(t), t)
+                            if is_y:
+                                coefs[base] = preds[comp[0]]
+                            k = 1
+                            while k <= 63:
+                                # combined peek: huffman symbol (≤8 bits via
+                                # LUT) + magnitude bits out of one 24-bit
+                                # window — one buffer refill per coefficient
+                                word = peek(24)
+                                e = ac_lut[word >> 16]
+                                if e is not None:
+                                    rs, ln = e
+                                    s = rs & 15
+                                    if s == 0:
+                                        skip(ln)
+                                        if rs == 0xF0:
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += rs >> 4
+                                    if k > 63:
+                                        raise ValueError("jpeg: AC index overflow")
+                                    if is_y:
+                                        mag = (word >> (24 - ln - s)) & ((1 << s) - 1)
+                                        coefs[base + k] = _extend(mag, s)
+                                    skip(ln + s)
+                                    k += 1
+                                    continue
+                                rs = _decode_sym(br, act)
+                                s = rs & 15
+                                if s == 0:
+                                    if rs == 0xF0:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += rs >> 4
+                                if k > 63:
+                                    raise ValueError("jpeg: AC index overflow")
+                                val = _extend(get(s), s)
+                                if is_y:
+                                    coefs[base + k] = val
+                                k += 1
+            if br.pads > 3:
+                raise ValueError("jpeg: truncated entropy segment")
+            pos = _skip_entropy(data, br.p)
+            continue
+        pos += 2 + ln
+    ny_blocks = len(positions)
+    if frame is None or ny_blocks == 0:
+        raise ValueError("jpeg: no decodable luma scan")
+    w, h, comps, hmax, vmax = frame
+    q = qt.get(comps[0][3])
+    if q is None:
+        raise ValueError("jpeg: luma quant table undefined")
+    blocks = np.frombuffer(coefs.tobytes(), dtype=np.int32).astype(np.float64).reshape(ny_blocks, 64)
+    blocks *= np.asarray(q, dtype=np.float64)[None, :]  # dequant (zigzag order)
+    blocks = blocks[:, _UNZIG].reshape(ny_blocks, 8, 8)  # un-zigzag
+    pix = _T.T[None, :, :] @ blocks @ _T[None, :, :]
+    pix = np.clip(np.rint(pix + 128.0), 0, 255).astype(np.uint8)
+    bw = max(bx for bx, _ in positions) + 1
+    bh = max(by for _, by in positions) + 1
+    if bw * bh * 64 > MAX_DECODED_BYTES:
+        raise ValueError("jpeg: raster over decode cap")
+    plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for i, (bx, by) in enumerate(positions):
+        plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix[i]
+    if plane.shape[0] < h or plane.shape[1] < w:
+        raise ValueError("jpeg: luma scan does not cover the frame")
+    return w, h, [bytearray(plane[y, :w].tobytes()) for y in range(h)]

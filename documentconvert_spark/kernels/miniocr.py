@@ -253,11 +253,41 @@ def _downsample(cells: list[list[bool]], s: int) -> tuple[str, ...] | None:
 
 def ocr_png_text(data: bytes) -> list[str]:
     """PNG bytes → decoded text lines, or [] when the image is not a
-    clean grid rendering of the known font (the figure-only fallback)."""
+    clean grid rendering of the known font (the figure-only fallback).
+    The bilevel decode streams and aborts on the first gray pixel, so a
+    photo pays ~one scanline of Python."""
     try:
         w, h, gray = decode_png_gray(data, bilevel=True)
     except (ValueError, struct.error, zlib.error):
         return []
+    return ocr_gray_text(w, h, gray)
+
+
+def ocr_jpeg_text(data: bytes) -> list[str]:
+    """JPEG bytes → decoded text lines, or [].
+
+    Lossy formats can only carry exact-match glyph grids in the
+    near-lossless regime, so the gate is the quant table itself: every
+    luma quant value must be ≤ 2 (reconstruction error then ≤ ~2 gray
+    levels, which the 32/224 bilevel bands absorb). A photo's quant
+    table never passes, so the hot path pays a header parse — never an
+    entropy decode — per real-world JPEG."""
+    from documentconvert_spark.kernels.minijpeg import decode_jpeg_gray, parse_jpeg_quant
+
+    try:
+        if any(v > 2 for t in parse_jpeg_quant(data).values() for v in t):
+            return []
+        w, h, gray = decode_jpeg_gray(data)
+    except (ValueError, struct.error):
+        return []
+    if any(32 < p < 224 for row in gray for p in row):
+        return []  # not a bilevel render (e.g. a near-lossless photo)
+    return ocr_gray_text(w, h, gray)
+
+
+def ocr_gray_text(w: int, h: int, gray: list[bytearray]) -> list[str]:
+    """Gray raster → decoded text lines via the exact grid matcher, or []
+    when the raster is not a clean rendering of the known font."""
     ink = [[p < _INK for p in row] for row in gray]
     row_has = [any(r) for r in ink]
     bands: list[tuple[int, int]] = []

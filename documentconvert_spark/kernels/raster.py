@@ -1,0 +1,289 @@
+"""Raster decode router: real image bytes → 8-bit gray rows, no codec libs.
+
+The reference's image route accepts jpg/png/bmp/gif/tiff/webp
+(`services/document_service.py:652-665`) and feeds them to GPU OCR; this
+engine's sandbox-honest counterpart needs the *pixels* for the real-codec
+feature path (`ops/multimodal.py`), pixel-statistics queries over carved
+media, and the bitmap-glyph OCR. Every decoder here is from the public
+spec, bounded by the shared expansion caps, and returns the same shape:
+
+    (width, height, rows)  with rows = list[bytearray] of 8-bit luma
+
+* PNG  — kernels/miniocr.decode_png_gray (W3C PNG: IDAT/filters)
+* JPEG — kernels/minijpeg.decode_jpeg_gray (ITU-T T.81 baseline, Y plane)
+* GIF  — this module (GIF89a spec: LZW with variable code width, LSB-first
+  packing, interlace passes, global/local palettes; first frame)
+* BMP  — this module (BITMAPINFOHEADER BI_RGB 1/4/8/24/32-bit, bottom-up
+  or top-down)
+
+TIFF/WebP/WMF/EMF/SVG stay header-sniff-only (dims/format without pixels)
+— `decode_raster_gray` raises ValueError for them and callers keep the
+figure-only path, exactly like any other malformed-input containment.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from documentconvert_spark.kernels.limits import MAX_DECODED_BYTES
+from documentconvert_spark.kernels.minijpeg import _MAX_PIXELS_DEFAULT, decode_jpeg_gray
+from documentconvert_spark.kernels.miniocr import decode_png_gray
+
+
+def _pal_to_gray(pal: bytes, stride: int) -> list[int]:
+    """RGB(X) palette bytes → per-index ITU-R 601 luma (trailing partial
+    entries dropped — callers length-check against the declared count)."""
+    out = []
+    for i in range(0, len(pal) - stride + 1, stride):
+        r, g, b = pal[i], pal[i + 1], pal[i + 2]
+        out.append((r * 299 + g * 587 + b * 114) // 1000)
+    return out
+
+
+# ------------------------------------------------------------------ GIF
+
+def _gif_lzw(blocks: bytes, min_code: int, max_out: int) -> bytearray:
+    """GIF-variant LZW (LSB-first bit packing, variable 3–12 bit codes,
+    clear/end codes) — distinct from the PDF/TIFF LZW in realpdf, which
+    packs MSB-first with earlyChange semantics."""
+    if not 2 <= min_code <= 11:
+        raise ValueError("gif: bad LZW min code size")
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    # dictionary: index → (prefix_index, last_byte); roots are (-1, i)
+    prefix: list[int] = []
+    suffix: list[int] = []
+
+    def reset() -> tuple[int, int]:
+        del prefix[:]
+        del suffix[:]
+        for i in range(clear):
+            prefix.append(-1)
+            suffix.append(i)
+        prefix.extend((-1, -1))  # clear, end placeholders
+        suffix.extend((0, 0))
+        return min_code + 1, -1
+
+    width, prev = reset()
+    acc = 0
+    nbits = 0
+    first_of_prev = 0
+    expand = bytearray(4096)  # scratch for expanding one chain
+    for byte in blocks:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                width, prev = reset()
+                continue
+            if code == end:
+                return out
+            if prev == -1:
+                if code >= len(prefix):
+                    raise ValueError("gif: bad first code")
+                out.append(suffix[code])
+                prev, first_of_prev = code, suffix[code]
+                continue
+            if code > len(prefix):
+                raise ValueError("gif: code out of range")
+            # expand the chain for `code` (KwKwK case uses prev + first)
+            if code == len(prefix):
+                chain_code, extra = prev, first_of_prev
+            else:
+                chain_code, extra = code, -1
+            n = 0
+            c = chain_code
+            while c >= 0:
+                if n >= 4096:
+                    raise ValueError("gif: corrupt chain")
+                expand[n] = suffix[c]
+                n += 1
+                c = prefix[c]
+            first = expand[n - 1]
+            out.extend(expand[n - 1::-1])
+            if extra >= 0:
+                out.append(extra)
+            if len(out) > max_out:
+                raise ValueError("gif: decoded size over cap")
+            if len(prefix) < 4096:
+                prefix.append(prev)
+                suffix.append(first)
+                if len(prefix) == (1 << width) and width < 12:
+                    width += 1
+            prev = chain_code if extra < 0 else code
+            first_of_prev = first
+    return out  # missing end code: tolerate (common in the wild)
+
+
+def decode_gif_gray(data: bytes,
+                    max_pixels: int = _MAX_PIXELS_DEFAULT
+                    ) -> tuple[int, int, list[bytearray]]:
+    """First frame of a GIF → 8-bit gray rows."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        raise ValueError("gif: bad magic")
+    packed = data[10]
+    pos = 13
+    gct: list[int] | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = _pal_to_gray(data[pos:pos + 3 * n], 3)
+        if len(gct) < n:
+            raise ValueError("gif: truncated global palette")
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError("gif: unknown block")
+        if pos + 10 > len(data):
+            raise ValueError("gif: truncated image descriptor")
+        _, _, w, h = struct.unpack_from("<HHHH", data, pos + 1)
+        ipacked = data[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            pal = _pal_to_gray(data[pos:pos + 3 * n], 3)
+            if len(pal) < n:
+                raise ValueError("gif: truncated local palette")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: no palette")
+        if w <= 0 or h <= 0 or w * h > max_pixels or w * h > MAX_DECODED_BYTES:
+            raise ValueError("gif: dimensions over cap")
+        min_code = data[pos]
+        pos += 1
+        parts = []
+        while pos < len(data) and data[pos]:
+            ln = data[pos]
+            parts.append(data[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        idx = _gif_lzw(b"".join(parts), min_code, w * h)
+        if len(idx) < w * h:
+            raise ValueError("gif: short pixel data")
+        npal = len(pal)
+        if max(idx[:w * h]) >= npal:
+            raise ValueError("gif: pixel index out of palette")
+        rows = [bytearray(pal[i] for i in idx[y * w:(y + 1) * w]) for y in range(h)]
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                     + list(range(2, h, 4)) + list(range(1, h, 2)))
+            deint: list[bytearray] = [bytearray()] * h
+            for src_i, dst_y in enumerate(order):
+                deint[dst_y] = rows[src_i]
+            rows = deint
+        return w, h, rows
+    raise ValueError("gif: no image data")
+
+
+# ------------------------------------------------------------------ BMP
+
+def decode_bmp_gray(data: bytes,
+                    max_pixels: int = _MAX_PIXELS_DEFAULT
+                    ) -> tuple[int, int, list[bytearray]]:
+    """Uncompressed BI_RGB BMP (1/4/8-bit palette, 24/32-bit) → gray rows."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("bmp: bad magic")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise ValueError("bmp: unsupported header")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (comp,) = struct.unpack_from("<I", data, 30)
+    (clr_used,) = struct.unpack_from("<I", data, 46)
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if comp not in (0, 3):
+        raise ValueError("bmp: compressed BMP unsupported")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise ValueError("bmp: unsupported bit depth")
+    if comp == 3 and bpp == 32:
+        masks = struct.unpack_from("<III", data, 54)
+        if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError("bmp: nonstandard bitfields")
+    elif comp == 3:
+        raise ValueError("bmp: bitfields only supported at 32bpp")
+    if w <= 0 or h <= 0 or w * h > max_pixels or w * h > MAX_DECODED_BYTES:
+        raise ValueError("bmp: dimensions over cap")
+    pal: list[int] | None = None
+    if bpp <= 8:
+        n = clr_used or (1 << bpp)
+        if n > 1 << bpp:
+            raise ValueError("bmp: palette over depth")
+        pal_off = 14 + hdr_size
+        pal_bytes = data[pal_off:pal_off + 4 * n]
+        if len(pal_bytes) < 4 * n:
+            raise ValueError("bmp: truncated palette")
+        # palette entries are BGRX
+        pal = [(pal_bytes[i + 2] * 299 + pal_bytes[i + 1] * 587
+                + pal_bytes[i] * 114) // 1000 for i in range(0, 4 * n, 4)]
+    stride = ((bpp * w + 31) // 32) * 4
+    if pix_off + stride * h > len(data):
+        raise ValueError("bmp: truncated pixel data")
+    rows: list[bytearray] = []
+    for yy in range(h):
+        src_y = yy if top_down else h - 1 - yy
+        off = pix_off + src_y * stride
+        line = data[off:off + stride]
+        row = bytearray(w)
+        if bpp == 24 or bpp == 32:
+            step = bpp // 8
+            for x in range(w):
+                i = x * step
+                row[x] = (line[i + 2] * 299 + line[i + 1] * 587 + line[i] * 114) // 1000
+        elif bpp == 8:
+            for x in range(w):
+                v = line[x]
+                if v >= len(pal):
+                    raise ValueError("bmp: pixel index out of palette")
+                row[x] = pal[v]
+        elif bpp == 4:
+            for x in range(w):
+                v = (line[x // 2] >> (0 if x & 1 else 4)) & 0xF
+                if v >= len(pal):
+                    raise ValueError("bmp: pixel index out of palette")
+                row[x] = pal[v]
+        else:  # 1-bit
+            for x in range(w):
+                v = (line[x // 8] >> (7 - (x & 7))) & 1
+                if v >= len(pal):
+                    raise ValueError("bmp: pixel index out of palette")
+                row[x] = pal[v]
+        rows.append(row)
+    return w, h, rows
+
+
+# ------------------------------------------------------------------ router
+
+def decode_raster_gray(data: bytes,
+                       max_pixels: int = _MAX_PIXELS_DEFAULT
+                       ) -> tuple[str, int, int, list[bytearray]]:
+    """Sniff + decode: (format, width, height, gray rows). ValueError on
+    formats without a from-scratch decoder (tiff/webp/wmf/emf/svg) or on
+    malformed input — per-row containment upstream (C7)."""
+    from documentconvert_spark.kernels.media import sniff_image_meta
+
+    fmt, _, _ = sniff_image_meta(data or b"")
+    if fmt == "png":
+        w, h, rows = decode_png_gray(data)
+    elif fmt == "jpeg":
+        w, h, rows = decode_jpeg_gray(data, max_pixels=max_pixels)
+    elif fmt == "gif":
+        w, h, rows = decode_gif_gray(data, max_pixels=max_pixels)
+    elif fmt == "bmp":
+        w, h, rows = decode_bmp_gray(data, max_pixels=max_pixels)
+    else:
+        raise ValueError(f"raster: no pixel decoder for format {fmt!r}")
+    return fmt, w, h, rows

@@ -7,13 +7,19 @@ instead keeps media as a side table of binary columns
     media(doc_id, media_ref, media_type, content binary)
 
 and runs decode / feature-extract / resize / frame-sample as Arrow-batched
-``mapInPandas`` operators. The sandbox ships no image/audio codecs, so the
-*byte-level decode* is a deterministic mini-format (MINIMEDIA) whose
-header fields are closed-form functions of md5(media_ref) — which makes
-every operator here exactly oracle-checkable in SQL — while the real-codec
-path is stubbed behind an import guard (`_codec_decode`). The Spark-side
-plumbing — schemas, batch shapes, partition invariance, explode semantics
-— is real and tested.
+``mapInPandas`` operators. Two decode tiers:
+
+* MINIMEDIA — a deterministic mini-format whose header fields are
+  closed-form functions of md5(media_ref), making every operator here
+  exactly oracle-checkable in SQL;
+* the REAL codec path (`_codec_decode` / `real_raster_stats`) — the
+  sandbox ships no PIL/librosa/ffmpeg, so images decode through the
+  from-scratch raster layer (kernels/raster.py: baseline JPEG per ITU-T
+  T.81, PNG, GIF-LZW, BMP) and audio through the from-scratch RIFF/WAVE
+  PCM decoder; only video decode remains a documented NotImplementedError.
+
+The Spark-side plumbing — schemas, batch shapes, partition invariance,
+explode semantics — is identical for both tiers and tested.
 
 Portable derivations (same arithmetic in Spark SQL and DuckDB):
     h           = int(md5(media_ref)[:8], 16)
@@ -105,17 +111,31 @@ def make_media_bytes(media_ref: str) -> tuple[str, bytes]:
     return f["media_type"], "\n".join(header).encode("utf-8") + b"\n" + payload
 
 
-def _codec_decode(media_type: str, content: bytes):  # pragma: no cover
-    """Real-codec decode path — STUB. The container has no PIL/librosa/
-    ffmpeg; production swaps this in behind the same interface."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "real media codecs unavailable in this environment; "
-            "MINIMEDIA header parsing is the tested path"
-        ) from None
-    raise NotImplementedError("codec path not wired in this build")
+def _codec_decode(media_type: str, content: bytes):
+    """Real-codec decode path, from-scratch (no PIL/librosa/ffmpeg):
+
+    * image → ("image", (width, height, gray_rows)) via the raster layer
+      (PNG/JPEG/GIF/BMP decoders, kernels/raster.py)
+    * audio → ("audio", (sample_rate, channels, mono_int16)) for RIFF/WAVE
+      integer PCM (kernels/media.decode_wav_samples)
+    * video → NotImplementedError: a from-scratch H.264/VP9 decoder is out
+      of scope for this sandbox; the MINIMEDIA frame-sampling path and the
+      MP4/EBML duration sniffers are the tested video surface.
+
+    ValueError for formats without a decoder (tiff/webp/flac/mp3/...) —
+    per-row containment upstream, same contract as every kernel.
+    """
+    if media_type == "image":
+        from documentconvert_spark.kernels.raster import decode_raster_gray
+
+        _fmt, w, h, rows = decode_raster_gray(content)
+        return "image", (w, h, rows)
+    if media_type == "audio":
+        from documentconvert_spark.kernels.media import decode_wav_samples
+
+        return "audio", decode_wav_samples(content)
+    raise NotImplementedError(
+        "no from-scratch decoder for media type %r in this sandbox" % media_type)
 
 
 def build_media_table(docs_with_spans: DataFrame) -> DataFrame:
@@ -274,3 +294,62 @@ def extract_real_media(docs_raw: DataFrame) -> DataFrame:
             yield df
 
     return docs_raw.select("doc_id", "content").mapInPandas(gen, schema=REAL_MEDIA_SCHEMA)
+
+
+RASTER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("dark_frac", T.DoubleType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def real_raster_stats(real_media: DataFrame) -> DataFrame:
+    """Decode REAL carved media to pixels (from-scratch PNG/JPEG/GIF/BMP
+    decoders — kernels/raster.py) and emit per-object luma statistics:
+    the real-codec analogue of `media_features`, over actual bytes instead
+    of MINIMEDIA headers. Formats without a pixel decoder become error
+    rows, mirroring the reference's conversion-failure containment (C7).
+    Arrow-batched mapInPandas, narrow — decode cost parallelizes across
+    the scan; nothing here shuffles."""
+    import numpy as np
+
+    from documentconvert_spark.kernels.raster import decode_raster_gray
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "media_ref", "format", "width",
+                                    "height", "mean_luma", "dark_frac", "error")}
+            for did, ref, blob in zip(b["doc_id"], b["media_ref"], b["content"]):
+                rows["doc_id"].append(did)
+                rows["media_ref"].append(ref)
+                try:
+                    fmt, w, h, gray = decode_raster_gray(bytes(blob))
+                    a = np.frombuffer(b"".join(bytes(r) for r in gray),
+                                      dtype=np.uint8)
+                    rows["format"].append(fmt)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_luma"].append(round(float(a.mean()), 3))
+                    rows["dark_frac"].append(round(float((a < 128).mean()), 3))
+                    rows["error"].append(None)
+                except Exception as exc:  # noqa: BLE001 — containment (C7)
+                    rows["format"].append("unknown")
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["mean_luma"].append(None)
+                    rows["dark_frac"].append(None)
+                    rows["error"].append(str(exc)[:200])
+            df = pd.DataFrame(rows)
+            for c in ("width", "height"):
+                df[c] = df[c].astype("Int32") if len(df) else pd.array([], dtype="Int32")
+            yield df
+
+    return real_media.select("doc_id", "media_ref", "content").mapInPandas(
+        stats, schema=RASTER_STATS_SCHEMA)

@@ -100,7 +100,7 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
     from tests.test_realpdf_features import (  # encrypted/filtered PDF builders
         _aes256_pdf, _aesv2_pdf, _cidfont_pdf, _encrypt_pdf, _lzw_pdf)
 
-    from documentconvert_spark.corpus import render_text_png
+    from documentconvert_spark.corpus import render_text_jpeg, render_text_png
 
     return [
         ("fmt_rtf", "office", rtf),
@@ -124,7 +124,35 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         # Identity-H + embedded TTF, no ToUnicode: mutants land on the
         # TrueType cmap inversion (table directory, format 4 segments)
         ("fmt_pdf_cidfont", "pdf", _cidfont_pdf()),
+        # raster decoders (kernels/minijpeg.py, kernels/raster.py):
+        # mutants hit marker parsing, DHT canonical-code build, the
+        # entropy decode loops, GIF LZW dictionary growth and BMP
+        # palette/stride arithmetic through the image dispatch route
+        ("fmt_jpeg_ocr", "image",
+         render_text_jpeg(["FUZZ JPEG 42", "LINE B"], scale=2)),
+        ("fmt_gif", "image", _gif_seed()),
+        ("fmt_bmp", "image", _bmp_seed()),
+        # same seeds through decode_raster_gray itself: the gif/bmp pixel
+        # decoders (LZW dictionary, palette/stride math) and the jpeg
+        # entropy loop see every mutant, not just the sniffing layer
+        ("raw_jpeg", "raster", render_text_jpeg(["RASTER FUZZ"], scale=2)),
+        ("raw_gif", "raster", _gif_seed()),
+        ("raw_bmp", "raster", _bmp_seed()),
     ]
+
+
+def _gif_seed() -> bytes:
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_extra_fixtures import _gif_fixture
+
+    return _gif_fixture()
+
+
+def _bmp_seed() -> bytes:
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_extra_fixtures import _bmp_fixture
+
+    return _bmp_fixture()
 
 
 _DIGIT_RUN = None  # compiled lazily (re import kept local to the workers)
@@ -254,8 +282,18 @@ def _run_chunk(seed_name: str, lo: int, hi: int) -> None:
         extract_pdf_any,
     )
 
+    from documentconvert_spark.kernels.raster import decode_raster_gray
+    from documentconvert_spark.kernels.spans import Span
+
+    def raster_route(data: bytes) -> list:
+        # drives the pixel decoders directly (the image dispatch only
+        # decodes pixels for OCR-gated png/jpeg; gif/bmp pixel paths are
+        # reached through the media stats op) — same containment contract
+        _fmt, w, h, rows = decode_raster_gray(data)
+        return [Span("figure", f"{w}x{h}:{sum(rows[0]) if rows else 0}", "", 0)]
+
     routes = {"pdf": extract_pdf_any, "office": extract_office_any,
-              "image": extract_image_any}
+              "image": extract_image_any, "raster": raster_route}
     name, route, data = next(s for s in _seed_docs() if s[0] == seed_name)
     fn = routes[route]
     stats = {"ok": 0, "contained": 0, "timeout": 0, "memory": 0, "oversized": 0}

@@ -437,6 +437,89 @@ def ocr_pngs() -> dict[str, bytes]:
     }
 
 
+def ocr_jpegs() -> dict[str, bytes]:
+    """Rendered-text JPEG (near-lossless from-scratch T.81 encoder,
+    corpus.render_text_jpeg): the lossy-format leg of the OCR pair —
+    kernels/minijpeg.py must decode it and the glyph matcher must read
+    the exact text back (reference OCRs jpg input too,
+    services/document_service.py:652-665)."""
+    from documentconvert_spark.corpus import render_text_jpeg
+
+    return {
+        "fixture_ocr_card.jpg": render_text_jpeg(
+            ["MEMBER CARD 0042", "VALID: 2025/12-2026/11", "LEVEL = GOLD!"],
+            scale=2),
+    }
+
+
+def _gif_fixture() -> bytes:
+    """Deterministic 8-color GIF (real LZW stream) — exercises the GIF
+    raster decoder end-to-end through the carved-media pixel pass."""
+    w, h = 96, 64
+    pal = [(0, 0, 0), (255, 255, 255), (200, 30, 30), (30, 200, 30),
+           (30, 30, 200), (220, 220, 40), (40, 220, 220), (180, 60, 180)]
+    idx = [((x // 8) + (y // 8)) % 8 for y in range(h) for x in range(w)]
+    # LZW encode (GIF variant: LSB-first, variable width, clear/end codes)
+    min_code = 3
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    d = {bytes([i]): i for i in range(1 << min_code)}
+    nxt, width = end + 1, min_code + 1
+    emitted: list[tuple[int, int]] = [(clear, width)]
+    prev = b""
+    for px in idx:
+        cur = prev + bytes([px])
+        if cur in d:
+            prev = cur
+            continue
+        emitted.append((d[prev], width))
+        d[cur] = nxt
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        nxt += 1
+        prev = bytes([px])
+    if prev:
+        emitted.append((d[prev], width))
+    emitted.append((end, width))
+    acc = nbits = 0
+    bs = bytearray()
+    for code, wd in emitted:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            bs.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        bs.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 2, 0, 0)  # GCT, 8 entries
+    for r, g, b in pal:
+        out += bytes((r, g, b))
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([min_code])
+    for i in range(0, len(bs), 255):
+        chunk = bs[i:i + 255]
+        out += bytes([len(chunk)]) + bytes(chunk)
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def _bmp_fixture() -> bytes:
+    """Deterministic 24-bit bottom-up BMP gradient."""
+    w, h = 80, 50
+    stride = ((24 * w + 31) // 32) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        line = bytearray()
+        for x in range(w):
+            line += bytes(((x * 3) % 256, (y * 5) % 256, (x * y) % 256))  # B,G,R
+        line += b"\x00" * (stride - len(line))
+        body += line
+    return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+            + bytes(body))
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -459,6 +542,9 @@ def main() -> None:
         "fixture_deck.ppt": binary_ppt(),
         "fixture_page.html": boilerplate_html(),
         **ocr_pngs(),
+        **ocr_jpegs(),
+        "fixture_tiles.gif": _gif_fixture(),
+        "fixture_gradient.bmp": _bmp_fixture(),
     }
     for name, data in fixtures.items():
         with open(os.path.join(OUT, name), "wb") as fh:

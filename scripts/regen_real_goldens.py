@@ -16,9 +16,11 @@ import urllib.parse
 
 sys.path.insert(0, "/root/repo")
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from documentconvert_spark.kernels.raster import decode_raster_gray
 from documentconvert_spark.kernels.detect import (
     extract_image_any,
     extract_office_any,
@@ -40,6 +42,8 @@ def main() -> None:
     doc_rows = {"doc_id": [], "status": [], "n_spans": [], "markdown_md5": []}
     media_rows = {"doc_id": [], "media_ref": [], "format": [], "width": [],
                   "height": [], "byte_len": [], "content_md5": []}
+    pixel_rows = {"doc_id": [], "media_ref": [], "format": [], "width": [],
+                  "height": [], "mean_luma": [], "dark_frac": [], "error": []}
     files = [(name, os.path.join(REF, name)) for name in sorted(os.listdir(REF))]
     if os.path.isdir(EXTRA):
         files += [(name, os.path.join(EXTRA, name))
@@ -50,7 +54,7 @@ def main() -> None:
             data = fh.read()
         if name.endswith(".pdf"):
             kern = extract_pdf_any
-        elif name.rsplit(".", 1)[-1] in ("png", "jpg", "jpeg", "bmp", "tiff"):
+        elif name.rsplit(".", 1)[-1] in ("png", "jpg", "jpeg", "bmp", "tiff", "gif", "webp"):
             kern = extract_image_any
         else:
             kern = extract_office_any
@@ -77,6 +81,27 @@ def main() -> None:
             media_rows["height"].append(height)
             media_rows["byte_len"].append(len(blob))
             media_rows["content_md5"].append(hashlib.md5(blob).hexdigest())
+            # real-pixel pass: from-scratch raster decode (same kernel the
+            # real_pixel_stats contract query runs), stats identical to
+            # ops/multimodal.real_raster_stats
+            pixel_rows["doc_id"].append(doc_id)
+            pixel_rows["media_ref"].append(ref)
+            try:
+                dfmt, dw, dh, gray = decode_raster_gray(blob)
+                arr = np.frombuffer(b"".join(bytes(r) for r in gray), dtype=np.uint8)
+                pixel_rows["format"].append(dfmt)
+                pixel_rows["width"].append(dw)
+                pixel_rows["height"].append(dh)
+                pixel_rows["mean_luma"].append(round(float(arr.mean()), 3))
+                pixel_rows["dark_frac"].append(round(float((arr < 128).mean()), 3))
+                pixel_rows["error"].append(None)
+            except Exception as exc:  # noqa: BLE001 — containment parity
+                pixel_rows["format"].append("unknown")
+                pixel_rows["width"].append(None)
+                pixel_rows["height"].append(None)
+                pixel_rows["mean_luma"].append(None)
+                pixel_rows["dark_frac"].append(None)
+                pixel_rows["error"].append(str(exc)[:200])
     pq.write_table(
         pa.table(span_rows, schema=pa.schema([
             ("doc_id", pa.string()), ("offset", pa.int32()), ("kind", pa.string()),
@@ -99,8 +124,17 @@ def main() -> None:
         ])),
         os.path.join(RES, "expected_real_media.parquet"),
     )
+    pq.write_table(
+        pa.table(pixel_rows, schema=pa.schema([
+            ("doc_id", pa.string()), ("media_ref", pa.string()), ("format", pa.string()),
+            ("width", pa.int32()), ("height", pa.int32()), ("mean_luma", pa.float64()),
+            ("dark_frac", pa.float64()), ("error", pa.string()),
+        ])),
+        os.path.join(RES, "expected_real_pixels.parquet"),
+    )
     print(f"docs={len(doc_rows['doc_id'])} spans={len(span_rows['doc_id'])} "
-          f"media={len(media_rows['doc_id'])}")
+          f"media={len(media_rows['doc_id'])} pixels={len(pixel_rows['doc_id'])} "
+          f"decoded={sum(1 for e in pixel_rows['error'] if e is None)}")
 
 
 if __name__ == "__main__":

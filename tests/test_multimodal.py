@@ -30,9 +30,16 @@ def test_make_and_fields_roundtrip_pure():
         assert len(lines[4]) == f["payload_len"]
 
 
-def test_codec_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_codec_decode_contract():
+    # image/audio go through real from-scratch decoders now: garbage bytes
+    # raise ValueError (contained per-row upstream), never NotImplementedError.
+    with pytest.raises(ValueError):
         _codec_decode("image", b"\xff\xd8")
+    with pytest.raises(ValueError):
+        _codec_decode("audio", b"RIFF")
+    # video decode is the one documented sandbox stub.
+    with pytest.raises(NotImplementedError):
+        _codec_decode("video", b"\x00\x00\x00\x18ftypisom")
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,393 @@
+"""Raster decode layer: from-scratch JPEG/GIF/BMP/WAV decoders + the
+real-codec pixel-stats path (kernels/minijpeg.py, kernels/raster.py,
+ops/multimodal.real_raster_stats).
+
+Validation strategy mirrors the OCR pair: generator-side encoders
+(corpus.render_text_jpeg, test-local GIF/BMP writers) are independent
+implementations of the same public specs the decoders parse, so a
+round-trip equality is two implementations agreeing — plus the carved
+REAL JPEGs/PNGs from the reference's own sample documents as
+encoder-independent inputs (real camera/export encoders: 4:2:0
+subsampling, restart markers, multi-scan layouts)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+import struct
+
+import pytest
+
+from documentconvert_spark.corpus import _render_text_grid, render_text_jpeg
+from documentconvert_spark.kernels.media import (
+    decode_wav_samples,
+    extract_media_files,
+    sniff_image_meta,
+)
+from documentconvert_spark.kernels.minijpeg import decode_jpeg_gray, parse_jpeg_quant
+from documentconvert_spark.kernels.miniocr import ocr_jpeg_text
+from documentconvert_spark.kernels.raster import (
+    decode_bmp_gray,
+    decode_gif_gray,
+    decode_raster_gray,
+)
+
+REF_TEST = "/root/reference/test"
+
+
+# ------------------------------------------------------------------ helpers
+# Test-local encoders: independent spec implementations for round-trips.
+
+def gif_encode(w, h, idx, pal_rgb, interlace=False, min_code=None):
+    if min_code is None:
+        min_code = max(2, (max(idx).bit_length() if idx else 2))
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    d = {bytes([i]): i for i in range(1 << min_code)}
+    nxt, width = end + 1, min_code + 1
+    emitted = [(clear, width)]
+    prev = b""
+    for px in idx:
+        cur = prev + bytes([px])
+        if cur in d:
+            prev = cur
+            continue
+        emitted.append((d[prev], width))
+        d[cur] = nxt
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        nxt += 1
+        if nxt >= 4096:  # dictionary full: reset (exercises decoder clear)
+            emitted.append((clear, width))
+            d = {bytes([i]): i for i in range(1 << min_code)}
+            nxt, width = end + 1, min_code + 1
+        prev = bytes([px])
+    if prev:
+        emitted.append((d[prev], width))
+    emitted.append((end, width))
+    acc = nbits = 0
+    bs = bytearray()
+    for code, wd in emitted:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            bs.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        bs.append(acc & 0xFF)
+    ncol = 1 << min_code
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (min_code - 1), 0, 0)
+    gct = b"".join(bytes(c) for c in (pal_rgb + [(0, 0, 0)] * ncol)[:ncol])
+    img = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0x40 if interlace else 0])
+    data = bytes([min_code])
+    for i in range(0, len(bs), 255):
+        chunk = bs[i:i + 255]
+        data += bytes([len(chunk)]) + bytes(chunk)
+    data += b"\x00"
+    return hdr + gct + img + data + b"\x3B"
+
+
+def bmp24_encode(w, h, pix):
+    stride = ((24 * w + 31) // 32) * 4
+    body = b""
+    for y in range(h - 1, -1, -1):
+        line = b"".join(bytes((b, g, r)) for r, g, b in pix[y])
+        body += line + b"\x00" * (stride - len(line))
+    return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+            + body)
+
+
+def luma(r, g, b):
+    return (r * 299 + g * 587 + b * 114) // 1000
+
+
+def carved_real_images():
+    out = []
+    for p in sorted(glob.glob(os.path.join(REF_TEST, "*"))):
+        try:
+            media = extract_media_files(open(p, "rb").read())
+        except Exception:
+            continue
+        for name, blob in media:
+            fmt, w, h = sniff_image_meta(blob)
+            out.append((name, fmt, w, h, blob))
+    return out
+
+
+# ------------------------------------------------------------------ JPEG
+
+@pytest.mark.parametrize("scale", [1, 2, 3])
+def test_jpeg_text_render_round_trip(scale):
+    lines = ["HELLO JPEG 123", "A-B+C=D? (OK!)"]
+    data = render_text_jpeg(lines, scale=scale)
+    w, h, rows = decode_jpeg_gray(data)
+    gw, gh, grid = _render_text_grid(lines, scale, 8)
+    assert (w, h) == (gw, gh)
+    worst = max(abs(rows[y][x] - grid[y][x]) for y in range(h) for x in range(w))
+    assert worst <= 2  # near-lossless: FDCT/IDCT rounding only
+
+
+def test_jpeg_ocr_reads_exact_text():
+    lines = ["MEMBER CARD 0042", "LEVEL = GOLD!"]
+    assert ocr_jpeg_text(render_text_jpeg(lines, scale=2)) == lines
+
+
+def test_jpeg_ocr_rejects_photo_quant_without_decoding():
+    data = bytearray(render_text_jpeg(["AB"], scale=1))
+    # find the DQT segment and raise one quant value past the gate
+    i = data.index(b"\xff\xdb") + 5
+    data[i + 10] = 16
+    assert ocr_jpeg_text(bytes(data)) == []
+
+
+def test_real_carved_jpegs_decode_to_sniffed_dims():
+    """Encoder-independent inputs: every baseline JPEG carved from the
+    reference's sample documents (4:2:0, 4:4:4 and gray layouts from
+    real-world encoders) must decode with dims matching the SOF sniff."""
+    jpegs = [t for t in carved_real_images() if t[1] == "jpeg"]
+    assert len(jpegs) >= 5  # the sample corpus ships several
+    for name, _fmt, w, h, blob in jpegs:
+        dw, dh, rows = decode_jpeg_gray(blob)
+        assert (dw, dh) == (w, h), name
+        assert len(rows) == dh and all(len(r) == dw for r in rows[:3])
+        # luma means must be plausibly in-gamut, not constant garbage
+        flat = [p for r in rows[:: max(1, dh // 16)] for p in r]
+        assert 5 < sum(flat) / len(flat) < 250, name
+
+
+def test_real_carved_pngs_decode():
+    pngs = [t for t in carved_real_images() if t[1] == "png"]
+    assert len(pngs) >= 10
+    for name, _fmt, w, h, blob in pngs[:8]:  # cap: pure-Python unfilter cost
+        from documentconvert_spark.kernels.miniocr import decode_png_gray
+
+        dw, dh, rows = decode_png_gray(blob)
+        assert (dw, dh) == (w, h), name
+
+
+def test_jpeg_progressive_raises():
+    data = bytearray(render_text_jpeg(["AB"], scale=1))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 → SOF2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_gray(bytes(data))
+
+
+def test_jpeg_truncated_scan_raises():
+    data = render_text_jpeg(["HELLO WORLD THIS IS LONG"], scale=2)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(data[: len(data) // 2])
+
+
+def test_jpeg_dims_over_cap_raise():
+    data = bytearray(render_text_jpeg(["AB"], scale=1))
+    i = data.index(b"\xff\xc0")
+    struct.pack_into(">HH", data, i + 5, 60000, 60000)
+    with pytest.raises(ValueError, match="cap"):
+        decode_jpeg_gray(bytes(data))
+
+
+def test_parse_jpeg_quant_reads_tables():
+    q = parse_jpeg_quant(render_text_jpeg(["AB"]))
+    assert list(q.keys()) == [0] and q[0] == [1] * 64
+
+
+# ------------------------------------------------------------------ GIF
+
+def test_gif_round_trip_with_dict_reset():
+    rng = random.Random(11)
+    w, h = 120, 90  # 10,800 px of 8-color noise: crosses several code
+    # widths and (with structure) the 4096-entry dictionary reset
+    pal = [(i * 31 % 256, i * 67 % 256, i * 13 % 256) for i in range(8)]
+    idx = [rng.randrange(8) for _ in range(w * h)]
+    gw, gh, rows = decode_gif_gray(gif_encode(w, h, idx, pal, min_code=3))
+    assert (gw, gh) == (w, h)
+    exp = [luma(*c) for c in pal]
+    assert all(rows[y][x] == exp[idx[y * w + x]] for y in range(h) for x in range(w))
+
+
+def test_gif_interlaced_round_trip():
+    rng = random.Random(12)
+    w, h = 33, 21
+    pal = [(0, 0, 0), (255, 255, 255), (10, 200, 90), (240, 10, 120)]
+    idx = [rng.randrange(4) for _ in range(w * h)]
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    idx_i = []
+    for y in order:
+        idx_i.extend(idx[y * w:(y + 1) * w])
+    gw, gh, rows = decode_gif_gray(gif_encode(w, h, idx_i, pal, interlace=True, min_code=2))
+    exp = [luma(*c) for c in pal]
+    assert all(rows[y][x] == exp[idx[y * w + x]] for y in range(h) for x in range(w))
+
+
+def test_gif_truncated_raises():
+    pal = [(0, 0, 0), (255, 255, 255)]
+    data = gif_encode(9, 7, [i % 2 for i in range(63)], pal, min_code=2)
+    with pytest.raises(ValueError):
+        decode_gif_gray(data[:20])
+    with pytest.raises(ValueError, match="short pixel data"):
+        # a stream carrying fewer pixels than the descriptor promises
+        decode_gif_gray(gif_encode(9, 7, [i % 2 for i in range(40)], pal, min_code=2))
+
+
+def test_gif_decoded_size_capped():
+    pal = [(0, 0, 0), (255, 255, 255)]
+    data = gif_encode(100, 80, [0] * 8000, pal, min_code=2)
+    with pytest.raises(ValueError, match="cap"):
+        decode_gif_gray(data, max_pixels=1000)
+
+
+# ------------------------------------------------------------------ BMP
+
+def test_bmp24_round_trip():
+    rng = random.Random(13)
+    w, h = 31, 17
+    pix = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(w)] for _ in range(h)]
+    bw, bh, rows = decode_bmp_gray(bmp24_encode(w, h, pix))
+    assert (bw, bh) == (w, h)
+    assert all(rows[y][x] == luma(*pix[y][x]) for y in range(h) for x in range(w))
+
+
+def test_bmp_palette_and_1bit():
+    w, h = 19, 11
+    paln = 5
+    pal = [(i * 37 % 256, i * 11 % 256, i * 53 % 256) for i in range(paln)]
+    idx = [(x + y) % paln for y in range(h) for x in range(w)]
+    stride = ((8 * w + 31) // 32) * 4
+    body = b""
+    for y in range(h):  # top-down (negative height)
+        line = bytes(idx[y * w:(y + 1) * w])
+        body += line + b"\x00" * (stride - len(line))
+    palbytes = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+    data = (b"BM" + struct.pack("<IHHI", 54 + len(palbytes) + len(body), 0, 0, 54 + len(palbytes))
+            + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 8, 0, len(body), 0, 0, paln, 0)
+            + palbytes + body)
+    bw, bh, rows = decode_bmp_gray(data)
+    exp = [luma(*c) for c in pal]
+    assert all(rows[y][x] == exp[idx[y * w + x]] for y in range(h) for x in range(w))
+
+    # 1-bit: vertical stripes
+    w1, h1 = 13, 4
+    stride1 = ((1 * w1 + 31) // 32) * 4
+    row_bits = bytearray()
+    for y in range(h1):
+        line = bytearray(stride1)
+        for x in range(w1):
+            if x % 2:
+                line[x // 8] |= 0x80 >> (x % 8)
+        row_bits += line
+    pal1 = b"\x00\x00\x00\x00\xff\xff\xff\x00"  # 0=black, 1=white
+    data1 = (b"BM" + struct.pack("<IHHI", 54 + 8 + len(row_bits), 0, 0, 62)
+             + struct.pack("<IiiHHIIiiII", 40, w1, -h1, 1, 1, 0, len(row_bits), 0, 0, 2, 0)
+             + pal1 + row_bits)
+    _, _, rows1 = decode_bmp_gray(data1)
+    assert bytes(rows1[0]) == bytes([0, 255] * 7)[:w1]
+
+
+def test_bmp_truncated_raises():
+    pix = [[(1, 2, 3)] * 4] * 4
+    data = bmp24_encode(4, 4, pix)
+    with pytest.raises(ValueError):
+        decode_bmp_gray(data[:30])
+    with pytest.raises(ValueError, match="truncated pixel"):
+        decode_bmp_gray(data[:-8])
+
+
+# ------------------------------------------------------------------ WAV
+
+def test_wav_pcm16_stereo_mono_mix():
+    import array
+
+    sr, n = 8000, 500
+    left = [1000 + i for i in range(n)]
+    right = [-1000 - i for i in range(n)]
+    inter = array.array("h")
+    for a, b in zip(left, right):
+        inter.append(a)
+        inter.append(b)
+    body = inter.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, sr, sr * 4, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(body)) + body)
+    rate, ch, mono = decode_wav_samples(wav)
+    assert (rate, ch, len(mono)) == (sr, 2, n)
+    assert all(v == 0 for v in mono)  # L and R cancel
+
+
+def test_wav_pcm8_recentring():
+    body = bytes([0, 128, 255])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(body)) + body)
+    _, _, mono = decode_wav_samples(wav)
+    assert list(mono) == [-32768, 0, 32512]
+
+
+def test_wav_non_pcm_raises():
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="non-PCM"):
+        decode_wav_samples(wav)
+
+
+# ------------------------------------------------------------------ router + codec path
+
+def test_router_covers_four_formats_and_rejects_rest():
+    pal = [(0, 0, 0), (255, 255, 255)]
+    fmt, _, _, _ = decode_raster_gray(gif_encode(6, 4, [0, 1] * 12, pal, min_code=2))
+    assert fmt == "gif"
+    fmt, _, _, _ = decode_raster_gray(bmp24_encode(4, 4, [[(9, 9, 9)] * 4] * 4))
+    assert fmt == "bmp"
+    fmt, _, _, _ = decode_raster_gray(render_text_jpeg(["HI"]))
+    assert fmt == "jpeg"
+    from documentconvert_spark.corpus import render_text_png
+
+    fmt, _, _, _ = decode_raster_gray(render_text_png(["HI"]))
+    assert fmt == "png"
+    with pytest.raises(ValueError, match="no pixel decoder"):
+        decode_raster_gray(b"\xd7\xcd\xc6\x9a" + bytes(60))  # WMF
+
+
+def test_codec_decode_image_and_audio_paths():
+    from documentconvert_spark.ops.multimodal import _codec_decode
+
+    kind, (w, h, rows) = _codec_decode("image", render_text_jpeg(["HI"]))
+    assert kind == "image" and w > 0 and len(rows) == h
+    body = struct.pack("<4h", 1, 2, 3, 4)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(body)) + body)
+    kind, (sr, ch, mono) = _codec_decode("audio", wav)
+    assert kind == "audio" and sr == 8000 and list(mono) == [1, 2, 3, 4]
+    with pytest.raises(NotImplementedError):
+        _codec_decode("video", b"anything")
+
+
+def test_real_raster_stats_spark(spark):
+    """The contract query's op end-to-end on a small raw frame: decodable
+    image docs get stats rows, an undecodable format becomes an error
+    row, nothing throws."""
+    from documentconvert_spark.ops.multimodal import extract_real_media, real_raster_stats
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    docs = [
+        ("d-jpg", render_text_jpeg(["SPARK ROW"])),
+        ("d-gif", gif_encode(10, 8, [0, 1] * 40, pal, min_code=2)),
+        ("d-wmf", b"\xd7\xcd\xc6\x9a" + bytes(80)),
+    ]
+    raw = spark.createDataFrame(docs, "doc_id string, content binary")
+    out = real_raster_stats(extract_real_media(raw)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id["d-jpg"]["error"] is None and by_id["d-jpg"]["format"] == "jpeg"
+    assert by_id["d-gif"]["error"] is None
+    assert 0.0 <= by_id["d-gif"]["dark_frac"] <= 1.0
+    assert by_id["d-wmf"]["error"] is not None and by_id["d-wmf"]["width"] is None

@@ -157,7 +157,10 @@ def test_real_goldens_match_committed_parquet():
         expected.setdefault(did, []).append(
             (tbl["offset"][i], tbl["kind"][i], tbl["media_ref"][i], tbl["text"][i])
         )
-    assert len(expected) == 24  # 7 reference samples + 17 crafted fixtures
+    assert len(expected) == 27  # 7 reference samples + 20 crafted fixtures
+    # the JPEG OCR fixture pins the baseline-JPEG decoder + glyph matcher
+    card = [t for (_o, k, _m, t) in expected["fixture_ocr_card.jpg"] if k == "paragraph"]
+    assert card and card[0].startswith("MEMBER CARD")
     # no-ToUnicode CID recovery + WinAnsi/MacRoman high bytes stay pinned
     fonts = [t for (_o, _k, _m, t) in expected["fixture_fonts.pdf"]]
     assert any("CID" in t for t in fonts) and any("café crème" in t for t in fonts)
@@ -173,7 +176,7 @@ def test_real_goldens_match_committed_parquet():
         data = _read(name)
         if name.endswith(".pdf"):
             kern = extract_pdf_any
-        elif name.endswith(".png"):
+        elif name.rsplit(".", 1)[-1] in ("png", "jpg", "jpeg", "gif", "bmp"):
             from documentconvert_spark.kernels.detect import extract_image_any
 
             kern = extract_image_any
