@@ -48,11 +48,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # a registry edit can't silently de-verify anything. Rotation history:
 #   r1: relational/tpch family (40 green, CORRECTNESS_r01.json)
 #   r2: extraction + corpus + events + 5 dtype-fixed relational (50/50 green)
-#   r3: swap OUT ev_retention/ev_funnel/token_stats/lang_id (keep their
-#       green r2 rows), swap IN the 3 never-driver-verified queries
-#       (ann_ivf_buckets, multimodal_features, filter_url_blocklist) and
-#       the new real_ocr_text — after r3 every contract query has a
-#       green driver row.
+#   r3: swap OUT ev_retention/ev_funnel/token_stats/lang_id/text_quality
+#       (keep their green r2 rows), swap IN the 3 never-driver-verified
+#       queries (ann_ivf_buckets, multimodal_features,
+#       filter_url_blocklist) and the new real_ocr_text +
+#       real_pixel_stats — after r3 every contract query has a green
+#       driver row.
 _WINDOW: tuple[str, ...] = (
     "real_av_meta", "real_image_meta", "dedup_span_paragraphs",
     "real_docs_span_seq", "real_docs_summary", "real_ocr_text",
@@ -66,7 +67,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_embedding_cosine", "doc_winnow_fingerprint", "token_bpeish",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_recall",
-    "text_quality",
+    "real_pixel_stats",
     "ann_ivf_buckets", "multimodal_features", "filter_url_blocklist",
     "ev_map_ops", "ev_interval_join", "ev_props_json", "ev_sessionize",
     "ev_asof_join", "ev_window_rollup",
