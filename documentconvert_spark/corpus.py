@@ -451,19 +451,25 @@ def render_text_png(lines: list[str], scale: int = 2, margin: int = 8,
 def render_text_jpeg(lines: list[str], scale: int = 2, margin: int = 8) -> bytes:
     """Rendered-text fixture as a NEAR-LOSSLESS baseline JPEG (generator
     side of the C4 OCR pair — the reference OCRs real ``jpg`` input,
-    `services/document_service.py:652-665`).
+    `services/document_service.py:652-665`)."""
+    w, h, grid = _render_text_grid(lines, scale, margin)
+    return encode_gray_jpeg(w, h, grid)
+
+
+def encode_gray_jpeg(w: int, h: int, grid: list) -> bytes:
+    """Grayscale raster → NEAR-LOSSLESS baseline JPEG bytes.
 
     From-scratch T.81 encoder: one gray component, quant table all ones
     (the only regime where exact glyph matching can survive a lossy
     format — reconstruction error is FDCT/IDCT rounding only, ≤2 gray
     levels), and fixed-length huffman tables (all DC categories at 4
     bits, all 162 AC symbols at 8 bits — canonical, spec-valid, and
-    independent of the decoder's Annex-K-free table parsing)."""
+    independent of the decoder's Annex-K-free table parsing). Shared by
+    the OCR fixtures above and the MJPG frames of `render_avi`."""
     import struct as _struct
 
     import numpy as np
 
-    w, h, grid = _render_text_grid(lines, scale, margin)
     bw, bh = -(-w // 8), -(-h // 8)
     pad = np.full((bh * 8, bw * 8), 255.0)
     pad[:h, :w] = np.frombuffer(b"".join(bytes(r) for r in grid),
@@ -556,3 +562,67 @@ def render_text_jpeg(lines: list[str], scale: int = 2, margin: int = 8) -> bytes
            + seg(0xC4, bytes([0x10]) + bytes(dht_ac_bits) + bytes(ac_syms)))
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(scan) + b"\xff\xd9")
+
+
+# -- AVI video fixtures (generator side of the video-decode split) -----------
+# The reference's media surface stops at container metadata for video (no
+# decoder ships in its pipeline either — MinerU handles documents only);
+# the engine's training-data tier needs real frame pixels, so the fixture
+# generator writes genuine RIFF/AVI files (Microsoft "AVI RIFF File
+# Reference": hdrl/avih/strl/strh/strf + movi + idx1) carrying either
+# MJPG (baseline-JPEG) or uncompressed bottom-up BI_RGB DIB frames.
+# kernels/media.decode_avi_frames must get the pixels back through an
+# independent parse path.
+
+def render_avi(w: int, h: int, grids: list, fps: int = 10,
+               codec: str = "MJPG") -> bytes:
+    """Gray frame rasters → a complete AVI file.
+
+    ``grids`` is a list of frames, each a list of ``w``-byte rows.
+    ``codec`` is ``"MJPG"`` (frames as near-lossless baseline JPEG via
+    `encode_gray_jpeg`) or ``"DIB "`` (uncompressed 24-bit bottom-up
+    BI_RGB with 4-byte row padding, gray replicated to BGR)."""
+    import struct as _st
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        return cc + _st.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    if codec == "MJPG":
+        payloads = [encode_gray_jpeg(w, h, g) for g in grids]
+        ckid, compression = b"00dc", int.from_bytes(b"MJPG", "little")
+    elif codec == "DIB ":
+        pad = b"\x00" * ((-(w * 3)) % 4)
+        payloads = [
+            b"".join(bytes(v for px in row for v in (px, px, px)) + pad
+                     for row in reversed(g))
+            for g in grids
+        ]
+        ckid, compression = b"00db", 0  # BI_RGB
+    else:
+        raise ValueError(f"render_avi: unsupported codec {codec!r}")
+
+    n = len(grids)
+    buf_size = max((len(p) for p in payloads), default=0)
+    avih = chunk(b"avih", _st.pack(
+        "<10I16x", 1_000_000 // fps, buf_size * fps, 0, 0x10, n, 0, 1,
+        buf_size, w, h))
+    strh = chunk(b"strh", b"vids" + codec.encode("ascii") + _st.pack(
+        "<IIIIIIIIII4H", 0, 0, 0, 1, fps, 0, n, buf_size, 0xFFFFFFFF, 0,
+        0, 0, w, h))
+    strf = chunk(b"strf", _st.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+        len(payloads[0]) if payloads else 0, 0, 0, 0, 0))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+
+    movi_body = b"movi"
+    idx = b""
+    for p in payloads:
+        # idx1 offsets point at the chunk id, relative to the 'movi' fourcc
+        idx += ckid + _st.pack("<III", 0x10, len(movi_body), len(p))
+        movi_body += chunk(ckid, p)
+    movi = chunk(b"LIST", movi_body)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + _st.pack("<I", len(riff_body)) + riff_body

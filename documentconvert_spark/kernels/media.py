@@ -262,6 +262,135 @@ def _wav_meta(data: bytes):
     return "wav", None, None, dur_ms
 
 
+def _riff_chunks(data: bytes, lo: int, hi: int):
+    """Iterate RIFF sub-chunks in data[lo:hi] → (fourcc, body_lo, body_hi).
+    LIST chunks are yielded as (list_type, ...) over their inner body so
+    callers see `hdrl`/`strl`/`movi` directly. Truncated declarations are
+    clamped to the buffer — containment, not trust in the header."""
+    i = lo
+    while i + 8 <= hi:
+        cc = data[i:i + 4]
+        sz = int.from_bytes(data[i + 4:i + 8], "little")
+        body_lo = i + 8
+        body_hi = min(body_lo + sz, hi)
+        if cc == b"LIST" and body_lo + 4 <= body_hi:
+            yield data[body_lo:body_lo + 4], body_lo + 4, body_hi
+        else:
+            yield cc, body_lo, body_hi
+        i = body_lo + sz + (sz & 1)
+
+
+def _avi_meta(data: bytes):
+    """RIFF/AVI main header (avih, 'AVI RIFF File Reference'):
+    dwMicroSecPerFrame × dwTotalFrames → duration, dwWidth/dwHeight."""
+    width = height = dur_ms = None
+    for cc, lo, hi in _riff_chunks(data, 12, len(data)):
+        if cc != b"hdrl":
+            continue
+        for c2, l2, h2 in _riff_chunks(data, lo, hi):
+            if c2 == b"avih" and h2 - l2 >= 40:
+                usec = int.from_bytes(data[l2:l2 + 4], "little")
+                nframes = int.from_bytes(data[l2 + 16:l2 + 20], "little")
+                w = int.from_bytes(data[l2 + 32:l2 + 36], "little")
+                h = int.from_bytes(data[l2 + 36:l2 + 40], "little")
+                if w and h:
+                    width, height = w, h
+                if usec and nframes:
+                    dur_ms = usec * nframes // 1000
+                break
+        break
+    return "avi", width, height, dur_ms
+
+
+_MAX_AVI_FRAMES = 4096
+
+
+def decode_avi_frames(data: bytes, max_pixels: int | None = None
+                      ) -> tuple[int, int, float, list[list[bytearray]]]:
+    """AVI bytes → (width, height, fps, frames of 8-bit gray rows).
+
+    The real-codec video path (closes the last decoder stub): walks the
+    RIFF tree ('AVI RIFF File Reference'), reads the video stream's strh
+    (fps = dwRate/dwScale) and strf BITMAPINFOHEADER, then decodes every
+    ``..dc``/``..db`` movi chunk — MJPG frames through the from-scratch
+    baseline-JPEG decoder (kernels/minijpeg.py), BI_RGB DIB frames as
+    bottom-up 24-bit BGR with 4-byte row padding (ITU-R 601 luma, same
+    math as the BMP decoder). Frame pixels are charged against ONE
+    per-document budget BEFORE each decode (a declared-size bomb fails
+    at the first over-budget frame, not after allocating it), and the
+    frame count is capped at _MAX_AVI_FRAMES. ValueError on anything
+    malformed — per-row containment upstream (C7), like every kernel."""
+    from documentconvert_spark.kernels.minijpeg import (
+        _MAX_PIXELS_DEFAULT, decode_jpeg_gray)
+
+    if max_pixels is None:
+        max_pixels = _MAX_PIXELS_DEFAULT
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("avi: not a RIFF/AVI file")
+    width = height = None
+    fps = 0.0
+    bitcount = compression = None
+    frames: list[list[bytearray]] = []
+    pixel_budget = max_pixels
+    for cc, lo, hi in _riff_chunks(data, 12, len(data)):
+        if cc == b"hdrl":
+            for c2, l2, h2 in _riff_chunks(data, lo, hi):
+                if c2 == b"avih" and h2 - l2 >= 40:
+                    width = int.from_bytes(data[l2 + 32:l2 + 36], "little")
+                    height = int.from_bytes(data[l2 + 36:l2 + 40], "little")
+                elif c2 == b"strl":
+                    is_vids = False
+                    for c3, l3, h3 in _riff_chunks(data, l2, h2):
+                        if c3 == b"strh" and h3 - l3 >= 32:
+                            is_vids = data[l3:l3 + 4] == b"vids"
+                            scale = int.from_bytes(data[l3 + 20:l3 + 24], "little")
+                            rate = int.from_bytes(data[l3 + 24:l3 + 28], "little")
+                            if is_vids and scale:
+                                fps = rate / scale
+                        elif c3 == b"strf" and is_vids and h3 - l3 >= 20:
+                            bitcount = int.from_bytes(data[l3 + 14:l3 + 16], "little")
+                            compression = int.from_bytes(data[l3 + 16:l3 + 20], "little")
+        elif cc == b"movi":
+            if not width or not height:
+                raise ValueError("avi: movi before a usable avih header")
+            for c2, l2, h2 in _riff_chunks(data, lo, hi):
+                if c2[2:4] not in (b"dc", b"db"):
+                    continue  # audio chunks / rec lists / padding
+                if len(frames) >= _MAX_AVI_FRAMES:
+                    raise ValueError("avi: frame count over cap")
+                pixel_budget -= width * height
+                if pixel_budget < 0:
+                    raise ValueError("avi: decoded pixels over budget")
+                payload = data[l2:h2]
+                if payload[:2] == b"\xff\xd8":  # MJPG
+                    fw, fh, rows = decode_jpeg_gray(bytes(payload),
+                                                    max_pixels=max_pixels)
+                elif compression == 0 and bitcount == 24:  # BI_RGB DIB
+                    stride = (width * 3 + 3) & ~3
+                    if len(payload) < stride * height:
+                        raise ValueError("avi: DIB frame shorter than raster")
+                    fw, fh = width, height
+                    rows = []
+                    for y in range(height - 1, -1, -1):  # bottom-up
+                        line = payload[y * stride:y * stride + width * 3]
+                        row = bytearray(width)
+                        for x in range(width):
+                            i = 3 * x
+                            row[x] = (line[i + 2] * 299 + line[i + 1] * 587
+                                      + line[i] * 114) // 1000
+                        rows.append(row)
+                else:
+                    raise ValueError(
+                        f"avi: no decoder for compression={compression!r} "
+                        f"bitcount={bitcount!r}")
+                if (fw, fh) != (width, height):
+                    raise ValueError("avi: frame size disagrees with avih")
+                frames.append(rows)
+    if not frames:
+        raise ValueError("avi: no video frames")
+    return width, height, fps, frames
+
+
 def decode_wav_samples(data: bytes) -> tuple[int, int, "array.array"]:
     """RIFF/WAVE PCM bytes → (sample_rate, channels, mono int16 samples).
 
@@ -340,6 +469,8 @@ def sniff_av_meta(data: bytes) -> tuple[str, int | None, int | None, int | None]
         return _mp4_meta(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return _wav_meta(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return _avi_meta(data)
     if data[:4] == b"fLaC":
         return _flac_meta(data)
     if data[:4] == b"OggS":

@@ -15,8 +15,9 @@ and runs decode / feature-extract / resize / frame-sample as Arrow-batched
 * the REAL codec path (`_codec_decode` / `real_raster_stats`) — the
   sandbox ships no PIL/librosa/ffmpeg, so images decode through the
   from-scratch raster layer (kernels/raster.py: baseline JPEG per ITU-T
-  T.81, PNG, GIF-LZW, BMP) and audio through the from-scratch RIFF/WAVE
-  PCM decoder; only video decode remains a documented NotImplementedError.
+  T.81, PNG, GIF-LZW, BMP), audio through the from-scratch RIFF/WAVE
+  PCM decoder, and video through the RIFF/AVI frame decoder
+  (kernels/media.decode_avi_frames: MJPG + uncompressed DIB frames).
 
 The Spark-side plumbing — schemas, batch shapes, partition invariance,
 explode semantics — is identical for both tiers and tested.
@@ -118,9 +119,10 @@ def _codec_decode(media_type: str, content: bytes):
       (PNG/JPEG/GIF/BMP decoders, kernels/raster.py)
     * audio → ("audio", (sample_rate, channels, mono_int16)) for RIFF/WAVE
       integer PCM (kernels/media.decode_wav_samples)
-    * video → NotImplementedError: a from-scratch H.264/VP9 decoder is out
-      of scope for this sandbox; the MINIMEDIA frame-sampling path and the
-      MP4/EBML duration sniffers are the tested video surface.
+    * video → ("video", (width, height, fps, frames)) for RIFF/AVI with
+      MJPG (baseline JPEG) or uncompressed BI_RGB DIB frames
+      (kernels/media.decode_avi_frames); modern inter-frame codecs
+      (H.264/VP9) have no from-scratch decoder and raise ValueError.
 
     ValueError for formats without a decoder (tiff/webp/flac/mp3/...) —
     per-row containment upstream, same contract as every kernel.
@@ -134,7 +136,11 @@ def _codec_decode(media_type: str, content: bytes):
         from documentconvert_spark.kernels.media import decode_wav_samples
 
         return "audio", decode_wav_samples(content)
-    raise NotImplementedError(
+    if media_type == "video":
+        from documentconvert_spark.kernels.media import decode_avi_frames
+
+        return "video", decode_avi_frames(content)
+    raise ValueError(
         "no from-scratch decoder for media type %r in this sandbox" % media_type)
 
 
@@ -353,3 +359,64 @@ def real_raster_stats(real_media: DataFrame) -> DataFrame:
 
     return real_media.select("doc_id", "media_ref", "content").mapInPandas(
         stats, schema=RASTER_STATS_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_dark", T.IntegerType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def real_video_frame_stats(videos: DataFrame) -> DataFrame:
+    """Decode REAL video bytes to FRAMES (from-scratch RIFF/AVI walker +
+    MJPG/DIB frame decoders — kernels/media.decode_avi_frames) and emit
+    one row per frame with its dark-pixel count. `n_dark` at threshold
+    128 is exactly oracle-checkable on bilevel sources even through the
+    lossy MJPG path (the all-ones-quant encoder bounds reconstruction
+    error at ±2 gray levels, which never crosses the threshold).
+    Undecodable bytes (inter-frame codecs, corrupt containers) become a
+    single error row at frame_idx=-1 — containment (C7), not silence.
+    Arrow-batched mapInPandas, narrow: decode parallelizes across the
+    scan; nothing here shuffles, and frame pixels are charged against a
+    per-document budget inside the kernel."""
+    import numpy as np
+
+    from documentconvert_spark.kernels.media import decode_avi_frames
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "width", "height",
+                                    "n_dark", "error")}
+            for did, blob in zip(b["doc_id"], b["content"]):
+                try:
+                    w, h, _fps, frames = decode_avi_frames(bytes(blob))
+                    for i, fr in enumerate(frames):
+                        a = np.frombuffer(b"".join(bytes(r) for r in fr),
+                                          dtype=np.uint8)
+                        rows["doc_id"].append(did)
+                        rows["frame_idx"].append(i)
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        rows["n_dark"].append(int((a < 128).sum()))
+                        rows["error"].append(None)
+                except Exception as exc:  # noqa: BLE001 — containment (C7)
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(-1)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["n_dark"].append(None)
+                    rows["error"].append(str(exc)[:200])
+            df = pd.DataFrame(rows)
+            df["frame_idx"] = df["frame_idx"].astype("int32") if len(df) else pd.array([], dtype="int32")
+            for c in ("width", "height", "n_dark"):
+                df[c] = df[c].astype("Int32") if len(df) else pd.array([], dtype="Int32")
+            yield df
+
+    return videos.select("doc_id", "content").mapInPandas(
+        stats, schema=VIDEO_FRAMES_SCHEMA)

@@ -702,7 +702,16 @@ def _real_av_fixtures() -> list[tuple]:
         sec = rng.randrange(1, 90)
         out.append((f"av-{i:03d}", flac(sec), "flac", None, None, sec * 1000)); i += 1
     out.append((f"av-{i:03d}", b"OggS" + rng.randbytes(40), "ogg", None, None, None)); i += 1
-    out.append((f"av-{i:03d}", rng.randbytes(48), "unknown", None, None, None))
+    out.append((f"av-{i:03d}", rng.randbytes(48), "unknown", None, None, None)); i += 1
+    # real AVI containers (writer: corpus.render_avi) — duration is
+    # avih dwMicroSecPerFrame × dwTotalFrames, independent of the decoder
+    from documentconvert_spark.corpus import render_avi
+
+    for codec, w, h, n, fps in (("MJPG", 32, 16, 4, 8), ("DIB ", 20, 12, 3, 5)):
+        grids = [[bytearray([255] * w) for _ in range(h)] for _ in range(n)]
+        out.append((f"av-{i:03d}", render_avi(w, h, grids, fps=fps, codec=codec),
+                    "avi", w, h, (1_000_000 // fps) * n // 1000))
+        i += 1
     return out
 
 
@@ -776,8 +785,112 @@ FROM read_parquet('{EXPECTED_REAL_AV_PARQUET}')
 """
 
 
+# ------------------------------------------------------------ real video frames
+# Frame-level decode of real AVI containers (MJPG + uncompressed DIB) —
+# the video leg of the real-codec path. The oracle is INDEPENDENT of the
+# decoder: fixtures are bilevel (0/255) rasters, so each frame's expected
+# dark-pixel count is computed from the SOURCE grids at generation time;
+# the near-lossless MJPG encoder's ±2 reconstruction bound can never move
+# a pixel across the 128 threshold. Corrupt/unsupported bytes pin their
+# exact containment error strings.
+
+EXPECTED_REAL_VIDEO_PARQUET = os.path.join(_RES_DIR, "expected_real_video.parquet")
+
+
+def _real_video_fixtures() -> tuple[list[tuple[str, bytes]], list[tuple]]:
+    """→ (raw (doc_id, content) rows, expected (doc_id, frame_idx, width,
+    height, n_dark, error) rows derived from the source grids)."""
+    from documentconvert_spark.corpus import render_avi
+
+    raw: list[tuple[str, bytes]] = []
+    exp: list[tuple] = []
+
+    def add(doc_id: str, w: int, h: int, grids: list, fps: int, codec: str) -> None:
+        raw.append((doc_id, render_avi(w, h, grids, fps=fps, codec=codec)))
+        for i, g in enumerate(grids):
+            n_dark = sum(1 for row in g for v in row if v < 128)
+            exp.append((doc_id, i, w, h, n_dark, None))
+
+    def box_frames(w: int, h: int, n: int) -> list:
+        """Growing filled box, one bilevel grid per frame."""
+        out = []
+        for f in range(n):
+            g = [bytearray([255] * w) for _ in range(h)]
+            side = 4 + 2 * f
+            for y in range(2, min(2 + side, h - 2)):
+                for x in range(2 + f, min(2 + f + side, w - 2)):
+                    g[y][x] = 0
+            out.append(g)
+        return out
+
+    def band_frames(w: int, h: int, n: int) -> list:
+        """Top band of f+2 black rows per frame."""
+        return [
+            [bytearray([0] * w) if y < f + 2 else bytearray([255] * w)
+             for y in range(h)]
+            for f in range(n)
+        ]
+
+    add("vid-000", 48, 32, box_frames(48, 32, 6), 12, "MJPG")
+    add("vid-001", 37, 21, band_frames(37, 21, 4), 5, "DIB ")  # odd width: stride pad
+    add("vid-002", 24, 24, box_frames(24, 24, 3), 25, "MJPG")
+    add("vid-003", 40, 16, band_frames(40, 16, 5), 8, "DIB ")
+    # containment rows: exact error strings are part of the contract
+    raw.append(("vid-004", b"RIFF\x04\x00\x00\x00AVI "))
+    exp.append(("vid-004", -1, None, None, None, "avi: no video frames"))
+    raw.append(("vid-005", b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16))
+    exp.append(("vid-005", -1, None, None, None, "avi: not a RIFF/AVI file"))
+    return raw, exp
+
+
+def _ensure_real_video_parquet() -> None:
+    if os.path.exists(EXPECTED_REAL_VIDEO_PARQUET):
+        return
+    os.makedirs(_RES_DIR, exist_ok=True)
+    _raw, exp = _real_video_fixtures()
+    cols = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "n_dark", "error")}
+    for did, idx, w, h, nd, err in exp:
+        cols["doc_id"].append(did)
+        cols["frame_idx"].append(idx)
+        cols["width"].append(w)
+        cols["height"].append(h)
+        cols["n_dark"].append(nd)
+        cols["error"].append(err)
+    pq.write_table(
+        pa.table(cols, schema=pa.schema([
+            ("doc_id", pa.string()), ("frame_idx", pa.int32()),
+            ("width", pa.int32()), ("height", pa.int32()),
+            ("n_dark", pa.int32()), ("error", pa.string()),
+        ])),
+        EXPECTED_REAL_VIDEO_PARQUET,
+    )
+
+
+def q_real_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decoded to FRAMES: RIFF/AVI walked and every MJPG/DIB
+    frame decoded to pixels by the from-scratch kernel
+    (kernels/media.decode_avi_frames) — the video analogue of
+    real_pixel_stats, closing the last real-codec decode stub. The
+    reference stops at container metadata for video; a training pipeline
+    needs the frames (sampling, dedup, captioning), so this is engine
+    surface beyond parity."""
+    from documentconvert_spark.ops.multimodal import real_video_frame_stats
+
+    _ensure_real_video_parquet()
+    raw, _exp = _real_video_fixtures()
+    videos = spark.createDataFrame(raw, "doc_id string, content binary")
+    return real_video_frame_stats(videos)
+
+
+SQL_REAL_VIDEO_FRAMES = f"""
+SELECT doc_id, frame_idx, width, height, n_dark, error
+FROM read_parquet('{EXPECTED_REAL_VIDEO_PARQUET}')
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
     "real_av_meta": (q_real_av_meta, SQL_REAL_AV_META),
+    "real_video_frames": (q_real_video_frames, SQL_REAL_VIDEO_FRAMES),
     "real_image_meta": (q_real_image_meta, SQL_REAL_IMAGE_META),
     "dedup_span_paragraphs": (q_dedup_span_paragraphs, SQL_DEDUP_SPAN_PARAGRAPHS),
     "real_docs_span_seq": (q_real_docs_span_seq, SQL_REAL_DOCS_SPAN_SEQ),

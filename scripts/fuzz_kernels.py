@@ -138,6 +138,12 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         ("raw_jpeg", "raster", render_text_jpeg(["RASTER FUZZ"], scale=2)),
         ("raw_gif", "raster", _gif_seed()),
         ("raw_bmp", "raster", _bmp_seed()),
+        # AVI video (kernels/media.decode_avi_frames): mutants hit the
+        # RIFF chunk walker, avih/strh/strf parsing, the DIB stride math
+        # and the per-frame budget/caps; the MJPG variant additionally
+        # feeds mutated frames into the baseline-JPEG decoder
+        ("fmt_avi_mjpg", "video", _avi_seed("MJPG")),
+        ("fmt_avi_dib", "video", _avi_seed("DIB ")),
     ]
 
 
@@ -153,6 +159,17 @@ def _bmp_seed() -> bytes:
     from gen_extra_fixtures import _bmp_fixture
 
     return _bmp_fixture()
+
+
+def _avi_seed(codec: str) -> bytes:
+    from documentconvert_spark.corpus import render_avi
+
+    grids = [
+        [bytearray([0] * 24) if y < 2 + f else bytearray([255] * 24)
+         for y in range(16)]
+        for f in range(3)
+    ]
+    return render_avi(24, 16, grids, fps=10, codec=codec)
 
 
 _DIGIT_RUN = None  # compiled lazily (re import kept local to the workers)
@@ -292,8 +309,15 @@ def _run_chunk(seed_name: str, lo: int, hi: int) -> None:
         _fmt, w, h, rows = decode_raster_gray(data)
         return [Span("figure", f"{w}x{h}:{sum(rows[0]) if rows else 0}", "", 0)]
 
+    def video_route(data: bytes) -> list:
+        from documentconvert_spark.kernels.media import decode_avi_frames
+
+        w, h, fps, frames = decode_avi_frames(data)
+        return [Span("figure", f"{w}x{h}@{fps}:{len(frames)}", "", 0)]
+
     routes = {"pdf": extract_pdf_any, "office": extract_office_any,
-              "image": extract_image_any, "raster": raster_route}
+              "image": extract_image_any, "raster": raster_route,
+              "video": video_route}
     name, route, data = next(s for s in _seed_docs() if s[0] == seed_name)
     fn = routes[route]
     stats = {"ok": 0, "contained": 0, "timeout": 0, "memory": 0, "oversized": 0}

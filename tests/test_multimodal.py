@@ -31,14 +31,14 @@ def test_make_and_fields_roundtrip_pure():
 
 
 def test_codec_decode_contract():
-    # image/audio go through real from-scratch decoders now: garbage bytes
-    # raise ValueError (contained per-row upstream), never NotImplementedError.
+    # image/audio/video all go through real from-scratch decoders: garbage
+    # or unsupported-codec bytes raise ValueError (contained per-row
+    # upstream), never NotImplementedError.
     with pytest.raises(ValueError):
         _codec_decode("image", b"\xff\xd8")
     with pytest.raises(ValueError):
         _codec_decode("audio", b"RIFF")
-    # video decode is the one documented sandbox stub.
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # MP4 = inter-frame codec, no decoder
         _codec_decode("video", b"\x00\x00\x00\x18ftypisom")
 
 

@@ -368,7 +368,12 @@ def test_codec_decode_image_and_audio_paths():
            + b"data" + struct.pack("<I", len(body)) + body)
     kind, (sr, ch, mono) = _codec_decode("audio", wav)
     assert kind == "audio" and sr == 8000 and list(mono) == [1, 2, 3, 4]
-    with pytest.raises(NotImplementedError):
+    from documentconvert_spark.corpus import render_avi
+
+    grids = [[bytearray([255] * 16) for _ in range(8)] for _ in range(2)]
+    kind, (w, h, fps, frames) = _codec_decode("video", render_avi(16, 8, grids, fps=4))
+    assert kind == "video" and (w, h, fps, len(frames)) == (16, 8, 4.0, 2)
+    with pytest.raises(ValueError):
         _codec_decode("video", b"anything")
 
 

@@ -1,0 +1,133 @@
+"""RIFF/AVI video decode: writer↔decoder split, budgets, containment.
+
+Generator side: corpus.render_avi (real AVI: hdrl/avih/strl/strh/strf +
+movi + idx1, per Microsoft's public 'AVI RIFF File Reference').
+Decoder side: kernels/media.decode_avi_frames — an independent parse
+path (RIFF walker + MJPG via the from-scratch T.81 decoder + raw DIB).
+The reference's media surface stops at container sniffing for video;
+frame decode is engine surface for the training-data tier.
+"""
+
+import struct
+
+import pytest
+
+from documentconvert_spark.corpus import render_avi
+from documentconvert_spark.kernels.media import (
+    _MAX_AVI_FRAMES,
+    decode_avi_frames,
+    sniff_av_meta,
+)
+
+
+def _grids(w, h, n, dark_rows=0):
+    return [
+        [bytearray([0] * w) if y < dark_rows else bytearray([255] * w)
+         for y in range(h)]
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["MJPG", "DIB "])
+def test_roundtrip_exact_on_bilevel(codec):
+    w, h = 37, 21  # odd width exercises the 4-byte DIB stride padding
+    grids = _grids(w, h, 3, dark_rows=5)
+    data = render_avi(w, h, grids, fps=10, codec=codec)
+    dw, dh, fps, frames = decode_avi_frames(data)
+    assert (dw, dh, fps, len(frames)) == (w, h, 10.0, 3)
+    for src, out in zip(grids, frames):
+        # bilevel source: ±2 MJPG reconstruction error never crosses 128
+        assert [sum(1 for v in r if v < 128) for r in out] == [
+            sum(1 for v in r if v < 128) for r in src]
+        assert all(abs(a - b) <= 2 for r1, r2 in zip(src, out)
+                   for a, b in zip(r1, r2))
+
+
+def test_sniff_av_meta_avi_duration():
+    data = render_avi(16, 8, _grids(16, 8, 4), fps=8)
+    # avih: dwMicroSecPerFrame(125000) × dwTotalFrames(4) = 500 ms
+    assert sniff_av_meta(data) == ("avi", 16, 8, 500)
+
+
+def test_not_avi_and_empty_movi_raise():
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_frames(b"\x00\x00\x00\x18ftypisom")
+    with pytest.raises(ValueError, match="no video frames"):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_movi_before_header_raises():
+    movi = b"LIST" + struct.pack("<I", 12) + b"movi" + b"00dc" + struct.pack("<I", 0)
+    body = b"AVI " + movi
+    with pytest.raises(ValueError, match="movi before"):
+        decode_avi_frames(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_truncated_dib_frame_raises():
+    data = bytearray(render_avi(16, 8, _grids(16, 8, 2), codec="DIB "))
+    # shrink the 2nd movi frame chunk's declared size below the raster
+    # size (rfind would land on an idx1 entry, which also starts '00db')
+    idx = data.find(b"00db", data.find(b"00db", data.find(b"movi")) + 4)
+    data[idx + 4:idx + 8] = struct.pack("<I", 10)
+    with pytest.raises(ValueError, match="shorter than raster"):
+        decode_avi_frames(bytes(data))
+
+
+def test_unsupported_compression_raises():
+    data = bytearray(render_avi(16, 8, _grids(16, 8, 1), codec="DIB "))
+    i = data.find(b"strf")
+    data[i + 8 + 16:i + 8 + 20] = b"H264"  # biCompression fourcc
+    with pytest.raises(ValueError, match="no decoder for compression"):
+        decode_avi_frames(bytes(data))
+
+
+def test_frame_size_disagreement_raises():
+    # MJPG frame encodes 16x8 but avih declares 32x8
+    data = bytearray(render_avi(16, 8, _grids(16, 8, 1), codec="MJPG"))
+    i = data.find(b"avih")
+    data[i + 8 + 32:i + 8 + 36] = struct.pack("<I", 32)
+    with pytest.raises(ValueError, match="disagrees with avih"):
+        decode_avi_frames(bytes(data))
+
+
+def test_pixel_budget_charged_before_decode():
+    # 64x64 = 4096 px/frame; budget of 3 frames fails ON the 4th frame
+    data = render_avi(64, 64, _grids(64, 64, 4), codec="DIB ")
+    with pytest.raises(ValueError, match="over budget"):
+        decode_avi_frames(data, max_pixels=4096 * 3)
+    w, h, _fps, frames = decode_avi_frames(data, max_pixels=4096 * 4)
+    assert len(frames) == 4
+
+
+def test_frame_count_bomb_capped():
+    # a header can DECLARE anything; the cap must bind on actual chunks.
+    # Build movi bytes with _MAX_AVI_FRAMES+1 zero-size 00dc chunks: the
+    # decoder must refuse at the cap, not loop on declared dwTotalFrames.
+    frame = bytes(16 * 4)  # valid 4x4 24-bit DIB raster (stride 16)
+    one = b"00db" + struct.pack("<I", len(frame)) + frame
+    movi_body = b"movi" + one * (_MAX_AVI_FRAMES + 1)
+    base = render_avi(4, 4, _grids(4, 4, 1), codec="DIB ")
+    i = base.find(b"LIST")  # reuse the writer's own hdrl LIST
+    sz = struct.unpack("<I", base[i + 4:i + 8])[0]
+    hdrl = base[i:i + 8 + sz]
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    bomb = b"RIFF" + struct.pack("<I", len(body)) + body
+    # tiny frames: the pixel budget alone would admit them all
+    with pytest.raises(ValueError, match="frame count over cap"):
+        decode_avi_frames(bomb)
+
+
+def test_real_video_frame_stats_spark(spark):
+    from documentconvert_spark.ops.multimodal import real_video_frame_stats
+
+    grids = _grids(20, 10, 2, dark_rows=3)
+    rows = [("v-ok", render_avi(20, 10, grids, fps=5)),
+            ("v-bad", b"garbage-not-a-container")]
+    videos = spark.createDataFrame(rows, "doc_id string, content binary")
+    out = real_video_frame_stats(videos).orderBy("doc_id", "frame_idx").collect()
+    assert [(r.doc_id, r.frame_idx, r.n_dark, r.error is None) for r in out] == [
+        ("v-bad", -1, None, False),
+        ("v-ok", 0, 60, True),
+        ("v-ok", 1, 60, True),
+    ]
