@@ -420,3 +420,56 @@ def real_video_frame_stats(videos: DataFrame) -> DataFrame:
 
     return videos.select("doc_id", "content").mapInPandas(
         stats, schema=VIDEO_FRAMES_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def real_audio_stats(audios: DataFrame) -> DataFrame:
+    """Decode REAL audio bytes to SAMPLES (from-scratch RIFF/WAVE integer
+    PCM — kernels/media.decode_wav_samples, channels floor-averaged to
+    mono int16) and emit per-document sample statistics. PCM is lossless,
+    so `sum_abs` and `peak` are EXACT integers an oracle can derive from
+    the source samples without touching the decoder — the audio analogue
+    of real_pixel_stats / real_video_frames. Non-PCM or corrupt bytes
+    become error rows (containment, C7). Arrow-batched mapInPandas,
+    narrow: no shuffle, data-chunk size capped inside the kernel."""
+    from documentconvert_spark.kernels.media import decode_wav_samples
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("doc_id", "sample_rate", "channels",
+                                    "n_samples", "sum_abs", "peak", "error")}
+            for did, blob in zip(b["doc_id"], b["content"]):
+                rows["doc_id"].append(did)
+                try:
+                    sr, ch, mono = decode_wav_samples(bytes(blob))
+                    rows["sample_rate"].append(sr)
+                    rows["channels"].append(ch)
+                    rows["n_samples"].append(len(mono))
+                    rows["sum_abs"].append(sum(abs(s) for s in mono))
+                    rows["peak"].append(max((abs(s) for s in mono), default=0))
+                    rows["error"].append(None)
+                except Exception as exc:  # noqa: BLE001 — containment (C7)
+                    for c in ("sample_rate", "channels", "n_samples",
+                              "sum_abs", "peak"):
+                        rows[c].append(None)
+                    rows["error"].append(str(exc)[:200])
+            df = pd.DataFrame(rows)
+            for c in ("sample_rate", "channels", "n_samples", "peak"):
+                df[c] = df[c].astype("Int32") if len(df) else pd.array([], dtype="Int32")
+            df["sum_abs"] = df["sum_abs"].astype("Int64") if len(df) else pd.array([], dtype="Int64")
+            yield df
+
+    return audios.select("doc_id", "content").mapInPandas(
+        stats, schema=AUDIO_STATS_SCHEMA)

@@ -888,9 +888,126 @@ FROM read_parquet('{EXPECTED_REAL_VIDEO_PARQUET}')
 """
 
 
+# ------------------------------------------------------------ real audio samples
+# Sample-level decode of real RIFF/WAVE PCM — the audio leg of the
+# real-codec path (image: real_pixel_stats, video: real_video_frames).
+# PCM is lossless, so the oracle derives exact integer statistics from
+# the SOURCE samples at generation time, replicating only the documented
+# mono-averaging contract (floor division), never the decoder itself.
+
+EXPECTED_REAL_AUDIO_PARQUET = os.path.join(_RES_DIR, "expected_real_audio.parquet")
+
+
+def _wav_pcm_bytes(sr: int, chans: list[list[int]], bits: int) -> bytes:
+    """Interleave per-channel samples into a real RIFF/WAVE PCM file.
+    8-bit samples are unsigned bytes, 16-bit signed little-endian."""
+    import struct as _st
+
+    ch = len(chans)
+    nfr = len(chans[0])
+    if bits == 16:
+        body = b"".join(_st.pack("<h", chans[c][f])
+                        for f in range(nfr) for c in range(ch))
+    else:
+        body = bytes(chans[c][f] for f in range(nfr) for c in range(ch))
+    block = ch * bits // 8
+    fmt = _st.pack("<HHIIHH", 1, ch, sr, sr * block, block, bits)
+    return (b"RIFF" + _st.pack("<I", 20 + len(fmt) + len(body)) + b"WAVE"
+            + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+            + b"data" + _st.pack("<I", len(body)) + body)
+
+
+def _real_audio_fixtures() -> tuple[list[tuple[str, bytes]], list[tuple]]:
+    """→ (raw (doc_id, content) rows, expected (doc_id, sample_rate,
+    channels, n_samples, sum_abs, peak, error) rows derived from the
+    source samples)."""
+    import struct as _st
+
+    raw: list[tuple[str, bytes]] = []
+    exp: list[tuple] = []
+
+    def add(doc_id: str, sr: int, chans: list[list[int]], bits: int) -> None:
+        raw.append((doc_id, _wav_pcm_bytes(sr, chans, bits)))
+        ch, nfr = len(chans), len(chans[0])
+        # the documented mono contract: floor-average across channels;
+        # 8-bit is unsigned and recenters to int16 as (s - 128) << 8
+        if bits == 16:
+            mono = [sum(c[f] for c in chans) // ch for f in range(nfr)]
+        else:
+            mono = [((sum(c[f] for c in chans) // ch) - 128) << 8
+                    for f in range(nfr)]
+        exp.append((doc_id, sr, ch, nfr, sum(abs(s) for s in mono),
+                    max((abs(s) for s in mono), default=0), None))
+
+    # 16-bit mono square wave
+    add("aud-000", 8000, [[12000 if (i // 8) % 2 == 0 else -12000
+                           for i in range(1600)]], 16)
+    # 16-bit stereo with negative odd sums: pins the floor (not trunc)
+    # semantics of the channel average (e.g. L=-3,R=2 → -1, not 0)
+    add("aud-001", 44100, [[(i % 101) - 53 for i in range(2000)],
+                           [((7 * i) % 89) - 41 for i in range(2000)]], 16)
+    # 8-bit mono ramp (unsigned → recentered)
+    add("aud-002", 11025, [[i % 256 for i in range(3000)]], 8)
+    # 8-bit 3-channel (floor-average then recenter)
+    add("aud-003", 16000, [[(i * 3) % 256 for i in range(900)],
+                           [(i * 5 + 17) % 256 for i in range(900)],
+                           [(i * 7 + 200) % 256 for i in range(900)]], 8)
+    # containment rows: exact error strings are part of the contract
+    float_fmt = _st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    raw.append(("aud-004", b"RIFF" + _st.pack("<I", 20 + len(float_fmt)) + b"WAVE"
+                + b"fmt " + _st.pack("<I", len(float_fmt)) + float_fmt
+                + b"data" + _st.pack("<I", 0)))
+    exp.append(("aud-004", None, None, None, None, None,
+                "wav: non-PCM format unsupported"))
+    raw.append(("aud-005", b"not audio at all"))
+    exp.append(("aud-005", None, None, None, None, None, "wav: bad magic"))
+    return raw, exp
+
+
+def _ensure_real_audio_parquet() -> None:
+    if os.path.exists(EXPECTED_REAL_AUDIO_PARQUET):
+        return
+    os.makedirs(_RES_DIR, exist_ok=True)
+    _raw, exp = _real_audio_fixtures()
+    cols = {k: [] for k in ("doc_id", "sample_rate", "channels", "n_samples",
+                            "sum_abs", "peak", "error")}
+    for row in exp:
+        for k, v in zip(cols, row):
+            cols[k].append(v)
+    pq.write_table(
+        pa.table(cols, schema=pa.schema([
+            ("doc_id", pa.string()), ("sample_rate", pa.int32()),
+            ("channels", pa.int32()), ("n_samples", pa.int32()),
+            ("sum_abs", pa.int64()), ("peak", pa.int32()),
+            ("error", pa.string()),
+        ])),
+        EXPECTED_REAL_AUDIO_PARQUET,
+    )
+
+
+def q_real_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoded to SAMPLES: RIFF/WAVE integer PCM through the
+    from-scratch kernel (kernels/media.decode_wav_samples) with exact
+    integer statistics — completes the real-codec triad alongside
+    real_pixel_stats (image) and real_video_frames (video)."""
+    from documentconvert_spark.ops.multimodal import real_audio_stats
+
+    _ensure_real_audio_parquet()
+    raw, _exp = _real_audio_fixtures()
+    audios = spark.createDataFrame(raw, "doc_id string, content binary")
+    return real_audio_stats(audios)
+
+
+SQL_REAL_AUDIO_STATS = f"""
+SELECT doc_id, sample_rate, channels, n_samples, sum_abs, peak, error
+FROM read_parquet('{EXPECTED_REAL_AUDIO_PARQUET}')
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
     "real_av_meta": (q_real_av_meta, SQL_REAL_AV_META),
     "real_video_frames": (q_real_video_frames, SQL_REAL_VIDEO_FRAMES),
+    "real_audio_stats": (q_real_audio_stats, SQL_REAL_AUDIO_STATS),
     "real_image_meta": (q_real_image_meta, SQL_REAL_IMAGE_META),
     "dedup_span_paragraphs": (q_dedup_span_paragraphs, SQL_DEDUP_SPAN_PARAGRAPHS),
     "real_docs_span_seq": (q_real_docs_span_seq, SQL_REAL_DOCS_SPAN_SEQ),

@@ -131,3 +131,29 @@ def test_real_video_frame_stats_spark(spark):
         ("v-ok", 0, 60, True),
         ("v-ok", 1, 60, True),
     ]
+
+
+def test_wav_stereo_floor_average():
+    # mono averaging floors toward -inf (Python //), pinned because the
+    # audio oracle derives expected sums with the same documented rule
+    from documentconvert_spark.kernels.media import decode_wav_samples
+    from documentconvert_spark.queries_extraction import _wav_pcm_bytes
+
+    wav = _wav_pcm_bytes(8000, [[-3, 5, -1], [2, -2, -2]], 16)
+    _, _, mono = decode_wav_samples(wav)
+    assert list(mono) == [-1, 1, -2]  # trunc would give 0, 1, -1
+
+
+def test_real_audio_stats_spark(spark):
+    from documentconvert_spark.ops.multimodal import real_audio_stats
+    from documentconvert_spark.queries_extraction import _wav_pcm_bytes
+
+    rows = [("a-ok", _wav_pcm_bytes(8000, [[100, -200, 300]], 16)),
+            ("a-bad", b"not a wave")]
+    audios = spark.createDataFrame(rows, "doc_id string, content binary")
+    out = real_audio_stats(audios).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.sample_rate, r.n_samples, r.sum_abs, r.peak,
+             r.error is None) for r in out] == [
+        ("a-bad", None, None, None, None, False),
+        ("a-ok", 8000, 3, 600, 300, True),
+    ]
