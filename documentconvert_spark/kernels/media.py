@@ -462,6 +462,110 @@ def _flac_meta(data: bytes):
     return "flac", None, None, dur_ms
 
 
+def _ebml_vint(data: bytes, i: int, keep_marker: bool) -> tuple[int, int]:
+    """EBML variable-length integer at data[i:] → (value, next offset).
+    Element IDs keep the length-marker bit (matroska convention); sizes
+    clear it. (-1, end) on malformed/truncated input."""
+    if i >= len(data) or data[i] == 0:
+        return -1, len(data)
+    first = data[i]
+    length = 8 - first.bit_length()  # leading zeros = extra bytes
+    if i + 1 + length > len(data):
+        return -1, len(data)
+    v = first if keep_marker else first & ((1 << (7 - length)) - 1)
+    for k in range(length):
+        v = (v << 8) | data[i + 1 + k]
+    return v, i + 1 + length
+
+
+def _webm_meta(data: bytes):
+    """EBML/Matroska (public spec RFC 8794 + matroska.org element IDs):
+    Segment→Info gives TimecodeScale (default 1,000,000 ns) and Duration
+    (float, in timecode units); Segment→Tracks→TrackEntry→Video gives
+    PixelWidth/PixelHeight."""
+    width = height = dur_ms = None
+    scale = 1_000_000
+    duration = None
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        nonlocal width, height, scale, duration
+        i = lo
+        while i < hi and depth < 6:
+            eid, j = _ebml_vint(data, i, keep_marker=True)
+            size, k = _ebml_vint(data, j, keep_marker=False)
+            if eid < 0 or size < 0 or k > hi:
+                return
+            end = min(k + size, hi)
+            if eid in (0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0):
+                walk(k, end, depth + 1)  # Segment/Info/Tracks/TrackEntry/Video
+            elif eid == 0x2AD7B1:  # TimecodeScale (uint, ns)
+                scale = int.from_bytes(data[k:end], "big") or scale
+            elif eid == 0x4489:  # Duration (float32/float64)
+                if end - k == 4:
+                    duration = struct.unpack(">f", data[k:end])[0]
+                elif end - k == 8:
+                    duration = struct.unpack(">d", data[k:end])[0]
+            elif eid == 0xB0:  # PixelWidth
+                width = int.from_bytes(data[k:end], "big") or None
+            elif eid == 0xBA:  # PixelHeight
+                height = int.from_bytes(data[k:end], "big") or None
+            i = end
+    walk(0, len(data), 0)
+    if duration is not None and duration >= 0:
+        dur_ms = int(duration * scale / 1_000_000_000 * 1000)
+    return "webm", width, height, dur_ms
+
+
+# MPEG-1 Layer III frame-header tables (ISO 11172-3): bitrate kbps by
+# index, sample rate Hz by index. V2/V2.5 halve the sample rate and use
+# a different bitrate table — handled via the version field.
+_MP3_BITRATE_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+_MP3_BITRATE_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+_MP3_RATES = (44100, 48000, 32000, 0)
+_MP3_MAX_FRAMES = 1 << 20
+
+
+def _mp3_meta(data: bytes):
+    """Walk MPEG audio frames (sync-word headers, ISO 11172-3 §2.4.1.3):
+    duration = frames × samples_per_frame / sample_rate. ID3v2 prefix
+    skipped via its syncsafe size; walk stops at the first non-frame
+    byte or the frame cap, reporting what was accumulated."""
+    i = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        ssz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        i = 10 + ssz
+    total_ms = 0.0
+    frames = 0
+    n = len(data)
+    while i + 4 <= n and frames < _MP3_MAX_FRAMES:
+        if data[i] != 0xFF or (data[i + 1] & 0xE0) != 0xE0:
+            break
+        ver = (data[i + 1] >> 3) & 0x3      # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (data[i + 1] >> 1) & 0x3    # 1=Layer III
+        if ver == 1 or layer != 1:
+            break
+        br_i = (data[i + 2] >> 4) & 0xF
+        sr_i = (data[i + 2] >> 2) & 0x3
+        padding = (data[i + 2] >> 1) & 0x1
+        sr = _MP3_RATES[sr_i]
+        if ver == 2:
+            sr //= 2
+        elif ver == 0:
+            sr //= 4
+        kbps = (_MP3_BITRATE_V1L3 if ver == 3 else _MP3_BITRATE_V2L3)[br_i]
+        if not sr or not kbps:
+            break
+        spf = 1152 if ver == 3 else 576  # samples per Layer-III frame
+        flen = spf // 8 * kbps * 1000 // sr + padding
+        if flen <= 4:
+            break
+        total_ms += spf * 1000.0 / sr
+        frames += 1
+        i += flen
+    return "mp3", None, None, (int(total_ms) if frames else None)
+
+
 def sniff_av_meta(data: bytes) -> tuple[str, int | None, int | None, int | None]:
     """(format, width, height, duration_ms) for audio/video containers;
     ('unknown', None, None, None) if not recognized."""
@@ -476,9 +580,9 @@ def sniff_av_meta(data: bytes) -> tuple[str, int | None, int | None, int | None]
     if data[:4] == b"OggS":
         return "ogg", None, None, None
     if data[:4] == b"\x1aE\xdf\xa3":  # EBML (webm/mkv)
-        return "webm", None, None, None
+        return _webm_meta(data)
     if data[:3] == b"ID3" or (len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0):
-        return "mp3", None, None, None
+        return _mp3_meta(data)
     return "unknown", None, None, None
 
 

@@ -712,6 +712,50 @@ def _real_av_fixtures() -> list[tuple]:
         out.append((f"av-{i:03d}", render_avi(w, h, grids, fps=fps, codec=codec),
                     "avi", w, h, (1_000_000 // fps) * n // 1000))
         i += 1
+
+    # EBML/Matroska (RFC 8794 vints; matroska.org element IDs): duration
+    # comes from Info{TimecodeScale, Duration}, dims from Tracks/Video
+    def _vsize(v: int) -> bytes:
+        for ln in range(1, 9):
+            if v < (1 << (7 * ln)) - 1:
+                b = bytearray(ln)
+                b[0] = (1 << (8 - ln)) | (v >> (8 * (ln - 1)))
+                for k in range(1, ln):
+                    b[k] = (v >> (8 * (ln - 1 - k))) & 0xFF
+                return bytes(b)
+        raise ValueError("vint too large")
+
+    def _el(eid: bytes, payload: bytes) -> bytes:
+        return eid + _vsize(len(payload)) + payload
+
+    def _uint(v: int) -> bytes:
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    def webm(w: int, h: int, dur_ms: int) -> bytes:
+        info = _el(b"\x15\x49\xa9\x66",
+                   _el(b"\x2a\xd7\xb1", _uint(1_000_000))
+                   + _el(b"\x44\x89", _st.pack(">d", float(dur_ms))))
+        video = _el(b"\xe0", _el(b"\xb0", _uint(w)) + _el(b"\xba", _uint(h)))
+        tracks = _el(b"\x16\x54\xae\x6b", _el(b"\xae", video))
+        return (_el(b"\x1a\x45\xdf\xa3", b"")
+                + _el(b"\x18\x53\x80\x67", info + tracks))
+
+    w, h, dur = rng.randrange(320, 3840), rng.randrange(240, 2160), rng.randrange(1000, 600000)
+    out.append((f"av-{i:03d}", webm(w, h, dur), "webm", w, h, dur)); i += 1
+
+    # MPEG-1 Layer III CBR frames (ISO 11172-3): 128 kbps @ 44100 Hz,
+    # frame length 417 bytes, 1152 samples/frame; optional ID3v2 prefix
+    def mp3(nframes: int, id3: bool = False) -> bytes:
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + rng.randbytes(144 * 128000 // 44100 - 4)
+        data = frame * nframes
+        if id3:
+            data = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 20]) + rng.randbytes(20) + data
+        return data
+
+    for nframes, id3 in ((120, False), (45, True)):
+        out.append((f"av-{i:03d}", mp3(nframes, id3), "mp3", None, None,
+                    int(nframes * 1152 * 1000.0 / 44100)))
+        i += 1
     return out
 
 

@@ -157,3 +157,34 @@ def test_real_audio_stats_spark(spark):
         ("a-bad", None, None, None, None, False),
         ("a-ok", 8000, 3, 600, 300, True),
     ]
+
+
+def test_webm_sniff_duration_and_dims():
+    from documentconvert_spark.queries_extraction import _real_av_fixtures
+
+    rows = {d: c for d, c, *_ in _real_av_fixtures()}
+    exp = {d: rest for d, _c, *rest in _real_av_fixtures()}
+    for did, (fmt, w, h, dur) in exp.items():
+        if fmt in ("webm", "mp3", "avi"):
+            assert sniff_av_meta(rows[did]) == (fmt, w, h, dur)
+
+
+def test_webm_malformed_contained():
+    # bare magic / truncated vints / zero-byte IDs: format only, no crash
+    for tail in (b"", bytes(4), b"\x18\x53\x80\x67\xff", b"\x00" * 12):
+        fmt, w, h, dur = sniff_av_meta(b"\x1aE\xdf\xa3" + tail)
+        assert fmt == "webm" and dur is None
+
+
+def test_mp3_sniff_walks_frames():
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(144 * 128000 // 44100 - 4)
+    assert sniff_av_meta(frame * 10) == ("mp3", None, None,
+                                         int(10 * 1152 * 1000.0 / 44100))
+    # free-format (bitrate index 0) and bad sample rate stop the walk
+    assert sniff_av_meta(bytes([0xFF, 0xFB, 0x00, 0x00]) + bytes(100)) == (
+        "mp3", None, None, None)
+    # MPEG-2 Layer III: 576 samples/frame at half rate
+    f2 = bytes([0xFF, 0xF3, 0x90, 0x00])  # ver=2, idx 9 = 80kbps @ 22050
+    flen = 576 // 8 * 80 * 1000 // 22050
+    assert sniff_av_meta((f2 + bytes(flen - 4)) * 5) == (
+        "mp3", None, None, int(5 * 576 * 1000.0 / 22050))
