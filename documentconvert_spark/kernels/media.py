@@ -511,8 +511,12 @@ def _webm_meta(data: bytes):
                 height = int.from_bytes(data[k:end], "big") or None
             i = end
     walk(0, len(data), 0)
-    if duration is not None and duration >= 0:
-        dur_ms = int(duration * scale / 1_000_000_000 * 1000)
+    # file-controlled float: inf/nan (or inf after the scale multiply)
+    # must sniff as no-duration, not raise OverflowError out of int()
+    if duration is not None:
+        ms = duration * scale / 1_000_000_000 * 1000
+        if 0 <= ms <= 2**62:
+            dur_ms = int(ms)
     return "webm", width, height, dur_ms
 
 
@@ -568,22 +572,30 @@ def _mp3_meta(data: bytes):
 
 def sniff_av_meta(data: bytes) -> tuple[str, int | None, int | None, int | None]:
     """(format, width, height, duration_ms) for audio/video containers;
-    ('unknown', None, None, None) if not recognized."""
+    ('unknown', None, None, None) if not recognized. Width/height/duration
+    are file-controlled integers: values outside int32 (a crafted avih or
+    mvhd can declare ~1.8e16 ms) are reported as None so a downstream
+    Arrow int32 cast can never blow up an entire batch on one bad row."""
     if len(data) >= 12 and data[4:8] == b"ftyp":
-        return _mp4_meta(data)
-    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        return _wav_meta(data)
-    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
-        return _avi_meta(data)
-    if data[:4] == b"fLaC":
-        return _flac_meta(data)
-    if data[:4] == b"OggS":
-        return "ogg", None, None, None
-    if data[:4] == b"\x1aE\xdf\xa3":  # EBML (webm/mkv)
-        return _webm_meta(data)
-    if data[:3] == b"ID3" or (len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0):
-        return _mp3_meta(data)
-    return "unknown", None, None, None
+        out = _mp4_meta(data)
+    elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        out = _wav_meta(data)
+    elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        out = _avi_meta(data)
+    elif data[:4] == b"fLaC":
+        out = _flac_meta(data)
+    elif data[:4] == b"OggS":
+        out = ("ogg", None, None, None)
+    elif data[:4] == b"\x1aE\xdf\xa3":  # EBML (webm/mkv)
+        out = _webm_meta(data)
+    elif data[:3] == b"ID3" or (len(data) >= 2 and data[0] == 0xFF
+                                and (data[1] & 0xE0) == 0xE0):
+        out = _mp3_meta(data)
+    else:
+        return "unknown", None, None, None
+    fmt, w, h, dur = out
+    clamp = (lambda v: v if v is not None and 0 <= v < 2**31 else None)
+    return fmt, clamp(w), clamp(h), clamp(dur)
 
 
 # ------------------------------------------------------------ OfficeArt BLIPs

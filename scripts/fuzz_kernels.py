@@ -144,6 +144,13 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         # feeds mutated frames into the baseline-JPEG decoder
         ("fmt_avi_mjpg", "video", _avi_seed("MJPG")),
         ("fmt_avi_dib", "video", _avi_seed("DIB ")),
+        # A/V metadata sniffing (kernels/media.sniff_av_meta) is a
+        # NO-RAISE contract — callers use it without per-row containment;
+        # mutants hit the EBML vint recursion, the MP3 frame walk, the
+        # MP4 box walk and the int32 overflow clamp
+        ("sniff_webm", "sniff", _webm_seed()),
+        ("sniff_mp3", "sniff", _mp3_seed()),
+        ("sniff_avi", "sniff", _avi_seed("DIB ")),
     ]
 
 
@@ -170,6 +177,18 @@ def _avi_seed(codec: str) -> bytes:
         for f in range(3)
     ]
     return render_avi(24, 16, grids, fps=10, codec=codec)
+
+
+def _webm_seed() -> bytes:
+    from documentconvert_spark.queries_extraction import _real_av_fixtures
+
+    return next(c for d, c, fmt, *_ in _real_av_fixtures() if fmt == "webm")
+
+
+def _mp3_seed() -> bytes:
+    from documentconvert_spark.queries_extraction import _real_av_fixtures
+
+    return next(c for d, c, fmt, *_ in _real_av_fixtures() if fmt == "mp3")
 
 
 _DIGIT_RUN = None  # compiled lazily (re import kept local to the workers)
@@ -315,9 +334,20 @@ def _run_chunk(seed_name: str, lo: int, hi: int) -> None:
         w, h, fps, frames = decode_avi_frames(data)
         return [Span("figure", f"{w}x{h}@{fps}:{len(frames)}", "", 0)]
 
+    def sniff_route(data: bytes) -> list:
+        # NO-RAISE contract: any exception here is a finding, and the
+        # result quadruple must stay int32-safe (callers cast downstream)
+        from documentconvert_spark.kernels.media import sniff_av_meta
+
+        fmt, w, h, dur = sniff_av_meta(data)
+        for v in (w, h, dur):
+            if v is not None and not 0 <= v < 2**31:
+                raise AssertionError(f"sniff leaked non-int32 value {v}")
+        return [Span("figure", f"{fmt}:{w}x{h}:{dur}", "", 0)]
+
     routes = {"pdf": extract_pdf_any, "office": extract_office_any,
               "image": extract_image_any, "raster": raster_route,
-              "video": video_route}
+              "video": video_route, "sniff": sniff_route}
     name, route, data = next(s for s in _seed_docs() if s[0] == seed_name)
     fn = routes[route]
     stats = {"ok": 0, "contained": 0, "timeout": 0, "memory": 0, "oversized": 0}
@@ -340,8 +370,12 @@ def _run_chunk(seed_name: str, lo: int, hi: int) -> None:
         except MemoryError:
             stats["memory"] += 1
             findings.append((idx, "MemoryError under 4 GiB rlimit", mutant))
-        except Exception:  # noqa: BLE001 — containment is the contract
-            stats["contained"] += 1
+        except Exception as exc:  # noqa: BLE001 — containment is the contract
+            if route == "sniff":  # …except for sniffing, which must not raise
+                stats["oversized"] += 1
+                findings.append((idx, f"sniff raised: {exc!r:.120}", mutant))
+            else:
+                stats["contained"] += 1
         finally:
             signal.setitimer(signal.ITIMER_REAL, 0)
     os.makedirs(OUT_DIR, exist_ok=True)

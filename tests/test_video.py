@@ -188,3 +188,26 @@ def test_mp3_sniff_walks_frames():
     flen = 576 // 8 * 80 * 1000 // 22050
     assert sniff_av_meta((f2 + bytes(flen - 4)) * 5) == (
         "mp3", None, None, int(5 * 576 * 1000.0 / 22050))
+
+
+def test_sniff_clamps_file_controlled_overflow():
+    import struct as _st
+
+    # webm Duration = inf: must sniff without raising, duration None
+    inf_dur = (b"\x1a\x45\xdf\xa3\x80"
+               + b"\x18\x53\x80\x67\x95"
+               + b"\x15\x49\xa9\x66\x92"
+               + b"\x2a\xd7\xb1\x84" + (1_000_000).to_bytes(4, "big")
+               + b"\x44\x89\x88" + _st.pack(">d", float("inf")))
+    assert sniff_av_meta(inf_dur) == ("webm", None, None, None)
+    nan_dur = inf_dur.replace(_st.pack(">d", float("inf")),
+                              _st.pack(">d", float("nan")))
+    assert sniff_av_meta(nan_dur) == ("webm", None, None, None)
+    # avi with usec×frames ≈ 1.8e16 ms: duration clamps to None (int32
+    # downstream casts must never die on one crafted row)
+    data = bytearray(render_avi(16, 8, _grids(16, 8, 1), fps=1))
+    i = data.find(b"avih") + 8
+    data[i:i + 4] = _st.pack("<I", 0xFFFFFFFF)       # dwMicroSecPerFrame
+    data[i + 16:i + 20] = _st.pack("<I", 0xFFFFFFFF)  # dwTotalFrames
+    fmt, w, h, dur = sniff_av_meta(bytes(data))
+    assert (fmt, w, h, dur) == ("avi", 16, 8, None)
