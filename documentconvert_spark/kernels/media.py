@@ -353,9 +353,19 @@ def decode_avi_frames(data: bytes, max_pixels: int | None = None
         elif cc == b"movi":
             if not width or not height:
                 raise ValueError("avi: movi before a usable avih header")
-            for c2, l2, h2 in _riff_chunks(data, lo, hi):
+            # interleaved AVIs group frame chunks inside 'LIST rec '
+            # sub-lists of movi — walk one level into those
+            def movi_chunks():
+                for c2, l2, h2 in _riff_chunks(data, lo, hi):
+                    if c2 == b"rec ":
+                        yield from _riff_chunks(data, l2, h2)
+                    else:
+                        yield c2, l2, h2
+            for c2, l2, h2 in movi_chunks():
                 if c2[2:4] not in (b"dc", b"db"):
-                    continue  # audio chunks / rec lists / padding
+                    continue  # audio chunks / padding
+                if h2 == l2:
+                    continue  # zero-size chunk: the standard dropped-frame marker
                 if len(frames) >= _MAX_AVI_FRAMES:
                     raise ValueError("avi: frame count over cap")
                 pixel_budget -= width * height
@@ -498,16 +508,18 @@ def _webm_meta(data: bytes):
             end = min(k + size, hi)
             if eid in (0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0):
                 walk(k, end, depth + 1)  # Segment/Info/Tracks/TrackEntry/Video
-            elif eid == 0x2AD7B1:  # TimecodeScale (uint, ns)
+            elif eid == 0x2AD7B1 and end - k <= 8:  # TimecodeScale (uint, ns)
+                # bodies past the 8-byte EBML uint max are malformed — an
+                # unbounded int here would overflow the float math below
                 scale = int.from_bytes(data[k:end], "big") or scale
             elif eid == 0x4489:  # Duration (float32/float64)
                 if end - k == 4:
                     duration = struct.unpack(">f", data[k:end])[0]
                 elif end - k == 8:
                     duration = struct.unpack(">d", data[k:end])[0]
-            elif eid == 0xB0:  # PixelWidth
+            elif eid == 0xB0 and end - k <= 8:  # PixelWidth
                 width = int.from_bytes(data[k:end], "big") or None
-            elif eid == 0xBA:  # PixelHeight
+            elif eid == 0xBA and end - k <= 8:  # PixelHeight
                 height = int.from_bytes(data[k:end], "big") or None
             i = end
     walk(0, len(data), 0)
@@ -539,6 +551,8 @@ def _mp3_meta(data: bytes):
         ssz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
             | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
         i = 10 + ssz
+        if data[5] & 0x10:  # ID3v2.4 footer flag: 10 more bytes after the body
+            i += 10
     total_ms = 0.0
     frames = 0
     n = len(data)

@@ -444,6 +444,8 @@ def real_audio_stats(audios: DataFrame) -> DataFrame:
     of real_pixel_stats / real_video_frames. Non-PCM or corrupt bytes
     become error rows (containment, C7). Arrow-batched mapInPandas,
     narrow: no shuffle, data-chunk size capped inside the kernel."""
+    import numpy as np
+
     from documentconvert_spark.kernels.media import decode_wav_samples
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -454,11 +456,15 @@ def real_audio_stats(audios: DataFrame) -> DataFrame:
                 rows["doc_id"].append(did)
                 try:
                     sr, ch, mono = decode_wav_samples(bytes(blob))
+                    # data chunks run up to 256 MiB: vectorize, and take
+                    # |x| in int64 (|int16 -32768| overflows int16)
+                    a = np.abs(np.frombuffer(mono, dtype=np.int16)
+                               .astype(np.int64))
                     rows["sample_rate"].append(sr)
                     rows["channels"].append(ch)
                     rows["n_samples"].append(len(mono))
-                    rows["sum_abs"].append(sum(abs(s) for s in mono))
-                    rows["peak"].append(max((abs(s) for s in mono), default=0))
+                    rows["sum_abs"].append(int(a.sum()) if len(a) else 0)
+                    rows["peak"].append(int(a.max()) if len(a) else 0)
                     rows["error"].append(None)
                 except Exception as exc:  # noqa: BLE001 — containment (C7)
                     for c in ("sample_rate", "channels", "n_samples",

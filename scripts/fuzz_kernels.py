@@ -350,7 +350,8 @@ def _run_chunk(seed_name: str, lo: int, hi: int) -> None:
               "video": video_route, "sniff": sniff_route}
     name, route, data = next(s for s in _seed_docs() if s[0] == seed_name)
     fn = routes[route]
-    stats = {"ok": 0, "contained": 0, "timeout": 0, "memory": 0, "oversized": 0}
+    stats = {"ok": 0, "contained": 0, "timeout": 0, "memory": 0, "oversized": 0,
+             "sniff_raise": 0}
     findings = []
     for idx in range(lo, hi):
         rng = random.Random(f"{name}:{idx}")
@@ -372,7 +373,7 @@ def _run_chunk(seed_name: str, lo: int, hi: int) -> None:
             findings.append((idx, "MemoryError under 4 GiB rlimit", mutant))
         except Exception as exc:  # noqa: BLE001 — containment is the contract
             if route == "sniff":  # …except for sniffing, which must not raise
-                stats["oversized"] += 1
+                stats["sniff_raise"] += 1
                 findings.append((idx, f"sniff raised: {exc!r:.120}", mutant))
             else:
                 stats["contained"] += 1
@@ -397,7 +398,8 @@ def main() -> None:
             for name, _route, _data in seeds for lo in range(0, n, chunk)]
     # a few chunks at a time; each is its own process so a hard (C-level)
     # hang is killed by the parent timeout and reported with its range
-    totals = {"ok": 0, "contained": 0, "timeout": 0, "memory": 0, "oversized": 0}
+    totals = {"ok": 0, "contained": 0, "timeout": 0, "memory": 0, "oversized": 0,
+              "sniff_raise": 0}
     bad: list[str] = []
     running: list[tuple[subprocess.Popen, str, int, int]] = []
     pending = list(jobs)
@@ -420,7 +422,7 @@ def main() -> None:
                 continue
             rec = json.loads(out.strip().splitlines()[-1])
             for k, v in rec["stats"].items():
-                totals[k] += v
+                totals[k] = totals.get(k, 0) + v
             for idx, kind in rec["findings"]:
                 bad.append(f"{name}:{idx} {kind}")
 

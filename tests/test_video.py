@@ -211,3 +211,64 @@ def test_sniff_clamps_file_controlled_overflow():
     data[i + 16:i + 20] = _st.pack("<I", 0xFFFFFFFF)  # dwTotalFrames
     fmt, w, h, dur = sniff_av_meta(bytes(data))
     assert (fmt, w, h, dur) == ("avi", 16, 8, None)
+
+
+def test_dropped_frame_marker_skipped():
+    # zero-size 00dc chunks are the standard dropped-frame marker: skip
+    # them, never fail the document
+    data = bytearray(render_avi(16, 8, _grids(16, 8, 2, dark_rows=3)))
+    movi_at = data.find(b"movi")
+    first = data.find(b"00dc", movi_at)
+    data[first:first] = b"00dc" + struct.pack("<I", 0)
+    # grow the movi LIST and RIFF sizes by the 8 inserted bytes
+    lsz = struct.unpack("<I", data[movi_at - 4:movi_at])[0]
+    data[movi_at - 4:movi_at] = struct.pack("<I", lsz + 8)
+    rsz = struct.unpack("<I", data[4:8])[0]
+    data[4:8] = struct.pack("<I", rsz + 8)
+    w, h, _fps, frames = decode_avi_frames(bytes(data))
+    assert (w, h, len(frames)) == (16, 8, 2)
+
+
+def test_rec_list_interleaved_frames_decoded():
+    # interleaved AVIs wrap frame chunks in 'LIST rec ' sub-lists of movi
+    base = render_avi(16, 8, _grids(16, 8, 2, dark_rows=2), codec="DIB ")
+    i = base.find(b"LIST")  # hdrl
+    sz = struct.unpack("<I", base[i + 4:i + 8])[0]
+    hdrl = base[i:i + 8 + sz]
+    movi_at = base.find(b"movi")
+    f1 = base.find(b"00db", movi_at)
+    fsz = struct.unpack("<I", base[f1 + 4:f1 + 8])[0]
+    frame = base[f1:f1 + 8 + fsz + (fsz & 1)]
+    rec = b"LIST" + struct.pack("<I", 4 + len(frame)) + b"rec " + frame
+    movi_body = b"movi" + rec + rec + rec
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    w, h, _fps, frames = decode_avi_frames(avi)
+    assert (w, h, len(frames)) == (16, 8, 3)
+    assert sum(1 for r in frames[0] for v in r if v < 128) == 32  # 2 rows
+
+
+def test_webm_oversized_timecodescale_contained():
+    import struct as _st
+
+    # a TimecodeScale body longer than the 8-byte EBML uint max made
+    # duration*scale raise OverflowError (int too large for float); the
+    # malformed scale is now ignored and the default (1 ms units) applies
+    def vsize2(n):
+        return bytes([0x40 | (n >> 8), n & 0xFF])
+
+    ts = b"\x2a\xd7\xb1" + vsize2(200) + bytes(200)
+    dur = b"\x44\x89\x88" + _st.pack(">d", 1000.0)
+    info_body = ts + dur
+    info = b"\x15\x49\xa9\x66" + vsize2(len(info_body)) + info_body
+    seg = b"\x18\x53\x80\x67" + vsize2(len(info)) + info
+    data = b"\x1a\x45\xdf\xa3\x80" + seg
+    assert sniff_av_meta(data) == ("webm", None, None, 1000)
+
+
+def test_mp3_id3v24_footer_skipped():
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(144 * 128000 // 44100 - 4)
+    tag = b"ID3" + bytes([4, 0, 0x10]) + bytes([0, 0, 0, 20]) + bytes(20 + 10)
+    assert sniff_av_meta(tag + frame * 8) == (
+        "mp3", None, None, int(8 * 1152 * 1000.0 / 44100))
