@@ -1048,10 +1048,168 @@ FROM read_parquet('{EXPECTED_REAL_AUDIO_PARQUET}')
 """
 
 
+# ------------------------------------------------------------ video frame dedup
+# Near-duplicate VIDEO detection by frame signatures — the multimodal
+# member of the dedup family. Scale shape: frames are decoded where the
+# bytes are scanned (narrow mapInPandas), and only the ~20-byte per-frame
+# signatures shuffle into the pairwise self-join; the video content never
+# leaves its scan partition. The oracle computes the same integer-only
+# Jaccard in SQL over a golden signature table derived from the SOURCE
+# grids (bilevel frames → exact dark counts survive the MJPG ±2 bound),
+# so the driver check validates decode AND dedup end-to-end.
+
+EXPECTED_VIDEO_SIGS_PARQUET = os.path.join(_RES_DIR, "expected_video_sigs.parquet")
+
+_VDUP_NUM, _VDUP_DEN = 3, 5  # report pairs with Jaccard >= 3/5
+
+
+def _video_corpus() -> tuple[list[tuple[str, bytes]], list[tuple]]:
+    """Deterministic AVI corpus with planted duplicates:
+    12 distinct scenes; each scene renders as an MJPG original plus, for
+    some scenes, a DIB re-encode (exact frame dup across codecs), a
+    one-frame-dropped cut and a one-frame-appended extension (near dups),
+    plus singletons. → (raw rows, golden (doc_id, frame_idx, width,
+    height, n_dark) rows from the source grids)."""
+    import random
+
+    from documentconvert_spark.corpus import render_avi
+
+    rng = random.Random("video-dedup:7")
+    raw: list[tuple[str, bytes]] = []
+    sigs: list[tuple] = []
+
+    def scene(w: int, h: int, n: int) -> list:
+        """n bilevel frames: a random-walk box whose size also varies per
+        frame, so a scene's dark-count sequence is distinctive — a
+        constant-size box would give every frame the same signature and
+        unrelated scenes would collide."""
+        out = []
+        x, y = rng.randrange(w // 2), rng.randrange(h // 2)
+        for _ in range(n):
+            g = [bytearray([255] * w) for _ in range(h)]
+            bw, bh = rng.randrange(3, 12), rng.randrange(3, 10)
+            x = max(0, min(w - bw, x + rng.randrange(-3, 4)))
+            y = max(0, min(h - bh, y + rng.randrange(-3, 4)))
+            for yy in range(y, y + bh):
+                for xx in range(x, x + bw):
+                    g[yy][xx] = 0
+            out.append(g)
+        return out
+
+    def add(doc_id: str, w: int, h: int, grids: list, codec: str) -> None:
+        raw.append((doc_id, render_avi(w, h, grids, fps=10, codec=codec)))
+        for i, g in enumerate(grids):
+            sigs.append((doc_id, i, w, h,
+                         sum(1 for row in g for v in row if v < 128)))
+
+    vid = 0
+    for s in range(12):
+        w, h = rng.choice(((32, 24), (40, 16), (24, 24)))
+        grids = scene(w, h, rng.randrange(5, 9))
+        add(f"vd-{vid:03d}", w, h, grids, "MJPG"); vid += 1
+        if s % 3 == 0:  # exact dup via codec re-encode
+            add(f"vd-{vid:03d}", w, h, grids, "DIB "); vid += 1
+        if s % 4 == 0:  # near dup: first frame cut
+            add(f"vd-{vid:03d}", w, h, grids[1:], "MJPG"); vid += 1
+        if s % 5 == 0:  # near dup: one frame appended
+            add(f"vd-{vid:03d}", w, h, grids + scene(w, h, 1), "MJPG"); vid += 1
+    return raw, sigs
+
+
+def _ensure_video_sigs_parquet() -> None:
+    if os.path.exists(EXPECTED_VIDEO_SIGS_PARQUET):
+        return
+    os.makedirs(_RES_DIR, exist_ok=True)
+    _raw, sigs = _video_corpus()
+    cols = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "n_dark")}
+    for row in sigs:
+        for k, v in zip(cols, row):
+            cols[k].append(v)
+    pq.write_table(
+        pa.table(cols, schema=pa.schema([
+            ("doc_id", pa.string()), ("frame_idx", pa.int32()),
+            ("width", pa.int32()), ("height", pa.int32()),
+            ("n_dark", pa.int32()),
+        ])),
+        EXPECTED_VIDEO_SIGS_PARQUET,
+    )
+
+
+def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs by frame-signature Jaccard ≥ 3/5: decode
+    real AVIs to frames, signature each frame (width x height : exact
+    dark count — multiset semantics via an occurrence index so repeated
+    identical frames match one-to-one), self-join on signature, and keep
+    pairs by integer cross-multiplication (no float in the hash). The
+    dedup family's multimodal member; engine surface beyond parity."""
+    from pyspark.sql.window import Window
+
+    from documentconvert_spark.ops.multimodal import real_video_frame_stats
+
+    _ensure_video_sigs_parquet()
+    raw, _sigs = _video_corpus()
+    videos = spark.createDataFrame(raw, "doc_id string, content binary")
+    frames = real_video_frame_stats(videos).filter(F.col("error").isNull())
+    sig = frames.select(
+        "doc_id",
+        F.concat_ws(":", "width", "height", "n_dark").alias("sig"),
+        "frame_idx",
+    ).withColumn(
+        "occ",
+        F.row_number().over(
+            Window.partitionBy("doc_id", "sig").orderBy("frame_idx")),
+    )
+    counts = sig.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b2 = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(b2, (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.occ") == F.col("b.occ"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("matches"))
+        .join(counts.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n", "n_a"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b")
+                    .withColumnRenamed("n", "n_b"), "doc_b")
+        .filter(F.col("matches") * _VDUP_DEN
+                >= (F.col("n_a") + F.col("n_b") - F.col("matches")) * _VDUP_NUM)
+    )
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.col("matches").cast("long").alias("matches"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
+SQL_DEDUP_VIDEO_FRAMES = f"""
+WITH s AS (
+  SELECT doc_id,
+         width || ':' || height || ':' || n_dark AS sig,
+         row_number() OVER (PARTITION BY doc_id,
+                            width || ':' || height || ':' || n_dark
+                            ORDER BY frame_idx) AS occ
+  FROM read_parquet('{EXPECTED_VIDEO_SIGS_PARQUET}')
+), c AS (
+  SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id
+), m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matches
+  FROM s a JOIN s b ON a.sig = b.sig AND a.occ = b.occ
+                    AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT m.doc_a, m.doc_b, m.matches, ca.n AS n_a, cb.n AS n_b
+FROM m JOIN c ca ON ca.doc_id = m.doc_a JOIN c cb ON cb.doc_id = m.doc_b
+WHERE m.matches * {_VDUP_DEN} >= (ca.n + cb.n - m.matches) * {_VDUP_NUM}
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
     "real_av_meta": (q_real_av_meta, SQL_REAL_AV_META),
     "real_video_frames": (q_real_video_frames, SQL_REAL_VIDEO_FRAMES),
     "real_audio_stats": (q_real_audio_stats, SQL_REAL_AUDIO_STATS),
+    "dedup_video_frames": (q_dedup_video_frames, SQL_DEDUP_VIDEO_FRAMES),
     "real_image_meta": (q_real_image_meta, SQL_REAL_IMAGE_META),
     "dedup_span_paragraphs": (q_dedup_span_paragraphs, SQL_DEDUP_SPAN_PARAGRAPHS),
     "real_docs_span_seq": (q_real_docs_span_seq, SQL_REAL_DOCS_SPAN_SEQ),

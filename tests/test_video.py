@@ -272,3 +272,28 @@ def test_mp3_id3v24_footer_skipped():
     tag = b"ID3" + bytes([4, 0, 0x10]) + bytes([0, 0, 0, 20]) + bytes(20 + 10)
     assert sniff_av_meta(tag + frame * 8) == (
         "mp3", None, None, int(8 * 1152 * 1000.0 / 44100))
+
+
+def test_dedup_video_frames_finds_planted_dups(spark):
+    from documentconvert_spark.queries_extraction import q_dedup_video_frames
+
+    rows = {(r.doc_a, r.doc_b): (r.matches, r.n_a, r.n_b)
+            for r in q_dedup_video_frames(spark, "").collect()}
+    # scene 0 renders 4 ways (MJPG, DIB re-encode, cut, extension): the
+    # codec pair matches frame-for-frame across the lossy/lossless split
+    assert rows[("vd-000", "vd-001")][0] == rows[("vd-000", "vd-001")][1]
+    # the cut is the original minus its first frame
+    m, n_a, n_b = rows[("vd-000", "vd-002")]
+    assert (m, n_b) == (n_a - 1, n_a - 1)
+    # no unrelated-scene pair sneaks in: every reported pair shares a scene
+    scene_of = {}
+    import random
+
+    rng = random.Random("video-dedup:7")  # replay the corpus id layout
+    vid = 0
+    for s in range(12):
+        n = 1 + (s % 3 == 0) + (s % 4 == 0) + (s % 5 == 0)
+        for _ in range(n):
+            scene_of[f"vd-{vid:03d}"] = s
+            vid += 1
+    assert all(scene_of[a] == scene_of[b] for a, b in rows)
