@@ -584,6 +584,31 @@ def _mp3_meta(data: bytes):
     return "mp3", None, None, (int(total_ms) if frames else None)
 
 
+def _ogg_meta(data: bytes):
+    """Ogg (RFC 3533): duration = last page's granule position ÷ the
+    stream's sample rate. The rate comes from the first page's BOS
+    packet: Vorbis identification header (rate at packet offset 12,
+    Vorbis I spec §4.2.2) or OpusHead (granules are fixed 48 kHz,
+    RFC 7845 §5.1). Unknown codecs report format-only."""
+    rate = None
+    # first page: header is 27 bytes + seg table; first packet follows
+    if len(data) >= 28 and data[:4] == b"OggS":
+        nseg = data[26]
+        p = 27 + nseg
+        if data[p:p + 7] == b"\x01vorbis" and p + 16 <= len(data):
+            rate = int.from_bytes(data[p + 12:p + 16], "little") or None
+        elif data[p:p + 8] == b"OpusHead":
+            rate = 48000
+    gran = None
+    last = data.rfind(b"OggS")
+    if last >= 0 and last + 14 <= len(data):
+        g = int.from_bytes(data[last + 6:last + 14], "little", signed=True)
+        if g > 0:
+            gran = g
+    dur_ms = int(gran * 1000 // rate) if (rate and gran) else None
+    return "ogg", None, None, dur_ms
+
+
 def sniff_av_meta(data: bytes) -> tuple[str, int | None, int | None, int | None]:
     """(format, width, height, duration_ms) for audio/video containers;
     ('unknown', None, None, None) if not recognized. Width/height/duration
@@ -599,7 +624,7 @@ def sniff_av_meta(data: bytes) -> tuple[str, int | None, int | None, int | None]
     elif data[:4] == b"fLaC":
         out = _flac_meta(data)
     elif data[:4] == b"OggS":
-        out = ("ogg", None, None, None)
+        out = _ogg_meta(data)
     elif data[:4] == b"\x1aE\xdf\xa3":  # EBML (webm/mkv)
         out = _webm_meta(data)
     elif data[:3] == b"ID3" or (len(data) >= 2 and data[0] == 0xFF

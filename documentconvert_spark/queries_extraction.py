@@ -756,6 +756,25 @@ def _real_av_fixtures() -> list[tuple]:
         out.append((f"av-{i:03d}", mp3(nframes, id3), "mp3", None, None,
                     int(nframes * 1152 * 1000.0 / 44100)))
         i += 1
+
+    # Ogg/Vorbis (RFC 3533 pages + Vorbis I id header): duration is the
+    # last page's granule position over the id header's sample rate
+    def ogg_page(granule: int, seq: int, payload: bytes, typ: int = 0) -> bytes:
+        return (b"OggS" + bytes([0, typ]) + _st.pack("<q", granule)
+                + _st.pack("<II", 0xBEEF, seq) + b"\x00" * 4
+                + bytes([1, len(payload)]) + payload)
+
+    def ogg_vorbis(rate: int, total_samples: int) -> bytes:
+        ident = (b"\x01vorbis" + _st.pack("<IB", 0, 2)
+                 + _st.pack("<I", rate) + _st.pack("<iii", 0, 128000, 0)
+                 + b"\xb8\x01")
+        return (ogg_page(0, 0, ident, typ=2)
+                + ogg_page(total_samples // 2, 1, rng.randbytes(64))
+                + ogg_page(total_samples, 2, rng.randbytes(64), typ=4))
+
+    rate, total = 48000, 48000 * 37 + 1200
+    out.append((f"av-{i:03d}", ogg_vorbis(rate, total), "ogg", None, None,
+                total * 1000 // rate))
     return out
 
 

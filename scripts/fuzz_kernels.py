@@ -151,6 +151,7 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         ("sniff_webm", "sniff", _webm_seed()),
         ("sniff_mp3", "sniff", _mp3_seed()),
         ("sniff_avi", "sniff", _avi_seed("DIB ")),
+        ("sniff_ogg", "sniff", _ogg_seed()),
     ]
 
 
@@ -189,6 +190,14 @@ def _mp3_seed() -> bytes:
     from documentconvert_spark.queries_extraction import _real_av_fixtures
 
     return next(c for d, c, fmt, *_ in _real_av_fixtures() if fmt == "mp3")
+
+
+def _ogg_seed() -> bytes:
+    from documentconvert_spark.queries_extraction import _real_av_fixtures
+
+    # the Vorbis fixture (the bare-magic ogg row has no duration path)
+    return next(c for d, c, fmt, *_ in _real_av_fixtures()
+                if fmt == "ogg" and len(c) > 60)
 
 
 _DIGIT_RUN = None  # compiled lazily (re import kept local to the workers)

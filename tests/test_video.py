@@ -297,3 +297,24 @@ def test_dedup_video_frames_finds_planted_dups(spark):
             scene_of[f"vd-{vid:03d}"] = s
             vid += 1
     assert all(scene_of[a] == scene_of[b] for a, b in rows)
+
+
+def test_ogg_sniff_vorbis_and_opus():
+    import struct as _st
+
+    def page(granule, seq, payload, typ=0):
+        return (b"OggS" + bytes([0, typ]) + _st.pack("<q", granule)
+                + _st.pack("<II", 7, seq) + b"\x00" * 4
+                + bytes([1, len(payload)]) + payload)
+
+    ident = (b"\x01vorbis" + _st.pack("<IB", 0, 2) + _st.pack("<I", 44100)
+             + _st.pack("<iii", 0, 128000, 0) + b"\xb8\x01")
+    ogg = page(0, 0, ident, typ=2) + page(44100 * 5, 1, bytes(8), typ=4)
+    assert sniff_av_meta(ogg) == ("ogg", None, None, 5000)
+    # Opus granules are fixed 48 kHz regardless of the input rate
+    opus = page(0, 0, b"OpusHead" + bytes(11), typ=2) + page(96000, 1, bytes(4), typ=4)
+    assert sniff_av_meta(opus) == ("ogg", None, None, 2000)
+    # unknown codec or granule -1 (no complete packet): format only
+    assert sniff_av_meta(page(-1, 0, b"\x7fFLAC" + bytes(4), typ=2)) == (
+        "ogg", None, None, None)
+    assert sniff_av_meta(b"OggS" + bytes(10)) == ("ogg", None, None, None)
