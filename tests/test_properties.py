@@ -149,3 +149,29 @@ def test_session_fold_split_invariance(events, rng):
         acc = _merge_sessions(acc + _rows_to_sessions(_pdf(b), _GAP_NS, 0), _GAP_NS)
 
     assert acc == ref, f"split fold diverged:\n{acc}\nvs\n{ref}"
+
+
+@given(
+    st.integers(min_value=1, max_value=40),   # width
+    st.integers(min_value=1, max_value=24),   # height
+    st.integers(min_value=1, max_value=4),    # frames
+    st.integers(min_value=1, max_value=60),   # fps
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_roundtrip_property(w, h, n, fps, rnd):
+    """render_avi ↔ decode_avi_frames over ARBITRARY gray rasters:
+    DIB is byte-exact (the ITU-R 601 weights sum to 1000, so r=g=b=v
+    round-trips to v), MJPG within the ±2 near-lossless bound."""
+    from documentconvert_spark.corpus import render_avi
+    from documentconvert_spark.kernels.media import decode_avi_frames
+
+    grids = [[bytearray(rnd.randrange(256) for _ in range(w))
+              for _ in range(h)] for _ in range(n)]
+    dw, dh, dfps, dib = decode_avi_frames(render_avi(w, h, grids, fps=fps, codec="DIB "))
+    assert (dw, dh, dfps, len(dib)) == (w, h, float(fps), n)
+    assert all(bytes(a) == bytes(b) for src, out in zip(grids, dib)
+               for a, b in zip(src, out))
+    _, _, _, mj = decode_avi_frames(render_avi(w, h, grids, fps=fps, codec="MJPG"))
+    assert all(abs(x - y) <= 2 for src, out in zip(grids, mj)
+               for a, b in zip(src, out) for x, y in zip(a, b))
