@@ -626,3 +626,158 @@ def render_avi(w: int, h: int, grids: list, fps: int = 10,
     movi = chunk(b"LIST", movi_body)
     riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
     return b"RIFF" + _st.pack("<I", len(riff_body)) + riff_body
+
+
+# -- FLAC audio fixtures (generator side of the audio-decode split) ----------
+# The engine decodes RIFF/WAVE PCM and (kernels/miniflac.py) real FLAC
+# streams; this writer produces genuine FLAC files from the public spec
+# so the decoder is exercised through an independent parse path. FLAC is
+# lossless: whatever samples go in here come out of the decoder exactly,
+# which is what makes the audio oracle derivable from source samples.
+
+class _FlacBits:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, v: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (v & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.w(0, 8 - self.n)
+
+    def data(self) -> bytes:
+        return bytes(self.buf)
+
+
+def _flac_rice(bw: "_FlacBits", residuals: list[int]) -> None:
+    """Method-0 rice coding, single partition, parameter sized so unary
+    quotients stay short (≤64)."""
+    zig = [(v << 1) ^ (v >> 63) for v in residuals]
+    p = min(14, max(0, (max(zig, default=0)).bit_length() - 6))
+    bw.w(0, 2)   # coding method 0 (4-bit params)
+    bw.w(0, 4)   # partition order 0
+    bw.w(p, 4)
+    for u in zig:
+        q = u >> p
+        bw.w(0, q)
+        bw.w(1, 1)
+        if p:
+            bw.w(u & ((1 << p) - 1), p)
+
+
+def encode_flac(sr: int, chans: list[list[int]], blocksize: int = 256,
+                mode: str = "fixed1") -> bytes:
+    """Per-channel int16 samples → a complete FLAC stream.
+
+    ``mode`` picks the subframe strategy: ``verbatim``, ``fixed1`` /
+    ``fixed2`` (FIXED predictors + rice residuals), ``lpc`` (order-1
+    LPC with coefficient 1, shift 0 — the spec-general path carrying
+    fixed-1 semantics), or a stereo decorrelation: ``leftside``,
+    ``rightside``, ``midside`` (side channel at 17 bits, subframes as
+    fixed1). Constant runs always encode as CONSTANT.
+    All frames use a 16-bit blocksize-1 header code, streaminfo-coded
+    sample rate and explicit 16-bit sample size."""
+    from documentconvert_spark.kernels.miniflac import crc8, crc16
+
+    ch = len(chans)
+    total = len(chans[0])
+    bw = _FlacBits()  # STREAMINFO body
+    bw.w(blocksize, 16)
+    bw.w(blocksize, 16)
+    bw.w(0, 24)
+    bw.w(0, 24)
+    bw.w(sr, 20)
+    bw.w(ch - 1, 3)
+    bw.w(15, 5)  # bps-1 = 16-bit
+    bw.w(total, 36)
+    streaminfo = bw.data() + bytes(16)  # md5 unset (optional per spec)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    def subframe(bw: "_FlacBits", s: list[int], bps: int) -> None:
+        # stereo decorrelations are CHANNEL strategies; their subframes
+        # encode as fixed1
+        strat = "fixed1" if mode in ("leftside", "rightside", "midside") else mode
+        if all(v == s[0] for v in s):
+            bw.w(0, 1); bw.w(0, 6); bw.w(0, 1)
+            bw.w(s[0], bps)
+            return
+        if strat == "verbatim":
+            bw.w(0, 1); bw.w(1, 6); bw.w(0, 1)
+            for v in s:
+                bw.w(v, bps)
+        elif strat in ("fixed1", "fixed2"):
+            order = 1 if strat == "fixed1" else 2
+            bw.w(0, 1); bw.w(8 + order, 6); bw.w(0, 1)
+            for v in s[:order]:
+                bw.w(v, bps)
+            if order == 1:
+                res = [s[i] - s[i - 1] for i in range(1, len(s))]
+            else:
+                res = [s[i] - 2 * s[i - 1] + s[i - 2] for i in range(2, len(s))]
+            _flac_rice(bw, res)
+        elif strat == "lpc":
+            bw.w(0, 1); bw.w(32, 6); bw.w(0, 1)  # LPC order 1
+            bw.w(s[0], bps)
+            bw.w(14, 4)  # precision-1 = 15 bits
+            bw.w(0, 5)   # shift 0
+            bw.w(1, 15)  # coefficient [1] → prediction = previous sample
+            _flac_rice(bw, [s[i] - s[i - 1] for i in range(1, len(s))])
+        else:
+            raise ValueError(f"encode_flac: unknown mode {strat!r}")
+
+    fno = 0
+    for lo in range(0, total, blocksize):
+        block = [c[lo:lo + blocksize] for c in chans]
+        bs = len(block[0])
+        bw = _FlacBits()
+        bw.w(0x3FFE, 14)
+        bw.w(0, 1)
+        bw.w(0, 1)   # fixed blocksize stream: coded number = frame number
+        bw.w(7, 4)   # blocksize: 16-bit value-1 follows
+        bw.w(0, 4)   # sample rate: from STREAMINFO
+        _STEREO_CA = {"leftside": 8, "rightside": 9, "midside": 10}
+        ca = _STEREO_CA.get(mode, ch - 1) if ch == 2 else ch - 1
+        bw.w(ca, 4)
+        bw.w(4, 3)   # sample size: 16-bit
+        bw.w(0, 1)
+        if fno < 0x80:
+            bw.w(fno, 8)
+        else:  # 2-byte UTF-8-style coded number
+            bw.w(0xC0 | (fno >> 6), 8)
+            bw.w(0x80 | (fno & 0x3F), 8)
+        bw.w(bs - 1, 16)
+        header = bw.data()
+        bw = _FlacBits()
+        bw.buf = bytearray(header)
+        bw.w(crc8(header), 8)
+        if ca == 8:  # left/side: side = left - right at 17 bits
+            subframe(bw, block[0], 16)
+            side = [l - r for l, r in zip(block[0], block[1])]
+            subframe(bw, side, 17)
+        elif ca == 9:  # right/side: side first, then right
+            side = [l - r for l, r in zip(block[0], block[1])]
+            subframe(bw, side, 17)
+            subframe(bw, block[1], 16)
+        elif ca == 10:  # mid/side: mid = (l+r)>>1 keeps the dropped low
+            # bit inside side (decoder restores it from side & 1)
+            side = [l - r for l, r in zip(block[0], block[1])]
+            mid = [(l + r) >> 1 for l, r in zip(block[0], block[1])]
+            subframe(bw, mid, 16)
+            subframe(bw, side, 17)
+        else:
+            for c in range(ch):
+                subframe(bw, block[c], 16)
+        bw.align()
+        frame = bw.data()
+        out += frame + crc16(frame).to_bytes(2, "big")
+        fno += 1
+    return bytes(out)

@@ -118,7 +118,8 @@ def _codec_decode(media_type: str, content: bytes):
     * image → ("image", (width, height, gray_rows)) via the raster layer
       (PNG/JPEG/GIF/BMP decoders, kernels/raster.py)
     * audio → ("audio", (sample_rate, channels, mono_int16)) for RIFF/WAVE
-      integer PCM (kernels/media.decode_wav_samples)
+      integer PCM (kernels/media.decode_wav_samples) and real FLAC
+      streams (kernels/miniflac.decode_flac_samples)
     * video → ("video", (width, height, fps, frames)) for RIFF/AVI with
       MJPG (baseline JPEG) or uncompressed BI_RGB DIB frames
       (kernels/media.decode_avi_frames); modern inter-frame codecs
@@ -133,6 +134,10 @@ def _codec_decode(media_type: str, content: bytes):
         _fmt, w, h, rows = decode_raster_gray(content)
         return "image", (w, h, rows)
     if media_type == "audio":
+        if content[:4] == b"fLaC":
+            from documentconvert_spark.kernels.miniflac import decode_flac_samples
+
+            return "audio", decode_flac_samples(content)
         from documentconvert_spark.kernels.media import decode_wav_samples
 
         return "audio", decode_wav_samples(content)
@@ -436,17 +441,20 @@ AUDIO_STATS_SCHEMA = T.StructType(
 
 
 def real_audio_stats(audios: DataFrame) -> DataFrame:
-    """Decode REAL audio bytes to SAMPLES (from-scratch RIFF/WAVE integer
-    PCM — kernels/media.decode_wav_samples, channels floor-averaged to
-    mono int16) and emit per-document sample statistics. PCM is lossless,
-    so `sum_abs` and `peak` are EXACT integers an oracle can derive from
-    the source samples without touching the decoder — the audio analogue
-    of real_pixel_stats / real_video_frames. Non-PCM or corrupt bytes
-    become error rows (containment, C7). Arrow-batched mapInPandas,
-    narrow: no shuffle, data-chunk size capped inside the kernel."""
+    """Decode REAL audio bytes to SAMPLES — RIFF/WAVE integer PCM
+    (kernels/media.decode_wav_samples) or FLAC streams
+    (kernels/miniflac.decode_flac_samples), both from scratch, channels
+    floor-averaged to mono int16 — and emit per-document sample
+    statistics. Both codecs are lossless, so `sum_abs` and `peak` are
+    EXACT integers an oracle can derive from the source samples without
+    touching the decoders — the audio analogue of real_pixel_stats /
+    real_video_frames. Unsupported or corrupt bytes become error rows
+    (containment, C7). Arrow-batched mapInPandas, narrow: no shuffle,
+    decoded size capped inside the kernels."""
     import numpy as np
 
     from documentconvert_spark.kernels.media import decode_wav_samples
+    from documentconvert_spark.kernels.miniflac import decode_flac_samples
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -455,7 +463,10 @@ def real_audio_stats(audios: DataFrame) -> DataFrame:
             for did, blob in zip(b["doc_id"], b["content"]):
                 rows["doc_id"].append(did)
                 try:
-                    sr, ch, mono = decode_wav_samples(bytes(blob))
+                    raw = bytes(blob)
+                    decode = (decode_flac_samples if raw[:4] == b"fLaC"
+                              else decode_wav_samples)
+                    sr, ch, mono = decode(raw)
                     # data chunks run up to 256 MiB: vectorize, and take
                     # |x| in int64 (|int16 -32768| overflows int16)
                     a = np.abs(np.frombuffer(mono, dtype=np.int16)

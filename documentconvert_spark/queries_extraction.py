@@ -989,8 +989,7 @@ def _real_audio_fixtures() -> tuple[list[tuple[str, bytes]], list[tuple]]:
     raw: list[tuple[str, bytes]] = []
     exp: list[tuple] = []
 
-    def add(doc_id: str, sr: int, chans: list[list[int]], bits: int) -> None:
-        raw.append((doc_id, _wav_pcm_bytes(sr, chans, bits)))
+    def expect(doc_id: str, sr: int, chans: list[list[int]], bits: int) -> None:
         ch, nfr = len(chans), len(chans[0])
         # the documented mono contract: floor-average across channels;
         # 8-bit is unsigned and recenters to int16 as (s - 128) << 8
@@ -1001,6 +1000,10 @@ def _real_audio_fixtures() -> tuple[list[tuple[str, bytes]], list[tuple]]:
                     for f in range(nfr)]
         exp.append((doc_id, sr, ch, nfr, sum(abs(s) for s in mono),
                     max((abs(s) for s in mono), default=0), None))
+
+    def add(doc_id: str, sr: int, chans: list[list[int]], bits: int) -> None:
+        raw.append((doc_id, _wav_pcm_bytes(sr, chans, bits)))
+        expect(doc_id, sr, chans, bits)
 
     # 16-bit mono square wave
     add("aud-000", 8000, [[12000 if (i // 8) % 2 == 0 else -12000
@@ -1024,6 +1027,29 @@ def _real_audio_fixtures() -> tuple[list[tuple[str, bytes]], list[tuple]]:
                 "wav: non-PCM format unsupported"))
     raw.append(("aud-005", b"not audio at all"))
     exp.append(("aud-005", None, None, None, None, None, "wav: bad magic"))
+
+    # REAL FLAC streams (kernels/miniflac decodes; corpus.encode_flac
+    # writes): lossless, so the same source-sample derivation holds
+    import random
+
+    from documentconvert_spark.corpus import encode_flac
+
+    rng = random.Random("real-audio-flac:3")
+    mono = [rng.randrange(-9000, 9000) for _ in range(1500)]
+    left = [rng.randrange(-7000, 7000) for _ in range(1100)]
+    right = [v + rng.randrange(-100, 100) for v in left]
+    for i, (sr2, chans, mode) in enumerate((
+            (22050, [mono], "fixed2"),
+            (48000, [left, right], "leftside"),
+            (44100, [left, right], "lpc"))):
+        doc_id = f"aud-{6 + i:03d}"
+        raw.append((doc_id, encode_flac(sr2, chans, blocksize=256, mode=mode)))
+        expect(doc_id, sr2, chans, 16)
+    # truncated FLAC: error row (sync lost mid-frame)
+    good = encode_flac(8000, [mono[:600]], mode="fixed1")
+    raw.append(("aud-009", good[:len(good) - 40]))
+    exp.append(("aud-009", None, None, None, None, None,
+                "flac: bitstream exhausted"))
     return raw, exp
 
 

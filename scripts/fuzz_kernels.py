@@ -152,6 +152,12 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         ("sniff_mp3", "sniff", _mp3_seed()),
         ("sniff_avi", "sniff", _avi_seed("DIB ")),
         ("sniff_ogg", "sniff", _ogg_seed()),
+        # FLAC decode (kernels/miniflac.py): mutants hit STREAMINFO and
+        # frame-header parsing, CRC-8/16 checks, coded numbers, rice
+        # partitions (unary runs, escape codes), fixed/LPC predictors,
+        # wasted bits, stereo decorrelation — the whole bit-level surface
+        ("fmt_flac_fixed", "flac", _flac_seed("fixed2")),
+        ("fmt_flac_midside", "flac", _flac_seed("midside")),
     ]
 
 
@@ -198,6 +204,19 @@ def _ogg_seed() -> bytes:
     # the Vorbis fixture (the bare-magic ogg row has no duration path)
     return next(c for d, c, fmt, *_ in _real_av_fixtures()
                 if fmt == "ogg" and len(c) > 60)
+
+
+def _flac_seed(mode: str) -> bytes:
+    import random
+
+    from documentconvert_spark.corpus import encode_flac
+
+    rng = random.Random(f"fuzz-flac:{mode}")
+    left = [rng.randrange(-9000, 9000) for _ in range(600)]
+    if mode == "midside":
+        right = [v + rng.randrange(-80, 80) for v in left]
+        return encode_flac(44100, [left, right], blocksize=128, mode=mode)
+    return encode_flac(22050, [left], blocksize=128, mode=mode)
 
 
 _DIGIT_RUN = None  # compiled lazily (re import kept local to the workers)
@@ -354,9 +373,16 @@ def _run_chunk(seed_name: str, lo: int, hi: int) -> None:
                 raise AssertionError(f"sniff leaked non-int32 value {v}")
         return [Span("figure", f"{fmt}:{w}x{h}:{dur}", "", 0)]
 
+    def flac_route(data: bytes) -> list:
+        from documentconvert_spark.kernels.miniflac import decode_flac_samples
+
+        sr, ch, mono = decode_flac_samples(data)
+        return [Span("figure", f"{sr}:{ch}:{len(mono)}", "", 0)]
+
     routes = {"pdf": extract_pdf_any, "office": extract_office_any,
               "image": extract_image_any, "raster": raster_route,
-              "video": video_route, "sniff": sniff_route}
+              "video": video_route, "sniff": sniff_route,
+              "flac": flac_route}
     name, route, data = next(s for s in _seed_docs() if s[0] == seed_name)
     fn = routes[route]
     stats = {"ok": 0, "contained": 0, "timeout": 0, "memory": 0, "oversized": 0,

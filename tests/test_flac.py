@@ -1,0 +1,140 @@
+"""FLAC writer↔decoder split: every subframe type, decorrelation mode,
+rice path and containment edge.
+
+Generator side: corpus.encode_flac (real FLAC per the xiph spec /
+RFC 9639: STREAMINFO + framed subframes + CRC-8/CRC-16).
+Decoder side: kernels/miniflac.decode_flac_samples — an independent
+bit-level parse. FLAC is lossless, so every roundtrip asserts EXACT
+sample equality; the reference ships no audio pipeline, this is engine
+surface for the training-data tier.
+"""
+
+import random
+
+import pytest
+
+from documentconvert_spark.corpus import encode_flac
+from documentconvert_spark.kernels.miniflac import (
+    crc8,
+    crc16,
+    decode_flac_samples,
+)
+
+
+def _mono(n, seed=1, lo=-15000, hi=15000):
+    rng = random.Random(seed)
+    return [rng.randrange(lo, hi) for _ in range(n)]
+
+
+@pytest.mark.parametrize("mode", ["verbatim", "fixed1", "fixed2", "lpc"])
+def test_mono_roundtrip_exact(mode):
+    src = _mono(1000)
+    sr, ch, out = decode_flac_samples(encode_flac(44100, [src], mode=mode))
+    assert (sr, ch) == (44100, 1)
+    assert list(out) == src  # lossless: exact
+
+
+@pytest.mark.parametrize("mode", ["leftside", "rightside", "midside"])
+def test_stereo_decorrelation_roundtrip(mode):
+    left, right = _mono(700, seed=2), _mono(700, seed=3)
+    sr, ch, out = decode_flac_samples(
+        encode_flac(48000, [left, right], blocksize=128, mode=mode))
+    assert (sr, ch) == (48000, 2)
+    assert list(out) == [(a + b) // 2 for a, b in zip(left, right)]
+
+
+def test_constant_and_multichannel():
+    flat = [-42] * 300
+    _, _, out = decode_flac_samples(encode_flac(8000, [flat]))
+    assert list(out) == flat
+    chans = [_mono(256, seed=s) for s in range(3)]  # 3 channels, floor-avg
+    _, ch, out = decode_flac_samples(encode_flac(16000, chans))
+    assert ch == 3
+    assert list(out) == [sum(c[i] for c in chans) // 3 for i in range(256)]
+
+
+def test_many_frames_coded_number():
+    src = _mono(130 * 32, seed=4, lo=-300, hi=300)  # >128 frames: 2-byte number
+    _, _, out = decode_flac_samples(encode_flac(8000, [src], blocksize=32))
+    assert list(out) == src
+
+
+def test_crc_mismatches_raise():
+    data = bytearray(encode_flac(8000, [_mono(300, seed=5)]))
+    hdr_end = data.index(b"\xff\xf8", 4)  # first frame sync
+    data[hdr_end + 5] ^= 0xFF  # corrupt the blocksize field under the CRC-8
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac_samples(bytes(data))
+    data = bytearray(encode_flac(8000, [_mono(300, seed=5)]))
+    data[-1] ^= 0xFF  # corrupt the last frame's CRC-16
+    with pytest.raises(ValueError, match="frame CRC mismatch"):
+        decode_flac_samples(bytes(data))
+
+
+def test_malformed_containment():
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_flac_samples(b"not flac")
+    with pytest.raises(ValueError, match="no STREAMINFO"):
+        decode_flac_samples(b"fLaC" + bytes([0x81]) + (0).to_bytes(3, "big"))
+    good = encode_flac(8000, [_mono(300, seed=6)])
+    with pytest.raises(ValueError, match="exhausted"):
+        decode_flac_samples(good[:-30])
+    # garbage after the metadata: lost sync, not silence
+    sync_at = good.index(b"\xff\xf8", 4)
+    with pytest.raises(ValueError, match="lost frame sync"):
+        decode_flac_samples(good[:sync_at] + b"\x00\x00" + good[sync_at:])
+
+
+def test_crc_vectors():
+    # spot values computed independently (bitwise long division)
+    assert crc8(b"") == 0 and crc16(b"") == 0
+    assert crc8(b"\x01") == 0x07
+    assert crc16(b"\x01") == 0x8005
+
+
+def test_wasted_bits_and_escape_residual_decode():
+    # hand-build a frame using the writer's own bit packer: one CONSTANT-
+    # free FIXED-0 subframe whose residual partition uses the ESCAPE code
+    # (raw 6-bit), and a VERBATIM subframe with 2 wasted bits
+    from documentconvert_spark.corpus import _FlacBits
+
+    def stream(body_bits) -> bytes:
+        bw = _FlacBits()
+        bw.w(16, 16); bw.w(16, 16); bw.w(0, 24); bw.w(0, 24)
+        bw.w(8000, 20); bw.w(0, 3); bw.w(15, 5); bw.w(16, 36)
+        si = bw.data() + bytes(16)
+        head = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+        fb = _FlacBits()
+        fb.w(0x3FFE, 14); fb.w(0, 1); fb.w(0, 1)
+        fb.w(7, 4); fb.w(0, 4); fb.w(0, 4); fb.w(4, 3); fb.w(0, 1)
+        fb.w(0, 8)        # frame number 0
+        fb.w(16 - 1, 16)  # blocksize 16
+        hdr = fb.data()
+        fb = _FlacBits(); fb.buf = bytearray(hdr)
+        fb.w(crc8(hdr), 8)
+        body_bits(fb)
+        fb.align()
+        frame = fb.data()
+        return head + frame + crc16(frame).to_bytes(2, "big")
+
+    vals = [(-1) ** i * (i + 3) for i in range(16)]
+
+    def fixed0_escape(fb):
+        fb.w(0, 1); fb.w(8, 6); fb.w(0, 1)   # FIXED order 0
+        fb.w(0, 2); fb.w(0, 4)               # method 0, partition order 0
+        fb.w(0xF, 4)                         # rice param 15 = ESCAPE
+        fb.w(6, 5)                           # raw 6-bit residuals
+        for v in vals:
+            fb.w(v, 6)
+
+    _, _, out = decode_flac_samples(stream(fixed0_escape))
+    assert list(out) == vals
+
+    def verbatim_wasted(fb):
+        fb.w(0, 1); fb.w(1, 6)               # VERBATIM
+        fb.w(1, 1); fb.w(1, 1)               # wasted flag, unary 0 → k=1
+        for v in vals:
+            fb.w(v, 15)                      # bps-1 bits, shifted left 1
+
+    _, _, out = decode_flac_samples(stream(verbatim_wasted))
+    assert list(out) == [v << 1 for v in vals]
