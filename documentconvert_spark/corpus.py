@@ -749,11 +749,18 @@ def encode_flac(sr: int, chans: list[list[int]], blocksize: int = 256,
         bw.w(ca, 4)
         bw.w(4, 3)   # sample size: 16-bit
         bw.w(0, 1)
+        # UTF-8-style coded number, general form (frame numbers up to
+        # 2^31: 1 leading byte with n length bits + (n-1) continuations)
         if fno < 0x80:
             bw.w(fno, 8)
-        else:  # 2-byte UTF-8-style coded number
-            bw.w(0xC0 | (fno >> 6), 8)
-            bw.w(0x80 | (fno & 0x3F), 8)
+        else:
+            # n-byte form carries (7-n) + 6(n-1) = 5n+1 payload bits
+            nbytes = next(n for n in range(2, 8) if fno < (1 << (5 * n + 1)))
+            lead_bits = 7 - nbytes
+            bw.w((0xFF << (lead_bits + 1)) & 0xFF
+                 | (fno >> (6 * (nbytes - 1))), 8)
+            for k in range(nbytes - 2, -1, -1):
+                bw.w(0x80 | ((fno >> (6 * k)) & 0x3F), 8)
         bw.w(bs - 1, 16)
         header = bw.data()
         bw = _FlacBits()

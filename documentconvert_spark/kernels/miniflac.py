@@ -39,13 +39,28 @@ _MAX_UNARY = 1 << 20
 _MAX_TOTAL_SAMPLES = MAX_DECODED_BYTES // 2
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    out = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly if crc & top else crc << 1) & mask
+        out.append(crc)
+    return out
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
 def crc8(data: bytes) -> int:
-    """CRC-8, poly 0x07, init 0 (FLAC frame header CRC)."""
+    """CRC-8, poly 0x07, init 0 (FLAC frame header CRC). Table-driven:
+    this runs over every frame of every audio blob on the decode path."""
     crc = 0
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+        crc = _CRC8_TABLE[crc ^ b]
     return crc
 
 
@@ -53,9 +68,7 @@ def crc16(data: bytes) -> int:
     """CRC-16, poly 0x8005, init 0 (FLAC frame footer CRC)."""
     crc = 0
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ _CRC16_TABLE[(crc >> 8) ^ b]
     return crc
 
 

@@ -125,7 +125,7 @@ def _codec_decode(media_type: str, content: bytes):
       (kernels/media.decode_avi_frames); modern inter-frame codecs
       (H.264/VP9) have no from-scratch decoder and raise ValueError.
 
-    ValueError for formats without a decoder (tiff/webp/flac/mp3/...) —
+    ValueError for formats without a decoder (tiff/webp/mp3/...) —
     per-row containment upstream, same contract as every kernel.
     """
     if media_type == "image":

@@ -138,3 +138,11 @@ def test_wasted_bits_and_escape_residual_decode():
 
     _, _, out = decode_flac_samples(stream(verbatim_wasted))
     assert list(out) == [v << 1 for v in vals]
+
+
+def test_long_stream_coded_number_boundary():
+    # frame numbers past 0x800 need the 3-byte coded form: the capacity
+    # of an n-byte UTF-8-style number is 5n+1 bits (2-byte = 11 bits)
+    src = _mono(2100 * 16, seed=7, lo=-400, hi=400)
+    _, _, out = decode_flac_samples(encode_flac(8000, [src], blocksize=16))
+    assert list(out) == src
