@@ -1250,11 +1250,200 @@ WHERE m.matches * {_VDUP_DEN} >= (ca.n + cb.n - m.matches) * {_VDUP_NUM}
 """
 
 
+# ------------------------------------------------------------ audio dedup
+# Near-duplicate AUDIO detection by chunk fingerprints — with
+# dedup_video_frames this completes the modality sweep (text spans,
+# embeddings, video frames, audio samples). Same scale shape: decode
+# where the bytes are scanned, shuffle only small per-chunk fingerprints
+# into the pairwise join. Both codecs are lossless, so a WAV and a FLAC
+# re-encode of the same samples fingerprint identically, and the oracle
+# recomputes the same integer-only Jaccard in SQL from source-sample
+# fingerprints.
+
+EXPECTED_AUDIO_FPS_PARQUET = os.path.join(_RES_DIR, "expected_audio_fps.parquet")
+
+_ADUP_CHUNK = 250           # samples per fingerprint chunk
+_ADUP_NUM, _ADUP_DEN = 3, 5  # report pairs with Jaccard >= 3/5
+
+
+def _audio_fingerprints(mono: list[int]) -> list[int]:
+    """Chunk the mono stream and fingerprint each FULL chunk with 64-bit
+    FNV-1a over the sample values (int64-safe). The oracle parquet
+    stores fingerprints derived by this same pure function from SOURCE
+    samples — what the driver check exercises is the DECODE path that
+    must reproduce them from real WAV/FLAC bytes."""
+    out = []
+    for lo in range(0, len(mono) - _ADUP_CHUNK + 1, _ADUP_CHUNK):
+        h = 0xCBF29CE484222325
+        for v in mono[lo:lo + _ADUP_CHUNK]:
+            h = ((h ^ (v & 0xFFFF)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out.append(h & 0x7FFFFFFFFFFFFFFF)  # int64-safe for parquet/Spark
+    return out
+
+
+def _audio_corpus() -> tuple[list[tuple[str, bytes]], list[tuple]]:
+    """Deterministic WAV/FLAC corpus with planted duplicates: 10 base
+    waveforms; some re-encode as FLAC (exact cross-codec dup), some get
+    a head-trimmed cut or an appended tail (near dups), plus singletons.
+    → (raw rows, golden (doc_id, chunk_idx, fp) rows from source
+    samples)."""
+    import random
+
+    from documentconvert_spark.corpus import encode_flac
+
+    rng = random.Random("audio-dedup:13")
+    raw: list[tuple[str, bytes]] = []
+    fps: list[tuple] = []
+
+    def wave(n: int) -> list[int]:
+        """A distinctive bilinear-ramp waveform, fully rng-determined."""
+        base = rng.randrange(-8000, 8000)
+        step = rng.choice((-7, -3, 3, 5, 11))
+        out = []
+        v = base
+        for i in range(n):
+            v += step if (i // 97) % 2 == 0 else -step
+            if i % 193 == 0:
+                v = base + rng.randrange(-2000, 2000)
+            out.append(max(-32000, min(32000, v)))
+        return out
+
+    def add(doc_id: str, sr: int, mono: list[int], codec: str) -> None:
+        if codec == "wav":
+            raw.append((doc_id, _wav_pcm_bytes(sr, [mono], 16)))
+        else:
+            raw.append((doc_id, encode_flac(sr, [mono], blocksize=256,
+                                            mode=codec)))
+        for i, fp in enumerate(_audio_fingerprints(mono)):
+            fps.append((doc_id, i, fp))
+
+    aid = 0
+    for s in range(10):
+        sr = rng.choice((16000, 22050, 44100))
+        mono = wave(rng.randrange(8, 14) * _ADUP_CHUNK)
+        add(f"ad-{aid:03d}", sr, mono, "wav"); aid += 1
+        if s % 3 == 0:  # exact dup across codecs: FLAC re-encode
+            add(f"ad-{aid:03d}", sr, mono, "fixed1"); aid += 1
+        if s % 4 == 0:  # near dup: first chunk trimmed
+            add(f"ad-{aid:03d}", sr, mono[_ADUP_CHUNK:], "fixed2"); aid += 1
+        if s % 5 == 0:  # near dup: one chunk appended
+            add(f"ad-{aid:03d}", sr, mono + wave(_ADUP_CHUNK), "wav"); aid += 1
+    return raw, fps
+
+
+def _ensure_audio_fps_parquet() -> None:
+    if os.path.exists(EXPECTED_AUDIO_FPS_PARQUET):
+        return
+    os.makedirs(_RES_DIR, exist_ok=True)
+    _raw, fps = _audio_corpus()
+    cols = {"doc_id": [], "chunk_idx": [], "fp": []}
+    for did, idx, fp in fps:
+        cols["doc_id"].append(did)
+        cols["chunk_idx"].append(idx)
+        cols["fp"].append(fp)
+    pq.write_table(
+        pa.table(cols, schema=pa.schema([
+            ("doc_id", pa.string()), ("chunk_idx", pa.int32()),
+            ("fp", pa.int64()),
+        ])),
+        EXPECTED_AUDIO_FPS_PARQUET,
+    )
+
+
+def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs by chunk-fingerprint Jaccard ≥ 3/5: decode
+    real WAV and FLAC bytes to mono samples, fingerprint fixed-size
+    chunks (multiset semantics via an occurrence index), self-join on
+    fingerprint, filter by integer cross-multiplication. Cross-codec
+    dups match exactly because both decoders are lossless. Completes
+    the dedup family's modality sweep; engine surface beyond parity."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from documentconvert_spark.kernels.media import decode_wav_samples
+    from documentconvert_spark.kernels.miniflac import decode_flac_samples
+
+    _ensure_audio_fps_parquet()
+    raw, _fps = _audio_corpus()
+    audios = spark.createDataFrame(raw, "doc_id string, content binary")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("fp", T.LongType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"doc_id": [], "chunk_idx": [], "fp": []}
+            for did, blob in zip(b["doc_id"], b["content"]):
+                data = bytes(blob)
+                decode = (decode_flac_samples if data[:4] == b"fLaC"
+                          else decode_wav_samples)
+                _sr, _ch, mono = decode(data)
+                for i, fp in enumerate(_audio_fingerprints(list(mono))):
+                    rows["doc_id"].append(did)
+                    rows["chunk_idx"].append(i)
+                    rows["fp"].append(fp)
+            df = pd.DataFrame(rows)
+            df["chunk_idx"] = df["chunk_idx"].astype("int32") if len(df) else pd.array([], dtype="int32")
+            df["fp"] = df["fp"].astype("int64") if len(df) else pd.array([], dtype="int64")
+            yield df
+
+    sig = audios.mapInPandas(gen, schema=schema).withColumn(
+        "occ",
+        F.row_number().over(
+            Window.partitionBy("doc_id", "fp").orderBy("chunk_idx")),
+    )
+    counts = sig.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b2 = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b2, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.occ") == F.col("b.occ"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("matches"))
+        .join(counts.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n", "n_a"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b")
+                    .withColumnRenamed("n", "n_b"), "doc_b")
+        .filter(F.col("matches") * _ADUP_DEN
+                >= (F.col("n_a") + F.col("n_b") - F.col("matches")) * _ADUP_NUM)
+        .select("doc_a", "doc_b",
+                F.col("matches").cast("long").alias("matches"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"))
+    )
+
+
+SQL_DEDUP_AUDIO_FINGERPRINT = f"""
+WITH s AS (
+  SELECT doc_id, fp,
+         row_number() OVER (PARTITION BY doc_id, fp ORDER BY chunk_idx) AS occ
+  FROM read_parquet('{EXPECTED_AUDIO_FPS_PARQUET}')
+), c AS (
+  SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id
+), m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matches
+  FROM s a JOIN s b ON a.fp = b.fp AND a.occ = b.occ AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT m.doc_a, m.doc_b, m.matches, ca.n AS n_a, cb.n AS n_b
+FROM m JOIN c ca ON ca.doc_id = m.doc_a JOIN c cb ON cb.doc_id = m.doc_b
+WHERE m.matches * {_ADUP_DEN} >= (ca.n + cb.n - m.matches) * {_ADUP_NUM}
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
     "real_av_meta": (q_real_av_meta, SQL_REAL_AV_META),
     "real_video_frames": (q_real_video_frames, SQL_REAL_VIDEO_FRAMES),
     "real_audio_stats": (q_real_audio_stats, SQL_REAL_AUDIO_STATS),
     "dedup_video_frames": (q_dedup_video_frames, SQL_DEDUP_VIDEO_FRAMES),
+    "dedup_audio_fingerprint": (q_dedup_audio_fingerprint, SQL_DEDUP_AUDIO_FINGERPRINT),
     "real_image_meta": (q_real_image_meta, SQL_REAL_IMAGE_META),
     "dedup_span_paragraphs": (q_dedup_span_paragraphs, SQL_DEDUP_SPAN_PARAGRAPHS),
     "real_docs_span_seq": (q_real_docs_span_seq, SQL_REAL_DOCS_SPAN_SEQ),

@@ -146,3 +146,27 @@ def test_long_stream_coded_number_boundary():
     src = _mono(2100 * 16, seed=7, lo=-400, hi=400)
     _, _, out = decode_flac_samples(encode_flac(8000, [src], blocksize=16))
     assert list(out) == src
+
+
+def test_dedup_audio_fingerprint_finds_planted_dups(spark):
+    from documentconvert_spark.queries_extraction import (
+        q_dedup_audio_fingerprint,
+    )
+
+    rows = {(r.doc_a, r.doc_b): (r.matches, r.n_a, r.n_b)
+            for r in q_dedup_audio_fingerprint(spark, "").collect()}
+    # the WAV original and its FLAC re-encode match chunk-for-chunk:
+    # lossless codecs fingerprint identically across the codec split
+    m, n_a, n_b = rows[("ad-000", "ad-001")]
+    assert m == n_a == n_b
+    # every reported pair shares a planted waveform group
+    import random
+
+    rng = random.Random("audio-dedup:13")  # replay the corpus id layout
+    group_of, aid = {}, 0
+    for s in range(10):
+        n = 1 + (s % 3 == 0) + (s % 4 == 0) + (s % 5 == 0)
+        for _ in range(n):
+            group_of[f"ad-{aid:03d}"] = s
+            aid += 1
+    assert rows and all(group_of[a] == group_of[b] for a, b in rows)
