@@ -1250,6 +1250,61 @@ WHERE m.matches * {_VDUP_DEN} >= (ca.n + cb.n - m.matches) * {_VDUP_NUM}
 """
 
 
+# ------------------------------------------------------------ video keyframes
+# Scene-cut / keyframe selection over decoded video — the standard first
+# step of a video curation pipeline (sample one frame per scene instead
+# of every Nth). A cut is a frame whose dark-pixel mass moved by more
+# than a fixed fraction of the frame area vs the previous frame; frame 0
+# is always a keyframe. Spark shape: decode narrow, then ONE window
+# (lag over frame_idx per doc) — no self-join. The oracle runs the same
+# integer rule in SQL over the source-grid signature table.
+
+_KEYFRAME_NUM, _KEYFRAME_DEN = 1, 50  # cut when |Δdark| > area/50 (2%)
+
+
+def q_real_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframes of the real AVI corpus: frame 0 plus every frame whose
+    dark-pixel count jumps by >2% of the frame area vs its predecessor.
+    Integer-only rule (cross-multiplication), exact through the MJPG ±2
+    bound on bilevel sources; engine surface beyond parity."""
+    from pyspark.sql.window import Window
+
+    from documentconvert_spark.ops.multimodal import real_video_frame_stats
+
+    _ensure_video_sigs_parquet()
+    raw, _sigs = _video_corpus()
+    videos = spark.createDataFrame(raw, "doc_id string, content binary")
+    frames = real_video_frame_stats(videos).filter(F.col("error").isNull())
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return (
+        frames.withColumn("prev_dark", F.lag("n_dark").over(w))
+        .withColumn(
+            "delta",
+            F.abs(F.col("n_dark") - F.col("prev_dark")).cast("long"))
+        .filter(
+            F.col("prev_dark").isNull()
+            | (F.col("delta") * _KEYFRAME_DEN
+               > F.col("width").cast("long") * F.col("height") * _KEYFRAME_NUM))
+        .select(
+            "doc_id", "frame_idx", "n_dark",
+            F.coalesce("delta", F.lit(-1)).cast("long").alias("delta"))
+    )
+
+
+SQL_REAL_VIDEO_KEYFRAMES = f"""
+WITH f AS (
+  SELECT doc_id, frame_idx, width, height, n_dark,
+         lag(n_dark) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_dark
+  FROM read_parquet('{EXPECTED_VIDEO_SIGS_PARQUET}')
+)
+SELECT doc_id, frame_idx, n_dark,
+       COALESCE(abs(n_dark - prev_dark), -1)::BIGINT AS delta
+FROM f
+WHERE prev_dark IS NULL
+   OR abs(n_dark - prev_dark) * {_KEYFRAME_DEN} > width * height * {_KEYFRAME_NUM}
+"""
+
+
 # ------------------------------------------------------------ audio dedup
 # Near-duplicate AUDIO detection by chunk fingerprints — with
 # dedup_video_frames this completes the modality sweep (text spans,
@@ -1444,6 +1499,7 @@ EXTRACTION_QUERIES: dict[str, tuple] = {
     "real_audio_stats": (q_real_audio_stats, SQL_REAL_AUDIO_STATS),
     "dedup_video_frames": (q_dedup_video_frames, SQL_DEDUP_VIDEO_FRAMES),
     "dedup_audio_fingerprint": (q_dedup_audio_fingerprint, SQL_DEDUP_AUDIO_FINGERPRINT),
+    "real_video_keyframes": (q_real_video_keyframes, SQL_REAL_VIDEO_KEYFRAMES),
     "real_image_meta": (q_real_image_meta, SQL_REAL_IMAGE_META),
     "dedup_span_paragraphs": (q_dedup_span_paragraphs, SQL_DEDUP_SPAN_PARAGRAPHS),
     "real_docs_span_seq": (q_real_docs_span_seq, SQL_REAL_DOCS_SPAN_SEQ),

@@ -318,3 +318,25 @@ def test_ogg_sniff_vorbis_and_opus():
     assert sniff_av_meta(page(-1, 0, b"\x7fFLAC" + bytes(4), typ=2)) == (
         "ogg", None, None, None)
     assert sniff_av_meta(b"OggS" + bytes(10)) == ("ogg", None, None, None)
+
+
+def test_real_video_keyframes_rule(spark):
+    from documentconvert_spark.queries_extraction import (
+        _KEYFRAME_DEN,
+        _KEYFRAME_NUM,
+        _video_corpus,
+        q_real_video_keyframes,
+    )
+
+    got = {(r.doc_id, r.frame_idx) for r in
+           q_real_video_keyframes(spark, "").collect()}
+    # recompute from the SOURCE grids: frame 0 + >2%-area dark jumps
+    _raw, sigs = _video_corpus()
+    prev = {}
+    exp = set()
+    for did, idx, w, h, nd in sigs:
+        if idx == 0 or abs(nd - prev[did]) * _KEYFRAME_DEN > w * h * _KEYFRAME_NUM:
+            exp.add((did, idx))
+        prev[did] = nd
+    assert got == exp
+    assert all((d, 0) in got for d, *_ in sigs)  # frame 0 always kept
