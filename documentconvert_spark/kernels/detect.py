@@ -59,12 +59,13 @@ def extract_image_any(content: bytes) -> list[Span]:
     Synthetic MINIIMG documents carry their own deterministic OCR text.
     REAL image bytes produce a figure span keyed by content hash with
     header-sniffed dimensions recorded in the media side table, and — for
-    PNGs/JPEGs whose text is a clean grid rendering of the known 5×7
-    bitmap font — the decoded text as paragraph spans after the figure
-    (kernels/miniocr.py, the sandbox-honest analogue of the reference's
-    GPU OCR; JPEG is gated on a near-lossless quant table so photos pay a
-    header parse, never an entropy decode). Photos/off-font images keep
-    the figure-only shape."""
+    PNG/JPEG/GIF/BMP whose text is a clean grid rendering of the known
+    5×7 bitmap font — the decoded text as paragraph spans after the
+    figure (kernels/miniocr.py, the sandbox-honest analogue of the
+    reference's GPU OCR; JPEG is gated on a near-lossless quant table so
+    photos pay a header parse, never an entropy decode; GIF/BMP are
+    lossless and bail on the first mid-gray pixel). Photos/off-font
+    images keep the figure-only shape."""
     from documentconvert_spark.kernels.media import image_file_ref, sniff_image_meta
     from documentconvert_spark.kernels.miniimg import MAGIC as MINIIMG_MAGIC
     from documentconvert_spark.kernels.miniimg import extract_miniimg
@@ -75,10 +76,12 @@ def extract_image_any(content: bytes) -> list[Span]:
     fmt, _w, _h = sniff_image_meta(content or b"")
     if fmt != "unknown":
         spans = [Span("figure", "", image_file_ref(content, fmt), -1)]
-        if fmt in ("png", "jpeg"):
-            from documentconvert_spark.kernels.miniocr import ocr_jpeg_text, ocr_png_text
+        if fmt in ("png", "jpeg", "gif", "bmp"):
+            from documentconvert_spark.kernels.miniocr import (
+                ocr_jpeg_text, ocr_png_text, ocr_raster_text)
 
-            ocr = ocr_png_text if fmt == "png" else ocr_jpeg_text
+            ocr = {"png": ocr_png_text, "jpeg": ocr_jpeg_text}.get(
+                fmt, ocr_raster_text)
             spans.extend(Span("paragraph", ln, "", -1)
                          for ln in ocr(content) if ln.strip())
         return finalize(spans)

@@ -263,6 +263,23 @@ def ocr_png_text(data: bytes) -> list[str]:
     return ocr_gray_text(w, h, gray)
 
 
+def ocr_raster_text(data: bytes) -> list[str]:
+    """GIF/BMP bytes → decoded text lines, or [] (figure-only fallback).
+    Both formats are lossless, so the exact grid matcher applies
+    directly; any mid-gray pixel (a photo, a gradient) bails out —
+    reference ``image_to_markdown`` accepts bmp alongside png/jpg
+    (`services/document_service.py:652-665`)."""
+    from documentconvert_spark.kernels.raster import decode_raster_gray
+
+    try:
+        _fmt, w, h, gray = decode_raster_gray(data)
+    except (ValueError, struct.error):
+        return []
+    if any(32 < p < 224 for row in gray for p in row):
+        return []  # not a bilevel render
+    return ocr_gray_text(w, h, gray)
+
+
 def ocr_jpeg_text(data: bytes) -> list[str]:
     """JPEG bytes → decoded text lines, or [].
 

@@ -456,7 +456,8 @@ def q_real_ocr_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference behavior: mineru CLI OCR, document_service.py:826-907."""
     out = _real_docs_extracted(spark).filter(F.col("error").isNull())
     return (
-        out.filter(F.col("doc_id").endswith(".png") | F.col("doc_id").endswith(".jpg"))
+        out.filter(F.col("doc_id").endswith(".png") | F.col("doc_id").endswith(".jpg")
+                   | F.col("doc_id").endswith(".gif") | F.col("doc_id").endswith(".bmp"))
         .select("doc_id", F.explode("spans").alias("s"))
         .filter(F.col("s.kind") == "paragraph")
         .select(
@@ -470,7 +471,8 @@ def q_real_ocr_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REAL_OCR_TEXT = f"""
 SELECT doc_id, "offset", text AS ocr_text
 FROM read_parquet('{EXPECTED_REAL_SPANS_PARQUET}')
-WHERE (doc_id LIKE '%.png' OR doc_id LIKE '%.jpg') AND kind = 'paragraph'
+WHERE (doc_id LIKE '%.png' OR doc_id LIKE '%.jpg'
+       OR doc_id LIKE '%.gif' OR doc_id LIKE '%.bmp') AND kind = 'paragraph'
 """
 
 

@@ -452,15 +452,9 @@ def ocr_jpegs() -> dict[str, bytes]:
     }
 
 
-def _gif_fixture() -> bytes:
-    """Deterministic 8-color GIF (real LZW stream) — exercises the GIF
-    raster decoder end-to-end through the carved-media pixel pass."""
-    w, h = 96, 64
-    pal = [(0, 0, 0), (255, 255, 255), (200, 30, 30), (30, 200, 30),
-           (30, 30, 200), (220, 220, 40), (40, 220, 220), (180, 60, 180)]
-    idx = [((x // 8) + (y // 8)) % 8 for y in range(h) for x in range(w)]
-    # LZW encode (GIF variant: LSB-first, variable width, clear/end codes)
-    min_code = 3
+def _gif_encode(w: int, h: int, idx: list, pal: list, min_code: int) -> bytes:
+    """Index raster + palette → a complete GIF89a (real LZW stream:
+    LSB-first packing, variable code width, clear/end codes)."""
     clear, end = 1 << min_code, (1 << min_code) + 1
     d = {bytes([i]): i for i in range(1 << min_code)}
     nxt, width = end + 1, min_code + 1
@@ -491,9 +485,10 @@ def _gif_fixture() -> bytes:
             nbits -= 8
     if nbits:
         bs.append(acc & 0xFF)
+    gct_bits = max(1, (len(pal) - 1).bit_length())
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | 2, 0, 0)  # GCT, 8 entries
-    for r, g, b in pal:
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+    for r, g, b in pal + [(0, 0, 0)] * ((1 << gct_bits) - len(pal)):
         out += bytes((r, g, b))
     out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
     out += bytes([min_code])
@@ -502,6 +497,45 @@ def _gif_fixture() -> bytes:
         out += bytes([len(chunk)]) + bytes(chunk)
     out += b"\x00\x3B"
     return bytes(out)
+
+
+def _gif_fixture() -> bytes:
+    """Deterministic 8-color GIF (real LZW stream) — exercises the GIF
+    raster decoder end-to-end through the carved-media pixel pass."""
+    w, h = 96, 64
+    pal = [(0, 0, 0), (255, 255, 255), (200, 30, 30), (30, 200, 30),
+           (30, 30, 200), (220, 220, 40), (40, 220, 220), (180, 60, 180)]
+    idx = [((x // 8) + (y // 8)) % 8 for y in range(h) for x in range(w)]
+    return _gif_encode(w, h, idx, pal, 3)
+
+
+def render_text_gif(lines: list[str], scale: int = 2, margin: int = 8) -> bytes:
+    """Rendered-text GIF for the raster OCR route (lossless, so the
+    exact glyph matcher applies with no quant-table gate)."""
+    from documentconvert_spark.corpus import _render_text_grid
+
+    w, h, grid = _render_text_grid(lines, scale, margin)
+    idx = [0 if px < 128 else 1 for row in grid for px in row]
+    return _gif_encode(w, h, idx, [(0, 0, 0), (255, 255, 255)], 2)
+
+
+def render_text_bmp(lines: list[str], scale: int = 2, margin: int = 8) -> bytes:
+    """Rendered-text 24-bit bottom-up BMP for the raster OCR route —
+    bmp is in the reference's OCR whitelist (document_service.py:652)."""
+    from documentconvert_spark.corpus import _render_text_grid
+
+    w, h, grid = _render_text_grid(lines, scale, margin)
+    stride = ((24 * w + 31) // 32) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        line = bytearray()
+        for px in grid[y]:
+            line += bytes((px, px, px))
+        line += b"\x00" * (stride - len(line))
+        body += line
+    return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+            + bytes(body))
 
 
 def _bmp_fixture() -> bytes:
@@ -545,6 +579,10 @@ def main() -> None:
         **ocr_jpegs(),
         "fixture_tiles.gif": _gif_fixture(),
         "fixture_gradient.bmp": _bmp_fixture(),
+        "fixture_ocr_sign.gif": render_text_gif(
+            ["EXIT ROUTE 7", "KEEP CLEAR"], scale=2),
+        "fixture_ocr_panel.bmp": render_text_bmp(
+            ["PANEL ID 3348", "VOLTAGE 230V 50HZ"], scale=2),
     }
     for name, data in fixtures.items():
         with open(os.path.join(OUT, name), "wb") as fh:

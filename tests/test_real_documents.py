@@ -157,7 +157,7 @@ def test_real_goldens_match_committed_parquet():
         expected.setdefault(did, []).append(
             (tbl["offset"][i], tbl["kind"][i], tbl["media_ref"][i], tbl["text"][i])
         )
-    assert len(expected) == 27  # 7 reference samples + 20 crafted fixtures
+    assert len(expected) == 29  # 7 reference samples + 22 crafted fixtures
     # the JPEG OCR fixture pins the baseline-JPEG decoder + glyph matcher
     card = [t for (_o, k, _m, t) in expected["fixture_ocr_card.jpg"] if k == "paragraph"]
     assert card and card[0].startswith("MEMBER CARD")
