@@ -51,8 +51,11 @@ def _seed_docs() -> list[tuple[str, str, bytes]]:
         for fn in sorted(os.listdir(d)):
             with open(os.path.join(d, fn), "rb") as f:
                 data = f.read()
-            route = "pdf" if fn.endswith(".pdf") else "office"
-            seeds.append((f"ref_{fn.rsplit('.', 1)[-1]}_{len(seeds)}", route, data))
+            ext = fn.rsplit(".", 1)[-1].lower()
+            route = ("pdf" if ext == "pdf"
+                     else "image" if ext in ("png", "jpg", "jpeg", "gif", "bmp")
+                     else "office")
+            seeds.append((f"ref_{ext}_{len(seeds)}", route, data))
     from documentconvert_spark.corpus import make_doc_by_index
 
     for i in range(12):  # synthetic variety: minipdf / markup / image docs
