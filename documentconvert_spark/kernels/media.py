@@ -49,6 +49,34 @@ def image_file_ref(content: bytes, fmt: str) -> str:
     return hashlib.sha1(content[:4096]).hexdigest()[:12] + f".{ext}"
 
 
+def _tiff_dims(data: bytes) -> tuple[int | None, int | None]:
+    """TIFF 6.0: walk IFD0 for ImageWidth (256) / ImageLength (257),
+    SHORT or LONG values inline in the entry. Malformed → (None, None)."""
+    try:
+        end = "<" if data[:2] == b"II" else ">"
+        (ifd,) = struct.unpack_from(end + "I", data, 4)
+        (count,) = struct.unpack_from(end + "H", data, ifd)
+        w = h = None
+        for k in range(min(count, 256)):
+            e = ifd + 2 + 12 * k
+            tag, typ = struct.unpack_from(end + "HH", data, e)
+            if tag not in (256, 257):
+                continue
+            if typ == 3:  # SHORT
+                (v,) = struct.unpack_from(end + "H", data, e + 8)
+            elif typ == 4:  # LONG
+                (v,) = struct.unpack_from(end + "I", data, e + 8)
+            else:
+                continue
+            if tag == 256:
+                w = v or None
+            else:
+                h = v or None
+        return w, h
+    except (struct.error, IndexError):
+        return None, None
+
+
 def sniff_image_meta(data: bytes) -> tuple[str, int | None, int | None]:
     """(format, width, height) from the file header alone."""
     if data[:8] == _PNG_MAGIC and len(data) >= 24 and data[12:16] == b"IHDR":
@@ -79,7 +107,7 @@ def sniff_image_meta(data: bytes) -> tuple[str, int | None, int | None]:
     if data[:5] == b"<?xml" or data[:1024].lstrip()[:4] == b"<svg":
         return "svg", None, None
     if data[:4] == b"II*\x00" or data[:4] == b"MM\x00*":
-        return "tiff", None, None
+        return ("tiff",) + _tiff_dims(data)
     if data[:4] == b"\xd7\xcd\xc6\x9a" or data[:4] in (b"\x01\x00\x09\x00", b"\x02\x00\x09\x00"):
         return "wmf", None, None
     if len(data) >= 44 and data[:4] == b"\x01\x00\x00\x00" and data[40:44] == b" EMF":

@@ -567,10 +567,25 @@ def _real_image_fixtures() -> list[tuple]:
         _st.pack_into("<ii", hdr, 18, w, h)
         return bytes(hdr) + rng.randbytes(40)
 
-    builders = {"png": png, "jpeg": jpeg, "gif": gif, "bmp": bmp}
+    def tiff(w: int, h: int) -> bytes:
+        # TIFF 6.0 little-endian: IFD0 with SHORT/LONG ImageWidth/Length
+        ifd = _st.pack("<H", 3)
+        ifd += _st.pack("<HHIH2x", 256, 3, 1, w)
+        ifd += _st.pack("<HHII", 257, 4, 1, h)
+        ifd += _st.pack("<HHIH2x", 259, 3, 1, 1)
+        ifd += _st.pack("<I", 0)
+        return b"II*\x00" + _st.pack("<I", 8) + ifd + rng.randbytes(32)
+
+    def webp(w: int, h: int) -> bytes:
+        bits = (w - 1) | ((h - 1) << 14)  # VP8L lossless bitstream dims
+        body = b"VP8L" + _st.pack("<I", 5) + b"\x2f" + _st.pack("<I", bits)
+        return b"RIFF" + _st.pack("<I", 4 + len(body)) + b"WEBP" + body + rng.randbytes(16)
+
+    builders = {"png": png, "jpeg": jpeg, "gif": gif, "bmp": bmp,
+                "tiff": tiff, "webp": webp}
     i = 0
     for fmt, build in builders.items():
-        for _ in range(3):
+        for _ in range(3 if fmt in ("png", "jpeg", "gif", "bmp") else 2):
             w, h = rng.randrange(16, 4096), rng.randrange(16, 4096)
             out.append((f"img-real-{i:03d}", build(w, h), fmt, w, h))
             i += 1

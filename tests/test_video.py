@@ -359,3 +359,21 @@ def test_ocr_raster_text_gif_bmp():
     spans = extract_image_any(render_text_bmp(["STOP 99"]))
     assert [s.kind for s in spans] == ["figure", "paragraph"]
     assert spans[1].text == "STOP 99"
+
+
+def test_tiff_dims_sniffed_both_endians():
+    import struct as _st
+
+    from documentconvert_spark.kernels.media import sniff_image_meta
+
+    def tiff(le, w, h):
+        end = "<" if le else ">"
+        hdr = (b"II*\x00" if le else b"MM\x00*") + _st.pack(end + "I", 8)
+        ifd = _st.pack(end + "H", 2)
+        ifd += _st.pack(end + "HHI", 256, 3, 1) + _st.pack(end + "H2x", w)
+        ifd += _st.pack(end + "HHI", 257, 4, 1) + _st.pack(end + "I", h)
+        return hdr + ifd + _st.pack(end + "I", 0)
+
+    assert sniff_image_meta(tiff(True, 640, 480)) == ("tiff", 640, 480)
+    assert sniff_image_meta(tiff(False, 1200, 900)) == ("tiff", 1200, 900)
+    assert sniff_image_meta(b"II*\x00\x08\x00") == ("tiff", None, None)
