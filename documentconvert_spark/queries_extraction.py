@@ -1220,7 +1220,9 @@ def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "occ",
         F.row_number().over(
             Window.partitionBy("doc_id", "sig").orderBy("frame_idx")),
-    )
+    ).cache()  # referenced 3x (counts + both join sides): without this
+    #            the frame DECODE re-runs per reference — the signature
+    #            table is tiny (~20 B/frame), exactly what you cache at scale
     counts = sig.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b2 = sig.alias("a"), sig.alias("b")
     pairs = (
@@ -1469,7 +1471,7 @@ def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "occ",
         F.row_number().over(
             Window.partitionBy("doc_id", "fp").orderBy("chunk_idx")),
-    )
+    ).cache()  # referenced 3x: decode once, persist only the fingerprints
     counts = sig.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b2 = sig.alias("a"), sig.alias("b")
     return (
