@@ -63,9 +63,9 @@ def extract_image_any(content: bytes) -> list[Span]:
     5×7 bitmap font — the decoded text as paragraph spans after the
     figure (kernels/miniocr.py, the sandbox-honest analogue of the
     reference's GPU OCR; JPEG is gated on a near-lossless quant table so
-    photos pay a header parse, never an entropy decode; GIF/BMP are
-    lossless and bail on the first mid-gray pixel). Photos/off-font
-    images keep the figure-only shape."""
+    photos pay a header parse, never an entropy decode; photo GIFs bail
+    on the palette alone before any LZW decode; BMP pays one luma pass).
+    Photos/off-font images keep the figure-only shape."""
     from documentconvert_spark.kernels.media import image_file_ref, sniff_image_meta
     from documentconvert_spark.kernels.miniimg import MAGIC as MINIIMG_MAGIC
     from documentconvert_spark.kernels.miniimg import extract_miniimg

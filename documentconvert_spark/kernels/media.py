@@ -68,10 +68,12 @@ def _tiff_dims(data: bytes) -> tuple[int | None, int | None]:
                 (v,) = struct.unpack_from(end + "I", data, e + 8)
             else:
                 continue
+            if not 0 < v < 2**31:  # file-controlled: keep int32 casts safe
+                continue
             if tag == 256:
-                w = v or None
+                w = v
             else:
-                h = v or None
+                h = v
         return w, h
     except (struct.error, IndexError):
         return None, None

@@ -263,18 +263,38 @@ def ocr_png_text(data: bytes) -> list[str]:
     return ocr_gray_text(w, h, gray)
 
 
+def _gif_palette_bilevel(data: bytes) -> bool:
+    """Cheap pre-gate: a rendered-text GIF's global palette holds only
+    near-black/near-white entries, so a photo (mid-gray palette) bails
+    after reading the header — BEFORE paying the pure-Python LZW decode.
+    Conservative: no global palette → let the decoder decide."""
+    if len(data) < 13 or not data[10] & 0x80:
+        return True
+    n = 2 << (data[10] & 0x07)
+    pal = data[13:13 + 3 * n]
+    for i in range(0, len(pal) - 2, 3):
+        luma = (pal[i] * 299 + pal[i + 1] * 587 + pal[i + 2] * 114) // 1000
+        if 32 < luma < 224:
+            return False
+    return True
+
+
 def ocr_raster_text(data: bytes) -> list[str]:
     """GIF/BMP bytes → decoded text lines, or [] (figure-only fallback).
     Both formats are lossless, so the exact grid matcher applies
     directly; any mid-gray pixel (a photo, a gradient) bails out —
     reference ``image_to_markdown`` accepts bmp alongside png/jpg
-    (`services/document_service.py:652-665`)."""
+    (`services/document_service.py:652-665`). Photo GIFs bail on the
+    palette alone (no LZW decode); BMP pays its single-pass luma read,
+    and the mid-gray scan short-circuits on the first hit."""
     from documentconvert_spark.kernels.raster import decode_raster_gray
 
+    if data[:6] in (b"GIF87a", b"GIF89a") and not _gif_palette_bilevel(data):
+        return []
     try:
         _fmt, w, h, gray = decode_raster_gray(data)
-    except (ValueError, struct.error):
-        return []
+    except (ValueError, struct.error, IndexError):
+        return []  # malformed input keeps the figure-only shape (C7)
     if any(32 < p < 224 for row in gray for p in row):
         return []  # not a bilevel render
     return ocr_gray_text(w, h, gray)

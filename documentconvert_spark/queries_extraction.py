@@ -1457,7 +1457,11 @@ def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 data = bytes(blob)
                 decode = (decode_flac_samples if data[:4] == b"fLaC"
                           else decode_wav_samples)
-                _sr, _ch, mono = decode(data)
+                try:
+                    _sr, _ch, mono = decode(data)
+                except Exception:  # noqa: BLE001 — containment (C7):
+                    continue  # an undecodable blob drops out of dedup,
+                    #           it must never fail the stage
                 for i, fp in enumerate(_audio_fingerprints(list(mono))):
                     rows["doc_id"].append(did)
                     rows["chunk_idx"].append(i)

@@ -377,3 +377,45 @@ def test_tiff_dims_sniffed_both_endians():
     assert sniff_image_meta(tiff(True, 640, 480)) == ("tiff", 640, 480)
     assert sniff_image_meta(tiff(False, 1200, 900)) == ("tiff", 1200, 900)
     assert sniff_image_meta(b"II*\x00\x08\x00") == ("tiff", None, None)
+
+
+def test_review_fixes_tiff_gif_audio_containment(spark):
+    import struct as _st
+
+    from documentconvert_spark.kernels.detect import extract_image_any
+    from documentconvert_spark.kernels.media import sniff_image_meta
+    from documentconvert_spark.kernels.miniocr import ocr_raster_text
+    from documentconvert_spark.queries_extraction import _wav_pcm_bytes
+
+    # TIFF LONG dims >= 2^31 clamp to None (int32 casts downstream)
+    hdr = b"II*\x00" + _st.pack("<I", 8)
+    ifd = _st.pack("<H", 2)
+    ifd += _st.pack("<HHIH2x", 256, 3, 1, 640)
+    ifd += _st.pack("<HHII", 257, 4, 1, 2**31 + 5)
+    tif = hdr + ifd + _st.pack("<I", 0)
+    assert sniff_image_meta(tif) == ("tiff", 640, None)
+
+    # GIF truncated right after the image descriptor (no LZW min-code
+    # byte): figure-only, never an IndexError out of the route
+    gif = (b"GIF89a" + _st.pack("<HH", 8, 8) + bytes([0x80, 0, 0])
+           + bytes(6) + b"\x2C" + _st.pack("<HHHH", 0, 0, 8, 8) + b"\x00")
+    assert ocr_raster_text(gif) == []
+    assert [s.kind for s in extract_image_any(gif)] == ["figure"]
+
+    # photo-palette GIF bails before the LZW decode (palette pre-gate)
+    from documentconvert_spark.kernels.miniocr import _gif_palette_bilevel
+    photo_hdr = b"GIF89a" + _st.pack("<HH", 8, 8) + bytes([0x80 | 1, 0, 0]) \
+        + bytes((10, 10, 10, 128, 128, 128, 0, 0, 0, 255, 255, 255))
+    assert not _gif_palette_bilevel(photo_hdr)
+
+    # one corrupt audio blob must not fail the dedup stage
+    from documentconvert_spark.queries_extraction import _audio_corpus
+    from documentconvert_spark.queries_extraction import (
+        q_dedup_audio_fingerprint,  # noqa: F401 — shape pinned elsewhere
+    )
+    raw, _ = _audio_corpus()
+    rows = raw[:3] + [("ad-bad", b"fLaC garbage that cannot decode")]
+    from documentconvert_spark.ops.multimodal import real_audio_stats  # sanity
+    got = real_audio_stats(
+        spark.createDataFrame(rows, "doc_id string, content binary")).collect()
+    assert sum(1 for r in got if r.error) == 1
