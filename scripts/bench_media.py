@@ -1,0 +1,111 @@
+"""Throughput bench for the real-codec media surface.
+
+Generates a deterministic in-memory corpus of real AVI (MJPG + DIB),
+FLAC and WAV documents, then times the three decode operators end-to-end
+(decode happens inside Arrow-batched mapInPandas, so wall time measures
+the from-scratch kernels under Spark's scan parallelism):
+
+    real_video_frame_stats   AVI → per-frame dark stats
+    real_audio_stats         WAV/FLAC → exact sample stats
+    dedup_audio_fingerprint  decode + fingerprint + self-join (full op)
+
+Usage:
+    python scripts/bench_media.py [n_docs] [cpus_list]
+
+e.g. `python scripts/bench_media.py 6000 2,8` generates the corpus once
+and times both parallelism levels (one JSON line per level) — the
+N-vs-4N scaling pair over identical input. BENCH.md records the pairs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _corpus(n: int):
+    """n video + n audio docs, deterministic; realistic small-media sizes
+    (videos ~6-10 frames of 64x48, audio ~20-40k samples)."""
+    from documentconvert_spark.corpus import encode_flac, render_avi
+    from documentconvert_spark.queries_extraction import _wav_pcm_bytes
+
+    rng = random.Random("bench-media:1")
+    videos, audios = [], []
+    for i in range(n):
+        w, h = 64, 48
+        nf = rng.randrange(6, 11)
+        grids = []
+        for f in range(nf):
+            g = [bytearray([255] * w) for _ in range(h)]
+            bw, bh = rng.randrange(4, 14), rng.randrange(4, 12)
+            x, y = rng.randrange(w - bw), rng.randrange(h - bh)
+            for yy in range(y, y + bh):
+                for xx in range(x, x + bw):
+                    g[yy][xx] = 0
+            grids.append(g)
+        codec = "MJPG" if i % 2 == 0 else "DIB "
+        videos.append((f"v-{i:05d}", render_avi(w, h, grids, fps=10, codec=codec)))
+
+        ns = rng.randrange(20_000, 40_000)
+        base = rng.randrange(-4000, 4000)
+        step = rng.choice((-5, 3, 7))
+        mono = [max(-30000, min(30000, base + step * (j % 997))) for j in range(ns)]
+        if i % 2 == 0:
+            audios.append((f"a-{i:05d}", _wav_pcm_bytes(22050, [mono], 16)))
+        else:
+            audios.append((f"a-{i:05d}",
+                           encode_flac(22050, [mono], blocksize=4096, mode="fixed1")))
+    return videos, audios
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    cpu_list = [int(c) for c in (sys.argv[2] if len(sys.argv) > 2 else "8").split(",")]
+
+    from documentconvert_spark.ops.multimodal import (
+        real_audio_stats,
+        real_video_frame_stats,
+    )
+    from documentconvert_spark.session import build_session
+
+    gen0 = time.monotonic()
+    videos, audios = _corpus(n)
+    gen_s = time.monotonic() - gen0
+    video_mb = sum(len(c) for _, c in videos) / 1e6
+    audio_mb = sum(len(c) for _, c in audios) / 1e6
+
+    for cpus in cpu_list:
+        spark = build_session(app_name="bench-media", master=f"local[{cpus}]",
+                              shuffle_partitions=max(cpus, 16))
+        vdf = spark.createDataFrame(videos, "doc_id string, content binary") \
+            .repartition(cpus * 4).cache()
+        adf = spark.createDataFrame(audios, "doc_id string, content binary") \
+            .repartition(cpus * 4).cache()
+        vdf.count(); adf.count()  # materialize: time decode, not corpus ship
+
+        out = {"n_docs": n, "cpus": cpus, "gen_s": round(gen_s, 2),
+               "video_mb": round(video_mb, 1), "audio_mb": round(audio_mb, 1)}
+        # warm the python workers so the pair compares steady-state decode,
+        # not per-session worker spin-up
+        real_video_frame_stats(vdf.limit(64)).count()
+        t0 = time.monotonic()
+        nframes = real_video_frame_stats(vdf).count()
+        dt = time.monotonic() - t0
+        out["video_decode"] = {"sec": round(dt, 2), "frames": nframes,
+                               "docs_per_sec": round(n / dt, 1)}
+        real_audio_stats(adf.limit(32)).count()
+        t0 = time.monotonic()
+        real_audio_stats(adf).count()
+        dt = time.monotonic() - t0
+        out["audio_decode"] = {"sec": round(dt, 2), "docs_per_sec": round(n / dt, 1)}
+        spark.stop()
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
