@@ -427,6 +427,88 @@ def real_video_frame_stats(videos: DataFrame) -> DataFrame:
         stats, schema=VIDEO_FRAMES_SCHEMA)
 
 
+def audio_fingerprint_table(audios: DataFrame, chunk: int = 250) -> DataFrame:
+    """Real WAV/FLAC bytes → (doc_id, chunk_idx, fp): decode to mono and
+    fingerprint fixed-size chunks with 64-bit FNV-1a (int64-safe).
+    Undecodable blobs drop out (containment — a bad blob must never fail
+    the stage). Narrow mapInPandas: decode where the bytes are scanned;
+    only the ~16-byte fingerprints flow on."""
+    from documentconvert_spark.kernels.media import decode_wav_samples
+    from documentconvert_spark.kernels.miniflac import decode_flac_samples
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("fp", T.LongType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"doc_id": [], "chunk_idx": [], "fp": []}
+            for did, blob in zip(b["doc_id"], b["content"]):
+                data = bytes(blob)
+                decode = (decode_flac_samples if data[:4] == b"fLaC"
+                          else decode_wav_samples)
+                try:
+                    _sr, _ch, mono = decode(data)
+                except Exception:  # noqa: BLE001 — containment (C7)
+                    continue
+                i = 0
+                for lo in range(0, len(mono) - chunk + 1, chunk):
+                    h = 0xCBF29CE484222325
+                    for v in mono[lo:lo + chunk]:
+                        h = ((h ^ (v & 0xFFFF)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+                    rows["doc_id"].append(did)
+                    rows["chunk_idx"].append(i)
+                    rows["fp"].append(h & 0x7FFFFFFFFFFFFFFF)
+                    i += 1
+            df = pd.DataFrame(rows)
+            df["chunk_idx"] = df["chunk_idx"].astype("int32") if len(df) else pd.array([], dtype="int32")
+            df["fp"] = df["fp"].astype("int64") if len(df) else pd.array([], dtype="int64")
+            yield df
+
+    return audios.select("doc_id", "content").mapInPandas(gen, schema=schema)
+
+
+def multiset_jaccard_pairs(sig: DataFrame, key_col: str, order_col: str,
+                           num: int, den: int) -> DataFrame:
+    """Per-item keys → near-dup pairs (doc_a, doc_b, matches, n_a, n_b)
+    whose multiset Jaccard clears num/den, decided by integer
+    cross-multiplication (no float in any hashed output). Multiset
+    semantics via an occurrence index over `order_col`, so repeated
+    identical items match one-to-one. The keyed table is cached: it is
+    referenced three times (counts + both join sides) and holds only
+    small keys, while the upstream decode is the expensive part."""
+    from pyspark.sql.window import Window
+
+    s = sig.select("doc_id", F.col(key_col).alias("k"),
+                   F.col(order_col).alias("o"))
+    s = s.withColumn(
+        "occ",
+        F.row_number().over(Window.partitionBy("doc_id", "k").orderBy("o")),
+    ).cache()
+    counts = s.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.k") == F.col("b.k"))
+               & (F.col("a.occ") == F.col("b.occ"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("matches"))
+        .join(counts.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n", "n_a"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b")
+                    .withColumnRenamed("n", "n_b"), "doc_b")
+        .filter(F.col("matches") * den
+                >= (F.col("n_a") + F.col("n_b") - F.col("matches")) * num)
+        .select("doc_a", "doc_b",
+                F.col("matches").cast("long").alias("matches"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"))
+    )
+
+
 AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),

@@ -1204,47 +1204,20 @@ def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical frames match one-to-one), self-join on signature, and keep
     pairs by integer cross-multiplication (no float in the hash). The
     dedup family's multimodal member; engine surface beyond parity."""
-    from pyspark.sql.window import Window
-
-    from documentconvert_spark.ops.multimodal import real_video_frame_stats
+    from documentconvert_spark.ops.multimodal import (
+        multiset_jaccard_pairs,
+        real_video_frame_stats,
+    )
 
     _ensure_video_sigs_parquet()
     raw, _sigs = _video_corpus()
     videos = spark.createDataFrame(raw, "doc_id string, content binary")
-    frames = real_video_frame_stats(videos).filter(F.col("error").isNull())
-    sig = frames.select(
-        "doc_id",
-        F.concat_ws(":", "width", "height", "n_dark").alias("sig"),
-        "frame_idx",
-    ).withColumn(
-        "occ",
-        F.row_number().over(
-            Window.partitionBy("doc_id", "sig").orderBy("frame_idx")),
-    ).cache()  # referenced 3x (counts + both join sides): without this
-    #            the frame DECODE re-runs per reference — the signature
-    #            table is tiny (~20 B/frame), exactly what you cache at scale
-    counts = sig.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b2 = sig.alias("a"), sig.alias("b")
-    pairs = (
-        a.join(b2, (F.col("a.sig") == F.col("b.sig"))
-               & (F.col("a.occ") == F.col("b.occ"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("matches"))
-        .join(counts.withColumnRenamed("doc_id", "doc_a")
-                    .withColumnRenamed("n", "n_a"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b")
-                    .withColumnRenamed("n", "n_b"), "doc_b")
-        .filter(F.col("matches") * _VDUP_DEN
-                >= (F.col("n_a") + F.col("n_b") - F.col("matches")) * _VDUP_NUM)
-    )
-    return pairs.select(
-        "doc_a", "doc_b",
-        F.col("matches").cast("long").alias("matches"),
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("n_b").cast("long").alias("n_b"),
-    )
+    sig = (real_video_frame_stats(videos)
+           .filter(F.col("error").isNull())
+           .select("doc_id",
+                   F.concat_ws(":", "width", "height", "n_dark").alias("sig"),
+                   "frame_idx"))
+    return multiset_jaccard_pairs(sig, "sig", "frame_idx", _VDUP_NUM, _VDUP_DEN)
 
 
 SQL_DEDUP_VIDEO_FRAMES = f"""
@@ -1427,75 +1400,21 @@ def _ensure_audio_fps_parquet() -> None:
 def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs by chunk-fingerprint Jaccard ≥ 3/5: decode
     real WAV and FLAC bytes to mono samples, fingerprint fixed-size
-    chunks (multiset semantics via an occurrence index), self-join on
-    fingerprint, filter by integer cross-multiplication. Cross-codec
-    dups match exactly because both decoders are lossless. Completes
-    the dedup family's modality sweep; engine surface beyond parity."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-    from pyspark.sql import types as T
-    from pyspark.sql.window import Window
-
-    from documentconvert_spark.kernels.media import decode_wav_samples
-    from documentconvert_spark.kernels.miniflac import decode_flac_samples
+    chunks (ops.multimodal.audio_fingerprint_table), and pair by the
+    shared multiset-Jaccard op (integer cross-multiplication, no float
+    in the hash). Cross-codec dups match exactly because both decoders
+    are lossless. Completes the dedup family's modality sweep; engine
+    surface beyond parity."""
+    from documentconvert_spark.ops.multimodal import (
+        audio_fingerprint_table,
+        multiset_jaccard_pairs,
+    )
 
     _ensure_audio_fps_parquet()
     raw, _fps = _audio_corpus()
     audios = spark.createDataFrame(raw, "doc_id string, content binary")
-
-    schema = T.StructType([
-        T.StructField("doc_id", T.StringType(), False),
-        T.StructField("chunk_idx", T.IntegerType(), False),
-        T.StructField("fp", T.LongType(), False),
-    ])
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            rows = {"doc_id": [], "chunk_idx": [], "fp": []}
-            for did, blob in zip(b["doc_id"], b["content"]):
-                data = bytes(blob)
-                decode = (decode_flac_samples if data[:4] == b"fLaC"
-                          else decode_wav_samples)
-                try:
-                    _sr, _ch, mono = decode(data)
-                except Exception:  # noqa: BLE001 — containment (C7):
-                    continue  # an undecodable blob drops out of dedup,
-                    #           it must never fail the stage
-                for i, fp in enumerate(_audio_fingerprints(list(mono))):
-                    rows["doc_id"].append(did)
-                    rows["chunk_idx"].append(i)
-                    rows["fp"].append(fp)
-            df = pd.DataFrame(rows)
-            df["chunk_idx"] = df["chunk_idx"].astype("int32") if len(df) else pd.array([], dtype="int32")
-            df["fp"] = df["fp"].astype("int64") if len(df) else pd.array([], dtype="int64")
-            yield df
-
-    sig = audios.mapInPandas(gen, schema=schema).withColumn(
-        "occ",
-        F.row_number().over(
-            Window.partitionBy("doc_id", "fp").orderBy("chunk_idx")),
-    ).cache()  # referenced 3x: decode once, persist only the fingerprints
-    counts = sig.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b2 = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(b2, (F.col("a.fp") == F.col("b.fp"))
-               & (F.col("a.occ") == F.col("b.occ"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("matches"))
-        .join(counts.withColumnRenamed("doc_id", "doc_a")
-                    .withColumnRenamed("n", "n_a"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b")
-                    .withColumnRenamed("n", "n_b"), "doc_b")
-        .filter(F.col("matches") * _ADUP_DEN
-                >= (F.col("n_a") + F.col("n_b") - F.col("matches")) * _ADUP_NUM)
-        .select("doc_a", "doc_b",
-                F.col("matches").cast("long").alias("matches"),
-                F.col("n_a").cast("long").alias("n_a"),
-                F.col("n_b").cast("long").alias("n_b"))
-    )
+    sig = audio_fingerprint_table(audios, chunk=_ADUP_CHUNK)
+    return multiset_jaccard_pairs(sig, "fp", "chunk_idx", _ADUP_NUM, _ADUP_DEN)
 
 
 SQL_DEDUP_AUDIO_FINGERPRINT = f"""

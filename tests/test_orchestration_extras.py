@@ -189,3 +189,56 @@ def test_run_extract_cli_compacts_state(spark, tmp_path):
     rounds2 = [json.loads(ln) for ln in proc2.stdout.strip().splitlines()
                if ln.startswith("{") and "round" in ln]
     assert rounds2[0]["processed"] == 0
+
+
+def test_run_media_cli_end_to_end(tmp_path):
+    """jobs/run_media.py is the multimodal job surface (sniff inventory →
+    per-modality decode stats → near-dup pairs) — drive the literal CLI
+    in a fresh interpreter against a mixed media table with planted dups
+    and a corrupt blob, then check the summary funnel and the outputs."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from documentconvert_spark.corpus import encode_flac, render_avi
+    from documentconvert_spark.queries_extraction import _wav_pcm_bytes
+
+    grids = [[bytearray([255] * 20) for _ in range(10)] for _ in range(4)]
+    for f, g in enumerate(grids):
+        for y in range(2, 4 + f):
+            g[y][:] = bytes(20)
+    mono = [((i * 7) % 4001) - 2000 for i in range(2000)]
+    rows = [
+        ("m-avi-a", render_avi(20, 10, grids, fps=5, codec="MJPG")),
+        ("m-avi-b", render_avi(20, 10, grids, fps=5, codec="DIB ")),  # dup
+        ("m-wav", _wav_pcm_bytes(8000, [mono], 16)),
+        ("m-flac", encode_flac(8000, [mono], mode="fixed1")),  # cross-codec dup
+        ("m-bad", b"not a container at all"),
+    ]
+    src = str(tmp_path / "media.parquet")
+    pq.write_table(pa.table({"doc_id": [r[0] for r in rows],
+                             "content": [r[1] for r in rows]}), src)
+    out = str(tmp_path / "media_out")
+    env = {**os.environ, "PYTHONPATH": repo}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "run_media.py"),
+         "--input", src, "--output", out, "--files", "2",
+         "--master", "local[4]"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["docs_in"] == 5
+    assert summary["by_format"] == {"avi": 2, "wav": 1, "flac": 1, "unknown": 1}
+    assert summary["video_frames_decoded"] == 8  # 2 videos x 4 frames
+    assert summary["audio_decoded"] == 2
+    assert summary["video_dup_pairs"] == 1 and summary["audio_dup_pairs"] == 1
+    vp = pq.read_table(out + "/video_pairs").to_pylist()
+    assert vp[0]["doc_a"] == "m-avi-a" and vp[0]["doc_b"] == "m-avi-b"
+    assert vp[0]["matches"] == 4  # exact cross-codec frame match
