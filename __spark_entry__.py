@@ -52,8 +52,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #       (keep their green r2 rows), swap IN the 3 never-driver-verified
 #       queries (ann_ivf_buckets, multimodal_features,
 #       filter_url_blocklist) and the new real_ocr_text +
-#       real_pixel_stats — after r3 every contract query has a green
-#       driver row.
+#       real_pixel_stats; late-r3 second rotation: swap OUT
+#       tpch_q12s/a3_batch_tallies/a_pivot/f_array_ops/dq_checks (green
+#       in r2) for the five media queries added after the window froze
+#       (real_video_frames, real_audio_stats, dedup_video_frames,
+#       dedup_audio_fingerprint, real_video_keyframes) — after r3 every
+#       contract query has a green driver row.
 _WINDOW: tuple[str, ...] = (
     "real_av_meta", "real_image_meta", "dedup_span_paragraphs",
     "real_docs_span_seq", "real_docs_summary", "real_ocr_text",
@@ -71,7 +75,8 @@ _WINDOW: tuple[str, ...] = (
     "ann_ivf_buckets", "multimodal_features", "filter_url_blocklist",
     "ev_map_ops", "ev_interval_join", "ev_props_json", "ev_sessionize",
     "ev_asof_join", "ev_window_rollup",
-    "tpch_q12s", "a3_batch_tallies", "a_pivot", "f_array_ops", "dq_checks",
+    "real_video_frames", "real_audio_stats", "dedup_video_frames",
+    "dedup_audio_fingerprint", "real_video_keyframes",
 )
 _PARTS: tuple[dict, ...] = (
     EXTRACTION_QUERIES, CORPUS_QUERIES, EVENT_QUERIES,

@@ -171,13 +171,17 @@ def test_driver_window_is_the_intended_50():
     """The driver's correctness gate checks the FIRST 50 queries() entries;
     any registry edit that reorders them silently de-verifies operators.
     Pin the window to the explicit _WINDOW list and the r3 rotation goals:
-    the 3 queries that had never seen a driver row are in-window, and the
-    full registry (94 entries as of r3) is collision-free."""
+    every query that had never seen a driver row is in-window (the 3
+    named in r2's verdict plus the 5 media queries added after the
+    window froze), and the full registry (100 entries as of late r3) is
+    collision-free."""
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
     assert names[:50] == list(entrymod._WINDOW)
-    promoted = {"ann_ivf_buckets", "multimodal_features", "filter_url_blocklist"}
+    promoted = {"ann_ivf_buckets", "multimodal_features", "filter_url_blocklist",
+                "real_video_frames", "real_audio_stats", "dedup_video_frames",
+                "dedup_audio_fingerprint", "real_video_keyframes"}
     assert promoted <= set(names[:50])
     assert len(names) == len(set(names)) == len(entrymod._MERGED)
     # every windowed name must have an exact oracle (hash-checked, not
