@@ -280,13 +280,13 @@ def _gif_palette_bilevel(data: bytes) -> bool:
 
 
 def ocr_raster_text(data: bytes) -> list[str]:
-    """GIF/BMP bytes → decoded text lines, or [] (figure-only fallback).
-    Both formats are lossless, so the exact grid matcher applies
+    """GIF/BMP/TIFF bytes → decoded text lines, or [] (figure-only
+    fallback). All three are lossless, so the exact grid matcher applies
     directly; any mid-gray pixel (a photo, a gradient) bails out —
-    reference ``image_to_markdown`` accepts bmp alongside png/jpg
+    reference ``image_to_markdown`` accepts bmp/tiff alongside png/jpg
     (`services/document_service.py:652-665`). Photo GIFs bail on the
-    palette alone (no LZW decode); BMP pays its single-pass luma read,
-    and the mid-gray scan short-circuits on the first hit."""
+    palette alone (no LZW decode); BMP/TIFF pay their single-pass luma
+    read, and the mid-gray scan short-circuits on the first hit."""
     from documentconvert_spark.kernels.raster import decode_raster_gray
 
     if data[:6] in (b"GIF87a", b"GIF89a") and not _gif_palette_bilevel(data):

@@ -15,8 +15,12 @@ spec, bounded by the shared expansion caps, and returns the same shape:
   packing, interlace passes, global/local palettes; first frame)
 * BMP  — this module (BITMAPINFOHEADER BI_RGB 1/4/8/24/32-bit, bottom-up
   or top-down)
+* TIFF — this module (TIFF 6.0 baseline, IFD0: gray/palette/RGB at 1 or
+  8 bits/sample, strip layout, Compression 1/5/32773 — LZW shares the
+  realpdf decoder, TIFF always packs MSB-first with early change — plus
+  the horizontal differencing Predictor)
 
-TIFF/WebP/WMF/EMF/SVG stay header-sniff-only (dims/format without pixels)
+WebP/WMF/EMF/SVG stay header-sniff-only (dims/format without pixels)
 — `decode_raster_gray` raises ValueError for them and callers keep the
 figure-only path, exactly like any other malformed-input containment.
 """
@@ -265,13 +269,170 @@ def decode_bmp_gray(data: bytes,
     return w, h, rows
 
 
+# ------------------------------------------------------------------ TIFF
+
+def _packbits(raw: bytes, cap: int) -> bytes:
+    """Apple PackBits (TIFF 6.0 §9). Differs from PDF RunLengthDecode in
+    one byte: 128 is a no-op here, EOD there — so realpdf's RLE decoder
+    would truncate a strip whose literal runs happen to emit 0x80."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        b = raw[i]
+        if b < 128:
+            out += raw[i + 1:i + 2 + b]
+            i += 2 + b
+        elif b > 128:
+            out += raw[i + 1:i + 2] * (257 - b)
+            i += 2
+        else:
+            i += 1  # 0x80: no-op
+        if len(out) > cap:
+            raise ValueError("tiff: packbits over cap")
+    return bytes(out)
+
+
+def _tiff_ifd0(data: bytes, end: str) -> dict[int, list[int]]:
+    """First IFD → {tag: values} for the baseline tags this decoder
+    reads. Handles the value-or-offset rule (≤4 payload bytes live in
+    the entry itself) for BYTE/SHORT/LONG."""
+    (ifd,) = struct.unpack_from(end + "I", data, 4)
+    (count,) = struct.unpack_from(end + "H", data, ifd)
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for k in range(min(count, 256)):
+        e = ifd + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from(end + "HHI", data, e)
+        if typ not in sizes or cnt == 0 or cnt > 1 << 20:
+            continue
+        nbytes = sizes[typ] * cnt
+        if nbytes <= 4:
+            off = e + 8
+        else:
+            (off,) = struct.unpack_from(end + "I", data, e + 8)
+        if off + nbytes > len(data):
+            raise ValueError("tiff: entry payload out of file")
+        tags[tag] = list(struct.unpack_from(end + fmts[typ] * cnt, data, off))
+    return tags
+
+
+def decode_tiff_gray(data: bytes,
+                     max_pixels: int = _MAX_PIXELS_DEFAULT
+                     ) -> tuple[int, int, list[bytearray]]:
+    """Baseline TIFF 6.0 (first IFD) → 8-bit gray rows.
+
+    Supported: both byte orders; PhotometricInterpretation 0/1 (gray,
+    either polarity), 2 (RGB, chunky), 3 (palette); BitsPerSample 1 or
+    8; strip layout (RowsPerStrip default = whole image); Compression
+    1 (none), 5 (LZW, MSB-first + early change like the PDF filter, plus
+    Predictor 2 horizontal differencing), 32773 (PackBits). Anything
+    else — tiles, planar, 16-bit, JPEG-in-TIFF — raises ValueError and
+    callers keep the figure-only containment path."""
+    if data[:4] == b"II*\x00":
+        end = "<"
+    elif data[:4] == b"MM\x00*":
+        end = ">"
+    else:
+        raise ValueError("tiff: bad magic")
+    try:
+        tags = _tiff_ifd0(data, end)
+    except (struct.error, IndexError):
+        raise ValueError("tiff: truncated IFD")
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offs = tags[273]
+        counts = tags[279]
+    except KeyError:
+        raise ValueError("tiff: missing required tag")
+    if w <= 0 or h <= 0 or w * h > max_pixels or w * h > MAX_DECODED_BYTES:
+        raise ValueError("tiff: dimensions over cap")
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    bps_list = tags.get(258, [1])
+    spp = tags.get(277, [1])[0]
+    pred = tags.get(317, [1])[0]
+    rps = tags.get(278, [h])[0] or h
+    if tags.get(284, [1])[0] != 1:
+        raise ValueError("tiff: planar configuration unsupported")
+    if len(set(bps_list)) != 1:
+        raise ValueError("tiff: mixed bits per sample")
+    bps = bps_list[0]
+    if comp not in (1, 5, 32773):
+        raise ValueError(f"tiff: compression {comp} unsupported")
+    if pred not in (1, 2) or (pred == 2 and bps != 8):
+        raise ValueError("tiff: predictor unsupported")
+    if photo in (0, 1, 3):
+        if spp != 1:
+            raise ValueError("tiff: extra samples unsupported")
+        if bps not in (1, 8) or (photo == 3 and bps != 8):
+            raise ValueError("tiff: bits per sample unsupported")
+    elif photo == 2:
+        if spp != 3 or bps != 8:
+            raise ValueError("tiff: non-8-bit RGB unsupported")
+    else:
+        raise ValueError(f"tiff: photometric {photo} unsupported")
+    pal: list[int] | None = None
+    if photo == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("tiff: missing/short color map")
+        # ColorMap planes are 16-bit R,G,B — fold to 8-bit luma
+        pal = [((cmap[i] >> 8) * 299 + (cmap[256 + i] >> 8) * 587
+                + (cmap[512 + i] >> 8) * 114) // 1000 for i in range(256)]
+    if len(offs) != len(counts):
+        raise ValueError("tiff: strip offsets/counts mismatch")
+    stride = (w * spp * bps + 7) // 8
+    rows: list[bytearray] = []
+    for si, (so, sc) in enumerate(zip(offs, counts)):
+        if so + sc > len(data) or sc > MAX_DECODED_BYTES:
+            raise ValueError("tiff: strip out of file")
+        nrows = min(rps, h - si * rps)
+        if nrows <= 0:
+            break
+        raw = bytes(data[so:so + sc])
+        if comp == 5:
+            from documentconvert_spark.kernels.realpdf import _lzw_decode
+            raw = _lzw_decode(raw)
+        elif comp == 32773:
+            raw = _packbits(raw, stride * nrows)
+        if len(raw) < stride * nrows:
+            raise ValueError("tiff: short strip")
+        for y in range(nrows):
+            line = bytearray(raw[y * stride:(y + 1) * stride])
+            if pred == 2:
+                for i in range(spp, w * spp):
+                    line[i] = (line[i] + line[i - spp]) & 0xFF
+            if bps == 1:
+                row = bytearray(
+                    255 * ((line[x >> 3] >> (7 - (x & 7))) & 1) for x in range(w))
+                if photo == 0:  # WhiteIsZero: bit set = black
+                    row = bytearray(255 - v for v in row)
+            elif photo == 2:
+                row = bytearray(
+                    (line[3 * x] * 299 + line[3 * x + 1] * 587
+                     + line[3 * x + 2] * 114) // 1000 for x in range(w))
+            elif photo == 3:
+                row = bytearray(pal[v] for v in line[:w])
+            else:
+                row = line[:w]
+                if photo == 0:
+                    row = bytearray(255 - v for v in row)
+            rows.append(row)
+    if len(rows) < h:
+        raise ValueError("tiff: missing strips")
+    return w, h, rows[:h]
+
+
 # ------------------------------------------------------------------ router
 
 def decode_raster_gray(data: bytes,
                        max_pixels: int = _MAX_PIXELS_DEFAULT
                        ) -> tuple[str, int, int, list[bytearray]]:
     """Sniff + decode: (format, width, height, gray rows). ValueError on
-    formats without a from-scratch decoder (tiff/webp/wmf/emf/svg) or on
+    formats without a from-scratch decoder (webp/wmf/emf/svg) or on
     malformed input — per-row containment upstream (C7)."""
     from documentconvert_spark.kernels.media import sniff_image_meta
 
@@ -284,6 +445,8 @@ def decode_raster_gray(data: bytes,
         w, h, rows = decode_gif_gray(data, max_pixels=max_pixels)
     elif fmt == "bmp":
         w, h, rows = decode_bmp_gray(data, max_pixels=max_pixels)
+    elif fmt == "tiff":
+        w, h, rows = decode_tiff_gray(data, max_pixels=max_pixels)
     else:
         raise ValueError(f"raster: no pixel decoder for format {fmt!r}")
     return fmt, w, h, rows

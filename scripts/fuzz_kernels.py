@@ -141,6 +141,14 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         ("raw_jpeg", "raster", render_text_jpeg(["RASTER FUZZ"], scale=2)),
         ("raw_gif", "raster", _gif_seed()),
         ("raw_bmp", "raster", _bmp_seed()),
+        # TIFF (kernels/raster.decode_tiff_gray): mutants hit the IFD
+        # walker (value-or-offset rule), strip offsets/counts, PackBits,
+        # the shared LZW decoder and the predictor/photometric math —
+        # both the rendered-text LZW shape and the palette/PackBits shape
+        ("fmt_tiff_ocr", "image", _tiff_text_seed()),
+        ("fmt_tiff_pal", "image", _tiff_pal_seed()),
+        ("raw_tiff_ocr", "raster", _tiff_text_seed()),
+        ("raw_tiff_pal", "raster", _tiff_pal_seed()),
         # AVI video (kernels/media.decode_avi_frames): mutants hit the
         # RIFF chunk walker, avih/strh/strf parsing, the DIB stride math
         # and the per-frame budget/caps; the MJPG variant additionally
@@ -176,6 +184,20 @@ def _bmp_seed() -> bytes:
     from gen_extra_fixtures import _bmp_fixture
 
     return _bmp_fixture()
+
+
+def _tiff_text_seed() -> bytes:
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_extra_fixtures import render_text_tiff
+
+    return render_text_tiff(["TIFF FUZZ 7", "ROW 2"], scale=2)
+
+
+def _tiff_pal_seed() -> bytes:
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_extra_fixtures import _tiff_fixture
+
+    return _tiff_fixture()
 
 
 def _avi_seed(codec: str) -> bytes:

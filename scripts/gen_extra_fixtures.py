@@ -554,6 +554,115 @@ def _bmp_fixture() -> bytes:
             + bytes(body))
 
 
+def _packbits_encode(raw: bytes) -> bytes:
+    """Apple PackBits (TIFF 6.0 §9) writer: repeat runs ≥3, literal runs
+    otherwise, both capped at 128 per op."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    lit = i
+
+    def flush(lo: int, hi: int) -> None:
+        j = lo
+        while j < hi:
+            k = min(hi, j + 128)
+            out.append(k - j - 1)
+            out += raw[j:k]
+            j = k
+
+    while i < n:
+        run = 1
+        while i + run < n and raw[i + run] == raw[i] and run < 128:
+            run += 1
+        if run >= 3:
+            flush(lit, i)
+            out.append(257 - run)
+            out.append(raw[i])
+            i += run
+            lit = i
+        else:
+            i += run
+    flush(lit, i)
+    return bytes(out)
+
+
+def _tiff_encode(end: str, w: int, h: int, photo: int, strips: list[bytes],
+                 rps: int, comp: int = 1, bps: int = 8, spp: int = 1,
+                 pred: int = 1, colormap: list[int] | None = None) -> bytes:
+    """Assemble a baseline TIFF: header, strip data, out-of-line tag
+    payloads, IFD0 (tags ascending per spec). `strips` are the
+    already-compressed per-strip byte payloads."""
+    body = bytearray()
+    offs: list[int] = []
+    counts: list[int] = []
+    for s in strips:
+        offs.append(8 + len(body))
+        counts.append(len(s))
+        body += s
+    tags: list[tuple[int, int, list[int]]] = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [bps] * spp), (259, 3, [comp]),
+        (262, 3, [photo]), (273, 4, offs), (277, 3, [spp]), (278, 4, [rps]),
+        (279, 4, counts),
+    ]
+    if pred != 1:
+        tags.append((317, 3, [pred]))
+    if colormap is not None:
+        tags.append((320, 3, colormap))
+    tags.sort()
+    extra = bytearray()
+    extra_base = 8 + len(body)
+    ifd = bytearray(struct.pack(end + "H", len(tags)))
+    for tag, typ, vals in tags:
+        fchar = {3: "H", 4: "I"}[typ]
+        payload = struct.pack(end + fchar * len(vals), *vals)
+        if len(payload) <= 4:
+            ifd += struct.pack(end + "HHI", tag, typ, len(vals)) + payload.ljust(4, b"\0")
+        else:
+            ifd += struct.pack(end + "HHII", tag, typ, len(vals), extra_base + len(extra))
+            extra += payload
+    ifd += struct.pack(end + "I", 0)  # no next IFD
+    hdr = (b"II*\x00" if end == "<" else b"MM\x00*") + struct.pack(
+        end + "I", extra_base + len(extra))
+    return hdr + bytes(body) + bytes(extra) + bytes(ifd)
+
+
+def render_text_tiff(lines: list[str], scale: int = 2, margin: int = 8) -> bytes:
+    """Rendered-text TIFF for the raster OCR route: big-endian,
+    WhiteIsZero grayscale, LZW-compressed 16-row strips under the
+    horizontal-differencing Predictor — one fixture drives the whole
+    baseline decode path (tiff is in the reference's OCR whitelist,
+    document_service.py:652)."""
+    from tests.test_realpdf_features import _lzw_encode
+
+    from documentconvert_spark.corpus import _render_text_grid
+
+    w, h, grid = _render_text_grid(lines, scale, margin)
+    rps = 16
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = bytearray()
+        for row in grid[y0:y0 + rps]:
+            stored = bytes(255 - px for px in row)  # WhiteIsZero polarity
+            raw += bytes(((stored[i] - (stored[i - 1] if i else 0)) & 0xFF)
+                         for i in range(w))
+        strips.append(_lzw_encode(bytes(raw)))
+    return _tiff_encode(">", w, h, 0, strips, rps, comp=5, pred=2)
+
+
+def _tiff_fixture() -> bytes:
+    """Deterministic palette TIFF (little-endian, PackBits, partial last
+    strip) — the photo-like input that must stay figure-only."""
+    w, h, rps = 90, 60, 13
+    cmap = ([i << 8 for i in range(256)]
+            + [((i * 3) % 256) << 8 for i in range(256)]
+            + [(255 - i) << 8 for i in range(256)])
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = bytes(((x // 6) * 16 + (y // 6)) % 256
+                    for y in range(y0, min(y0 + rps, h)) for x in range(w))
+        strips.append(_packbits_encode(raw))
+    return _tiff_encode("<", w, h, 3, strips, rps, comp=32773, colormap=cmap)
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -583,6 +692,9 @@ def main() -> None:
             ["EXIT ROUTE 7", "KEEP CLEAR"], scale=2),
         "fixture_ocr_panel.bmp": render_text_bmp(
             ["PANEL ID 3348", "VOLTAGE 230V 50HZ"], scale=2),
+        "fixture_ocr_crate.tiff": render_text_tiff(
+            ["CRATE 88 FRAGILE", "THIS SIDE UP"], scale=2),
+        "fixture_mosaic.tiff": _tiff_fixture(),
     }
     for name, data in fixtures.items():
         with open(os.path.join(OUT, name), "wb") as fh:

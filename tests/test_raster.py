@@ -16,6 +16,7 @@ import glob
 import os
 import random
 import struct
+import sys
 
 import pytest
 
@@ -295,6 +296,125 @@ def test_bmp_truncated_raises():
         decode_bmp_gray(data[:30])
     with pytest.raises(ValueError, match="truncated pixel"):
         decode_bmp_gray(data[:-8])
+
+
+# ------------------------------------------------------------------ TIFF
+# Round-trips pair the generator-side encoders (scripts/gen_extra_fixtures:
+# independent TIFF 6.0 writers — LZW/PackBits/strip assembly) against the
+# from-scratch decoder, same two-implementations strategy as GIF/BMP.
+
+def _fixture_mods():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import gen_extra_fixtures as g
+
+    return g
+
+
+def test_tiff_text_lzw_predictor_round_trip():
+    from documentconvert_spark.kernels.raster import decode_tiff_gray
+
+    g = _fixture_mods()
+    lines = ["CRATE 88 FRAGILE", "THIS SIDE UP"]
+    data = g.render_text_tiff(lines, scale=2)
+    gw, gh, grid = _render_text_grid(lines, 2, 8)
+    w, h, rows = decode_tiff_gray(data)
+    assert (w, h) == (gw, gh)
+    assert all(bytes(rows[y]) == bytes(grid[y]) for y in range(h))
+    fmt, *_ = decode_raster_gray(data)
+    assert fmt == "tiff"
+
+
+def test_tiff_palette_packbits_partial_strip():
+    from documentconvert_spark.kernels.raster import decode_tiff_gray
+
+    g = _fixture_mods()
+    data = g._tiff_fixture()  # 90×60, rps=13 → last strip holds 8 rows
+    w, h, rows = decode_tiff_gray(data)
+    assert (w, h) == (90, 60)
+    # recompute expected luma through the 16-bit color map fold
+    def pal_luma(i):
+        r, gg, b = i, (i * 3) % 256, 255 - i
+        return (r * 299 + gg * 587 + b * 114) // 1000
+    for y in (0, 12, 13, 51, 59):  # strip starts/ends incl. partial last
+        for x in (0, 1, 44, 89):
+            idx = ((x // 6) * 16 + (y // 6)) % 256
+            assert rows[y][x] == pal_luma(idx), (x, y)
+
+
+def test_tiff_bilevel_polarities_and_rgb():
+    from documentconvert_spark.kernels.raster import decode_tiff_gray
+
+    g = _fixture_mods()
+    w, h = 21, 6
+    bits = bytearray()
+    for y in range(h):
+        line = bytearray((w + 7) // 8)
+        for x in range(w):
+            if (x + y) % 4 == 0:
+                line[x >> 3] |= 1 << (7 - (x & 7))
+        bits += line
+    # photometric 0 (WhiteIsZero): set bit = black
+    _, _, r0 = decode_tiff_gray(g._tiff_encode("<", w, h, 0, [bytes(bits)], h, bps=1))
+    # photometric 1 (BlackIsZero): set bit = white
+    _, _, r1 = decode_tiff_gray(g._tiff_encode(">", w, h, 1, [bytes(bits)], h, bps=1))
+    for y in range(h):
+        for x in range(w):
+            lit = (x + y) % 4 == 0
+            assert r0[y][x] == (0 if lit else 255)
+            assert r1[y][x] == (255 if lit else 0)
+    # chunky RGB, big-endian, uncompressed
+    rgb = bytes(v for y in range(4) for x in range(5) for v in (x * 40, y * 50, 77))
+    _, _, rr = decode_tiff_gray(g._tiff_encode(">", 5, 4, 2, [rgb], 4, spp=3))
+    assert all(rr[y][x] == (x * 40 * 299 + y * 50 * 587 + 77 * 114) // 1000
+               for y in range(4) for x in range(5))
+
+
+def test_tiff_packbits_noop_byte():
+    # 0x80 is a PackBits no-op — PDF RunLengthDecode treats it as EOD,
+    # so reusing the realpdf RLE decoder would truncate this strip
+    from documentconvert_spark.kernels.raster import _packbits
+
+    assert _packbits(b"\x80\x02abc\x80\xfeZ", 64) == b"abcZZZ"
+    with pytest.raises(ValueError, match="over cap"):
+        _packbits(b"\x81a" * 100, 50)
+
+
+def test_tiff_malformed_contained():
+    from documentconvert_spark.kernels.raster import decode_tiff_gray
+
+    g = _fixture_mods()
+    good = g.render_text_tiff(["OK 1"], scale=2)
+    with pytest.raises(ValueError, match="magic"):
+        decode_tiff_gray(b"II+\x00" + good[4:])
+    with pytest.raises(ValueError, match="truncated IFD"):
+        decode_tiff_gray(good[:4] + struct.pack(">I", len(good) + 9999) + good[8:])
+    raw = bytes(range(16)) * 2
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff_gray(g._tiff_encode("<", 8, 4, 1, [raw], 4, comp=6))
+    with pytest.raises(ValueError, match="short strip"):
+        decode_tiff_gray(g._tiff_encode("<", 8, 5, 1, [raw], 5))
+    with pytest.raises(ValueError, match="dimensions over cap"):
+        decode_tiff_gray(g._tiff_encode("<", 1 << 16, 1 << 16, 1, [raw], 4))
+    # strip offset past EOF: counts say more bytes than the file holds
+    bad = bytearray(g._tiff_encode("<", 8, 4, 1, [raw], 4))
+    bad_tag = bad.find(struct.pack("<HH", 279, 4))
+    struct.pack_into("<I", bad, bad_tag + 8, 1 << 24)
+    with pytest.raises(ValueError, match="strip out of file"):
+        decode_tiff_gray(bytes(bad))
+
+
+def test_tiff_ocr_through_image_dispatch():
+    from documentconvert_spark.kernels.detect import extract_image_any
+    from documentconvert_spark.kernels.miniocr import ocr_raster_text
+
+    g = _fixture_mods()
+    data = g.render_text_tiff(["DOCK 9 BAY 4"], scale=3)
+    assert ocr_raster_text(data) == ["DOCK 9 BAY 4"]
+    spans = extract_image_any(data)
+    assert [s.kind for s in spans] == ["figure", "paragraph"]
+    assert spans[1].text == "DOCK 9 BAY 4"
+    # the photo-like palette TIFF decodes but stays figure-only
+    assert [s.kind for s in extract_image_any(g._tiff_fixture())] == ["figure"]
 
 
 # ------------------------------------------------------------------ WAV

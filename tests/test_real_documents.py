@@ -157,10 +157,15 @@ def test_real_goldens_match_committed_parquet():
         expected.setdefault(did, []).append(
             (tbl["offset"][i], tbl["kind"][i], tbl["media_ref"][i], tbl["text"][i])
         )
-    assert len(expected) == 29  # 7 reference samples + 22 crafted fixtures
+    assert len(expected) == 31  # 7 reference samples + 24 crafted fixtures
     # the JPEG OCR fixture pins the baseline-JPEG decoder + glyph matcher
     card = [t for (_o, k, _m, t) in expected["fixture_ocr_card.jpg"] if k == "paragraph"]
     assert card and card[0].startswith("MEMBER CARD")
+    # the TIFF OCR fixture pins LZW strips + Predictor 2 + WhiteIsZero
+    crate = [t for (_o, k, _m, t) in expected["fixture_ocr_crate.tiff"] if k == "paragraph"]
+    assert crate == ["CRATE 88 FRAGILE", "THIS SIDE UP"]
+    # the palette/PackBits TIFF decodes but stays figure-only (photo-like)
+    assert [k for (_o, k, _m, _t) in expected["fixture_mosaic.tiff"]] == ["figure"]
     # no-ToUnicode CID recovery + WinAnsi/MacRoman high bytes stay pinned
     fonts = [t for (_o, _k, _m, t) in expected["fixture_fonts.pdf"]]
     assert any("CID" in t for t in fonts) and any("café crème" in t for t in fonts)
@@ -176,7 +181,7 @@ def test_real_goldens_match_committed_parquet():
         data = _read(name)
         if name.endswith(".pdf"):
             kern = extract_pdf_any
-        elif name.rsplit(".", 1)[-1] in ("png", "jpg", "jpeg", "gif", "bmp"):
+        elif name.rsplit(".", 1)[-1] in ("png", "jpg", "jpeg", "gif", "bmp", "tiff"):
             from documentconvert_spark.kernels.detect import extract_image_any
 
             kern = extract_image_any
