@@ -456,21 +456,18 @@ def render_text_jpeg(lines: list[str], scale: int = 2, margin: int = 8) -> bytes
     return encode_gray_jpeg(w, h, grid)
 
 
-def encode_gray_jpeg(w: int, h: int, grid: list) -> bytes:
-    """Grayscale raster → NEAR-LOSSLESS baseline JPEG bytes.
-
-    From-scratch T.81 encoder: one gray component, quant table all ones
-    (the only regime where exact glyph matching can survive a lossy
-    format — reconstruction error is FDCT/IDCT rounding only, ≤2 gray
-    levels), and fixed-length huffman tables (all DC categories at 4
-    bits, all 162 AC symbols at 8 bits — canonical, spec-valid, and
-    independent of the decoder's Annex-K-free table parsing). Shared by
-    the OCR fixtures above and the MJPG frames of `render_avi`."""
-    import struct as _struct
-
+def _jpeg_quantized_blocks(w: int, h: int, grid: list,
+                           pad_to: int = 1) -> tuple[int, int, list[list[int]]]:
+    """Gray raster → per-block zigzag-ordered quantized coefficients
+    (quant all ones), block grid padded to a multiple of `pad_to` blocks
+    per side (1 = baseline 8×8, 2 = a 4:2:0 16×16 MCU lattice). Shared
+    by the baseline and progressive JPEG emitters so both serialize the
+    SAME coefficients — the decoder equality test isolates entropy
+    coding from DCT math."""
     import numpy as np
 
-    bw, bh = -(-w // 8), -(-h // 8)
+    bw = -(- -(-w // 8) // pad_to) * pad_to
+    bh = -(- -(-h // 8) // pad_to) * pad_to
     pad = np.full((bh * 8, bw * 8), 255.0)
     pad[:h, :w] = np.frombuffer(b"".join(bytes(r) for r in grid),
                                 dtype=np.uint8).reshape(h, w)
@@ -486,6 +483,27 @@ def encode_gray_jpeg(w: int, h: int, grid: list) -> bytes:
           12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
           35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
           58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    out = []
+    for by in range(bh):
+        for bx in range(bw):
+            blk = coef[by, bx].ravel()
+            out.append([int(blk[z]) for z in zz])
+    return bw, bh, out
+
+
+def encode_gray_jpeg(w: int, h: int, grid: list) -> bytes:
+    """Grayscale raster → NEAR-LOSSLESS baseline JPEG bytes.
+
+    From-scratch T.81 encoder: one gray component, quant table all ones
+    (the only regime where exact glyph matching can survive a lossy
+    format — reconstruction error is FDCT/IDCT rounding only, ≤2 gray
+    levels), and fixed-length huffman tables (all DC categories at 4
+    bits, all 162 AC symbols at 8 bits — canonical, spec-valid, and
+    independent of the decoder's Annex-K-free table parsing). Shared by
+    the OCR fixtures above and the MJPG frames of `render_avi`."""
+    import struct as _struct
+
+    bw, bh, zz_blocks = _jpeg_quantized_blocks(w, h, grid)
     dc_syms = list(range(12))                      # categories, 4-bit codes
     ac_syms = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
     ac_code = {s: i for i, s in enumerate(ac_syms)}
@@ -495,40 +513,37 @@ def encode_gray_jpeg(w: int, h: int, grid: list) -> bytes:
         bits_out.append((code, nbits))
 
     pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            blk = coef[by, bx].ravel()
-            zzv = [int(blk[z]) for z in zz]
-            diff = zzv[0] - pred
-            pred = zzv[0]
-            # DC: category code then magnitude bits
-            t = 0
-            a = abs(diff)
+    for zzv in zz_blocks:
+        diff = zzv[0] - pred
+        pred = zzv[0]
+        # DC: category code then magnitude bits
+        t = 0
+        a = abs(diff)
+        while a:
+            t += 1
+            a >>= 1
+        put(dc_syms.index(t), 4)
+        if t:
+            put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for k in range(1, 64):
+            v = zzv[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(ac_code[0xF0], 8)
+                run -= 16
+            s = 0
+            a = abs(v)
             while a:
-                t += 1
+                s += 1
                 a >>= 1
-            put(dc_syms.index(t), 4)
-            if t:
-                put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            put(ac_code[(run << 4) | s], 8)
+            put(v if v > 0 else v + (1 << s) - 1, s)
             run = 0
-            for k in range(1, 64):
-                v = zzv[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    put(ac_code[0xF0], 8)
-                    run -= 16
-                s = 0
-                a = abs(v)
-                while a:
-                    s += 1
-                    a >>= 1
-                put(ac_code[(run << 4) | s], 8)
-                put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if run:
-                put(ac_code[0x00], 8)  # EOB
+        if run:
+            put(ac_code[0x00], 8)  # EOB
     # bit-pack MSB-first with 0xFF00 stuffing, pad final byte with 1s
     acc = 0
     nacc = 0
@@ -562,6 +577,261 @@ def encode_gray_jpeg(w: int, h: int, grid: list) -> bytes:
            + seg(0xC4, bytes([0x10]) + bytes(dht_ac_bits) + bytes(ac_syms)))
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(scan) + b"\xff\xd9")
+
+
+class _JpegBitSink:
+    """MSB-first bit emitter with 0xFF00 stuffing and restart markers."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def put(self, code: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (code & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def byte_align(self) -> None:
+        if self.n:  # pad with 1-bits (T.81 B.1.1.5)
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+    def rst(self, m: int) -> None:
+        self.byte_align()
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
+
+def encode_gray_jpeg_progressive(w: int, h: int, grid: list,
+                                 restart: int = 0,
+                                 ycbcr420: bool = False) -> bytes:
+    """NEAR-LOSSLESS progressive JPEG (SOF2, T.81 Annex G) carrying the
+    SAME quantized coefficients as `encode_gray_jpeg` — the decoder
+    equality test (progressive decode == baseline decode, pixel-exact)
+    isolates the progressive entropy coding from the shared DCT math.
+
+    Scan script exercises every progressive scan class:
+      1. DC first  Al=1 (interleaved over Y+Cb+Cr when ycbcr420)
+      2. AC first  band 1–5,  Al=2          (luma)
+      3. AC first  band 6–63, Al=2          (luma; EOB-run coding)
+      4. AC refine band 1–63, Ah=2 → Al=1   (correction bits)
+      5. AC refine band 1–63, Ah=1 → Al=0
+      6. chroma AC first scans (ycbcr420 only; all-zero → one EOB run)
+      7. DC refine Ah=1 → Al=0
+    so the successive approximation converges to the exact coefficients.
+    With ycbcr420 the frame is 3-component 4:2:0 with neutral chroma —
+    the shape real gray photos exported as YCbCr take."""
+    import struct as _struct
+
+    pad_to = 2 if ycbcr420 else 1
+    bw, bh, zz_blocks = _jpeg_quantized_blocks(w, h, grid, pad_to=pad_to)
+    nbx, nby = -(-w // 8), -(-h // 8)  # AC scans iterate the UNPADDED grid
+    dc_syms = list(range(12))
+    ac_syms = ([0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+               + [0xF0] + [r << 4 for r in range(1, 15)])  # + EOBn symbols
+    ac_code = {s: i for i, s in enumerate(ac_syms)}
+
+    def mag(v: int, s: int) -> int:
+        return v if v > 0 else v + (1 << s) - 1
+
+    def dc_scan(al: int, ah: int) -> bytes:
+        sink = _JpegBitSink()
+        names = ("Y", "Cb", "Cr") if ycbcr420 else ("Y",)
+        preds = dict.fromkeys(names, 0)
+        mcus_x, mcus_y = bw // pad_to, bh // pad_to
+        mi = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and mi and mi % restart == 0:
+                    sink.rst((mi // restart - 1) & 7)
+                    preds = dict.fromkeys(names, 0)
+                for name in names:
+                    n_sub = pad_to if name == "Y" else 1
+                    for v_ in range(n_sub):
+                        for u in range(n_sub):
+                            if name == "Y":
+                                blk = zz_blocks[(my * n_sub + v_) * bw + mx * n_sub + u]
+                                val = blk[0] >> al  # arithmetic shift (G.1.2.1)
+                            else:
+                                val = 0
+                            if ah == 0:
+                                diff = val - preds[name]
+                                preds[name] = val
+                                s = abs(diff).bit_length()
+                                sink.put(s, 4)  # canonical: code == index
+                                sink.put(mag(diff, s), s)
+                            else:
+                                sink.put(val & 1, 1)
+                mi += 1
+        sink.byte_align()
+        return bytes(sink.out)
+
+    def ac_first(ss: int, se: int, al: int) -> bytes:
+        sink = _JpegBitSink()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                sink.put(ac_code[r << 4], 8)
+                sink.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        bi = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart and bi and bi % restart == 0:
+                    flush_eob()
+                    sink.rst((bi // restart - 1) & 7)
+                blk = zz_blocks[by * bw + bx]
+                run = 0
+                emitted = False
+                for k in range(ss, se + 1):
+                    v = blk[k]
+                    av = (abs(v) >> al) * (1 if v > 0 else -1)
+                    if av == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        sink.put(ac_code[0xF0], 8)
+                        run -= 16
+                    s = abs(av).bit_length()
+                    sink.put(ac_code[(run << 4) | s], 8)
+                    sink.put(mag(av, s), s)
+                    run = 0
+                    emitted = True
+                if run or not emitted:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+                bi += 1
+        flush_eob()
+        sink.byte_align()
+        return bytes(sink.out)
+
+    def ac_refine(ss: int, se: int, al: int) -> bytes:
+        sink = _JpegBitSink()
+        eobrun = 0
+        be: list[int] = []  # correction bits pending with the EOB run
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                sink.put(ac_code[r << 4], 8)
+                sink.put(eobrun - (1 << r), r)
+                for bit in be:
+                    sink.put(bit, 1)
+                be.clear()
+                eobrun = 0
+
+        bi = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart and bi and bi % restart == 0:
+                    flush_eob()
+                    sink.rst((bi // restart - 1) & 7)
+                blk = zz_blocks[by * bw + bx]
+                absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+                # index of the last NEWLY-nonzero coef: zero runs past it
+                # fold into the EOB instead of taking ZRL symbols — and the
+                # ZRL loop must run at EVERY nonzero (history coefs too),
+                # or correction bits interleave wrongly around the 16th
+                # zero of a long run (decoder walk order, G.1.2.3)
+                eob_idx = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob_idx = i
+                run = 0
+                br: list[int] = []  # correction bits in the current run
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob_idx:
+                        flush_eob()
+                        sink.put(ac_code[0xF0], 8)
+                        run -= 16
+                        for bit in br:
+                            sink.put(bit, 1)
+                        br.clear()
+                    if t > 1:  # visible at the previous precision
+                        br.append(t & 1)
+                        continue
+                    # newly nonzero at this precision
+                    flush_eob()
+                    sink.put(ac_code[(run << 4) | 1], 8)
+                    sink.put(1 if blk[ss + i] > 0 else 0, 1)
+                    for bit in br:
+                        sink.put(bit, 1)
+                    br.clear()
+                    run = 0
+                if run or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 32767:
+                        flush_eob()
+                bi += 1
+        flush_eob()
+        sink.byte_align()
+        return bytes(sink.out)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    def sos(comps: bytes, ss: int, se: int, ah: int, al: int) -> bytes:
+        n = len(comps) // 2
+        return seg(0xDA, bytes([n]) + comps + bytes([ss, se, (ah << 4) | al]))
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    if ycbcr420:
+        frame_comps = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    else:
+        frame_comps = bytes([1, 0x11, 0])
+    sof = seg(0xC2, _struct.pack(">BHHB", 8, h, w, len(frame_comps) // 3) + frame_comps)
+    dht_dc_bits = [0] * 16
+    dht_dc_bits[3] = len(dc_syms)
+    dht_ac_bits = [0] * 16
+    dht_ac_bits[7] = len(ac_syms)
+    dht = (seg(0xC4, bytes([0x00]) + bytes(dht_dc_bits) + bytes(dc_syms))
+           + seg(0xC4, bytes([0x10]) + bytes(dht_ac_bits) + bytes(ac_syms)))
+    dri = seg(0xDD, _struct.pack(">H", restart)) if restart else b""
+    dc_comps = frame_comps[::3]  # component ids
+    dc_sel = b"".join(bytes([cid, 0x00]) for cid in dc_comps)
+    out = bytearray(b"\xff\xd8" + dqt + sof + dht + dri)
+    out += sos(dc_sel, 0, 0, 0, 1) + dc_scan(al=1, ah=0)
+    out += sos(bytes([1, 0x00]), 1, 5, 0, 2) + ac_first(1, 5, 2)
+    out += sos(bytes([1, 0x00]), 6, 63, 0, 2) + ac_first(6, 63, 2)
+    out += sos(bytes([1, 0x00]), 1, 63, 2, 1) + ac_refine(1, 63, 1)
+    out += sos(bytes([1, 0x00]), 1, 63, 1, 0) + ac_refine(1, 63, 0)
+    if ycbcr420:
+        # chroma AC scans: neutral chroma → pure EOB runs; the decoder
+        # skips these bytewise, so they also pin _skip_entropy on
+        # progressive layouts
+        cbx, cby = -(-(-(-w // 2)) // 8), -(-(-(-h // 2)) // 8)
+        for cid in (2, 3):
+            sink = _JpegBitSink()
+            n_blocks = cbx * cby
+            while n_blocks:
+                chunk = min(n_blocks, 32767)
+                r = chunk.bit_length() - 1
+                sink.put(ac_code[r << 4], 8)
+                sink.put(chunk - (1 << r), r)
+                n_blocks -= chunk
+            sink.byte_align()
+            out += sos(bytes([cid, 0x00]), 1, 63, 0, 0) + bytes(sink.out)
+    out += sos(dc_sel, 0, 0, 1, 0) + dc_scan(al=0, ah=1)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # -- AVI video fixtures (generator side of the video-decode split) -----------

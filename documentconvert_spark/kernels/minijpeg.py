@@ -15,12 +15,17 @@ Scope — exactly the baseline class the corpus contains:
 * SOF0/SOF1, 8-bit precision, 1 or 3 components, any H/V sampling with
   Y at full resolution (Hmax/Vmax), interleaved or single-component
   scans, restart markers, 8/16-bit DQT.
+* Progressive SOF2 (T.81 Annex G): spectral selection + successive
+  approximation, DC first/refine (interleaved or not) and AC first/
+  refine with EOB-run coding — Y coefficients accumulate across scans
+  in a padded block grid and the shared IDCT tail runs once at EOI.
 * Output is the **Y plane only**: gray == Y by the YCbCr definition
   (ITU-R 601 luma), so chroma blocks are entropy-decoded just to advance
-  the bitstream (interleaved scans) or skipped bytewise (non-interleaved
-  chroma scans) — no chroma IDCT, no color convert.
-* Progressive (SOF2), arithmetic coding, 12-bit, and CMYK raise
-  ValueError — callers fall back to the header-sniffed figure-only path.
+  the bitstream (interleaved scans) or skipped bytewise (single-
+  component chroma scans, which end at the next real marker) — no
+  chroma IDCT, no color convert.
+* Arithmetic coding, hierarchical, 12-bit, and CMYK raise ValueError —
+  callers fall back to the header-sniffed figure-only path.
 
 Bounds: pixel count capped before any allocation (`max_pixels`), raster
 bytes under the shared MAX_DECODED_BYTES, and the entropy loop is
@@ -185,6 +190,157 @@ def _skip_entropy(data: bytes, pos: int) -> int:
     return len(data)
 
 
+def _prog_decode_scan(data: bytes, start: int, scan, comps, grid,
+                      grid_bw: int, ss: int, se: int, ah: int, al: int,
+                      restart: int, huff_dc, huff_ac,
+                      w: int, h: int, hmax: int, vmax: int) -> int:
+    """One progressive scan (T.81 Annex G) → end position in `data`.
+
+    Mutates `grid`, the padded Y coefficient plane (zigzag order per
+    block, blocks raster-major with row stride `grid_bw`). Chroma blocks
+    in interleaved DC scans are entropy-decoded to keep bit position but
+    their values are discarded; chroma-only scans never reach here (the
+    caller skips them bytewise). AC scans are single-component by G.1.1;
+    successive approximation follows G.1.2 (first pass shifts by Al,
+    refinement appends one correction bit per nonzero coefficient)."""
+    br = _Bits(data, start)
+    get = br.get
+    y_comp = comps[0]
+    if ss == 0:  # DC band
+        if se != 0:
+            raise ValueError("jpeg: bad progressive DC band")
+        tabs = {}
+        if ah == 0:
+            try:
+                tabs = {c[0]: huff_dc[td] for c, td, _ta in scan}
+            except KeyError:
+                raise ValueError("jpeg: scan uses undefined huffman table") from None
+        preds = {c[0]: 0 for c, _td, _ta in scan}
+        if len(scan) > 1:
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            per_mcu = [(c, c[1], c[2]) for c, _td, _ta in scan]
+        else:
+            c = scan[0][0]
+            cw = -(-w * c[1] // hmax)
+            ch = -(-h * c[2] // vmax)
+            mcus_x = -(-cw // 8)
+            mcus_y = -(-ch // 8)
+            per_mcu = [(c, 1, 1)]
+        for mi in range(mcus_x * mcus_y):
+            if restart and mi and mi % restart == 0:
+                br.sync_restart((mi // restart - 1) & 7)
+                for cid in preds:
+                    preds[cid] = 0
+            my, mx = divmod(mi, mcus_x)
+            for c, ch_, cv_ in per_mcu:
+                is_y = c is y_comp
+                for v in range(cv_):
+                    for u in range(ch_):
+                        if len(scan) > 1:
+                            bx, by = mx * ch_ + u, my * cv_ + v
+                        else:
+                            bx, by = mx, my
+                        if ah == 0:
+                            t = _decode_sym(br, tabs[c[0]])
+                            if t > 15:
+                                raise ValueError("jpeg: bad DC category")
+                            if t:
+                                preds[c[0]] += _extend(get(t), t)
+                            if is_y:
+                                grid[(by * grid_bw + bx) * 64] = preds[c[0]] << al
+                        else:  # DC refinement: one raw bit per block
+                            bit = get(1)
+                            if is_y and bit:
+                                grid[(by * grid_bw + bx) * 64] |= 1 << al
+    else:  # AC band: single-component scan (G.1.1.1.1), luma only here
+        if len(scan) != 1 or se > 63 or ss > se:
+            raise ValueError("jpeg: bad progressive AC band")
+        _c, _td, ta = scan[0]
+        try:
+            act = huff_ac[ta]
+        except KeyError:
+            raise ValueError("jpeg: scan uses undefined huffman table") from None
+        bw_blocks = -(-w // 8)
+        bh_blocks = -(-h // 8)
+        eobrun = 0
+        p1 = 1 << al
+        m1 = -p1
+        for bi in range(bw_blocks * bh_blocks):
+            if restart and bi and bi % restart == 0:
+                br.sync_restart((bi // restart - 1) & 7)
+                eobrun = 0
+            by, bx = divmod(bi, bw_blocks)
+            base = (by * grid_bw + bx) * 64
+            if ah == 0:  # AC first pass (G.1.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_sym(br, act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:  # EOBn: this block done, r more follow
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += get(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("jpeg: AC index overflow")
+                    grid[base + k] = _extend(get(s), s) << al
+                    k += 1
+            else:  # AC refinement (G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_sym(br, act)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += get(r)
+                                break
+                            newval = 0  # ZRL: 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise ValueError("jpeg: bad AC refine symbol")
+                            newval = p1 if get(1) else m1
+                        # advance over the run: nonzero-history coefs take
+                        # a correction bit and do not count toward the run
+                        while k <= se:
+                            cv = grid[base + k]
+                            if cv:
+                                if get(1) and not (cv & p1):
+                                    grid[base + k] = cv + (p1 if cv > 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if k > se:
+                            if newval:
+                                raise ValueError("jpeg: AC refine overflow")
+                            break
+                        if newval:
+                            grid[base + k] = newval
+                        k += 1
+                if eobrun:  # EOB region: correction bits only
+                    while k <= se:
+                        cv = grid[base + k]
+                        if cv and get(1) and not (cv & p1):
+                            grid[base + k] = cv + (p1 if cv > 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    if br.pads > 3:
+        raise ValueError("jpeg: truncated entropy segment")
+    return br.p
+
+
 def parse_jpeg_quant(data: bytes) -> dict[int, list[int]]:
     """DQT tables only (zigzag order) — the cheap pre-filter for the OCR
     gate: a near-lossless render has every luma quant value ≤ 2, a photo
@@ -243,6 +399,9 @@ def decode_jpeg_gray(data: bytes,
     coefs = _array.array("i")
     _ZBLOCK = _array.array("i", bytes(256))  # 64 zero int32s
     positions: list[tuple[int, int]] = []  # (bx, by) per stored Y block
+    progressive = False
+    grid: _array.array | None = None  # progressive Y coef plane (padded)
+    grid_bw = grid_bh = 0
     pos = 2
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -287,7 +446,8 @@ def decode_jpeg_gray(data: bytes,
                     raise ValueError("jpeg: short DHT")
                 (huff_ac if tc else huff_dc)[th] = _build_huff(bits, vals)
                 i += 17 + n
-        elif m in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline-decodable)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2 (progressive)
+            progressive = m == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("jpeg: unsupported precision")
@@ -308,8 +468,8 @@ def decode_jpeg_gray(data: bytes,
             if comps[0][1] != hmax or comps[0][2] != vmax:
                 raise ValueError("jpeg: luma not at full resolution")
             frame = (w, h, comps, hmax, vmax)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: non-baseline frame (progressive/arith)")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: unsupported frame class (lossless/arith/hier)")
         elif m == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:  # SOS
@@ -328,6 +488,20 @@ def decode_jpeg_gray(data: bytes,
             is_luma_scan = any(c[0] is comps[0] for c in scan)
             if not is_luma_scan:  # chroma-only: skip bytewise, no decode
                 pos = _skip_entropy(data, data_start)
+                continue
+            if progressive:
+                if len(seg) < 4 + 2 * ns:
+                    raise ValueError("jpeg: truncated scan header")
+                ss_, se_, a_ = seg[1 + 2 * ns:4 + 2 * ns]
+                if grid is None:
+                    grid_bw = -(-w // (8 * hmax)) * hmax
+                    grid_bh = -(-h // (8 * vmax)) * vmax
+                    grid = _array.array("i", bytes(256 * grid_bw * grid_bh))
+                endp = _prog_decode_scan(
+                    data, data_start, [(c, td, ta) for c, td, ta in scan],
+                    comps, grid, grid_bw, ss_, se_, a_ >> 4, a_ & 15,
+                    restart, huff_dc, huff_ac, w, h, hmax, vmax)
+                pos = _skip_entropy(data, endp)
                 continue
             mcu_w = 8 * hmax
             mcu_h = 8 * vmax
@@ -419,6 +593,13 @@ def decode_jpeg_gray(data: bytes,
             pos = _skip_entropy(data, br.p)
             continue
         pos += 2 + ln
+    if progressive:
+        if grid is None:
+            raise ValueError("jpeg: no decodable luma scan")
+        # the padded grid IS the block-major coefficient store the shared
+        # IDCT tail expects — blocks raster-major, 64 zigzag coefs each
+        coefs = grid
+        positions = [(bx, by) for by in range(grid_bh) for bx in range(grid_bw)]
     ny_blocks = len(positions)
     if frame is None or ny_blocks == 0:
         raise ValueError("jpeg: no decodable luma scan")

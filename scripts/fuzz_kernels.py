@@ -133,6 +133,10 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         # palette/stride arithmetic through the image dispatch route
         ("fmt_jpeg_ocr", "image",
          render_text_jpeg(["FUZZ JPEG 42", "LINE B"], scale=2)),
+        # progressive SOF2: mutants hit the Annex-G scan dispatcher, the
+        # successive-approximation bit logic and EOB-run bookkeeping
+        ("fmt_jpeg_prog", "image", _jpeg_prog_seed()),
+        ("raw_jpeg_prog", "raster", _jpeg_prog_seed()),
         ("fmt_gif", "image", _gif_seed()),
         ("fmt_bmp", "image", _bmp_seed()),
         # same seeds through decode_raster_gray itself: the gif/bmp pixel
@@ -184,6 +188,16 @@ def _bmp_seed() -> bytes:
     from gen_extra_fixtures import _bmp_fixture
 
     return _bmp_fixture()
+
+
+def _jpeg_prog_seed() -> bytes:
+    from documentconvert_spark.corpus import (
+        _render_text_grid,
+        encode_gray_jpeg_progressive,
+    )
+
+    w, h, grid = _render_text_grid(["PROG FUZZ 3", "EOB RUN"], 2, 8)
+    return encode_gray_jpeg_progressive(w, h, grid, restart=4, ycbcr420=True)
 
 
 def _tiff_text_seed() -> bytes:

@@ -445,10 +445,21 @@ def ocr_jpegs() -> dict[str, bytes]:
     services/document_service.py:652-665)."""
     from documentconvert_spark.corpus import render_text_jpeg
 
+    from documentconvert_spark.corpus import (
+        _render_text_grid,
+        encode_gray_jpeg_progressive,
+    )
+
+    sw, sh, sg = _render_text_grid(["DELIVERY SCAN 0731", "GATE B ROW 6"], 2, 8)
     return {
         "fixture_ocr_card.jpg": render_text_jpeg(
             ["MEMBER CARD 0042", "VALID: 2025/12-2026/11", "LEVEL = GOLD!"],
             scale=2),
+        # progressive SOF2 with 4:2:0 neutral chroma and restart markers:
+        # the web-export shape — pins the Annex-G scan decoding in the
+        # golden corpus, not just unit tests
+        "fixture_ocr_scan.jpg": encode_gray_jpeg_progressive(
+            sw, sh, sg, restart=4, ycbcr420=True),
     }
 
 

@@ -168,12 +168,16 @@ def test_real_carved_pngs_decode():
         assert (dw, dh) == (w, h), name
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_unsupported_frame_classes_raise():
+    # progressive (SOF2) decodes since the Annex-G support landed
+    # (tests/test_jpeg_progressive.py); lossless and arithmetic-coded
+    # frames stay out of scope and must be contained, not garbled
     data = bytearray(render_text_jpeg(["AB"], scale=1))
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 → SOF2
-    with pytest.raises(ValueError, match="non-baseline"):
-        decode_jpeg_gray(bytes(data))
+    for sof in (0xC3, 0xC9, 0xCB):  # lossless, arith sequential, arith lossless
+        data[i + 1] = sof
+        with pytest.raises(ValueError, match="unsupported frame class"):
+            decode_jpeg_gray(bytes(data))
 
 
 def test_jpeg_truncated_scan_raises():

@@ -157,10 +157,13 @@ def test_real_goldens_match_committed_parquet():
         expected.setdefault(did, []).append(
             (tbl["offset"][i], tbl["kind"][i], tbl["media_ref"][i], tbl["text"][i])
         )
-    assert len(expected) == 31  # 7 reference samples + 24 crafted fixtures
+    assert len(expected) == 32  # 7 reference samples + 25 crafted fixtures
     # the JPEG OCR fixture pins the baseline-JPEG decoder + glyph matcher
     card = [t for (_o, k, _m, t) in expected["fixture_ocr_card.jpg"] if k == "paragraph"]
     assert card and card[0].startswith("MEMBER CARD")
+    # the progressive fixture pins SOF2 (Annex G) scans + 4:2:0 + restarts
+    scan = [t for (_o, k, _m, t) in expected["fixture_ocr_scan.jpg"] if k == "paragraph"]
+    assert scan == ["DELIVERY SCAN 0731", "GATE B ROW 6"]
     # the TIFF OCR fixture pins LZW strips + Predictor 2 + WhiteIsZero
     crate = [t for (_o, k, _m, t) in expected["fixture_ocr_crate.tiff"] if k == "paragraph"]
     assert crate == ["CRATE 88 FRAGILE", "THIS SIDE UP"]
