@@ -491,6 +491,36 @@ def _jpeg_quantized_blocks(w: int, h: int, grid: list,
     return bw, bh, out
 
 
+class _JpegBitSink:
+    """MSB-first bit emitter with 0xFF00 stuffing and restart markers."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def put(self, code: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (code & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def byte_align(self) -> None:
+        if self.n:  # pad with 1-bits (T.81 B.1.1.5)
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+    def rst(self, m: int) -> None:
+        self.byte_align()
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
+
 def encode_gray_jpeg(w: int, h: int, grid: list) -> bytes:
     """Grayscale raster → NEAR-LOSSLESS baseline JPEG bytes.
 
@@ -507,10 +537,8 @@ def encode_gray_jpeg(w: int, h: int, grid: list) -> bytes:
     dc_syms = list(range(12))                      # categories, 4-bit codes
     ac_syms = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
     ac_code = {s: i for i, s in enumerate(ac_syms)}
-    bits_out = []
-
-    def put(code: int, nbits: int) -> None:
-        bits_out.append((code, nbits))
+    sink = _JpegBitSink()
+    put = sink.put
 
     pred = 0
     for zzv in zz_blocks:
@@ -544,25 +572,8 @@ def encode_gray_jpeg(w: int, h: int, grid: list) -> bytes:
             run = 0
         if run:
             put(ac_code[0x00], 8)  # EOB
-    # bit-pack MSB-first with 0xFF00 stuffing, pad final byte with 1s
-    acc = 0
-    nacc = 0
-    scan = bytearray()
-    for code, nbits in bits_out:
-        acc = (acc << nbits) | (code & ((1 << nbits) - 1))
-        nacc += nbits
-        while nacc >= 8:
-            byte = (acc >> (nacc - 8)) & 0xFF
-            scan.append(byte)
-            if byte == 0xFF:
-                scan.append(0x00)
-            nacc -= 8
-            acc &= (1 << nacc) - 1
-    if nacc:
-        byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
-        scan.append(byte)
-        if byte == 0xFF:
-            scan.append(0x00)
+    sink.byte_align()
+    scan = sink.out
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
@@ -577,36 +588,6 @@ def encode_gray_jpeg(w: int, h: int, grid: list) -> bytes:
            + seg(0xC4, bytes([0x10]) + bytes(dht_ac_bits) + bytes(ac_syms)))
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(scan) + b"\xff\xd9")
-
-
-class _JpegBitSink:
-    """MSB-first bit emitter with 0xFF00 stuffing and restart markers."""
-
-    def __init__(self) -> None:
-        self.acc = 0
-        self.n = 0
-        self.out = bytearray()
-
-    def put(self, code: int, nbits: int) -> None:
-        if nbits == 0:
-            return
-        self.acc = (self.acc << nbits) | (code & ((1 << nbits) - 1))
-        self.n += nbits
-        while self.n >= 8:
-            b = (self.acc >> (self.n - 8)) & 0xFF
-            self.out.append(b)
-            if b == 0xFF:
-                self.out.append(0x00)
-            self.n -= 8
-            self.acc &= (1 << self.n) - 1
-
-    def byte_align(self) -> None:
-        if self.n:  # pad with 1-bits (T.81 B.1.1.5)
-            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
-
-    def rst(self, m: int) -> None:
-        self.byte_align()
-        self.out += bytes([0xFF, 0xD0 + (m & 7)])
 
 
 def encode_gray_jpeg_progressive(w: int, h: int, grid: list,
@@ -820,13 +801,28 @@ def encode_gray_jpeg_progressive(w: int, h: int, grid: list,
         cbx, cby = -(-(-(-w // 2)) // 8), -(-(-(-h // 2)) // 8)
         for cid in (2, 3):
             sink = _JpegBitSink()
-            n_blocks = cbx * cby
-            while n_blocks:
-                chunk = min(n_blocks, 32767)
-                r = chunk.bit_length() - 1
+            run = 0
+
+            def put_run() -> None:
+                r = run.bit_length() - 1
                 sink.put(ac_code[r << 4], 8)
-                sink.put(chunk - (1 << r), r)
-                n_blocks -= chunk
+                sink.put(run - (1 << r), r)
+
+            # DRI applies to EVERY scan while active (T.81 E.1.5), and an
+            # EOB run may not cross a restart boundary — emit RSTs here
+            # too or the file is spec-invalid for conforming decoders
+            for bi in range(cbx * cby):
+                if restart and bi and bi % restart == 0:
+                    if run:
+                        put_run()
+                        run = 0
+                    sink.rst((bi // restart - 1) & 7)
+                run += 1
+                if run == 32767:
+                    put_run()
+                    run = 0
+            if run:
+                put_run()
             sink.byte_align()
             out += sos(bytes([cid, 0x00]), 1, 63, 0, 0) + bytes(sink.out)
     out += sos(dc_sel, 0, 0, 1, 0) + dc_scan(al=0, ah=1)

@@ -248,7 +248,14 @@ def _prog_decode_scan(data: bytes, start: int, scan, comps, grid,
                             if t:
                                 preds[c[0]] += _extend(get(t), t)
                             if is_y:
-                                grid[(by * grid_bw + bx) * 64] = preds[c[0]] << al
+                                dcval = preds[c[0]] << al
+                                # Al and the diffs are file-controlled: a
+                                # crafted accumulation must be a parse
+                                # error, not an uncontained OverflowError
+                                # out of the int32 coefficient store
+                                if not -(1 << 31) <= dcval < 1 << 31:
+                                    raise ValueError("jpeg: DC coefficient out of range")
+                                grid[(by * grid_bw + bx) * 64] = dcval
                         else:  # DC refinement: one raw bit per block
                             bit = get(1)
                             if is_y and bit:
@@ -447,6 +454,10 @@ def decode_jpeg_gray(data: bytes,
                 (huff_ac if tc else huff_dc)[th] = _build_huff(bits, vals)
                 i += 17 + n
         elif m in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2 (progressive)
+            if frame is not None:
+                # no legal stream carries two frame headers; accepting one
+                # would redefine dims under an already-allocated grid
+                raise ValueError("jpeg: multiple frame headers")
             progressive = m == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
@@ -548,6 +559,11 @@ def decode_jpeg_gray(data: bytes,
                             if t:
                                 preds[comp[0]] += _extend(get(t), t)
                             if is_y:
+                                # same containment as the progressive DC
+                                # path: crafted diff accumulation must not
+                                # overflow the int32 store uncontained
+                                if not -(1 << 31) <= preds[comp[0]] < 1 << 31:
+                                    raise ValueError("jpeg: DC coefficient out of range")
                                 coefs[base] = preds[comp[0]]
                             k = 1
                             while k <= 63:

@@ -279,22 +279,57 @@ def _gif_palette_bilevel(data: bytes) -> bool:
     return True
 
 
+def _tiff_colormap_bilevel(data: bytes) -> bool:
+    """Cheap pre-gate for palette TIFFs: a rendered-text image's ColorMap
+    holds only near-black/near-white entries, so a photo bails on the IFD
+    alone — before any strip decompression. Conservative: not palette /
+    unparseable → let the decoder decide (it has its own gates)."""
+    from documentconvert_spark.kernels.raster import _tiff_ifd0
+
+    try:
+        end = "<" if data[:2] == b"II" else ">"
+        tags = _tiff_ifd0(data, end)
+    except (ValueError, struct.error, IndexError):
+        return True
+    if tags.get(262, [1])[0] != 3:
+        return True
+    cmap = tags.get(320)
+    if not cmap or len(cmap) != 3 * 256:
+        return True
+    for i in range(256):
+        luma = ((cmap[i] >> 8) * 299 + (cmap[256 + i] >> 8) * 587
+                + (cmap[512 + i] >> 8) * 114) // 1000
+        if 32 < luma < 224:
+            return False
+    return True
+
+
 def ocr_raster_text(data: bytes) -> list[str]:
     """GIF/BMP/TIFF bytes → decoded text lines, or [] (figure-only
     fallback). All three are lossless, so the exact grid matcher applies
     directly; any mid-gray pixel (a photo, a gradient) bails out —
     reference ``image_to_markdown`` accepts bmp/tiff alongside png/jpg
     (`services/document_service.py:652-665`). Photo GIFs bail on the
-    palette alone (no LZW decode); BMP/TIFF pay their single-pass luma
-    read, and the mid-gray scan short-circuits on the first hit."""
-    from documentconvert_spark.kernels.raster import decode_raster_gray
+    palette alone (no LZW decode); palette TIFFs on the ColorMap alone,
+    and gray/RGB TIFFs abort at the first mid-gray strip; BMP pays its
+    single-pass luma read, and the mid-gray scan short-circuits on the
+    first hit."""
+    from documentconvert_spark.kernels.raster import (
+        decode_raster_gray,
+        decode_tiff_gray,
+    )
 
     if data[:6] in (b"GIF87a", b"GIF89a") and not _gif_palette_bilevel(data):
         return []
     try:
-        _fmt, w, h, gray = decode_raster_gray(data)
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            if not _tiff_colormap_bilevel(data):
+                return []
+            w, h, gray = decode_tiff_gray(data, bilevel=True)
+        else:
+            _fmt, w, h, gray = decode_raster_gray(data)
     except (ValueError, struct.error, IndexError):
-        return []  # malformed input keeps the figure-only shape (C7)
+        return []  # malformed / non-bilevel keeps the figure-only shape (C7)
     if any(32 < p < 224 for row in gray for p in row):
         return []  # not a bilevel render
     return ocr_gray_text(w, h, gray)

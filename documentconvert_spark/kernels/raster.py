@@ -319,8 +319,8 @@ def _tiff_ifd0(data: bytes, end: str) -> dict[int, list[int]]:
 
 
 def decode_tiff_gray(data: bytes,
-                     max_pixels: int = _MAX_PIXELS_DEFAULT
-                     ) -> tuple[int, int, list[bytearray]]:
+                     max_pixels: int = _MAX_PIXELS_DEFAULT,
+                     bilevel: bool = False) -> tuple[int, int, list[bytearray]]:
     """Baseline TIFF 6.0 (first IFD) → 8-bit gray rows.
 
     Supported: both byte orders; PhotometricInterpretation 0/1 (gray,
@@ -329,7 +329,12 @@ def decode_tiff_gray(data: bytes,
     1 (none), 5 (LZW, MSB-first + early change like the PDF filter, plus
     Predictor 2 horizontal differencing), 32773 (PackBits). Anything
     else — tiles, planar, 16-bit, JPEG-in-TIFF — raises ValueError and
-    callers keep the figure-only containment path."""
+    callers keep the figure-only containment path.
+
+    With bilevel=True (the OCR pre-filter) decoding ABORTS at the first
+    strip containing a mid-gray pixel, so a multi-strip photo pays one
+    strip of decode instead of the full raster (single-strip photos
+    still pay their strip — the per-strip decode caps bound that)."""
     if data[:4] == b"II*\x00":
         end = "<"
     elif data[:4] == b"MM\x00*":
@@ -395,7 +400,11 @@ def decode_tiff_gray(data: bytes,
         raw = bytes(data[so:so + sc])
         if comp == 5:
             from documentconvert_spark.kernels.realpdf import _lzw_decode
-            raw = _lzw_decode(raw)
+            # exact-size cap: strip offsets are file-controlled and may
+            # alias one high-expansion blob across thousands of strips —
+            # without the cap each decode could legally run to the global
+            # 256 MiB budget in pure Python
+            raw = _lzw_decode(raw, cap=stride * nrows)
         elif comp == 32773:
             raw = _packbits(raw, stride * nrows)
         if len(raw) < stride * nrows:
@@ -420,6 +429,8 @@ def decode_tiff_gray(data: bytes,
                 row = line[:w]
                 if photo == 0:
                     row = bytearray(255 - v for v in row)
+            if bilevel and any(32 < p < 224 for p in row):
+                raise ValueError("tiff: not a bilevel text render")
             rows.append(row)
     if len(rows) < h:
         raise ValueError("tiff: missing strips")

@@ -330,16 +330,21 @@ def _rle_decode(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(raw: bytes, early_change: int = 1) -> bytes:
+def _lzw_decode(raw: bytes, early_change: int = 1,
+                cap: int | None = None) -> bytes:
     """LZWDecode (ISO 32000 §7.4.4, TIFF-style): 9→12-bit variable-width
     codes over 8-bit data; 256 clears the table, 257 is EOD, and the code
-    width grows one entry early under /EarlyChange 1 (the default)."""
+    width grows one entry early under /EarlyChange 1 (the default).
+    `cap` tightens the decoded-size bound below the global budget —
+    callers that know the exact output size (TIFF strips) pass it so a
+    high-expansion blob can't burn CPU up to the 256 MiB ceiling."""
     out = bytearray()
     table: list[bytes] = [bytes([b]) for b in range(256)] + [b"", b""]
     prev: bytes | None = None
     width = 9
     buf = bits = 0
-    cap = limits.MAX_DECODED_BYTES  # read once per call (hot loop)
+    if cap is None:
+        cap = limits.MAX_DECODED_BYTES  # read once per call (hot loop)
     for byte in raw:
         buf = (buf << 8) | byte
         bits += 8

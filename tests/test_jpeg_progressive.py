@@ -99,6 +99,62 @@ def test_progressive_malformed_contained():
         decode_jpeg_gray(bytes(nodht))
 
 
+def test_progressive_dc_overflow_contained():
+    # Al=15 + max-category diffs accumulate a DC far past int32: must be
+    # a ValueError, not an OverflowError escaping the (ValueError,
+    # struct.error) containment in ocr_jpeg_text (review finding, PoC'd)
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC2, struct.pack(">BHHB", 8, 64, 64, 1) + bytes([1, 0x11, 0]))
+    bits = [0] * 16
+    bits[4] = 16  # categories 0..15 at length 5
+    dht = seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(range(16)))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x0F]))  # DC first, Al=15
+    sink_bits = []
+    for _ in range(64):  # 64 blocks, each diff = +32767 (category 15)
+        sink_bits.append((15, 5))
+        sink_bits.append((0x7FFF, 15))
+    acc = n = 0
+    scan = bytearray()
+    for code, nb in sink_bits:
+        acc = (acc << nb) | code
+        n += nb
+        while n >= 8:
+            b = (acc >> (n - 8)) & 0xFF
+            scan.append(b)
+            if b == 0xFF:
+                scan.append(0)
+            n -= 8
+            acc &= (1 << n) - 1
+    if n:
+        scan.append(((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF)
+    data = b"\xff\xd8" + dqt + sof + dht + sos + bytes(scan) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="DC coefficient out of range"):
+        decode_jpeg_gray(data)
+
+
+def test_multiple_frame_headers_rejected():
+    # a second SOF would redefine dims under the already-allocated
+    # coefficient grid (review finding, PoC'd as IndexError): reject it
+    grid = _rand_img(16, 16, 7)
+    data = encode_gray_jpeg_progressive(16, 16, grid)
+    i = data.find(b"\xff\xc2")
+    ln = struct.unpack(">H", data[i + 2:i + 4])[0]
+    sof_seg = data[i:i + 2 + ln]
+    doubled = data[:i + 2 + ln] + sof_seg + data[i + 2 + ln:]
+    with pytest.raises(ValueError, match="multiple frame headers"):
+        decode_jpeg_gray(doubled)
+    # baseline path gets the same guard
+    bdata = encode_gray_jpeg(16, 16, grid)
+    j = bdata.find(b"\xff\xc0")
+    bln = struct.unpack(">H", bdata[j + 2:j + 4])[0]
+    bdoubled = bdata[:j + 2 + bln] + bdata[j:j + 2 + bln] + bdata[j + 2 + bln:]
+    with pytest.raises(ValueError, match="multiple frame headers"):
+        decode_jpeg_gray(bdoubled)
+
+
 def test_progressive_dc_only_prefix_decodes_flat_preview():
     # a stream cut after the DC-first scan has no luma AC — the decoder
     # must reject it only if truncation corrupts a scan; ending cleanly

@@ -407,6 +407,45 @@ def test_tiff_malformed_contained():
         decode_tiff_gray(bytes(bad))
 
 
+def test_tiff_lzw_strip_cap_and_aliased_strips():
+    # strip offsets are file-controlled and may alias one high-expansion
+    # LZW blob across many strips; the per-strip cap must stop each
+    # decode at the strip's exact raster size (review finding)
+    from tests.test_realpdf_features import _lzw_encode
+
+    from documentconvert_spark.kernels.raster import decode_tiff_gray
+
+    g = _fixture_mods()
+    blob = _lzw_encode(bytes(100_000))  # expands far past any strip
+    data = g._tiff_encode("<", 8, 4, 1, [blob] * 4, 1, comp=5)
+    with pytest.raises(ValueError, match="over cap"):
+        decode_tiff_gray(data)
+
+
+def test_tiff_ocr_pre_gates():
+    # palette photo TIFF bails on the ColorMap alone (no strip decode);
+    # gray photo TIFF aborts at the first mid-gray strip
+    from documentconvert_spark.kernels.miniocr import (
+        _tiff_colormap_bilevel,
+        ocr_raster_text,
+    )
+    from documentconvert_spark.kernels.raster import decode_tiff_gray
+
+    g = _fixture_mods()
+    mosaic = g._tiff_fixture()
+    assert not _tiff_colormap_bilevel(mosaic)
+    assert ocr_raster_text(mosaic) == []
+    # gray gradient in 1-row strips: bilevel decode must abort early
+    w, h = 64, 64
+    strips = [bytes((x * 4) % 256 for x in range(w)) for _ in range(h)]
+    gray_photo = g._tiff_encode("<", w, h, 1, strips, 1)
+    with pytest.raises(ValueError, match="not a bilevel"):
+        decode_tiff_gray(gray_photo, bilevel=True)
+    assert ocr_raster_text(gray_photo) == []
+    # and a clean text render still OCRs through the gated path
+    assert ocr_raster_text(g.render_text_tiff(["GATE OK 1"], scale=2)) == ["GATE OK 1"]
+
+
 def test_tiff_ocr_through_image_dispatch():
     from documentconvert_spark.kernels.detect import extract_image_any
     from documentconvert_spark.kernels.miniocr import ocr_raster_text
