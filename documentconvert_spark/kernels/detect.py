@@ -59,13 +59,14 @@ def extract_image_any(content: bytes) -> list[Span]:
     Synthetic MINIIMG documents carry their own deterministic OCR text.
     REAL image bytes produce a figure span keyed by content hash with
     header-sniffed dimensions recorded in the media side table, and — for
-    PNG/JPEG/GIF/BMP/TIFF whose text is a clean grid rendering of the
-    known 5×7 bitmap font — the decoded text as paragraph spans after the
-    figure (kernels/miniocr.py, the sandbox-honest analogue of the
-    reference's GPU OCR; JPEG is gated on a near-lossless quant table so
-    photos pay a header parse, never an entropy decode; photo GIFs bail
-    on the palette alone before any LZW decode; BMP/TIFF pay one luma
-    pass). Photos/off-font images keep the figure-only shape."""
+    PNG/JPEG/GIF/BMP/TIFF/lossless-WebP whose text is a clean grid
+    rendering of the known 5×7 bitmap font — the decoded text as
+    paragraph spans after the figure (kernels/miniocr.py, the
+    sandbox-honest analogue of the reference's GPU OCR; JPEG is gated on
+    a near-lossless quant table so photos pay a header parse, never an
+    entropy decode; photo GIFs bail on the palette alone before any LZW
+    decode; photo palette TIFFs on the ColorMap alone; BMP/WebP pay one
+    luma pass). Photos/off-font images keep the figure-only shape."""
     from documentconvert_spark.kernels.media import image_file_ref, sniff_image_meta
     from documentconvert_spark.kernels.miniimg import MAGIC as MINIIMG_MAGIC
     from documentconvert_spark.kernels.miniimg import extract_miniimg
@@ -76,7 +77,7 @@ def extract_image_any(content: bytes) -> list[Span]:
     fmt, _w, _h = sniff_image_meta(content or b"")
     if fmt != "unknown":
         spans = [Span("figure", "", image_file_ref(content, fmt), -1)]
-        if fmt in ("png", "jpeg", "gif", "bmp", "tiff"):
+        if fmt in ("png", "jpeg", "gif", "bmp", "tiff", "webp"):
             from documentconvert_spark.kernels.miniocr import (
                 ocr_jpeg_text, ocr_png_text, ocr_raster_text)
 

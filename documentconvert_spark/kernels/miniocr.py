@@ -305,15 +305,16 @@ def _tiff_colormap_bilevel(data: bytes) -> bool:
 
 
 def ocr_raster_text(data: bytes) -> list[str]:
-    """GIF/BMP/TIFF bytes → decoded text lines, or [] (figure-only
-    fallback). All three are lossless, so the exact grid matcher applies
-    directly; any mid-gray pixel (a photo, a gradient) bails out —
-    reference ``image_to_markdown`` accepts bmp/tiff alongside png/jpg
+    """GIF/BMP/TIFF/WebP bytes → decoded text lines, or [] (figure-only
+    fallback). All are lossless (lossy WebP raises inside the decoder),
+    so the exact grid matcher applies directly; any mid-gray pixel (a
+    photo, a gradient) bails out — reference ``image_to_markdown``
+    accepts bmp/tiff/webp alongside png/jpg
     (`services/document_service.py:652-665`). Photo GIFs bail on the
     palette alone (no LZW decode); palette TIFFs on the ColorMap alone,
-    and gray/RGB TIFFs abort at the first mid-gray strip; BMP pays its
-    single-pass luma read, and the mid-gray scan short-circuits on the
-    first hit."""
+    and gray/RGB TIFFs abort at the first mid-gray strip; BMP and
+    lossless WebP pay their single-pass luma read, and the mid-gray scan
+    short-circuits on the first hit."""
     from documentconvert_spark.kernels.raster import (
         decode_raster_gray,
         decode_tiff_gray,

@@ -1,0 +1,549 @@
+"""WebP lossless (VP8L) decoder — from scratch, no codec libs.
+
+The reference's image route accepts real ``webp`` files
+(`services/document_service.py:652-665`); until now they stopped at
+header-sniffed dimensions. This module implements the public "WebP
+Lossless Bitstream Specification" end-to-end:
+
+* RIFF container walk (VP8L directly or nested under VP8X);
+* LSB-first bit reader; canonical prefix codes transmitted either as
+  "simple" (1–2 symbols) or via the DEFLATE-style code-length code
+  (19-symbol alphabet in the spec's permuted order, 16/17/18 repeats,
+  optional max-symbol shortcut);
+* the entropy-coded image: optional color cache (multiplicative hash
+  0x1e35a7bd), optional meta-prefix image selecting among huffman
+  groups per 2^b tile, green/red/blue/alpha/distance codes, LZ77
+  backward references with the 120-entry 2D neighbor distance map;
+* inverse transforms, applied in reverse reading order: PREDICTOR (all
+  14 modes), COLOR (cross-color deltas, signed*signed >> 5),
+  SUBTRACT_GREEN, and COLOR_INDEXING (delta-coded palette + sub-byte
+  pixel bundling for palettes of ≤16 colors).
+
+Lossy VP8 frames have no from-scratch decoder (a full DCT codec) and
+raise ValueError — callers keep the figure-only containment path, same
+as every other undecodable format (C7).
+
+Bounds: pixel count capped before allocation, LZ77 copies bounded by
+produced pixels, recursion fixed at one level (entropy/transform
+images), and every read is length-checked by the bit reader.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from documentconvert_spark.kernels.limits import MAX_DECODED_BYTES
+
+_MAX_PIXELS_DEFAULT = 4 << 20
+
+# code-length-code transmission order (spec §6.2.2 / RFC 1951 analogue)
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+# distance codes 1..120 map to 2D neighbor offsets (spec §6.2.3): the
+# scan-line distance is x + y*width (clamped to >= 1)
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+class _Bits:
+    """LSB-first bit reader over the VP8L payload."""
+
+    __slots__ = ("d", "pos", "buf", "n")
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.pos = 0
+        self.buf = 0
+        self.n = 0
+
+    def get(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.d):
+                raise ValueError("webp: truncated bitstream")
+            self.buf |= self.d[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        v = self.buf & ((1 << k) - 1)
+        self.buf >>= k
+        self.n -= k
+        return v
+
+
+class _Code:
+    """Canonical prefix code: DEFLATE-style assignment (codes ordered by
+    (length, symbol)), read MSB-of-code-first from the LSB-first stream."""
+
+    __slots__ = ("single", "counts", "firsts", "offsets", "symbols")
+
+    def __init__(self, lengths: list[int]) -> None:
+        present = [(ln, sym) for sym, ln in enumerate(lengths) if ln]
+        if not present:
+            raise ValueError("webp: empty prefix code")
+        if len(present) == 1:
+            self.single = present[0][1]
+            return
+        self.single = None
+        maxlen = max(ln for ln, _ in present)
+        if maxlen > 15:
+            raise ValueError("webp: code length over 15")
+        counts = [0] * (maxlen + 1)
+        for ln, _ in present:
+            counts[ln] += 1
+        # kraft check: over-subscription is corrupt, under is tolerated
+        # only implicitly (reads may then fail to resolve)
+        code = 0
+        firsts = [0] * (maxlen + 1)
+        offsets = [0] * (maxlen + 1)
+        total = 0
+        for ln in range(1, maxlen + 1):
+            firsts[ln] = code
+            offsets[ln] = total
+            code = (code + counts[ln]) << 1
+            total += counts[ln]
+            if firsts[ln] + counts[ln] > (1 << ln):
+                raise ValueError("webp: over-subscribed prefix code")
+        present.sort()
+        self.counts = counts
+        self.firsts = firsts
+        self.offsets = offsets
+        self.symbols = [sym for _, sym in present]
+
+    def read(self, br: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        counts = self.counts
+        for ln in range(1, len(counts)):
+            code = (code << 1) | br.get(1)
+            c = counts[ln]
+            if c and code - self.firsts[ln] < c:
+                return self.symbols[self.offsets[ln] + code - self.firsts[ln]]
+        raise ValueError("webp: invalid prefix code")
+
+
+def _read_code(br: _Bits, alphabet: int) -> _Code:
+    """One prefix code (spec §6.2.1): simple (1–2 symbols) or normal
+    (lengths transmitted through the code-length code)."""
+    if br.get(1):  # simple
+        n = br.get(1) + 1
+        first_8bit = br.get(1)
+        s0 = br.get(8 if first_8bit else 1)
+        lengths = [0] * alphabet
+        if s0 >= alphabet:
+            raise ValueError("webp: simple code symbol out of range")
+        lengths[s0] = 1
+        code = _Code(lengths)
+        if n == 2:
+            s1 = br.get(8)
+            if s1 >= alphabet or s1 == s0:
+                raise ValueError("webp: simple code symbol out of range")
+            # bit 0 → FIRST transmitted symbol (not canonical-by-value)
+            code.single = None
+            code.counts = [0, 2]
+            code.firsts = [0, 0]
+            code.offsets = [0, 0]
+            code.symbols = [s0, s1]
+        return code
+    # normal: read the code-length code
+    num_clc = br.get(4) + 4
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_CLC_ORDER[i]] = br.get(3)
+    clc = _Code(clc_lengths)
+    # optional cap on the number of transmitted symbols
+    if br.get(1):
+        length_nbits = 2 + 2 * br.get(3)
+        max_symbol = 2 + br.get(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    sym = 0
+    while sym < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = clc.read(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            rep = 3 + br.get(2)
+            if sym + rep > alphabet:
+                raise ValueError("webp: code length repeat overflow")
+            for _ in range(rep):
+                lengths[sym] = prev
+                sym += 1
+        elif cl == 17:
+            sym += 3 + br.get(3)
+        else:  # 18
+            sym += 11 + br.get(7)
+        if sym > alphabet:
+            raise ValueError("webp: code length repeat overflow")
+    return _Code(lengths)
+
+
+def _prefix_value(sym: int, br: _Bits) -> int:
+    """LZ77 length/distance prefix decoding (spec §6.2.3)."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.get(extra) + 1
+
+
+def _decode_entropy_image(br: _Bits, w: int, h: int,
+                          level0: bool) -> list[int]:
+    """Entropy-coded ARGB image (spec §6.2): returns w*h pixels as
+    uint32 ARGB in scan-line order. Transforms are NOT handled here —
+    the caller reads them (main image only)."""
+    cache_bits = 0
+    cache: list[int] | None = None
+    if br.get(1):
+        cache_bits = br.get(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("webp: bad color cache size")
+        cache = [0] * (1 << cache_bits)
+    groups = 1
+    meta: list[int] | None = None
+    meta_bits = 0
+    if level0 and br.get(1):
+        meta_bits = br.get(3) + 2
+        mw = -(-w // (1 << meta_bits))
+        mh = -(-h // (1 << meta_bits))
+        meta = _decode_entropy_image(br, mw, mh, False)
+        groups = max((p >> 8) & 0xFFFF for p in meta) + 1
+        if groups > 1 << 16:
+            raise ValueError("webp: too many huffman groups")
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    codes = []
+    for _ in range(groups):
+        codes.append((
+            _read_code(br, green_alpha),   # green + length + cache
+            _read_code(br, 256),           # red
+            _read_code(br, 256),           # blue
+            _read_code(br, 256),           # alpha
+            _read_code(br, 40),            # distance
+        ))
+    npix = w * h
+    out: list[int] = []
+    gcode = codes[0]
+    mw = -(-w // (1 << meta_bits)) if meta is not None else 0
+    while len(out) < npix:
+        pos = len(out)
+        if meta is not None:
+            x, y = pos % w, pos // w
+            gid = (meta[(y >> meta_bits) * mw + (x >> meta_bits)] >> 8) & 0xFFFF
+            if gid >= groups:
+                raise ValueError("webp: huffman group out of range")
+            gcode = codes[gid]
+        g = gcode[0].read(br)
+        if g < 256:  # literal
+            r = gcode[1].read(br)
+            b = gcode[2].read(br)
+            a = gcode[3].read(br)
+            px = (a << 24) | (r << 16) | (g << 8) | b
+            out.append(px)
+            if cache is not None:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        elif g < 280:  # LZ77 backward reference
+            length = _prefix_value(g - 256, br)
+            dcode = _prefix_value(gcode[4].read(br), br)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = dx + dy * w
+                if dist < 1:
+                    dist = 1
+            if dist > len(out) or len(out) + length > npix:
+                raise ValueError("webp: LZ77 reference out of range")
+            src = len(out) - dist
+            for i in range(length):
+                px = out[src + i]
+                out.append(px)
+                if cache is not None:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        else:  # color cache
+            if cache is None:
+                raise ValueError("webp: cache symbol without cache")
+            idx = g - 280
+            if idx >= len(cache):
+                raise ValueError("webp: cache index out of range")
+            out.append(cache[idx])
+    return out
+
+
+# ---------------------------------------------------------------- transforms
+
+def _avg2(a: int, b: int) -> int:
+    """Channelwise floor average of two ARGB pixels."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _clip255(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _select(t: int, l: int, tl: int) -> int:  # noqa: E741 — spec naming
+    """Spec §5: Manhattan distance of L and T to the estimate L+T-TL;
+    return the closer one (L strictly closer, else T)."""
+    p_l = p_t = 0
+    for sh in (24, 16, 8, 0):
+        tc = (t >> sh) & 0xFF
+        lc = (l >> sh) & 0xFF
+        tlc = (tl >> sh) & 0xFF
+        p = lc + tc - tlc
+        p_l += abs(p - lc)
+        p_t += abs(p - tc)
+    return l if p_l < p_t else t
+
+
+def _cas_full(l: int, t: int, tl: int) -> int:  # noqa: E741
+    px = 0
+    for sh in (24, 16, 8, 0):
+        c = _clip255(((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF))
+        px |= c << sh
+    return px
+
+
+def _cas_half(l: int, t: int, tl: int) -> int:  # noqa: E741
+    ave = _avg2(l, t)
+    px = 0
+    for sh in (24, 16, 8, 0):
+        a = (ave >> sh) & 0xFF
+        b = (tl >> sh) & 0xFF
+        d = a - b
+        half = d // 2 if d >= 0 else -((-d) // 2)  # C trunc toward zero
+        px |= _clip255(a + half) << sh
+    return px
+
+
+def _apply_predictor_inverse(w: int, h: int, pix: list[int],
+                             bits: int, modes: list[int]) -> None:
+    mw = -(-w // (1 << bits))
+    add = _pixel_add
+    for y in range(h):
+        row = y * w
+        for x in range(w):
+            i = row + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pix[i - 1]
+            elif x == 0:
+                pred = pix[i - w]
+            else:
+                m = (modes[(y >> bits) * mw + (x >> bits)] >> 8) & 0xFF
+                l = pix[i - 1]  # noqa: E741
+                t = pix[i - w]
+                tl = pix[i - w - 1]
+                tr = pix[i - w + 1] if x + 1 < w else pix[i - w]
+                if m == 0:
+                    pred = 0xFF000000
+                elif m == 1:
+                    pred = l
+                elif m == 2:
+                    pred = t
+                elif m == 3:
+                    pred = tr
+                elif m == 4:
+                    pred = tl
+                elif m == 5:
+                    pred = _avg2(_avg2(l, tr), t)
+                elif m == 6:
+                    pred = _avg2(l, tl)
+                elif m == 7:
+                    pred = _avg2(l, t)
+                elif m == 8:
+                    pred = _avg2(tl, t)
+                elif m == 9:
+                    pred = _avg2(t, tr)
+                elif m == 10:
+                    pred = _avg2(_avg2(l, tl), _avg2(t, tr))
+                elif m == 11:
+                    pred = _select(t, l, tl)
+                elif m == 12:
+                    pred = _cas_full(l, t, tl)
+                elif m == 13:
+                    pred = _cas_half(l, t, tl)
+                else:
+                    raise ValueError("webp: bad predictor mode")
+            pix[i] = add(pix[i], pred)
+
+
+def _pixel_add(a: int, b: int) -> int:
+    """Channelwise modular addition of two ARGB pixels."""
+    return ((((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00)
+            | (((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF))
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """Cross-color transform delta: signed(t) * signed(c) >> 5."""
+    ts = t - 256 if t > 127 else t
+    cs = c - 256 if c > 127 else c
+    return (ts * cs) >> 5
+
+
+def _apply_color_inverse(w: int, h: int, pix: list[int],
+                         bits: int, elems: list[int]) -> None:
+    mw = -(-w // (1 << bits))
+    for y in range(h):
+        row = y * w
+        for x in range(w):
+            e = elems[(y >> bits) * mw + (x >> bits)]
+            g2r = e & 0xFF          # blue channel of the element
+            g2b = (e >> 8) & 0xFF   # green channel
+            r2b = (e >> 16) & 0xFF  # red channel
+            px = pix[row + x]
+            g = (px >> 8) & 0xFF
+            r = ((px >> 16) & 0xFF) + _ct_delta(g2r, g)
+            r &= 0xFF
+            b = (px & 0xFF) + _ct_delta(g2b, g) + _ct_delta(r2b, r)
+            b &= 0xFF
+            pix[row + x] = (px & 0xFF00FF00) | (r << 16) | b
+
+
+def _apply_subtract_green_inverse(pix: list[int]) -> None:
+    for i, px in enumerate(pix):
+        g = (px >> 8) & 0xFF
+        r = (((px >> 16) & 0xFF) + g) & 0xFF
+        b = ((px & 0xFF) + g) & 0xFF
+        pix[i] = (px & 0xFF00FF00) | (r << 16) | b
+
+
+def decode_vp8l(payload: bytes,
+                max_pixels: int = _MAX_PIXELS_DEFAULT) -> tuple[int, int, list[int]]:
+    """VP8L chunk payload → (width, height, ARGB pixels, scan-line order)."""
+    br = _Bits(payload)
+    if br.get(8) != 0x2F:
+        raise ValueError("webp: bad VP8L signature")
+    w = br.get(14) + 1
+    h = br.get(14) + 1
+    br.get(1)  # alpha hint
+    if br.get(3) != 0:
+        raise ValueError("webp: unsupported VP8L version")
+    if w * h > max_pixels or w * h * 4 > MAX_DECODED_BYTES:
+        raise ValueError("webp: dimensions over cap")
+    # transforms (each at most once), inverses applied in reverse order
+    transforms: list[tuple] = []
+    seen: set[int] = set()
+    dec_w = w  # color-indexing with bundling shrinks the coded width
+    while br.get(1):
+        ttype = br.get(2)
+        if ttype in seen:
+            raise ValueError("webp: repeated transform")
+        seen.add(ttype)
+        if ttype == 0 or ttype == 1:  # PREDICTOR / COLOR
+            bits = br.get(3) + 2
+            mw = -(-dec_w // (1 << bits))
+            mh = -(-h // (1 << bits))
+            timg = _decode_entropy_image(br, mw, mh, False)
+            transforms.append((ttype, bits, timg))
+        elif ttype == 2:  # SUBTRACT_GREEN
+            transforms.append((2,))
+        else:  # COLOR_INDEXING
+            psize = br.get(8) + 1
+            praw = _decode_entropy_image(br, psize, 1, False)
+            palette = []
+            prev = 0
+            for p in praw:
+                prev = _pixel_add(p, prev)
+                palette.append(prev)
+            if psize <= 2:
+                wb = 3
+            elif psize <= 4:
+                wb = 2
+            elif psize <= 16:
+                wb = 1
+            else:
+                wb = 0
+            transforms.append((3, wb, palette))
+            if wb:
+                dec_w = -(-dec_w // (1 << wb))
+    if any(tf[0] in (0, 1) for tf in transforms) and any(
+            tf[0] == 3 and tf[1] for tf in transforms):
+        # predictor/color tiles would have been sized at the bundled
+        # width but applied post-unbundle — no real encoder emits this
+        # combination; contain it instead of garbling
+        raise ValueError("webp: transform combination unsupported")
+    pix = _decode_entropy_image(br, dec_w, h, True)
+    for tf in reversed(transforms):
+        if tf[0] == 3:
+            _, wb, palette = tf
+            if wb:
+                nper = 1 << wb
+                bpp = 8 >> wb
+                mask = (1 << bpp) - 1
+                full = [0] * (w * h)
+                for y in range(h):
+                    for x in range(w):
+                        packed = pix[y * dec_w + (x >> wb)]
+                        idx = ((packed >> 8) >> ((x & (nper - 1)) * bpp)) & mask
+                        full[y * w + x] = palette[idx] if idx < len(palette) else 0
+                pix = full
+                dec_w = w
+            else:
+                for i, px in enumerate(pix):
+                    idx = (px >> 8) & 0xFF
+                    pix[i] = palette[idx] if idx < len(palette) else 0
+        elif tf[0] == 2:
+            _apply_subtract_green_inverse(pix)
+        elif tf[0] == 1:
+            _apply_color_inverse(w, h, pix, tf[1], tf[2])
+        else:
+            _apply_predictor_inverse(w, h, pix, tf[1], tf[2])
+    if dec_w != w:
+        raise ValueError("webp: bundled image without color indexing")
+    return w, h, pix
+
+
+def decode_webp_gray(data: bytes,
+                     max_pixels: int = _MAX_PIXELS_DEFAULT
+                     ) -> tuple[int, int, list[bytearray]]:
+    """WebP container bytes → 8-bit luma rows (lossless VP8L only; lossy
+    VP8 has no from-scratch decoder and raises for figure-only fallback)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("webp: bad container")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + ln]
+        if tag == b"VP8L":
+            payload = body
+            break
+        if tag == b"VP8 ":
+            raise ValueError("webp: lossy VP8 unsupported")
+        pos += 8 + ln + (ln & 1)  # chunks are even-padded
+    if payload is None:
+        raise ValueError("webp: no VP8L chunk")
+    w, h, pix = decode_vp8l(payload, max_pixels=max_pixels)
+    rows = []
+    for y in range(h):
+        row = bytearray(w)
+        base = y * w
+        for x in range(w):
+            px = pix[base + x]
+            row[x] = (((px >> 16) & 0xFF) * 299 + ((px >> 8) & 0xFF) * 587
+                      + (px & 0xFF) * 114) // 1000
+        rows.append(row)
+    return w, h, rows

@@ -19,8 +19,12 @@ spec, bounded by the shared expansion caps, and returns the same shape:
   8 bits/sample, strip layout, Compression 1/5/32773 — LZW shares the
   realpdf decoder, TIFF always packs MSB-first with early change — plus
   the horizontal differencing Predictor)
+* WebP — kernels/miniwebp.decode_webp_gray (lossless VP8L per the WebP
+  Lossless Bitstream Specification: prefix codes, LZ77 + color cache,
+  all four transforms; lossy VP8 raises — a full DCT codec is out of
+  from-scratch scope)
 
-WebP/WMF/EMF/SVG stay header-sniff-only (dims/format without pixels)
+WMF/EMF/SVG stay header-sniff-only (dims/format without pixels)
 — `decode_raster_gray` raises ValueError for them and callers keep the
 figure-only path, exactly like any other malformed-input containment.
 """
@@ -443,8 +447,8 @@ def decode_raster_gray(data: bytes,
                        max_pixels: int = _MAX_PIXELS_DEFAULT
                        ) -> tuple[str, int, int, list[bytearray]]:
     """Sniff + decode: (format, width, height, gray rows). ValueError on
-    formats without a from-scratch decoder (webp/wmf/emf/svg) or on
-    malformed input — per-row containment upstream (C7)."""
+    formats without a from-scratch decoder (lossy webp/wmf/emf/svg) or
+    on malformed input — per-row containment upstream (C7)."""
     from documentconvert_spark.kernels.media import sniff_image_meta
 
     fmt, _, _ = sniff_image_meta(data or b"")
@@ -458,6 +462,9 @@ def decode_raster_gray(data: bytes,
         w, h, rows = decode_bmp_gray(data, max_pixels=max_pixels)
     elif fmt == "tiff":
         w, h, rows = decode_tiff_gray(data, max_pixels=max_pixels)
+    elif fmt == "webp":
+        from documentconvert_spark.kernels.miniwebp import decode_webp_gray
+        w, h, rows = decode_webp_gray(data, max_pixels=max_pixels)
     else:
         raise ValueError(f"raster: no pixel decoder for format {fmt!r}")
     return fmt, w, h, rows

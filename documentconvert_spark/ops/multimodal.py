@@ -15,7 +15,8 @@ and runs decode / feature-extract / resize / frame-sample as Arrow-batched
 * the REAL codec path (`_codec_decode` / `real_raster_stats`) — the
   sandbox ships no PIL/librosa/ffmpeg, so images decode through the
   from-scratch raster layer (kernels/raster.py: baseline JPEG per ITU-T
-  T.81, PNG, GIF-LZW, BMP, baseline TIFF), audio through the from-scratch RIFF/WAVE
+  T.81 incl. progressive, PNG, GIF-LZW, BMP, baseline TIFF, VP8L
+  lossless WebP), audio through the from-scratch RIFF/WAVE
   PCM decoder, and video through the RIFF/AVI frame decoder
   (kernels/media.decode_avi_frames: MJPG + uncompressed DIB frames).
 
@@ -116,7 +117,7 @@ def _codec_decode(media_type: str, content: bytes):
     """Real-codec decode path, from-scratch (no PIL/librosa/ffmpeg):
 
     * image → ("image", (width, height, gray_rows)) via the raster layer
-      (PNG/JPEG/GIF/BMP/TIFF decoders, kernels/raster.py)
+      (PNG/JPEG/GIF/BMP/TIFF/lossless-WebP decoders, kernels/raster.py)
     * audio → ("audio", (sample_rate, channels, mono_int16)) for RIFF/WAVE
       integer PCM (kernels/media.decode_wav_samples) and real FLAC
       streams (kernels/miniflac.decode_flac_samples)
@@ -125,7 +126,7 @@ def _codec_decode(media_type: str, content: bytes):
       (kernels/media.decode_avi_frames); modern inter-frame codecs
       (H.264/VP9) have no from-scratch decoder and raise ValueError.
 
-    ValueError for formats without a decoder (webp/mp3/...) —
+    ValueError for formats without a decoder (lossy webp/mp3/...) —
     per-row containment upstream, same contract as every kernel.
     """
     if media_type == "image":
@@ -323,7 +324,7 @@ RASTER_STATS_SCHEMA = T.StructType(
 
 def real_raster_stats(real_media: DataFrame) -> DataFrame:
     """Decode REAL carved media to pixels (from-scratch PNG/JPEG/GIF/
-    BMP/TIFF decoders — kernels/raster.py) and emit per-object luma statistics:
+    BMP/TIFF/WebP decoders — kernels/raster.py) and emit per-object luma statistics:
     the real-codec analogue of `media_features`, over actual bytes instead
     of MINIMEDIA headers. Formats without a pixel decoder become error
     rows, mirroring the reference's conversion-failure containment (C7).

@@ -153,6 +153,14 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         ("fmt_tiff_pal", "image", _tiff_pal_seed()),
         ("raw_tiff_ocr", "raster", _tiff_text_seed()),
         ("raw_tiff_pal", "raster", _tiff_pal_seed()),
+        # WebP VP8L (kernels/miniwebp.py): mutants hit the prefix-code
+        # reader (simple + code-length-coded), LZ77 distance mapping,
+        # color cache and the inverse transforms (text seed: LZ77 + cache
+        # + subtract-green; swatch seed: delta-coded palette + bundling)
+        ("fmt_webp_ocr", "image", _webp_text_seed()),
+        ("fmt_webp_pal", "image", _webp_pal_seed()),
+        ("raw_webp_ocr", "raster", _webp_text_seed()),
+        ("raw_webp_pal", "raster", _webp_pal_seed()),
         # AVI video (kernels/media.decode_avi_frames): mutants hit the
         # RIFF chunk walker, avih/strh/strf parsing, the DIB stride math
         # and the per-frame budget/caps; the MJPG variant additionally
@@ -212,6 +220,20 @@ def _tiff_pal_seed() -> bytes:
     from gen_extra_fixtures import _tiff_fixture
 
     return _tiff_fixture()
+
+
+def _webp_text_seed() -> bytes:
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_extra_fixtures import render_text_webp
+
+    return render_text_webp(["WEBP FUZZ 9", "VP8L"], scale=2)
+
+
+def _webp_pal_seed() -> bytes:
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_extra_fixtures import _webp_fixture
+
+    return _webp_fixture()
 
 
 def _avi_seed(codec: str) -> bytes:

@@ -674,6 +674,393 @@ def _tiff_fixture() -> bytes:
     return _tiff_encode("<", w, h, 3, strips, rps, comp=32773, colormap=cmap)
 
 
+# -- WebP VP8L writers (generator side of the lossless-webp split) -----------
+# Independent implementation of the public "WebP Lossless Bitstream
+# Specification" encode side: LSB-first bit packing, canonical prefix
+# codes (simple and code-length-coded with 16/17/18 repeats), LZ77
+# same-pixel runs, color cache, and the subtract-green / fixed-mode
+# predictor / cross-color / palette transforms. kernels/miniwebp.py must
+# decode every shape back pixel-exact.
+
+class _WpBits:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, k: int) -> None:  # LSB-first
+        self.acc |= (v & ((1 << k) - 1)) << self.n
+        self.n += k
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def code(self, c: int, ln: int) -> None:  # prefix code: MSB first
+        for i in range(ln - 1, -1, -1):
+            self.put((c >> i) & 1, 1)
+
+    def done(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _wp_lengths(freqs: dict[int, int]) -> dict[int, int]:
+    """Huffman code lengths from frequencies (≥3 distinct symbols)."""
+    import heapq
+
+    heap = [(f, s, (s,)) for s, f in sorted(freqs.items()) if f]
+    heapq.heapify(heap)
+    depths = dict.fromkeys((s for _, s, _ in heap), 0)
+    while len(heap) > 1:
+        f1, t1, g1 = heapq.heappop(heap)
+        f2, t2, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depths[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(t1, t2), g1 + g2))
+    if max(depths.values(), default=0) > 15:
+        raise ValueError("vp8l writer: code depth over 15")  # fixtures never hit this
+    return depths
+
+
+def _wp_canonical(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """(length, symbol)-ordered canonical code assignment."""
+    codes = {}
+    code = 0
+    prev_len = 0
+    for s, ln in sorted(lengths.items(), key=lambda kv: (kv[1], kv[0])):
+        code <<= ln - prev_len
+        codes[s] = (code, ln)
+        code += 1
+        prev_len = ln
+    return codes
+
+
+def _wp_write_code(bits: _WpBits, lengths: dict[int, int],
+                   alphabet: int) -> dict[int, tuple[int, int]]:
+    """Emit one prefix-code header; return symbol → (code, len)."""
+    present = sorted(lengths)
+    if len(present) <= 2 and all(present[i] < 256 for i in range(len(present))):
+        bits.put(1, 1)  # simple
+        bits.put(len(present) - 1, 1)
+        s0 = present[0]
+        if s0 < 2:
+            bits.put(0, 1)
+            bits.put(s0, 1)
+        else:
+            bits.put(1, 1)
+            bits.put(s0, 8)
+        if len(present) == 2:
+            bits.put(present[1], 8)
+            return {present[0]: (0, 1), present[1]: (1, 1)}
+        return {s0: (0, 0)}
+    bits.put(0, 1)  # normal
+    # code-length sequence over the full alphabet, RLE-compressed with
+    # 17 (3-10 zeros) / 18 (11-138 zeros) — exercises the repeat paths
+    seq: list[tuple[int, int]] = []  # (cl_symbol, extra_payload_bits<<8|nbits)
+    i = 0
+    while i < alphabet:
+        ln = lengths.get(i, 0)
+        if ln == 0:
+            j = i
+            while j < alphabet and lengths.get(j, 0) == 0:
+                j += 1
+            run = j - i
+            while run >= 11:
+                n = min(run, 138)
+                seq.append((18, ((n - 11) << 8) | 7))
+                run -= n
+            while run >= 3:
+                n = min(run, 10)
+                seq.append((17, ((n - 3) << 8) | 3))
+                run -= n
+            for _ in range(run):
+                seq.append((0, 0))
+            i = j
+        else:
+            seq.append((ln, 0))
+            i += 1
+    clc_freq: dict[int, int] = {}
+    for s, _ in seq:
+        clc_freq[s] = clc_freq.get(s, 0) + 1
+    if len(clc_freq) == 1:
+        clc_len = {next(iter(clc_freq)): 1}
+    elif len(clc_freq) == 2:
+        clc_len = dict.fromkeys(clc_freq, 1)
+    else:
+        clc_len = _wp_lengths(clc_freq)
+        if max(clc_len.values()) > 7:
+            raise ValueError("vp8l writer: code-length code over 7 bits")
+    # degenerate 1-symbol codes read as 0 bits (see return below)
+    clc_codes = ({next(iter(clc_len)): (0, 0)} if len(clc_len) == 1
+                 else _wp_canonical(clc_len))
+    bits.put(19 - 4, 4)  # transmit all 19 code-length-code lengths
+    for s in _WP_CLC_ORDER:
+        bits.put(clc_len.get(s, 0), 3)
+    bits.put(0, 1)  # no max-symbol shortcut
+    for s, extra in seq:
+        c, ln = clc_codes[s]
+        bits.code(c, ln)
+        if extra:
+            bits.put(extra >> 8, extra & 0xFF)
+    if len(lengths) == 1:
+        # degenerate normal code: decoders read 0 bits per symbol
+        return {next(iter(lengths)): (0, 0)}
+    return _wp_canonical(lengths)
+
+
+_WP_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _wp_prefix(v: int) -> tuple[int, int, int]:
+    """LZ77 length/distance value → (prefix symbol, n extra bits, extra)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for s in range(4, 40):
+        extra = (s - 2) >> 1
+        off = (2 + (s & 1)) << extra
+        if off + 1 <= v <= off + (1 << extra):
+            return s, extra, v - off - 1
+    raise ValueError("vp8l writer: value out of prefix range")
+
+
+def _wp_entropy_image(bits: _WpBits, w: int, h: int, pix: list[int],
+                      cache_bits: int = 0, lz77: bool = False,
+                      level0: bool = False) -> None:
+    """Emit one entropy-coded image (no transforms here)."""
+    bits.put(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bits.put(cache_bits, 4)
+    if level0:
+        bits.put(0, 1)  # no meta-prefix image
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    tokens: list[tuple] = []
+    i = 0
+    n = len(pix)
+    while i < n:
+        px = pix[i]
+        if lz77 and i and pix[i - 1] == px:
+            run = 1
+            while i + run < n and pix[i + run] == px and run < 4000:
+                run += 1
+            if run >= 4:
+                tokens.append(("copy", run, 1))
+                if cache is not None:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                i += run
+                continue
+        if cache is not None:
+            slot = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[slot] == px:
+                tokens.append(("cache", slot))
+                i += 1
+                continue
+            cache[slot] = px
+        tokens.append(("lit", px))
+        i += 1
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df: dict[int, int] = {}
+    for t in tokens:
+        if t[0] == "lit":
+            px = t[1]
+            gf[(px >> 8) & 0xFF] = gf.get((px >> 8) & 0xFF, 0) + 1
+            rf[(px >> 16) & 0xFF] = rf.get((px >> 16) & 0xFF, 0) + 1
+            bf[px & 0xFF] = bf.get(px & 0xFF, 0) + 1
+            af[px >> 24] = af.get(px >> 24, 0) + 1
+        elif t[0] == "copy":
+            ls, _, _ = _wp_prefix(t[1])
+            gf[256 + ls] = gf.get(256 + ls, 0) + 1
+            ds, _, _ = _wp_prefix(t[2] + 120)  # plain scan-line distance
+            df[ds] = df.get(ds, 0) + 1
+        else:
+            gf[280 + t[1]] = gf.get(280 + t[1], 0) + 1
+    for f in (rf, bf, af, df):
+        if not f:
+            f[0] = 1  # unused codes still need one symbol
+
+    def lens(freqs: dict[int, int]) -> dict[int, int]:
+        if len(freqs) == 1:
+            return {next(iter(freqs)): 1}
+        if len(freqs) == 2:
+            return dict.fromkeys(freqs, 1)
+        return _wp_lengths(freqs)
+
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    gc = _wp_write_code(bits, lens(gf), green_alpha)
+    rc = _wp_write_code(bits, lens(rf), 256)
+    bc = _wp_write_code(bits, lens(bf), 256)
+    ac = _wp_write_code(bits, lens(af), 256)
+    dc = _wp_write_code(bits, lens(df), 40)
+    for t in tokens:
+        if t[0] == "lit":
+            px = t[1]
+            bits.code(*gc[(px >> 8) & 0xFF])
+            bits.code(*rc[(px >> 16) & 0xFF])
+            bits.code(*bc[px & 0xFF])
+            bits.code(*ac[px >> 24])
+        elif t[0] == "copy":
+            ls, ln_bits, ln_extra = _wp_prefix(t[1])
+            bits.code(*gc[256 + ls])
+            bits.put(ln_extra, ln_bits)
+            ds, d_bits, d_extra = _wp_prefix(t[2] + 120)
+            bits.code(*dc[ds])
+            bits.put(d_extra, d_bits)
+        else:
+            bits.code(*gc[280 + t[1]])
+
+
+def _wp_sub_px(a: int, b: int) -> int:
+    """Channelwise modular subtraction a - b (forward transforms)."""
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= ((((a >> sh) & 0xFF) - ((b >> sh) & 0xFF)) & 0xFF) << sh
+    return out
+
+
+def encode_vp8l(w: int, h: int, argb: list[int], *, cache_bits: int = 0,
+                lz77: bool = False, subtract_green: bool = False,
+                predictor_mode: int | None = None,
+                color_deltas: tuple[int, int, int] | None = None,
+                palette: list[int] | None = None) -> bytes:
+    """ARGB pixels → complete lossless .webp file (RIFF + VP8L)."""
+    bits = _WpBits()
+    bits.put(0x2F, 8)
+    bits.put(w - 1, 14)
+    bits.put(h - 1, 14)
+    bits.put(1 if any(px >> 24 != 0xFF for px in argb) else 0, 1)
+    bits.put(0, 3)  # version
+    pix = list(argb)
+    dec_w = w
+    if palette is not None:
+        # indices replace pixels; palette is delta-coded as a nested image
+        lookup = {px: i for i, px in enumerate(palette)}
+        idxs = [lookup[px] for px in pix]
+        bits.put(1, 1)
+        bits.put(3, 2)
+        bits.put(len(palette) - 1, 8)
+        deltas = [palette[0]] + [_wp_sub_px(palette[i], palette[i - 1])
+                                 for i in range(1, len(palette))]
+        _wp_entropy_image(bits, len(palette), 1, deltas)
+        psize = len(palette)
+        wb = 3 if psize <= 2 else 2 if psize <= 4 else 1 if psize <= 16 else 0
+        if wb:
+            nper = 1 << wb
+            bpp = 8 >> wb
+            dec_w = -(-w // nper)
+            packed = []
+            for y in range(h):
+                for bx in range(dec_w):
+                    v = 0
+                    for k in range(nper):
+                        x = bx * nper + k
+                        if x < w:
+                            v |= idxs[y * w + x] << (k * bpp)
+                    packed.append(0xFF000000 | (v << 8))
+            pix = packed
+        else:
+            pix = [0xFF000000 | (ix << 8) for ix in idxs]
+    if subtract_green:
+        bits.put(1, 1)
+        bits.put(2, 2)
+        pix = [(px & 0xFF00FF00)
+               | (((((px >> 16) & 0xFF) - ((px >> 8) & 0xFF)) & 0xFF) << 16)
+               | ((((px & 0xFF) - ((px >> 8) & 0xFF)) & 0xFF))
+               for px in pix]
+    if color_deltas is not None:
+        g2r, g2b, r2b = color_deltas
+
+        def delta(t: int, c: int) -> int:
+            ts = t - 256 if t > 127 else t
+            cs = c - 256 if c > 127 else c
+            return (ts * cs) >> 5
+
+        bits.put(1, 1)
+        bits.put(1, 2)
+        size_bits = 2
+        bits.put(size_bits - 2, 3)
+        mw, mh = -(-dec_w // 4), -(-h // 4)
+        elem = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+        _wp_entropy_image(bits, mw, mh, [elem] * (mw * mh))
+        out = []
+        for px in pix:  # forward: subtract the deltas the inverse adds
+            g = (px >> 8) & 0xFF
+            r_orig = (px >> 16) & 0xFF
+            b = (px & 0xFF) - delta(g2b, g) - delta(r2b, r_orig)
+            r = (r_orig - delta(g2r, g)) & 0xFF
+            out.append((px & 0xFF00FF00) | (r << 16) | (b & 0xFF))
+        pix = out
+    if predictor_mode is not None:
+        from documentconvert_spark.kernels.miniwebp import (
+            _avg2, _cas_full, _cas_half, _select)
+
+        bits.put(1, 1)
+        bits.put(0, 2)
+        size_bits = 2
+        bits.put(size_bits - 2, 3)
+        mw, mh = -(-dec_w // 4), -(-h // 4)
+        _wp_entropy_image(bits, mw, mh,
+                          [0xFF000000 | (predictor_mode << 8)] * (mw * mh))
+        m = predictor_mode
+        out = []
+        for y in range(h):
+            for x in range(dec_w):
+                i = y * dec_w + x
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = pix[i - 1]
+                elif x == 0:
+                    pred = pix[i - dec_w]
+                else:
+                    lf, tp = pix[i - 1], pix[i - dec_w]
+                    tl = pix[i - dec_w - 1]
+                    tr = pix[i - dec_w + 1] if x + 1 < dec_w else pix[i - dec_w]
+                    pred = [0xFF000000, lf, tp, tr, tl,
+                            _avg2(_avg2(lf, tr), tp), _avg2(lf, tl),
+                            _avg2(lf, tp), _avg2(tl, tp), _avg2(tp, tr),
+                            _avg2(_avg2(lf, tl), _avg2(tp, tr)),
+                            _select(tp, lf, tl), _cas_full(lf, tp, tl),
+                            _cas_half(lf, tp, tl)][m]
+                out.append(_wp_sub_px(pix[i], pred))
+        pix = out
+    bits.put(0, 1)  # end of transforms
+    _wp_entropy_image(bits, dec_w, h, pix, cache_bits=cache_bits,
+                      lz77=lz77, level0=True)
+    payload = bits.done()
+    if len(payload) & 1:
+        chunk = struct.pack("<I", len(payload)) + payload + b"\x00"
+    else:
+        chunk = struct.pack("<I", len(payload)) + payload
+    body = b"WEBP" + b"VP8L" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def render_text_webp(lines: list[str], scale: int = 2, margin: int = 8) -> bytes:
+    """Rendered-text lossless WebP for the raster OCR route — exercises
+    LZ77 runs, the color cache and subtract-green in one fixture."""
+    from documentconvert_spark.corpus import _render_text_grid
+
+    w, h, grid = _render_text_grid(lines, scale, margin)
+    argb = [0xFF000000 | (p << 16) | (p << 8) | p for row in grid for p in row]
+    return encode_vp8l(w, h, argb, cache_bits=4, lz77=True, subtract_green=True)
+
+
+def _webp_fixture() -> bytes:
+    """Deterministic palette WebP (bundled 4-bit indices) — photo-like,
+    must stay figure-only."""
+    w, h = 72, 40
+    palette = [0xFF000000 | (i * 17 << 16) | (((i * 5) % 16) * 17 << 8)
+               | ((15 - i) * 17) for i in range(16)]
+    argb = [palette[((x // 5) + (y // 5)) % 16] for y in range(h) for x in range(w)]
+    return encode_vp8l(w, h, argb, palette=palette)
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -706,6 +1093,9 @@ def main() -> None:
         "fixture_ocr_crate.tiff": render_text_tiff(
             ["CRATE 88 FRAGILE", "THIS SIDE UP"], scale=2),
         "fixture_mosaic.tiff": _tiff_fixture(),
+        "fixture_ocr_tag.webp": render_text_webp(
+            ["LOT 4519 SHELF C", "BEST BY 2027-03"], scale=2),
+        "fixture_swatch.webp": _webp_fixture(),
     }
     for name, data in fixtures.items():
         with open(os.path.join(OUT, name), "wb") as fh:

@@ -157,7 +157,12 @@ def test_real_goldens_match_committed_parquet():
         expected.setdefault(did, []).append(
             (tbl["offset"][i], tbl["kind"][i], tbl["media_ref"][i], tbl["text"][i])
         )
-    assert len(expected) == 32  # 7 reference samples + 25 crafted fixtures
+    assert len(expected) == 34  # 7 reference samples + 27 crafted fixtures
+    # the WebP OCR fixture pins VP8L prefix codes + LZ77 + cache + the
+    # subtract-green transform; the palette swatch stays figure-only
+    tag = [t for (_o, k, _m, t) in expected["fixture_ocr_tag.webp"] if k == "paragraph"]
+    assert tag == ["LOT 4519 SHELF C", "BEST BY 2027-03"]
+    assert [k for (_o, k, _m, _t) in expected["fixture_swatch.webp"]] == ["figure"]
     # the JPEG OCR fixture pins the baseline-JPEG decoder + glyph matcher
     card = [t for (_o, k, _m, t) in expected["fixture_ocr_card.jpg"] if k == "paragraph"]
     assert card and card[0].startswith("MEMBER CARD")
@@ -184,7 +189,7 @@ def test_real_goldens_match_committed_parquet():
         data = _read(name)
         if name.endswith(".pdf"):
             kern = extract_pdf_any
-        elif name.rsplit(".", 1)[-1] in ("png", "jpg", "jpeg", "gif", "bmp", "tiff"):
+        elif name.rsplit(".", 1)[-1] in ("png", "jpg", "jpeg", "gif", "bmp", "tiff", "webp"):
             from documentconvert_spark.kernels.detect import extract_image_any
 
             kern = extract_image_any

@@ -1,0 +1,185 @@
+"""WebP lossless (VP8L) decode — kernels/miniwebp.py.
+
+Validation strategy mirrors the other raster pairs: the generator-side
+encoder (scripts/gen_extra_fixtures.encode_vp8l) is an independent
+implementation of the public WebP Lossless Bitstream Specification —
+prefix-code headers (simple and code-length-coded with 17/18 zero
+repeats), LZ77 same-pixel runs, the color cache, and forward versions
+of all four transforms — so pixel-exact round-trips pin the decoder
+against a second implementation of the same spec, shape by shape.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import struct
+import sys
+
+import pytest
+
+from documentconvert_spark.kernels.miniwebp import decode_vp8l, decode_webp_gray
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+def _enc():
+    import gen_extra_fixtures as g
+
+    return g
+
+
+def _roundtrip(w, h, argb, **kw):
+    g = _enc()
+    data = g.encode_vp8l(w, h, argb, **kw)
+    (ln,) = struct.unpack_from("<I", data, 16)
+    dw, dh, pix = decode_vp8l(data[20:20 + ln])
+    assert (dw, dh) == (w, h)
+    return pix
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (8, 5), (31, 17), (64, 64)])
+def test_literal_round_trip(w, h):
+    rng = random.Random(w * 100 + h)
+    argb = [0xFF000000 | rng.getrandbits(24) for _ in range(w * h)]
+    assert _roundtrip(w, h, argb) == argb
+
+
+def test_alpha_channel_round_trip():
+    rng = random.Random(3)
+    argb = [(rng.getrandbits(8) << 24) | rng.getrandbits(24) for _ in range(12 * 9)]
+    assert _roundtrip(12, 9, argb) == argb
+
+
+@pytest.mark.parametrize("kw", [
+    dict(lz77=True),
+    dict(cache_bits=4),
+    dict(cache_bits=6, lz77=True),
+    dict(subtract_green=True),
+    dict(subtract_green=True, cache_bits=4, lz77=True),
+])
+def test_lz77_cache_subtract_green(kw):
+    w, h = 50, 20
+    argb = [0xFF000000 | (0xFFFFFF if (x // 9 + y // 7) % 2 else 0x102030)
+            for y in range(h) for x in range(w)]
+    assert _roundtrip(w, h, argb, **kw) == argb
+
+
+@pytest.mark.parametrize("ncol", [2, 3, 4, 9, 16, 40])
+def test_palette_all_bundling_widths(ncol):
+    rng = random.Random(ncol)
+    pal = list(dict.fromkeys(0xFF000000 | rng.getrandbits(24) for _ in range(ncol)))
+    argb = [pal[rng.randrange(len(pal))] for _ in range(37 * 11)]
+    assert _roundtrip(37, 11, argb, palette=pal) == argb
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_every_predictor_mode(mode):
+    rng = random.Random(40 + mode)
+    argb = [0xFF000000 | rng.getrandbits(24) for _ in range(23 * 14)]
+    assert _roundtrip(23, 14, argb, predictor_mode=mode) == argb
+
+
+@pytest.mark.parametrize("deltas", [(0, 0, 0), (16, 240, 100), (255, 1, 128)])
+def test_color_transform(deltas):
+    rng = random.Random(sum(deltas))
+    argb = [0xFF000000 | rng.getrandbits(24) for _ in range(20 * 12)]
+    assert _roundtrip(20, 12, argb, color_deltas=deltas) == argb
+
+
+def test_neighbor_distance_map():
+    # hand-check the 2D distance mapping against the spec table: code 1
+    # is the pixel above (dist = width), code 2 the previous pixel
+    from documentconvert_spark.kernels.miniwebp import _DIST_MAP
+
+    assert _DIST_MAP[0] == (0, 1)
+    assert _DIST_MAP[1] == (1, 0)
+    assert _DIST_MAP[119] == (8, 7)
+    assert len(_DIST_MAP) == 120
+    assert len(set(_DIST_MAP)) == 120
+
+
+def test_ocr_end_to_end_and_dispatch():
+    from documentconvert_spark.kernels.detect import extract_image_any
+    from documentconvert_spark.kernels.miniocr import ocr_raster_text
+
+    g = _enc()
+    data = g.render_text_webp(["DOCK GATE 12"], scale=3)
+    assert ocr_raster_text(data) == ["DOCK GATE 12"]
+    spans = extract_image_any(data)
+    assert [s.kind for s in spans] == ["figure", "paragraph"]
+    assert spans[1].text == "DOCK GATE 12"
+    # the photo-like palette swatch decodes but stays figure-only
+    assert [s.kind for s in extract_image_any(g._webp_fixture())] == ["figure"]
+
+
+def test_gray_route_through_raster_router():
+    from documentconvert_spark.kernels.raster import decode_raster_gray
+
+    g = _enc()
+    w, h = 16, 8
+    argb = [0xFF000000 | (v << 16) | (v << 8) | v
+            for v in (x * 16 % 256 for _ in range(h) for x in range(w))]
+    fmt, dw, dh, rows = decode_raster_gray(g.encode_vp8l(w, h, argb))
+    assert (fmt, dw, dh) == ("webp", w, h)
+    assert all(rows[y][x] == (argb[y * w + x] >> 8) & 0xFF
+               for y in range(h) for x in range(w))
+
+
+def test_malformed_contained():
+    g = _enc()
+    argb = [0xFF000000 | (i * 11 % 0xFFFFFF) for i in range(64)]
+    data = g.encode_vp8l(8, 8, argb, cache_bits=3, lz77=True)
+    # truncations anywhere must raise, never hang or garble
+    for cut in (12, 21, 25, len(data) - 3):
+        with pytest.raises(ValueError):
+            decode_webp_gray(data[:cut])
+    # lossy VP8 is contained, not misparsed
+    lossy = bytearray(data)
+    lossy[12:16] = b"VP8 "
+    with pytest.raises(ValueError, match="lossy"):
+        decode_webp_gray(bytes(lossy))
+    with pytest.raises(ValueError, match="container"):
+        decode_webp_gray(b"RIFF\x00\x00\x00\x00WAVE")
+    # dimension cap charged before any pixel work
+    big = bytearray(data)
+    # width-1/height-1 are the 28 bits after the 8-bit signature
+    (ln,) = struct.unpack_from("<I", big, 16)
+    payload = bytearray(big[20:20 + ln])
+    packed = payload[1] | (payload[2] << 8) | (payload[3] << 16) | (payload[4] << 24)
+    packed = (packed & ~((1 << 28) - 1)) | (0x3FFF | (0x3FFF << 14))
+    payload[1:5] = packed.to_bytes(4, "little")
+    with pytest.raises(ValueError, match="over cap"):
+        decode_vp8l(bytes(payload))
+
+
+def test_lz77_reference_before_start_contained():
+    # handcraft: literal then a copy with distance 2 (only 1 pixel out)
+    g = _enc()
+    bits = g._WpBits()
+    bits.put(0x2F, 8)
+    bits.put(3, 14)  # w=4
+    bits.put(0, 14)  # h=1
+    bits.put(0, 1)
+    bits.put(0, 3)
+    bits.put(0, 1)  # no transforms
+    bits.put(0, 1)  # no cache
+    bits.put(0, 1)  # no meta
+    # green code: simple, 2 symbols: 0 (literal green 0) and 257 -> but
+    # 257 >= 256 needs the normal path; use code-length coding via the
+    # generator writer
+    dsym, dnbits, dextra = g._wp_prefix(130)  # dist code 130 -> dist 10
+    gc = g._wp_write_code(bits, {0: 1, 257: 1}, 280)
+    rc = g._wp_write_code(bits, {0: 1}, 256)
+    bc = g._wp_write_code(bits, {0: 1}, 256)
+    ac = g._wp_write_code(bits, {0xFF: 1}, 256)
+    dc = g._wp_write_code(bits, {dsym: 1}, 40)
+    bits.code(*gc[0])      # one literal pixel
+    bits.code(*rc[0])
+    bits.code(*bc[0])
+    bits.code(*ac[0xFF])
+    bits.code(*gc[257])    # length sym 1 -> length 2
+    bits.code(*dc[dsym])   # distance 10 with only 1 pixel produced
+    bits.put(dextra, dnbits)
+    with pytest.raises(ValueError, match="LZ77 reference out of range"):
+        decode_vp8l(bits.done())
