@@ -147,18 +147,15 @@ def _read_code(br: _Bits, alphabet: int) -> _Code:
         if s0 >= alphabet:
             raise ValueError("webp: simple code symbol out of range")
         lengths[s0] = 1
-        code = _Code(lengths)
         if n == 2:
             s1 = br.get(8)
             if s1 >= alphabet or s1 == s0:
                 raise ValueError("webp: simple code symbol out of range")
-            # bit 0 → FIRST transmitted symbol (not canonical-by-value)
-            code.single = None
-            code.counts = [0, 2]
-            code.firsts = [0, 0]
-            code.offsets = [0, 0]
-            code.symbols = [s0, s1]
-        return code
+            # the spec builds the code canonically from code_lengths, so
+            # bit 0 goes to the SMALLER symbol value regardless of
+            # transmission order
+            lengths[s1] = 1
+        return _Code(lengths)
     # normal: read the code-length code
     num_clc = br.get(4) + 4
     clc_lengths = [0] * 19
@@ -355,7 +352,10 @@ def _apply_predictor_inverse(w: int, h: int, pix: list[int],
                 l = pix[i - 1]  # noqa: E741
                 t = pix[i - w]
                 tl = pix[i - w - 1]
-                tr = pix[i - w + 1] if x + 1 < w else pix[i - w]
+                # TR is defined on the CONTIGUOUS pixel buffer (spec §5):
+                # at the rightmost column, i-w+1 is the current row's
+                # already-decoded leftmost pixel — not T
+                tr = pix[i - w + 1]
                 if m == 0:
                     pred = 0xFF000000
                 elif m == 1:

@@ -53,7 +53,8 @@ def _seed_docs() -> list[tuple[str, str, bytes]]:
                 data = f.read()
             ext = fn.rsplit(".", 1)[-1].lower()
             route = ("pdf" if ext == "pdf"
-                     else "image" if ext in ("png", "jpg", "jpeg", "gif", "bmp")
+                     else "image" if ext in ("png", "jpg", "jpeg", "gif",
+                                             "bmp", "tiff", "webp")
                      else "office")
             seeds.append((f"ref_{ext}_{len(seeds)}", route, data))
     from documentconvert_spark.corpus import make_doc_by_index

@@ -1020,7 +1020,9 @@ def encode_vp8l(w: int, h: int, argb: list[int], *, cache_bits: int = 0,
                 else:
                     lf, tp = pix[i - 1], pix[i - dec_w]
                     tl = pix[i - dec_w - 1]
-                    tr = pix[i - dec_w + 1] if x + 1 < dec_w else pix[i - dec_w]
+                    # contiguous-buffer TR rule (spec §5): rightmost
+                    # column uses the current row's leftmost pixel
+                    tr = pix[i - dec_w + 1]
                     pred = [0xFF000000, lf, tp, tr, tl,
                             _avg2(_avg2(lf, tr), tp), _avg2(lf, tl),
                             _avg2(lf, tp), _avg2(tl, tp), _avg2(tp, tr),

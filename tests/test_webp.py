@@ -153,6 +153,80 @@ def test_malformed_contained():
         decode_vp8l(bytes(payload))
 
 
+def test_top_right_rule_at_rightmost_column():
+    # spec §5: TR is taken from the CONTIGUOUS buffer, so at x == w-1 it
+    # is the current row's already-decoded leftmost pixel — NOT T. Built
+    # by hand (not via the encoder) so the rule is pinned independently.
+    g = _enc()
+    bits = g._WpBits()
+    bits.put(0x2F, 8)
+    bits.put(1, 14)  # w=2
+    bits.put(1, 14)  # h=2
+    bits.put(0, 1)
+    bits.put(0, 3)
+    bits.put(1, 1)  # transform present
+    bits.put(0, 2)  # PREDICTOR
+    bits.put(2, 3)  # size_bits = 4 -> one tile
+    # tile image: single pixel, green = mode 3 (top-right)
+    bits.put(0, 1)  # no cache
+    for lens, alph in [({3: 1}, 280), ({0: 1}, 256), ({0: 1}, 256),
+                       ({0xFF: 1}, 256), ({0: 1}, 40)]:
+        g._wp_write_code(bits, lens, alph)
+    # main image: literal residuals, greens distinct per pixel
+    bits.put(0, 1)  # end of transforms
+    bits.put(0, 1)  # no cache
+    bits.put(0, 1)  # no meta
+    gc = g._wp_write_code(bits, {10: 2, 20: 2, 30: 2, 40: 2}, 280)
+    rc = g._wp_write_code(bits, {0: 1}, 256)
+    bc = g._wp_write_code(bits, {0: 1}, 256)
+    ac = g._wp_write_code(bits, {0: 1}, 256)
+    g._wp_write_code(bits, {0: 1}, 40)
+    for green in (10, 20, 30, 40):
+        bits.code(*gc[green])
+        bits.code(*rc[0])
+        bits.code(*bc[0])
+        bits.code(*ac[0])
+    _w, _h, pix = decode_vp8l(bits.done())
+    assert pix[0] == 0xFF000000 | (10 << 8)  # (0,0): pred 0xFF000000
+    p01_g = (10 + 20) & 0xFF                 # (1,0): pred = left
+    assert (pix[1] >> 8) & 0xFF == p01_g
+    p10_g = (((pix[0] >> 8) & 0xFF) + 30) & 0xFF  # (0,1): pred = top
+    assert (pix[2] >> 8) & 0xFF == p10_g
+    # (1,1) with mode 3: TR = pix[i-w+1] = pix[2] (row-1 leftmost),
+    # NOT pix[1] (T) — the rule under test
+    want = (((pix[2] >> 8) & 0xFF) + 40) & 0xFF
+    assert (pix[3] >> 8) & 0xFF == want
+
+
+def test_simple_code_two_symbols_canonical_order():
+    # the spec builds simple 2-symbol codes canonically from the code
+    # lengths: bit 0 belongs to the SMALLER symbol even when the larger
+    # one is transmitted first
+    g = _enc()
+    bits = g._WpBits()
+    bits.put(0x2F, 8)
+    bits.put(1, 14)  # w=2
+    bits.put(0, 14)  # h=1
+    bits.put(0, 1)
+    bits.put(0, 3)
+    bits.put(0, 1)  # no transforms
+    bits.put(0, 1)  # no cache
+    bits.put(0, 1)  # no meta
+    # green: simple code, 2 symbols, transmitted as (200, 10)
+    bits.put(1, 1)
+    bits.put(1, 1)
+    bits.put(1, 1)   # first symbol in 8 bits
+    bits.put(200, 8)
+    bits.put(10, 8)
+    for lens, alph in [({0: 1}, 256), ({0: 1}, 256), ({0xFF: 1}, 256),
+                       ({0: 1}, 40)]:
+        g._wp_write_code(bits, lens, alph)
+    bits.put(0, 1)  # green bit 0 -> smaller symbol (10)
+    bits.put(1, 1)  # green bit 1 -> larger symbol (200)
+    _w, _h, pix = decode_vp8l(bits.done())
+    assert [(p >> 8) & 0xFF for p in pix] == [10, 200]
+
+
 def test_lz77_reference_before_start_contained():
     # handcraft: literal then a copy with distance 2 (only 1 pixel out)
     g = _enc()
