@@ -123,9 +123,13 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png_gray(data: bytes, bilevel: bool = False) -> tuple[int, int, list[bytearray]]:
-    """PNG bytes → (width, height, rows of 8-bit gray). Supports the
-    shapes a rendered-text fixture can take — 8-bit grayscale / RGB /
-    RGBA, non-interlaced — and raises ValueError on anything else.
+    """PNG bytes → (width, height, rows of 8-bit gray).
+
+    Full PNG pixel matrix (W3C PNG spec): color types 0 (gray), 2 (RGB),
+    3 (palette + PLTE), 4 (gray+alpha), 6 (RGBA); bit depths 1/2/4/8/16
+    where the spec allows them; all five scanline filters; sequential
+    and Adam7-interlaced layouts. Alpha is ignored (luma output); 16-bit
+    samples fold to their high byte.
 
     With bilevel=True the decode is an OCR pre-filter: inflation is
     streamed row by row and ABORTS on the first pixel that is neither
@@ -137,6 +141,8 @@ def decode_png_gray(data: bytes, bilevel: bool = False) -> tuple[int, int, list[
         raise ValueError("png: bad magic")
     pos = 8
     w = h = ct = -1
+    depth = inter = 0
+    plte: bytes | None = None
     idat: list[bytes] = []
     while pos + 8 <= len(data):
         (ln,), typ = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
@@ -145,10 +151,15 @@ def decode_png_gray(data: bytes, bilevel: bool = False) -> tuple[int, int, list[
             raise ValueError("png: truncated chunk")
         if typ == b"IHDR":
             w, h, depth, ct, comp, filt, inter = struct.unpack(">IIBBBBB", body[:13])
-            if depth != 8 or ct not in (0, 2, 6) or comp or filt or inter:
+            if (depth not in (1, 2, 4, 8, 16) or ct not in (0, 2, 3, 4, 6)
+                    or comp or filt or inter not in (0, 1)
+                    or (depth < 8 and ct not in (0, 3))
+                    or (depth == 16 and ct == 3)):
                 raise ValueError("png: unsupported IHDR shape")
             if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
                 raise ValueError("png: dimensions over cap")
+        elif typ == b"PLTE":
+            plte = bytes(body)
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":
@@ -156,9 +167,16 @@ def decode_png_gray(data: bytes, bilevel: bool = False) -> tuple[int, int, list[
         pos += 12 + ln  # length + type + crc
     if w < 0 or not idat:
         raise ValueError("png: missing IHDR/IDAT")
-    bpp = {0: 1, 2: 3, 6: 4}[ct]
-    stride = w * bpp
-    if (stride + 1) * h > MAX_DECODED_BYTES:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    pal: list[int] | None = None
+    if ct == 3:
+        if plte is None or len(plte) < 3:
+            raise ValueError("png: palette image without PLTE")
+        pal = [(plte[i] * 299 + plte[i + 1] * 587 + plte[i + 2] * 114) // 1000
+               for i in range(0, len(plte) - 2, 3)]
+    bits_pp = depth * channels
+    bpp = max(1, bits_pp // 8)  # filter unit (spec §9: 1 byte when <8 bits)
+    if (w * bits_pp // 8 + 2) * h > MAX_DECODED_BYTES:
         raise ValueError("png: raster over decode cap")
     d = zlib.decompressobj()
     src = memoryview(b"".join(idat))
@@ -189,40 +207,82 @@ def decode_png_gray(data: bytes, bilevel: bool = False) -> tuple[int, int, list[
         del buf[:n]
         return out
 
-    rows: list[bytearray] = []
-    prev = bytearray(stride)
-    for y in range(h):
-        rowbytes = pull(stride + 1)
-        ftype = rowbytes[0]
-        line = bytearray(rowbytes[1:])
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif ftype != 0:
-            raise ValueError("png: unknown filter type")
-        prev = line
-        if bpp == 1:
-            gray = line
-        else:  # ITU-R 601 luma, integer form
-            gray = bytearray(
-                (line[i] * 299 + line[i + 1] * 587 + line[i + 2] * 114) // 1000
-                for i in range(0, stride, bpp))
-        if bilevel and any(32 < p < 224 for p in gray):
-            raise ValueError("png: not a bilevel text render")
-        rows.append(gray)
-    return w, h, rows
+    scale = 255 // ((1 << depth) - 1) if depth < 8 else 1
+
+    def to_gray(line: bytearray, npx: int) -> bytearray:
+        if depth < 8:  # sub-byte gray or palette indices, MSB-first
+            mask = (1 << depth) - 1
+            per = 8 // depth
+            vals = [(line[x // per] >> (8 - depth * (x % per + 1))) & mask
+                    for x in range(npx)]
+            if ct == 3:
+                for v in vals:
+                    if v >= len(pal):
+                        raise ValueError("png: index out of palette")
+                return bytearray(pal[v] for v in vals)
+            return bytearray(v * scale for v in vals)
+        step = bits_pp // 8
+        if ct == 0:
+            return line[:npx] if depth == 8 else line[0:npx * 2:2]
+        if ct == 3:
+            for v in line[:npx]:
+                if v >= len(pal):
+                    raise ValueError("png: index out of palette")
+            return bytearray(pal[v] for v in line[:npx])
+        if ct == 4:  # gray + alpha: gray sample leads
+            return line[0:npx * step:step]
+        cstep = depth // 8  # RGB(A): luma over the three color samples
+        return bytearray(
+            (line[i] * 299 + line[i + cstep] * 587 + line[i + 2 * cstep] * 114) // 1000
+            for i in range(0, npx * step, step))
+
+    def unfilter_rows(pw: int, ph: int):
+        """Yield unfiltered gray rows of a (sub)image pw×ph."""
+        stride = (pw * bits_pp + 7) // 8
+        prev = bytearray(stride)
+        for _y in range(ph):
+            rowbytes = pull(stride + 1)
+            ftype = rowbytes[0]
+            line = bytearray(rowbytes[1:])
+            if ftype == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    c = prev[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+            elif ftype != 0:
+                raise ValueError("png: unknown filter type")
+            prev = line
+            gray = to_gray(line, pw)
+            if bilevel and any(32 < p < 224 for p in gray):
+                raise ValueError("png: not a bilevel text render")
+            yield gray
+
+    if not inter:
+        return w, h, list(unfilter_rows(w, h))
+    # Adam7: seven passes, each an independently filtered sub-image
+    raster = [bytearray(w) for _ in range(h)]
+    for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                           (0, 1, 1, 2)):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for py, gray in enumerate(unfilter_rows(pw, ph)):
+            row = raster[y0 + py * dy]
+            for px in range(pw):
+                row[x0 + px * dx] = gray[px]
+    return w, h, raster
 
 
 # -- glyph matching -----------------------------------------------------------

@@ -115,6 +115,9 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         # fmt_png seed has no IDAT, so it never leaves the chunk walker)
         ("fmt_png_ocr", "image", render_text_png(["FUZZ TARGET 1", "LINE 2.3"], scale=2)),
         ("fmt_png_ocr_rgb", "image", render_text_png(["COLOR RGB"], scale=3, color=True)),
+        # full PNG pixel matrix: interlaced 4-bit palette through both routes
+        ("fmt_png_pal", "image", _png_pal_seed()),
+        ("raw_png_pal", "raster", _png_pal_seed()),
         ("fmt_xls", "office", _make_xls()),
         ("fmt_ppt", "office", _make_ppt()),
         # the round-3 attack surface: RC4 (R2/R3), AESV2, AES-256/R6
@@ -221,6 +224,34 @@ def _tiff_pal_seed() -> bytes:
     from gen_extra_fixtures import _tiff_fixture
 
     return _tiff_fixture()
+
+
+def _png_pal_seed() -> bytes:
+    """Adam7-interlaced 4-bit palette PNG: mutants hit the sub-byte
+    unpacking, PLTE bounds checks and the seven-pass reassembly."""
+    from tests.test_miniocr import _chunk  # REPO is on sys.path
+    import struct as _st
+    import zlib as _zl
+
+    w, h = 21, 13
+    plte = bytes(v for i in range(16) for v in (i * 17, (i * 5) % 256, 255 - i * 17))
+    raster = bytearray()
+    for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                           (0, 1, 1, 2)):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        for py in range(ph):
+            line = bytearray((pw + 1) // 2)
+            for px in range(pw):
+                v = ((x0 + px * dx) + (y0 + py * dy)) % 16
+                line[px // 2] |= v << (4 if px % 2 == 0 else 0)
+            raster += b"\x00" + bytes(line)
+    return (b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", _st.pack(">IIBBBBB", w, h, 4, 3, 0, 0, 1))
+            + _chunk(b"PLTE", plte)
+            + _chunk(b"IDAT", _zl.compress(bytes(raster)))
+            + _chunk(b"IEND", b""))
 
 
 def _webp_text_seed() -> bytes:

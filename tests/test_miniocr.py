@@ -168,3 +168,117 @@ def test_dimension_cap_charged_before_inflate():
             + _chunk(b"IDAT", zlib.compress(b"\x00" * 100)) + _chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_png_gray(bomb)
+
+
+# ------------------------------------------------- full PNG pixel matrix
+
+def _png(w, h, depth, ct, raster, plte=None, interlace=0):
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace))
+    p = _chunk(b"PLTE", plte) if plte is not None else b""
+    return (b"\x89PNG\r\n\x1a\n" + ihdr + p
+            + _chunk(b"IDAT", zlib.compress(raster)) + _chunk(b"IEND", b""))
+
+
+def _pack_bits(vals, depth, w):
+    """Pack sub-byte samples MSB-first per scanline (w samples/row)."""
+    out = bytearray()
+    per = 8 // depth
+    for y in range(0, len(vals), w):
+        row = vals[y:y + w]
+        line = bytearray((w + per - 1) // per)
+        for x, v in enumerate(row):
+            line[x // per] |= v << (8 - depth * (x % per + 1))
+        out += b"\x00" + bytes(line)
+    return bytes(out)
+
+
+def test_palette_png_all_depths():
+    plte = bytes([0, 0, 0, 255, 255, 255, 200, 30, 30, 30, 30, 200])
+    lumas = [0, 255, (200 * 299 + 30 * 587 + 30 * 114) // 1000,
+             (30 * 299 + 30 * 587 + 200 * 114) // 1000]
+    w, h = 9, 4
+    idx = [(x + y) % 4 for y in range(h) for x in range(w)]
+    for depth in (2, 4, 8):
+        raster = (_pack_bits(idx, depth, w) if depth < 8
+                  else b"".join(b"\x00" + bytes(idx[y * w:(y + 1) * w])
+                                for y in range(h)))
+        dw, dh, rows = decode_png_gray(_png(w, h, depth, 3, raster, plte=plte))
+        assert (dw, dh) == (w, h)
+        assert all(rows[y][x] == lumas[idx[y * w + x]]
+                   for y in range(h) for x in range(w))
+    # 1-bit palette: two entries
+    idx1 = [(x ^ y) & 1 for y in range(h) for x in range(w)]
+    dw, dh, rows = decode_png_gray(
+        _png(w, h, 1, 3, _pack_bits(idx1, 1, w), plte=plte[:6]))
+    assert all(rows[y][x] == (255 if idx1[y * w + x] else 0)
+               for y in range(h) for x in range(w))
+    # out-of-palette index is contained
+    with pytest.raises(ValueError, match="palette"):
+        decode_png_gray(_png(w, h, 8, 3, _filter0([[9] * w] * h), plte=plte))
+
+
+def test_gray_subbyte_and_16bit():
+    w, h = 11, 3
+    # 1/2/4-bit gray scale to full range
+    for depth, maxv in ((1, 1), (2, 3), (4, 15)):
+        vals = [(x + y) % (maxv + 1) for y in range(h) for x in range(w)]
+        dw, dh, rows = decode_png_gray(_png(w, h, depth, 0, _pack_bits(vals, depth, w)))
+        scale = 255 // maxv
+        assert all(rows[y][x] == vals[y * w + x] * scale
+                   for y in range(h) for x in range(w))
+    # 16-bit gray folds to the high byte
+    import random
+    rng = random.Random(5)
+    hi = [rng.randrange(256) for _ in range(w * h)]
+    raster = b"".join(
+        b"\x00" + b"".join(bytes((hi[y * w + x], 0x7F)) for x in range(w))
+        for y in range(h))
+    _, _, rows = decode_png_gray(_png(w, h, 16, 0, raster))
+    assert all(rows[y][x] == hi[y * w + x] for y in range(h) for x in range(w))
+
+
+def test_gray_alpha_and_rgba16():
+    w, h = 6, 2
+    g = [10 * (x + 1) + y for y in range(h) for x in range(w)]
+    raster = b"".join(
+        b"\x00" + b"".join(bytes((g[y * w + x], 0x80)) for x in range(w))
+        for y in range(h))
+    _, _, rows = decode_png_gray(_png(w, h, 8, 4, raster))
+    assert all(rows[y][x] == g[y * w + x] for y in range(h) for x in range(w))
+    # RGBA 16-bit: luma over the three high bytes, alpha ignored
+    px = [(40, 80, 120, 200)] * (w * h)
+    raster16 = b"".join(
+        b"\x00" + b"".join(
+            b"".join(bytes((c, 0x11)) for c in px[y * w + x]) for x in range(w))
+        for y in range(h))
+    _, _, rows16 = decode_png_gray(_png(w, h, 16, 6, raster16))
+    want = (40 * 299 + 80 * 587 + 120 * 114) // 1000
+    assert all(p == want for r in rows16 for p in r)
+
+
+def test_adam7_interlaced_round_trip():
+    # interlace a known raster by hand (7 passes, filter 0) and require
+    # the decoder to reassemble it exactly
+    w, h = 13, 9
+    ref = [[(x * 7 + y * 31) % 256 for x in range(w)] for y in range(h)]
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raster = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for py in range(ph):
+            raster += b"\x00" + bytes(ref[y0 + py * dy][x0 + px * dx]
+                                      for px in range(pw))
+    dw, dh, rows = decode_png_gray(_png(w, h, 8, 0, bytes(raster), interlace=1))
+    assert (dw, dh) == (w, h)
+    assert [list(r) for r in rows] == ref
+
+
+def test_invalid_ihdr_combinations_contained():
+    raster = _filter0([[0] * 4] * 4)
+    for depth, ct in ((16, 3), (2, 2), (4, 6), (3, 0), (8, 5)):
+        with pytest.raises(ValueError, match="IHDR"):
+            decode_png_gray(_png(4, 4, depth, ct, raster))
