@@ -110,9 +110,25 @@ def sniff_image_meta(data: bytes) -> tuple[str, int | None, int | None]:
         return "svg", None, None
     if data[:4] == b"II*\x00" or data[:4] == b"MM\x00*":
         return ("tiff",) + _tiff_dims(data)
-    if data[:4] == b"\xd7\xcd\xc6\x9a" or data[:4] in (b"\x01\x00\x09\x00", b"\x02\x00\x09\x00"):
+    if data[:4] == b"\xd7\xcd\xc6\x9a":
+        # placeable WMF (Aldus header): bounding box in twips + twips/inch
+        # → pixel dims at 96 dpi; a bare WMF below has no size record
+        if len(data) >= 18:
+            left, top, right, bottom, inch = struct.unpack_from("<4hH", data, 6)
+            if inch > 0:
+                w = abs(right - left) * 96 // inch
+                h = abs(bottom - top) * 96 // inch
+                if 0 < w < 2**31 and 0 < h < 2**31:
+                    return "wmf", w, h
+        return "wmf", None, None
+    if data[:4] in (b"\x01\x00\x09\x00", b"\x02\x00\x09\x00"):
         return "wmf", None, None
     if len(data) >= 44 and data[:4] == b"\x01\x00\x00\x00" and data[40:44] == b" EMF":
+        # MS-EMF header: rclBounds (device px, inclusive) at offset 8
+        l_, t_, r_, b_ = struct.unpack_from("<4i", data, 8)
+        w, h = r_ - l_ + 1, b_ - t_ + 1
+        if 0 < w < 2**31 and 0 < h < 2**31:
+            return "emf", w, h
         return "emf", None, None
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 30:
         chunk = data[12:16]

@@ -157,6 +157,34 @@ def test_webp_sniffing():
     assert sniff_image_meta(vp8x) == ("webp", 300, 150)
 
 
+def test_wmf_emf_dims_sniffing():
+    import struct
+
+    from documentconvert_spark.kernels.media import sniff_image_meta
+
+    # placeable WMF: bounding box in twips at 1440 twips/inch → 96 dpi px
+    placeable = (b"\xd7\xcd\xc6\x9a" + b"\x00\x00"
+                 + struct.pack("<4hH", 0, 0, 2880, 1440, 1440) + b"\x00" * 20)
+    assert sniff_image_meta(placeable) == ("wmf", 192, 96)
+    # bare WMF carries no size record
+    bare = b"\x01\x00\x09\x00" + b"\x00" * 30
+    assert sniff_image_meta(bare) == ("wmf", None, None)
+    # zero twips/inch must not divide-by-zero
+    broken = (b"\xd7\xcd\xc6\x9a" + b"\x00\x00"
+              + struct.pack("<4hH", 0, 0, 100, 100, 0) + b"\x00" * 20)
+    assert sniff_image_meta(broken) == ("wmf", None, None)
+    # EMF: rclBounds is inclusive device pixels
+    emf = (b"\x01\x00\x00\x00" + b"\x00" * 4
+           + struct.pack("<4i", 10, 20, 329, 259) + b"\x00" * 16 + b" EMF"
+           + b"\x00" * 8)
+    assert sniff_image_meta(emf) == ("emf", 320, 240)
+    # degenerate bounds stay dimension-less
+    emf0 = (b"\x01\x00\x00\x00" + b"\x00" * 4
+            + struct.pack("<4i", 0, 0, -5, -5) + b"\x00" * 16 + b" EMF"
+            + b"\x00" * 8)
+    assert sniff_image_meta(emf0) == ("emf", None, None)
+
+
 def test_av_container_sniffing():
     import struct
 
