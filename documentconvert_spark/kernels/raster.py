@@ -14,7 +14,7 @@ spec, bounded by the shared expansion caps, and returns the same shape:
 * GIF  — this module (GIF89a spec: LZW with variable code width, LSB-first
   packing, interlace passes, global/local palettes; first frame)
 * BMP  — this module (BITMAPINFOHEADER BI_RGB 1/4/8/24/32-bit, bottom-up
-  or top-down)
+  or top-down, plus BI_RLE8/BI_RLE4 run-length decompression)
 * TIFF — this module (TIFF 6.0 baseline, IFD0: gray/palette/RGB at 1 or
   8 bits/sample, strip layout, Compression 1/5/32773 — LZW shares the
   realpdf decoder, TIFF always packs MSB-first with early change — plus
@@ -200,7 +200,9 @@ def decode_gif_gray(data: bytes,
 def decode_bmp_gray(data: bytes,
                     max_pixels: int = _MAX_PIXELS_DEFAULT
                     ) -> tuple[int, int, list[bytearray]]:
-    """Uncompressed BI_RGB BMP (1/4/8-bit palette, 24/32-bit) → gray rows."""
+    """BMP → gray rows: BI_RGB (1/4/8-bit palette, 24/32-bit) and the
+    BI_RLE8/BI_RLE4 run-length modes (encoded runs, absolute literals,
+    end-of-line/bitmap escapes and position deltas)."""
     if data[:2] != b"BM" or len(data) < 54:
         raise ValueError("bmp: bad magic")
     (pix_off,) = struct.unpack_from("<I", data, 10)
@@ -213,8 +215,11 @@ def decode_bmp_gray(data: bytes,
     (clr_used,) = struct.unpack_from("<I", data, 46)
     top_down = h_signed < 0
     h = -h_signed if top_down else h_signed
-    if comp not in (0, 3):
+    if comp not in (0, 1, 2, 3):
         raise ValueError("bmp: compressed BMP unsupported")
+    if comp in (1, 2) and (bpp != (8 if comp == 1 else 4) or top_down):
+        # BI_RLE8 requires 8bpp, BI_RLE4 4bpp, both bottom-up (MS spec)
+        raise ValueError("bmp: invalid RLE shape")
     if bpp not in (1, 4, 8, 24, 32):
         raise ValueError("bmp: unsupported bit depth")
     if comp == 3 and bpp == 32:
@@ -237,6 +242,50 @@ def decode_bmp_gray(data: bytes,
         # palette entries are BGRX
         pal = [(pal_bytes[i + 2] * 299 + pal_bytes[i + 1] * 587
                 + pal_bytes[i] * 114) // 1000 for i in range(0, 4 * n, 4)]
+    if comp in (1, 2):  # RLE8 / RLE4 (Microsoft BMP spec §RLE)
+        idx = [bytearray(w) for _ in range(h)]  # skipped pixels = index 0
+        x = y = 0  # y counts from the BOTTOM row (RLE is bottom-up)
+        i = pix_off
+        n = len(data)
+        while i + 1 < n:
+            c, v = data[i], data[i + 1]
+            i += 2
+            if c:  # encoded run
+                for k in range(c):
+                    if x < w and y < h:
+                        idx[y][x] = v if comp == 1 else (
+                            (v >> 4) if k & 1 == 0 else (v & 15))
+                    x += 1
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta: skip right/up
+                if i + 2 > n:
+                    raise ValueError("bmp: truncated RLE delta")
+                x += data[i]
+                y += data[i + 1]
+                i += 2
+            else:  # absolute mode: v literal indices, word-aligned
+                nbytes = ((v + 1) & ~1) if comp == 1 else ((v + 3) // 4) * 2
+                chunk = data[i:i + nbytes]
+                if len(chunk) < nbytes:
+                    raise ValueError("bmp: truncated RLE literals")
+                for k in range(v):
+                    if x < w and y < h:
+                        idx[y][x] = chunk[k] if comp == 1 else (
+                            (chunk[k >> 1] >> 4) if k & 1 == 0
+                            else (chunk[k >> 1] & 15))
+                    x += 1
+                i += nbytes
+        rows = []
+        npal = len(pal)
+        for yy in range(h):
+            src = idx[h - 1 - yy]
+            if max(src) >= npal:
+                raise ValueError("bmp: pixel index out of palette")
+            rows.append(bytearray(pal[v] for v in src))
+        return w, h, rows
     stride = ((bpp * w + 31) // 32) * 4
     if pix_off + stride * h > len(data):
         raise ValueError("bmp: truncated pixel data")

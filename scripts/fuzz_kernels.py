@@ -118,6 +118,7 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         # full PNG pixel matrix: interlaced 4-bit palette through both routes
         ("fmt_png_pal", "image", _png_pal_seed()),
         ("raw_png_pal", "raster", _png_pal_seed()),
+        ("raw_bmp_rle", "raster", _bmp_rle_seed()),
         ("fmt_xls", "office", _make_xls()),
         ("fmt_ppt", "office", _make_ppt()),
         # the round-3 attack surface: RC4 (R2/R3), AESV2, AES-256/R6
@@ -224,6 +225,28 @@ def _tiff_pal_seed() -> bytes:
     from gen_extra_fixtures import _tiff_fixture
 
     return _tiff_fixture()
+
+
+def _bmp_rle_seed() -> bytes:
+    """RLE8 BMP: mutants hit the run/absolute/EOL/EOD/delta escapes and
+    the word-alignment arithmetic."""
+    import struct as _st
+
+    pal_rgb = [(i * 16, 255 - i * 16, i * 8) for i in range(16)]
+    palbytes = b"".join(bytes((b, g, r, 0)) for r, g, b in pal_rgb)
+    body = bytearray()
+    for y in range(12):
+        body += bytes([6, y % 16])                 # encoded run
+        body += bytes([0, 3, 1, 2, 3, 0])          # absolute (padded)
+        if y == 5:
+            body += bytes([0, 2, 2, 1])            # delta
+        body += bytes([0, 0])                      # end of line
+    body += bytes([0, 1])                          # end of bitmap
+    off = 54 + len(palbytes)
+    return (b"BM" + _st.pack("<IHHI", off + len(body), 0, 0, off)
+            + _st.pack("<IiiHHIIiiII", 40, 16, 12, 1, 8, 1,
+                       len(body), 0, 0, 16, 0)
+            + palbytes + bytes(body))
 
 
 def _png_pal_seed() -> bytes:

@@ -559,3 +559,53 @@ def test_real_raster_stats_spark(spark):
     assert by_id["d-gif"]["error"] is None
     assert 0.0 <= by_id["d-gif"]["dark_frac"] <= 1.0
     assert by_id["d-wmf"]["error"] is not None and by_id["d-wmf"]["width"] is None
+
+
+def test_bmp_rle8_and_rle4():
+    from documentconvert_spark.kernels.raster import decode_bmp_gray
+
+    def hdr(w, h, bpp, comp, pal_rgb, body):
+        palbytes = b"".join(bytes((b, g, r, 0)) for r, g, b in pal_rgb)
+        off = 54 + len(palbytes)
+        return (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                              len(body), 0, 0, len(pal_rgb), 0)
+                + palbytes + body)
+
+    pal = [(0, 0, 0), (255, 255, 255), (100, 100, 100), (40, 200, 90)]
+    lum = [0, 255, 100, (40 * 299 + 200 * 587 + 90 * 114) // 1000]
+    # RLE8 over a 7x3 image (bottom-up): runs + absolute + EOL + delta
+    body8 = bytes([
+        3, 1,                 # bottom row: 1,1,1
+        0, 3, 2, 3, 2, 0x00,  # absolute: 2,3,2 (padded to word)
+        0, 0,                 # end of line
+        0, 2, 2, 0,           # delta: skip 2 right (stay on row 1)
+        5, 3,                 # 3,3,3,3,3
+        0, 0,                 # end of line
+        7, 2,                 # top row: 2 x7
+        0, 1,                 # end of bitmap
+    ])
+    w, h, rows = decode_bmp_gray(hdr(7, 3, 8, 1, pal, body8))
+    assert (w, h) == (7, 3)
+    assert list(rows[0]) == [lum[2]] * 7                        # top row
+    assert list(rows[1]) == [lum[0]] * 2 + [lum[3]] * 5         # delta skips -> 0
+    assert list(rows[2]) == [lum[1]] * 3 + [lum[2], lum[3], lum[2], lum[0]]
+    # RLE4: runs alternate the two nibbles; absolute packs two per byte
+    body4 = bytes([
+        4, 0x12,              # 1,2,1,2
+        0, 3, 0x31, 0x30,     # absolute 3,1,3 (2 nibble-bytes, word-aligned)
+        0, 0,
+        3, 0x30,              # row 0 (top of 2): 3,0,3
+        0, 1,
+    ])
+    w4, h4, rows4 = decode_bmp_gray(hdr(7, 2, 4, 2, pal, body4))
+    assert list(rows4[1]) == [lum[1], lum[2], lum[1], lum[2],
+                              lum[3], lum[1], lum[3]]
+    assert list(rows4[0]) == [lum[3], lum[0], lum[3]] + [lum[0]] * 4
+    # malformed shapes are contained
+    with pytest.raises(ValueError, match="invalid RLE shape"):
+        decode_bmp_gray(hdr(4, 4, 4, 1, pal, b"\x00\x01"))  # RLE8 needs 8bpp
+    with pytest.raises(ValueError, match="truncated RLE"):
+        decode_bmp_gray(hdr(4, 4, 8, 1, pal, bytes([0, 2, 1])))
+    with pytest.raises(ValueError, match="out of palette"):
+        decode_bmp_gray(hdr(4, 4, 8, 1, pal, bytes([2, 9, 0, 1])))
