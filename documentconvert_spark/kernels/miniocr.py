@@ -279,9 +279,8 @@ def decode_png_gray(data: bytes, bilevel: bool = False) -> tuple[int, int, list[
         if pw <= 0 or ph <= 0:
             continue
         for py, gray in enumerate(unfilter_rows(pw, ph)):
-            row = raster[y0 + py * dy]
-            for px in range(pw):
-                row[x0 + px * dx] = gray[px]
+            # extended-slice assignment: len(row[x0::dx]) == pw exactly
+            raster[y0 + py * dy][x0::dx] = gray
     return w, h, raster
 
 

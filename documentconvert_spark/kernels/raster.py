@@ -247,6 +247,8 @@ def decode_bmp_gray(data: bytes,
         x = y = 0  # y counts from the BOTTOM row (RLE is bottom-up)
         i = pix_off
         n = len(data)
+        ended = False  # spec requires the end-of-bitmap escape; a stream
+        # that runs out without it is truncated, not an all-zero image
         while i + 1 < n:
             c, v = data[i], data[i + 1]
             i += 2
@@ -259,6 +261,7 @@ def decode_bmp_gray(data: bytes,
             elif v == 0:  # end of line
                 x, y = 0, y + 1
             elif v == 1:  # end of bitmap
+                ended = True
                 break
             elif v == 2:  # delta: skip right/up
                 if i + 2 > n:
@@ -278,6 +281,8 @@ def decode_bmp_gray(data: bytes,
                             else (chunk[k >> 1] & 15))
                     x += 1
                 i += nbytes
+        if not ended:
+            raise ValueError("bmp: truncated pixel data")
         rows = []
         npal = len(pal)
         for yy in range(h):

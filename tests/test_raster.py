@@ -609,3 +609,20 @@ def test_bmp_rle8_and_rle4():
         decode_bmp_gray(hdr(4, 4, 8, 1, pal, bytes([0, 2, 1])))
     with pytest.raises(ValueError, match="out of palette"):
         decode_bmp_gray(hdr(4, 4, 8, 1, pal, bytes([2, 9, 0, 1])))
+
+
+def test_bmp_rle_missing_eod_is_truncated():
+    # a stream that runs out without the end-of-bitmap escape must raise,
+    # not fabricate an all-palette[0] image (review finding)
+    from documentconvert_spark.kernels.raster import decode_bmp_gray
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    palbytes = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+    off = 54 + len(palbytes)
+    for body in (b"", bytes([3, 1, 0, 0])):  # empty / cut before EOD
+        data = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+                + struct.pack("<IiiHHIIiiII", 40, 4, 3, 1, 8, 1,
+                              len(body), 0, 0, 2, 0)
+                + palbytes + body)
+        with pytest.raises(ValueError, match="truncated pixel data"):
+            decode_bmp_gray(data)
