@@ -522,3 +522,37 @@ def decode_raster_gray(data: bytes,
     else:
         raise ValueError(f"raster: no pixel decoder for format {fmt!r}")
     return fmt, w, h, rows
+
+
+# ------------------------------------------------------------------ dhash
+
+def dhash64(w: int, h: int, rows: list) -> int:
+    """Difference hash over gray rows: integer area-downsample to a 9×8
+    cell grid, one bit per horizontal gradient (cell brighter than its
+    right neighbor), returned as a SIGNED int64 (two's complement) so the
+    value survives parquet/Spark/DuckDB round-trips bit-exactly.
+
+    Pure integer math end-to-end: a source grid and its lossless-codec
+    round-trip (PNG/GIF/BMP/TIFF/VP8L) hash identically, which is what
+    lets the image-dedup oracle recompute signatures from source grids
+    while Spark recomputes them from encoded bytes."""
+    if w < 9 or h < 8:
+        raise ValueError("dhash: image smaller than the 9x8 grid")
+    cells = []
+    for gy in range(8):
+        y0, y1 = gy * h // 8, (gy + 1) * h // 8
+        crow = []
+        for gx in range(9):
+            x0, x1 = gx * w // 9, (gx + 1) * w // 9
+            s = 0
+            for yy in range(y0, y1):
+                r = rows[yy]
+                for xx in range(x0, x1):
+                    s += r[xx]
+            crow.append(s // ((y1 - y0) * (x1 - x0)))
+        cells.append(crow)
+    bits = 0
+    for gy in range(8):
+        for gx in range(8):
+            bits = (bits << 1) | (1 if cells[gy][gx] > cells[gy][gx + 1] else 0)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits

@@ -510,6 +510,68 @@ def multiset_jaccard_pairs(sig: DataFrame, key_col: str, order_col: str,
     )
 
 
+def image_dhash_table(images: DataFrame) -> DataFrame:
+    """Real image bytes (any decodable format) → (doc_id, dhash): decode
+    through the raster layer and difference-hash the gray raster
+    (kernels/raster.dhash64 — 9×8 integer area-downsample, one bit per
+    horizontal gradient, signed int64). Undecodable blobs drop out
+    (containment). Narrow mapInPandas: pixels never leave the scan;
+    only the 8-byte hash flows into any downstream join."""
+    from documentconvert_spark.kernels.raster import decode_raster_gray, dhash64
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"doc_id": [], "dhash": []}
+            for did, blob in zip(b["doc_id"], b["content"]):
+                try:
+                    _fmt, w, h, gray = decode_raster_gray(bytes(blob))
+                    rows["doc_id"].append(did)
+                    rows["dhash"].append(dhash64(w, h, gray))
+                except Exception:  # noqa: BLE001 — containment (C7)
+                    continue
+            df = pd.DataFrame(rows)
+            df["dhash"] = df["dhash"].astype("int64") if len(df) else pd.array([], dtype="int64")
+            yield df
+
+    return images.select("doc_id", "content").mapInPandas(gen, schema=schema)
+
+
+def dhash_hamming_pairs(sig: DataFrame, max_dist: int = 6) -> DataFrame:
+    """64-bit hash table → near-dup pairs (doc_a, doc_b, hamming ≤
+    max_dist). Scale shape: eight 8-bit bands, candidates from an
+    equi-join on (band index, band byte) — the pigeonhole principle
+    guarantees recall for any distance ≤ 7 — then one bit_count(xor)
+    verify per candidate. No CartesianProduct anywhere; at 100 TB the
+    band join shuffles 10-byte rows, never pixels."""
+    if max_dist > 7:
+        raise ValueError("dhash_hamming_pairs: 8 bands only guarantee distance <= 7")
+    e = sig.select("doc_id", "dhash").withColumn(
+        "band",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.shiftrightunsigned("dhash", 8 * i).bitwiseAND(F.lit(255)).alias("v"))
+            for i in range(8)])))
+    a = e.select(F.col("doc_id").alias("doc_a"), F.col("dhash").alias("h_a"),
+                 F.col("band.i").alias("i_a"), F.col("band.v").alias("v_a"))
+    b = e.select(F.col("doc_id").alias("doc_b"), F.col("dhash").alias("h_b"),
+                 F.col("band.i").alias("i_b"), F.col("band.v").alias("v_b"))
+    return (
+        a.join(b, (F.col("i_a") == F.col("i_b")) & (F.col("v_a") == F.col("v_b"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "h_a", "h_b").distinct()
+        .withColumn("hamming",
+                    F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int"))
+        .filter(F.col("hamming") <= max_dist)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),

@@ -1438,12 +1438,151 @@ WHERE m.matches * {_ADUP_DEN} >= (ca.n + cb.n - m.matches) * {_ADUP_NUM}
 """
 
 
+# ------------------------------------------------------------ image dedup
+# Near-duplicate IMAGE detection by perceptual difference-hash — the
+# image member of the modality-dedup family (text, embeddings, video
+# frames, audio chunks). Scale shape: pixels decode where the bytes are
+# scanned (narrow mapInPandas), only 8-byte hashes shuffle into the
+# banded candidate join. The oracle recomputes the same integer dhash
+# in the generator from SOURCE gray grids and pairs them in SQL, so the
+# driver check validates decode (PNG + BMP cross-codec) AND the banded
+# Hamming join end-to-end.
+
+EXPECTED_IMAGE_DHASH_PARQUET = os.path.join(_RES_DIR, "expected_image_dhash.parquet")
+
+_IDUP_MAX_DIST = 6  # ≤ 7 so the 8-band pigeonhole guarantees recall
+
+
+def _image_dedup_corpus() -> tuple[list[tuple[str, bytes]], list[tuple]]:
+    """Deterministic PNG/BMP gray-image corpus with planted duplicates:
+    10 base gradient-plus-blobs scenes; some re-encode as BMP (exact
+    cross-codec dup, hamming 0), some get a small local edit (near dup,
+    a few flipped gradient bits), plus singletons.
+    → (raw rows, golden (doc_id, dhash) rows from the SOURCE grids)."""
+    import random
+    import zlib as _zlib
+
+    from documentconvert_spark.kernels.raster import dhash64
+
+    rng = random.Random("image-dedup:21")
+
+    def gray_png(w: int, h: int, rows: list) -> bytes:
+        import struct as _st
+
+        def chunk(typ: bytes, body: bytes) -> bytes:
+            return (_st.pack(">I", len(body)) + typ + body
+                    + _st.pack(">I", _zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+        raster = b"".join(b"\x00" + bytes(r) for r in rows)
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", _st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", _zlib.compress(raster)) + chunk(b"IEND", b""))
+
+    def gray_bmp(w: int, h: int, rows: list) -> bytes:
+        import struct as _st
+
+        stride = ((24 * w + 31) // 32) * 4
+        body = bytearray()
+        for y in range(h - 1, -1, -1):
+            line = bytearray()
+            for v in rows[y]:
+                line += bytes((v, v, v))
+            body += line + b"\x00" * (stride - len(line))
+        return (b"BM" + _st.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                + _st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                           0, 0, 0, 0) + bytes(body))
+
+    def scene(w: int, h: int) -> list:
+        """Smooth diagonal gradient + a few soft rectangles: rich cell
+        contrasts so the dhash bits are stable and scene-distinctive."""
+        ax, by = rng.randrange(1, 4), rng.randrange(1, 4)
+        base = rng.randrange(40, 120)
+        rows = [bytearray(min(255, base + ax * x // 2 + by * y // 2)
+                          for x in range(w)) for y in range(h)]
+        for _ in range(rng.randrange(2, 5)):
+            bw, bh = rng.randrange(8, 20), rng.randrange(6, 16)
+            x0, y0 = rng.randrange(w - bw), rng.randrange(h - bh)
+            dv = rng.choice((-70, -50, 60, 80))
+            for yy in range(y0, y0 + bh):
+                for xx in range(x0, x0 + bw):
+                    rows[yy][xx] = max(0, min(255, rows[yy][xx] + dv))
+        return rows
+
+    raw: list[tuple[str, bytes]] = []
+    sigs: list[tuple] = []
+
+    def add(doc_id: str, w: int, h: int, rows: list, codec: str) -> None:
+        raw.append((doc_id, (gray_png if codec == "png" else gray_bmp)(w, h, rows)))
+        sigs.append((doc_id, dhash64(w, h, rows)))
+
+    iid = 0
+    for s in range(10):
+        w, h = rng.choice(((64, 48), (54, 40), (72, 32)))
+        rows = scene(w, h)
+        add(f"im-{iid:03d}", w, h, rows, "png"); iid += 1
+        if s % 3 == 0:  # exact dup across codecs
+            add(f"im-{iid:03d}", w, h, rows, "bmp"); iid += 1
+        if s % 4 == 0:  # near dup: brighten one small block
+            mod = [bytearray(r) for r in rows]
+            for yy in range(2, min(h, 2 + h // 6)):
+                for xx in range(2, min(w, 2 + w // 6)):
+                    mod[yy][xx] = min(255, mod[yy][xx] + 90)
+            add(f"im-{iid:03d}", w, h, mod, "png"); iid += 1
+    return raw, sigs
+
+
+def _ensure_image_dhash_parquet() -> None:
+    if os.path.exists(EXPECTED_IMAGE_DHASH_PARQUET):
+        return
+    os.makedirs(_RES_DIR, exist_ok=True)
+    _raw, sigs = _image_dedup_corpus()
+    cols = {"doc_id": [], "dhash": []}
+    for did, dh in sigs:
+        cols["doc_id"].append(did)
+        cols["dhash"].append(dh)
+    pq.write_table(
+        pa.table(cols, schema=pa.schema([
+            ("doc_id", pa.string()), ("dhash", pa.int64()),
+        ])),
+        EXPECTED_IMAGE_DHASH_PARQUET,
+    )
+
+
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by difference-hash Hamming distance ≤ 6:
+    decode real PNG/BMP bytes through the raster layer, dhash each
+    (ops.multimodal.image_dhash_table), and pair via the 8-band LSH
+    join + bit_count verify (ops.multimodal.dhash_hamming_pairs).
+    Cross-codec dups land at distance 0 because both decoders are
+    lossless. The dedup family's image member; engine surface beyond
+    parity."""
+    from documentconvert_spark.ops.multimodal import (
+        dhash_hamming_pairs,
+        image_dhash_table,
+    )
+
+    _ensure_image_dhash_parquet()
+    raw, _sigs = _image_dedup_corpus()
+    images = spark.createDataFrame(raw, "doc_id string, content binary")
+    return dhash_hamming_pairs(image_dhash_table(images), _IDUP_MAX_DIST)
+
+
+SQL_DEDUP_IMAGE_PHASH = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.dhash, b.dhash))::INTEGER AS hamming
+FROM read_parquet('{EXPECTED_IMAGE_DHASH_PARQUET}') a
+JOIN read_parquet('{EXPECTED_IMAGE_DHASH_PARQUET}') b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {_IDUP_MAX_DIST}
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
     "real_av_meta": (q_real_av_meta, SQL_REAL_AV_META),
     "real_video_frames": (q_real_video_frames, SQL_REAL_VIDEO_FRAMES),
     "real_audio_stats": (q_real_audio_stats, SQL_REAL_AUDIO_STATS),
     "dedup_video_frames": (q_dedup_video_frames, SQL_DEDUP_VIDEO_FRAMES),
     "dedup_audio_fingerprint": (q_dedup_audio_fingerprint, SQL_DEDUP_AUDIO_FINGERPRINT),
+    "dedup_image_phash": (q_dedup_image_phash, SQL_DEDUP_IMAGE_PHASH),
     "real_video_keyframes": (q_real_video_keyframes, SQL_REAL_VIDEO_KEYFRAMES),
     "real_image_meta": (q_real_image_meta, SQL_REAL_IMAGE_META),
     "dedup_span_paragraphs": (q_dedup_span_paragraphs, SQL_DEDUP_SPAN_PARAGRAPHS),

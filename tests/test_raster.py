@@ -626,3 +626,24 @@ def test_bmp_rle_missing_eod_is_truncated():
                 + palbytes + body)
         with pytest.raises(ValueError, match="truncated pixel data"):
             decode_bmp_gray(data)
+
+
+def test_dhash64_determinism_and_bounds():
+    from documentconvert_spark.kernels.raster import dhash64
+
+    rows = [bytearray(min(255, 40 + 2 * x + y) for x in range(64)) for y in range(48)]
+    h1 = dhash64(64, 48, rows)
+    assert h1 == dhash64(64, 48, [bytearray(r) for r in rows])  # pure fn
+    assert -(1 << 63) <= h1 < 1 << 63  # int64-safe
+    # a local edit flips few bits; an unrelated image flips many
+    mod = [bytearray(r) for r in rows]
+    for y in range(4, 10):
+        for x in range(4, 12):
+            mod[y][x] = 255
+    flipped = bin((h1 ^ dhash64(64, 48, mod)) & ((1 << 64) - 1)).count("1")
+    assert 1 <= flipped <= 6
+    other = [bytearray(255 - v for v in r) for r in rows]
+    far = bin((h1 ^ dhash64(64, 48, other)) & ((1 << 64) - 1)).count("1")
+    assert far > 20
+    with pytest.raises(ValueError, match="smaller than"):
+        dhash64(8, 4, [bytearray(8)] * 4)
