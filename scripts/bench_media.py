@@ -7,7 +7,8 @@ the from-scratch kernels under Spark's scan parallelism):
 
     real_video_frame_stats   AVI → per-frame dark stats
     real_audio_stats         WAV/FLAC → exact sample stats
-    dedup_audio_fingerprint  decode + fingerprint + self-join (full op)
+    image_dhash_table        PNG/BMP/TIFF/WebP/GIF/progressive-JPEG →
+                             decode + 64-bit difference hash
 
 Usage:
     python scripts/bench_media.py [n_docs] [cpus_list]
@@ -63,11 +64,64 @@ def _corpus(n: int):
     return videos, audios
 
 
+def _image_corpus(n: int):
+    """n images cycling through every decodable format (format mix ≈ a
+    real web corpus: the same gradient-scene content class per doc)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+    import struct as _st
+    import zlib as _zlib
+
+    from gen_extra_fixtures import _gif_encode, _tiff_encode, encode_vp8l
+
+    from documentconvert_spark.corpus import encode_gray_jpeg_progressive
+
+    rng = random.Random("bench-media-img:1")
+    out = []
+    for i in range(n):
+        w, h = 64, 48
+        ax, by, base = rng.randrange(1, 4), rng.randrange(1, 4), rng.randrange(30, 120)
+        rows = [bytearray(min(255, base + ax * x // 2 + by * y // 2)
+                          for x in range(w)) for y in range(h)]
+        fmt = ("png", "bmp", "tiff", "webp", "gif", "jpgp")[i % 6]
+        if fmt == "png":
+            def chunk(t, b):
+                return _st.pack(">I", len(b)) + t + b + _st.pack(">I", _zlib.crc32(t + b) & 0xFFFFFFFF)
+            raster = b"".join(b"\x00" + bytes(r) for r in rows)
+            data = (b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", _st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                    + chunk(b"IDAT", _zlib.compress(raster)) + chunk(b"IEND", b""))
+        elif fmt == "bmp":
+            stride = ((24 * w + 31) // 32) * 4
+            body = bytearray()
+            for y in range(h - 1, -1, -1):
+                line = bytearray()
+                for v in rows[y]:
+                    line += bytes((v, v, v))
+                body += line + b"\x00" * (stride - len(line))
+            data = (b"BM" + _st.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                    + _st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+                    + bytes(body))
+        elif fmt == "tiff":
+            data = _tiff_encode("<", w, h, 1, [bytes(b"".join(bytes(r) for r in rows))], h)
+        elif fmt == "webp":
+            argb = [0xFF000000 | (v << 16) | (v << 8) | v for r in rows for v in r]
+            data = encode_vp8l(w, h, argb, cache_bits=4, lz77=True)
+        elif fmt == "gif":
+            pal = [(v * 17, v * 17, v * 17) for v in range(16)]
+            idx = [v >> 4 for r in rows for v in r]
+            data = _gif_encode(w, h, idx, pal, 4)
+        else:  # progressive JPEG
+            data = encode_gray_jpeg_progressive(w, h, rows, ycbcr420=(i % 2 == 0))
+        out.append((f"i-{i:05d}", data))
+    return out
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     cpu_list = [int(c) for c in (sys.argv[2] if len(sys.argv) > 2 else "8").split(",")]
 
     from documentconvert_spark.ops.multimodal import (
+        image_dhash_table,
         real_audio_stats,
         real_video_frame_stats,
     )
@@ -75,9 +129,11 @@ def main() -> None:
 
     gen0 = time.monotonic()
     videos, audios = _corpus(n)
+    images = _image_corpus(n)
     gen_s = time.monotonic() - gen0
     video_mb = sum(len(c) for _, c in videos) / 1e6
     audio_mb = sum(len(c) for _, c in audios) / 1e6
+    image_mb = sum(len(c) for _, c in images) / 1e6
 
     for cpus in cpu_list:
         spark = build_session(app_name="bench-media", master=f"local[{cpus}]",
@@ -103,6 +159,16 @@ def main() -> None:
         real_audio_stats(adf).count()
         dt = time.monotonic() - t0
         out["audio_decode"] = {"sec": round(dt, 2), "docs_per_sec": round(n / dt, 1)}
+        idf = spark.createDataFrame(images, "doc_id string, content binary") \
+            .repartition(cpus * 4).cache()
+        idf.count()
+        out["image_mb"] = round(image_mb, 1)
+        image_dhash_table(idf.limit(64)).count()
+        t0 = time.monotonic()
+        nhash = image_dhash_table(idf).count()
+        dt = time.monotonic() - t0
+        out["image_decode"] = {"sec": round(dt, 2), "hashed": nhash,
+                               "docs_per_sec": round(n / dt, 1)}
         spark.stop()
         print(json.dumps(out), flush=True)
 

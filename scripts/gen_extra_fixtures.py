@@ -708,22 +708,27 @@ class _WpBits:
         return bytes(self.out)
 
 
-def _wp_lengths(freqs: dict[int, int]) -> dict[int, int]:
-    """Huffman code lengths from frequencies (≥3 distinct symbols)."""
+def _wp_lengths(freqs: dict[int, int], max_depth: int = 15) -> dict[int, int]:
+    """Huffman code lengths from frequencies (≥3 distinct symbols),
+    depth-limited: when the optimal tree exceeds max_depth the
+    frequencies are flattened (halved toward 1) and rebuilt — the
+    standard trick; slightly suboptimal codes, always valid."""
     import heapq
 
-    heap = [(f, s, (s,)) for s, f in sorted(freqs.items()) if f]
-    heapq.heapify(heap)
-    depths = dict.fromkeys((s for _, s, _ in heap), 0)
-    while len(heap) > 1:
-        f1, t1, g1 = heapq.heappop(heap)
-        f2, t2, g2 = heapq.heappop(heap)
-        for s in g1 + g2:
-            depths[s] += 1
-        heapq.heappush(heap, (f1 + f2, min(t1, t2), g1 + g2))
-    if max(depths.values(), default=0) > 15:
-        raise ValueError("vp8l writer: code depth over 15")  # fixtures never hit this
-    return depths
+    cur = {s: f for s, f in freqs.items() if f}
+    while True:
+        heap = [(f, s, (s,)) for s, f in sorted(cur.items())]
+        heapq.heapify(heap)
+        depths = dict.fromkeys(cur, 0)
+        while len(heap) > 1:
+            f1, t1, g1 = heapq.heappop(heap)
+            f2, t2, g2 = heapq.heappop(heap)
+            for s in g1 + g2:
+                depths[s] += 1
+            heapq.heappush(heap, (f1 + f2, min(t1, t2), g1 + g2))
+        if max(depths.values(), default=0) <= max_depth:
+            return depths
+        cur = {s: (f + 1) // 2 for s, f in cur.items()}
 
 
 def _wp_canonical(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
@@ -791,9 +796,7 @@ def _wp_write_code(bits: _WpBits, lengths: dict[int, int],
     elif len(clc_freq) == 2:
         clc_len = dict.fromkeys(clc_freq, 1)
     else:
-        clc_len = _wp_lengths(clc_freq)
-        if max(clc_len.values()) > 7:
-            raise ValueError("vp8l writer: code-length code over 7 bits")
+        clc_len = _wp_lengths(clc_freq, max_depth=7)  # 3-bit CL lengths
     # degenerate 1-symbol codes read as 0 bits (see return below)
     clc_codes = ({next(iter(clc_len)): (0, 0)} if len(clc_len) == 1
                  else _wp_canonical(clc_len))
