@@ -1,10 +1,14 @@
 """Cluster job entrypoint: multimodal media curation over a binary table.
 
-The media pass a training pipeline runs over opaque audio/video columns:
+The media pass a training pipeline runs over opaque image/audio/video
+columns:
 
     sniff (container metadata inventory, no decode)
-      → decode stats (AVI → per-frame stats; WAV/FLAC → sample stats)
-      → near-dup pairs per modality (multiset-Jaccard over fingerprints)
+      → decode stats (AVI → per-frame stats; WAV/FLAC → sample stats;
+        images → 64-bit difference hash through the raster decoders)
+      → near-dup pairs per modality (multiset-Jaccard over
+        audio/video fingerprints; banded Hamming join over image
+        difference hashes)
       → parquet outputs + one JSON summary line
 
 Submit:
@@ -45,9 +49,11 @@ def main() -> None:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from documentconvert_spark.kernels.media import sniff_av_meta
+    from documentconvert_spark.kernels.media import sniff_av_meta, sniff_image_meta
     from documentconvert_spark.ops.multimodal import (
         audio_fingerprint_table,
+        dhash_hamming_pairs,
+        image_dhash_table,
         multiset_jaccard_pairs,
         real_audio_stats,
         real_video_frame_stats,
@@ -72,7 +78,11 @@ def main() -> None:
         for b in batches:
             rows = {k: [] for k in ("doc_id", "format", "width", "height", "duration_ms")}
             for did, blob in zip(b["doc_id"], b["content"]):
-                fmt, w, h, dur = sniff_av_meta(bytes(blob) if blob is not None else b"")
+                data = bytes(blob) if blob is not None else b""
+                fmt, w, h, dur = sniff_av_meta(data)
+                if fmt == "unknown":  # not an A/V container: try image
+                    fmt, w, h = sniff_image_meta(data)
+                    dur = None
                 rows["doc_id"].append(did)
                 rows["format"].append(fmt)
                 rows["width"].append(w)
@@ -117,13 +127,27 @@ def main() -> None:
     n_vpairs = spark.read.parquet(args.output + "/video_pairs").count()
     n_apairs = spark.read.parquet(args.output + "/audio_pairs").count()
 
+    # 4) image modality: decode + difference hash, banded Hamming pairs
+    image_ids = inv.filter(
+        F.col("format").isin("png", "jpeg", "gif", "bmp", "tiff", "webp")
+    ).select("doc_id")
+    images = media.join(F.broadcast(image_ids), "doc_id")
+    ihash = image_dhash_table(images).cache()
+    ihash.coalesce(args.files).write.mode("overwrite").parquet(args.output + "/image_dhash")
+    n_images = ihash.count()
+    ipairs = dhash_hamming_pairs(ihash)
+    ipairs.coalesce(1).write.mode("overwrite").parquet(args.output + "/image_pairs")
+    n_ipairs = spark.read.parquet(args.output + "/image_pairs").count()
+
     print(json.dumps({
         "docs_in": n_in,
         "by_format": by_fmt,
         "video_frames_decoded": n_frames,
         "audio_decoded": n_audio_ok,
+        "images_hashed": n_images,
         "video_dup_pairs": n_vpairs,
         "audio_dup_pairs": n_apairs,
+        "image_dup_pairs": n_ipairs,
         "output": args.output,
     }))
     spark.stop()

@@ -214,11 +214,30 @@ def test_run_media_cli_end_to_end(tmp_path):
         for y in range(2, 4 + f):
             g[y][:] = bytes(20)
     mono = [((i * 7) % 4001) - 2000 for i in range(2000)]
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from gen_extra_fixtures import encode_vp8l
+
+    import zlib as _zlib
+    import struct as _st
+
+    def gray_png(w, h, rws):
+        def chunk(t, body):
+            return (_st.pack(">I", len(body)) + t + body
+                    + _st.pack(">I", _zlib.crc32(t + body) & 0xFFFFFFFF))
+        raster = b"".join(b"\x00" + bytes(r) for r in rws)
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", _st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", _zlib.compress(raster)) + chunk(b"IEND", b""))
+
+    img = [bytearray(min(255, 30 + 3 * x + y) for x in range(48)) for y in range(24)]
+    img_argb = [0xFF000000 | (v << 16) | (v << 8) | v for r in img for v in r]
     rows = [
         ("m-avi-a", render_avi(20, 10, grids, fps=5, codec="MJPG")),
         ("m-avi-b", render_avi(20, 10, grids, fps=5, codec="DIB ")),  # dup
         ("m-wav", _wav_pcm_bytes(8000, [mono], 16)),
         ("m-flac", encode_flac(8000, [mono], mode="fixed1")),  # cross-codec dup
+        ("m-png", gray_png(48, 24, img)),
+        ("m-webp", encode_vp8l(48, 24, img_argb)),  # cross-codec image dup
         ("m-bad", b"not a container at all"),
     ]
     src = str(tmp_path / "media.parquet")
@@ -234,11 +253,17 @@ def test_run_media_cli_end_to_end(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert summary["docs_in"] == 5
-    assert summary["by_format"] == {"avi": 2, "wav": 1, "flac": 1, "unknown": 1}
+    assert summary["docs_in"] == 7
+    assert summary["by_format"] == {"avi": 2, "wav": 1, "flac": 1,
+                                    "png": 1, "webp": 1, "unknown": 1}
     assert summary["video_frames_decoded"] == 8  # 2 videos x 4 frames
     assert summary["audio_decoded"] == 2
+    assert summary["images_hashed"] == 2
     assert summary["video_dup_pairs"] == 1 and summary["audio_dup_pairs"] == 1
+    assert summary["image_dup_pairs"] == 1
+    ip = pq.read_table(out + "/image_pairs").to_pylist()
+    assert ip[0]["doc_a"] == "m-png" and ip[0]["doc_b"] == "m-webp"
+    assert ip[0]["hamming"] == 0  # lossless cross-codec: identical hash
     vp = pq.read_table(out + "/video_pairs").to_pylist()
     assert vp[0]["doc_a"] == "m-avi-a" and vp[0]["doc_b"] == "m-avi-b"
     assert vp[0]["matches"] == 4  # exact cross-codec frame match
