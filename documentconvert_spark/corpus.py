@@ -426,19 +426,50 @@ def _render_text_grid(lines: list[str], scale: int, margin: int) -> tuple[int, i
     return w, h, grid
 
 
+def encode_gray_png(w: int, h: int, rows: list) -> bytes:
+    """8-bit grayscale raster → non-interlaced PNG (filter 0). The one
+    gray-PNG writer — fixtures, benches and the image-dedup corpus all
+    share it so the encoders can never diverge from the oracle side."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (_struct.pack(">I", len(body)) + typ + body
+                + _struct.pack(">I", _zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    raster = b"".join(b"\x00" + bytes(row) for row in rows)
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", _zlib.compress(raster, 9)) + chunk(b"IEND", b""))
+
+
+def encode_gray_bmp(w: int, h: int, rows: list) -> bytes:
+    """8-bit grayscale raster → 24-bit bottom-up BI_RGB BMP."""
+    import struct as _struct
+
+    stride = ((24 * w + 31) // 32) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        line = bytearray()
+        for v in rows[y]:
+            line += bytes((v, v, v))
+        body += line + b"\x00" * (stride - len(line))
+    return (b"BM" + _struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                           0, 0, 0, 0) + bytes(body))
+
+
 def render_text_png(lines: list[str], scale: int = 2, margin: int = 8,
                     color: bool = False) -> bytes:
     import struct as _struct
     import zlib as _zlib
 
     w, h, grid = _render_text_grid(lines, scale, margin)
-    if color:
-        raster = b"".join(b"\x00" + bytes(v for px in row for v in (px, px, px))
-                          for row in grid)
-        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    else:
-        raster = b"".join(b"\x00" + bytes(row) for row in grid)
-        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    if not color:
+        return encode_gray_png(w, h, grid)
+    raster = b"".join(b"\x00" + bytes(v for px in row for v in (px, px, px))
+                      for row in grid)
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
 
     def chunk(typ: bytes, body: bytes) -> bytes:
         return (_struct.pack(">I", len(body)) + typ + body

@@ -80,7 +80,17 @@ def _tiff_dims(data: bytes) -> tuple[int | None, int | None]:
 
 
 def sniff_image_meta(data: bytes) -> tuple[str, int | None, int | None]:
-    """(format, width, height) from the file header alone."""
+    """(format, width, height) from the file header alone. Dimensions
+    are file-controlled: values outside (0, 2**31) become None at this
+    boundary — same int32-safety contract as sniff_av_meta, so a crafted
+    header can never blow a downstream Arrow cast."""
+    fmt, w, h = _sniff_image_meta_raw(data)
+    w = w if (w is not None and 0 < w < 2**31) else None
+    h = h if (h is not None and 0 < h < 2**31) else None
+    return fmt, w, h
+
+
+def _sniff_image_meta_raw(data: bytes) -> tuple[str, int | None, int | None]:
     if data[:8] == _PNG_MAGIC and len(data) >= 24 and data[12:16] == b"IHDR":
         w, h = struct.unpack_from(">II", data, 16)
         return "png", w, h

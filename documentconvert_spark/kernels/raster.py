@@ -544,11 +544,9 @@ def dhash64(w: int, h: int, rows: list) -> int:
         crow = []
         for gx in range(9):
             x0, x1 = gx * w // 9, (gx + 1) * w // 9
-            s = 0
-            for yy in range(y0, y1):
-                r = rows[yy]
-                for xx in range(x0, x1):
-                    s += r[xx]
+            # slice-sum runs at C speed — this is the per-image hot path
+            # of the dedup signature pass
+            s = sum(sum(rows[yy][x0:x1]) for yy in range(y0, y1))
             crow.append(s // ((y1 - y0) * (x1 - x0)))
         cells.append(crow)
     bits = 0

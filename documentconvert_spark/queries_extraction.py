@@ -1460,37 +1460,11 @@ def _image_dedup_corpus() -> tuple[list[tuple[str, bytes]], list[tuple]]:
     a few flipped gradient bits), plus singletons.
     → (raw rows, golden (doc_id, dhash) rows from the SOURCE grids)."""
     import random
-    import zlib as _zlib
 
+    from documentconvert_spark.corpus import encode_gray_bmp, encode_gray_png
     from documentconvert_spark.kernels.raster import dhash64
 
     rng = random.Random("image-dedup:21")
-
-    def gray_png(w: int, h: int, rows: list) -> bytes:
-        import struct as _st
-
-        def chunk(typ: bytes, body: bytes) -> bytes:
-            return (_st.pack(">I", len(body)) + typ + body
-                    + _st.pack(">I", _zlib.crc32(typ + body) & 0xFFFFFFFF))
-
-        raster = b"".join(b"\x00" + bytes(r) for r in rows)
-        return (b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", _st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
-                + chunk(b"IDAT", _zlib.compress(raster)) + chunk(b"IEND", b""))
-
-    def gray_bmp(w: int, h: int, rows: list) -> bytes:
-        import struct as _st
-
-        stride = ((24 * w + 31) // 32) * 4
-        body = bytearray()
-        for y in range(h - 1, -1, -1):
-            line = bytearray()
-            for v in rows[y]:
-                line += bytes((v, v, v))
-            body += line + b"\x00" * (stride - len(line))
-        return (b"BM" + _st.pack("<IHHI", 54 + len(body), 0, 0, 54)
-                + _st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
-                           0, 0, 0, 0) + bytes(body))
 
     def scene(w: int, h: int) -> list:
         """Smooth diagonal gradient + a few soft rectangles: rich cell
@@ -1512,7 +1486,8 @@ def _image_dedup_corpus() -> tuple[list[tuple[str, bytes]], list[tuple]]:
     sigs: list[tuple] = []
 
     def add(doc_id: str, w: int, h: int, rows: list, codec: str) -> None:
-        raw.append((doc_id, (gray_png if codec == "png" else gray_bmp)(w, h, rows)))
+        enc = encode_gray_png if codec == "png" else encode_gray_bmp
+        raw.append((doc_id, enc(w, h, rows)))
         sigs.append((doc_id, dhash64(w, h, rows)))
 
     iid = 0
@@ -1531,11 +1506,10 @@ def _image_dedup_corpus() -> tuple[list[tuple[str, bytes]], list[tuple]]:
     return raw, sigs
 
 
-def _ensure_image_dhash_parquet() -> None:
+def _ensure_image_dhash_parquet(sigs: list[tuple]) -> None:
     if os.path.exists(EXPECTED_IMAGE_DHASH_PARQUET):
         return
     os.makedirs(_RES_DIR, exist_ok=True)
-    _raw, sigs = _image_dedup_corpus()
     cols = {"doc_id": [], "dhash": []}
     for did, dh in sigs:
         cols["doc_id"].append(did)
@@ -1561,8 +1535,8 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash_table,
     )
 
-    _ensure_image_dhash_parquet()
-    raw, _sigs = _image_dedup_corpus()
+    raw, sigs = _image_dedup_corpus()
+    _ensure_image_dhash_parquet(sigs)
     images = spark.createDataFrame(raw, "doc_id string, content binary")
     return dhash_hamming_pairs(image_dhash_table(images), _IDUP_MAX_DIST)
 

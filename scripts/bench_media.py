@@ -68,12 +68,13 @@ def _image_corpus(n: int):
     """n images cycling through every decodable format (format mix ≈ a
     real web corpus: the same gradient-scene content class per doc)."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
-    import struct as _st
-    import zlib as _zlib
-
     from gen_extra_fixtures import _gif_encode, _tiff_encode, encode_vp8l
 
-    from documentconvert_spark.corpus import encode_gray_jpeg_progressive
+    from documentconvert_spark.corpus import (
+        encode_gray_bmp,
+        encode_gray_jpeg_progressive,
+        encode_gray_png,
+    )
 
     rng = random.Random("bench-media-img:1")
     out = []
@@ -84,23 +85,9 @@ def _image_corpus(n: int):
                           for x in range(w)) for y in range(h)]
         fmt = ("png", "bmp", "tiff", "webp", "gif", "jpgp")[i % 6]
         if fmt == "png":
-            def chunk(t, b):
-                return _st.pack(">I", len(b)) + t + b + _st.pack(">I", _zlib.crc32(t + b) & 0xFFFFFFFF)
-            raster = b"".join(b"\x00" + bytes(r) for r in rows)
-            data = (b"\x89PNG\r\n\x1a\n"
-                    + chunk(b"IHDR", _st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
-                    + chunk(b"IDAT", _zlib.compress(raster)) + chunk(b"IEND", b""))
+            data = encode_gray_png(w, h, rows)
         elif fmt == "bmp":
-            stride = ((24 * w + 31) // 32) * 4
-            body = bytearray()
-            for y in range(h - 1, -1, -1):
-                line = bytearray()
-                for v in rows[y]:
-                    line += bytes((v, v, v))
-                body += line + b"\x00" * (stride - len(line))
-            data = (b"BM" + _st.pack("<IHHI", 54 + len(body), 0, 0, 54)
-                    + _st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
-                    + bytes(body))
+            data = encode_gray_bmp(w, h, rows)
         elif fmt == "tiff":
             data = _tiff_encode("<", w, h, 1, [bytes(b"".join(bytes(r) for r in rows))], h)
         elif fmt == "webp":

@@ -716,6 +716,8 @@ def _wp_lengths(freqs: dict[int, int], max_depth: int = 15) -> dict[int, int]:
     import heapq
 
     cur = {s: f for s, f in freqs.items() if f}
+    if len(cur) > 1 << max_depth:
+        raise ValueError("vp8l writer: alphabet too large for depth cap")
     while True:
         heap = [(f, s, (s,)) for s, f in sorted(cur.items())]
         heapq.heapify(heap)

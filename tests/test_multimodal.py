@@ -185,6 +185,25 @@ def test_wmf_emf_dims_sniffing():
     assert sniff_image_meta(emf0) == ("emf", None, None)
 
 
+def test_image_sniff_dims_are_int32_clamped():
+    # header dims are file-controlled: anything outside (0, 2**31) must
+    # become None at the sniff boundary, or one crafted row blows the
+    # Arrow Int32 cast in the media job's sniff batch (review finding)
+    import struct
+
+    from documentconvert_spark.kernels.media import sniff_image_meta
+
+    huge_png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", 0xFFFFFFFF, 10)
+                + b"\x08\x02\x00\x00\x00" + b"\x00" * 8)
+    assert sniff_image_meta(huge_png) == ("png", None, 10)
+    neg_bmp = bytearray(b"BM" + bytes(50))
+    struct.pack_into("<ii", neg_bmp, 18, -(2**31), 5)
+    assert sniff_image_meta(bytes(neg_bmp)) == ("bmp", None, 5)
+    zero_gif = b"GIF89a" + struct.pack("<HH", 0, 7) + bytes(40)
+    assert sniff_image_meta(zero_gif) == ("gif", None, 7)
+
+
 def test_av_container_sniffing():
     import struct
 

@@ -217,17 +217,7 @@ def test_run_media_cli_end_to_end(tmp_path):
     sys.path.insert(0, os.path.join(repo, "scripts"))
     from gen_extra_fixtures import encode_vp8l
 
-    import zlib as _zlib
-    import struct as _st
-
-    def gray_png(w, h, rws):
-        def chunk(t, body):
-            return (_st.pack(">I", len(body)) + t + body
-                    + _st.pack(">I", _zlib.crc32(t + body) & 0xFFFFFFFF))
-        raster = b"".join(b"\x00" + bytes(r) for r in rws)
-        return (b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", _st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
-                + chunk(b"IDAT", _zlib.compress(raster)) + chunk(b"IEND", b""))
+    from documentconvert_spark.corpus import encode_gray_png
 
     img = [bytearray(min(255, 30 + 3 * x + y) for x in range(48)) for y in range(24)]
     img_argb = [0xFF000000 | (v << 16) | (v << 8) | v for r in img for v in r]
@@ -236,7 +226,7 @@ def test_run_media_cli_end_to_end(tmp_path):
         ("m-avi-b", render_avi(20, 10, grids, fps=5, codec="DIB ")),  # dup
         ("m-wav", _wav_pcm_bytes(8000, [mono], 16)),
         ("m-flac", encode_flac(8000, [mono], mode="fixed1")),  # cross-codec dup
-        ("m-png", gray_png(48, 24, img)),
+        ("m-png", encode_gray_png(48, 24, img)),
         ("m-webp", encode_vp8l(48, 24, img_argb)),  # cross-codec image dup
         ("m-bad", b"not a container at all"),
     ]
