@@ -577,7 +577,7 @@ def _packbits_encode(raw: bytes) -> bytes:
         while j < hi:
             k = min(hi, j + 128)
             out.append(k - j - 1)
-            out += raw[j:k]
+            out.extend(raw[j:k])  # += would rebind `out` local to flush
             j = k
 
     while i < n:

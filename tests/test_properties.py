@@ -175,3 +175,162 @@ def test_avi_roundtrip_property(w, h, n, fps, rnd):
     _, _, _, mj = decode_avi_frames(render_avi(w, h, grids, fps=fps, codec="MJPG"))
     assert all(abs(x - y) <= 2 for src, out in zip(grids, mj)
                for a, b in zip(src, out) for x, y in zip(a, b))
+
+
+@given(
+    st.integers(min_value=1, max_value=48),   # width
+    st.integers(min_value=1, max_value=32),   # height
+    st.sampled_from(["plain", "lz77", "cache", "sg", "pred"]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_vp8l_roundtrip_property(w, h, shape, rnd):
+    """encode_vp8l ↔ decode_vp8l over ARBITRARY ARGB rasters and encoder
+    shapes: lossless, so every shape must round-trip pixel-exact."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "scripts"))
+    from gen_extra_fixtures import encode_vp8l
+
+    from documentconvert_spark.kernels.miniwebp import decode_webp_gray, decode_vp8l
+
+    argb = [(rnd.randrange(256) << 24) | rnd.getrandbits(24) for _ in range(w * h)]
+    kw = {"plain": {}, "lz77": {"lz77": True}, "cache": {"cache_bits": 4},
+          "sg": {"subtract_green": True},
+          "pred": {"predictor_mode": rnd.randrange(14)}}[shape]
+    data = encode_vp8l(w, h, argb, **kw)
+    import struct as _st
+    (ln,) = _st.unpack_from("<I", data, 16)
+    dw, dh, pix = decode_vp8l(data[20:20 + ln])
+    assert (dw, dh, pix) == (w, h, argb)
+    # and the gray route agrees with a direct luma fold
+    _, _, rows = decode_webp_gray(data)
+    for y in range(h):
+        for x in range(w):
+            px = argb[y * w + x]
+            want = (((px >> 16) & 0xFF) * 299 + ((px >> 8) & 0xFF) * 587
+                    + (px & 0xFF) * 114) // 1000
+            assert rows[y][x] == want
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([(1, "<"), (5, ">"), (32773, "<")]),  # comp, endian
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_tiff_roundtrip_property(w, h, shape, rnd):
+    """_tiff_encode ↔ decode_tiff_gray over ARBITRARY gray rasters,
+    every compression mode and both byte orders, multi-strip."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "scripts"))
+    from gen_extra_fixtures import _packbits_encode, _tiff_encode
+    from tests.test_realpdf_features import _lzw_encode
+
+    from documentconvert_spark.kernels.raster import decode_tiff_gray
+
+    comp, end = shape
+    rows = [bytes(rnd.randrange(256) for _ in range(w)) for _ in range(h)]
+    rps = max(1, h // 2)
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = b"".join(rows[y0:y0 + rps])
+        if comp == 5:
+            raw = _lzw_encode(raw)
+        elif comp == 32773:
+            raw = _packbits_encode(raw)
+        strips.append(raw)
+    dw, dh, out = decode_tiff_gray(_tiff_encode(end, w, h, 1, strips, rps, comp=comp))
+    assert (dw, dh) == (w, h)
+    assert all(bytes(out[y]) == rows[y] for y in range(h))
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([(8, 0, 0), (8, 0, 1), (8, 2, 0), (8, 4, 0),
+                     (16, 0, 0), (4, 0, 0), (8, 3, 0), (4, 3, 1)]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_matrix_roundtrip_property(w, h, shape, rnd):
+    """Hand-packed PNG rasters across the pixel matrix (depth, color
+    type, interlace) must decode back to the exact expected luma."""
+    import struct as _st
+    import zlib as _zl
+
+    from documentconvert_spark.kernels.miniocr import decode_png_gray
+
+    depth, ct, inter = shape
+
+    def chunk(t, body):
+        return (_st.pack(">I", len(body)) + t + body
+                + _st.pack(">I", _zl.crc32(t + body) & 0xFFFFFFFF))
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2}[ct]
+    maxv = (1 << depth) - 1 if depth < 8 else 255
+    vals = [rnd.randrange(maxv + 1) for _ in range(w * h)]
+    plte = None
+    if ct == 3:
+        pal = [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+               for _ in range(maxv + 1)]
+        plte = b"".join(bytes(c) for c in pal)
+        want = [(pal[v][0] * 299 + pal[v][1] * 587 + pal[v][2] * 114) // 1000
+                for v in vals]
+    elif depth < 8:
+        want = [v * (255 // maxv) for v in vals]
+    else:
+        want = list(vals)
+
+    def pack_rows(sub):  # sub = list of (x, y) pixel coords in pass order
+        bits_pp = depth * channels
+        line = bytearray()
+        out = bytearray(b"\x00")
+        nbits = 0
+        acc = 0
+        for (x, y) in sub:
+            v = vals[y * w + x]
+            if depth < 8:
+                acc = (acc << depth) | v
+                nbits += depth
+                if nbits == 8:
+                    out.append(acc)
+                    acc = nbits = 0
+            elif depth == 16:
+                out += bytes((v, 0x33)) * channels if ct == 0 else b""
+            else:
+                if ct == 0 or ct == 3:
+                    out.append(v)
+                elif ct == 2:
+                    out += bytes((v, v, v))
+                else:  # gray+alpha
+                    out += bytes((v, 0x7F))
+        if nbits:
+            out.append(acc << (8 - nbits))
+        return bytes(out), bits_pp
+
+    passes = (((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)) if inter
+              else ((0, 0, 1, 1),))
+    raster = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for py in range(ph):
+            sub = [(x0 + px * dx, y0 + py * dy) for px in range(pw)]
+            line, _ = pack_rows(sub)
+            raster += line
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _st.pack(">IIBBBBB", w, h, depth, ct, 0, 0, inter))
+            + (chunk(b"PLTE", plte) if plte else b"")
+            + chunk(b"IDAT", _zl.compress(bytes(raster)))
+            + chunk(b"IEND", b""))
+    dw, dh, rows = decode_png_gray(data)
+    assert (dw, dh) == (w, h)
+    assert all(rows[y][x] == want[y * w + x] for y in range(h) for x in range(w))
