@@ -861,6 +861,80 @@ def encode_gray_jpeg_progressive(w: int, h: int, grid: list,
     return bytes(out)
 
 
+def _gif_lzw_encode(idx: list, min_code: int) -> bytes:
+    """GIF-variant LZW writer (LSB-first, variable width, clear/end)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    d = {bytes([i]): i for i in range(clear)}
+    nxt, width = end + 1, min_code + 1
+    emitted = [(clear, width)]
+    prev = b""
+    for px in idx:
+        cur = prev + bytes([px])
+        if cur in d:
+            prev = cur
+            continue
+        emitted.append((d[prev], width))
+        d[cur] = nxt
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        nxt += 1
+        if nxt >= 4096:  # table full: reset
+            emitted.append((clear, width))
+            d = {bytes([i]): i for i in range(clear)}
+            nxt, width = end + 1, min_code + 1
+        prev = bytes([px])
+    if prev:
+        emitted.append((d[prev], width))
+    emitted.append((end, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, wd in emitted:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif_anim(w: int, h: int, frames: list, pal_rgb: list,
+                    min_code: int, bg_index: int = 0) -> bytes:
+    """Animated GIF89a from frame specs. Each frame is a dict:
+    idx (index raster, region-sized), left/top/fw/fh (region, defaults
+    full canvas), disposal (0-3), transparent (index or None),
+    delay_cs. Generator side of the animation-decode split —
+    kernels/raster.decode_gif_frames must reproduce the composed
+    canvases through an independent parse path."""
+    import struct as _struct
+
+    gct_bits = max(1, (len(pal_rgb) - 1).bit_length())
+    ncol = 1 << gct_bits
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), bg_index, 0)
+    for r, g, b in (pal_rgb + [(0, 0, 0)] * ncol)[:ncol]:
+        out += bytes((r, g, b))
+    for f in frames:
+        left, top = f.get("left", 0), f.get("top", 0)
+        fw, fh = f.get("fw", w), f.get("fh", h)
+        transparent = f.get("transparent")
+        gce = ((f.get("disposal", 0) & 7) << 2) | (1 if transparent is not None else 0)
+        out += bytes((0x21, 0xF9, 4, gce))
+        out += _struct.pack("<H", f.get("delay_cs", 10))
+        out += bytes((transparent if transparent is not None else 0, 0))
+        out += b"\x2C" + _struct.pack("<HHHH", left, top, fw, fh) + b"\x00"
+        out += bytes([min_code])
+        bs = _gif_lzw_encode(f["idx"], min_code)
+        for i in range(0, len(bs), 255):
+            chunk = bs[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 # -- AVI video fixtures (generator side of the video-decode split) -----------
 # The reference's media surface stops at container metadata for video (no
 # decoder ships in its pipeline either — MinerU handles documents only);

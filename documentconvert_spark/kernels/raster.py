@@ -195,6 +195,116 @@ def decode_gif_gray(data: bytes,
     raise ValueError("gif: no image data")
 
 
+def decode_gif_frames(data: bytes,
+                      max_pixels: int = _MAX_PIXELS_DEFAULT,
+                      max_frames: int = 4096) -> tuple[int, int, list[list[bytearray]]]:
+    """Animated GIF → full-canvas gray snapshots, one per frame, with the
+    GIF89a composition model: sub-region images placed at (left, top),
+    transparency holes keeping the underlying pixels, and the Graphic
+    Control disposal methods (1 = leave, 2 = restore region to the
+    background color, 3 = restore the previous canvas). Frame count and
+    total snapshot bytes are budget-capped before allocation."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        raise ValueError("gif: bad magic")
+    w, h = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    bg_index = data[11]
+    if w <= 0 or h <= 0 or w * h > max_pixels:
+        raise ValueError("gif: dimensions over cap")
+    pos = 13
+    gct: list[int] | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = _pal_to_gray(data[pos:pos + 3 * n], 3)
+        if len(gct) < n:
+            raise ValueError("gif: truncated global palette")
+        pos += 3 * n
+    bg = gct[bg_index] if gct and bg_index < len(gct) else 255
+    canvas = [bytearray([bg] * w) for _ in range(h)]
+    frames: list[list[bytearray]] = []
+    disposal = 0
+    transparent: int | None = None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > len(data):
+                raise ValueError("gif: truncated extension")
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                gce = data[pos + 1]
+                disposal = (gce >> 2) & 7
+                transparent = data[pos + 4] if gce & 1 else None
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError("gif: unknown block")
+        if pos + 10 > len(data):
+            raise ValueError("gif: truncated image descriptor")
+        left, top, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
+        ipacked = data[pos + 9]
+        pos += 10
+        if iw <= 0 or ih <= 0 or left + iw > w or top + ih > h:
+            raise ValueError("gif: frame region outside canvas")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            pal = _pal_to_gray(data[pos:pos + 3 * n], 3)
+            if len(pal) < n:
+                raise ValueError("gif: truncated local palette")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: no palette")
+        min_code = data[pos]
+        pos += 1
+        parts = []
+        while pos < len(data) and data[pos]:
+            ln = data[pos]
+            parts.append(data[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1  # data terminator
+        idx = _gif_lzw(b"".join(parts), min_code, iw * ih)
+        if len(idx) < iw * ih:
+            raise ValueError("gif: short pixel data")
+        npal = len(pal)
+        if max(idx[:iw * ih]) >= npal:
+            raise ValueError("gif: pixel index out of palette")
+        if ipacked & 0x40:  # interlaced sub-image: reorder its rows
+            order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                     + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+            deint = bytearray(iw * ih)
+            for src_i, dst_y in enumerate(order):
+                deint[dst_y * iw:(dst_y + 1) * iw] = idx[src_i * iw:(src_i + 1) * iw]
+            idx = deint
+        if len(frames) >= max_frames:
+            raise ValueError("gif: frame count over cap")
+        if (len(frames) + 1) * w * h > MAX_DECODED_BYTES:
+            raise ValueError("gif: animation over decode cap")
+        saved = ([bytearray(r) for r in canvas] if disposal == 3 else None)
+        for y in range(ih):
+            row = canvas[top + y]
+            base = y * iw
+            for x in range(iw):
+                v = idx[base + x]
+                if v != transparent:
+                    row[left + x] = pal[v]
+        frames.append([bytearray(r) for r in canvas])
+        if disposal == 2:  # restore region to background
+            for y in range(ih):
+                canvas[top + y][left:left + iw] = bytes([bg]) * iw
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        disposal = 0
+        transparent = None
+    if not frames:
+        raise ValueError("gif: no image data")
+    return w, h, frames
+
+
 # ------------------------------------------------------------------ BMP
 
 def decode_bmp_gray(data: bytes,

@@ -381,19 +381,22 @@ VIDEO_FRAMES_SCHEMA = T.StructType(
 
 def real_video_frame_stats(videos: DataFrame) -> DataFrame:
     """Decode REAL video bytes to FRAMES (from-scratch RIFF/AVI walker +
-    MJPG/DIB frame decoders — kernels/media.decode_avi_frames) and emit
-    one row per frame with its dark-pixel count. `n_dark` at threshold
-    128 is exactly oracle-checkable on bilevel sources even through the
-    lossy MJPG path (the all-ones-quant encoder bounds reconstruction
-    error at ±2 gray levels, which never crosses the threshold).
-    Undecodable bytes (inter-frame codecs, corrupt containers) become a
-    single error row at frame_idx=-1 — containment (C7), not silence.
-    Arrow-batched mapInPandas, narrow: decode parallelizes across the
-    scan; nothing here shuffles, and frame pixels are charged against a
-    per-document budget inside the kernel."""
+    MJPG/DIB frame decoders — kernels/media.decode_avi_frames — or the
+    animated-GIF compositor, kernels/raster.decode_gif_frames, routed by
+    magic) and emit one row per frame with its dark-pixel count.
+    `n_dark` at threshold 128 is exactly oracle-checkable on bilevel
+    sources even through the lossy MJPG path (the all-ones-quant encoder
+    bounds reconstruction error at ±2 gray levels, which never crosses
+    the threshold); GIF is lossless, so its counts are exact on any
+    source. Undecodable bytes (inter-frame codecs, corrupt containers)
+    become a single error row at frame_idx=-1 — containment (C7), not
+    silence. Arrow-batched mapInPandas, narrow: decode parallelizes
+    across the scan; nothing here shuffles, and frame pixels are charged
+    against a per-document budget inside the kernel."""
     import numpy as np
 
     from documentconvert_spark.kernels.media import decode_avi_frames
+    from documentconvert_spark.kernels.raster import decode_gif_frames
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -401,7 +404,11 @@ def real_video_frame_stats(videos: DataFrame) -> DataFrame:
                                     "n_dark", "error")}
             for did, blob in zip(b["doc_id"], b["content"]):
                 try:
-                    w, h, _fps, frames = decode_avi_frames(bytes(blob))
+                    data = bytes(blob)
+                    if data[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, frames = decode_gif_frames(data)
+                    else:
+                        w, h, _fps, frames = decode_avi_frames(data)
                     for i, fr in enumerate(frames):
                         a = np.frombuffer(b"".join(bytes(r) for r in fr),
                                           dtype=np.uint8)

@@ -1550,6 +1550,101 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {_IDUP_MAX_DIST}
 """
 
 
+# ------------------------------------------------------------ animated GIF
+# GIF89a animations are the web corpus's most common video-like source;
+# the reference's whitelist takes gif as an image (first frame). The
+# engine additionally exposes the FRAMES through the same per-frame
+# stats surface as AVI — decode + GIF composition (sub-region placement,
+# transparency holes) happen where the bytes are scanned. GIF is
+# lossless, so per-frame dark counts are exact against truth canvases
+# the GENERATOR composes independently while building the frame specs.
+
+EXPECTED_GIF_FRAMES_PARQUET = os.path.join(_RES_DIR, "expected_gif_frames.parquet")
+
+
+def _gif_anim_corpus() -> tuple[list[tuple[str, bytes]], list[tuple]]:
+    """Deterministic animated-GIF corpus: per doc, a full first frame
+    then sub-region updates, some with transparency holes; the truth
+    canvases are maintained alongside the frame specs. → (raw rows,
+    golden (doc_id, frame_idx, width, height, n_dark) rows)."""
+    import random
+
+    from documentconvert_spark.corpus import encode_gif_anim
+
+    rng = random.Random("gif-anim:17")
+    # pure-gray palette: luma == stored value exactly
+    levels = [0, 255, 128, 60, 200, 30, 90, 160]
+    pal = [(v, v, v) for v in levels]
+    raw: list[tuple[str, bytes]] = []
+    sigs: list[tuple] = []
+    for s in range(8):
+        w, h = rng.choice(((24, 16), (20, 20), (32, 12)))
+        canvas = [[rng.randrange(len(levels)) for _ in range(w)] for _ in range(h)]
+        frames = [{"idx": [v for row in canvas for v in row]}]
+        truths = [[row[:] for row in canvas]]
+        for _f in range(rng.randrange(2, 5)):
+            fw, fh = rng.randrange(4, max(5, w // 2)), rng.randrange(3, max(4, h // 2))
+            left, top = rng.randrange(w - fw), rng.randrange(h - fh)
+            transparent = rng.choice((None, 7))
+            idx = []
+            for y in range(fh):
+                for x in range(fw):
+                    v = rng.randrange(len(levels) - (1 if transparent else 0))
+                    if transparent and rng.random() < 0.3:
+                        v = transparent  # hole: keep the underlying pixel
+                    idx.append(v)
+                    if v != transparent:
+                        canvas[top + y][left + x] = v
+            frames.append({"idx": idx, "left": left, "top": top,
+                           "fw": fw, "fh": fh, "transparent": transparent})
+            truths.append([row[:] for row in canvas])
+        raw.append((f"ga-{s:03d}", encode_gif_anim(w, h, frames, pal, 3)))
+        for i, t in enumerate(truths):
+            n_dark = sum(1 for row in t for v in row if levels[v] < 128)
+            sigs.append((f"ga-{s:03d}", i, w, h, n_dark))
+    return raw, sigs
+
+
+def _ensure_gif_frames_parquet(sigs: list[tuple]) -> None:
+    if os.path.exists(EXPECTED_GIF_FRAMES_PARQUET):
+        return
+    os.makedirs(_RES_DIR, exist_ok=True)
+    cols = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "n_dark")}
+    for row in sigs:
+        for k, v in zip(cols, row):
+            cols[k].append(v)
+    pq.write_table(
+        pa.table(cols, schema=pa.schema([
+            ("doc_id", pa.string()), ("frame_idx", pa.int32()),
+            ("width", pa.int32()), ("height", pa.int32()),
+            ("n_dark", pa.int32()),
+        ])),
+        EXPECTED_GIF_FRAMES_PARQUET,
+    )
+
+
+def q_real_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frames end-to-end: the same per-frame dark-count
+    surface as real_video_frames, over real GIF89a animations with
+    sub-region updates and transparency holes. The oracle's counts come
+    from truth canvases the generator composed while building the frame
+    specs — lossless, so exact equality; engine surface beyond parity."""
+    from documentconvert_spark.ops.multimodal import real_video_frame_stats
+
+    raw, sigs = _gif_anim_corpus()
+    _ensure_gif_frames_parquet(sigs)
+    gifs = spark.createDataFrame(raw, "doc_id string, content binary")
+    return (real_video_frame_stats(gifs)
+            .filter(F.col("error").isNull())
+            .select("doc_id", "frame_idx", "width", "height", "n_dark"))
+
+
+SQL_REAL_GIF_FRAMES = f"""
+SELECT doc_id, frame_idx, width, height, n_dark
+FROM read_parquet('{EXPECTED_GIF_FRAMES_PARQUET}')
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
     "real_av_meta": (q_real_av_meta, SQL_REAL_AV_META),
     "real_video_frames": (q_real_video_frames, SQL_REAL_VIDEO_FRAMES),
@@ -1557,6 +1652,7 @@ EXTRACTION_QUERIES: dict[str, tuple] = {
     "dedup_video_frames": (q_dedup_video_frames, SQL_DEDUP_VIDEO_FRAMES),
     "dedup_audio_fingerprint": (q_dedup_audio_fingerprint, SQL_DEDUP_AUDIO_FINGERPRINT),
     "dedup_image_phash": (q_dedup_image_phash, SQL_DEDUP_IMAGE_PHASH),
+    "real_gif_frames": (q_real_gif_frames, SQL_REAL_GIF_FRAMES),
     "real_video_keyframes": (q_real_video_keyframes, SQL_REAL_VIDEO_KEYFRAMES),
     "real_image_meta": (q_real_image_meta, SQL_REAL_IMAGE_META),
     "dedup_span_paragraphs": (q_dedup_span_paragraphs, SQL_DEDUP_SPAN_PARAGRAPHS),

@@ -119,6 +119,10 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         ("fmt_png_pal", "image", _png_pal_seed()),
         ("raw_png_pal", "raster", _png_pal_seed()),
         ("raw_bmp_rle", "raster", _bmp_rle_seed()),
+        # animated GIF (kernels/raster.decode_gif_frames): mutants hit the
+        # GCE parsing, sub-region bounds, transparency/disposal logic and
+        # the per-animation budget caps
+        ("gifanim", "gifanim", _gif_anim_seed()),
         ("fmt_xls", "office", _make_xls()),
         ("fmt_ppt", "office", _make_ppt()),
         # the round-3 attack surface: RC4 (R2/R3), AESV2, AES-256/R6
@@ -225,6 +229,20 @@ def _tiff_pal_seed() -> bytes:
     from gen_extra_fixtures import _tiff_fixture
 
     return _tiff_fixture()
+
+
+def _gif_anim_seed() -> bytes:
+    from documentconvert_spark.corpus import encode_gif_anim
+
+    pal = [(0, 0, 0), (255, 255, 255), (100, 100, 100), (30, 200, 90)]
+    f0 = [(x + y) % 4 for y in range(10) for x in range(16)]
+    f1 = [3 if x == y else 2 for y in range(4) for x in range(5)]
+    return encode_gif_anim(16, 10, [
+        {"idx": f0},
+        {"idx": f1, "left": 3, "top": 2, "fw": 5, "fh": 4,
+         "transparent": 3, "disposal": 2},
+        {"idx": [1] * 12, "left": 8, "top": 6, "fw": 4, "fh": 3, "disposal": 3},
+    ], pal, 2)
 
 
 def _bmp_rle_seed() -> bytes:
@@ -478,6 +496,12 @@ def _run_chunk(seed_name: str, lo: int, hi: int) -> None:
         w, h, fps, frames = decode_avi_frames(data)
         return [Span("figure", f"{w}x{h}@{fps}:{len(frames)}", "", 0)]
 
+    def gifanim_route(data: bytes) -> list:
+        from documentconvert_spark.kernels.raster import decode_gif_frames
+
+        w, h, frames = decode_gif_frames(data)
+        return [Span("figure", f"{w}x{h}:{len(frames)}", "", 0)]
+
     def sniff_route(data: bytes) -> list:
         # NO-RAISE contract: any exception here is a finding, and the
         # result quadruple must stay int32-safe (callers cast downstream)
@@ -498,7 +522,7 @@ def _run_chunk(seed_name: str, lo: int, hi: int) -> None:
     routes = {"pdf": extract_pdf_any, "office": extract_office_any,
               "image": extract_image_any, "raster": raster_route,
               "video": video_route, "sniff": sniff_route,
-              "flac": flac_route}
+              "flac": flac_route, "gifanim": gifanim_route}
     name, route, data = next(s for s in _seed_docs() if s[0] == seed_name)
     fn = routes[route]
     stats = {"ok": 0, "contained": 0, "timeout": 0, "memory": 0, "oversized": 0,

@@ -419,3 +419,73 @@ def test_review_fixes_tiff_gif_audio_containment(spark):
     got = real_audio_stats(
         spark.createDataFrame(rows, "doc_id string, content binary")).collect()
     assert sum(1 for r in got if r.error) == 1
+
+
+# ------------------------------------------------------------ animated GIF
+
+def test_gif_animation_compose_disposal_transparency():
+    from documentconvert_spark.corpus import encode_gif_anim
+    from documentconvert_spark.kernels.raster import decode_gif_frames
+
+    pal = [(0, 0, 0), (255, 255, 255), (100, 100, 100), (30, 200, 90)]
+    lum = [0, 255, 100, (30 * 299 + 200 * 587 + 90 * 114) // 1000]
+    w, h = 12, 8
+    f0 = [(x + y) % 2 for y in range(h) for x in range(w)]
+    f1 = [3 if x == y else 2 for y in range(3) for x in range(4)]
+    frames = [
+        {"idx": f0},
+        {"idx": f1, "left": 2, "top": 1, "fw": 4, "fh": 3,
+         "transparent": 3, "disposal": 2},
+        {"idx": [1] * 6, "left": 6, "top": 5, "fw": 3, "fh": 2},
+    ]
+    dw, dh, out = decode_gif_frames(encode_gif_anim(w, h, frames, pal, 2))
+    assert (dw, dh, len(out)) == (w, h, 3)
+    assert all(out[0][y][x] == lum[(x + y) % 2] for y in range(h) for x in range(w))
+    # frame 1: region drawn except transparent diagonal keeps frame-0 pixels
+    for y in range(3):
+        for x in range(4):
+            want = lum[(x + 2 + y + 1) % 2] if x == y else lum[2]
+            assert out[1][1 + y][2 + x] == want
+    # frame 2 base: disposal 2 restored frame 1's region to background
+    assert out[2][2][3] == lum[0]
+    assert out[2][5][6] == lum[1]
+
+
+def test_gif_animation_disposal_previous():
+    from documentconvert_spark.corpus import encode_gif_anim
+    from documentconvert_spark.kernels.raster import decode_gif_frames
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    w, h = 6, 4
+    frames = [
+        {"idx": [1] * (w * h)},
+        # disposal 3: the black box vanishes again before frame 2
+        {"idx": [0] * 4, "left": 1, "top": 1, "fw": 2, "fh": 2, "disposal": 3},
+        {"idx": [0] * 2, "left": 4, "top": 0, "fw": 2, "fh": 1},
+    ]
+    _, _, out = decode_gif_frames(encode_gif_anim(w, h, frames, pal, 2))
+    assert out[1][1][1] == 0          # drawn in frame 1
+    assert out[2][1][1] == 255        # restored-to-previous before frame 2
+    assert out[2][0][4] == 0          # frame 2's own region
+
+
+def test_gif_animation_containment():
+    import pytest
+
+    from documentconvert_spark.corpus import encode_gif_anim
+    from documentconvert_spark.kernels.raster import decode_gif_frames
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    good = encode_gif_anim(6, 4, [{"idx": [1] * 24}], pal, 2)
+    with pytest.raises(ValueError):
+        decode_gif_frames(good[:20])
+    # region outside the canvas is rejected, not written out of bounds
+    bad = encode_gif_anim(6, 4, [{"idx": [1] * 24},
+                                 {"idx": [0] * 4, "left": 5, "top": 3,
+                                  "fw": 2, "fh": 2}], pal, 2)
+    with pytest.raises(ValueError, match="outside canvas"):
+        decode_gif_frames(bad)
+    # frame-count cap charged before decode work
+    many = encode_gif_anim(4, 4, [{"idx": [1] * 16} for _ in range(9)], pal, 2)
+    with pytest.raises(ValueError, match="frame count over cap"):
+        decode_gif_frames(many, max_frames=8)
