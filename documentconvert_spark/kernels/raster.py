@@ -234,6 +234,8 @@ def decode_gif_frames(data: bytes,
             label = data[pos + 1]
             pos += 2
             if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                if pos + 5 > len(data):
+                    raise ValueError("gif: truncated graphic control block")
                 gce = data[pos + 1]
                 disposal = (gce >> 2) & 7
                 transparent = data[pos + 4] if gce & 1 else None
@@ -259,6 +261,8 @@ def decode_gif_frames(data: bytes,
             pos += 3 * n
         if pal is None:
             raise ValueError("gif: no palette")
+        if pos >= len(data):
+            raise ValueError("gif: truncated image data")
         min_code = data[pos]
         pos += 1
         parts = []
@@ -288,10 +292,14 @@ def decode_gif_frames(data: bytes,
         for y in range(ih):
             row = canvas[top + y]
             base = y * iw
-            for x in range(iw):
-                v = idx[base + x]
-                if v != transparent:
-                    row[left + x] = pal[v]
+            if transparent is None:  # opaque: whole-row slice at C speed
+                row[left:left + iw] = bytes(map(pal.__getitem__,
+                                                idx[base:base + iw]))
+            else:
+                for x in range(iw):
+                    v = idx[base + x]
+                    if v != transparent:
+                        row[left + x] = pal[v]
         frames.append([bytearray(r) for r in canvas])
         if disposal == 2:  # restore region to background
             for y in range(ih):

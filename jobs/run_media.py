@@ -4,8 +4,10 @@ The media pass a training pipeline runs over opaque image/audio/video
 columns:
 
     sniff (container metadata inventory, no decode)
-      → decode stats (AVI → per-frame stats; WAV/FLAC → sample stats;
-        images → 64-bit difference hash through the raster decoders)
+      → decode stats (AVI and animated GIF → per-frame stats; WAV/FLAC
+        → sample stats; images → 64-bit difference hash through the
+        raster decoders; GIFs take BOTH routes — first-frame dhash and
+        per-frame animation signatures)
       → near-dup pairs per modality (multiset-Jaccard over
         audio/video fingerprints; banded Hamming join over image
         difference hashes)
@@ -100,7 +102,7 @@ def main() -> None:
 
     # 2) decode stats per modality — route on the sniffed format so the
     # decoders see only bytes they own; errors stay per-row
-    video_ids = inv.filter(F.col("format") == "avi").select("doc_id")
+    video_ids = inv.filter(F.col("format").isin("avi", "gif")).select("doc_id")
     audio_ids = inv.filter(F.col("format").isin("wav", "flac")).select("doc_id")
     videos = media.join(F.broadcast(video_ids), "doc_id")
     audios = media.join(F.broadcast(audio_ids), "doc_id")

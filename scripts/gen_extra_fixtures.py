@@ -464,38 +464,13 @@ def ocr_jpegs() -> dict[str, bytes]:
 
 
 def _gif_encode(w: int, h: int, idx: list, pal: list, min_code: int) -> bytes:
-    """Index raster + palette → a complete GIF89a (real LZW stream:
-    LSB-first packing, variable code width, clear/end codes)."""
-    clear, end = 1 << min_code, (1 << min_code) + 1
-    d = {bytes([i]): i for i in range(1 << min_code)}
-    nxt, width = end + 1, min_code + 1
-    emitted: list[tuple[int, int]] = [(clear, width)]
-    prev = b""
-    for px in idx:
-        cur = prev + bytes([px])
-        if cur in d:
-            prev = cur
-            continue
-        emitted.append((d[prev], width))
-        d[cur] = nxt
-        if nxt == (1 << width) and width < 12:
-            width += 1
-        nxt += 1
-        prev = bytes([px])
-    if prev:
-        emitted.append((d[prev], width))
-    emitted.append((end, width))
-    acc = nbits = 0
-    bs = bytearray()
-    for code, wd in emitted:
-        acc |= code << nbits
-        nbits += wd
-        while nbits >= 8:
-            bs.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-    if nbits:
-        bs.append(acc & 0xFF)
+    """Index raster + palette → a complete GIF89a. The LZW stream comes
+    from the one shared writer (corpus._gif_lzw_encode) — a local copy
+    used to lack the table-full reset and would silently corrupt streams
+    past 4085 dictionary entries."""
+    from documentconvert_spark.corpus import _gif_lzw_encode
+
+    bs = _gif_lzw_encode(idx, min_code)
     gct_bits = max(1, (len(pal) - 1).bit_length())
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)

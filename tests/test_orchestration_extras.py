@@ -219,8 +219,13 @@ def test_run_media_cli_end_to_end(tmp_path):
 
     from documentconvert_spark.corpus import encode_gray_png
 
+    from documentconvert_spark.corpus import encode_gif_anim
+
     img = [bytearray(min(255, 30 + 3 * x + y) for x in range(48)) for y in range(24)]
     img_argb = [0xFF000000 | (v << 16) | (v << 8) | v for r in img for v in r]
+    anim = encode_gif_anim(16, 10, [
+        {"idx": [(x + y + f) % 2 for y in range(10) for x in range(16)]}
+        for f in range(3)], [(0, 0, 0), (255, 255, 255)], 2)
     rows = [
         ("m-avi-a", render_avi(20, 10, grids, fps=5, codec="MJPG")),
         ("m-avi-b", render_avi(20, 10, grids, fps=5, codec="DIB ")),  # dup
@@ -228,6 +233,7 @@ def test_run_media_cli_end_to_end(tmp_path):
         ("m-flac", encode_flac(8000, [mono], mode="fixed1")),  # cross-codec dup
         ("m-png", encode_gray_png(48, 24, img)),
         ("m-webp", encode_vp8l(48, 24, img_argb)),  # cross-codec image dup
+        ("m-gif", anim),  # animated: takes both the image and video routes
         ("m-bad", b"not a container at all"),
     ]
     src = str(tmp_path / "media.parquet")
@@ -243,12 +249,12 @@ def test_run_media_cli_end_to_end(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert summary["docs_in"] == 7
-    assert summary["by_format"] == {"avi": 2, "wav": 1, "flac": 1,
+    assert summary["docs_in"] == 8
+    assert summary["by_format"] == {"avi": 2, "wav": 1, "flac": 1, "gif": 1,
                                     "png": 1, "webp": 1, "unknown": 1}
-    assert summary["video_frames_decoded"] == 8  # 2 videos x 4 frames
+    assert summary["video_frames_decoded"] == 11  # 2 AVIs x 4 + gif x 3
     assert summary["audio_decoded"] == 2
-    assert summary["images_hashed"] == 2
+    assert summary["images_hashed"] == 3  # png, webp + the gif first frame
     assert summary["video_dup_pairs"] == 1 and summary["audio_dup_pairs"] == 1
     assert summary["image_dup_pairs"] == 1
     ip = pq.read_table(out + "/image_pairs").to_pylist()
