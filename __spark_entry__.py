@@ -58,13 +58,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #       (real_video_frames, real_audio_stats, dedup_video_frames,
 #       dedup_audio_fingerprint, real_video_keyframes) — after r3 every
 #       contract query has a green driver row.
+#   r4: swap OUT multimodal_meta/multimodal_frames (green in r3), swap IN
+#       the two queries added after the r3 window froze
+#       (dedup_image_phash, real_gif_frames) — closing the last two
+#       never-driver-verified rows. tests/test_contract.py now asserts
+#       every registry query is either green in a committed
+#       CORRECTNESS_r*.json or present in the current window, so a future
+#       post-window addition fails CI instead of silently accruing debt.
 _WINDOW: tuple[str, ...] = (
     "real_av_meta", "real_image_meta", "dedup_span_paragraphs",
     "real_docs_span_seq", "real_docs_summary", "real_ocr_text",
     "real_media_meta",
     "spans_input_stats", "w1_redensify", "j3_media_join",
     "extract_span_seq", "extract_doc_summary", "extract_kind_counts",
-    "multimodal_meta", "multimodal_frames", "dedup_minhash_capped",
+    "dedup_image_phash", "real_gif_frames", "dedup_minhash_capped",
     "scrub_pii", "quality_repetition", "pipeline_e2e",
     "sample_stratified", "decontaminate_overlap", "emb_quantize_int8",
     "dedup_levenshtein", "dedup_clusters", "dedup_keep_first",

@@ -64,80 +64,106 @@ def force(df) -> int:
     return row.n
 
 
-def run_extract_bench(spark, n_docs: int, parallelism: int) -> tuple[float, int]:
+REF_TEST_DIR = "/root/reference/test"
+
+
+def run_extraction_benches(spark, n_docs: int, sf: float, parallelism: int) -> dict:
+    """Both extraction legs — synthetic corpus and the reference's real
+    sample documents replicated to SF scale — timed as THREE interleaved
+    reps per leg (E R E R E R, best per leg, all reps recorded).
+
+    Interleaving is the same protocol job_scaling_bench.py uses: on this
+    shared sandbox a host-load spike lasting one window would otherwise
+    land entirely on whichever leg ran during it (r3's driver record
+    booked a 42% phantom regression on the real-docs leg from exactly
+    that), while interleaved reps give each leg three shots spread across
+    the whole measurement window."""
+    import glob
+
     corpus_path = os.path.join(WORK, f"bench_corpus_{n_docs}")
     docs = build_bench_corpus(spark, n_docs, corpus_path, big_every=500, partitions=max(parallelism * 2, 8))
     # corpus profiling (quantile cut) is one-time work per corpus, like a
     # production job profiling its input — keep it out of the timed passes
     stats = corpus_stats(docs)
 
-    def one_pass() -> tuple[float, int]:
+    def extract_pass() -> tuple[float, int]:
         t0 = time.monotonic()
         light, heavy = size_aware_split(docs, target_partitions=parallelism * 2, stats=stats)
         out = extract_spans(light).unionByName(extract_spans(heavy))
         n = force(out)
         return time.monotonic() - t0, n
 
-    one_pass()  # warm-up: Python-worker imports + page cache; a production
-    # job amortizes this over hours — steady state is the honest metric
-    return min(one_pass(), one_pass(), key=lambda x: x[0])
-
-
-REF_TEST_DIR = "/root/reference/test"
-
-
-def run_real_docs_bench(spark, sf: float, parallelism: int) -> tuple[float, int]:
-    """Real-format extraction throughput: the reference's 7 sample
-    documents (real PDF / OOXML / OLE binaries) replicated to SF scale and
-    pushed through the same sniffing-dispatch Arrow UDF. Measures the
-    realpdf/miniooxml/minidoc kernels, not the synthetic ones."""
-    import glob
-
     files = sorted(glob.glob(os.path.join(REF_TEST_DIR, "*")))
-    if not files:
-        return 0.0, 0
-    rows = []
-    for p in files:
-        with open(p, "rb") as fh:
-            content = fh.read()
-        name = os.path.basename(p)
-        suffix = name.rsplit(".", 1)[-1].lower()
-        rows.append((name, "pdf" if suffix == "pdf" else "markup", content, len(content)))
-    # sized so a timed pass runs seconds, not ~1 s: at 700 docs (the old
-    # 100×sf) the ~1 s of fixed plan/scheduling overhead was ~half the
-    # measurement and the reported docs/s swung ±40% between runs
-    n_copies = max(int(6000 * sf), 10)
-    base = spark.createDataFrame(
-        rows, "doc_id string, doc_type string, content binary, byte_len long"
-    )
-    # shuffle ONLY the tiny id column, broadcast the 7-row base: the raw
-    # binaries never cross a shuffle (repartition-after-crossJoin moves
-    # n_copies × corpus bytes and OOMs at scale — the exact anti-pattern
-    # the 100 TB design forbids)
-    docs = (
-        spark.range(n_copies)
-        .repartition(parallelism * 2)
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.concat_ws("#", "doc_id", F.col("id").cast("string")).alias("doc_id"),
-            "doc_type", "content", "byte_len",
-            F.lit("ref").alias("source_bucket"),
-            F.concat(F.lit("ref/"), "doc_id").alias("source_path"),
+    real_pass = None
+    n_real_total = 0
+    real_docs = None
+    if files:
+        rows = []
+        for p in files:
+            with open(p, "rb") as fh:
+                content = fh.read()
+            name = os.path.basename(p)
+            suffix = name.rsplit(".", 1)[-1].lower()
+            rows.append((name, "pdf" if suffix == "pdf" else "markup", content, len(content)))
+        # sized so a timed pass runs seconds, not ~1 s: at 700 docs (the old
+        # 100×sf) the ~1 s of fixed plan/scheduling overhead was ~half the
+        # measurement and the reported docs/s swung ±40% between runs
+        n_copies = max(int(6000 * sf), 10)
+        base = spark.createDataFrame(
+            rows, "doc_id string, doc_type string, content binary, byte_len long"
         )
-        .cache()
-    )
-    n_total = docs.count()  # materialize the replicated corpus outside timing
+        # shuffle ONLY the tiny id column, broadcast the 7-row base: the raw
+        # binaries never cross a shuffle (repartition-after-crossJoin moves
+        # n_copies × corpus bytes and OOMs at scale — the exact anti-pattern
+        # the 100 TB design forbids)
+        real_docs = (
+            spark.range(n_copies)
+            .repartition(parallelism * 2)
+            .crossJoin(F.broadcast(base))
+            .select(
+                F.concat_ws("#", "doc_id", F.col("id").cast("string")).alias("doc_id"),
+                "doc_type", "content", "byte_len",
+                F.lit("ref").alias("source_bucket"),
+                F.concat(F.lit("ref/"), "doc_id").alias("source_path"),
+            )
+            .cache()
+        )
+        n_real_total = real_docs.count()  # materialize outside timing
 
-    def one_pass() -> tuple[float, int]:
-        t0 = time.monotonic()
-        n = force(extract_spans(docs))
-        return time.monotonic() - t0, n
+        def real_pass() -> tuple[float, int]:
+            t0 = time.monotonic()
+            n = force(extract_spans(real_docs))
+            return time.monotonic() - t0, n
 
-    one_pass()
-    dt, n = min(one_pass(), one_pass(), key=lambda x: x[0])
-    docs.unpersist()
-    assert n == n_total
-    return dt, n
+    # warm-up once per leg: Python-worker imports + page cache; a
+    # production job amortizes this over hours — steady state is the
+    # honest metric
+    extract_pass()
+    if real_pass:
+        real_pass()
+
+    extract_reps: list[float] = []
+    real_reps: list[float] = []
+    n_extracted = 0
+    for _ in range(3):
+        dt, n_extracted = extract_pass()
+        extract_reps.append(round(dt, 3))
+        if real_pass:
+            dt, n = real_pass()
+            assert n == n_real_total
+            real_reps.append(round(dt, 3))
+
+    if real_docs is not None:
+        real_docs.unpersist()
+    out = {
+        "extract_s": min(extract_reps),
+        "extract_reps": extract_reps,
+        "n_extracted": n_extracted,
+        "real_s": min(real_reps) if real_reps else 0.0,
+        "real_reps": real_reps,
+        "n_real": n_real_total,
+    }
+    return out
 
 
 def main() -> None:
@@ -162,17 +188,15 @@ def main() -> None:
     spark = build_session(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16))
 
     queries = {}
-    n_extracted = n_real = 0
-    extract_s = real_s = 0.0
+    legs = {"n_extracted": 0, "n_real": 0, "extract_s": 0.0, "real_s": 0.0,
+            "extract_reps": [], "real_reps": []}
 
     t0 = time.monotonic()
     if not queries_only:
-        extract_s, n_extracted = run_extract_bench(spark, n_docs, cpus)
-        queries["extract_pipeline"] = round(extract_s, 3)
-
-        real_s, n_real = run_real_docs_bench(spark, sf, cpus)
-        if n_real:
-            queries["real_docs_extract"] = round(real_s, 3)
+        legs = run_extraction_benches(spark, n_docs, sf, cpus)
+        queries["extract_pipeline"] = round(legs["extract_s"], 3)
+        if legs["n_real"]:
+            queries["real_docs_extract"] = round(legs["real_s"], 3)
 
     def prod_minhash_lsh(spark, sf_dir):
         """Production banded-LSH path (ops/dedup.py): one xxhash64 per
@@ -233,27 +257,29 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
     }
-    if n_extracted:
-        result["extract_docs"] = n_extracted
-        result["docs_per_sec"] = round(n_extracted / extract_s, 1)
-    if n_real:
-        result["real_docs"] = n_real
-        result["real_docs_per_sec"] = round(n_real / real_s, 1)
-    # the 10x point: /root/testdata tops out at sf0.1 and a fresh sf1 run
-    # adds ~10 min of wall to every driver round, so the sf1 suite is run
-    # out-of-band (scripts/gen_sf.py + SPARK_GRAFT_SF_DIR=_work/sf1) and
-    # its RECORDED result rides along here, clearly labeled as such
-    if sf < 1:
-        here = os.path.dirname(os.path.abspath(__file__))
-        for key, fname in (("sf1_recorded", "BENCH_SF1.json"),
-                           ("sf10_recorded", "BENCH_SF10.json")):
-            path = os.path.join(here, fname)
-            if os.path.exists(path):
-                with open(path) as fh:
-                    rec = json.load(fh)
-                rec.pop("runs", None)  # keep the driver's JSON line compact
-                result[key] = rec
+    if legs["n_extracted"]:
+        result["extract_docs"] = legs["n_extracted"]
+        result["docs_per_sec"] = round(legs["n_extracted"] / legs["extract_s"], 1)
+        result["extract_reps"] = legs["extract_reps"]
+    if legs["n_real"]:
+        result["real_docs"] = legs["n_real"]
+        result["real_docs_per_sec"] = round(legs["n_real"] / legs["real_s"], 1)
+        result["real_docs_reps"] = legs["real_reps"]
+    # the 10x/100x points: /root/testdata tops out at sf0.1 and fresh
+    # sf1/sf10 runs add tens of minutes of wall per driver round, so those
+    # suites run out-of-band (scripts/gen_sf.py + SPARK_GRAFT_SF_DIR) and
+    # their RECORDED results are referenced here BY PATH — r3 inlined the
+    # full blocks and pushed the line head past the driver's tail capture,
+    # leaving BENCH_r03.json with parsed: null. The line must stay compact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    linearity = {}
+    for key, fname in (("sf1", "BENCH_SF1.json"), ("sf10", "BENCH_SF10.json")):
+        if os.path.exists(os.path.join(here, fname)):
+            linearity[key] = fname
+    if sf < 1 and linearity:
+        result["recorded_linearity_files"] = linearity
     spark.stop()
+    # ONE compact JSON line, printed LAST, nothing after it
     print(json.dumps(result))
 
 

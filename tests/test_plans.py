@@ -3,6 +3,8 @@ story depends on must not silently regress (SURVEY.md §4)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from documentconvert_spark.corpus import corpus_rows, fixture_corpus
@@ -179,9 +181,7 @@ def test_driver_window_is_the_intended_50():
 
     names = list(entrymod.queries())
     assert names[:50] == list(entrymod._WINDOW)
-    promoted = {"ann_ivf_buckets", "multimodal_features", "filter_url_blocklist",
-                "real_video_frames", "real_audio_stats", "dedup_video_frames",
-                "dedup_audio_fingerprint", "real_video_keyframes"}
+    promoted = {"dedup_image_phash", "real_gif_frames"}
     assert promoted <= set(names[:50])
     assert len(names) == len(set(names)) == len(entrymod._MERGED)
     # every windowed name must have an exact oracle (hash-checked, not
@@ -189,3 +189,32 @@ def test_driver_window_is_the_intended_50():
     sqls = entrymod.oracle_sql()
     missing = [n for n in names[:50] if n not in sqls]
     assert not missing, missing
+
+
+def test_every_registry_query_has_driver_coverage():
+    """Rotation-debt guard (r3 verdict ask #1): every registry query must
+    either already be driver-green in a committed CORRECTNESS_r*.json or
+    sit in the CURRENT 50-query window (so the next driver run verifies
+    it). A query added after the window froze — green locally but never
+    seen by the driver — fails here with a rotation reminder instead of
+    silently accruing debt, which happened in rounds 1, 2 AND 3."""
+    import glob
+    import json
+
+    import __spark_entry__ as entrymod
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            rec = json.load(fh)
+        for name, row in rec.items():
+            if isinstance(row, dict) and row.get("rows_match") and \
+                    row.get("schema_match") and row.get("hash_match", True):
+                green.add(name)
+    window = set(entrymod._WINDOW)
+    uncovered = [n for n in entrymod.queries() if n not in green and n not in window]
+    assert not uncovered, (
+        f"queries never driver-verified and not in the current window: "
+        f"{uncovered} — rotate them into __spark_entry__._WINDOW"
+    )
