@@ -65,6 +65,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #       every registry query is either green in a committed
 #       CORRECTNESS_r*.json or present in the current window, so a future
 #       post-window addition fails CI instead of silently accruing debt.
+#       Mid-r4 additions rotated in the same way: ann_ivf_trained +
+#       ann_ivf_trained_recall replace scrub_pii/quality_repetition
+#       (green in r3).
 _WINDOW: tuple[str, ...] = (
     "real_av_meta", "real_image_meta", "dedup_span_paragraphs",
     "real_docs_span_seq", "real_docs_summary", "real_ocr_text",
@@ -72,7 +75,7 @@ _WINDOW: tuple[str, ...] = (
     "spans_input_stats", "w1_redensify", "j3_media_join",
     "extract_span_seq", "extract_doc_summary", "extract_kind_counts",
     "dedup_image_phash", "real_gif_frames", "dedup_minhash_capped",
-    "scrub_pii", "quality_repetition", "pipeline_e2e",
+    "ann_ivf_trained", "ann_ivf_trained_recall", "pipeline_e2e",
     "sample_stratified", "decontaminate_overlap", "emb_quantize_int8",
     "dedup_levenshtein", "dedup_clusters", "dedup_keep_first",
     "dedup_embedding_cosine", "doc_winnow_fingerprint", "token_bpeish",

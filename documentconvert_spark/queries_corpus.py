@@ -457,6 +457,219 @@ GROUP BY e.q_id
 """
 
 
+# ------------------------------------------------------------ ANN: trained IVF (Lloyd's k-means)
+# The pivot-based IVF above is deterministic but its cells are arbitrary
+# (vec_id<8 as centroids). The production path trains the coarse quantizer:
+# 2 Lloyd iterations from those same pivots — assign every vector to its
+# nearest centroid (cosine), recompute each centroid as the element-wise
+# mean of its members. Scale shape per iteration: centroids broadcast
+# (k×dim doubles), assignment is ONE narrow pass over the corpus, and the
+# mean update shuffles only (c_id, dim_pos, partial-sum) triples — k×dim
+# groups with map-side combine, never a vector-by-vector shuffle. The
+# centroid frame is localCheckpointed per iteration so the plan stays O(1)
+# like ops/dedup.connected_components. Engine-portability: means are
+# ROUNDed to 6dp after every update, so Spark's and DuckDB's different
+# summation orders (~1e-15 relative noise) can never flip a downstream
+# nearest-centroid argmax; ties break on c_id ASC in both engines.
+
+_VDOT = "aggregate(zip_with(ve, ce, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+_ARR_NORM = "sqrt(aggregate(transform({a}, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+
+
+def _kmeans_train(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 2):
+    """Returns (emb, cents): emb = (vec_id, ve double[], vn), cents =
+    (c_id, ce double[], cn) after `iters` Lloyd rounds from the vec_id<k
+    pivots. Empty cells simply drop out (both engines agree, since the
+    assignments agree)."""
+    emb = (
+        _emb(spark, sf_dir)
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS ve")
+        .withColumn("vn", F.expr(_ARR_NORM.format(a="ve")))
+    )
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("c_id"), F.col("ve").alias("ce"), F.col("vn").alias("cn")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
+    for _ in range(iters):
+        assign = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("csim", F.expr(_VDOT) / (F.col("vn") * F.col("cn")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "c_id")
+        )
+        means = (
+            assign.join(emb, "vec_id")
+            .select("c_id", F.posexplode("ve").alias("pos", "val"))
+            .groupBy("c_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+        )
+        cents = (
+            means.groupBy("c_id")
+            .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("ce"))
+            .withColumn("cn", F.expr(_ARR_NORM.format(a="ce")))
+        )
+        # O(1) plan and no re-execution of the (iteration-deep) upstream
+        # DAG — the checkpointed frame is k rows × dim doubles
+        cents = cents.localCheckpoint(eager=True)
+    return emb, cents
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final cell assignment under the trained quantizer: (vec_id,
+    centroid_id, cos_sim-to-centroid). The corpus-side pass a 100 TB IVF
+    build runs once and persists as the index."""
+    emb, cents = _kmeans_train(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.expr(_VDOT) / (F.col("vn") * F.col("cn")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("c_id").alias("centroid_id"), F.round("csim", 4).alias("cos_sim"))
+    )
+
+
+def _ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_ivf_topk's exact shape (nProbe=2, top-5) with trained cells."""
+    emb, cents = _kmeans_train(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
+    ranked = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.expr(_VDOT) / (F.col("vn") * F.col("cn")))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    assign = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", F.col("c_id").alias("centroid_id"),
+        F.col("ve").alias("ne"), F.col("vn").alias("nn"),
+    )
+    probes = ranked.filter((F.col("vec_id") < 10) & (F.col("rk") <= 2)).select(
+        F.col("vec_id").alias("q_id"), F.col("c_id").alias("centroid_id"),
+        F.col("ve").alias("qe2"), F.col("vn").alias("qn2"),
+    )
+    dot2 = (
+        "aggregate(zip_with(qe2, ne, (a, b) -> a * b), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cand = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("sim", F.expr(dot2) / (F.col("qn2") * F.col("nn")))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", F.col("vec_id").alias("n_id"), F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the TRAINED quantizer vs the exact baseline — the row
+    that justifies training: tests pin avg(trained) >= avg(pivot cells)."""
+    exact = q_ann_cosine_topk(spark, sf_dir).select("q_id", "n_id")
+    approx = _ivf_topk_trained(spark, sf_dir).select(
+        F.col("q_id").alias("aq"), F.col("n_id").alias("an")
+    )
+    hits = exact.join(
+        approx, (exact.q_id == approx.aq) & (exact.n_id == approx.an), "left"
+    ).groupBy("q_id").agg(
+        F.sum(F.when(F.col("an").isNotNull(), 1).otherwise(0)).alias("n_hits")
+    )
+    return hits.select(
+        "q_id", "n_hits", F.round(F.col("n_hits") / 5.0, 4).alias("recall_at_5")
+    )
+
+
+def _sql_kmeans_iteration(i: int) -> str:
+    """One Lloyd round as chained CTEs: s{i} sims vs c{i-1}, a{i} argmax
+    assignment, m{i} rounded per-dimension means, c{i} rebuilt centroids."""
+    prev = f"c{i - 1}"
+    return f"""
+s{i} AS (
+  SELECT v.vec_id, c.c_id,
+         list_sum(list_transform(range(1, len(v.ve) + 1),
+                  j -> v.ve[j] * c.ce[j])) / (v.vn * c.cn) AS csim
+  FROM e v CROSS JOIN {prev} c),
+a{i} AS (
+  SELECT vec_id, c_id FROM (
+    SELECT vec_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS rk
+    FROM s{i}) WHERE rk = 1),
+m{i} AS (
+  SELECT a.c_id, d.i, ROUND(AVG(list_extract(v.ve, d.i)), 6) AS m
+  FROM a{i} a JOIN e v USING (vec_id) CROSS JOIN dims d
+  GROUP BY a.c_id, d.i),
+c{i}p AS (SELECT c_id, list(m ORDER BY i) AS ce FROM m{i} GROUP BY c_id),
+c{i} AS (
+  SELECT c_id, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+  FROM c{i}p)"""
+
+
+_SQL_KMEANS_PRELUDE = (
+    """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS vn
+  FROM embeddings),
+dims AS (SELECT UNNEST(range(1, (SELECT MAX(len(ve)) FROM e) + 1)) AS i),
+c0 AS (SELECT vec_id AS c_id, ve AS ce, vn AS cn FROM e WHERE vec_id < 8),"""
+    + _sql_kmeans_iteration(1) + ","
+    + _sql_kmeans_iteration(2)
+)
+
+SQL_ANN_IVF_TRAINED = _SQL_KMEANS_PRELUDE + """,
+fin AS (
+  SELECT v.vec_id, c.c_id,
+         list_sum(list_transform(range(1, len(v.ve) + 1),
+                  j -> v.ve[j] * c.ce[j])) / (v.vn * c.cn) AS csim
+  FROM e v CROSS JOIN c2 c)
+SELECT vec_id, c_id AS centroid_id, ROUND(csim, 4) AS cos_sim FROM (
+  SELECT vec_id, c_id, csim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS rk
+  FROM fin) WHERE rk = 1
+"""
+
+_SQL_IVF_TOPK_TRAINED_TAIL = """,
+cent_pairs AS (
+  SELECT v.vec_id, c.c_id,
+         list_sum(list_transform(range(1, len(v.ve) + 1),
+                  j -> v.ve[j] * c.ce[j])) / (v.vn * c.cn) AS csim
+  FROM e v CROSS JOIN c2 c),
+assign AS (
+  SELECT vec_id, c_id AS centroid_id FROM (
+    SELECT vec_id, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS rk
+    FROM cent_pairs) WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS q_id, c_id AS centroid_id FROM (
+    SELECT vec_id, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS rk
+    FROM cent_pairs WHERE vec_id < 10) WHERE rk <= 2),
+cand AS (
+  SELECT p.q_id, a.vec_id AS n_id,
+         list_sum(list_transform(range(1, len(q.ve) + 1),
+                  j -> q.ve[j] * n.ve[j])) / (q.vn * n.vn) AS sim
+  FROM probes p
+  JOIN assign a ON p.centroid_id = a.centroid_id AND p.q_id <> a.vec_id
+  JOIN e q ON q.vec_id = p.q_id
+  JOIN e n ON n.vec_id = a.vec_id)
+SELECT q_id, n_id, ROUND(sim, 4) AS cos_sim FROM (
+  SELECT q_id, n_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+  FROM cand) WHERE rk <= 5
+"""
+
+SQL_ANN_IVF_TRAINED_TOPK = _SQL_KMEANS_PRELUDE + _SQL_IVF_TOPK_TRAINED_TAIL
+
+SQL_ANN_IVF_TRAINED_RECALL = f"""
+WITH exact AS ({SQL_ANN_TOPK}),
+approx AS ({SQL_ANN_IVF_TRAINED_TOPK})
+SELECT e.q_id,
+       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4) AS recall_at_5
+FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id
+GROUP BY e.q_id
+"""
+
+
 # ------------------------------------------------------------ language ID
 # Marker-token heuristic, deterministic tie order (en > de > fr > es > zh).
 # Counting via length-difference — identical arithmetic in both engines.
@@ -1266,4 +1479,6 @@ CORPUS_QUERIES: dict[str, tuple] = {
 # oracle coverage via scripts/verify_contract.py like every other entry.
 CORPUS_QUERIES_EXTRA: dict[str, tuple] = {
     "filter_url_blocklist": (q_filter_url_blocklist, SQL_FILTER_URL_BLOCKLIST),
+    "ann_ivf_trained": (q_ann_ivf_trained, SQL_ANN_IVF_TRAINED),
+    "ann_ivf_trained_recall": (q_ann_ivf_trained_recall, SQL_ANN_IVF_TRAINED_RECALL),
 }

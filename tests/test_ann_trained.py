@@ -1,0 +1,66 @@
+"""Trained IVF coarse quantizer (Lloyd's k-means) — the r3 verdict ask:
+the 100 TB ANN story is stronger with trained cells than arbitrary
+pivots, and the claim must be measured, not assumed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from documentconvert_spark.queries_corpus import (
+    _kmeans_train,
+    q_ann_ivf_recall,
+    q_ann_ivf_trained,
+    q_ann_ivf_trained_recall,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_trained_cells_beat_pivot_cells_on_recall(spark):
+    """recall@5 (nProbe=2, top-5, 10 queries) after 2 Lloyd rounds must be
+    at least the pivot-initialized quantizer's — measured 0.86 vs 0.80 at
+    sf0.01. If training ever degrades recall the trained path has a bug
+    (k-means from the same init can only improve the quantization error)."""
+    pivot = q_ann_ivf_recall(spark, SF).agg(F.avg("recall_at_5")).collect()[0][0]
+    trained = q_ann_ivf_trained_recall(spark, SF).agg(F.avg("recall_at_5")).collect()[0][0]
+    assert trained >= pivot, (trained, pivot)
+    assert trained >= 0.8
+
+
+def test_kmeans_centroids_shape_and_total_assignment(spark):
+    emb, cents = _kmeans_train(spark, SF, k=8, iters=2)
+    rows = cents.collect()
+    assert 1 <= len(rows) <= 8
+    dims = {len(r.ce) for r in rows}
+    assert dims == {64}
+    # every centroid mean is 6dp-rounded (the engine-portability contract)
+    for r in rows:
+        for v in r.ce:
+            assert abs(v - round(v, 6)) < 1e-12
+    n_vecs = emb.count()
+    assigned = q_ann_ivf_trained(spark, SF)
+    assert assigned.count() == n_vecs
+    assert assigned.select("vec_id").distinct().count() == n_vecs
+
+
+def test_kmeans_iteration_reduces_quantization_error(spark):
+    """Average cosine distance to the assigned centroid must not increase
+    across Lloyd rounds (the textbook monotonicity, modulo the 6dp mean
+    rounding — tolerance covers it)."""
+
+    def avg_sim(iters: int) -> float:
+        from documentconvert_spark.queries_corpus import _VDOT
+        from pyspark.sql import Window
+
+        emb, cents = _kmeans_train(spark, SF, k=8, iters=iters)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
+        best = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("csim", F.expr(_VDOT) / (F.col("vn") * F.col("cn")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+        )
+        return best.agg(F.avg("csim")).collect()[0][0]
+
+    s1, s2 = avg_sim(1), avg_sim(2)
+    assert s2 >= s1 - 1e-6, (s1, s2)

@@ -154,6 +154,8 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "ann_ivf_buckets",      # 8-centroid broadcast assignment
         "ann_ivf_topk",
         "ann_ivf_recall",
+        "ann_ivf_trained",        # k<=8 trained centroids broadcast
+        "ann_ivf_trained_recall",
         "dedup_embedding_cosine",  # same centroid assignment, then equi-join
         "dq_checks",            # 1-row scalar-subquery cross joins
         "tpch_q11s",            # scalar threshold subquery
