@@ -59,8 +59,13 @@ def _tiff_dims(data: bytes) -> tuple[int | None, int | None]:
         w = h = None
         for k in range(min(count, 256)):
             e = ifd + 2 + 12 * k
-            tag, typ = struct.unpack_from(end + "HH", data, e)
+            tag, typ, n_vals = struct.unpack_from(end + "HHI", data, e)
             if tag not in (256, 257):
+                continue
+            # value-or-offset rule: with count != 1 the 4-byte field holds
+            # a file OFFSET, not the dimension — reading it inline would
+            # report a bogus (clamped but wrong) width/height
+            if n_vals != 1:
                 continue
             if typ == 3:  # SHORT
                 (v,) = struct.unpack_from(end + "H", data, e + 8)
@@ -655,12 +660,23 @@ def _ogg_meta(data: bytes):
             rate = int.from_bytes(data[p + 12:p + 16], "little") or None
         elif data[p:p + 8] == b"OpusHead":
             rate = 48000
+    # Walk pages FORWARD from the start, keeping the last valid granule.
+    # rfind(b"OggS") would also match the 4-byte pattern inside compressed
+    # packet payloads, yielding a garbage granule (passes the g > 0 and
+    # int32 clamps) and a wildly wrong duration. The capture-pattern walk
+    # only trusts positions reached through the page-length chain.
     gran = None
-    last = data.rfind(b"OggS")
-    if last >= 0 and last + 14 <= len(data):
-        g = int.from_bytes(data[last + 6:last + 14], "little", signed=True)
+    i, n = 0, len(data)
+    for _ in range(1_000_000):  # bound: structural pages only
+        if i + 27 > n or data[i:i + 4] != b"OggS" or data[i + 4] != 0:
+            break
+        nseg = data[i + 26]
+        if i + 27 + nseg > n:
+            break
+        g = int.from_bytes(data[i + 6:i + 14], "little", signed=True)
         if g > 0:
             gran = g
+        i += 27 + nseg + sum(data[i + 27:i + 27 + nseg])
     dur_ms = int(gran * 1000 // rate) if (rate and gran) else None
     return "ogg", None, None, dur_ms
 

@@ -1043,6 +1043,75 @@ def _webp_fixture() -> bytes:
     return encode_vp8l(w, h, argb, palette=palette)
 
 
+def _luma601(r: int, g: int, b: int) -> int:
+    """ITU-R BT.601 integer luma — the published constant every raster
+    decoder in the engine folds RGB with. A spec constant, not decoder
+    logic, so using it here keeps the source-side stats independent."""
+    return (r * 299 + g * 587 + b * 114) // 1000
+
+
+def _stats(lumas: list[int]) -> tuple[float, float]:
+    n = len(lumas)
+    return (round(sum(lumas) / n, 3), round(sum(1 for v in lumas if v < 128) / n, 3))
+
+
+def source_pixel_stats() -> dict[str, tuple[float, float, bool]]:
+    """fixture filename → (mean_luma, dark_frac, exact) derived purely
+    from the SOURCE rasters the builders render — never from the
+    kernels/raster decoders. regen_real_goldens.py cross-checks the
+    decoder-derived golden against these, so a decoder bug can no longer
+    bake itself into expected_real_pixels.parquet (r3 advice). `exact` is
+    False only for the two JPEGs (DCT round-trip is near- but not
+    bit-lossless; the check there is a ±1.5 luma tolerance)."""
+    from documentconvert_spark.corpus import _render_text_grid
+
+    out: dict[str, tuple[float, float, bool]] = {}
+
+    def grid_lumas(lines, scale):
+        _w, _h, grid = _render_text_grid(lines, scale, 8)
+        return [px for row in grid for px in row]
+
+    # grayscale / r=g=b renders: luma == source pixel
+    out["fixture_ocr_note.png"] = (*_stats(grid_lumas(
+        ["SCANNED NOTE 1", "TOTAL DUE: 42.50", "PAY BY 2024-06-30!"], 2)), True)
+    out["fixture_ocr_badge.png"] = (*_stats(grid_lumas(
+        ["BUILD PASSING", "COVERAGE = 97?", "(SEE LOG / RUN 12)"], 3)), True)
+    out["fixture_ocr_panel.bmp"] = (*_stats(grid_lumas(
+        ["PANEL ID 3348", "VOLTAGE 230V 50HZ"], 2)), True)
+    out["fixture_ocr_crate.tiff"] = (*_stats(grid_lumas(
+        ["CRATE 88 FRAGILE", "THIS SIDE UP"], 2)), True)
+    out["fixture_ocr_tag.webp"] = (*_stats(grid_lumas(
+        ["LOT 4519 SHELF C", "BEST BY 2027-03"], 2)), True)
+    # GIF text render thresholds the grid to a 2-color palette first
+    out["fixture_ocr_sign.gif"] = (*_stats(
+        [0 if px < 128 else 255
+         for px in grid_lumas(["EXIT ROUTE 7", "KEEP CLEAR"], 2)]), True)
+    # JPEGs: near-lossless DCT round-trip — tolerance, not equality
+    out["fixture_ocr_card.jpg"] = (*_stats(grid_lumas(
+        ["MEMBER CARD 0042", "VALID: 2025/12-2026/11", "LEVEL = GOLD!"], 2)), False)
+    out["fixture_ocr_scan.jpg"] = (*_stats(grid_lumas(
+        ["DELIVERY SCAN 0731", "GATE B ROW 6"], 2)), False)
+
+    # color fixtures: rebuild the exact source arrays the builders emit
+    pal8 = [(0, 0, 0), (255, 255, 255), (200, 30, 30), (30, 200, 30),
+            (30, 30, 200), (220, 220, 40), (40, 220, 220), (180, 60, 180)]
+    out["fixture_tiles.gif"] = (*_stats(
+        [_luma601(*pal8[((x // 8) + (y // 8)) % 8])
+         for y in range(64) for x in range(96)]), True)
+    out["fixture_gradient.bmp"] = (*_stats(
+        [_luma601((x * y) % 256, (y * 5) % 256, (x * 3) % 256)
+         for y in range(50) for x in range(80)]), True)
+    out["fixture_mosaic.tiff"] = (*_stats(
+        [_luma601(v, (v * 3) % 256, 255 - v)
+         for v in (((x // 6) * 16 + (y // 6)) % 256
+                   for y in range(60) for x in range(90))]), True)
+    out["fixture_swatch.webp"] = (*_stats(
+        [_luma601(i * 17, ((i * 5) % 16) * 17, (15 - i) * 17)
+         for i in (((x // 5) + (y // 5)) % 16
+                   for y in range(40) for x in range(72))]), True)
+    return out
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)

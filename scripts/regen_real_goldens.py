@@ -37,6 +37,43 @@ RES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
 EXTRA = os.path.join(RES, "extra_docs")
 
 
+def _crosscheck_pixel_stats(pixel_rows: dict) -> None:
+    """The pixel golden is computed BY the decoder, so on its own it is a
+    self-referential oracle (r3 advice). Before writing it, verify every
+    fixture whose source raster the generator owns against stats derived
+    purely from that source (gen_extra_fixtures.source_pixel_stats):
+    exact for lossless formats, ±1.5 luma for the DCT JPEGs. A decoder
+    bug now fails the regen instead of silently re-baselining."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gen_extra_fixtures import source_pixel_stats
+
+    expected = source_pixel_stats()
+    seen = set()
+    for i, doc_id in enumerate(pixel_rows["doc_id"]):
+        if doc_id not in expected:
+            continue  # carved media from the real reference docs: pinned only
+        seen.add(doc_id)
+        src_mean, src_dark, exact = expected[doc_id]
+        got_mean = pixel_rows["mean_luma"][i]
+        got_dark = pixel_rows["dark_frac"][i]
+        if pixel_rows["error"][i] is not None:
+            raise SystemExit(f"{doc_id}: decoder error {pixel_rows['error'][i]!r} "
+                             f"but the source raster decodes fine")
+        if exact:
+            ok = got_mean == src_mean and got_dark == src_dark
+        else:
+            ok = (abs(got_mean - src_mean) <= 1.5 and abs(got_dark - src_dark) <= 0.02)
+        if not ok:
+            raise SystemExit(
+                f"{doc_id}: decoder stats (mean={got_mean}, dark={got_dark}) "
+                f"disagree with source-derived (mean={src_mean}, dark={src_dark}, "
+                f"exact={exact}) — decoder bug, refusing to re-baseline"
+            )
+    missing = set(expected) - seen
+    if missing:
+        raise SystemExit(f"source-checked fixtures absent from pixel rows: {sorted(missing)}")
+
+
 def main() -> None:
     span_rows = {"doc_id": [], "offset": [], "kind": [], "media_ref": [], "text": [], "level": []}
     doc_rows = {"doc_id": [], "status": [], "n_spans": [], "markdown_md5": []}
@@ -124,6 +161,7 @@ def main() -> None:
         ])),
         os.path.join(RES, "expected_real_media.parquet"),
     )
+    _crosscheck_pixel_stats(pixel_rows)
     pq.write_table(
         pa.table(pixel_rows, schema=pa.schema([
             ("doc_id", pa.string()), ("media_ref", pa.string()), ("format", pa.string()),

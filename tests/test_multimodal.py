@@ -244,3 +244,47 @@ def test_av_sniffing_edge_cases():
     trunc = (b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt "
              + struct.pack("<I", 16) + b"\x01\x00\x02\x00\x44\xac")
     assert sniff_av_meta(trunc) == ("wav", None, None, None)
+
+
+def test_tiff_entry_with_count_gt_one_is_value_offset_not_dimension():
+    """TIFF value-or-offset rule: an ImageWidth/ImageLength entry whose
+    count != 1 stores a file OFFSET in the 4-byte value field; reading it
+    inline would misreport the dimension (r3 advice, media.py)."""
+    import struct
+
+    from documentconvert_spark.kernels.media import sniff_image_meta
+
+    def entry(tag, typ, count, val):
+        return struct.pack("<HHII", tag, typ, count, val)
+
+    # malformed: ImageWidth count=2 → field holds offset 64, must be skipped;
+    # ImageLength count=1 stays readable
+    ifd = struct.pack("<H", 2) + entry(256, 4, 2, 64) + entry(257, 4, 1, 480)
+    data = b"II*\x00" + struct.pack("<I", 8) + ifd + b"\x00" * 64
+    assert sniff_image_meta(data) == ("tiff", None, 480)
+
+    # well-formed control: both count=1
+    ifd = struct.pack("<H", 2) + entry(256, 4, 1, 640) + entry(257, 3, 1, 480)
+    data = b"II*\x00" + struct.pack("<I", 8) + ifd
+    assert sniff_image_meta(data) == ("tiff", 640, 480)
+
+
+def test_ogg_granule_comes_from_page_walk_not_payload_rfind():
+    """'OggS' inside a compressed packet payload must not be mistaken for
+    the last page header (r3 advice, media.py): duration derives from the
+    granule of the last STRUCTURAL page reached via the length chain."""
+    from documentconvert_spark.kernels.media import sniff_av_meta
+
+    vorbis_id = (b"\x01vorbis" + b"\x00" * 4 + b"\x01"
+                 + (8000).to_bytes(4, "little") + b"\x00" * 14)
+    assert len(vorbis_id) == 30
+    page1 = (b"OggS" + b"\x00\x02" + (0).to_bytes(8, "little")
+             + b"\x00" * 12 + b"\x01" + b"\x1e" + vorbis_id)
+    # payload smuggles a fake "OggS" header claiming a huge granule
+    payload = b"OggS" + (10**9).to_bytes(8, "little") + b"\x00" * 8
+    assert len(payload) == 20
+    page2 = (b"OggS" + b"\x00\x04" + (16000).to_bytes(8, "little")
+             + b"\x00" * 12 + b"\x01" + b"\x14" + payload)
+    fmt, _w, _h, dur = sniff_av_meta(page1 + page2)
+    assert fmt == "ogg"
+    assert dur == 2000  # 16000 granules at 8 kHz, not 125,000,000 ms

@@ -647,3 +647,39 @@ def test_dhash64_determinism_and_bounds():
     assert far > 20
     with pytest.raises(ValueError, match="smaller than"):
         dhash64(8, 4, [bytearray(8)] * 4)
+
+
+def test_pixel_golden_matches_source_derived_stats():
+    """expected_real_pixels.parquet is decoder-generated; this pins it to
+    stats derived purely from the SOURCE rasters the fixture generator
+    renders (gen_extra_fixtures.source_pixel_stats), breaking the
+    self-referential oracle loop the r3 advice flagged: a decoder bug can
+    no longer hide by re-baselining the golden."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from gen_extra_fixtures import source_pixel_stats
+
+    t = pq.read_table(os.path.join(
+        repo, "documentconvert_spark", "resources", "expected_real_pixels.parquet"
+    )).to_pydict()
+    expected = source_pixel_stats()
+    assert len(expected) >= 12
+    seen = set()
+    for i, doc_id in enumerate(t["doc_id"]):
+        if doc_id not in expected:
+            continue
+        seen.add(doc_id)
+        src_mean, src_dark, exact = expected[doc_id]
+        assert t["error"][i] is None, (doc_id, t["error"][i])
+        if exact:
+            assert t["mean_luma"][i] == src_mean, doc_id
+            assert t["dark_frac"][i] == src_dark, doc_id
+        else:  # DCT JPEGs: near-lossless round-trip
+            assert abs(t["mean_luma"][i] - src_mean) <= 1.5, doc_id
+            assert abs(t["dark_frac"][i] - src_dark) <= 0.02, doc_id
+    assert seen == set(expected)
