@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -235,3 +237,86 @@ def test_max_docs_batch_is_parallel(spark, docs_df, tmp_path):
     assert r.processed == 20
     got = spark.read.parquet(out)
     assert got.select("partition_id").distinct().count() > 1
+
+
+def test_state_retention_at_thousand_runs(spark, tmp_path):
+    """Iceberg-analogue retention at the 10^3-committed-runs scale (r3
+    verdict ask #6): a long-lived corpus appends one state run per job;
+    after 1,000 committed runs, compact() must collapse the directory
+    fan-out to ONE run while leaving latest() byte-identical, and a
+    CRASHED compaction (output directory without _SUCCESS) must leave
+    readers on the old runs untouched."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from documentconvert_spark.state import StateStore
+
+    root = str(tmp_path / "state")
+    os.makedirs(root)
+    n_runs, docs_per_run, n_docs = 1000, 5, 200
+    base = dt.datetime(2026, 1, 1)
+    # write the run directories directly (pyarrow, _SUCCESS-committed):
+    # 1000 Spark writes would test nothing extra and cost minutes
+    for r in range(n_runs):
+        run = f"r{r:04d}"
+        d = os.path.join(root, f"run_id={run}")
+        os.makedirs(d)
+        ids = [f"doc{(r * docs_per_run + j) % n_docs:03d}" for j in range(docs_per_run)]
+        t = pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "partition_id": pa.array([r % 32] * docs_per_run, pa.int32()),
+            "status": pa.array(["completed" if (r + j) % 7 else "failed"
+                                for j in range(docs_per_run)], pa.string()),
+            "attempt": pa.array([1 + r // 400] * docs_per_run, pa.int32()),
+            "started_at": pa.array([base + dt.timedelta(seconds=r)] * docs_per_run,
+                                   pa.timestamp("us")),
+            "completed_at": pa.array([base + dt.timedelta(seconds=r, milliseconds=j)
+                                      for j in range(docs_per_run)], pa.timestamp("us")),
+            "processing_s": pa.array([0.5] * docs_per_run, pa.float64()),
+            "n_spans": pa.array([3] * docs_per_run, pa.int32()),
+            "error": pa.array([None] * docs_per_run, pa.string()),
+            "error_class": pa.array([None] * docs_per_run, pa.string()),
+            "lineage": pa.array([f"bkt/{i}/markdown" for i in ids], pa.string()),
+            "src_run_id": pa.array([run] * docs_per_run, pa.string()),
+        })
+        pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    st = StateStore(spark, root)
+    assert len(st._committed_run_dirs()) == n_runs
+    assert st.read().count() == n_runs * docs_per_run
+
+    def snap(df):
+        return sorted(
+            (r.doc_id, r.status, r.attempt, r.completed_at, r.src_run_id)
+            for r in df.collect()
+        )
+
+    lat_before = snap(st.latest())
+    assert len(lat_before) == n_docs
+
+    # crashed compaction: output directory exists, no _SUCCESS — readers
+    # must stay on the old runs (it contains a poisoned subset that would
+    # corrupt latest() if it were ever read)
+    crash = os.path.join(root, "run_id=crashedcompact")
+    os.makedirs(crash)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(["doc000"], pa.string()),
+                  "status": pa.array(["failed"], pa.string()),
+                  "attempt": pa.array([99], pa.int32()),
+                  "src_run_id": pa.array(["crashedcompact"], pa.string())}),
+        os.path.join(crash, "part-00000.parquet"),
+    )
+    assert len(st._committed_run_dirs()) == n_runs
+    assert snap(st.latest()) == lat_before
+
+    # real compaction: ONE committed run, latest() identical, row count
+    # collapses from 5000 to one row per doc, crashed dir swept
+    st.compact()
+    dirs = st._committed_run_dirs()
+    assert len(dirs) == 1
+    assert not os.path.exists(crash)
+    assert st.read().count() == n_docs
+    assert snap(st.latest()) == lat_before
