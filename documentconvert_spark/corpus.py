@@ -426,6 +426,32 @@ def _render_text_grid(lines: list[str], scale: int, margin: int) -> tuple[int, i
     return w, h, grid
 
 
+def antialias_grid(grid: list) -> list[bytearray]:
+    """Deterministic integer 3×3 tent blur (weights 4/2/1, sum 16; edge
+    pixels clamp-replicate) — the generator-side model of an antialiased
+    text render. For the ≥2-px-thick strokes _render_text_grid emits at
+    scale ≥2, thresholding the result at 128 recovers the source grid
+    exactly, which is precisely the contract the OCR matcher's
+    post-threshold exact-grid check (miniocr._row_bimodal + _downsample)
+    verifies end-to-end."""
+    h, w = len(grid), len(grid[0])
+    out = []
+    for y in range(h):
+        row = bytearray(w)
+        for x in range(w):
+            acc = 0
+            for dy in (-1, 0, 1):
+                yy = min(max(y + dy, 0), h - 1)
+                src = grid[yy]
+                wy = 2 - abs(dy)
+                for dx in (-1, 0, 1):
+                    xx = min(max(x + dx, 0), w - 1)
+                    acc += src[xx] * wy * (2 - abs(dx))
+            row[x] = acc // 16
+        out.append(row)
+    return out
+
+
 def encode_gray_png(w: int, h: int, rows: list) -> bytes:
     """8-bit grayscale raster → non-interlaced PNG (filter 0). The one
     gray-PNG writer — fixtures, benches and the image-dedup corpus all

@@ -132,11 +132,13 @@ def decode_png_gray(data: bytes, bilevel: bool = False) -> tuple[int, int, list[
     samples fold to their high byte.
 
     With bilevel=True the decode is an OCR pre-filter: inflation is
-    streamed row by row and ABORTS on the first pixel that is neither
-    near-black nor near-white. A photo or antialiased screenshot (the
-    overwhelming majority of real-world PNGs) fails within its first
-    scanline, so the extraction hot path pays ~one row of Python per
-    non-text PNG instead of a full per-pixel raster decode."""
+    streamed row by row and ABORTS on the first scanline that is
+    majority mid-gray (_row_bimodal). A photo (the overwhelming majority
+    of real-world PNGs) fails within its first scanline, so the
+    extraction hot path pays ~one row of Python per non-text PNG instead
+    of a full per-pixel raster decode; an ANTIALIASED text render —
+    mid-gray confined to stroke edges — passes through to the
+    post-threshold exact grid matcher."""
     if data[:8] != _PNG_MAGIC:
         raise ValueError("png: bad magic")
     pos = 8
@@ -208,6 +210,7 @@ def decode_png_gray(data: bytes, bilevel: bool = False) -> tuple[int, int, list[
         return out
 
     scale = 255 // ((1 << depth) - 1) if depth < 8 else 1
+    gate = _BimodalGate()  # cumulative across rows (and Adam7 passes)
 
     def to_gray(line: bytearray, npx: int) -> bytearray:
         if depth < 8:  # sub-byte gray or palette indices, MSB-first
@@ -263,7 +266,7 @@ def decode_png_gray(data: bytes, bilevel: bool = False) -> tuple[int, int, list[
                 raise ValueError("png: unknown filter type")
             prev = line
             gray = to_gray(line, pw)
-            if bilevel and any(32 < p < 224 for p in gray):
+            if bilevel and not gate.feed(gray):
                 raise ValueError("png: not a bilevel text render")
             yield gray
 
@@ -287,6 +290,36 @@ def decode_png_gray(data: bytes, bilevel: bool = False) -> tuple[int, int, list[
 # -- glyph matching -----------------------------------------------------------
 
 _INK = 128  # gray < _INK is ink (black text on white)
+
+
+def _count_mid(row) -> int:
+    return sum(1 for p in row if 32 < p < 224)
+
+
+class _BimodalGate:
+    """Streaming antialiasing gate (r4): accumulate mid-gray vs total
+    pixels scanline by scanline and abort as soon as mid-gray pixels
+    exceed HALF of everything seen. A photo or gradient is majority-mid
+    from its very first row, so it still bails after ~one scanline of
+    Python (the old any-mid-pixel rule's perf contract); an antialiased
+    text render keeps mid-gray on stroke edges only (measured ≤0.39
+    cumulative at margin 8, worst case incl. all-dash lines), so it
+    decodes through to the post-threshold exact grid matcher. A
+    per-ROW majority rule would not work: a blurred 2-px stroke row is
+    100% mid-gray — only the cumulative fraction separates the classes.
+    Requires the render to lead with background margin (ours use ≥4 px);
+    a margin-0 crop may bail to figure-only, which is the documented
+    exact-or-nothing containment, not a wrong answer."""
+
+    def __init__(self) -> None:
+        self.mid = 0
+        self.total = 0
+
+    def feed(self, row) -> bool:
+        """Accumulate one scanline; False = majority-mid so far, abort."""
+        self.mid += _count_mid(row)
+        self.total += len(row)
+        return self.mid * 2 <= self.total
 
 
 def _downsample(cells: list[list[bool]], s: int) -> tuple[str, ...] | None:
@@ -323,26 +356,30 @@ def ocr_png_text(data: bytes) -> list[str]:
 
 
 def _gif_palette_bilevel(data: bytes) -> bool:
-    """Cheap pre-gate: a rendered-text GIF's global palette holds only
-    near-black/near-white entries, so a photo (mid-gray palette) bails
-    after reading the header — BEFORE paying the pure-Python LZW decode.
+    """Cheap pre-gate: a rendered-text GIF's global palette is MAJORITY
+    near-black/near-white entries (antialiased renders add a minority of
+    edge tones), so a photo (mostly mid-gray palette) bails after
+    reading the header — BEFORE paying the pure-Python LZW decode.
     Conservative: no global palette → let the decoder decide."""
     if len(data) < 13 or not data[10] & 0x80:
         return True
     n = 2 << (data[10] & 0x07)
     pal = data[13:13 + 3 * n]
+    mid = total = 0
     for i in range(0, len(pal) - 2, 3):
         luma = (pal[i] * 299 + pal[i + 1] * 587 + pal[i + 2] * 114) // 1000
+        total += 1
         if 32 < luma < 224:
-            return False
-    return True
+            mid += 1
+    return mid * 2 <= total
 
 
 def _tiff_colormap_bilevel(data: bytes) -> bool:
     """Cheap pre-gate for palette TIFFs: a rendered-text image's ColorMap
-    holds only near-black/near-white entries, so a photo bails on the IFD
-    alone — before any strip decompression. Conservative: not palette /
-    unparseable → let the decoder decide (it has its own gates)."""
+    is MAJORITY near-black/near-white entries, so a photo bails on the
+    IFD alone — before any strip decompression. Conservative: not
+    palette / unparseable → let the decoder decide (it has its own
+    gates)."""
     from documentconvert_spark.kernels.raster import _tiff_ifd0
 
     try:
@@ -355,12 +392,13 @@ def _tiff_colormap_bilevel(data: bytes) -> bool:
     cmap = tags.get(320)
     if not cmap or len(cmap) != 3 * 256:
         return True
+    mid = 0
     for i in range(256):
         luma = ((cmap[i] >> 8) * 299 + (cmap[256 + i] >> 8) * 587
                 + (cmap[512 + i] >> 8) * 114) // 1000
         if 32 < luma < 224:
-            return False
-    return True
+            mid += 1
+    return mid * 2 <= 256
 
 
 def ocr_raster_text(data: bytes) -> list[str]:
@@ -390,8 +428,8 @@ def ocr_raster_text(data: bytes) -> list[str]:
             _fmt, w, h, gray = decode_raster_gray(data)
     except (ValueError, struct.error, IndexError):
         return []  # malformed / non-bilevel keeps the figure-only shape (C7)
-    if any(32 < p < 224 for row in gray for p in row):
-        return []  # not a bilevel render
+    if sum(_count_mid(row) for row in gray) * 2 > w * h:
+        return []  # majority-mid raster: a photo/gradient, not a text render
     return ocr_gray_text(w, h, gray)
 
 
@@ -412,8 +450,8 @@ def ocr_jpeg_text(data: bytes) -> list[str]:
         w, h, gray = decode_jpeg_gray(data)
     except (ValueError, struct.error):
         return []
-    if any(32 < p < 224 for row in gray for p in row):
-        return []  # not a bilevel render (e.g. a near-lossless photo)
+    if sum(_count_mid(row) for row in gray) * 2 > w * h:
+        return []  # majority-mid raster: a near-lossless photo, not text
     return ocr_gray_text(w, h, gray)
 
 

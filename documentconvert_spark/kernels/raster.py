@@ -508,9 +508,11 @@ def decode_tiff_gray(data: bytes,
     callers keep the figure-only containment path.
 
     With bilevel=True (the OCR pre-filter) decoding ABORTS at the first
-    strip containing a mid-gray pixel, so a multi-strip photo pays one
-    strip of decode instead of the full raster (single-strip photos
-    still pay their strip — the per-strip decode caps bound that)."""
+    strip containing a majority-mid-gray row, so a multi-strip photo
+    pays one strip of decode instead of the full raster (single-strip
+    photos still pay their strip — the per-strip decode caps bound
+    that); antialiased text renders, whose mid-gray sits only on stroke
+    edges, decode through."""
     if data[:4] == b"II*\x00":
         end = "<"
     elif data[:4] == b"MM\x00*":
@@ -567,6 +569,7 @@ def decode_tiff_gray(data: bytes,
         raise ValueError("tiff: strip offsets/counts mismatch")
     stride = (w * spp * bps + 7) // 8
     rows: list[bytearray] = []
+    _gate_mid = _gate_total = 0
     for si, (so, sc) in enumerate(zip(offs, counts)):
         if so + sc > len(data) or sc > MAX_DECODED_BYTES:
             raise ValueError("tiff: strip out of file")
@@ -605,8 +608,14 @@ def decode_tiff_gray(data: bytes,
                 row = line[:w]
                 if photo == 0:
                     row = bytearray(255 - v for v in row)
-            if bilevel and any(32 < p < 224 for p in row):
-                raise ValueError("tiff: not a bilevel text render")
+            # cumulative majority-mid = photo/gradient; mid-gray confined
+            # to antialiased stroke edges stays under half and decodes
+            # through (mirrors miniocr._BimodalGate)
+            if bilevel:
+                _gate_mid += sum(1 for p in row if 32 < p < 224)
+                _gate_total += len(row)
+                if _gate_mid * 2 > _gate_total:
+                    raise ValueError("tiff: not a bilevel text render")
             rows.append(row)
     if len(rows) < h:
         raise ValueError("tiff: missing strips")

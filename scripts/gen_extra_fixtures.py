@@ -611,7 +611,8 @@ def _tiff_encode(end: str, w: int, h: int, photo: int, strips: list[bytes],
     return hdr + bytes(body) + bytes(extra) + bytes(ifd)
 
 
-def render_text_tiff(lines: list[str], scale: int = 2, margin: int = 8) -> bytes:
+def render_text_tiff(lines: list[str], scale: int = 2, margin: int = 8,
+                     antialias: bool = False) -> bytes:
     """Rendered-text TIFF for the raster OCR route: big-endian,
     WhiteIsZero grayscale, LZW-compressed 16-row strips under the
     horizontal-differencing Predictor — one fixture drives the whole
@@ -622,6 +623,9 @@ def render_text_tiff(lines: list[str], scale: int = 2, margin: int = 8) -> bytes
     from documentconvert_spark.corpus import _render_text_grid
 
     w, h, grid = _render_text_grid(lines, scale, margin)
+    if antialias:
+        from documentconvert_spark.corpus import antialias_grid
+        grid = antialias_grid(grid)
     rps = 16
     strips = []
     for y0 in range(0, h, rps):
@@ -1023,12 +1027,15 @@ def encode_vp8l(w: int, h: int, argb: list[int], *, cache_bits: int = 0,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def render_text_webp(lines: list[str], scale: int = 2, margin: int = 8) -> bytes:
+def render_text_webp(lines: list[str], scale: int = 2, margin: int = 8,
+                     antialias: bool = False) -> bytes:
     """Rendered-text lossless WebP for the raster OCR route — exercises
     LZ77 runs, the color cache and subtract-green in one fixture."""
-    from documentconvert_spark.corpus import _render_text_grid
+    from documentconvert_spark.corpus import _render_text_grid, antialias_grid
 
     w, h, grid = _render_text_grid(lines, scale, margin)
+    if antialias:
+        grid = antialias_grid(grid)
     argb = [0xFF000000 | (p << 16) | (p << 8) | p for row in grid for p in row]
     return encode_vp8l(w, h, argb, cache_bits=4, lz77=True, subtract_green=True)
 
@@ -1041,6 +1048,32 @@ def _webp_fixture() -> bytes:
                | ((15 - i) * 17) for i in range(16)]
     argb = [palette[((x // 5) + (y // 5)) % 16] for y in range(h) for x in range(w)]
     return encode_vp8l(w, h, argb, palette=palette)
+
+
+AA_PNG_LINES = ["AA LABEL 2X", "SOFT EDGES OK"]
+AA_TIFF_LINES = ["RACK 12 BAY 3", "HANDLE WITH CARE"]
+AA_WEBP_LINES = ["SMOOTH TAG 77", "BLUR SCALE 3"]
+
+
+def aa_fixtures() -> dict[str, bytes]:
+    """Antialiased rendered-text images (r4 OCR generality increment):
+    the same 5×7 glyph grids soft-edged by corpus.antialias_grid, across
+    a lossless trio (PNG gray, TIFF WhiteIsZero+LZW+Predictor, VP8L
+    WebP). Thresholding at 128 recovers the source grid exactly, so the
+    decoded text is pinned in the golden like every strict render."""
+    from documentconvert_spark.corpus import (
+        _render_text_grid,
+        antialias_grid,
+        encode_gray_png,
+    )
+
+    w, h, grid = _render_text_grid(AA_PNG_LINES, 2, 8)
+    png = encode_gray_png(w, h, antialias_grid(grid))
+    return {
+        "fixture_ocr_aa_label.png": png,
+        "fixture_ocr_aa_plate.tiff": render_text_tiff(AA_TIFF_LINES, scale=2, antialias=True),
+        "fixture_ocr_aa_tag.webp": render_text_webp(AA_WEBP_LINES, scale=3, antialias=True),
+    }
 
 
 def _luma601(r: int, g: int, b: int) -> int:
@@ -1091,6 +1124,18 @@ def source_pixel_stats() -> dict[str, tuple[float, float, bool]]:
         ["MEMBER CARD 0042", "VALID: 2025/12-2026/11", "LEVEL = GOLD!"], 2)), False)
     out["fixture_ocr_scan.jpg"] = (*_stats(grid_lumas(
         ["DELIVERY SCAN 0731", "GATE B ROW 6"], 2)), False)
+
+    # antialiased renders: the SOURCE raster is the blurred grid itself
+    # (the blur is generator-side, so these stats stay decoder-independent)
+    from documentconvert_spark.corpus import antialias_grid
+
+    def aa_lumas(lines, scale):
+        _w, _h, grid = _render_text_grid(lines, scale, 8)
+        return [px for row in antialias_grid(grid) for px in row]
+
+    out["fixture_ocr_aa_label.png"] = (*_stats(aa_lumas(AA_PNG_LINES, 2)), True)
+    out["fixture_ocr_aa_plate.tiff"] = (*_stats(aa_lumas(AA_TIFF_LINES, 2)), True)
+    out["fixture_ocr_aa_tag.webp"] = (*_stats(aa_lumas(AA_WEBP_LINES, 3)), True)
 
     # color fixtures: rebuild the exact source arrays the builders emit
     pal8 = [(0, 0, 0), (255, 255, 255), (200, 30, 30), (30, 200, 30),
@@ -1147,6 +1192,11 @@ def main() -> None:
         "fixture_ocr_tag.webp": render_text_webp(
             ["LOT 4519 SHELF C", "BEST BY 2027-03"], scale=2),
         "fixture_swatch.webp": _webp_fixture(),
+        # antialiased renders (r4): 3x3 integer tent blur over the glyph
+        # grid — mid-gray stroke edges that the old any-mid-pixel gates
+        # rejected as figure-only; the cumulative bimodal gate + exact
+        # post-threshold grid match must decode the same text
+        **aa_fixtures(),
     }
     for name, data in fixtures.items():
         with open(os.path.join(OUT, name), "wb") as fh:
