@@ -402,11 +402,18 @@ def test_review_fixes_tiff_gif_audio_containment(spark):
     assert ocr_raster_text(gif) == []
     assert [s.kind for s in extract_image_any(gif)] == ["figure"]
 
-    # photo-palette GIF bails before the LZW decode (palette pre-gate)
+    # photo-palette GIF bails before the LZW decode (palette pre-gate).
+    # The gate is a MAJORITY rule since the antialiasing change: a
+    # minority of mid tones (edge pixels of a soft render) passes
+    # through to the post-threshold matcher, but a majority-mid palette
+    # (a photo) still bails on the header alone.
     from documentconvert_spark.kernels.miniocr import _gif_palette_bilevel
     photo_hdr = b"GIF89a" + _st.pack("<HH", 8, 8) + bytes([0x80 | 1, 0, 0]) \
-        + bytes((10, 10, 10, 128, 128, 128, 0, 0, 0, 255, 255, 255))
+        + bytes((100, 100, 100, 128, 128, 128, 160, 160, 160, 255, 255, 255))
     assert not _gif_palette_bilevel(photo_hdr)
+    aa_hdr = b"GIF89a" + _st.pack("<HH", 8, 8) + bytes([0x80 | 1, 0, 0]) \
+        + bytes((10, 10, 10, 128, 128, 128, 0, 0, 0, 255, 255, 255))
+    assert _gif_palette_bilevel(aa_hdr)
 
     # one corrupt audio blob must not fail the dedup stage
     from documentconvert_spark.queries_extraction import _audio_corpus
