@@ -16,6 +16,7 @@ F-FORMULA, F-MARKUP, F-XLSX, F-CJK, F-ENC, F-EMPTY, F-POISON, F-BIG.
 from __future__ import annotations
 
 import random
+import struct
 from dataclasses import dataclass, field
 
 from documentconvert_spark.kernels.minipdf import GAP_FACTOR
@@ -1023,6 +1024,86 @@ def render_avi(w: int, h: int, grids: list, fps: int = 10,
     movi = chunk(b"LIST", movi_body)
     riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
     return b"RIFF" + _st.pack("<I", len(riff_body)) + riff_body
+
+
+# -- MP4 (ISO-BMFF) motion-JPEG fixtures --------------------------------------
+# The reference sniffs MP4 container metadata only (no video decoder ships
+# in its pipeline); the engine carves MJPEG-in-MP4 sample tables so frame
+# pixels flow through the same real-codec surface as AVI. This writer
+# produces genuine ISO base-media files (ISO/IEC 14496-12: ftyp + mdat +
+# moov with a full stbl — stsd/stts/stsc/stsz/stco) carrying baseline-JPEG
+# 'jpeg' samples; kernels/media.decode_mp4_frames must get the pixels back
+# through an independent parse of the sample tables.
+
+_MP4_MATRIX = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                          0, 0, 0x40000000)
+
+
+def render_mp4_mjpeg(w: int, h: int, grids: list, fps: int = 10) -> bytes:
+    """Gray frame rasters → a complete MJPEG-in-MP4 file.
+
+    Samples are grouped two per chunk (odd trailing chunk of one) so the
+    decoder's stsc run expansion is exercised for real, not just the
+    degenerate one-sample-per-chunk layout. mdat precedes moov, so every
+    stco offset is known before the sample tables are serialized."""
+    import struct as _st
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return _st.pack(">I", len(body) + 8) + t + body
+
+    payloads = [encode_gray_jpeg(w, h, g) for g in grids]
+    n = len(payloads)
+    ftyp = box(b"ftyp", b"isom" + _st.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = box(b"mdat", b"".join(payloads))
+
+    # absolute file offsets of each sample (mdat body follows ftyp + header)
+    pos = len(ftyp) + 8
+    sample_offsets = []
+    for p in payloads:
+        sample_offsets.append(pos)
+        pos += len(p)
+    chunk_offsets = [sample_offsets[i] for i in range(0, n, 2)]
+
+    # VisualSampleEntry 'jpeg' (86 bytes: 14496-12 §12.1.3)
+    entry = (_st.pack(">I", 86) + b"jpeg" + bytes(6) + _st.pack(">H", 1)
+             + bytes(16)                      # pre_defined/reserved
+             + _st.pack(">HH", w, h)
+             + _st.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+             + _st.pack(">IH", 0, 1)          # reserved, frame_count
+             + bytes(32)                      # compressorname
+             + _st.pack(">Hh", 24, -1))       # depth, pre_defined
+    stsd = box(b"stsd", _st.pack(">II", 0, 1) + entry)
+    delta, timescale = 100, fps * 100
+    stts = box(b"stts", _st.pack(">IIII", 0, 1, n, delta))
+    runs = [(1, 1, 1)] if n == 1 else [(1, 2, 1)]
+    if n > 1 and n % 2:
+        runs.append((n // 2 + 1, 1, 1))
+    stsc = box(b"stsc", _st.pack(">II", 0, len(runs))
+               + b"".join(_st.pack(">III", *r) for r in runs))
+    stsz = box(b"stsz", _st.pack(">III", 0, 0, n)
+               + b"".join(_st.pack(">I", len(p)) for p in payloads))
+    stco = box(b"stco", _st.pack(">II", 0, len(chunk_offsets))
+               + b"".join(_st.pack(">I", o) for o in chunk_offsets))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = box(b"vmhd", _st.pack(">I", 1) + bytes(8))
+    dinf = box(b"dinf", box(b"dref", _st.pack(">II", 0, 1)
+                            + box(b"url ", _st.pack(">I", 1))))
+    minf = box(b"minf", vmhd + dinf + stbl)
+    dur = n * delta
+    mdhd = box(b"mdhd", _st.pack(">IIIII", 0, 0, 0, timescale, dur)
+               + _st.pack(">HH", 0x55C4, 0))
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"VideoHandler\x00")
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    mv_dur = n * 1000 // fps  # movie timescale is 1000
+    tkhd = box(b"tkhd", _st.pack(">IIIIII", 7, 0, 0, 1, 0, mv_dur)
+               + bytes(8) + _st.pack(">HHHH", 0, 0, 0, 0) + _MP4_MATRIX
+               + _st.pack(">II", w << 16, h << 16))
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(b"mvhd", _st.pack(">IIIII", 0, 0, 0, 1000, mv_dur)
+               + _st.pack(">IHH", 0x00010000, 0x0100, 0) + bytes(8)
+               + _MP4_MATRIX + bytes(24) + _st.pack(">I", 2))
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
 
 
 # -- FLAC audio fixtures (generator side of the audio-decode split) ----------

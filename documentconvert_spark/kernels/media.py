@@ -462,6 +462,181 @@ def decode_avi_frames(data: bytes, max_pixels: int | None = None
     return width, height, fps, frames
 
 
+def _iso_boxes(data: bytes, lo: int, hi: int):
+    """Yield (fourcc, body_lo, body_hi) for ISO-BMFF boxes in [lo, hi);
+    handles 64-bit largesize (size==1) and to-end (size==0) boxes. Stops
+    at the first malformed header rather than raising — callers decide
+    whether what they found so far is enough."""
+    i = lo
+    while i + 8 <= hi:
+        size = int.from_bytes(data[i:i + 4], "big")
+        btype = data[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > hi:
+                return
+            size = int.from_bytes(data[i + 8:i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = hi - i
+        if size < hdr:
+            return
+        yield btype, i + hdr, min(i + size, hi)
+        i += size
+
+
+_MP4_JPEG_CODECS = (b"jpeg", b"mjpa", b"mjpb")
+
+
+def decode_mp4_frames(data: bytes, max_pixels: int | None = None
+                      ) -> tuple[int, int, float, list[list[bytearray]]]:
+    """MP4/ISO-BMFF bytes → (width, height, fps, frames of 8-bit gray rows).
+
+    The MJPEG-in-MP4 leg of the real-codec video path (AVI's sibling,
+    same return shape): walks moov→trak→mdia→minf→stbl per ISO/IEC
+    14496-12, takes the first video ('vide' handler) track whose stsd
+    sample entry is a motion-JPEG codec ('jpeg'/'mjpa'/'mjpb'), expands
+    the sample tables — stsc runs → sample-per-chunk counts, stsz sizes,
+    stco/co64 chunk offsets — and decodes every carved sample through the
+    from-scratch baseline-JPEG decoder (kernels/minijpeg.py). fps comes
+    from the mdhd timescale over the first stts delta. Frame pixels are
+    charged against ONE per-document budget BEFORE each decode and the
+    frame count is capped at _MAX_AVI_FRAMES, exactly like the AVI
+    walker. Inter-frame codecs (avc1/vp09/hev1 …) have no from-scratch
+    decoder: ValueError containment (C7), never a wrong decode."""
+    from documentconvert_spark.kernels.minijpeg import (
+        _MAX_PIXELS_DEFAULT, decode_jpeg_gray)
+
+    if max_pixels is None:
+        max_pixels = _MAX_PIXELS_DEFAULT
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("mp4: not an ISO-BMFF file")
+
+    seen_codecs: list[bytes] = []
+
+    def video_track(moov_lo: int, moov_hi: int):
+        """First trak with a 'vide' handler and an MJPEG stsd entry →
+        (width, height, timescale, stbl bounds)."""
+        for t, lo, hi in _iso_boxes(data, moov_lo, moov_hi):
+            if t != b"trak":
+                continue
+            for t2, lo2, hi2 in _iso_boxes(data, lo, hi):
+                if t2 != b"mdia":
+                    continue
+                timescale, is_vide, stbl = 0, False, None
+                for t3, lo3, hi3 in _iso_boxes(data, lo2, hi2):
+                    if t3 == b"mdhd" and hi3 - lo3 >= 20:
+                        ver = data[lo3]
+                        off = lo3 + (20 if ver == 1 else 12)
+                        timescale = int.from_bytes(data[off:off + 4], "big")
+                    elif t3 == b"hdlr" and hi3 - lo3 >= 12:
+                        is_vide = data[lo3 + 8:lo3 + 12] == b"vide"
+                    elif t3 == b"minf":
+                        for t4, lo4, hi4 in _iso_boxes(data, lo3, hi3):
+                            if t4 == b"stbl":
+                                stbl = (lo4, hi4)
+                if not (is_vide and stbl):
+                    continue
+                for t4, lo4, hi4 in _iso_boxes(data, *stbl):
+                    if t4 == b"stsd" and hi4 - lo4 >= 24:
+                        fourcc = data[lo4 + 12:lo4 + 16]
+                        if fourcc in _MP4_JPEG_CODECS:
+                            w = int.from_bytes(data[lo4 + 40:lo4 + 42], "big")
+                            h = int.from_bytes(data[lo4 + 42:lo4 + 44], "big")
+                            return w, h, timescale, stbl
+                        seen_codecs.append(fourcc)
+        return None
+
+    moov = next(((lo, hi) for t, lo, hi in _iso_boxes(data, 0, len(data))
+                 if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    track = video_track(*moov)
+    if track is None:
+        if seen_codecs:
+            raise ValueError("mp4: no decoder for codec "
+                             + seen_codecs[0].decode("ascii", "replace"))
+        raise ValueError("mp4: no video track")
+    width, height, timescale, (stbl_lo, stbl_hi) = track
+    if not width or not height:
+        raise ValueError("mp4: zero-sized video track")
+
+    sizes: list[int] | None = None
+    chunk_offs: list[int] = []
+    stsc_runs: list[tuple[int, int]] = []
+    fps = 0.0
+    for t, lo, hi in _iso_boxes(data, stbl_lo, stbl_hi):
+        body = data[lo:hi]
+        if t == b"stsz" and len(body) >= 12:
+            fixed = int.from_bytes(body[4:8], "big")
+            n = int.from_bytes(body[8:12], "big")
+            if fixed:
+                sizes = [fixed] * n
+            else:
+                if len(body) < 12 + 4 * n:
+                    raise ValueError("mp4: stsz shorter than its count")
+                sizes = [int.from_bytes(body[12 + 4 * i:16 + 4 * i], "big")
+                         for i in range(n)]
+        elif t in (b"stco", b"co64") and len(body) >= 8:
+            n = int.from_bytes(body[4:8], "big")
+            w8 = 8 if t == b"co64" else 4
+            if len(body) < 8 + w8 * n:
+                raise ValueError("mp4: chunk-offset table truncated")
+            chunk_offs = [int.from_bytes(body[8 + w8 * i:8 + w8 * (i + 1)],
+                                         "big") for i in range(n)]
+        elif t == b"stsc" and len(body) >= 8:
+            n = int.from_bytes(body[4:8], "big")
+            if len(body) < 8 + 12 * n:
+                raise ValueError("mp4: stsc table truncated")
+            stsc_runs = [
+                (int.from_bytes(body[8 + 12 * i:12 + 12 * i], "big"),
+                 int.from_bytes(body[12 + 12 * i:16 + 12 * i], "big"))
+                for i in range(n)
+            ]
+        elif t == b"stts" and len(body) >= 16:
+            delta = int.from_bytes(body[12:16], "big")
+            if timescale and delta:
+                fps = timescale / delta
+    if not sizes or not chunk_offs or not stsc_runs:
+        raise ValueError("mp4: incomplete sample tables")
+    if len(sizes) > _MAX_AVI_FRAMES:
+        raise ValueError("mp4: frame count over cap")
+
+    # expand stsc runs → per-chunk sample counts, walk chunks carving
+    # consecutive samples; stop once every stsz entry is placed
+    frames: list[list[bytearray]] = []
+    pixel_budget = max_pixels
+    sample = 0
+    run_idx = 0
+    for chunk_no in range(1, len(chunk_offs) + 1):
+        while (run_idx + 1 < len(stsc_runs)
+               and stsc_runs[run_idx + 1][0] <= chunk_no):
+            run_idx += 1
+        per_chunk = stsc_runs[run_idx][1]
+        off = chunk_offs[chunk_no - 1]
+        for _ in range(per_chunk):
+            if sample >= len(sizes):
+                break
+            size = sizes[sample]
+            if off + size > len(data):
+                raise ValueError("mp4: sample range outside the file")
+            pixel_budget -= width * height
+            if pixel_budget < 0:
+                raise ValueError("mp4: decoded pixels over budget")
+            fw, fh, rows = decode_jpeg_gray(bytes(data[off:off + size]),
+                                            max_pixels=max_pixels)
+            if (fw, fh) != (width, height):
+                raise ValueError("mp4: frame size disagrees with stsd")
+            frames.append(rows)
+            off += size
+            sample += 1
+    if sample < len(sizes):
+        raise ValueError("mp4: chunk tables place fewer samples than stsz")
+    if not frames:
+        raise ValueError("mp4: no video frames")
+    return width, height, fps, frames
+
+
 def decode_wav_samples(data: bytes) -> tuple[int, int, "array.array"]:
     """RIFF/WAVE PCM bytes → (sample_rate, channels, mono int16 samples).
 

@@ -123,8 +123,10 @@ def _codec_decode(media_type: str, content: bytes):
       streams (kernels/miniflac.decode_flac_samples)
     * video → ("video", (width, height, fps, frames)) for RIFF/AVI with
       MJPG (baseline JPEG) or uncompressed BI_RGB DIB frames
-      (kernels/media.decode_avi_frames); modern inter-frame codecs
-      (H.264/VP9) have no from-scratch decoder and raise ValueError.
+      (kernels/media.decode_avi_frames) and for MJPEG-in-MP4 via the
+      ISO-BMFF sample-table carver (decode_mp4_frames); modern
+      inter-frame codecs (H.264/VP9) have no from-scratch decoder and
+      raise ValueError.
 
     ValueError for formats without a decoder (lossy webp/mp3/...) —
     per-row containment upstream, same contract as every kernel.
@@ -143,6 +145,10 @@ def _codec_decode(media_type: str, content: bytes):
 
         return "audio", decode_wav_samples(content)
     if media_type == "video":
+        if content[4:8] == b"ftyp":
+            from documentconvert_spark.kernels.media import decode_mp4_frames
+
+            return "video", decode_mp4_frames(content)
         from documentconvert_spark.kernels.media import decode_avi_frames
 
         return "video", decode_avi_frames(content)
@@ -381,7 +387,8 @@ VIDEO_FRAMES_SCHEMA = T.StructType(
 
 def real_video_frame_stats(videos: DataFrame) -> DataFrame:
     """Decode REAL video bytes to FRAMES (from-scratch RIFF/AVI walker +
-    MJPG/DIB frame decoders — kernels/media.decode_avi_frames — or the
+    MJPG/DIB frame decoders — kernels/media.decode_avi_frames — the
+    ISO-BMFF MJPEG-in-MP4 sample-table carver, decode_mp4_frames, or the
     animated-GIF compositor, kernels/raster.decode_gif_frames, routed by
     magic) and emit one row per frame with its dark-pixel count.
     `n_dark` at threshold 128 is exactly oracle-checkable on bilevel
@@ -395,7 +402,8 @@ def real_video_frame_stats(videos: DataFrame) -> DataFrame:
     against a per-document budget inside the kernel."""
     import numpy as np
 
-    from documentconvert_spark.kernels.media import decode_avi_frames
+    from documentconvert_spark.kernels.media import (
+        decode_avi_frames, decode_mp4_frames)
     from documentconvert_spark.kernels.raster import decode_gif_frames
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -407,6 +415,8 @@ def real_video_frame_stats(videos: DataFrame) -> DataFrame:
                     data = bytes(blob)
                     if data[:6] in (b"GIF87a", b"GIF89a"):
                         w, h, frames = decode_gif_frames(data)
+                    elif data[4:8] == b"ftyp":
+                        w, h, _fps, frames = decode_mp4_frames(data)
                     else:
                         w, h, _fps, frames = decode_avi_frames(data)
                     for i, fr in enumerate(frames):

@@ -921,8 +921,10 @@ def _real_video_fixtures() -> tuple[list[tuple[str, bytes]], list[tuple]]:
     # containment rows: exact error strings are part of the contract
     raw.append(("vid-004", b"RIFF\x04\x00\x00\x00AVI "))
     exp.append(("vid-004", -1, None, None, None, "avi: no video frames"))
+    # ftyp routes to the MP4 walker since the MJPEG-in-MP4 leg landed;
+    # a bare ftyp with no moov is containment there, not an AVI error
     raw.append(("vid-005", b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16))
-    exp.append(("vid-005", -1, None, None, None, "avi: not a RIFF/AVI file"))
+    exp.append(("vid-005", -1, None, None, None, "mp4: no moov box"))
     return raw, exp
 
 
@@ -1645,6 +1647,111 @@ FROM read_parquet('{EXPECTED_GIF_FRAMES_PARQUET}')
 """
 
 
+# ------------------------------------------------------------ real MP4 frames
+# MJPEG-in-MP4 carving (r3 verdict ask #7): the reference stops at MP4
+# container metadata (services/document_service sniffs boxes only); the
+# engine walks the full ISO-BMFF sample tables (stsd/stts/stsc/stsz/stco)
+# and decodes 'jpeg' samples through the from-scratch JPEG decoder, so
+# frame pixels flow through the SAME surface as AVI/GIF. Dark counts are
+# exact through the near-lossless MJPG path (±2 reconstruction bound
+# never crosses the 128 threshold on bilevel sources); inter-frame codecs
+# (avc1 …) pin their exact containment strings.
+
+EXPECTED_MP4_FRAMES_PARQUET = os.path.join(_RES_DIR, "expected_mp4_frames.parquet")
+
+
+def _real_mp4_fixtures() -> tuple[list[tuple[str, bytes]], list[tuple]]:
+    """→ (raw (doc_id, content) rows, expected (doc_id, frame_idx, width,
+    height, n_dark, error) rows derived from the source grids)."""
+    from documentconvert_spark.corpus import render_mp4_mjpeg
+
+    raw: list[tuple[str, bytes]] = []
+    exp: list[tuple] = []
+
+    def add(doc_id: str, w: int, h: int, grids: list, fps: int) -> None:
+        raw.append((doc_id, render_mp4_mjpeg(w, h, grids, fps=fps)))
+        for i, g in enumerate(grids):
+            n_dark = sum(1 for row in g for v in row if v < 128)
+            exp.append((doc_id, i, w, h, n_dark, None))
+
+    def box_frames(w: int, h: int, n: int) -> list:
+        out = []
+        for f in range(n):
+            g = [bytearray([255] * w) for _ in range(h)]
+            side = 4 + 2 * f
+            for y in range(2, min(2 + side, h - 2)):
+                for x in range(2 + f, min(2 + f + side, w - 2)):
+                    g[y][x] = 0
+            out.append(g)
+        return out
+
+    def band_frames(w: int, h: int, n: int) -> list:
+        return [
+            [bytearray([0] * w) if y < f + 2 else bytearray([255] * w)
+             for y in range(h)]
+            for f in range(n)
+        ]
+
+    add("mp4-000", 48, 32, box_frames(48, 32, 6), 12)   # even: 2/chunk runs
+    add("mp4-001", 37, 21, band_frames(37, 21, 5), 5)   # odd: trailing 1-run
+    add("mp4-002", 24, 24, box_frames(24, 24, 1), 25)   # single sample
+    add("mp4-003", 40, 16, band_frames(40, 16, 4), 8)
+    # containment rows: exact error strings are part of the contract
+    one = render_mp4_mjpeg(16, 16, box_frames(16, 16, 1), fps=10)
+    avc = one.replace(b"\x00\x00\x00\x56jpeg", b"\x00\x00\x00\x56avc1", 1)
+    assert avc != one, "stsd entry signature not found"
+    raw.append(("mp4-004", avc))
+    exp.append(("mp4-004", -1, None, None, None, "mp4: no decoder for codec avc1"))
+    raw.append(("mp4-005", b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16))
+    exp.append(("mp4-005", -1, None, None, None, "mp4: no moov box"))
+    return raw, exp
+
+
+def _ensure_mp4_frames_parquet() -> None:
+    if os.path.exists(EXPECTED_MP4_FRAMES_PARQUET):
+        return
+    os.makedirs(_RES_DIR, exist_ok=True)
+    _raw, exp = _real_mp4_fixtures()
+    cols = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "n_dark", "error")}
+    for did, idx, w, h, nd, err in exp:
+        cols["doc_id"].append(did)
+        cols["frame_idx"].append(idx)
+        cols["width"].append(w)
+        cols["height"].append(h)
+        cols["n_dark"].append(nd)
+        cols["error"].append(err)
+    pq.write_table(
+        pa.table(cols, schema=pa.schema([
+            ("doc_id", pa.string()), ("frame_idx", pa.int32()),
+            ("width", pa.int32()), ("height", pa.int32()),
+            ("n_dark", pa.int32()), ("error", pa.string()),
+        ])),
+        EXPECTED_MP4_FRAMES_PARQUET,
+    )
+
+
+def q_real_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 decoded to FRAMES: ISO-BMFF sample tables walked and
+    every MJPEG sample decoded to pixels by the from-scratch kernel
+    (kernels/media.decode_mp4_frames) — the MP4 analogue of
+    real_video_frames, closing the r3 verdict's MP4-frame decision in
+    favor of carving. Reference parity point: the reference's MP4
+    handling stops at metadata sniffing; frames are engine surface
+    beyond parity for the training-data tier."""
+    from documentconvert_spark.ops.multimodal import real_video_frame_stats
+
+    _ensure_mp4_frames_parquet()
+    raw, _exp = _real_mp4_fixtures()
+    videos = spark.createDataFrame(raw, "doc_id string, content binary")
+    return real_video_frame_stats(videos)
+
+
+SQL_REAL_MP4_FRAMES = f"""
+SELECT doc_id, frame_idx, width, height, n_dark, error
+FROM read_parquet('{EXPECTED_MP4_FRAMES_PARQUET}')
+"""
+
+
 EXTRACTION_QUERIES: dict[str, tuple] = {
     "real_av_meta": (q_real_av_meta, SQL_REAL_AV_META),
     "real_video_frames": (q_real_video_frames, SQL_REAL_VIDEO_FRAMES),
@@ -1653,6 +1760,7 @@ EXTRACTION_QUERIES: dict[str, tuple] = {
     "dedup_audio_fingerprint": (q_dedup_audio_fingerprint, SQL_DEDUP_AUDIO_FINGERPRINT),
     "dedup_image_phash": (q_dedup_image_phash, SQL_DEDUP_IMAGE_PHASH),
     "real_gif_frames": (q_real_gif_frames, SQL_REAL_GIF_FRAMES),
+    "real_mp4_frames": (q_real_mp4_frames, SQL_REAL_MP4_FRAMES),
     "real_video_keyframes": (q_real_video_keyframes, SQL_REAL_VIDEO_KEYFRAMES),
     "real_image_meta": (q_real_image_meta, SQL_REAL_IMAGE_META),
     "dedup_span_paragraphs": (q_dedup_span_paragraphs, SQL_DEDUP_SPAN_PARAGRAPHS),

@@ -496,3 +496,106 @@ def test_gif_animation_containment():
     many = encode_gif_anim(4, 4, [{"idx": [1] * 16} for _ in range(9)], pal, 2)
     with pytest.raises(ValueError, match="frame count over cap"):
         decode_gif_frames(many, max_frames=8)
+
+
+# ---------------------------------------------------------------- MP4 carving
+
+def _mp4_box_frames(w, h, n):
+    out = []
+    for f in range(n):
+        g = [bytearray([255] * w) for _ in range(h)]
+        side = 4 + 2 * f
+        for y in range(2, min(2 + side, h - 2)):
+            for x in range(2 + f, min(2 + f + side, w - 2)):
+                g[y][x] = 0
+        out.append(g)
+    return out
+
+
+def test_mp4_mjpeg_roundtrip_near_lossless():
+    from documentconvert_spark.corpus import render_mp4_mjpeg
+    from documentconvert_spark.kernels.media import _mp4_meta, decode_mp4_frames
+
+    for n in (1, 2, 5, 6):  # 1 exercises the single-run stsc; 5 the odd tail
+        grids = _mp4_box_frames(48, 32, n)
+        blob = render_mp4_mjpeg(48, 32, grids, fps=12)
+        w, h, fps, frames = decode_mp4_frames(blob)
+        assert (w, h, len(frames)) == (48, 32, n)
+        assert abs(fps - 12) < 1e-9
+        for g, fr in zip(grids, frames):
+            assert all(abs(a - b) <= 2 for r0, r1 in zip(g, fr)
+                       for a, b in zip(r0, r1))
+        # the metadata sniffer agrees with the carver on the same bytes
+        assert _mp4_meta(blob) == ("mp4", 48, 32, n * 1000 // 12)
+
+
+def test_mp4_co64_offsets_decoded():
+    import struct as _st
+
+    from documentconvert_spark.corpus import render_mp4_mjpeg
+    from documentconvert_spark.kernels.media import decode_mp4_frames
+
+    grids = _mp4_box_frames(24, 24, 3)
+    blob = render_mp4_mjpeg(24, 24, grids, fps=10)
+    # rewrite the stco box into an equivalent co64 (8-byte offsets)
+    i = blob.index(b"stco")
+    size = int.from_bytes(blob[i - 4:i], "big")
+    body = blob[i + 4:i - 4 + size]
+    n = int.from_bytes(body[4:8], "big")
+    offs = [int.from_bytes(body[8 + 4 * k:12 + 4 * k], "big") for k in range(n)]
+    co64_body = body[:8] + b"".join(_st.pack(">Q", o) for o in offs)
+    co64 = _st.pack(">I", len(co64_body) + 8) + b"co64" + co64_body
+    grown = len(co64) - size
+    out = bytearray(blob[:i - 4] + co64 + blob[i - 4 + size:])
+    # grow every enclosing box header (stbl/minf/mdia/trak/moov)
+    for cc in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        j = out.index(cc)
+        _st.pack_into(">I", out, j - 4,
+                      int.from_bytes(out[j - 4:j], "big") + grown)
+    w, h, _fps, frames = decode_mp4_frames(bytes(out))
+    assert (w, h, len(frames)) == (24, 24, 3)
+
+
+def test_mp4_containment_paths():
+    import pytest
+
+    from documentconvert_spark.corpus import render_mp4_mjpeg
+    from documentconvert_spark.kernels.media import decode_mp4_frames
+
+    one = render_mp4_mjpeg(16, 16, _mp4_box_frames(16, 16, 1), fps=10)
+    # unsupported codec is named, not misdecoded
+    avc = one.replace(b"\x00\x00\x00\x56jpeg", b"\x00\x00\x00\x56avc1", 1)
+    with pytest.raises(ValueError, match="no decoder for codec avc1"):
+        decode_mp4_frames(avc)
+    with pytest.raises(ValueError, match="not an ISO-BMFF file"):
+        decode_mp4_frames(b"RIFF\x00\x00\x00\x00AVI ")
+    with pytest.raises(ValueError, match="no moov box"):
+        decode_mp4_frames(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)
+    # pixel budget charged BEFORE the frame decode
+    with pytest.raises(ValueError, match="decoded pixels over budget"):
+        decode_mp4_frames(render_mp4_mjpeg(16, 16, _mp4_box_frames(16, 16, 4),
+                                           fps=10), max_pixels=16 * 16 * 2)
+    # a sample range pointing outside the file is rejected, not sliced short
+    import struct as _st
+
+    bad = bytearray(render_mp4_mjpeg(16, 16, _mp4_box_frames(16, 16, 2), fps=10))
+    i = bad.index(b"stco")
+    _st.pack_into(">I", bad, i + 12, len(bad) + 100)  # first chunk offset
+    with pytest.raises(ValueError, match="sample range outside the file"):
+        decode_mp4_frames(bytes(bad))
+
+
+def test_mp4_routed_through_video_stats_surface(spark):
+    from documentconvert_spark.corpus import render_mp4_mjpeg
+    from documentconvert_spark.ops.multimodal import real_video_frame_stats
+
+    grids = _mp4_box_frames(32, 24, 2)
+    rows = [("m-0", render_mp4_mjpeg(32, 24, grids, fps=10)),
+            ("m-1", b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)]
+    df = spark.createDataFrame(rows, "doc_id string, content binary")
+    got = {(r.doc_id, r.frame_idx): (r.width, r.height, r.n_dark, r.error)
+           for r in real_video_frame_stats(df).collect()}
+    exp_dark = [sum(1 for row in g for v in row if v < 128) for g in grids]
+    assert got[("m-0", 0)] == (32, 24, exp_dark[0], None)
+    assert got[("m-0", 1)] == (32, 24, exp_dark[1], None)
+    assert got[("m-1", -1)] == (None, None, None, "mp4: no moov box")
