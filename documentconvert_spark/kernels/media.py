@@ -250,30 +250,41 @@ def extract_media_files(content: bytes) -> list[tuple[str, bytes]]:
 # this is the inventory pass a training pipeline runs over opaque media
 # columns before any decode.
 
+def _iso_boxes(data: bytes, lo: int, hi: int):
+    """Yield (fourcc, body_lo, body_hi) for ISO-BMFF boxes in [lo, hi);
+    handles 64-bit largesize (size==1) and to-end (size==0) boxes. Stops
+    at the first malformed header rather than raising — callers decide
+    whether what they found so far is enough."""
+    i = lo
+    while i + 8 <= hi:
+        size = int.from_bytes(data[i:i + 4], "big")
+        btype = data[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > hi:
+                return
+            size = int.from_bytes(data[i + 8:i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = hi - i
+        if size < hdr:
+            return
+        yield btype, i + hdr, min(i + size, hi)
+        i += size
+
+
 def _mp4_meta(data: bytes):
-    """Walk top-level ISO-BMFF boxes; moov/mvhd gives duration,
-    moov/trak/tkhd gives presentation width/height (16.16 fixed)."""
+    """Walk top-level ISO-BMFF boxes (_iso_boxes, shared with the frame
+    carver); moov/mvhd gives duration, moov/trak/tkhd gives presentation
+    width/height (16.16 fixed)."""
     dur_ms = None
     width = height = None
 
     def walk(lo: int, hi: int, depth: int = 0):
         nonlocal dur_ms, width, height
-        i = lo
-        while i + 8 <= hi and depth < 6:
-            size = int.from_bytes(data[i:i + 4], "big")
-            btype = data[i + 4:i + 8]
-            hdr = 8
-            if size == 1:
-                if i + 16 > hi:
-                    return
-                size = int.from_bytes(data[i + 8:i + 16], "big")
-                hdr = 16
-            elif size == 0:
-                size = hi - i
-            if size < hdr:
-                return
-            body = i + hdr
-            end = min(i + size, hi)
+        if depth >= 6:
+            return
+        for btype, body, end in _iso_boxes(data, lo, hi):
             if btype in (b"moov", b"trak", b"mdia"):
                 walk(body, end, depth + 1)
             elif btype == b"mvhd" and body < end:
@@ -300,7 +311,6 @@ def _mp4_meta(data: bytes):
                     h = int.from_bytes(data[off + 4:off + 8], "big") >> 16
                     if w and h:
                         width, height = w, h
-            i += size
 
     walk(0, len(data))
     return "mp4", width, height, dur_ms
@@ -462,29 +472,6 @@ def decode_avi_frames(data: bytes, max_pixels: int | None = None
     return width, height, fps, frames
 
 
-def _iso_boxes(data: bytes, lo: int, hi: int):
-    """Yield (fourcc, body_lo, body_hi) for ISO-BMFF boxes in [lo, hi);
-    handles 64-bit largesize (size==1) and to-end (size==0) boxes. Stops
-    at the first malformed header rather than raising — callers decide
-    whether what they found so far is enough."""
-    i = lo
-    while i + 8 <= hi:
-        size = int.from_bytes(data[i:i + 4], "big")
-        btype = data[i + 4:i + 8]
-        hdr = 8
-        if size == 1:
-            if i + 16 > hi:
-                return
-            size = int.from_bytes(data[i + 8:i + 16], "big")
-            hdr = 16
-        elif size == 0:
-            size = hi - i
-        if size < hdr:
-            return
-        yield btype, i + hdr, min(i + size, hi)
-        i += size
-
-
 _MP4_JPEG_CODECS = (b"jpeg", b"mjpa", b"mjpb")
 
 
@@ -525,10 +512,14 @@ def decode_mp4_frames(data: bytes, max_pixels: int | None = None
                     continue
                 timescale, is_vide, stbl = 0, False, None
                 for t3, lo3, hi3 in _iso_boxes(data, lo2, hi2):
-                    if t3 == b"mdhd" and hi3 - lo3 >= 20:
+                    if t3 == b"mdhd" and hi3 - lo3 >= 4:
                         ver = data[lo3]
+                        # guard covers the FURTHEST byte read (v1
+                        # timescale ends at +24): a truncated box must
+                        # never read the next box's bytes as a timescale
                         off = lo3 + (20 if ver == 1 else 12)
-                        timescale = int.from_bytes(data[off:off + 4], "big")
+                        if off + 4 <= hi3:
+                            timescale = int.from_bytes(data[off:off + 4], "big")
                     elif t3 == b"hdlr" and hi3 - lo3 >= 12:
                         is_vide = data[lo3 + 8:lo3 + 12] == b"vide"
                     elif t3 == b"minf":
@@ -538,9 +529,11 @@ def decode_mp4_frames(data: bytes, max_pixels: int | None = None
                 if not (is_vide and stbl):
                     continue
                 for t4, lo4, hi4 in _iso_boxes(data, *stbl):
-                    if t4 == b"stsd" and hi4 - lo4 >= 24:
+                    if t4 == b"stsd" and hi4 - lo4 >= 16:
                         fourcc = data[lo4 + 12:lo4 + 16]
                         if fourcc in _MP4_JPEG_CODECS:
+                            if hi4 - lo4 < 44:  # width/height end at +44
+                                continue  # short entry: unusable track
                             w = int.from_bytes(data[lo4 + 40:lo4 + 42], "big")
                             h = int.from_bytes(data[lo4 + 42:lo4 + 44], "big")
                             return w, h, timescale, stbl
@@ -570,6 +563,10 @@ def decode_mp4_frames(data: bytes, max_pixels: int | None = None
         if t == b"stsz" and len(body) >= 12:
             fixed = int.from_bytes(body[4:8], "big")
             n = int.from_bytes(body[8:12], "big")
+            # cap BEFORE the [fixed]*n allocation: a 20-byte stsz can
+            # declare 2^32-1 samples — containment, not a 34 GB list
+            if n > _MAX_AVI_FRAMES:
+                raise ValueError("mp4: frame count over cap")
             if fixed:
                 sizes = [fixed] * n
             else:
@@ -599,8 +596,6 @@ def decode_mp4_frames(data: bytes, max_pixels: int | None = None
                 fps = timescale / delta
     if not sizes or not chunk_offs or not stsc_runs:
         raise ValueError("mp4: incomplete sample tables")
-    if len(sizes) > _MAX_AVI_FRAMES:
-        raise ValueError("mp4: frame count over cap")
 
     # expand stsc runs → per-chunk sample counts, walk chunks carving
     # consecutive samples; stop once every stsz entry is placed

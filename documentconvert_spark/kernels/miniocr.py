@@ -132,13 +132,14 @@ def decode_png_gray(data: bytes, bilevel: bool = False) -> tuple[int, int, list[
     samples fold to their high byte.
 
     With bilevel=True the decode is an OCR pre-filter: inflation is
-    streamed row by row and ABORTS on the first scanline that is
-    majority mid-gray (_row_bimodal). A photo (the overwhelming majority
-    of real-world PNGs) fails within its first scanline, so the
-    extraction hot path pays ~one row of Python per non-text PNG instead
-    of a full per-pixel raster decode; an ANTIALIASED text render —
-    mid-gray confined to stroke edges — passes through to the
-    post-threshold exact grid matcher."""
+    streamed row by row through the cumulative-majority _BimodalGate
+    and ABORTS once mid-gray pixels outweigh everything seen (or a
+    bounded run of majority-mid scanlines lands — a letterboxed photo).
+    A photo (the overwhelming majority of real-world PNGs) fails within
+    its first scanlines, so the extraction hot path pays a handful of
+    rows of Python per non-text PNG instead of a full per-pixel raster
+    decode; an ANTIALIASED text render — mid-gray confined to stroke
+    edges — passes through to the post-threshold exact grid matcher."""
     if data[:8] != _PNG_MAGIC:
         raise ValueError("png: bad magic")
     pos = 8
@@ -309,16 +310,37 @@ class _BimodalGate:
     100% mid-gray — only the cumulative fraction separates the classes.
     Requires the render to lead with background margin (ours use ≥4 px);
     a margin-0 crop may bail to figure-only, which is the documented
-    exact-or-nothing containment, not a wrong answer."""
+    exact-or-nothing containment, not a wrong answer.
+
+    The cumulative rule alone never trips for a photo whose leading
+    margin (letterbox, blown-out sky) outweighs its mid content, which
+    would silently downgrade the ~one-scanline perf contract to a full
+    decode. A RUN rule bounds that: _MAX_MID_RUN consecutive
+    majority-mid scanlines abort regardless of the cumulative fraction.
+    Text renders can't hit it — a majority-mid band is at most a blurred
+    glyph line (~glyph height + blur, ≤12 rows at render scale) before a
+    background gap resets the run — while any photo band trips it within
+    a fixed number of rows after the margin ends."""
+
+    _MAX_MID_RUN = 24
 
     def __init__(self) -> None:
         self.mid = 0
         self.total = 0
+        self.run = 0
 
     def feed(self, row) -> bool:
-        """Accumulate one scanline; False = majority-mid so far, abort."""
-        self.mid += _count_mid(row)
+        """Accumulate one scanline; False = photo/gradient so far, abort."""
+        m = _count_mid(row)
+        self.mid += m
         self.total += len(row)
+        # len >= 8 keeps sparse Adam7 pass rows from flapping the run
+        if len(row) >= 8 and m * 2 > len(row):
+            self.run += 1
+            if self.run >= self._MAX_MID_RUN:
+                return False
+        else:
+            self.run = 0
         return self.mid * 2 <= self.total
 
 
@@ -346,8 +368,9 @@ def _downsample(cells: list[list[bool]], s: int) -> tuple[str, ...] | None:
 def ocr_png_text(data: bytes) -> list[str]:
     """PNG bytes → decoded text lines, or [] when the image is not a
     clean grid rendering of the known font (the figure-only fallback).
-    The bilevel decode streams and aborts on the first gray pixel, so a
-    photo pays ~one scanline of Python."""
+    The bilevel decode streams through _BimodalGate and aborts once
+    mid-gray dominates, so a photo pays a few scanlines of Python while
+    an antialiased render reaches the post-threshold matcher."""
     try:
         w, h, gray = decode_png_gray(data, bilevel=True)
     except (ValueError, struct.error, zlib.error):
@@ -404,14 +427,14 @@ def _tiff_colormap_bilevel(data: bytes) -> bool:
 def ocr_raster_text(data: bytes) -> list[str]:
     """GIF/BMP/TIFF/WebP bytes → decoded text lines, or [] (figure-only
     fallback). All are lossless (lossy WebP raises inside the decoder),
-    so the exact grid matcher applies directly; any mid-gray pixel (a
-    photo, a gradient) bails out — reference ``image_to_markdown``
-    accepts bmp/tiff/webp alongside png/jpg
-    (`services/document_service.py:652-665`). Photo GIFs bail on the
-    palette alone (no LZW decode); palette TIFFs on the ColorMap alone,
-    and gray/RGB TIFFs abort at the first mid-gray strip; BMP and
-    lossless WebP pay their single-pass luma read, and the mid-gray scan
-    short-circuits on the first hit."""
+    so the exact grid matcher applies post-threshold; majority mid-gray
+    (a photo, a gradient) bails out via the shared _BimodalGate rule —
+    reference ``image_to_markdown`` accepts bmp/tiff/webp alongside
+    png/jpg (`services/document_service.py:652-665`). Photo GIFs bail on
+    the palette alone (no LZW decode); palette TIFFs on the ColorMap
+    alone, and gray/RGB TIFFs abort once mid-gray dominates the strips
+    seen; BMP and lossless WebP pay their single-pass luma read with the
+    same cumulative abort."""
     from documentconvert_spark.kernels.raster import (
         decode_raster_gray,
         decode_tiff_gray,

@@ -35,7 +35,7 @@ import struct
 
 from documentconvert_spark.kernels.limits import MAX_DECODED_BYTES
 from documentconvert_spark.kernels.minijpeg import _MAX_PIXELS_DEFAULT, decode_jpeg_gray
-from documentconvert_spark.kernels.miniocr import decode_png_gray
+from documentconvert_spark.kernels.miniocr import _BimodalGate, decode_png_gray
 
 
 def _pal_to_gray(pal: bytes, stride: int) -> list[int]:
@@ -569,7 +569,7 @@ def decode_tiff_gray(data: bytes,
         raise ValueError("tiff: strip offsets/counts mismatch")
     stride = (w * spp * bps + 7) // 8
     rows: list[bytearray] = []
-    _gate_mid = _gate_total = 0
+    gate = _BimodalGate()
     for si, (so, sc) in enumerate(zip(offs, counts)):
         if so + sc > len(data) or sc > MAX_DECODED_BYTES:
             raise ValueError("tiff: strip out of file")
@@ -608,14 +608,10 @@ def decode_tiff_gray(data: bytes,
                 row = line[:w]
                 if photo == 0:
                     row = bytearray(255 - v for v in row)
-            # cumulative majority-mid = photo/gradient; mid-gray confined
-            # to antialiased stroke edges stays under half and decodes
-            # through (mirrors miniocr._BimodalGate)
-            if bilevel:
-                _gate_mid += sum(1 for p in row if 32 < p < 224)
-                _gate_total += len(row)
-                if _gate_mid * 2 > _gate_total:
-                    raise ValueError("tiff: not a bilevel text render")
+            # photo/gradient aborts via the shared gate; mid-gray
+            # confined to antialiased stroke edges decodes through
+            if bilevel and not gate.feed(row):
+                raise ValueError("tiff: not a bilevel text render")
             rows.append(row)
     if len(rows) < h:
         raise ValueError("tiff: missing strips")

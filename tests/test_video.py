@@ -599,3 +599,82 @@ def test_mp4_routed_through_video_stats_surface(spark):
     assert got[("m-0", 0)] == (32, 24, exp_dark[0], None)
     assert got[("m-0", 1)] == (32, 24, exp_dark[1], None)
     assert got[("m-1", -1)] == (None, None, None, "mp4: no moov box")
+
+
+def test_mp4_stsz_declared_count_bomb_capped():
+    import struct as _st
+
+    import pytest
+
+    from documentconvert_spark.corpus import render_mp4_mjpeg
+    from documentconvert_spark.kernels.media import decode_mp4_frames
+
+    # a 20-byte stsz can DECLARE 2^32-1 fixed-size samples; the cap must
+    # bind before the [fixed]*n allocation, not after
+    bad = bytearray(render_mp4_mjpeg(16, 16, _mp4_box_frames(16, 16, 2), fps=10))
+    i = bad.index(b"stsz")
+    _st.pack_into(">II", bad, i + 8, 1, 0xFFFFFFFF)  # fixed=1, count=2^32-1
+    with pytest.raises(ValueError, match="frame count over cap"):
+        decode_mp4_frames(bytes(bad))
+
+
+def _swap_box(blob: bytes, fourcc: bytes, new_body: bytes) -> bytes:
+    """Replace a leaf box's body, growing every enclosing box header."""
+    import struct as _st
+
+    i = blob.index(fourcc)
+    size = int.from_bytes(blob[i - 4:i], "big")
+    grown = (len(new_body) + 8) - size
+    out = bytearray(blob[:i - 4]
+                    + _st.pack(">I", len(new_body) + 8) + fourcc + new_body
+                    + blob[i - 4 + size:])
+    for cc in (b"mdia", b"trak", b"moov"):
+        j = out.index(cc)
+        _st.pack_into(">I", out, j - 4,
+                      int.from_bytes(out[j - 4:j], "big") + grown)
+    return bytes(out)
+
+
+def test_mp4_mdhd_version1_timescale_offset():
+    import struct as _st
+
+    from documentconvert_spark.kernels.media import decode_mp4_frames
+
+    from documentconvert_spark.corpus import render_mp4_mjpeg
+
+    base = render_mp4_mjpeg(16, 16, _mp4_box_frames(16, 16, 2), fps=10)
+    # full v1 mdhd (36-byte body): timescale at +20, fps must still parse
+    v1 = (_st.pack(">I", 0x01000000) + _st.pack(">QQ", 0, 0)
+          + _st.pack(">I", 1000) + _st.pack(">Q", 200)
+          + _st.pack(">HH", 0x55C4, 0))
+    w, h, fps, frames = decode_mp4_frames(_swap_box(base, b"mdhd", v1))
+    assert (w, h, len(frames)) == (16, 16, 2) and abs(fps - 10) < 1e-9
+    # TRUNCATED v1 mdhd (20-byte body, timescale would sit past the box
+    # end): must yield fps 0.0, never read the next box's bytes
+    cut = _st.pack(">I", 0x01000000) + _st.pack(">QQ", 0, 0)
+    w, h, fps, frames = decode_mp4_frames(_swap_box(base, b"mdhd", cut))
+    assert (w, h, len(frames), fps) == (16, 16, 2, 0.0)
+
+
+def test_bimodal_gate_run_rule_bounds_letterboxed_photos():
+    from documentconvert_spark.kernels.miniocr import _BimodalGate
+
+    # blown-out margin then a photo band at 50% mid: the cumulative rule
+    # alone never trips (mid stays under half); the run rule must
+    gate = _BimodalGate()
+    for _ in range(30):
+        assert gate.feed(bytearray([255] * 100))
+    verdicts = [gate.feed(bytearray([160] * 100)) for _ in range(24)]
+    assert all(verdicts[:-1]) and verdicts[-1] is False
+    # a text-like cadence (short mid bands split by background) never
+    # accumulates a run, regardless of raster height
+    gate = _BimodalGate()
+    ok = True
+    for _ in range(13):  # renders lead with background margin (≥4 px)
+        ok = ok and gate.feed(bytearray([255] * 90))
+    for _ in range(200):
+        for _ in range(12):  # ≤12-row blurred glyph band (55% mid)
+            ok = ok and gate.feed(bytearray([160] * 50 + [255] * 40))
+        for _ in range(13):  # inter-line background keeps cumulative <½
+            ok = ok and gate.feed(bytearray([255] * 90))
+    assert ok
