@@ -70,7 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #       (green in r3); real_mp4_frames replaces ev_map_ops (green in
 #       r2). real_video_frames STAYS in-window because the MP4 routing
 #       changed its vid-005 containment string — the driver must re-check
-#       the new golden, not coast on the r3 row.
+#       the new golden, not coast on the r3 row. tfidf_topk +
+#       quality_unigram_logprob replace ev_interval_join/ev_props_json
+#       (green in r2).
 _WINDOW: tuple[str, ...] = (
     "real_av_meta", "real_image_meta", "dedup_span_paragraphs",
     "real_docs_span_seq", "real_docs_summary", "real_ocr_text",
@@ -86,7 +88,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_recall",
     "real_pixel_stats",
     "ann_ivf_buckets", "multimodal_features", "filter_url_blocklist",
-    "real_mp4_frames", "ev_interval_join", "ev_props_json", "ev_sessionize",
+    "real_mp4_frames", "tfidf_topk", "quality_unigram_logprob", "ev_sessionize",
     "ev_asof_join", "ev_window_rollup",
     "real_video_frames", "real_audio_stats", "dedup_video_frames",
     "dedup_audio_fingerprint", "real_video_keyframes",

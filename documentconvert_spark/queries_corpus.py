@@ -1447,6 +1447,117 @@ ORDER BY source
 """
 
 
+# ------------------------------------------------------------ tf-idf keywords
+# Per-document top-k keywords by tf-idf — the classic corpus-statistics
+# operator a curation pipeline uses for topic tagging and near-dup triage.
+# 100 TB shape: explode → two hash aggregations (doc-term tf with map-side
+# partial agg, then term df over the already-deduped (doc, term) pairs —
+# the second shuffle moves one row per distinct doc-term, not per token
+# occurrence), corpus size as a 1-row broadcast, doc-term ⋈ term-df as an
+# equi-join on term (vocabulary-sized right side, AQE picks the strategy),
+# and a per-doc window for the top-k. Nothing is quadratic, nothing
+# collects. Scores are rounded to 6 dp and ties break on the term so both
+# engines rank identically.
+
+_TFIDF_K = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = (docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
+            .filter(F.col("token") != ""))
+    # tf is CACHED: the df aggregation derives from it, and without the
+    # materialization Spark would re-scan and re-explode the whole corpus
+    # for the join's right side — the one pass that dominates at scale.
+    # The cached relation is the compact (doc, term) aggregate, not the
+    # raw token stream. A window-count over token would avoid the join
+    # but puts every ('the', doc) row in ONE task — agg + join is the
+    # skew-safe shape.
+    tf = (toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf_count"))
+          .cache())
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df_count"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(df_, "token")
+              .crossJoin(F.broadcast(n))
+              .withColumn("tfidf", F.round(
+                  F.col("tf_count") * F.log(F.col("n_docs") / F.col("df_count")), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _TFIDF_K)
+            .select("doc_id", "token", "tf_count", "tfidf"))
+
+
+SQL_TFIDF_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf_count
+  FROM toks WHERE token <> '' GROUP BY doc_id, token),
+df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df_count FROM tf GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf_count,
+         ROUND(tf.tf_count * ln(n.n_docs / df.df_count), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n),
+rk AS (
+  SELECT doc_id, token, tf_count, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rk
+  FROM scored)
+SELECT doc_id, token, tf_count, tfidf FROM rk WHERE rk <= {_TFIDF_K}
+"""
+
+
+# ------------------------------------------------------- unigram LM quality
+# CCNet-style language-model quality scoring, self-trained on the corpus:
+# estimate a unigram model from the corpus token counts, then score each
+# document by its mean token log-probability (higher = more typical text;
+# boilerplate/gibberish lands in the tails). The real CCNet uses a KenLM
+# 5-gram trained on Wikipedia — model weights don't exist in this sandbox,
+# so the unigram estimate IS the from-scratch equivalent: the same two-pass
+# shape (count pass → broadcast-ish probability table → score pass) at any
+# scale, with the vocabulary-sized count table as the only non-linear
+# state. Reference has no counterpart (engine surface for the
+# training-data tier).
+
+def q_quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = (docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
+            .filter(F.col("token") != ""))
+    # Everything derives from the cached (doc, term, k) aggregate: corpus
+    # token counts are SUM(k), and the per-doc mean log-probability is the
+    # k-weighted mean over distinct terms — identical to averaging over
+    # raw occurrences, but the raw token stream is scanned exactly once
+    # and never joined or cached.
+    tf = (toks.groupBy("doc_id", "token").agg(F.count("*").alias("k"))
+          .cache())
+    counts = tf.groupBy("token").agg(F.sum("k").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    logp = (counts.crossJoin(F.broadcast(total))
+            .select("token", F.log(F.col("c") / F.col("t")).alias("logp")))
+    return (tf.join(logp, "token")
+            .groupBy("doc_id")
+            .agg(F.sum("k").alias("n_tokens"),
+                 F.round(F.sum(F.col("k") * F.col("logp")) / F.sum("k"), 6)
+                 .alias("avg_logprob")))
+
+
+SQL_QUALITY_UNIGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS k
+  FROM toks WHERE token <> '' GROUP BY doc_id, token),
+counts AS (SELECT token, CAST(SUM(k) AS BIGINT) AS c FROM tf GROUP BY token),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts),
+logp AS (SELECT token, ln(c / t) AS logp FROM counts CROSS JOIN total)
+SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+       ROUND(SUM(k * logp) / SUM(k), 6) AS avg_logprob
+FROM tf JOIN logp USING (token)
+GROUP BY doc_id
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "dedup_minhash_capped": (q_dedup_minhash_capped, SQL_DEDUP_MINHASH_CAPPED),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
@@ -1481,4 +1592,6 @@ CORPUS_QUERIES_EXTRA: dict[str, tuple] = {
     "filter_url_blocklist": (q_filter_url_blocklist, SQL_FILTER_URL_BLOCKLIST),
     "ann_ivf_trained": (q_ann_ivf_trained, SQL_ANN_IVF_TRAINED),
     "ann_ivf_trained_recall": (q_ann_ivf_trained_recall, SQL_ANN_IVF_TRAINED_RECALL),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "quality_unigram_logprob": (q_quality_unigram_logprob, SQL_QUALITY_UNIGRAM),
 }

@@ -32,7 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _corpus(n: int):
     """n video + n audio docs, deterministic; realistic small-media sizes
     (videos ~6-10 frames of 64x48, audio ~20-40k samples)."""
-    from documentconvert_spark.corpus import encode_flac, render_avi
+    from documentconvert_spark.corpus import (
+        encode_flac,
+        render_avi,
+        render_mp4_mjpeg,
+    )
     from documentconvert_spark.queries_extraction import _wav_pcm_bytes
 
     rng = random.Random("bench-media:1")
@@ -49,8 +53,13 @@ def _corpus(n: int):
                 for xx in range(x, x + bw):
                     g[yy][xx] = 0
             grids.append(g)
-        codec = "MJPG" if i % 2 == 0 else "DIB "
-        videos.append((f"v-{i:05d}", render_avi(w, h, grids, fps=10, codec=codec)))
+        # container mix: MJPG-AVI / DIB-AVI / MJPEG-MP4 — all three real
+        # video decode paths share the per-frame stats surface
+        if i % 3 == 2:
+            videos.append((f"v-{i:05d}", render_mp4_mjpeg(w, h, grids, fps=10)))
+        else:
+            codec = "MJPG" if i % 3 == 0 else "DIB "
+            videos.append((f"v-{i:05d}", render_avi(w, h, grids, fps=10, codec=codec)))
 
         ns = rng.randrange(20_000, 40_000)
         base = rng.randrange(-4000, 4000)

@@ -160,6 +160,8 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "dq_checks",            # 1-row scalar-subquery cross joins
         "tpch_q11s",            # scalar threshold subquery
         "tpch_q22",             # scalar avg-balance subquery
+        "tfidf_topk",             # 1-row n_docs broadcast
+        "quality_unigram_logprob",  # 1-row corpus-total broadcast
     }
     offenders = {}
     for name, fn in entrymod.queries().items():
@@ -220,3 +222,31 @@ def test_every_registry_query_has_driver_coverage():
         f"queries never driver-verified and not in the current window: "
         f"{uncovered} — rotate them into __spark_entry__._WINDOW"
     )
+
+
+def test_tfidf_and_unigram_explode_once(spark):
+    """The corpus-statistics pair must explode the raw token stream
+    exactly once: tf is cached and every downstream aggregate (df counts,
+    unigram counts, the score join) derives from the compact (doc, term)
+    aggregate — an uncached lineage re-scans and re-explodes the corpus
+    for the join's right side, doubling the dominant pass at scale. The
+    n_docs scalar is a column-pruned count over the parquet footer, so a
+    second Scan node with an empty ReadSchema is fine; a second Generate
+    (explode) is not."""
+    from documentconvert_spark.queries_corpus import (
+        q_quality_unigram_logprob,
+        q_tfidf_topk,
+    )
+
+    for q in (q_tfidf_topk, q_quality_unigram_logprob):
+        df = q(spark, SF)
+        plan = _plan(df)
+        # every Generate printout must sit inside an InMemoryRelation
+        # (the cached tf definition, echoed once per InMemoryTableScan
+        # reference) — a free-standing explode means an uncached re-scan
+        assert plan.count("Generate explode") == plan.count("InMemoryRelation"), q.__name__
+        assert plan.count("InMemoryTableScan") >= 2, q.__name__
+        # rank-limit pushdown on the top-k window (tfidf only)
+        if q is q_tfidf_topk:
+            assert "WindowGroupLimit" in plan
+        spark.catalog.clearCache()
