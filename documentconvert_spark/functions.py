@@ -67,6 +67,34 @@ def with_curation_columns(docs):
     ).drop("_toks", "_n_punct", "_n_chars")
 
 
+def unigram_logprob_table(docs):
+    """(doc_id, n_tokens, avg_logprob): CCNet-style quality scoring by
+    mean token log-probability under a unigram model estimated from the
+    corpus itself. The Spark-side single source: the contract query
+    (q_quality_unigram_logprob) and the curation job's --lm-min stage
+    both call this, so the expression the DuckDB oracle certifies is the
+    expression the job runs. Shape: one explode pass into a CACHED
+    (doc, term, k) aggregate; corpus counts are SUM(k) over it, the
+    1-row total rides a broadcast, and the per-doc score is the
+    k-weighted mean — identical to averaging raw occurrences without
+    ever re-scanning or joining the raw token stream."""
+    from pyspark.sql import functions as F
+
+    toks = (docs.select("doc_id", F.explode(F.expr(TOKS)).alias("token"))
+            .filter(F.col("token") != ""))
+    tf = (toks.groupBy("doc_id", "token").agg(F.count("*").alias("k"))
+          .cache())
+    counts = tf.groupBy("token").agg(F.sum("k").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    logp = (counts.crossJoin(F.broadcast(total))
+            .select("token", F.log(F.col("c") / F.col("t")).alias("logp")))
+    return (tf.join(logp, "token")
+            .groupBy("doc_id")
+            .agg(F.sum("k").alias("n_tokens"),
+                 F.round(F.sum(F.col("k") * F.col("logp")) / F.sum("k"), 6)
+                 .alias("avg_logprob")))
+
+
 # P5: result-file filter (reference gradio_app.py:180-219) — pick the main
 # conversion artifact among an output listing: expected extension, none of
 # the temp/intermediate markers, bounded name length, no 32+ hex run

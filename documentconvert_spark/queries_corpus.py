@@ -1521,25 +1521,11 @@ SELECT doc_id, token, tf_count, tfidf FROM rk WHERE rk <= {_TFIDF_K}
 # training-data tier).
 
 def q_quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    toks = (docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
-            .filter(F.col("token") != ""))
-    # Everything derives from the cached (doc, term, k) aggregate: corpus
-    # token counts are SUM(k), and the per-doc mean log-probability is the
-    # k-weighted mean over distinct terms — identical to averaging over
-    # raw occurrences, but the raw token stream is scanned exactly once
-    # and never joined or cached.
-    tf = (toks.groupBy("doc_id", "token").agg(F.count("*").alias("k"))
-          .cache())
-    counts = tf.groupBy("token").agg(F.sum("k").alias("c"))
-    total = counts.agg(F.sum("c").alias("t"))
-    logp = (counts.crossJoin(F.broadcast(total))
-            .select("token", F.log(F.col("c") / F.col("t")).alias("logp")))
-    return (tf.join(logp, "token")
-            .groupBy("doc_id")
-            .agg(F.sum("k").alias("n_tokens"),
-                 F.round(F.sum(F.col("k") * F.col("logp")) / F.sum("k"), 6)
-                 .alias("avg_logprob")))
+    # shared definition (functions.unigram_logprob_table): the curation
+    # job's --lm-min stage runs the exact expressions this oracle checks
+    from documentconvert_spark.functions import unigram_logprob_table
+
+    return unigram_logprob_table(_docs(spark, sf_dir))
 
 
 SQL_QUALITY_UNIGRAM = f"""

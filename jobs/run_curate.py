@@ -4,6 +4,8 @@ The batch pipeline a 100 TB corpus runs between crawling and training:
 
     dedup (prefix-fingerprint keep-first)
       → quality scoring + threshold filter
+      → optional unigram-LM filter (--lm-min: CCNet-style mean token
+        log-prob under a model estimated from the corpus itself)
       → deterministic stratified sampling (per-language rates)
       → range-clustered sorted write (file-level data skipping)
 
@@ -34,6 +36,10 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--quality-min", type=float, default=0.5)
+    ap.add_argument("--lm-min", type=float, default=None,
+                    help="drop docs whose mean unigram log-prob (model "
+                         "estimated from the post-dedup corpus itself) is "
+                         "below this; off by default")
     ap.add_argument("--sample-en", type=int, default=200, help="per-mille keep rate for lang=en")
     ap.add_argument("--sample-other", type=int, default=400, help="per-mille keep rate otherwise")
     ap.add_argument("--files", type=int, default=64)
@@ -66,6 +72,18 @@ def main() -> None:
     filtered = deduped.filter(F.col("quality") >= args.quality_min)
     n_quality = filtered.count()
 
+    n_lm = None
+    if args.lm_min is not None:
+        # LM stage: unigram model estimated from the post-dedup corpus
+        # (same oracle-verified definition as quality_unigram_logprob);
+        # score table is (doc_id, 2 numerics) — a semi-join-sized side
+        from documentconvert_spark.functions import unigram_logprob_table
+
+        lm = unigram_logprob_table(filtered).filter(
+            F.col("avg_logprob") >= args.lm_min).select("doc_id")
+        filtered = filtered.join(lm, "doc_id", "left_semi")
+        n_lm = filtered.count()
+
     rate = F.when(F.col("lang") == "en", args.sample_en).otherwise(args.sample_other)
     sampled = filtered.filter(F.expr(SAMPLE_HASH) < rate)
     n_sampled = sampled.count()
@@ -80,6 +98,7 @@ def main() -> None:
                 "docs_in": n_in,
                 "after_dedup": n_dedup,
                 "after_quality": n_quality,
+                **({"after_lm_filter": n_lm} if n_lm is not None else {}),
                 "after_sampling": n_sampled,
                 "kept_pct": round(100.0 * n_sampled / max(n_in, 1), 2),
                 "output": args.output,

@@ -176,6 +176,8 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         # feeds mutated frames into the baseline-JPEG decoder
         ("fmt_avi_mjpg", "video", _avi_seed("MJPG")),
         ("fmt_avi_dib", "video", _avi_seed("DIB ")),
+        ("fmt_mp4_mjpeg", "mp4", _mp4_seed()),
+        ("sniff_mp4", "sniff", _mp4_seed()),
         # A/V metadata sniffing (kernels/media.sniff_av_meta) is a
         # NO-RAISE contract — callers use it without per-row containment;
         # mutants hit the EBML vint recursion, the MP3 frame walk, the
@@ -318,6 +320,17 @@ def _avi_seed(codec: str) -> bytes:
         for f in range(3)
     ]
     return render_avi(24, 16, grids, fps=10, codec=codec)
+
+
+def _mp4_seed() -> bytes:
+    from documentconvert_spark.corpus import render_mp4_mjpeg
+
+    grids = [
+        [bytearray([0] * 24) if y < 2 + f else bytearray([255] * 24)
+         for y in range(16)]
+        for f in range(3)
+    ]
+    return render_mp4_mjpeg(24, 16, grids, fps=10)
 
 
 def _webm_seed() -> bytes:
@@ -496,6 +509,12 @@ def _run_chunk(seed_name: str, lo: int, hi: int) -> None:
         w, h, fps, frames = decode_avi_frames(data)
         return [Span("figure", f"{w}x{h}@{fps}:{len(frames)}", "", 0)]
 
+    def mp4_route(data: bytes) -> list:
+        from documentconvert_spark.kernels.media import decode_mp4_frames
+
+        w, h, fps, frames = decode_mp4_frames(data)
+        return [Span("figure", f"{w}x{h}@{fps}:{len(frames)}", "", 0)]
+
     def gifanim_route(data: bytes) -> list:
         from documentconvert_spark.kernels.raster import decode_gif_frames
 
@@ -521,7 +540,7 @@ def _run_chunk(seed_name: str, lo: int, hi: int) -> None:
 
     routes = {"pdf": extract_pdf_any, "office": extract_office_any,
               "image": extract_image_any, "raster": raster_route,
-              "video": video_route, "sniff": sniff_route,
+              "video": video_route, "mp4": mp4_route, "sniff": sniff_route,
               "flac": flac_route, "gifanim": gifanim_route}
     name, route, data = next(s for s in _seed_docs() if s[0] == seed_name)
     fn = routes[route]

@@ -73,3 +73,32 @@ def test_contract_band_keys_match_pure_python(spark):
     for doc_id, text in texts.items():
         for band, key in py_bands(text).items():
             assert got[(doc_id, band)] == key, (doc_id, band)
+
+
+def test_unigram_logprob_orders_typical_above_gibberish(spark):
+    """The LM quality score must rank a document of corpus-typical words
+    above one of hapax gibberish, and the k-weighted mean over the
+    cached (doc, term) aggregate must equal the plain mean over raw
+    occurrences (the single-scan restructuring is math-neutral)."""
+    import math
+
+    from documentconvert_spark.functions import unigram_logprob_table
+
+    rows = [
+        (1, "the cat sat on the mat the cat"),
+        (2, "zxqv wkjh pqzt mnbv xxyz qqwe"),
+        (3, "the the the the"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.avg_logprob)
+           for r in unigram_logprob_table(docs).collect()}
+    assert got[3][1] > got[1][1] > got[2][1]
+    # independent recomputation over raw occurrences
+    toks = [t for _, s in rows for t in s.split()]
+    total = len(toks)
+    counts = {t: toks.count(t) for t in set(toks)}
+    for did, s in rows:
+        expect = sum(math.log(counts[t] / total) for t in s.split()) / len(s.split())
+        assert abs(got[did][1] - round(expect, 6)) < 1e-9, did
+    assert got[1][0] == 8
+    spark.catalog.clearCache()

@@ -132,14 +132,18 @@ def test_run_curate_cli_end_to_end(tmp_path):
         [sys.executable, os.path.join(repo, "jobs", "run_curate.py"),
          "--input", src, "--output", out,
          "--quality-min", "0.3", "--sample-en", "500", "--sample-other", "500",
-         "--files", "4", "--master", "local[4]"],
+         "--lm-min", "-100", "--files", "4", "--master", "local[4]"],
         capture_output=True, text=True, cwd=repo, env=env, timeout=300,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
-    # funnel must be monotone and the write must match the final count
+    # funnel must be monotone and the write must match the final count;
+    # -100 is permissively below any real mean log-prob, so the LM stage
+    # must pass everything through (its wiring, not its threshold, is
+    # what the CLI run checks — threshold behavior is unit-tested)
     assert (summary["docs_in"] >= summary["after_dedup"]
             >= summary["after_quality"] >= summary["after_sampling"] > 0)
+    assert summary["after_lm_filter"] == summary["after_quality"]
     written = pq.read_table(out)
     assert written.num_rows == summary["after_sampling"]
     assert "fingerprint" not in written.schema.names  # internals dropped
