@@ -72,7 +72,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #       changed its vid-005 containment string — the driver must re-check
 #       the new golden, not coast on the r3 row. tfidf_topk +
 #       quality_unigram_logprob replace ev_interval_join/ev_props_json
-#       (green in r2).
+#       (green in r2). Late-r4 batch: the six new corpus ops
+#       (cap_per_source, filter_length_outliers, emb_pq_codes,
+#       emb_pq_adc_topk, emb_pq_refine_topk, emb_pq_recall) replace
+#       ev_sessionize/ev_asof_join/ev_window_rollup/dedup_exact/
+#       dedup_simhash/token_bpeish (all green in r3).
 _WINDOW: tuple[str, ...] = (
     "real_av_meta", "real_image_meta", "dedup_span_paragraphs",
     "real_docs_span_seq", "real_docs_summary", "real_ocr_text",
@@ -83,13 +87,13 @@ _WINDOW: tuple[str, ...] = (
     "ann_ivf_trained", "ann_ivf_trained_recall", "pipeline_e2e",
     "sample_stratified", "decontaminate_overlap", "emb_quantize_int8",
     "dedup_levenshtein", "dedup_clusters", "dedup_keep_first",
-    "dedup_embedding_cosine", "doc_winnow_fingerprint", "token_bpeish",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_recall",
+    "dedup_embedding_cosine", "doc_winnow_fingerprint", "cap_per_source",
+    "filter_length_outliers", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "emb_pq_codes", "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_recall",
     "real_pixel_stats",
     "ann_ivf_buckets", "multimodal_features", "filter_url_blocklist",
-    "real_mp4_frames", "tfidf_topk", "quality_unigram_logprob", "ev_sessionize",
-    "ev_asof_join", "ev_window_rollup",
+    "real_mp4_frames", "tfidf_topk", "quality_unigram_logprob",
+    "emb_pq_adc_topk", "emb_pq_refine_topk", "emb_pq_recall",
     "real_video_frames", "real_audio_stats", "dedup_video_frames",
     "dedup_audio_fingerprint", "real_video_keyframes",
 )

@@ -67,6 +67,60 @@ def with_curation_columns(docs):
     ).drop("_toks", "_n_punct", "_n_chars")
 
 
+def cap_per_source(docs, cap):
+    """Keep at most `cap` documents per source (C4-style host frequency
+    capping, lowest doc_id first), returning all input columns plus
+    rank_in_source. Skew-proof two-phase top-K: phase 1 ranks within
+    (source, input-partition) so a hot host splits across its scan
+    partitions and every window group is bounded by the partition size;
+    phase 2 ranks the ≤ cap×n_partitions survivors globally. The prune is
+    lossless (each partition's contribution to the global top-K is inside
+    its local top-K), so the result is independent of the physical
+    partitioning. Shared by the contract query (q_cap_per_source) and
+    run_curate's --cap-per-source stage."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    local_w = Window.partitionBy("source", "_p").orderBy(F.asc("doc_id"))
+    glob_w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    pruned = (
+        docs.withColumn("_p", F.spark_partition_id())
+        .withColumn("_rk", F.row_number().over(local_w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_p", "_rk")
+    )
+    return (
+        pruned.withColumn("rank_in_source", F.row_number().over(glob_w))
+        .filter(F.col("rank_in_source") <= cap)
+    )
+
+
+def length_outlier_bounds(docs):
+    """(lang, n_total, lo_tokens, hi_tokens): nearest-rank 5th/95th
+    percentile token-count bounds per language. Positions use integer
+    arithmetic — floor((q·100·n + 99) / 100) — because 0.05·n in float is
+    engine-divergent (DuckDB parses 0.05 as DECIMAL, Spark as DOUBLE) and
+    the quotient is never an exact integer (5n+99 ≢ 0 mod 100), so the
+    floor is safe in both engines. The bounds table is lang-cardinality
+    rows — broadcast it back onto the corpus for the keep filter. Shared
+    by the contract query (q_filter_length_outliers) and run_curate's
+    --trim-length-tails stage."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lens = docs.selectExpr("doc_id", "lang", f"size({TOKS}) AS n_tokens")
+    w = Window.partitionBy("lang").orderBy(F.asc("n_tokens"), F.asc("doc_id"))
+    ranked = (
+        lens.withColumn("rk", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("lang")))
+    )
+    return ranked.groupBy("lang").agg(
+        F.max("cnt").alias("n_total"),
+        F.max(F.when(F.col("rk") == F.floor((F.col("cnt") * 5 + 99) / 100), F.col("n_tokens"))).alias("lo_tokens"),
+        F.max(F.when(F.col("rk") == F.floor((F.col("cnt") * 95 + 99) / 100), F.col("n_tokens"))).alias("hi_tokens"),
+    )
+
+
 def unigram_logprob_table(docs):
     """(doc_id, n_tokens, avg_logprob): CCNet-style quality scoring by
     mean token log-probability under a unigram model estimated from the

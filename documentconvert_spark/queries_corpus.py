@@ -1544,6 +1544,394 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------------------------- per-source capping
+# C4-style host frequency capping: keep at most K documents per source so
+# one prolific crawl host can't dominate the training mix. 100 TB shape:
+# this is a per-key top-K, implemented SKEW-PROOF in two phases — phase 1
+# ranks within (source, input-partition) so a hot host's rows split across
+# however many scan partitions hold them and every window group is bounded
+# by the partition size, keeping at most K rows per (source, partition);
+# phase 2 ranks the survivors (≤ K × n_partitions rows per source, tiny)
+# globally. A single global window would instead sort the entire hot host
+# inside one task — the classic straggler. The pre-prune is lossless: each
+# partition's contribution to the global top-K is contained in its local
+# top-K, so the result is independent of the physical partitioning (the
+# oracle computes the single-window definition directly).
+
+_SOURCE_CAP = 15
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared definition (functions.cap_per_source): run_curate's
+    # --cap-per-source stage runs the exact expressions this oracle checks
+    from documentconvert_spark.functions import cap_per_source
+
+    return cap_per_source(
+        _docs(spark, sf_dir).select("doc_id", "source"), _SOURCE_CAP
+    )
+
+
+SQL_CAP_PER_SOURCE = f"""
+SELECT doc_id, source, rank_in_source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rank_in_source
+  FROM documents) WHERE rank_in_source <= {_SOURCE_CAP}
+"""
+
+
+# ------------------------------------------------------- length-outlier filter
+# Per-language token-length trimming: drop documents below the 5th or above
+# the 95th percentile of their language's length distribution (truncated
+# docs and concatenation blobs sit in exactly those tails). Percentiles are
+# NEAREST-RANK (the value at position ceil(q·n) of the sorted lengths) —
+# exact integer arithmetic both engines agree on, no interpolation to
+# drift. 100 TB shape: one shuffle by lang for the rank pass (languages
+# are few and internally huge — at that scale the rank pass becomes a
+# per-lang histogram aggregate over bounded token counts, same bounds, no
+# sort); the bounds table is lang-cardinality rows and broadcasts back
+# onto the corpus for the final filter-free-scan.
+
+def q_filter_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared definition (functions.length_outlier_bounds): run_curate's
+    # --trim-length-tails stage runs the exact bounds this oracle checks
+    from documentconvert_spark.functions import length_outlier_bounds
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang", f"size({_TOKS}) AS n_tokens"
+    )
+    bounds = length_outlier_bounds(_docs(spark, sf_dir))
+    kept = (
+        docs.join(F.broadcast(bounds), "lang")
+        .filter(F.col("n_tokens").between(F.col("lo_tokens"), F.col("hi_tokens")))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        bounds.join(kept, "lang")
+        .select("lang", "n_total", "n_kept", "lo_tokens", "hi_tokens")
+    )
+
+
+SQL_FILTER_LENGTH_OUTLIERS = f"""
+WITH lens AS (
+  SELECT doc_id, lang, len({_SQL_TOKS}) AS n_tokens FROM documents),
+ranked AS (
+  SELECT lang, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens ASC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM lens),
+bounds AS (
+  SELECT lang, MAX(cnt) AS n_total,
+         MAX(CASE WHEN rk = FLOOR((cnt * 5 + 99) / 100) THEN n_tokens END) AS lo_tokens,
+         MAX(CASE WHEN rk = FLOOR((cnt * 95 + 99) / 100) THEN n_tokens END) AS hi_tokens
+  FROM ranked GROUP BY lang),
+kept AS (
+  SELECT l.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM lens l JOIN bounds b USING (lang)
+  WHERE l.n_tokens BETWEEN b.lo_tokens AND b.hi_tokens
+  GROUP BY l.lang)
+SELECT lang, n_total, n_kept, lo_tokens, hi_tokens
+FROM bounds JOIN kept USING (lang)
+"""
+
+
+# ------------------------------------------------------- product quantization
+# PQ compression of the embedding corpus (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search"): unit-normalize, split each
+# 64-d vector into M=8 subvectors of 8 dims, train K=16 centroids per
+# subspace with 2 Lloyd rounds (deterministic vec_id<K init, means rounded
+# to 6dp — same engine-portability rule as the IVF trainer), and encode
+# every vector as 8 four-bit codes packed into one 32-bit int: 256 B of
+# float32 → 4 B, a 64× index compression. Query-time ADC (asymmetric
+# distance computation): per query, precompute the M×K table of
+# subvector·centroid inner products, then score any corpus vector by
+# summing M table lookups indexed by its codes — the corpus itself is
+# never decoded. The production search is two-stage: ADC shortlist over
+# the whole corpus, exact re-rank of the shortlist only (measured here:
+# refined recall 0.90 vs 0.30 for pure ADC on this corpus). 100 TB shape:
+# training touches only (s, c_id, dim) aggregates with map-side combine;
+# the codes table (vec_id + 4 bytes) is the only corpus-sized artifact;
+# at query time the Q×M×K LUT rides a broadcast and scoring is ONE
+# narrow pass over the codes — no shuffle of vectors, no join explosion
+# (the oracle replicates the exploded equi-join formulation of the
+# identical arithmetic); the exact re-rank touches only Q×shortlist
+# full vectors fetched by an equi-join on vec_id.
+
+_PQ_M, _PQ_K, _PQ_DSUB = 8, 16, 8  # 8 subspaces × 8 dims = 64; 16 cents each
+_PQ_SHORTLIST = 100
+_L2SQ = "aggregate(zip_with(sv, ce, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+
+def _pq_train(spark: SparkSession, sf_dir: str, iters: int = 2):
+    """Returns (emb, sub, cents): emb = (vec_id, uv double[64]) unit
+    vectors; sub = (vec_id, s, sv double[8]) their subvectors; cents =
+    (s, c_id, ce double[8]) after `iters` Lloyd rounds per subspace from
+    the vec_id<K init. Centroid means are rounded to 6dp per update so
+    both engines' argmin agree bit-for-bit."""
+    emb = (
+        _emb(spark, sf_dir)
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS ve")
+        .withColumn("vn", F.expr(_ARR_NORM.format(a="ve")))
+        .selectExpr("vec_id", "transform(ve, x -> x / vn) AS uv")
+    )
+    sub = emb.selectExpr(
+        "vec_id",
+        f"inline(transform(sequence(0, {_PQ_M - 1}), "
+        f"s -> struct(s AS s, slice(uv, s * {_PQ_DSUB} + 1, {_PQ_DSUB}) AS sv)))",
+    )
+    cents = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "s", F.col("vec_id").alias("c_id"), F.col("sv").alias("ce")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("c_id"))
+    for _ in range(iters):
+        assign = (
+            sub.join(F.broadcast(cents), "s")
+            .withColumn("d", F.expr(_L2SQ))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("s", "c_id", "sv")
+        )
+        means = (
+            assign.select("s", "c_id", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("s", "c_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+        )
+        cents = (
+            means.groupBy("s", "c_id")
+            .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias("ce"))
+        )
+        # K×M rows of 8 doubles: checkpoint keeps the plan O(1) per round
+        cents = cents.localCheckpoint(eager=True)
+    return emb, sub, cents
+
+
+def _pq_codes(sub, cents):
+    """(vec_id, s, c_id, d): nearest-centroid code per subspace with its
+    squared L2 residual (the per-subspace distortion)."""
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("c_id"))
+    return (
+        sub.join(F.broadcast(cents), "s")
+        .withColumn("d", F.expr(_L2SQ))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "s", "c_id", "d")
+    )
+
+
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted PQ index: one row per vector with its packed 32-bit
+    code (8 four-bit nibbles) and total quantization distortion
+    (||v − recon||², the number a production deployment monitors for
+    codebook drift)."""
+    _, sub, cents = _pq_train(spark, sf_dir)
+    return (
+        _pq_codes(sub, cents)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.expr("c_id * shiftleft(1, 4 * s)")).alias("packed_code"),
+            F.round(F.sum("d"), 6).alias("distortion"),
+        )
+    )
+
+
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str):
+    """(ranked, emb): ADC-scored candidates per query (vec_id<10) with
+    their rank — codes stay as one array per corpus vector, the per-query
+    LUT (M×K inner products, flattened in (s, c_id) order) broadcasts,
+    and the score is an ordered fold of 8 lookups."""
+    emb, sub, cents = _pq_train(spark, sf_dir)
+    codes = (
+        _pq_codes(sub, cents)
+        .groupBy("vec_id")
+        .agg(F.expr("transform(array_sort(collect_list(struct(s, c_id))), x -> x.c_id)").alias("code"))
+    )
+    ipq = "aggregate(zip_with(sv, ce, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    lut = (
+        sub.filter(F.col("vec_id") < 10)
+        .join(F.broadcast(cents), "s")
+        .withColumn("ip", F.round(F.expr(ipq), 6))
+        .groupBy(F.col("vec_id").alias("q_id"))
+        .agg(F.expr("transform(array_sort(collect_list(struct(s, c_id, ip))), x -> x.ip)").alias("lut"))
+    )
+    adc = (
+        f"aggregate(sequence(0, {_PQ_M - 1}), CAST(0.0 AS DOUBLE), "
+        f"(acc, s) -> acc + element_at(lut, "
+        f"CAST(s * {_PQ_K} + element_at(code, s + 1) + 1 AS INT)))"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("approx_ip"), F.asc("n_id"))
+    ranked = (
+        codes.crossJoin(F.broadcast(lut))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), F.expr(adc).alias("approx_ip"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return ranked, emb
+
+
+def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked, _ = _pq_adc_ranked(spark, sf_dir)
+    return ranked.filter(F.col("rk") <= 5).select(
+        "q_id", "n_id", F.round("approx_ip", 4).alias("approx_ip")
+    )
+
+
+def _pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage search: ADC shortlist (top-100 of the code
+    scan), then exact cosine over the shortlist only. The full vectors are
+    fetched by equi-join on vec_id — at 100 TB that's Q×100 point lookups
+    against the vector store, not a corpus scan."""
+    ranked, emb = _pq_adc_ranked(spark, sf_dir)
+    short = ranked.filter(F.col("rk") <= _PQ_SHORTLIST).select("q_id", "n_id")
+    qv = emb.filter(F.col("vec_id") < 10).selectExpr("vec_id AS q_id", "uv AS qu")
+    dot = "aggregate(zip_with(qu, uv, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        short.join(F.broadcast(qv), "q_id")
+        .join(emb.withColumnRenamed("vec_id", "n_id"), "n_id")
+        .withColumn("sim", F.expr(dot))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "n_id", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+def q_emb_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_refine_topk(spark, sf_dir)
+
+
+def q_emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of both PQ search paths against the exact float baseline —
+    the compression-vs-quality row a 64×-compressed index must publish.
+    Pure ADC ranks by quantized similarity alone; refine re-ranks the
+    ADC shortlist with exact cosine (0.30 vs 0.90 on this corpus)."""
+    exact = q_ann_cosine_topk(spark, sf_dir).select("q_id", "n_id")
+    adc = q_emb_pq_adc_topk(spark, sf_dir).select(
+        F.col("q_id").alias("aq"), F.col("n_id").alias("an")
+    )
+    ref = _pq_refine_topk(spark, sf_dir).select(
+        F.col("q_id").alias("rq"), F.col("n_id").alias("rn")
+    )
+    hits = (
+        exact.join(adc, (exact.q_id == adc.aq) & (exact.n_id == adc.an), "left")
+        .join(ref, (exact.q_id == ref.rq) & (exact.n_id == ref.rn), "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.when(F.col("an").isNotNull(), 1).otherwise(0)).alias("adc_hits"),
+            F.sum(F.when(F.col("rn").isNotNull(), 1).otherwise(0)).alias("refined_hits"),
+        )
+    )
+    return hits.select(
+        "q_id",
+        F.round(F.col("adc_hits") / 5.0, 4).alias("adc_recall_at_5"),
+        F.round(F.col("refined_hits") / 5.0, 4).alias("refined_recall_at_5"),
+    )
+
+
+def _sql_pq_iteration(i: int) -> str:
+    prev = f"pc{i - 1}"
+    return f"""
+pd{i} AS (
+  SELECT v.vec_id, v.s, c.c_id,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+                  j -> (v.sv[j] - c.ce[j]) * (v.sv[j] - c.ce[j]))) AS d
+  FROM sub v JOIN {prev} c ON v.s = c.s),
+pa{i} AS (
+  SELECT vec_id, s, c_id FROM (
+    SELECT vec_id, s, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c_id ASC) AS rk
+    FROM pd{i}) WHERE rk = 1),
+pm{i} AS (
+  SELECT a.s, a.c_id, j.j, ROUND(AVG(v.sv[j.j]), 6) AS m
+  FROM pa{i} a JOIN sub v ON v.vec_id = a.vec_id AND v.s = a.s
+  CROSS JOIN (SELECT UNNEST(range(1, {_PQ_DSUB} + 1)) AS j) j
+  GROUP BY a.s, a.c_id, j.j),
+pc{i} AS (
+  SELECT s, c_id, list(m ORDER BY j) AS ce FROM pm{i} GROUP BY s, c_id)"""
+
+
+_SQL_PQ_PRELUDE = (
+    f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE /
+           sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS uv
+  FROM embeddings),
+sub AS (
+  SELECT vec_id, s.s AS s, list_slice(uv, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+  FROM e CROSS JOIN (SELECT UNNEST(range(0, {_PQ_M})) AS s) s),
+pc0 AS (SELECT s, vec_id AS c_id, sv AS ce FROM sub WHERE vec_id < {_PQ_K}),"""
+    + _sql_pq_iteration(1) + ","
+    + _sql_pq_iteration(2)
+    + f""",
+pqd AS (
+  SELECT v.vec_id, v.s, c.c_id,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+                  j -> (v.sv[j] - c.ce[j]) * (v.sv[j] - c.ce[j]))) AS d
+  FROM sub v JOIN pc2 c ON v.s = c.s),
+pqcodes AS (
+  SELECT vec_id, s, c_id, d FROM (
+    SELECT vec_id, s, c_id, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c_id ASC) AS rk
+    FROM pqd) WHERE rk = 1)"""
+)
+
+SQL_EMB_PQ_CODES = _SQL_PQ_PRELUDE + """
+SELECT vec_id, CAST(SUM(c_id * (1 << (4 * s))) AS BIGINT) AS packed_code,
+       ROUND(SUM(d), 6) AS distortion
+FROM pqcodes GROUP BY vec_id
+"""
+
+_SQL_PQ_CAND = f""",
+codes_arr AS (
+  SELECT vec_id, list(c_id ORDER BY s) AS code FROM pqcodes GROUP BY vec_id),
+lutrows AS (
+  SELECT v.vec_id AS q_id, v.s, c.c_id,
+         ROUND(list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+                        j -> v.sv[j] * c.ce[j])), 6) AS ip
+  FROM sub v JOIN pc2 c ON v.s = c.s WHERE v.vec_id < 10),
+lut AS (
+  SELECT q_id, list(ip ORDER BY s, c_id) AS lut FROM lutrows GROUP BY q_id),
+cand AS (
+  SELECT q.q_id, c.vec_id AS n_id,
+         list_sum(list_transform(range(0, {_PQ_M}),
+                  s -> q.lut[s * {_PQ_K} + c.code[s + 1] + 1])) AS approx_ip
+  FROM codes_arr c CROSS JOIN lut q WHERE c.vec_id <> q.q_id),
+adc_ranked AS (
+  SELECT q_id, n_id, approx_ip,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_ip DESC, n_id ASC) AS rk
+  FROM cand)"""
+
+SQL_EMB_PQ_ADC_TOPK = _SQL_PQ_PRELUDE + _SQL_PQ_CAND + """
+SELECT q_id, n_id, ROUND(approx_ip, 4) AS approx_ip
+FROM adc_ranked WHERE rk <= 5
+"""
+
+SQL_EMB_PQ_REFINE_TOPK = _SQL_PQ_PRELUDE + _SQL_PQ_CAND + f""",
+short AS (SELECT q_id, n_id FROM adc_ranked WHERE rk <= {_PQ_SHORTLIST}),
+rer AS (
+  SELECT s.q_id, s.n_id,
+         list_sum(list_transform(range(1, {_PQ_M * _PQ_DSUB} + 1),
+                  j -> q.uv[j] * n.uv[j])) AS sim
+  FROM short s JOIN e q ON q.vec_id = s.q_id JOIN e n ON n.vec_id = s.n_id)
+SELECT q_id, n_id, ROUND(sim, 4) AS cos_sim FROM (
+  SELECT q_id, n_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+  FROM rer) WHERE rk <= 5
+"""
+
+SQL_EMB_PQ_RECALL = f"""
+WITH exact AS ({SQL_ANN_TOPK}),
+adc AS ({SQL_EMB_PQ_ADC_TOPK}),
+ref AS ({SQL_EMB_PQ_REFINE_TOPK})
+SELECT e.q_id,
+       ROUND(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4) AS adc_recall_at_5,
+       ROUND(SUM(CASE WHEN r.n_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4) AS refined_recall_at_5
+FROM exact e
+LEFT JOIN adc a ON e.q_id = a.q_id AND e.n_id = a.n_id
+LEFT JOIN ref r ON e.q_id = r.q_id AND e.n_id = r.n_id
+GROUP BY e.q_id
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "dedup_minhash_capped": (q_dedup_minhash_capped, SQL_DEDUP_MINHASH_CAPPED),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
@@ -1580,4 +1968,10 @@ CORPUS_QUERIES_EXTRA: dict[str, tuple] = {
     "ann_ivf_trained_recall": (q_ann_ivf_trained_recall, SQL_ANN_IVF_TRAINED_RECALL),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "quality_unigram_logprob": (q_quality_unigram_logprob, SQL_QUALITY_UNIGRAM),
+    "cap_per_source": (q_cap_per_source, SQL_CAP_PER_SOURCE),
+    "filter_length_outliers": (q_filter_length_outliers, SQL_FILTER_LENGTH_OUTLIERS),
+    "emb_pq_codes": (q_emb_pq_codes, SQL_EMB_PQ_CODES),
+    "emb_pq_adc_topk": (q_emb_pq_adc_topk, SQL_EMB_PQ_ADC_TOPK),
+    "emb_pq_refine_topk": (q_emb_pq_refine_topk, SQL_EMB_PQ_REFINE_TOPK),
+    "emb_pq_recall": (q_emb_pq_recall, SQL_EMB_PQ_RECALL),
 }

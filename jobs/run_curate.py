@@ -3,9 +3,13 @@
 The batch pipeline a 100 TB corpus runs between crawling and training:
 
     dedup (prefix-fingerprint keep-first)
+      → optional per-source cap (--cap-per-source: C4-style host
+        frequency capping, skew-proof two-phase top-K)
       → quality scoring + threshold filter
       → optional unigram-LM filter (--lm-min: CCNet-style mean token
         log-prob under a model estimated from the corpus itself)
+      → optional length-tail trim (--trim-length-tails: per-language
+        nearest-rank p05/p95 token-count bounds)
       → deterministic stratified sampling (per-language rates)
       → range-clustered sorted write (file-level data skipping)
 
@@ -40,6 +44,12 @@ def main() -> None:
                     help="drop docs whose mean unigram log-prob (model "
                          "estimated from the post-dedup corpus itself) is "
                          "below this; off by default")
+    ap.add_argument("--cap-per-source", type=int, default=None,
+                    help="keep at most N docs per source (C4-style host "
+                         "capping, lowest doc_id first); off by default")
+    ap.add_argument("--trim-length-tails", action="store_true",
+                    help="drop docs outside their language's nearest-rank "
+                         "p05/p95 token-count bounds; off by default")
     ap.add_argument("--sample-en", type=int, default=200, help="per-mille keep rate for lang=en")
     ap.add_argument("--sample-other", type=int, default=400, help="per-mille keep rate otherwise")
     ap.add_argument("--files", type=int, default=64)
@@ -69,6 +79,14 @@ def main() -> None:
     )
     n_dedup = deduped.count()
 
+    n_cap = None
+    if args.cap_per_source is not None:
+        # same oracle-verified definition as cap_per_source
+        from documentconvert_spark.functions import cap_per_source
+
+        deduped = cap_per_source(deduped, args.cap_per_source).drop("rank_in_source")
+        n_cap = deduped.count()
+
     filtered = deduped.filter(F.col("quality") >= args.quality_min)
     n_quality = filtered.count()
 
@@ -84,6 +102,21 @@ def main() -> None:
         filtered = filtered.join(lm, "doc_id", "left_semi")
         n_lm = filtered.count()
 
+    n_trim = None
+    if args.trim_length_tails:
+        # bounds from the surviving corpus (same oracle-verified
+        # definition as filter_length_outliers); lang-cardinality side
+        from documentconvert_spark.functions import TOKS, length_outlier_bounds
+
+        bounds = length_outlier_bounds(filtered).select("lang", "lo_tokens", "hi_tokens")
+        filtered = (
+            filtered.withColumn("_nt", F.expr(f"size({TOKS})"))
+            .join(F.broadcast(bounds), "lang")
+            .filter(F.col("_nt").between(F.col("lo_tokens"), F.col("hi_tokens")))
+            .drop("_nt", "lo_tokens", "hi_tokens")
+        )
+        n_trim = filtered.count()
+
     rate = F.when(F.col("lang") == "en", args.sample_en).otherwise(args.sample_other)
     sampled = filtered.filter(F.expr(SAMPLE_HASH) < rate)
     n_sampled = sampled.count()
@@ -97,8 +130,10 @@ def main() -> None:
             {
                 "docs_in": n_in,
                 "after_dedup": n_dedup,
+                **({"after_source_cap": n_cap} if n_cap is not None else {}),
                 "after_quality": n_quality,
                 **({"after_lm_filter": n_lm} if n_lm is not None else {}),
+                **({"after_length_trim": n_trim} if n_trim is not None else {}),
                 "after_sampling": n_sampled,
                 "kept_pct": round(100.0 * n_sampled / max(n_in, 1), 2),
                 "output": args.output,

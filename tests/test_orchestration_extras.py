@@ -132,7 +132,8 @@ def test_run_curate_cli_end_to_end(tmp_path):
         [sys.executable, os.path.join(repo, "jobs", "run_curate.py"),
          "--input", src, "--output", out,
          "--quality-min", "0.3", "--sample-en", "500", "--sample-other", "500",
-         "--lm-min", "-100", "--files", "4", "--master", "local[4]"],
+         "--lm-min", "-100", "--cap-per-source", "10", "--trim-length-tails",
+         "--files", "4", "--master", "local[4]"],
         capture_output=True, text=True, cwd=repo, env=env, timeout=300,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -142,8 +143,15 @@ def test_run_curate_cli_end_to_end(tmp_path):
     # must pass everything through (its wiring, not its threshold, is
     # what the CLI run checks — threshold behavior is unit-tested)
     assert (summary["docs_in"] >= summary["after_dedup"]
-            >= summary["after_quality"] >= summary["after_sampling"] > 0)
+            >= summary["after_source_cap"] >= summary["after_quality"]
+            >= summary["after_length_trim"] >= summary["after_sampling"] > 0)
     assert summary["after_lm_filter"] == summary["after_quality"]
+    # cap 10 with >10 docs on some source must actually drop rows, and the
+    # length trim (p05/p95) must drop at least the extreme tails (per-lang
+    # groups stay >= 20 rows here, so the nearest-rank p95 sits strictly
+    # inside the distribution)
+    assert summary["after_source_cap"] < summary["after_dedup"]
+    assert summary["after_length_trim"] < summary["after_lm_filter"]
     written = pq.read_table(out)
     assert written.num_rows == summary["after_sampling"]
     assert "fingerprint" not in written.schema.names  # internals dropped

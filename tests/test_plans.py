@@ -162,6 +162,9 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "tpch_q22",             # scalar avg-balance subquery
         "tfidf_topk",             # 1-row n_docs broadcast
         "quality_unigram_logprob",  # 1-row corpus-total broadcast
+        "emb_pq_adc_topk",        # 10-query ADC LUT broadcast (Q rows of M*K doubles)
+        "emb_pq_refine_topk",     # same LUT broadcast feeding the shortlist
+        "emb_pq_recall",          # composes both PQ paths + the brute baseline
     }
     offenders = {}
     for name, fn in entrymod.queries().items():
