@@ -76,13 +76,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #       (cap_per_source, filter_length_outliers, emb_pq_codes,
 #       emb_pq_adc_topk, emb_pq_refine_topk, emb_pq_recall) replace
 #       ev_sessionize/ev_asof_join/ev_window_rollup/dedup_exact/
-#       dedup_simhash/token_bpeish (all green in r3).
+#       dedup_simhash/token_bpeish (all green in r3). Final r4 batch: the
+#       four curation ops added in-session (decontaminate_bloom,
+#       mix_source_weights, semdedup_prune, dedup_boilerplate_spans)
+#       replace spans_input_stats/w1_redensify/j3_media_join/
+#       extract_kind_counts (all green in r3, code untouched since).
 _WINDOW: tuple[str, ...] = (
     "real_av_meta", "real_image_meta", "dedup_span_paragraphs",
     "real_docs_span_seq", "real_docs_summary", "real_ocr_text",
     "real_media_meta",
-    "spans_input_stats", "w1_redensify", "j3_media_join",
-    "extract_span_seq", "extract_doc_summary", "extract_kind_counts",
+    "decontaminate_bloom", "mix_source_weights", "semdedup_prune",
+    "extract_span_seq", "extract_doc_summary", "dedup_boilerplate_spans",
     "dedup_image_phash", "real_gif_frames", "dedup_minhash_capped",
     "ann_ivf_trained", "ann_ivf_trained_recall", "pipeline_e2e",
     "sample_stratified", "decontaminate_overlap", "emb_quantize_int8",

@@ -1932,6 +1932,246 @@ GROUP BY e.q_id
 """
 
 
+# ------------------------------------------------------------ Bloom-filter decontamination
+# decontaminate_overlap joins the corpus's shingles against the benchmark's
+# shingle SET — exact, but the bench side it ships to every probe grows with
+# the benchmark suite. The production 100 TB path is a Bloom filter: the
+# benchmark shingles fold into a fixed 64 Kib bitmap (2048 packed 32-bit
+# words in bigint lanes) built with one tiny aggregation, and the corpus
+# side tests membership with k=4 portable hashes against the BROADCAST
+# bitmap — constant-size build side no matter how many benchmarks, corpus
+# never shuffles, false positives bounded (~(1-e^{-kn/m})^k, <1e-4 here),
+# false negatives impossible, so contamination is never under-counted.
+# Hashes are the same md5-prefix → mod-p family as MinHash (engine-portable)
+# composed with 4 independent affine maps; the oracle rebuilds the identical
+# bitmap so the driver hash-verifies the exact Bloom semantics.
+
+_BLOOM_M = 65536  # filter size in bits
+_BLOOM_A = [2654435761, 2246822519, 3266489917, 668265263]  # xxhash/Knuth primes
+_BLOOM_B = [17, 31, 73, 127]
+_BLOOM_H = f"cast(conv(substring(md5(shingle), 1, 15), 16, 10) AS bigint) % {_LSH_P}L"
+_BLOOM_POS = "array(" + ", ".join(
+    f"(({a}L * h + {b}L) % {_LSH_P}L) % {_BLOOM_M}L"
+    for a, b in zip(_BLOOM_A, _BLOOM_B)
+) + ")"
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = (
+        docs.filter(F.col("doc_id") < 50)
+        .selectExpr(f"explode(array_distinct({_SHINGLES8})) AS shingle")
+        .distinct()
+    )
+    filt = (
+        bench.selectExpr(f"{_BLOOM_H} AS h")
+        .selectExpr(f"explode({_BLOOM_POS}) AS pos")
+        .selectExpr("pos DIV 32 AS word_idx", "CAST(pos % 32 AS INT) AS bit")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits"))
+    )
+    corpus = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 300)).selectExpr(
+        "doc_id", f"explode(array_distinct({_SHINGLES8})) AS shingle"
+    )
+    probes = (
+        corpus.selectExpr("doc_id", "shingle", f"{_BLOOM_H} AS h")
+        .selectExpr("doc_id", "shingle", f"explode({_BLOOM_POS}) AS pos")
+        .selectExpr(
+            "doc_id", "shingle", "pos DIV 32 AS word_idx", "CAST(pos % 32 AS INT) AS bit"
+        )
+    )
+    hits = probes.join(F.broadcast(filt), "word_idx", "left").selectExpr(
+        "doc_id",
+        "shingle",
+        "CASE WHEN bits IS NOT NULL AND (bits & shiftleft(CAST(1 AS BIGINT), bit)) != 0"
+        " THEN 1 ELSE 0 END AS hit",
+    )
+    per = hits.groupBy("doc_id", "shingle").agg(F.min("hit").alias("all_hit"))
+    return per.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("all_hit").alias("n_bloom_hits"),
+        F.round(F.sum("all_hit") / F.count("*"), 6).alias("est_contamination"),
+    )
+
+
+_SQL_BLOOM_A = "[" + ", ".join(map(str, _BLOOM_A)) + "]"
+_SQL_BLOOM_B = "[" + ", ".join(map(str, _BLOOM_B)) + "]"
+_SQL_BLOOM_H = f"('0x' || substring(md5(shingle), 1, 15))::BIGINT % {_LSH_P}"
+
+SQL_DECONTAMINATE_BLOOM = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SQL_SHINGLES8}) AS shingle FROM documents WHERE doc_id < 50),
+bh AS (SELECT {_SQL_BLOOM_H} AS h FROM bench),
+bpos AS (
+  SELECT (({_SQL_BLOOM_A}[j + 1] * h + {_SQL_BLOOM_B}[j + 1]) % {_LSH_P}) % {_BLOOM_M} AS pos
+  FROM bh, generate_series(0, 3) t(j)),
+filt AS (
+  SELECT pos // 32 AS word_idx, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM bpos GROUP BY 1),
+corpus AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES8}) AS shingle
+  FROM documents WHERE doc_id >= 50 AND doc_id < 300),
+ch AS (SELECT doc_id, shingle, {_SQL_BLOOM_H} AS h FROM corpus),
+cpos AS (
+  SELECT doc_id, shingle,
+         (({_SQL_BLOOM_A}[j + 1] * h + {_SQL_BLOOM_B}[j + 1]) % {_LSH_P}) % {_BLOOM_M} AS pos
+  FROM ch, generate_series(0, 3) t(j)),
+hits AS (
+  SELECT c.doc_id, c.shingle,
+         CASE WHEN f.bits IS NOT NULL AND (f.bits & (1::BIGINT << CAST(c.pos % 32 AS INT))) != 0
+              THEN 1 ELSE 0 END AS hit
+  FROM cpos c LEFT JOIN filt f ON c.pos // 32 = f.word_idx),
+per AS (SELECT doc_id, shingle, MIN(hit) AS all_hit FROM hits GROUP BY 1, 2)
+SELECT doc_id, COUNT(*) AS n_shingles, CAST(SUM(all_hit) AS BIGINT) AS n_bloom_hits,
+       ROUND(SUM(all_hit) / COUNT(*), 6) AS est_contamination
+FROM per GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------------ source-mixture sampling
+# Training-data mixing: allocate a global token budget (here half the
+# corpus) across sources by temperature-weighted size (w = sqrt(tokens),
+# t=0.5 — upweights small sources the way multilingual/multi-source
+# training mixes do), then realize each source's rate with the same
+# deterministic multiplicative-hash predicate as sample_stratified. All
+# arithmetic that crosses the engine boundary is integer (floored sqrt
+# weights, integer sums, one IEEE division) so the per-mille rates are
+# bit-identical on both engines. 100 TB shape: the stats aggregation
+# reduces to |sources| rows, the totals to one row, the 20-row rate dim
+# broadcasts back, and the sampling pass is a narrow filter — no corpus
+# shuffle anywhere.
+
+def q_mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "source", f"size({_TOKS}) AS n_tokens"
+    )
+    stats = toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    w = stats.withColumn("weight", F.expr("CAST(floor(sqrt(src_tokens)) AS BIGINT)"))
+    tot = w.agg(
+        F.sum("src_tokens").alias("tot_tokens"), F.sum("weight").alias("tot_weight")
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))  # 1-row totals: narrow
+        .withColumn(
+            "sample_mille",
+            F.expr(
+                "CAST(least(CAST(1000 AS BIGINT), CAST(floor((1000.0 * tot_tokens * weight)"
+                " / (2.0 * tot_weight * greatest(src_tokens, 1))) AS BIGINT)) AS INT)"
+            ),
+        )
+        .select("source", "src_tokens", "sample_mille")
+    )
+    kept = (
+        toks.join(F.broadcast(rates.select("source", "sample_mille")), "source")
+        .filter(F.expr(_SAMPLE_HASH) < F.col("sample_mille"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs_kept"), F.sum("n_tokens").alias("tokens_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "src_tokens",
+        "sample_mille",
+        F.coalesce("n_docs_kept", F.lit(0).cast("bigint")).alias("n_docs_kept"),
+        F.coalesce("tokens_kept", F.lit(0).cast("bigint")).alias("tokens_kept"),
+    )
+
+
+SQL_MIX_SOURCE_WEIGHTS = f"""
+WITH toks AS (SELECT doc_id, source, len({_SQL_TOKS}) AS n_tokens FROM documents),
+stats AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM toks GROUP BY source),
+w AS (SELECT source, src_tokens, CAST(floor(sqrt(src_tokens)) AS BIGINT) AS weight FROM stats),
+tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS tot_tokens,
+               CAST(SUM(weight) AS BIGINT) AS tot_weight FROM w),
+rates AS (
+  SELECT source, src_tokens,
+         CAST(least(CAST(1000 AS BIGINT), CAST(floor((1000.0 * tot_tokens * weight)
+              / (2.0 * tot_weight * greatest(src_tokens, 1))) AS BIGINT)) AS INT) AS sample_mille
+  FROM w CROSS JOIN tot),
+kept AS (
+  SELECT t.source, COUNT(*) AS n_docs_kept, CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_kept
+  FROM toks t JOIN rates r ON t.source = r.source
+  WHERE ((t.doc_id % 1000003) * 2654435761) % 1000 < r.sample_mille
+  GROUP BY t.source)
+SELECT r.source, r.src_tokens, r.sample_mille,
+       CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+"""
+
+
+# ------------------------------------------------------------ SemDeDup pruning
+# Semantic dedup (Abbas et al. 2023): cluster the embedding space with the
+# SAME Lloyd-trained coarse quantizer the IVF index uses, then prune
+# near-identical pairs WITHIN each cluster — the cluster assignment turns
+# the quadratic all-pairs search into per-cluster blocks. At 100 TB the
+# centroid count k scales with the corpus so the expected block size stays
+# bounded (and a capped-block guard like dedup_minhash_capped applies
+# verbatim if a cluster degenerates); here the equi-join on cluster id is
+# the only shuffle that sees vectors. Drop rule: a vector is pruned when
+# some LOWER-id vector in its cluster exceeds the similarity threshold;
+# ties resolve to the lowest such keeper, so output is deterministic.
+
+_SEMDEDUP_TAU = 0.4
+_SEMDEDUP_PAIR_DOT = (
+    "aggregate(zip_with(ae, be, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, cents = _kmeans_train(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.expr(_VDOT) / (F.col("vn") * F.col("cn")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("c_id").alias("cluster"), "ve", "vn")
+    )
+    a = assign.selectExpr("vec_id AS keep_id", "cluster", "ve AS ae", "vn AS an")
+    b = assign.selectExpr("vec_id AS drop_id", "cluster AS cluster_b", "ve AS be", "vn AS bn")
+    pairs = (
+        a.join(b, (a.cluster == b.cluster_b) & (a.keep_id < b.drop_id))
+        .withColumn("sim", F.expr(_SEMDEDUP_PAIR_DOT) / (F.col("an") * F.col("bn")))
+        .filter(F.col("sim") >= _SEMDEDUP_TAU)
+    )
+    w2 = Window.partitionBy("drop_id").orderBy(F.asc("keep_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("drop_id").alias("vec_id"),
+            "cluster",
+            F.col("keep_id").alias("dup_of"),
+            F.round("sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+SQL_SEMDEDUP_PRUNE = _SQL_KMEANS_PRELUDE + f""",
+fin AS (
+  SELECT v.vec_id, c.c_id,
+         list_sum(list_transform(range(1, len(v.ve) + 1),
+                  j -> v.ve[j] * c.ce[j])) / (v.vn * c.cn) AS csim
+  FROM e v CROSS JOIN c2 c),
+assign AS (
+  SELECT vec_id, c_id AS cluster FROM (
+    SELECT vec_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS rk
+    FROM fin) WHERE rk = 1),
+pairs AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.cluster,
+         list_sum(list_transform(range(1, len(ea.ve) + 1),
+                  j -> ea.ve[j] * eb.ve[j])) / (ea.vn * eb.vn) AS sim
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id)
+SELECT drop_id AS vec_id, cluster, keep_id AS dup_of, ROUND(sim, 4) AS cos_sim FROM (
+  SELECT keep_id, drop_id, cluster, sim,
+         ROW_NUMBER() OVER (PARTITION BY drop_id ORDER BY keep_id ASC) AS rk
+  FROM pairs WHERE sim >= {_SEMDEDUP_TAU}) WHERE rk = 1
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "dedup_minhash_capped": (q_dedup_minhash_capped, SQL_DEDUP_MINHASH_CAPPED),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
@@ -1974,4 +2214,7 @@ CORPUS_QUERIES_EXTRA: dict[str, tuple] = {
     "emb_pq_adc_topk": (q_emb_pq_adc_topk, SQL_EMB_PQ_ADC_TOPK),
     "emb_pq_refine_topk": (q_emb_pq_refine_topk, SQL_EMB_PQ_REFINE_TOPK),
     "emb_pq_recall": (q_emb_pq_recall, SQL_EMB_PQ_RECALL),
+    "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
+    "mix_source_weights": (q_mix_source_weights, SQL_MIX_SOURCE_WEIGHTS),
+    "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP_PRUNE),
 }

@@ -479,6 +479,65 @@ WHERE (doc_id LIKE '%.png' OR doc_id LIKE '%.jpg'
 """
 
 
+# ------------------------------------------------ boilerplate-span removal
+# CCNet-style line-level boilerplate filtering on the extractor's own
+# output: a span whose exact text occurs in >= 3 DISTINCT documents is
+# furniture (nav blocks, repeated figure placeholders, stock formulas) and
+# is removed from EVERY document — unlike keep-first dedup below, the
+# first occurrence goes too, because boilerplate carries no training
+# signal anywhere. 100 TB shape: one shuffle of (md5, doc_id) for the
+# document-frequency aggregate (partial-agg'd map-side); the surviving
+# boilerplate set is tiny by construction (high-df lines are rare) so the
+# removal pass is a BROADCAST left join — the corpus never reshuffles.
+
+def q_dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_expected_parquet()
+    out = extract_spans(_raw_df(spark)).filter(F.col("error").isNull())
+    spans = out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", F.col("s.offset").alias("offset"), F.md5("s.text").alias("text_md5")
+    )
+    boiler = (
+        spans.groupBy("text_md5")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("text_md5", F.lit(1).alias("is_boiler"))
+    )
+    flagged = spans.join(F.broadcast(boiler), "text_md5", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.coalesce("is_boiler", F.lit(0))).alias("n_boiler_removed"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_boiler").isNull(),
+                            F.concat_ws(":", "offset", "text_md5"),
+                        )
+                    )
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+
+
+SQL_DEDUP_BOILERPLATE_SPANS = f"""
+WITH spans AS (
+  SELECT doc_id, "offset", md5(text) AS text_md5
+  FROM read_parquet('{EXPECTED_SPANS_PARQUET}')),
+boiler AS (
+  SELECT text_md5 FROM spans GROUP BY text_md5 HAVING COUNT(DISTINCT doc_id) >= 3),
+flagged AS (
+  SELECT s.doc_id, s."offset", s.text_md5, b.text_md5 IS NOT NULL AS is_boiler
+  FROM spans s LEFT JOIN boiler b ON s.text_md5 = b.text_md5)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_removed,
+       md5(list_aggregate(list_sort(list(CASE WHEN NOT is_boiler THEN CAST("offset" AS VARCHAR) || ':' || text_md5 END)), 'string_agg', '|')) AS kept_md5
+FROM flagged GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------ span-level paragraph dedup
 # Curation meets extraction: boilerplate paragraphs repeated ACROSS
 # documents (nav text, license blurbs) are removed span-level, keeping the
@@ -1764,6 +1823,7 @@ EXTRACTION_QUERIES: dict[str, tuple] = {
     "real_video_keyframes": (q_real_video_keyframes, SQL_REAL_VIDEO_KEYFRAMES),
     "real_image_meta": (q_real_image_meta, SQL_REAL_IMAGE_META),
     "dedup_span_paragraphs": (q_dedup_span_paragraphs, SQL_DEDUP_SPAN_PARAGRAPHS),
+    "dedup_boilerplate_spans": (q_dedup_boilerplate_spans, SQL_DEDUP_BOILERPLATE_SPANS),
     "real_docs_span_seq": (q_real_docs_span_seq, SQL_REAL_DOCS_SPAN_SEQ),
     "real_docs_summary": (q_real_docs_summary, SQL_REAL_DOCS_SUMMARY),
     "real_ocr_text": (q_real_ocr_text, SQL_REAL_OCR_TEXT),

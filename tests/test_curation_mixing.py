@@ -1,0 +1,123 @@
+"""Semantic invariants for the round-4 curation additions: Bloom-filter
+decontamination, temperature source mixing, SemDeDup pruning, and
+CCNet-style boilerplate-span removal. The oracle gate proves Spark and
+DuckDB agree; these tests pin the properties that make the operators
+CORRECT curation passes (no false negatives, budget adherence, prune
+validity, remove-all-occurrences semantics) independent of both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from documentconvert_spark.queries_corpus import (
+    _SEMDEDUP_TAU,
+    q_decontaminate_bloom,
+    q_decontaminate_overlap,
+    q_mix_source_weights,
+    q_semdedup_prune,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_bloom_never_undercounts_contamination(spark):
+    """Bloom filters have no false negatives: every shingle the exact
+    overlap join flags MUST also hit the filter, so per-doc
+    n_bloom_hits >= n_overlap, always."""
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in q_decontaminate_overlap(spark, SF).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_bloom_hits"]
+        for r in q_decontaminate_bloom(spark, SF).collect()
+    }
+    assert exact, "exact decontamination found no overlap — fixture regressed"
+    for doc_id, n_overlap in exact.items():
+        assert bloom[doc_id] >= n_overlap, (doc_id, bloom[doc_id], n_overlap)
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """m=64Ki bits / k=4 over a few thousand bench shingles keeps the FP
+    rate far below 1%: total bloom hits may exceed exact hits only
+    marginally relative to the shingle volume tested."""
+    rows = q_decontaminate_bloom(spark, SF).collect()
+    total_shingles = sum(r["n_shingles"] for r in rows)
+    total_bloom = sum(r["n_bloom_hits"] for r in rows)
+    exact_total = sum(
+        r["n_overlap"] for r in q_decontaminate_overlap(spark, SF).collect()
+    )
+    assert total_shingles > 0
+    fp = (total_bloom - exact_total) / total_shingles
+    assert 0 <= fp < 0.01, fp
+
+
+def test_mix_source_weights_budget_and_temperature(spark):
+    rows = q_mix_source_weights(spark, SF).collect()
+    assert len(rows) == 20  # one row per source
+    for r in rows:
+        assert 0 <= r["sample_mille"] <= 1000
+        assert r["n_docs_kept"] >= 0 and r["tokens_kept"] <= r["src_tokens"]
+    # the global budget is half the corpus tokens; the mille-granular hash
+    # sampling realizes it within a loose statistical tolerance
+    total = sum(r["src_tokens"] for r in rows)
+    kept = sum(r["tokens_kept"] for r in rows)
+    assert 0.3 * total < kept < 0.7 * total, (kept, total)
+    # temperature t=0.5 upweights small sources: the smallest source must
+    # get a sampling rate >= the largest source's
+    smallest = min(rows, key=lambda r: r["src_tokens"])
+    largest = max(rows, key=lambda r: r["src_tokens"])
+    assert smallest["sample_mille"] >= largest["sample_mille"]
+
+
+def test_semdedup_prune_invariants(spark):
+    rows = q_semdedup_prune(spark, SF).collect()
+    assert rows, "semdedup pruned nothing — threshold no longer bites"
+    dropped = [r["vec_id"] for r in rows]
+    assert len(dropped) == len(set(dropped))  # one verdict per pruned vector
+    dropped_set = set(dropped)
+    for r in rows:
+        assert r["dup_of"] < r["vec_id"]  # keeper is always the lower id
+        assert r["cos_sim"] >= round(_SEMDEDUP_TAU, 4)
+    # the canonical keeper of a pruned vector must itself survive IF it was
+    # never pruned by an even lower id; transitive chains are allowed, but
+    # a keeper that was pruned must reference a strictly lower keeper
+    keeper_of = {r["vec_id"]: r["dup_of"] for r in rows}
+    for vec, keeper in keeper_of.items():
+        seen = {vec}
+        while keeper in keeper_of:  # follow the chain to a survivor
+            assert keeper not in seen, f"cycle at {vec}"
+            seen.add(keeper)
+            keeper = keeper_of[keeper]
+        assert keeper not in dropped_set
+
+
+def test_boilerplate_removes_every_occurrence(spark):
+    """Unlike keep-first paragraph dedup, boilerplate removal drops ALL
+    occurrences: summed removals must equal the total occurrence count of
+    every span text appearing in >= 3 distinct docs — including each
+    text's first occurrence."""
+    from documentconvert_spark.pipeline import extract_spans
+    from documentconvert_spark.queries_extraction import (
+        _raw_df,
+        q_dedup_boilerplate_spans,
+    )
+
+    out = extract_spans(_raw_df(spark)).filter(F.col("error").isNull())
+    spans = out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", F.md5("s.text").alias("text_md5")
+    )
+    df_tbl = spans.groupBy("text_md5").agg(
+        F.countDistinct("doc_id").alias("df"), F.count("*").alias("occurrences")
+    )
+    boiler_occurrences = (
+        df_tbl.filter(F.col("df") >= 3).agg(F.sum("occurrences")).collect()[0][0]
+    )
+    assert boiler_occurrences and boiler_occurrences > 0, "no boilerplate in fixture"
+    rows = q_dedup_boilerplate_spans(spark, SF).collect()
+    assert sum(r["n_boiler_removed"] for r in rows) == boiler_occurrences
+    # and the removal is strictly stronger than keep-first dedup on the
+    # same surface: at least 3 docs lose a span (keep-first would spare
+    # one doc per duplicated text)
+    assert sum(1 for r in rows if r["n_boiler_removed"] > 0) >= 3

@@ -128,11 +128,14 @@ def test_xml_entity_bomb_contained():
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as z:
         z.writestr("word/document.xml", bomb)
-    t0 = time.process_time()
+    t0 = time.thread_time()
     with pytest.raises(Exception):
         extract_docx(buf.getvalue())
-    # CPU time, not wall time: the suite may share the host with a bench run
-    assert time.process_time() - t0 < 5.0
+    # THIS THREAD's CPU time, not wall or process time: process_time sums
+    # every thread plus kernel page-reclaim work charged to the process,
+    # which under a co-running Spark job inflated a 0.6 s decode to 35 s
+    # of accounted CPU (r4). thread_time isolates the decode's own cost.
+    assert time.thread_time() - t0 < 5.0
 
 
 def test_pdf_double_flate_bomb_contained():
@@ -147,7 +150,7 @@ def test_pdf_double_flate_bomb_contained():
         wire,
     )
     objs[5] = _FONT
-    t0 = time.process_time()
+    t0 = time.thread_time()
     # the per-page decode guard contains the ValueError into a skipped
     # page, so a bomb-only PDF extracts to zero spans — what matters is
     # that it never inflates the 512 MiB and returns promptly
@@ -156,5 +159,7 @@ def test_pdf_double_flate_bomb_contained():
         assert spans == []
     except Exception:
         pass
-    # CPU time, not wall time: the suite may share the host with a bench run
-    assert time.process_time() - t0 < 10.0
+    # THIS THREAD's CPU time (see test_docx_entity_bomb_is_contained):
+    # isolation cost is ~0.6 s; 10 s still catches an uncontained blowup
+    # while ignoring other threads' and the kernel's reclaim accounting.
+    assert time.thread_time() - t0 < 10.0

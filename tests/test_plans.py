@@ -165,6 +165,8 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "emb_pq_adc_topk",        # 10-query ADC LUT broadcast (Q rows of M*K doubles)
         "emb_pq_refine_topk",     # same LUT broadcast feeding the shortlist
         "emb_pq_recall",          # composes both PQ paths + the brute baseline
+        "mix_source_weights",     # 1-row corpus-totals broadcast onto the 20-row source dim
+        "semdedup_prune",         # k<=8 trained centroids broadcast (same as ann_ivf_trained)
     }
     offenders = {}
     for name, fn in entrymod.queries().items():
