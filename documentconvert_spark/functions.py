@@ -149,6 +149,113 @@ def unigram_logprob_table(docs):
                  .alias("avg_logprob")))
 
 
+# --- Bloom-filter decontamination -------------------------------------
+# 8-token shingles folded into a fixed 64 Kib bitmap with k=4 portable
+# hashes (md5-prefix → mod-p, composed with 4 affine maps). The filter is
+# a constant-size build side however large the benchmark suite grows; the
+# corpus probes the BROADCAST bitmap — no false negatives possible, FP
+# rate ~(1-e^{-kn/m})^k. Shared by the contract query
+# (q_decontaminate_bloom) and run_curate's --decontaminate-bench stage.
+
+BLOOM_M = 65536  # filter size in bits (2048 packed 32-bit words)
+BLOOM_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+BLOOM_A = [2654435761, 2246822519, 3266489917, 668265263]  # xxhash/Knuth primes
+BLOOM_B = [17, 31, 73, 127]
+
+# short-doc guard + bind-split-once trick (see queries_corpus._SHINGLES):
+# slice() inside the lambda body would re-run the regex split per shingle
+# position — O(tokens^2) per document.
+SHINGLES8 = (
+    f"element_at(transform(array({TOKS}), toks -> "
+    f"if(size(toks) < 8, array(), "
+    f"transform(sequence(1, size(toks) - 7), "
+    f"i -> concat_ws(' ', slice(toks, i, 8))))), 1)"
+)
+
+_BLOOM_H = f"cast(conv(substring(md5(shingle), 1, 15), 16, 10) AS bigint) % {BLOOM_P}L"
+_BLOOM_POS = "array(" + ", ".join(
+    f"(({a}L * h + {b}L) % {BLOOM_P}L) % {BLOOM_M}L"
+    for a, b in zip(BLOOM_A, BLOOM_B)
+) + ")"
+
+
+def bloom_filter_words(bench_docs):
+    """(word_idx, bits): the benchmark side's Bloom bitmap, one bigint
+    lane per packed 32-bit word, built by a single bit_or aggregation
+    over the distinct 8-gram shingles of `bench_docs.text`."""
+    from pyspark.sql import functions as F
+
+    return (
+        bench_docs.selectExpr(f"explode(array_distinct({SHINGLES8})) AS shingle")
+        .distinct()
+        .selectExpr(f"{_BLOOM_H} AS h")
+        .selectExpr(f"explode({_BLOOM_POS}) AS pos")
+        .selectExpr("pos DIV 32 AS word_idx", "CAST(pos % 32 AS INT) AS bit")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits"))
+    )
+
+
+def bloom_contamination(docs, filt):
+    """(doc_id, n_shingles, n_bloom_hits, est_contamination): per-document
+    benchmark-contamination estimate for `docs` probed against a
+    `bloom_filter_words` bitmap. The bitmap broadcasts; a shingle counts
+    as contaminated only when ALL k probe bits are set. Documents with
+    fewer than 8 tokens have no shingles and emit no row."""
+    from pyspark.sql import functions as F
+
+    probes = (
+        docs.selectExpr("doc_id", f"explode(array_distinct({SHINGLES8})) AS shingle")
+        .selectExpr("doc_id", "shingle", f"{_BLOOM_H} AS h")
+        .selectExpr("doc_id", "shingle", f"explode({_BLOOM_POS}) AS pos")
+        .selectExpr(
+            "doc_id", "shingle", "pos DIV 32 AS word_idx", "CAST(pos % 32 AS INT) AS bit"
+        )
+    )
+    hits = probes.join(F.broadcast(filt), "word_idx", "left").selectExpr(
+        "doc_id",
+        "shingle",
+        "CASE WHEN bits IS NOT NULL AND (bits & shiftleft(CAST(1 AS BIGINT), bit)) != 0"
+        " THEN 1 ELSE 0 END AS hit",
+    )
+    per = hits.groupBy("doc_id", "shingle").agg(F.min("hit").alias("all_hit"))
+    return per.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("all_hit").alias("n_bloom_hits"),
+        F.round(F.sum("all_hit") / F.count("*"), 6).alias("est_contamination"),
+    )
+
+
+def source_mix_rates(docs, budget_mille: int = 500):
+    """(source, src_tokens, sample_mille): temperature t=0.5 token-budget
+    allocation — each source's weight is floor(sqrt(tokens)) and the
+    global budget is `budget_mille`/1000 of the corpus tokens, realized
+    as a per-mille rate for the SAMPLE_HASH predicate. All cross-engine
+    arithmetic is integer except ONE IEEE division of exact (<2^53)
+    integers, so the rates are bit-identical on any engine. Shared by the
+    contract query (q_mix_source_weights) and run_curate's
+    --mix-by-source stage."""
+    from pyspark.sql import functions as F
+
+    toks = docs.selectExpr("source", f"size({TOKS}) AS n_tokens")
+    stats = toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    w = stats.withColumn("weight", F.expr("CAST(floor(sqrt(src_tokens)) AS BIGINT)"))
+    tot = w.agg(
+        F.sum("src_tokens").alias("tot_tokens"), F.sum("weight").alias("tot_weight")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))  # 1-row totals: narrow
+        .withColumn(
+            "sample_mille",
+            F.expr(
+                f"CAST(least(CAST(1000 AS BIGINT), CAST(floor(({budget_mille}.0 * tot_tokens * weight)"
+                " / (1.0 * tot_weight * greatest(src_tokens, 1))) AS BIGINT)) AS INT)"
+            ),
+        )
+        .select("source", "src_tokens", "sample_mille")
+    )
+
+
 # P5: result-file filter (reference gradio_app.py:180-219) — pick the main
 # conversion artifact among an output listing: expected extension, none of
 # the temp/intermediate markers, bounded name length, no 32+ hex run

@@ -1108,12 +1108,10 @@ _N8 = 8
 # (same trick as _SHINGLES above): slice(split(..), i, 8) INSIDE the
 # lambda body would re-run the regex split per shingle position —
 # O(tokens^2) per document.
-_SHINGLES8 = (
-    f"element_at(transform(array({_TOKS}), toks -> "
-    f"if(size(toks) < {_N8}, array(), "
-    f"transform(sequence(1, size(toks) - {_N8 - 1}), "
-    f"i -> concat_ws(' ', slice(toks, i, {_N8}))))), 1)"
-)
+# canonical definition lives in functions.py (shared with the curation
+# job's Bloom-decontamination stage); aliased here for the overlap query
+# and the oracle mirror below
+from documentconvert_spark.functions import SHINGLES8 as _SHINGLES8  # noqa: E402
 
 
 def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1946,52 +1944,20 @@ GROUP BY e.q_id
 # composed with 4 independent affine maps; the oracle rebuilds the identical
 # bitmap so the driver hash-verifies the exact Bloom semantics.
 
-_BLOOM_M = 65536  # filter size in bits
-_BLOOM_A = [2654435761, 2246822519, 3266489917, 668265263]  # xxhash/Knuth primes
-_BLOOM_B = [17, 31, 73, 127]
-_BLOOM_H = f"cast(conv(substring(md5(shingle), 1, 15), 16, 10) AS bigint) % {_LSH_P}L"
-_BLOOM_POS = "array(" + ", ".join(
-    f"(({a}L * h + {b}L) % {_LSH_P}L) % {_BLOOM_M}L"
-    for a, b in zip(_BLOOM_A, _BLOOM_B)
-) + ")"
+# definitions shared with the production job (run_curate
+# --decontaminate-bench) — documentconvert_spark/functions.py
+from documentconvert_spark.functions import BLOOM_A as _BLOOM_A  # noqa: E402
+from documentconvert_spark.functions import BLOOM_B as _BLOOM_B  # noqa: E402
+from documentconvert_spark.functions import BLOOM_M as _BLOOM_M  # noqa: E402
+from documentconvert_spark.functions import bloom_contamination as _bloom_contamination  # noqa: E402
+from documentconvert_spark.functions import bloom_filter_words as _bloom_filter_words  # noqa: E402
 
 
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    bench = (
-        docs.filter(F.col("doc_id") < 50)
-        .selectExpr(f"explode(array_distinct({_SHINGLES8})) AS shingle")
-        .distinct()
-    )
-    filt = (
-        bench.selectExpr(f"{_BLOOM_H} AS h")
-        .selectExpr(f"explode({_BLOOM_POS}) AS pos")
-        .selectExpr("pos DIV 32 AS word_idx", "CAST(pos % 32 AS INT) AS bit")
-        .groupBy("word_idx")
-        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits"))
-    )
-    corpus = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 300)).selectExpr(
-        "doc_id", f"explode(array_distinct({_SHINGLES8})) AS shingle"
-    )
-    probes = (
-        corpus.selectExpr("doc_id", "shingle", f"{_BLOOM_H} AS h")
-        .selectExpr("doc_id", "shingle", f"explode({_BLOOM_POS}) AS pos")
-        .selectExpr(
-            "doc_id", "shingle", "pos DIV 32 AS word_idx", "CAST(pos % 32 AS INT) AS bit"
-        )
-    )
-    hits = probes.join(F.broadcast(filt), "word_idx", "left").selectExpr(
-        "doc_id",
-        "shingle",
-        "CASE WHEN bits IS NOT NULL AND (bits & shiftleft(CAST(1 AS BIGINT), bit)) != 0"
-        " THEN 1 ELSE 0 END AS hit",
-    )
-    per = hits.groupBy("doc_id", "shingle").agg(F.min("hit").alias("all_hit"))
-    return per.groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles"),
-        F.sum("all_hit").alias("n_bloom_hits"),
-        F.round(F.sum("all_hit") / F.count("*"), 6).alias("est_contamination"),
-    )
+    filt = _bloom_filter_words(docs.filter(F.col("doc_id") < 50))
+    corpus = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 300))
+    return _bloom_contamination(corpus, filt)
 
 
 _SQL_BLOOM_A = "[" + ", ".join(map(str, _BLOOM_A)) + "]"
@@ -2041,26 +2007,14 @@ FROM per GROUP BY doc_id
 # broadcasts back, and the sampling pass is a narrow filter — no corpus
 # shuffle anywhere.
 
+# definition shared with the production job (run_curate --mix-by-source)
+from documentconvert_spark.functions import source_mix_rates as _source_mix_rates  # noqa: E402
+
+
 def q_mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _docs(spark, sf_dir).selectExpr(
-        "doc_id", "source", f"size({_TOKS}) AS n_tokens"
-    )
-    stats = toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
-    w = stats.withColumn("weight", F.expr("CAST(floor(sqrt(src_tokens)) AS BIGINT)"))
-    tot = w.agg(
-        F.sum("src_tokens").alias("tot_tokens"), F.sum("weight").alias("tot_weight")
-    )
-    rates = (
-        w.crossJoin(F.broadcast(tot))  # 1-row totals: narrow
-        .withColumn(
-            "sample_mille",
-            F.expr(
-                "CAST(least(CAST(1000 AS BIGINT), CAST(floor((1000.0 * tot_tokens * weight)"
-                " / (2.0 * tot_weight * greatest(src_tokens, 1))) AS BIGINT)) AS INT)"
-            ),
-        )
-        .select("source", "src_tokens", "sample_mille")
-    )
+    docs = _docs(spark, sf_dir)
+    toks = docs.selectExpr("doc_id", "source", f"size({_TOKS}) AS n_tokens")
+    rates = _source_mix_rates(docs, budget_mille=500)
     kept = (
         toks.join(F.broadcast(rates.select("source", "sample_mille")), "source")
         .filter(F.expr(_SAMPLE_HASH) < F.col("sample_mille"))
@@ -2084,8 +2038,8 @@ tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS tot_tokens,
                CAST(SUM(weight) AS BIGINT) AS tot_weight FROM w),
 rates AS (
   SELECT source, src_tokens,
-         CAST(least(CAST(1000 AS BIGINT), CAST(floor((1000.0 * tot_tokens * weight)
-              / (2.0 * tot_weight * greatest(src_tokens, 1))) AS BIGINT)) AS INT) AS sample_mille
+         CAST(least(CAST(1000 AS BIGINT), CAST(floor((500.0 * tot_tokens * weight)
+              / (1.0 * tot_weight * greatest(src_tokens, 1))) AS BIGINT)) AS INT) AS sample_mille
   FROM w CROSS JOIN tot),
 kept AS (
   SELECT t.source, COUNT(*) AS n_docs_kept, CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_kept

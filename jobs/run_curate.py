@@ -3,6 +3,9 @@
 The batch pipeline a 100 TB corpus runs between crawling and training:
 
     dedup (prefix-fingerprint keep-first)
+      → optional benchmark decontamination (--decontaminate-bench: the
+        benchmark's 8-gram shingles folded into a broadcast Bloom
+        bitmap; docs over --contamination-max dropped)
       → optional per-source cap (--cap-per-source: C4-style host
         frequency capping, skew-proof two-phase top-K)
       → quality scoring + threshold filter
@@ -10,7 +13,8 @@ The batch pipeline a 100 TB corpus runs between crawling and training:
         log-prob under a model estimated from the corpus itself)
       → optional length-tail trim (--trim-length-tails: per-language
         nearest-rank p05/p95 token-count bounds)
-      → deterministic stratified sampling (per-language rates)
+      → deterministic stratified sampling (per-language rates, or
+        --mix-by-source: temperature t=0.5 token-budget mixing)
       → range-clustered sorted write (file-level data skipping)
 
 Submit:
@@ -47,6 +51,16 @@ def main() -> None:
     ap.add_argument("--cap-per-source", type=int, default=None,
                     help="keep at most N docs per source (C4-style host "
                          "capping, lowest doc_id first); off by default")
+    ap.add_argument("--decontaminate-bench", default=None,
+                    help="path to a benchmark documents table; drop docs "
+                         "whose Bloom-estimated 8-gram contamination "
+                         "exceeds --contamination-max; off by default")
+    ap.add_argument("--contamination-max", type=float, default=0.05)
+    ap.add_argument("--mix-by-source", action="store_true",
+                    help="replace per-language sampling with temperature "
+                         "t=0.5 source mixing at --mix-budget-mille of "
+                         "the corpus tokens")
+    ap.add_argument("--mix-budget-mille", type=int, default=500)
     ap.add_argument("--trim-length-tails", action="store_true",
                     help="drop docs outside their language's nearest-rank "
                          "p05/p95 token-count bounds; off by default")
@@ -78,6 +92,25 @@ def main() -> None:
         scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).persist()
     )
     n_dedup = deduped.count()
+
+    n_decon = None
+    if args.decontaminate_bench:
+        # same oracle-verified definitions as decontaminate_bloom: the
+        # benchmark folds into a constant-size broadcast bitmap; the
+        # contamination side table is (doc_id, 3 numerics)
+        from documentconvert_spark.functions import (
+            bloom_contamination,
+            bloom_filter_words,
+        )
+
+        filt = bloom_filter_words(read_table(spark, args.decontaminate_bench))
+        contaminated = (
+            bloom_contamination(deduped, filt)
+            .filter(F.col("est_contamination") > args.contamination_max)
+            .select("doc_id")
+        )
+        deduped = deduped.join(contaminated, "doc_id", "left_anti")
+        n_decon = deduped.count()
 
     n_cap = None
     if args.cap_per_source is not None:
@@ -117,8 +150,22 @@ def main() -> None:
         )
         n_trim = filtered.count()
 
-    rate = F.when(F.col("lang") == "en", args.sample_en).otherwise(args.sample_other)
-    sampled = filtered.filter(F.expr(SAMPLE_HASH) < rate)
+    if args.mix_by_source:
+        # same oracle-verified definition as mix_source_weights: rates
+        # are a |sources|-row broadcast dim; sampling stays narrow
+        from documentconvert_spark.functions import source_mix_rates
+
+        rates = source_mix_rates(filtered, budget_mille=args.mix_budget_mille)
+        sampled = (
+            filtered.join(
+                F.broadcast(rates.select("source", "sample_mille")), "source"
+            )
+            .filter(F.expr(SAMPLE_HASH) < F.col("sample_mille"))
+            .drop("sample_mille")
+        )
+    else:
+        rate = F.when(F.col("lang") == "en", args.sample_en).otherwise(args.sample_other)
+        sampled = filtered.filter(F.expr(SAMPLE_HASH) < rate)
     n_sampled = sampled.count()
 
     out = sampled.drop("fingerprint", "_rn")
@@ -130,6 +177,7 @@ def main() -> None:
             {
                 "docs_in": n_in,
                 "after_dedup": n_dedup,
+                **({"after_decontamination": n_decon} if n_decon is not None else {}),
                 **({"after_source_cap": n_cap} if n_cap is not None else {}),
                 "after_quality": n_quality,
                 **({"after_lm_filter": n_lm} if n_lm is not None else {}),

@@ -157,6 +157,47 @@ def test_run_curate_cli_end_to_end(tmp_path):
     assert "fingerprint" not in written.schema.names  # internals dropped
 
 
+def test_run_curate_cli_decontaminates_and_mixes(tmp_path):
+    """Drive run_curate's --decontaminate-bench and --mix-by-source
+    stages end-to-end: a benchmark built from the first documents must
+    knock those documents (contamination 1.0) out of the corpus, and
+    source mixing must still produce a non-empty sorted write."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = "/root/testdata/sf0.001/documents.parquet"
+    bench = str(tmp_path / "bench.parquet")
+    docs = pq.read_table(src)
+    pq.write_table(docs.slice(0, 10), bench)
+    out = str(tmp_path / "curated")
+    env = {**os.environ, "PYTHONPATH": repo}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "run_curate.py"),
+         "--input", src, "--output", out,
+         "--quality-min", "0.0",
+         "--decontaminate-bench", bench, "--contamination-max", "0.3",
+         "--mix-by-source", "--mix-budget-mille", "500",
+         "--files", "2", "--master", "local[4]"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    # the bench docs are IN the corpus: their self-contamination is 1.0,
+    # far over the 0.3 ceiling, so decontamination must drop rows
+    assert summary["after_decontamination"] < summary["after_dedup"]
+    assert (summary["docs_in"] >= summary["after_dedup"]
+            >= summary["after_decontamination"] >= summary["after_quality"]
+            >= summary["after_sampling"] > 0)
+    written = pq.read_table(out)
+    assert written.num_rows == summary["after_sampling"]
+    assert "sample_mille" not in written.schema.names  # mixing internals dropped
+
+
 def test_run_extract_cli_compacts_state(spark, tmp_path):
     """Drive the literal jobs/run_extract.py CLI with --compact-state: the
     retry rounds leave multiple state run directories (poison docs fail
