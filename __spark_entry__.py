@@ -80,14 +80,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #       four curation ops added in-session (decontaminate_bloom,
 #       mix_source_weights, semdedup_prune, dedup_boilerplate_spans)
 #       replace spans_input_stats/w1_redensify/j3_media_join/
-#       extract_kind_counts (all green in r3, code untouched since).
+#       extract_kind_counts (all green in r3, code untouched since);
+#       then dedup_exact_substrings + dsir_importance replace
+#       dedup_span_paragraphs/dedup_minhash_capped (green in r3,
+#       untouched).
 _WINDOW: tuple[str, ...] = (
-    "real_av_meta", "real_image_meta", "dedup_span_paragraphs",
+    "real_av_meta", "real_image_meta", "dedup_exact_substrings",
     "real_docs_span_seq", "real_docs_summary", "real_ocr_text",
     "real_media_meta",
     "decontaminate_bloom", "mix_source_weights", "semdedup_prune",
     "extract_span_seq", "extract_doc_summary", "dedup_boilerplate_spans",
-    "dedup_image_phash", "real_gif_frames", "dedup_minhash_capped",
+    "dedup_image_phash", "real_gif_frames", "dsir_importance",
     "ann_ivf_trained", "ann_ivf_trained_recall", "pipeline_e2e",
     "sample_stratified", "decontaminate_overlap", "emb_quantize_int8",
     "dedup_levenshtein", "dedup_clusters", "dedup_keep_first",

@@ -2126,6 +2126,162 @@ SELECT drop_id AS vec_id, cluster, keep_id AS dup_of, ROUND(sim, 4) AS cos_sim F
 """
 
 
+# ------------------------------------------------------------ exact substring dedup
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better"): remove every duplicated substring of >= K tokens, wherever a
+# second copy exists in the corpus — catches partial overlaps that
+# whole-document and near-dup passes miss. From-scratch Spark shape
+# standing in for the paper's suffix array: positioned K-gram hashes (one
+# posexplode, only (doc, pos, int64) rows shuffle — never text), a
+# groupBy-count marks hashes occurring more than once anywhere (including
+# within-document repeats, as the paper does), and each document's
+# duplicated token mass is the union length of its flagged [pos, pos+K)
+# intervals — one lead() window per document, no self-join, no interval
+# explosion. At 100 TB the duplicated-hash table is the only wide state;
+# 60-bit hashes make cross-shingle collisions ~n²/2^61 and only ever
+# OVER-count by one shingle span. K = 8 tokens.
+
+# FULL 60-bit md5 prefix — deliberately NOT reduced mod 2^31-1 like the
+# minhash family: duplicate detection joins on hash EQUALITY, and at 31
+# bits two different shingles collided in the sf0.01 corpus already
+# (~12k shingles → birthday at ~2^15.5); 60 bits puts cross-shingle
+# collisions at ~n^2/2^61.
+_SUBSTR_H = "cast(conv(substring(md5(shingle), 1, 15), 16, 10) AS bigint)"
+
+
+def q_dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pos = (
+        docs.selectExpr("doc_id", f"{_SHINGLES8} AS sh_arr")
+        .selectExpr("doc_id", "posexplode(sh_arr) AS (p0, shingle)")
+        .selectExpr("doc_id", "p0 + 1 AS i", f"{_SUBSTR_H} AS h")
+    )
+    dup = pos.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") > 1).select("h")
+    starts = pos.join(dup, "h").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    contrib = starts.withColumn(
+        "c",
+        F.least(
+            F.lit(_N8), F.coalesce(F.lead("i").over(w) - F.col("i"), F.lit(_N8))
+        ),
+    )
+    sizes = docs.selectExpr("doc_id", f"size({_TOKS}) AS n_tokens")
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").alias("dup_tokens"))
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT_SUBSTRINGS = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+pos0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - {_N8 - 2}, 1)),
+                i -> struct_pack(i := i, sh := array_to_string(t[i:i+{_N8 - 1}], ' ')))) AS u
+  FROM toks),
+pos AS (
+  SELECT doc_id, u.i AS i,
+         ('0x' || substring(md5(u.sh), 1, 15))::BIGINT AS h
+  FROM pos0),
+dup AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) > 1),
+starts AS (SELECT p.doc_id, p.i FROM pos p JOIN dup d ON p.h = d.h),
+contrib AS (
+  SELECT doc_id, i,
+         LEAST({_N8}, COALESCE(LEAD(i) OVER (PARTITION BY doc_id ORDER BY i) - i, {_N8})) AS c
+  FROM starts),
+sizes AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+SELECT c.doc_id, s.n_tokens, CAST(SUM(c.c) AS BIGINT) AS dup_tokens,
+       ROUND(SUM(c.c) / s.n_tokens, 6) AS dup_frac
+FROM contrib c JOIN sizes s ON c.doc_id = s.doc_id
+GROUP BY c.doc_id, s.n_tokens
+"""
+
+
+# ------------------------------------------------------------ DSIR importance weights
+# Data Selection via Importance Resampling (Xie et al. 2023): score each
+# corpus document by how much more likely its tokens are under a model of
+# the TARGET distribution (here the benchmark slice) than under the raw
+# corpus model — log p_target(x) - log p_raw(x), token-averaged. Both
+# unigram models are estimated with add-one smoothing over the shared
+# vocabulary, so unseen-in-target tokens get finite negative evidence
+# instead of -inf. Same cached-(doc, term, k) shape as the unigram-LM
+# scorer: one explode pass, vocabulary-sized model dims (at 100 TB DSIR
+# hashes features into fixed buckets, making the dim constant-size and
+# broadcastable — noted, not needed at contract scale), 1-row totals
+# broadcast. High scores = looks like the benchmark = what importance
+# resampling would keep.
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("k")).cache()
+    tgt = tf.filter(F.col("doc_id") < 50).groupBy("token").agg(F.sum("k").alias("ct"))
+    raw = tf.filter(F.col("doc_id") >= 50).groupBy("token").agg(F.sum("k").alias("cr"))
+    vocab = (
+        tgt.join(raw, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    totals = vocab.agg(
+        F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot"), F.count("*").alias("v")
+    )
+    logdiff = vocab.crossJoin(F.broadcast(totals)).select(
+        "token",
+        (
+            F.log((F.col("ct") + 1) / (F.col("t_tot") + F.col("v")))
+            - F.log((F.col("cr") + 1) / (F.col("r_tot") + F.col("v")))
+        ).alias("ld"),
+    )
+    return (
+        tf.filter(F.col("doc_id") >= 50)
+        .join(logdiff, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.round(F.sum(F.col("k") * F.col("ld")) / F.sum("k"), 6).alias(
+                "dsir_logratio"
+            ),
+        )
+    )
+
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS k
+  FROM toks WHERE token <> '' GROUP BY doc_id, token),
+tgt AS (SELECT token, CAST(SUM(k) AS BIGINT) AS ct FROM tf WHERE doc_id < 50 GROUP BY token),
+raw AS (SELECT token, CAST(SUM(k) AS BIGINT) AS cr FROM tf WHERE doc_id >= 50 GROUP BY token),
+vocab AS (
+  SELECT COALESCE(t.token, r.token) AS token,
+         COALESCE(t.ct, 0) AS ct, COALESCE(r.cr, 0) AS cr
+  FROM tgt t FULL OUTER JOIN raw r ON t.token = r.token),
+totals AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS t_tot, CAST(SUM(cr) AS BIGINT) AS r_tot,
+         CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+logdiff AS (
+  SELECT token, ln((ct + 1) / (t_tot + v)) - ln((cr + 1) / (r_tot + v)) AS ld
+  FROM vocab CROSS JOIN totals)
+SELECT tf.doc_id, CAST(SUM(tf.k) AS BIGINT) AS n_tokens,
+       ROUND(SUM(tf.k * ld.ld) / SUM(tf.k), 6) AS dsir_logratio
+FROM tf JOIN logdiff ld ON tf.token = ld.token
+WHERE tf.doc_id >= 50
+GROUP BY tf.doc_id
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "dedup_minhash_capped": (q_dedup_minhash_capped, SQL_DEDUP_MINHASH_CAPPED),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
@@ -2171,4 +2327,6 @@ CORPUS_QUERIES_EXTRA: dict[str, tuple] = {
     "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
     "mix_source_weights": (q_mix_source_weights, SQL_MIX_SOURCE_WEIGHTS),
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP_PRUNE),
+    "dedup_exact_substrings": (q_dedup_exact_substrings, SQL_DEDUP_EXACT_SUBSTRINGS),
+    "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
 }

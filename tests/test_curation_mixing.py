@@ -93,6 +93,79 @@ def test_semdedup_prune_invariants(spark):
         assert keeper not in dropped_set
 
 
+def test_exact_substrings_match_pure_python_interval_union(spark):
+    """Recompute Lee-style duplicated-token mass from first principles in
+    Python (string 8-gram multiset → flagged starts → interval union) and
+    require the Spark/hash implementation to agree doc-for-doc — a
+    collision in the 60-bit shingle hash or an off-by-one in the lead()
+    interval union would break equality here, independent of the DuckDB
+    oracle (which shares the hash math)."""
+    import pyarrow.parquet as pq
+
+    from documentconvert_spark.queries_corpus import q_dedup_exact_substrings
+
+    K = 8
+    tbl = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    occurrences: dict[str, int] = {}
+    doc_shingles = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks = [t for t in text.strip().lower().split() if t]
+        shs = [" ".join(toks[i:i + K]) for i in range(len(toks) - K + 1)]
+        doc_shingles[doc_id] = (len(toks), shs)
+        for s in shs:
+            occurrences[s] = occurrences.get(s, 0) + 1
+    expected = {}
+    for doc_id, (n_toks, shs) in doc_shingles.items():
+        starts = [i for i, s in enumerate(shs) if occurrences[s] > 1]
+        if not starts:
+            continue
+        dup = sum(
+            min(K, starts[j + 1] - starts[j]) for j in range(len(starts) - 1)
+        ) + K
+        expected[doc_id] = (n_toks, dup)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in q_dedup_exact_substrings(spark, SF).collect()
+    }
+    assert expected, "fixture has no duplicated substrings"
+    assert got == expected
+
+
+def test_dsir_scores_match_pure_python(spark):
+    """Recompute the DSIR log-ratio from first principles (add-one
+    smoothed unigram models over the shared vocabulary) and require the
+    Spark scores to agree within float-summation tolerance."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from documentconvert_spark.queries_corpus import q_dsir_importance
+
+    tbl = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    tgt: dict[str, int] = {}
+    raw: dict[str, int] = {}
+    docs = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks = [t for t in text.strip().lower().split() if t]
+        docs[doc_id] = toks
+        side = tgt if doc_id < 50 else raw
+        for t in toks:
+            side[t] = side.get(t, 0) + 1
+    vocab = set(tgt) | set(raw)
+    t_tot, r_tot, v = sum(tgt.values()), sum(raw.values()), len(vocab)
+    ld = {
+        t: math.log((tgt.get(t, 0) + 1) / (t_tot + v))
+        - math.log((raw.get(t, 0) + 1) / (r_tot + v))
+        for t in vocab
+    }
+    rows = q_dsir_importance(spark, SF).collect()
+    assert len(rows) == sum(1 for d, toks in docs.items() if d >= 50 and toks)
+    for r in rows:
+        toks = docs[r["doc_id"]]
+        want = sum(ld[t] for t in toks) / len(toks)
+        assert abs(r["dsir_logratio"] - want) < 1e-4, (r["doc_id"], want)
+
+
 def test_boilerplate_removes_every_occurrence(spark):
     """Unlike keep-first paragraph dedup, boilerplate removal drops ALL
     occurrences: summed removals must equal the total occurrence count of

@@ -167,6 +167,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "emb_pq_recall",          # composes both PQ paths + the brute baseline
         "mix_source_weights",     # 1-row corpus-totals broadcast onto the 20-row source dim
         "semdedup_prune",         # k<=8 trained centroids broadcast (same as ann_ivf_trained)
+        "dsir_importance",        # 1-row model-totals broadcast onto the vocab dim
     }
     offenders = {}
     for name, fn in entrymod.queries().items():
