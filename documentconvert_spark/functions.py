@@ -226,6 +226,45 @@ def bloom_contamination(docs, filt):
     )
 
 
+def duplicated_substring_stats(docs):
+    """(doc_id, n_tokens, dup_tokens, dup_frac): Lee-style duplicated
+    substring mass — the token count covered by 8-gram shingles whose
+    full 60-bit hash occurs more than once anywhere in the corpus
+    (including within-document repeats). Positions explode to (doc, pos,
+    int64) rows — text never shuffles — and each document's covered mass
+    is the union length of its flagged [pos, pos+8) intervals via ONE
+    lead() window. Shared by the contract query
+    (q_dedup_exact_substrings) and run_curate's --dup-frac-max stage."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    h = "cast(conv(substring(md5(shingle), 1, 15), 16, 10) AS bigint)"
+    pos = (
+        docs.selectExpr("doc_id", f"{SHINGLES8} AS sh_arr")
+        .selectExpr("doc_id", "posexplode(sh_arr) AS (p0, shingle)")
+        .selectExpr("doc_id", "p0 + 1 AS i", f"{h} AS h")
+    )
+    dup = pos.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") > 1).select("h")
+    starts = pos.join(dup, "h").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    contrib = starts.withColumn(
+        "c",
+        F.least(F.lit(8), F.coalesce(F.lead("i").over(w) - F.col("i"), F.lit(8))),
+    )
+    sizes = docs.selectExpr("doc_id", f"size({TOKS}) AS n_tokens")
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").alias("dup_tokens"))
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
+        )
+    )
+
+
 def source_mix_rates(docs, budget_mille: int = 500):
     """(source, src_tokens, sample_mille): temperature t=0.5 token-budget
     allocation — each source's weight is floor(sqrt(tokens)) and the

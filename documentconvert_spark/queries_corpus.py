@@ -2146,37 +2146,12 @@ SELECT drop_id AS vec_id, cluster, keep_id AS dup_of, ROUND(sim, 4) AS cos_sim F
 # bits two different shingles collided in the sf0.01 corpus already
 # (~12k shingles → birthday at ~2^15.5); 60 bits puts cross-shingle
 # collisions at ~n^2/2^61.
-_SUBSTR_H = "cast(conv(substring(md5(shingle), 1, 15), 16, 10) AS bigint)"
+# definition shared with the production job (run_curate --dup-frac-max)
+from documentconvert_spark.functions import duplicated_substring_stats as _dup_substr_stats  # noqa: E402
 
 
 def q_dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    pos = (
-        docs.selectExpr("doc_id", f"{_SHINGLES8} AS sh_arr")
-        .selectExpr("doc_id", "posexplode(sh_arr) AS (p0, shingle)")
-        .selectExpr("doc_id", "p0 + 1 AS i", f"{_SUBSTR_H} AS h")
-    )
-    dup = pos.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") > 1).select("h")
-    starts = pos.join(dup, "h").select("doc_id", "i")
-    w = Window.partitionBy("doc_id").orderBy("i")
-    contrib = starts.withColumn(
-        "c",
-        F.least(
-            F.lit(_N8), F.coalesce(F.lead("i").over(w) - F.col("i"), F.lit(_N8))
-        ),
-    )
-    sizes = docs.selectExpr("doc_id", f"size({_TOKS}) AS n_tokens")
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.sum("c").alias("dup_tokens"))
-        .join(sizes, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "dup_tokens",
-            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
-        )
-    )
+    return _dup_substr_stats(_docs(spark, sf_dir))
 
 
 SQL_DEDUP_EXACT_SUBSTRINGS = f"""

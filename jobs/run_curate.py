@@ -6,6 +6,8 @@ The batch pipeline a 100 TB corpus runs between crawling and training:
       → optional benchmark decontamination (--decontaminate-bench: the
         benchmark's 8-gram shingles folded into a broadcast Bloom
         bitmap; docs over --contamination-max dropped)
+      → optional duplicated-substring filter (--dup-frac-max: drop docs
+        whose Lee-style 8-gram duplicated-token fraction is too high)
       → optional per-source cap (--cap-per-source: C4-style host
         frequency capping, skew-proof two-phase top-K)
       → quality scoring + threshold filter
@@ -56,6 +58,10 @@ def main() -> None:
                          "whose Bloom-estimated 8-gram contamination "
                          "exceeds --contamination-max; off by default")
     ap.add_argument("--contamination-max", type=float, default=0.05)
+    ap.add_argument("--dup-frac-max", type=float, default=None,
+                    help="drop docs whose Lee-style duplicated-substring "
+                         "token fraction (8-gram, corpus-wide) exceeds "
+                         "this; off by default")
     ap.add_argument("--mix-by-source", action="store_true",
                     help="replace per-language sampling with temperature "
                          "t=0.5 source mixing at --mix-budget-mille of "
@@ -111,6 +117,21 @@ def main() -> None:
         )
         deduped = deduped.join(contaminated, "doc_id", "left_anti")
         n_decon = deduped.count()
+
+    n_dupfrac = None
+    if args.dup_frac_max is not None:
+        # same oracle-verified definition as dedup_exact_substrings; the
+        # stats side table is (doc_id, 3 numerics), docs without any
+        # duplicated shingle emit no row and always survive
+        from documentconvert_spark.functions import duplicated_substring_stats
+
+        over = (
+            duplicated_substring_stats(deduped)
+            .filter(F.col("dup_frac") > args.dup_frac_max)
+            .select("doc_id")
+        )
+        deduped = deduped.join(over, "doc_id", "left_anti")
+        n_dupfrac = deduped.count()
 
     n_cap = None
     if args.cap_per_source is not None:
@@ -178,6 +199,7 @@ def main() -> None:
                 "docs_in": n_in,
                 "after_dedup": n_dedup,
                 **({"after_decontamination": n_decon} if n_decon is not None else {}),
+                **({"after_dup_frac": n_dupfrac} if n_dupfrac is not None else {}),
                 **({"after_source_cap": n_cap} if n_cap is not None else {}),
                 "after_quality": n_quality,
                 **({"after_lm_filter": n_lm} if n_lm is not None else {}),

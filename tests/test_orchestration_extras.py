@@ -181,6 +181,7 @@ def test_run_curate_cli_decontaminates_and_mixes(tmp_path):
          "--input", src, "--output", out,
          "--quality-min", "0.0",
          "--decontaminate-bench", bench, "--contamination-max", "0.3",
+         "--dup-frac-max", "0.9",
          "--mix-by-source", "--mix-budget-mille", "500",
          "--files", "2", "--master", "local[4]"],
         capture_output=True, text=True, cwd=repo, env=env, timeout=300,
@@ -188,11 +189,12 @@ def test_run_curate_cli_decontaminates_and_mixes(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     # the bench docs are IN the corpus: their self-contamination is 1.0,
-    # far over the 0.3 ceiling, so decontamination must drop rows
+    # far over the 0.3 ceiling, so decontamination must drop rows; the
+    # dup-frac stage slots into the funnel between it and quality
     assert summary["after_decontamination"] < summary["after_dedup"]
     assert (summary["docs_in"] >= summary["after_dedup"]
-            >= summary["after_decontamination"] >= summary["after_quality"]
-            >= summary["after_sampling"] > 0)
+            >= summary["after_decontamination"] >= summary["after_dup_frac"]
+            >= summary["after_quality"] >= summary["after_sampling"] > 0)
     written = pq.read_table(out)
     assert written.num_rows == summary["after_sampling"]
     assert "sample_mille" not in written.schema.names  # mixing internals dropped
