@@ -1,0 +1,198 @@
+"""Production ANN index build over an embeddings DataFrame.
+
+The reusable core behind the oracle-certified contract queries
+(queries_corpus: ann_ivf_trained*, emb_pq_*) and the index-build job
+(jobs/run_index.py): coarse IVF quantizer training (Lloyd's k-means),
+cell assignment, product-quantization codebook training and encoding,
+and the two-stage IVF search. The contract queries call THESE functions
+through thin (spark, sf_dir) wrappers, so the semantics the DuckDB
+oracle hash-verifies at sf0.01 are the semantics the job persists at any
+scale.
+
+100 TB shape, by construction:
+- centroids/codebooks are k (resp. m×k_sub) rows of small double arrays —
+  always broadcast; the corpus side is never reshuffled for assignment.
+- every Lloyd round ends in a localCheckpoint, keeping the logical plan
+  O(1) in the iteration count instead of re-deriving an
+  iterations-deep DAG.
+- centroid means round to 6dp per update so independent engines (and the
+  DuckDB oracle) agree argmin-for-argmin, bit-for-bit.
+- the IVF probe is an EQUI-join on centroid id (candidates ≈ nProbe/k of
+  the corpus); PQ search folds a per-query LUT over packed codes, never
+  decoding vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+ARR_NORM = (
+    "sqrt(aggregate(transform({a}, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+VDOT = "aggregate(zip_with(ve, ce, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+L2SQ = (
+    "aggregate(zip_with(sv, ce, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def unit_embeddings(emb_df):
+    """(vec_id, ve double[], vn): embeddings lifted to double with their
+    L2 norm. Input needs (vec_id, embedding array<numeric>)."""
+    return (
+        emb_df.selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS ve")
+        .withColumn("vn", F.expr(ARR_NORM.format(a="ve")))
+    )
+
+
+def train_coarse_kmeans(emb_df, k: int = 8, iters: int = 2):
+    """Returns (emb, cents): emb = (vec_id, ve, vn), cents = (c_id, ce,
+    cn) after `iters` Lloyd rounds seeded from the k lowest vec_ids
+    (deterministic, engine-replicable). Empty cells simply drop out."""
+    emb = unit_embeddings(emb_df)
+    cents = (
+        emb.orderBy("vec_id").limit(k)
+        .select(F.col("vec_id").alias("c_id"), F.col("ve").alias("ce"), F.col("vn").alias("cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
+    for _ in range(iters):
+        assign = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("csim", F.expr(VDOT) / (F.col("vn") * F.col("cn")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "c_id")
+        )
+        means = (
+            assign.join(emb, "vec_id")
+            .select("c_id", F.posexplode("ve").alias("pos", "val"))
+            .groupBy("c_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+        )
+        cents = (
+            means.groupBy("c_id")
+            .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("ce"))
+            .withColumn("cn", F.expr(ARR_NORM.format(a="ce")))
+        )
+        # O(1) plan and no re-execution of the (iteration-deep) upstream
+        # DAG — the checkpointed frame is k rows × dim doubles
+        cents = cents.localCheckpoint(eager=True)
+    return emb, cents
+
+
+def ivf_assign(emb, cents):
+    """(vec_id, centroid_id, cos_sim): each vector's nearest trained
+    centroid — the persisted IVF cell assignment."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.expr(VDOT) / (F.col("vn") * F.col("cn")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("c_id").alias("centroid_id"), F.round("csim", 4).alias("cos_sim"))
+    )
+
+
+def pq_train(emb_df, m: int = 8, ksub: int = 16, dsub: int | None = None, iters: int = 2):
+    """Returns (emb, sub, cents): emb = (vec_id, uv double[dim]) unit
+    vectors; sub = (vec_id, s, sv double[dsub]) their subvectors; cents =
+    (s, c_id, ce double[dsub]) after `iters` Lloyd rounds per subspace
+    seeded from vec_id < ksub. dsub defaults to dim // m (dim must be
+    divisible by m)."""
+    unit = unit_embeddings(emb_df).selectExpr("vec_id", "transform(ve, x -> x / vn) AS uv")
+    if dsub is None:
+        dim = len(unit.select("uv").first()["uv"])
+        if dim % m:
+            raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+        dsub = dim // m
+    sub = unit.selectExpr(
+        "vec_id",
+        f"inline(transform(sequence(0, {m - 1}), "
+        f"s -> struct(s AS s, slice(uv, s * {dsub} + 1, {dsub}) AS sv)))",
+    )
+    cents = sub.filter(F.col("vec_id") < ksub).select(
+        "s", F.col("vec_id").alias("c_id"), F.col("sv").alias("ce")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("c_id"))
+    for _ in range(iters):
+        assign = (
+            sub.join(F.broadcast(cents), "s")
+            .withColumn("d", F.expr(L2SQ))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("s", "c_id", "sv")
+        )
+        means = (
+            assign.select("s", "c_id", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("s", "c_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+        )
+        cents = (
+            means.groupBy("s", "c_id")
+            .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias("ce"))
+        )
+        # ksub×m rows of dsub doubles: checkpoint keeps the plan O(1) per round
+        cents = cents.localCheckpoint(eager=True)
+    return unit, sub, cents
+
+
+def pq_codes(sub, cents):
+    """(vec_id, s, c_id, d): nearest-centroid code per subspace with its
+    squared L2 residual (the per-subspace distortion)."""
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("c_id"))
+    return (
+        sub.join(F.broadcast(cents), "s")
+        .withColumn("d", F.expr(L2SQ))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "s", "c_id", "d")
+    )
+
+
+def pq_pack(codes, m: int = 8):
+    """(vec_id, packed_code, distortion): one row per vector, codes packed
+    4 bits per subspace (requires ksub <= 16 and m <= 16)."""
+    return codes.groupBy("vec_id").agg(
+        F.sum(F.expr("c_id * shiftleft(1, 4 * s)")).alias("packed_code"),
+        F.round(F.sum("d"), 6).alias("distortion"),
+    )
+
+
+def ivf_topk(emb, cents, query_ids, k: int = 5, n_probe: int = 2):
+    """(q_id, n_id, cos_sim): IVF search — each query probes its n_probe
+    nearest cells and ranks exact cosine within them. `query_ids` is a
+    (vec_id) DataFrame of a BOUNDED query set (it broadcasts)."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
+    ranked = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.expr(VDOT) / (F.col("vn") * F.col("cn")))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    assign = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", F.col("c_id").alias("centroid_id"),
+        F.col("ve").alias("ne"), F.col("vn").alias("nn"),
+    )
+    probes = (
+        ranked.join(F.broadcast(query_ids), "vec_id")
+        .filter(F.col("rk") <= n_probe)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("c_id").alias("centroid_id"),
+            F.col("ve").alias("qe2"), F.col("vn").alias("qn2"),
+        )
+    )
+    dot2 = (
+        "aggregate(zip_with(qe2, ne, (a, b) -> a * b), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cand = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("sim", F.expr(dot2) / (F.col("qn2") * F.col("nn")))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("vec_id").alias("n_id"), F.round("sim", 4).alias("cos_sim"))
+    )

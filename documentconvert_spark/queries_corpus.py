@@ -476,43 +476,20 @@ _VDOT = "aggregate(zip_with(ve, ce, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc,
 _ARR_NORM = "sqrt(aggregate(transform({a}, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
 
 
+# production core shared with jobs/run_index.py — the job persists the
+# SAME quantizer/assignment semantics the oracle certifies here
+from documentconvert_spark.ops.ann import ivf_assign as _ops_ivf_assign  # noqa: E402
+from documentconvert_spark.ops.ann import ivf_topk as _ops_ivf_topk  # noqa: E402
+from documentconvert_spark.ops.ann import pq_codes as _pq_codes  # noqa: E402
+from documentconvert_spark.ops.ann import pq_pack as _ops_pq_pack  # noqa: E402
+from documentconvert_spark.ops.ann import pq_train as _ops_pq_train  # noqa: E402
+from documentconvert_spark.ops.ann import train_coarse_kmeans as _ops_kmeans  # noqa: E402
+
+
 def _kmeans_train(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 2):
-    """Returns (emb, cents): emb = (vec_id, ve double[], vn), cents =
-    (c_id, ce double[], cn) after `iters` Lloyd rounds from the vec_id<k
-    pivots. Empty cells simply drop out (both engines agree, since the
-    assignments agree)."""
-    emb = (
-        _emb(spark, sf_dir)
-        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS ve")
-        .withColumn("vn", F.expr(_ARR_NORM.format(a="ve")))
-    )
-    cents = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("c_id"), F.col("ve").alias("ce"), F.col("vn").alias("cn")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
-    for _ in range(iters):
-        assign = (
-            emb.crossJoin(F.broadcast(cents))
-            .withColumn("csim", F.expr(_VDOT) / (F.col("vn") * F.col("cn")))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "c_id")
-        )
-        means = (
-            assign.join(emb, "vec_id")
-            .select("c_id", F.posexplode("ve").alias("pos", "val"))
-            .groupBy("c_id", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
-        )
-        cents = (
-            means.groupBy("c_id")
-            .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("ce"))
-            .withColumn("cn", F.expr(_ARR_NORM.format(a="ce")))
-        )
-        # O(1) plan and no re-execution of the (iteration-deep) upstream
-        # DAG — the checkpointed frame is k rows × dim doubles
-        cents = cents.localCheckpoint(eager=True)
-    return emb, cents
+    """(emb, cents) after `iters` Lloyd rounds from the k lowest-vec_id
+    pivots — thin sf_dir wrapper over ops.ann.train_coarse_kmeans."""
+    return _ops_kmeans(_emb(spark, sf_dir), k=k, iters=iters)
 
 
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,48 +497,14 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid_id, cos_sim-to-centroid). The corpus-side pass a 100 TB IVF
     build runs once and persists as the index."""
     emb, cents = _kmeans_train(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
-    return (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.expr(_VDOT) / (F.col("vn") * F.col("cn")))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("c_id").alias("centroid_id"), F.round("csim", 4).alias("cos_sim"))
-    )
+    return _ops_ivf_assign(emb, cents)
 
 
 def _ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_ann_ivf_topk's exact shape (nProbe=2, top-5) with trained cells."""
     emb, cents = _kmeans_train(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
-    ranked = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.expr(_VDOT) / (F.col("vn") * F.col("cn")))
-        .withColumn("rk", F.row_number().over(w))
-    )
-    assign = ranked.filter(F.col("rk") == 1).select(
-        "vec_id", F.col("c_id").alias("centroid_id"),
-        F.col("ve").alias("ne"), F.col("vn").alias("nn"),
-    )
-    probes = ranked.filter((F.col("vec_id") < 10) & (F.col("rk") <= 2)).select(
-        F.col("vec_id").alias("q_id"), F.col("c_id").alias("centroid_id"),
-        F.col("ve").alias("qe2"), F.col("vn").alias("qn2"),
-    )
-    dot2 = (
-        "aggregate(zip_with(qe2, ne, (a, b) -> a * b), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    cand = (
-        probes.join(assign, "centroid_id")
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .withColumn("sim", F.expr(dot2) / (F.col("qn2") * F.col("nn")))
-    )
-    w2 = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        cand.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= 5)
-        .select("q_id", F.col("vec_id").alias("n_id"), F.round("sim", 4).alias("cos_sim"))
-    )
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    return _ops_ivf_topk(emb, cents, queries, k=5, n_probe=2)
 
 
 def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1661,58 +1604,12 @@ _L2SQ = "aggregate(zip_with(sv, ce, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DO
 
 
 def _pq_train(spark: SparkSession, sf_dir: str, iters: int = 2):
-    """Returns (emb, sub, cents): emb = (vec_id, uv double[64]) unit
-    vectors; sub = (vec_id, s, sv double[8]) their subvectors; cents =
-    (s, c_id, ce double[8]) after `iters` Lloyd rounds per subspace from
-    the vec_id<K init. Centroid means are rounded to 6dp per update so
-    both engines' argmin agree bit-for-bit."""
-    emb = (
-        _emb(spark, sf_dir)
-        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS ve")
-        .withColumn("vn", F.expr(_ARR_NORM.format(a="ve")))
-        .selectExpr("vec_id", "transform(ve, x -> x / vn) AS uv")
-    )
-    sub = emb.selectExpr(
-        "vec_id",
-        f"inline(transform(sequence(0, {_PQ_M - 1}), "
-        f"s -> struct(s AS s, slice(uv, s * {_PQ_DSUB} + 1, {_PQ_DSUB}) AS sv)))",
-    )
-    cents = sub.filter(F.col("vec_id") < _PQ_K).select(
-        "s", F.col("vec_id").alias("c_id"), F.col("sv").alias("ce")
-    )
-    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("c_id"))
-    for _ in range(iters):
-        assign = (
-            sub.join(F.broadcast(cents), "s")
-            .withColumn("d", F.expr(_L2SQ))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("s", "c_id", "sv")
-        )
-        means = (
-            assign.select("s", "c_id", F.posexplode("sv").alias("pos", "val"))
-            .groupBy("s", "c_id", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
-        )
-        cents = (
-            means.groupBy("s", "c_id")
-            .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias("ce"))
-        )
-        # K×M rows of 8 doubles: checkpoint keeps the plan O(1) per round
-        cents = cents.localCheckpoint(eager=True)
-    return emb, sub, cents
-
-
-def _pq_codes(sub, cents):
-    """(vec_id, s, c_id, d): nearest-centroid code per subspace with its
-    squared L2 residual (the per-subspace distortion)."""
-    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("c_id"))
-    return (
-        sub.join(F.broadcast(cents), "s")
-        .withColumn("d", F.expr(_L2SQ))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "s", "c_id", "d")
+    """(emb, sub, cents) per-subspace Lloyd training — thin sf_dir
+    wrapper over ops.ann.pq_train (M=8 × K=16, dsub=8; centroid means
+    round to 6dp per update so both engines' argmin agree
+    bit-for-bit)."""
+    return _ops_pq_train(
+        _emb(spark, sf_dir), m=_PQ_M, ksub=_PQ_K, dsub=_PQ_DSUB, iters=iters
     )
 
 
@@ -1722,14 +1619,7 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (||v − recon||², the number a production deployment monitors for
     codebook drift)."""
     _, sub, cents = _pq_train(spark, sf_dir)
-    return (
-        _pq_codes(sub, cents)
-        .groupBy("vec_id")
-        .agg(
-            F.sum(F.expr("c_id * shiftleft(1, 4 * s)")).alias("packed_code"),
-            F.round(F.sum("d"), 6).alias("distortion"),
-        )
-    )
+    return _ops_pq_pack(_pq_codes(sub, cents), m=_PQ_M)
 
 
 def _pq_adc_ranked(spark: SparkSession, sf_dir: str):

@@ -1,0 +1,115 @@
+"""Cluster job entrypoint: ANN index build over an embeddings table.
+
+The one-time corpus-side pass a 100 TB similarity-search deployment
+persists, using the SAME oracle-certified definitions as the driver
+contract queries (documentconvert_spark/ops/ann.py):
+
+    coarse IVF quantizer (Lloyd's k-means, --k cells, --iters rounds)
+      → cell assignment (vec_id → centroid_id, the inverted lists)
+      → PQ codebooks (--pq-m subspaces × --pq-k centroids each)
+      → packed PQ codes + per-vector distortion (codebook-drift monitor)
+      → optional search demo (--demo-queries N: nProbe=2 top-5 for the
+        N lowest vec_ids, written alongside the index)
+
+Output layout (all parquet):
+    <out>/centroids/      (c_id, ce double[], cn)
+    <out>/assignments/    (vec_id, centroid_id, cos_sim)
+    <out>/pq_centroids/   (s, c_id, ce double[])
+    <out>/codes/          (vec_id, packed_code, distortion)
+    <out>/demo_topk/      (q_id, n_id, cos_sim)        [--demo-queries]
+
+Submit:
+
+    scripts/make_pyfiles.sh
+    spark-submit --master <cluster> \
+      --py-files dist/documentconvert_spark.zip \
+      jobs/run_index.py --input <embeddings parquet> --output <dir> \
+      [--k 8] [--iters 2] [--pq-m 8] [--pq-k 16] [--demo-queries 10]
+
+Prints one JSON summary line. Deterministic: k-means seeds from the k
+lowest vec_ids and every centroid mean rounds to 6dp per update, so a
+rerun (or the DuckDB oracle at contract scale) reproduces the index
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--k", type=int, default=8, help="IVF cells (scale with corpus size)")
+    ap.add_argument("--iters", type=int, default=2, help="Lloyd rounds")
+    ap.add_argument("--pq-m", type=int, default=8, help="PQ subspaces")
+    ap.add_argument("--pq-k", type=int, default=16, help="PQ centroids per subspace (<=16 packs to 4 bits)")
+    ap.add_argument("--demo-queries", type=int, default=0,
+                    help="also run nProbe=2 top-5 search for the N lowest vec_ids")
+    ap.add_argument("--files", type=int, default=16)
+    ap.add_argument("--master", default=None, help="override master (local testing)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from documentconvert_spark.ops.ann import (
+        ivf_assign,
+        ivf_topk,
+        pq_codes,
+        pq_pack,
+        pq_train,
+        train_coarse_kmeans,
+    )
+    from documentconvert_spark.session import build_session
+    from documentconvert_spark.tableio import read_table
+
+    spark = build_session(app_name="ann-index", master=args.master)
+    emb_df = read_table(spark, args.input)
+    n_vec = emb_df.count()
+
+    emb, cents = train_coarse_kmeans(emb_df, k=args.k, iters=args.iters)
+    cents.write.mode("overwrite").parquet(f"{args.output}/centroids")
+    n_cells = cents.count()
+
+    assign = ivf_assign(emb, cents)
+    assign.repartition(args.files).write.mode("overwrite").parquet(
+        f"{args.output}/assignments"
+    )
+
+    _, sub, pq_cents = pq_train(emb_df, m=args.pq_m, ksub=args.pq_k, iters=args.iters)
+    pq_cents.write.mode("overwrite").parquet(f"{args.output}/pq_centroids")
+    packed = pq_pack(pq_codes(sub, pq_cents), m=args.pq_m)
+    packed.repartition(args.files).write.mode("overwrite").parquet(
+        f"{args.output}/codes"
+    )
+    dist = packed.agg(
+        F.count("*").alias("n"), F.round(F.avg("distortion"), 6).alias("avg_d")
+    ).collect()[0]
+
+    n_demo = None
+    if args.demo_queries > 0:
+        queries = emb.orderBy("vec_id").limit(args.demo_queries).select("vec_id")
+        topk = ivf_topk(emb, cents, queries, k=5, n_probe=2)
+        topk.write.mode("overwrite").parquet(f"{args.output}/demo_topk")
+        n_demo = topk.count()
+
+    print(
+        json.dumps(
+            {
+                "vectors": n_vec,
+                "ivf_cells": n_cells,
+                "coded_vectors": dist["n"],
+                "avg_distortion": dist["avg_d"],
+                **({"demo_topk_rows": n_demo} if n_demo is not None else {}),
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -200,6 +200,44 @@ def test_run_curate_cli_decontaminates_and_mixes(tmp_path):
     assert "sample_mille" not in written.schema.names  # mixing internals dropped
 
 
+def test_run_index_cli_builds_ann_index(tmp_path):
+    """Drive the literal jobs/run_index.py CLI: the persisted index must
+    cover every vector (assignments and codes), the coarse cells must be
+    non-degenerate, and the demo search must return top-5 rows per
+    query."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "index")
+    env = {**os.environ, "PYTHONPATH": repo}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "run_index.py"),
+         "--input", "/root/testdata/sf0.001/embeddings.parquet",
+         "--output", out, "--k", "8", "--demo-queries", "10",
+         "--files", "2", "--master", "local[4]"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["vectors"] == 500
+    assert 1 < summary["ivf_cells"] <= 8          # empty cells may drop out
+    assert summary["coded_vectors"] == 500        # every vector coded
+    assert 0 < summary["avg_distortion"] < 1      # unit vectors: bounded
+    assert summary["demo_topk_rows"] == 50        # 10 queries x top-5
+    assigns = pq.read_table(out + "/assignments")
+    assert assigns.num_rows == 500
+    codes = pq.read_table(out + "/codes")
+    # 4-bit nibbles x 8 subspaces fit one positive int32 range
+    import pyarrow.compute as pc
+    assert pc.max(codes["packed_code"]).as_py() < 1 << 32
+    assert pc.min(codes["packed_code"]).as_py() >= 0
+
+
 def test_run_extract_cli_compacts_state(spark, tmp_path):
     """Drive the literal jobs/run_extract.py CLI with --compact-state: the
     retry rounds leave multiple state run directories (poison docs fail
