@@ -239,23 +239,29 @@ def duplicated_substring_stats(docs):
     from pyspark.sql import functions as F
 
     h = "cast(conv(substring(md5(shingle), 1, 15), 16, 10) AS bigint)"
+    # ONE tokenize+md5 pass: n_tokens rides along the position rows (an
+    # int per row) so no second scan re-splits the text, and the frame is
+    # persisted because both the duplicate-hash aggregate and the starts
+    # join consume it — without the persist the most expensive stage
+    # (shingle+hash) would run twice.
     pos = (
-        docs.selectExpr("doc_id", f"{SHINGLES8} AS sh_arr")
-        .selectExpr("doc_id", "posexplode(sh_arr) AS (p0, shingle)")
-        .selectExpr("doc_id", "p0 + 1 AS i", f"{h} AS h")
+        docs.selectExpr(
+            "doc_id", f"size({TOKS}) AS n_tokens", f"{SHINGLES8} AS sh_arr"
+        )
+        .selectExpr("doc_id", "n_tokens", "posexplode(sh_arr) AS (p0, shingle)")
+        .selectExpr("doc_id", "n_tokens", "p0 + 1 AS i", f"{h} AS h")
+        .persist()
     )
     dup = pos.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") > 1).select("h")
-    starts = pos.join(dup, "h").select("doc_id", "i")
+    starts = pos.join(dup, "h").select("doc_id", "n_tokens", "i")
     w = Window.partitionBy("doc_id").orderBy("i")
     contrib = starts.withColumn(
         "c",
         F.least(F.lit(8), F.coalesce(F.lead("i").over(w) - F.col("i"), F.lit(8))),
     )
-    sizes = docs.selectExpr("doc_id", f"size({TOKS}) AS n_tokens")
     return (
-        contrib.groupBy("doc_id")
+        contrib.groupBy("doc_id", "n_tokens")
         .agg(F.sum("c").alias("dup_tokens"))
-        .join(sizes, "doc_id")
         .select(
             "doc_id",
             "n_tokens",

@@ -111,8 +111,18 @@ def pq_train(emb_df, m: int = 8, ksub: int = 16, dsub: int | None = None, iters:
         f"inline(transform(sequence(0, {m - 1}), "
         f"s -> struct(s AS s, slice(uv, s * {dsub} + 1, {dsub}) AS sv)))",
     )
-    cents = sub.filter(F.col("vec_id") < ksub).select(
-        "s", F.col("vec_id").alias("c_id"), F.col("sv").alias("ce")
+    # seed from the ksub LOWEST vec_ids (not `vec_id < ksub`, which yields
+    # empty/short codebooks on id spaces that don't start at 0), and
+    # relabel them densely 0..ksub-1 — pq_pack's 4-bit nibbles REQUIRE
+    # c_id < 16, which raw seed vec_ids only satisfy by accident on
+    # zero-based inputs. (On dense zero-based ids the relabel is the
+    # identity, so contract-query results are unchanged.)
+    seeds = (
+        unit.orderBy("vec_id").limit(ksub).select("vec_id")
+        .withColumn("c_id", F.row_number().over(Window.orderBy("vec_id")) - 1)
+    )
+    cents = sub.join(F.broadcast(seeds), "vec_id").select(
+        "s", "c_id", F.col("sv").alias("ce")
     )
     w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("c_id"))
     for _ in range(iters):
@@ -150,11 +160,19 @@ def pq_codes(sub, cents):
     )
 
 
-def pq_pack(codes, m: int = 8):
+def pq_pack(codes, m: int = 8, ksub: int = 16):
     """(vec_id, packed_code, distortion): one row per vector, codes packed
-    4 bits per subspace (requires ksub <= 16 and m <= 16)."""
+    4 bits per subspace. Hard bounds, not docstring promises: ksub <= 16
+    (a nibble holds 0..15) and m <= 15 (subspace m-1 shifts by 4(m-1);
+    15*2^60 still fits a signed int64, 15*2^64 does not — and Spark's
+    int32 shiftleft would silently wrap the shift amount mod 32 for
+    m > 8, so the multiplier is built in BIGINT)."""
+    if ksub > 16:
+        raise ValueError(f"pq_pack: ksub={ksub} > 16 cannot pack into 4-bit nibbles")
+    if m > 15:
+        raise ValueError(f"pq_pack: m={m} > 15 overflows the packed int64")
     return codes.groupBy("vec_id").agg(
-        F.sum(F.expr("c_id * shiftleft(1, 4 * s)")).alias("packed_code"),
+        F.sum(F.expr("c_id * shiftleft(CAST(1 AS BIGINT), 4 * s)")).alias("packed_code"),
         F.round(F.sum("d"), 6).alias("distortion"),
     )
 

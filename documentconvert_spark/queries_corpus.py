@@ -1839,6 +1839,7 @@ GROUP BY e.q_id
 from documentconvert_spark.functions import BLOOM_A as _BLOOM_A  # noqa: E402
 from documentconvert_spark.functions import BLOOM_B as _BLOOM_B  # noqa: E402
 from documentconvert_spark.functions import BLOOM_M as _BLOOM_M  # noqa: E402
+from documentconvert_spark.functions import BLOOM_P as _BLOOM_P  # noqa: E402
 from documentconvert_spark.functions import bloom_contamination as _bloom_contamination  # noqa: E402
 from documentconvert_spark.functions import bloom_filter_words as _bloom_filter_words  # noqa: E402
 
@@ -1852,14 +1853,14 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BLOOM_A = "[" + ", ".join(map(str, _BLOOM_A)) + "]"
 _SQL_BLOOM_B = "[" + ", ".join(map(str, _BLOOM_B)) + "]"
-_SQL_BLOOM_H = f"('0x' || substring(md5(shingle), 1, 15))::BIGINT % {_LSH_P}"
+_SQL_BLOOM_H = f"('0x' || substring(md5(shingle), 1, 15))::BIGINT % {_BLOOM_P}"
 
 SQL_DECONTAMINATE_BLOOM = f"""
 WITH bench AS (
   SELECT DISTINCT unnest({_SQL_SHINGLES8}) AS shingle FROM documents WHERE doc_id < 50),
 bh AS (SELECT {_SQL_BLOOM_H} AS h FROM bench),
 bpos AS (
-  SELECT (({_SQL_BLOOM_A}[j + 1] * h + {_SQL_BLOOM_B}[j + 1]) % {_LSH_P}) % {_BLOOM_M} AS pos
+  SELECT (({_SQL_BLOOM_A}[j + 1] * h + {_SQL_BLOOM_B}[j + 1]) % {_BLOOM_P}) % {_BLOOM_M} AS pos
   FROM bh, generate_series(0, 3) t(j)),
 filt AS (
   SELECT pos // 32 AS word_idx, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
@@ -1870,7 +1871,7 @@ corpus AS (
 ch AS (SELECT doc_id, shingle, {_SQL_BLOOM_H} AS h FROM corpus),
 cpos AS (
   SELECT doc_id, shingle,
-         (({_SQL_BLOOM_A}[j + 1] * h + {_SQL_BLOOM_B}[j + 1]) % {_LSH_P}) % {_BLOOM_M} AS pos
+         (({_SQL_BLOOM_A}[j + 1] * h + {_SQL_BLOOM_B}[j + 1]) % {_BLOOM_P}) % {_BLOOM_M} AS pos
   FROM ch, generate_series(0, 3) t(j)),
 hits AS (
   SELECT c.doc_id, c.shingle,
@@ -1905,13 +1906,18 @@ def q_mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.selectExpr("doc_id", "source", f"size({_TOKS}) AS n_tokens")
     rates = _source_mix_rates(docs, budget_mille=500)
+    # null-safe equi-join: groupBy keeps a NULL-source group, so a plain
+    # `= source` join would silently drop every NULL-source document
+    r = rates.select(F.col("source").alias("r_source"), "sample_mille")
     kept = (
-        toks.join(F.broadcast(rates.select("source", "sample_mille")), "source")
+        toks.join(F.broadcast(r), toks["source"].eqNullSafe(r["r_source"]))
         .filter(F.expr(_SAMPLE_HASH) < F.col("sample_mille"))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs_kept"), F.sum("n_tokens").alias("tokens_kept"))
     )
-    return rates.join(kept, "source", "left").select(
+    return rates.join(
+        kept, rates["source"].eqNullSafe(kept["source"]), "left"
+    ).drop(kept["source"]).select(
         "source",
         "src_tokens",
         "sample_mille",
@@ -1933,13 +1939,13 @@ rates AS (
   FROM w CROSS JOIN tot),
 kept AS (
   SELECT t.source, COUNT(*) AS n_docs_kept, CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_kept
-  FROM toks t JOIN rates r ON t.source = r.source
+  FROM toks t JOIN rates r ON t.source IS NOT DISTINCT FROM r.source
   WHERE ((t.doc_id % 1000003) * 2654435761) % 1000 < r.sample_mille
   GROUP BY t.source)
 SELECT r.source, r.src_tokens, r.sample_mille,
        CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
        CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
-FROM rates r LEFT JOIN kept k ON r.source = k.source
+FROM rates r LEFT JOIN kept k ON r.source IS NOT DISTINCT FROM k.source
 """
 
 
@@ -1963,13 +1969,12 @@ _SEMDEDUP_PAIR_DOT = (
 
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, cents = _kmeans_train(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
+    # the SAME oracle-certified cell assignment the IVF index persists
     assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.expr(_VDOT) / (F.col("vn") * F.col("cn")))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("c_id").alias("cluster"), "ve", "vn")
+        _ops_ivf_assign(emb, cents)
+        .select("vec_id", F.col("centroid_id").alias("cluster"))
+        .join(emb, "vec_id")
+        .select("vec_id", "cluster", "ve", "vn")
     )
     a = assign.selectExpr("vec_id AS keep_id", "cluster", "ve AS ae", "vn AS an")
     b = assign.selectExpr("vec_id AS drop_id", "cluster AS cluster_b", "ve AS be", "vn AS bn")

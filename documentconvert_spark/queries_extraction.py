@@ -533,7 +533,7 @@ flagged AS (
   FROM spans s LEFT JOIN boiler b ON s.text_md5 = b.text_md5)
 SELECT doc_id, COUNT(*) AS n_spans,
        CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_removed,
-       md5(list_aggregate(list_sort(list(CASE WHEN NOT is_boiler THEN CAST("offset" AS VARCHAR) || ':' || text_md5 END)), 'string_agg', '|')) AS kept_md5
+       md5(COALESCE(list_aggregate(list_sort(list(CASE WHEN NOT is_boiler THEN CAST("offset" AS VARCHAR) || ':' || text_md5 END)), 'string_agg', '|'), '')) AS kept_md5
 FROM flagged GROUP BY doc_id
 """
 
@@ -583,7 +583,7 @@ flagged AS (
   FROM paras)
 SELECT doc_id, COUNT(*) AS n_paras,
        CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_removed,
-       md5(list_aggregate(list_sort(list(CASE WHEN NOT is_dup THEN CAST("offset" AS VARCHAR) || ':' || text_md5 END)), 'string_agg', '|')) AS kept_md5
+       md5(COALESCE(list_aggregate(list_sort(list(CASE WHEN NOT is_dup THEN CAST("offset" AS VARCHAR) || ':' || text_md5 END)), 'string_agg', '|'), '')) AS kept_md5
 FROM flagged
 GROUP BY doc_id
 """

@@ -177,12 +177,15 @@ def main() -> None:
         from documentconvert_spark.functions import source_mix_rates
 
         rates = source_mix_rates(filtered, budget_mille=args.mix_budget_mille)
+        # null-safe join: a NULL-source group gets its own rate row and a
+        # plain `= source` join would silently drop those documents
+        r = rates.select(F.col("source").alias("_r_source"), "sample_mille")
         sampled = (
             filtered.join(
-                F.broadcast(rates.select("source", "sample_mille")), "source"
+                F.broadcast(r), filtered["source"].eqNullSafe(r["_r_source"])
             )
             .filter(F.expr(SAMPLE_HASH) < F.col("sample_mille"))
-            .drop("sample_mille")
+            .drop("_r_source", "sample_mille")
         )
     else:
         rate = F.when(F.col("lang") == "en", args.sample_en).otherwise(args.sample_other)

@@ -52,6 +52,10 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=16)
     ap.add_argument("--master", default=None, help="override master (local testing)")
     args = ap.parse_args()
+    if args.pq_k > 16:
+        ap.error(f"--pq-k {args.pq_k} cannot pack into 4-bit nibbles (max 16)")
+    if args.pq_m > 15:
+        ap.error(f"--pq-m {args.pq_m} overflows the packed int64 code (max 15)")
 
     from pyspark.sql import functions as F
 
@@ -79,9 +83,16 @@ def main() -> None:
         f"{args.output}/assignments"
     )
 
-    _, sub, pq_cents = pq_train(emb_df, m=args.pq_m, ksub=args.pq_k, iters=args.iters)
+    # dim from the already-built emb frame: one cached-row lookup instead
+    # of letting pq_train trigger its own full-plan inference job
+    dim = len(emb.select("ve").first()["ve"])
+    if dim % args.pq_m:
+        raise SystemExit(f"embedding dim {dim} not divisible by --pq-m {args.pq_m}")
+    _, sub, pq_cents = pq_train(
+        emb_df, m=args.pq_m, ksub=args.pq_k, dsub=dim // args.pq_m, iters=args.iters
+    )
     pq_cents.write.mode("overwrite").parquet(f"{args.output}/pq_centroids")
-    packed = pq_pack(pq_codes(sub, pq_cents), m=args.pq_m)
+    packed = pq_pack(pq_codes(sub, pq_cents), m=args.pq_m, ksub=args.pq_k)
     packed.repartition(args.files).write.mode("overwrite").parquet(
         f"{args.output}/codes"
     )

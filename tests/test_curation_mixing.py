@@ -166,6 +166,57 @@ def test_dsir_scores_match_pure_python(spark):
         assert abs(r["dsir_logratio"] - want) < 1e-4, (r["doc_id"], want)
 
 
+def test_pq_train_seeds_from_lowest_ids_not_literal_range(spark):
+    """Regression: pq_train seeded with `vec_id < ksub`, which yields an
+    EMPTY codebook (and a silently empty index) whenever the id space
+    does not start at 0 — e.g. after SemDeDup pruned the low ids or on a
+    sharded id range. Seeding must take the ksub lowest ids present."""
+    from documentconvert_spark.ops.ann import pq_codes, pq_pack, pq_train
+
+    base = spark.read.parquet(SF + "/embeddings.parquet").limit(40)
+    shifted = base.selectExpr("vec_id + 1000 AS vec_id", "embedding")
+    _, sub, cents = pq_train(shifted, m=8, ksub=16, dsub=8)
+    assert cents.count() > 0, "codebook empty on non-zero-based ids"
+    packed = pq_pack(pq_codes(sub, cents), m=8, ksub=16)
+    assert packed.count() == 40  # every vector coded
+    assert packed.filter("packed_code < 0 OR packed_code >= 4294967296").count() == 0
+
+
+def test_pq_pack_rejects_unpackable_configs(spark):
+    """ksub > 16 cannot fit a 4-bit nibble and m > 15 overflows int64 —
+    both must fail loudly instead of writing corrupt codes."""
+    import pytest
+
+    from documentconvert_spark.ops.ann import pq_pack
+
+    dummy = spark.range(1).selectExpr(
+        "id AS vec_id", "0 AS s", "CAST(1 AS INT) AS c_id", "CAST(0.1 AS DOUBLE) AS d"
+    )
+    with pytest.raises(ValueError, match="ksub"):
+        pq_pack(dummy, m=8, ksub=32)
+    with pytest.raises(ValueError, match="m="):
+        pq_pack(dummy, m=16, ksub=16)
+
+
+def test_mix_rates_keep_null_source_docs(spark):
+    """Regression: documents with a NULL source must get a rate row and
+    survive the (null-safe) rate join instead of silently vanishing."""
+    from pyspark.sql import functions as F
+
+    from documentconvert_spark.functions import source_mix_rates
+
+    docs = spark.createDataFrame(
+        [(i, None if i % 2 else "src0", "word " * 20) for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    rates = source_mix_rates(docs, budget_mille=1000)  # keep everything
+    by_src = {r["source"]: r for r in rates.collect()}
+    assert None in by_src and by_src[None]["sample_mille"] == 1000
+    r = rates.select(F.col("source").alias("r_source"), "sample_mille")
+    joined = docs.join(r, docs["source"].eqNullSafe(r["r_source"]))
+    assert joined.count() == 40  # every doc, NULL-source included, has a rate
+
+
 def test_boilerplate_removes_every_occurrence(spark):
     """Unlike keep-first paragraph dedup, boilerplate removal drops ALL
     occurrences: summed removals must equal the total occurrence count of
