@@ -1,0 +1,268 @@
+"""Task-completion HTTP callback dispatch (SURVEY.md §2.10 callbacks).
+
+The reference DECLARED this feature and never implemented it: the task
+model carries ``callback_url`` / ``callback_status_code`` /
+``callback_message`` / ``callback_time`` columns (`database/models.py:81-84`,
+surfaced in `to_dict`, `models.py:120-123`), the API accepts a per-task
+callback URL (`api/unified_document_api.py:157,295`), and the processor's
+``_callback_worker`` drains completed task ids from a queue — but the POST
+itself is a TODO that only logs the URL
+(`processors/enhanced_task_processor.py:858-876`). This module implements
+the declared contract:
+
+- after a run's state append commits, every terminal state row (completed
+  or failed) whose callback URL is set gets ONE successful HTTP POST with a
+  JSON payload describing the outcome;
+- the delivery result is recorded with exactly the reference's three fields
+  (status code, message, time) in a delivery-log table that shares the
+  state store's committed-run-directory semantics (atomic `_SUCCESS`-gated
+  appends, crash orphans invisible);
+- re-dispatch is idempotent: rows whose latest delivery already succeeded
+  (2xx) are skipped by an anti-join against the log — the same
+  skip-if-done shape as the extraction resume path (P6);
+- transient failures retry with the reference's 1/2/4 s backoff ladder
+  (`MAX_ATTEMPTS` mirrors `models.py:76-78`); a row that exhausts retries
+  lands in the log with its last error so the next dispatch run picks it
+  up again (retry-on-rerun == the reference's restart-recovery behavior).
+
+Scale shape: 10^12 docs means the delivery loop cannot live on the driver.
+Dispatch runs executor-side via ``mapInPandas`` — per-row Python is
+deliberately correct here because each row IS an external network call
+(I/O-bound side effect, like a foreachBatch sink), not a columnar
+transform. Rows are repartitioned by URL host so one host's deliveries
+land in one partition (connection locality, per-host politeness) while
+distinct hosts fan out across executors. The transport is injectable (a
+picklable callable) so tests exercise success / retry / exhaustion
+deterministically without a network; the default transport is a plain
+urllib POST.
+"""
+
+from __future__ import annotations
+
+import json
+import time as _time
+from typing import Callable, Iterator, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from documentconvert_spark.state import MAX_ATTEMPTS, StateStore
+
+# (status_code, message) — status_code < 0 means no HTTP response at all
+# (connection error); message carries the reason either way.
+Transport = Callable[[str, bytes], Tuple[int, str]]
+
+BACKOFF_S = (1.0, 2.0, 4.0)  # reference retry ladder (state.py MAX_ATTEMPTS)
+
+CALLBACK_LOG = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("callback_url", T.StringType(), False),
+        # the three columns the reference declared (models.py:81-84)
+        T.StructField("callback_status_code", T.IntegerType(), True),
+        T.StructField("callback_message", T.StringType(), True),
+        T.StructField("callback_time", T.TimestampType(), True),
+        T.StructField("delivered", T.BooleanType(), False),
+        T.StructField("attempts", T.IntegerType(), False),
+        T.StructField("src_run_id", T.StringType(), True),
+    ]
+)
+
+
+def http_post_transport(url: str, body: bytes) -> Tuple[int, str]:
+    """Default transport: urllib POST, 10 s timeout, JSON body."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/json"}, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return int(resp.status), str(resp.reason or "OK")[:512]
+    except urllib.error.HTTPError as e:  # got a response, non-2xx
+        return int(e.code), str(e.reason)[:512]
+    except Exception as e:  # no response at all
+        return -1, f"{type(e).__name__}: {e}"[:512]
+
+
+def _url_host(url_col):
+    return F.parse_url(url_col, F.lit("HOST"))
+
+
+class CallbackLog(StateStore):
+    """Delivery log with the state store's commit semantics; only the
+    schema differs, so the store subclasses and re-pins the row type."""
+
+    SCHEMA = CALLBACK_LOG
+
+    def append(self, df: DataFrame, run_id: Optional[str] = None) -> str:
+        import os
+        import uuid
+
+        from documentconvert_spark.tableio import overwrite_table
+
+        run_id = run_id or uuid.uuid4().hex[:12]
+        if "src_run_id" in df.columns:
+            df = df.withColumn(
+                "src_run_id", F.coalesce(F.col("src_run_id"), F.lit(run_id))
+            )
+        else:
+            df = df.withColumn("src_run_id", F.lit(run_id))
+        overwrite_table(
+            df.select([f.name for f in CALLBACK_LOG.fields]),
+            os.path.join(self.path, f"run_id={run_id}"),
+        )
+        return run_id
+
+    def read(self) -> DataFrame:
+        import os
+
+        dirs = self._committed_run_dirs()
+        if not dirs:
+            return self.spark.createDataFrame([], CALLBACK_LOG)
+        from documentconvert_spark.tableio import table_format
+
+        return (
+            self.spark.read.format(table_format())
+            .option("basePath", self.path)
+            .load([os.path.join(self.path, d) for d in dirs])
+            .drop("run_id")
+        )
+
+    def delivered_doc_ids(self) -> DataFrame:
+        """doc_ids whose LATEST delivery attempt succeeded (2xx)."""
+        w = Window.partitionBy("doc_id", "callback_url").orderBy(
+            F.desc_nulls_last("callback_time")
+        )
+        return (
+            self.read()
+            .withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & F.col("delivered"))
+            .select("doc_id")
+            .distinct()
+        )
+
+
+def pending_callbacks(
+    state: StateStore, log: CallbackLog, callback_url: Optional[str] = None
+) -> DataFrame:
+    """Terminal state rows still owed a successful delivery.
+
+    ``callback_url`` is the job-level URL (the reference's per-task field
+    set once for the whole submission, `unified_document_api.py:295`); a
+    per-row ``callback_url`` column on the state table wins if present.
+    """
+    rows = state.latest().where(F.col("status").isin("completed", "failed"))
+    if "callback_url" not in rows.columns:
+        if callback_url is None:
+            raise ValueError("no callback_url column and no job-level URL")
+        rows = rows.withColumn("callback_url", F.lit(callback_url))
+    elif callback_url is not None:
+        rows = rows.withColumn(
+            "callback_url", F.coalesce(F.col("callback_url"), F.lit(callback_url))
+        )
+    rows = rows.where(F.col("callback_url").isNotNull())
+    if log.is_empty():  # metadata-only fast path, same as resume (P6)
+        return rows
+    done = log.delivered_doc_ids()
+    return rows.join(done, "doc_id", "left_anti")
+
+
+def dispatch_callbacks(
+    state: StateStore,
+    log: CallbackLog,
+    callback_url: Optional[str] = None,
+    transport: Optional[Transport] = None,
+    max_attempts: int = MAX_ATTEMPTS,
+    backoff_s: Tuple[float, ...] = BACKOFF_S,
+    sleep: Callable[[float], None] = _time.sleep,
+) -> str | None:
+    """POST one completion payload per pending terminal row; commit the
+    delivery log as one atomic run and return its run_id.
+
+    The side-effecting plan executes exactly once — as the write job
+    itself. No count/take peeks first: re-executing a plan whose tasks
+    POST to external services would double-deliver. (Task RETRIES inside
+    one job can still re-POST — inherent to at-least-once side effects;
+    the log's latest-wins dedup and the receiver's idempotency key
+    (task_id+run_id in the payload) absorb that, same as foreachBatch
+    sink guidance.)"""
+    transport = transport or http_post_transport
+    todo = pending_callbacks(state, log, callback_url)
+    payload_cols = [
+        "doc_id",
+        "callback_url",
+        "status",
+        "n_spans",
+        "error_class",
+        "src_run_id",
+    ]
+    todo = todo.select(*payload_cols)
+    # one host's callbacks → one partition: connection locality and
+    # per-host ordering; distinct hosts spread across the cluster
+    todo = todo.repartition(_url_host(F.col("callback_url")))
+
+    def deliver(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "callback_url", "callback_status_code",
+                "callback_message", "callback_time", "delivered", "attempts",
+                "src_run_id",
+            )}
+            for row in pdf.itertuples(index=False):
+                body = json.dumps(
+                    {
+                        "task_id": row.doc_id,
+                        "status": row.status,
+                        "n_spans": None if pd.isna(row.n_spans) else int(row.n_spans),
+                        "error_class": None
+                        if row.error_class is None
+                        else str(row.error_class),
+                        "run_id": row.src_run_id,
+                    },
+                    sort_keys=True,
+                ).encode("utf-8")
+                code, msg, attempts = -1, "not attempted", 0
+                for attempt in range(max_attempts):
+                    attempts = attempt + 1
+                    code, msg = transport(row.callback_url, body)
+                    if 200 <= code < 300:
+                        break
+                    if attempt + 1 < max_attempts:
+                        sleep(backoff_s[min(attempt, len(backoff_s) - 1)])
+                out["doc_id"].append(row.doc_id)
+                out["callback_url"].append(row.callback_url)
+                out["callback_status_code"].append(code if code >= 0 else None)
+                out["callback_message"].append(msg)
+                out["callback_time"].append(pd.Timestamp.now())
+                out["delivered"].append(200 <= code < 300)
+                out["attempts"].append(attempts)
+                out["src_run_id"].append(row.src_run_id)
+            yield pd.DataFrame(out)
+
+    results = todo.mapInPandas(deliver, schema=CALLBACK_LOG)
+    return log.append(results)
+
+
+def with_callback_status(state: StateStore, log: CallbackLog) -> DataFrame:
+    """Latest state row per doc joined with its latest delivery result —
+    the reference's task ``to_dict`` view (`models.py:120-123`)."""
+    w = Window.partitionBy("doc_id").orderBy(F.desc_nulls_last("callback_time"))
+    latest_log = (
+        log.read()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "callback_url",
+            "callback_status_code",
+            "callback_message",
+            "callback_time",
+        )
+    )
+    return state.latest().join(latest_log, "doc_id", "left")

@@ -58,6 +58,16 @@ def main() -> None:
         "periodically; resume semantics are unchanged",
     )
     ap.add_argument(
+        "--callback-url",
+        default=None,
+        help="after the rounds finish, POST one task-completion payload "
+        "per terminal doc to this URL (the reference's per-task "
+        "callback_url, api/unified_document_api.py:157; its processor "
+        "left the POST a TODO). Delivery results land in "
+        "<state>_callbacks with the declared status-code/message/time "
+        "fields; already-delivered docs are skipped on rerun",
+    )
+    ap.add_argument(
         "--warmup-docs",
         type=int,
         default=0,
@@ -112,6 +122,13 @@ def main() -> None:
         if rnd < args.rounds and r.failed:
             time.sleep(backoff)  # 1/2/4 s exponential backoff between retry rounds
             backoff *= 2
+    if args.callback_url and not state.is_empty():
+        from documentconvert_spark.callbacks import CallbackLog, dispatch_callbacks
+
+        log = CallbackLog(spark, args.state.rstrip("/") + "_callbacks")
+        cb_run = dispatch_callbacks(state, log, callback_url=args.callback_url)
+        delivered = log.read().where("delivered").count()
+        print(json.dumps({"callback_run": cb_run, "callbacks_delivered": delivered}))
     if args.compact_state and not state.is_empty():
         n_before = len(state._committed_run_dirs())
         state.compact()

@@ -1,0 +1,275 @@
+"""Task-completion HTTP callback dispatch (SURVEY.md §2.10 callbacks).
+
+The reference declared per-task callback delivery (``callback_url`` +
+``callback_status_code``/``callback_message``/``callback_time`` on the task
+model, `database/models.py:81-84`) but left the POST a TODO
+(`enhanced_task_processor.py:858-876`). These tests pin the implemented
+contract: exactly-once successful delivery per terminal doc, retry with
+backoff on transient failure, exhausted rows retried on the next dispatch
+run, and the reference's three result fields recorded.
+
+Transports are defined as CLOSURES inside each test: cloudpickle ships
+nested functions to executor workers by value (the test module itself is
+not importable there). They record calls through the shared filesystem —
+driver and local-mode executors see the same tmp_path."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+
+from documentconvert_spark.callbacks import (
+    CallbackLog,
+    dispatch_callbacks,
+    http_post_transport,
+    pending_callbacks,
+    with_callback_status,
+)
+from documentconvert_spark.schemas import EXTRACTION_STATE
+from documentconvert_spark.state import StateStore
+
+
+def _state_with_rows(spark, tmp_path, rows):
+    store = StateStore(spark, str(tmp_path / "state"))
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (
+                doc_id,
+                0,
+                status,
+                1,
+                t0,
+                t0,
+                0.01,
+                n_spans,
+                None if status == "completed" else "boom",
+                None if status == "completed" else "parse_error",
+                f"runs/x/{doc_id}",
+                None,
+            )
+            for doc_id, status, n_spans in rows
+        ],
+        schema=EXTRACTION_STATE,
+    )
+    store.append(df, run_id="r1")
+    return store
+
+
+def _recording_ok_transport(call_dir: str):
+    """200-OK transport that logs one file per POST into call_dir."""
+
+    def transport(url, body):
+        import uuid as _uuid
+
+        with open(os.path.join(call_dir, "c_" + _uuid.uuid4().hex), "w") as f:
+            f.write(json.dumps({"url": url, "body": body.decode()}))
+        return 200, "OK"
+
+    return transport
+
+
+def _read_calls(call_dir: str):
+    out = []
+    for name in sorted(os.listdir(call_dir)):
+        if not name.startswith("c_"):
+            continue
+        with open(os.path.join(call_dir, name)) as f:
+            out.append(json.loads(f.read()))
+    return out
+
+
+@pytest.fixture()
+def call_dir(tmp_path):
+    d = tmp_path / "calls"
+    d.mkdir()
+    return str(d)
+
+
+def test_dispatch_posts_once_per_terminal_row(spark, tmp_path, call_dir):
+    store = _state_with_rows(
+        spark,
+        tmp_path,
+        [("d1", "completed", 3), ("d2", "failed", None), ("d3", "completed", 1)],
+    )
+    log = CallbackLog(spark, str(tmp_path / "cblog"))
+    run = dispatch_callbacks(
+        store,
+        log,
+        callback_url="http://cb.example/hook",
+        transport=_recording_ok_transport(call_dir),
+        sleep=lambda _: None,
+    )
+    assert run is not None
+    calls = _read_calls(call_dir)
+    assert len(calls) == 3
+    assert {c["url"] for c in calls} == {"http://cb.example/hook"}
+    by_task = {json.loads(c["body"])["task_id"]: json.loads(c["body"]) for c in calls}
+    assert by_task["d1"]["status"] == "completed" and by_task["d1"]["n_spans"] == 3
+    assert by_task["d2"]["status"] == "failed"
+    assert by_task["d2"]["error_class"] == "parse_error"
+    rows = {r.doc_id: r for r in log.read().collect()}
+    assert set(rows) == {"d1", "d2", "d3"}
+    assert all(r.delivered and r.callback_status_code == 200 for r in rows.values())
+    assert all(r.callback_time is not None for r in rows.values())
+    assert all(r.attempts == 1 for r in rows.values())
+
+
+def test_redispatch_skips_delivered_rows(spark, tmp_path, call_dir):
+    store = _state_with_rows(spark, tmp_path, [("d1", "completed", 2)])
+    log = CallbackLog(spark, str(tmp_path / "cblog"))
+    t = _recording_ok_transport(call_dir)
+    dispatch_callbacks(
+        store, log, callback_url="http://cb.example/hook", transport=t, sleep=lambda _: None
+    )
+    assert len(_read_calls(call_dir)) == 1
+    # second dispatch: nothing pending, no new POSTs
+    assert pending_callbacks(store, log, "http://cb.example/hook").count() == 0
+    dispatch_callbacks(
+        store, log, callback_url="http://cb.example/hook", transport=t, sleep=lambda _: None
+    )
+    assert len(_read_calls(call_dir)) == 1
+
+
+def test_transient_failure_retries_with_backoff_then_succeeds(spark, tmp_path, call_dir):
+    store = _state_with_rows(spark, tmp_path, [("d1", "completed", 2)])
+    log = CallbackLog(spark, str(tmp_path / "cblog"))
+
+    def fail_then_ok(url, body):
+        # 503 on the first attempt per payload, 200 after — attempt count
+        # tracked through a marker file per payload hash
+        import hashlib
+
+        marker = os.path.join(call_dir, "m_" + hashlib.md5(body).hexdigest())
+        if os.path.exists(marker):
+            return 200, "OK"
+        open(marker, "w").close()
+        return 503, "try again"
+
+    dispatch_callbacks(
+        store,
+        log,
+        callback_url="http://cb.example/hook",
+        transport=fail_then_ok,
+        sleep=lambda _: None,
+    )
+    row = log.read().collect()[0]
+    assert row.delivered and row.callback_status_code == 200 and row.attempts == 2
+
+
+def test_exhausted_failure_logged_and_retried_next_run(spark, tmp_path, call_dir):
+    store = _state_with_rows(spark, tmp_path, [("d1", "completed", 2)])
+    log = CallbackLog(spark, str(tmp_path / "cblog"))
+
+    def always_503(url, body):
+        return 503, "Service Unavailable"
+
+    dispatch_callbacks(
+        store,
+        log,
+        callback_url="http://cb.example/hook",
+        transport=always_503,
+        sleep=lambda _: None,
+    )
+    row = log.read().collect()[0]
+    assert not row.delivered
+    assert row.callback_status_code == 503
+    assert row.attempts == 3  # MAX_ATTEMPTS, the reference retry budget
+    # not delivered → still pending, the next dispatch run retries it (the
+    # reference's restart-recovery behavior for in-flight work)
+    assert pending_callbacks(store, log, "http://cb.example/hook").count() == 1
+    dispatch_callbacks(
+        store,
+        log,
+        callback_url="http://cb.example/hook",
+        transport=_recording_ok_transport(call_dir),
+        sleep=lambda _: None,
+    )
+    assert pending_callbacks(store, log, "http://cb.example/hook").count() == 0
+    # latest-wins view shows the successful delivery, with the reference's
+    # three result fields populated (models.py:120-123 to_dict view)
+    sts = {r.doc_id: r for r in with_callback_status(store, log).collect()}
+    assert sts["d1"].callback_status_code == 200
+    assert sts["d1"].callback_message == "OK"
+    assert sts["d1"].callback_time is not None
+
+
+def test_missing_url_errors_and_job_url_applies(spark, tmp_path, call_dir):
+    store = _state_with_rows(spark, tmp_path, [("d1", "completed", 1)])
+    log = CallbackLog(spark, str(tmp_path / "cblog"))
+    # no per-row column on this state table and no job URL → error
+    with pytest.raises(ValueError):
+        pending_callbacks(store, log, None)
+    run = dispatch_callbacks(
+        store,
+        log,
+        callback_url="http://other.example/x",
+        transport=_recording_ok_transport(call_dir),
+        sleep=lambda _: None,
+    )
+    assert run is not None
+    assert _read_calls(call_dir)[0]["url"] == "http://other.example/x"
+
+
+def test_crash_orphan_log_dir_is_invisible(spark, tmp_path, call_dir):
+    """A delivery-log run directory without _SUCCESS (crashed append) must
+    not mark rows delivered — same commit rule as the state table."""
+    store = _state_with_rows(spark, tmp_path, [("d1", "completed", 1)])
+    log = CallbackLog(spark, str(tmp_path / "cblog"))
+    dispatch_callbacks(
+        store,
+        log,
+        callback_url="http://cb.example/hook",
+        transport=_recording_ok_transport(call_dir),
+        sleep=lambda _: None,
+    )
+    run_dir = [d for d in os.listdir(log.path) if d.startswith("run_id=")][0]
+    os.remove(os.path.join(log.path, run_dir, "_SUCCESS"))
+    assert log.is_empty()
+    assert pending_callbacks(store, log, "http://cb.example/hook").count() == 1
+
+
+def test_default_transport_shapes_errors_not_raises():
+    """The urllib transport must contain failures as (code, message) —
+    a refused connection is a (-1, reason) result, never an exception."""
+    code, msg = http_post_transport("http://127.0.0.1:9/unroutable", b"{}")
+    assert code == -1 and msg
+
+
+def test_end_to_end_with_real_http_server(spark, tmp_path):
+    """Full path through the DEFAULT urllib transport against a live
+    localhost HTTP server — the executor-side POST is real."""
+    import http.server
+    import threading
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            received.append(self.rfile.read(n).decode())
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        store = _state_with_rows(
+            spark, tmp_path, [("d1", "completed", 4), ("d2", "failed", None)]
+        )
+        log = CallbackLog(spark, str(tmp_path / "cblog"))
+        url = f"http://127.0.0.1:{srv.server_address[1]}/hook"
+        dispatch_callbacks(store, log, callback_url=url)  # default transport
+        assert sorted(json.loads(b)["task_id"] for b in received) == ["d1", "d2"]
+        rows = log.read().collect()
+        assert all(r.delivered and r.callback_status_code == 200 for r in rows)
+    finally:
+        srv.shutdown()
+        srv.server_close()
