@@ -326,3 +326,133 @@ def is_main_result_file(name_col, expected_exts: tuple[str, ...] = (".md", ".jso
     ok = ok & (F.length(name_col) <= 100)
     ok = ok & ~low.rlike("[a-f0-9]{32,}")
     return ok
+
+
+# --- CCNet-style perplexity bucketing ---------------------------------
+# CCNet (Wenzek et al., 2020) shards each language's corpus into
+# head/middle/tail thirds by LM perplexity; training mixes then sample the
+# head more heavily. Score here is the corpus-estimated unigram mean token
+# log-probability (unigram_logprob_table — higher = more typical text),
+# bucketed per language at the tertile CUT VALUES of the score
+# distribution. 100 TB shape: the cutpoints come from a (lang, score)
+# HISTOGRAM — its size is bounded by the rounded-score domain (~1e7
+# distinct values), NOT the corpus, so no global sort of documents ever
+# happens; the per-lang cumulative sum runs over the tiny histogram and
+# the two cut values per language ride a broadcast join back onto the
+# scored docs. Ties at a cut value land whole in the lower bucket, which
+# makes the labeling independent of partitioning and engine.
+
+def perplexity_buckets(docs):
+    """(doc_id, lang, avg_logprob, ppl_bucket): head/middle/tail per
+    language by unigram-LM score tertiles. Shared by the contract query
+    (q_perplexity_buckets) and run_curate's --ppl-buckets stage."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    scored = unigram_logprob_table(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    hist = scored.groupBy("lang", "avg_logprob").agg(F.count("*").alias("k"))
+    cum = (
+        hist.withColumn(
+            "cum",
+            F.sum("k").over(Window.partitionBy("lang").orderBy("avg_logprob")),
+        )
+        .withColumn("n", F.sum("k").over(Window.partitionBy("lang")))
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("avg_logprob"))).alias("c1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("avg_logprob"))).alias("c2"),
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") <= F.col("c1"), F.lit("tail"))
+        .when(F.col("avg_logprob") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("ppl_bucket"),
+    )
+
+
+# --- Gopher composite quality gate ------------------------------------
+# Gopher (Rae et al., 2021, §A1.1) filters web documents through a fixed
+# rule ladder; a document is dropped by the FIRST failing rule. The
+# composite gate emits the keep decision plus that first reason, which is
+# what a curation pipeline logs for ablation accounting. Pure column
+# expressions end to end (one projection, no shuffle, no UDF).
+
+# the paper's 8 function words plus the article 'a' — reimplementations
+# (e.g. DataTrove's gopher_quality_filter) expose this list as a
+# parameter; the presence check only needs common closed-class words
+GOPHER_STOPWORDS = ("the", "a", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0  # mean word length bounds
+GOPHER_MAX_SYMBOL_RATIO = 0.1  # '#' or '...' per word
+GOPHER_MAX_BULLET_RATIO = 0.9  # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3  # lines ending in '...'
+GOPHER_MIN_ALPHA_FRAC = 0.8  # words containing >=1 [a-z]
+GOPHER_MIN_STOPWORDS = 2  # distinct stopwords present
+
+
+def gopher_fail_reason():
+    """Column over a `text` column: the FIRST failing Gopher rule in the
+    paper's order (word count, mean word length, symbol ratio, bullet
+    lines, ellipsis lines, alpha-word fraction, stopwords), or NULL when
+    the document passes the whole ladder. A pure expression so the
+    curation job applies the gate as a narrow filter — no join, no
+    shuffle — while the contract query certifies the identical ladder."""
+    from pyspark.sql import functions as F
+
+    toks = F.expr(TOKS)
+    lines = F.expr("split(text, '\\n')")
+    n_words = F.size(toks)
+    n_chars = F.expr(f"aggregate({TOKS}, 0L, (a, t) -> a + length(t))")
+    mwl = n_chars / n_words
+    n_hash = F.size(F.split(F.col("text"), "#", -1)) - 1
+    n_ellipsis = F.size(F.split(F.col("text"), r"\.\.\.", -1)) - 1
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    n_lines = F.size(lines)
+    bullet_ratio = (
+        F.expr("size(filter(split(text, '\\n'), l -> "
+               "ltrim(l) rlike '^[-*\\u2022]'))") / n_lines
+    )
+    ellipsis_line_ratio = (
+        F.expr("size(filter(split(text, '\\n'), l -> "
+               "rtrim(l) rlike '\\\\.\\\\.\\\\.$'))") / n_lines
+    )
+    alpha_frac = (
+        F.expr(f"size(filter({TOKS}, t -> t rlike '[a-z]'))") / n_words
+    )
+    sw_array = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n_stop = F.expr(
+        f"size(array_intersect(array_distinct({TOKS}), array({sw_array})))"
+    )
+    reason = (
+        F.when(n_words < GOPHER_MIN_WORDS, F.lit("word_count_low"))
+        .when(n_words > GOPHER_MAX_WORDS, F.lit("word_count_high"))
+        .when(mwl < GOPHER_MIN_MWL, F.lit("mean_word_len_low"))
+        .when(mwl > GOPHER_MAX_MWL, F.lit("mean_word_len_high"))
+        .when(symbol_ratio > GOPHER_MAX_SYMBOL_RATIO, F.lit("symbol_ratio"))
+        .when(bullet_ratio > GOPHER_MAX_BULLET_RATIO, F.lit("bullet_lines"))
+        .when(ellipsis_line_ratio > GOPHER_MAX_ELLIPSIS_RATIO, F.lit("ellipsis_lines"))
+        .when(alpha_frac < GOPHER_MIN_ALPHA_FRAC, F.lit("alpha_words"))
+        .when(n_stop < GOPHER_MIN_STOPWORDS, F.lit("stopwords"))
+    )
+    return reason
+
+
+def gopher_gate(docs):
+    """(doc_id, n_words, keep, fail_reason): Gopher rule-ladder verdict
+    per document. Shared by the contract query (q_quality_gopher_gate)
+    and run_curate's --gopher-gate stage (which filters on the same
+    gopher_fail_reason expression directly)."""
+    from pyspark.sql import functions as F
+
+    reason = gopher_fail_reason()
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(TOKS)).alias("n_words"),
+        reason.isNull().alias("keep"),
+        reason.alias("fail_reason"),
+    )

@@ -2200,3 +2200,105 @@ CORPUS_QUERIES_EXTRA: dict[str, tuple] = {
     "dedup_exact_substrings": (q_dedup_exact_substrings, SQL_DEDUP_EXACT_SUBSTRINGS),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
 }
+
+
+# ------------------------------------------------------- CCNet ppl buckets
+# CCNet-style head/middle/tail sharding per language by unigram-LM score
+# tertiles (functions.perplexity_buckets has the scale analysis: cutpoints
+# from a bounded (lang, score) histogram, never a global doc sort).
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared definition (functions.perplexity_buckets): run_curate's
+    # --ppl-buckets stage runs the exact expressions this oracle checks
+    from documentconvert_spark.functions import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir))
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH scored_u AS ({SQL_QUALITY_UNIGRAM}),
+sl AS (
+  SELECT s.doc_id, d.lang, s.avg_logprob
+  FROM scored_u s JOIN documents d USING (doc_id)),
+hist AS (
+  SELECT lang, avg_logprob, COUNT(*) AS k FROM sl GROUP BY lang, avg_logprob),
+cum AS (
+  SELECT lang, avg_logprob,
+         SUM(k) OVER (PARTITION BY lang ORDER BY avg_logprob) AS cum,
+         SUM(k) OVER (PARTITION BY lang) AS n
+  FROM hist),
+cuts AS (
+  SELECT lang,
+         MIN(CASE WHEN cum * 3 >= n THEN avg_logprob END) AS c1,
+         MIN(CASE WHEN cum * 3 >= 2 * n THEN avg_logprob END) AS c2
+  FROM cum GROUP BY lang)
+SELECT doc_id, lang, avg_logprob,
+       CASE WHEN avg_logprob <= c1 THEN 'tail'
+            WHEN avg_logprob <= c2 THEN 'middle'
+            ELSE 'head' END AS ppl_bucket
+FROM sl JOIN cuts USING (lang)
+"""
+
+
+# ------------------------------------------------------- Gopher rule ladder
+# Composite Gopher quality gate: first-failing-rule verdict per document
+# (functions.gopher_gate). Pure column expressions — the oracle rebuilds
+# every rule with DuckDB list lambdas over the same whitespace tokens.
+
+
+def q_quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared definition (functions.gopher_gate): run_curate's
+    # --gopher-gate stage runs the exact expressions this oracle checks
+    from documentconvert_spark.functions import gopher_gate
+
+    return gopher_gate(_docs(spark, sf_dir))
+
+
+SQL_QUALITY_GOPHER_GATE = f"""
+WITH m AS (
+  SELECT doc_id,
+         {_SQL_TOKS} AS toks,
+         string_split(text, chr(10)) AS lines,
+         len({_SQL_TOKS}) AS n_words,
+         len(string_split(text, '#')) - 1 AS n_hash,
+         len(string_split(text, '...')) - 1 AS n_ellipsis
+  FROM documents),
+r AS (
+  SELECT doc_id, n_words,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+           / n_words AS mwl,
+         (n_hash + n_ellipsis) / n_words AS symbol_ratio,
+         len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
+           / len(lines) AS bullet_ratio,
+         len(list_filter(lines, l -> regexp_matches(rtrim(l), '\\.\\.\\.$')))
+           / len(lines) AS ellipsis_line_ratio,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+           / n_words AS alpha_frac,
+         len(list_intersect(list_distinct(toks),
+             ['the','a','be','to','of','and','that','have','with'])) AS n_stop
+  FROM m)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       fail_reason IS NULL AS keep, fail_reason
+FROM (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words < 50 THEN 'word_count_low'
+              WHEN n_words > 100000 THEN 'word_count_high'
+              WHEN mwl < 3.0 THEN 'mean_word_len_low'
+              WHEN mwl > 10.0 THEN 'mean_word_len_high'
+              WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+              WHEN bullet_ratio > 0.9 THEN 'bullet_lines'
+              WHEN ellipsis_line_ratio > 0.3 THEN 'ellipsis_lines'
+              WHEN alpha_frac < 0.8 THEN 'alpha_words'
+              WHEN n_stop < 2 THEN 'stopwords'
+         END AS fail_reason
+  FROM r)
+"""
+
+
+CORPUS_QUERIES_EXTRA.update(
+    {
+        "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
+        "quality_gopher_gate": (q_quality_gopher_gate, SQL_QUALITY_GOPHER_GATE),
+    }
+)

@@ -67,6 +67,14 @@ def main() -> None:
                          "t=0.5 source mixing at --mix-budget-mille of "
                          "the corpus tokens")
     ap.add_argument("--mix-budget-mille", type=int, default=500)
+    ap.add_argument("--gopher-gate", action="store_true",
+                    help="apply the Gopher rule ladder (word count, mean "
+                         "word length, symbol/bullet/ellipsis ratios, "
+                         "alpha-word fraction, stopwords) as a narrow "
+                         "filter; off by default")
+    ap.add_argument("--ppl-drop-tail", action="store_true",
+                    help="CCNet-style: drop the per-language tail tertile "
+                         "by unigram-LM score; off by default")
     ap.add_argument("--trim-length-tails", action="store_true",
                     help="drop docs outside their language's nearest-rank "
                          "p05/p95 token-count bounds; off by default")
@@ -144,6 +152,15 @@ def main() -> None:
     filtered = deduped.filter(F.col("quality") >= args.quality_min)
     n_quality = filtered.count()
 
+    n_gopher = None
+    if args.gopher_gate:
+        # same oracle-verified ladder as quality_gopher_gate, applied as
+        # a pure column filter — no join, no shuffle
+        from documentconvert_spark.functions import gopher_fail_reason
+
+        filtered = filtered.filter(gopher_fail_reason().isNull())
+        n_gopher = filtered.count()
+
     n_lm = None
     if args.lm_min is not None:
         # LM stage: unigram model estimated from the post-dedup corpus
@@ -155,6 +172,17 @@ def main() -> None:
             F.col("avg_logprob") >= args.lm_min).select("doc_id")
         filtered = filtered.join(lm, "doc_id", "left_semi")
         n_lm = filtered.count()
+
+    n_ppl = None
+    if args.ppl_drop_tail:
+        # same oracle-verified definition as perplexity_buckets; the
+        # bucket side table is (doc_id, 3 small cols), tail anti-joins out
+        from documentconvert_spark.functions import perplexity_buckets
+
+        tail = (perplexity_buckets(filtered)
+                .filter(F.col("ppl_bucket") == "tail").select("doc_id"))
+        filtered = filtered.join(tail, "doc_id", "left_anti")
+        n_ppl = filtered.count()
 
     n_trim = None
     if args.trim_length_tails:
@@ -205,7 +233,9 @@ def main() -> None:
                 **({"after_dup_frac": n_dupfrac} if n_dupfrac is not None else {}),
                 **({"after_source_cap": n_cap} if n_cap is not None else {}),
                 "after_quality": n_quality,
+                **({"after_gopher_gate": n_gopher} if n_gopher is not None else {}),
                 **({"after_lm_filter": n_lm} if n_lm is not None else {}),
+                **({"after_ppl_tail_drop": n_ppl} if n_ppl is not None else {}),
                 **({"after_length_trim": n_trim} if n_trim is not None else {}),
                 "after_sampling": n_sampled,
                 "kept_pct": round(100.0 * n_sampled / max(n_in, 1), 2),

@@ -245,3 +245,96 @@ def test_boilerplate_removes_every_occurrence(spark):
     # same surface: at least 3 docs lose a span (keep-first would spare
     # one doc per duplicated text)
     assert sum(1 for r in rows if r["n_boiler_removed"] > 0) >= 3
+
+
+# --- Gopher rule ladder + CCNet perplexity buckets (round-4 additions) ---
+
+
+def _gate(spark, texts):
+    from documentconvert_spark.functions import gopher_gate
+
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    return {r.doc_id: r for r in gopher_gate(df).collect()}
+
+
+def test_gopher_ladder_each_rule_fires(spark):
+    base = ("the a quick brown fox jumps over lazy dogs near riverbank "
+            "trees while morning sunlight warms meadow grass gently ") * 5  # ~90 words
+    rows = _gate(
+        spark,
+        [
+            base,                                   # d000: passes everything
+            "short text",                           # d001: word_count_low
+            ("xx " * 110_000) + base,               # d002: word_count_high
+            "a " * 99 + "the",                      # d003: mean word len < 3
+            ("pneumonoultramicroscopic " * 60) + "the a",  # d004: mwl > 10
+            base + " " + "#" * 1 * 12 + " ".join(["#"] * 0),  # d005: see below
+            "\n".join(["- bullet line the a"] * 60),          # d006: bullets
+            "\n".join([base * 5] + ["trailing thing..."] * 40),  # d007: ellipsis lines (ellipses diluted below the symbol-ratio bound)
+            " ".join(["12345"] * 80) + " the a",              # d008: alpha_words
+            " ".join(["spark", "rows", "scan"] * 30),         # d009: stopwords
+        ],
+    )
+    assert rows["d000"].keep and rows["d000"].fail_reason is None
+    assert rows["d001"].fail_reason == "word_count_low"
+    assert rows["d002"].fail_reason == "word_count_high"
+    assert rows["d003"].fail_reason == "mean_word_len_low"
+    assert rows["d004"].fail_reason == "mean_word_len_high"
+    assert rows["d006"].fail_reason == "bullet_lines"
+    assert rows["d007"].fail_reason == "ellipsis_lines"
+    assert rows["d008"].fail_reason == "alpha_words"
+    assert rows["d009"].fail_reason == "stopwords"
+
+
+def test_gopher_symbol_ratio_rule(spark):
+    # 60 words + 8 hashes + 2 '...' → ratio 10/60 > 0.1 → symbol_ratio;
+    # the word count stays above the floor so earlier rules pass
+    words = ("the a quick brown fox jumps over lazy dogs near riverbank "
+             "trees while morning sunlight warms meadow grass gently ") * 4
+    doc = words + " alpha#beta#gamma#delta#eps#zeta#eta#theta and so...on...end"
+    rows = _gate(spark, [doc])
+    assert rows["d000"].fail_reason == "symbol_ratio"
+
+
+def test_gopher_first_failing_rule_wins(spark):
+    # fails BOTH word count and stopwords → word_count_low (ladder order)
+    rows = _gate(spark, ["###"])
+    assert rows["d000"].fail_reason == "word_count_low"
+
+
+def test_perplexity_buckets_tertiles_and_tie_rule(spark):
+    from documentconvert_spark.functions import perplexity_buckets
+
+    # 9 docs, one language, engineered distinct scores via word choice:
+    # rarer tokens → lower avg logprob. Bucket sizes must be 3/3/3 and
+    # ordering by avg_logprob must respect tail <= middle <= head.
+    docs = spark.createDataFrame(
+        [
+            (f"d{i}", " ".join(["common"] * 6 + [f"rare{i}"] * i), "en")
+            for i in range(1, 10)
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = perplexity_buckets(docs).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.ppl_bucket, []).append(r.avg_logprob)
+    assert {len(v) for v in by_bucket.values()} == {3}
+    assert max(by_bucket["tail"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["head"])
+
+
+def test_perplexity_buckets_all_tied_collapse_to_tail(spark):
+    from documentconvert_spark.functions import perplexity_buckets
+
+    # identical docs → identical scores → one histogram row whose cum
+    # covers both cutpoints: everything lands in the LOWER bucket (tail),
+    # deterministically — never split by partitioning
+    docs = spark.createDataFrame(
+        [(f"d{i}", "same words here", "en") for i in range(6)],
+        ["doc_id", "text", "lang"],
+    )
+    out = perplexity_buckets(docs).collect()
+    assert {r.ppl_bucket for r in out} == {"tail"}

@@ -168,6 +168,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "mix_source_weights",     # 1-row corpus-totals broadcast onto the 20-row source dim
         "semdedup_prune",         # k<=8 trained centroids broadcast (same as ann_ivf_trained)
         "dsir_importance",        # 1-row model-totals broadcast onto the vocab dim
+        "perplexity_buckets",     # 1-row corpus-total broadcast (reuses the unigram scorer)
     }
     offenders = {}
     for name, fn in entrymod.queries().items():
