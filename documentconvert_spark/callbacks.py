@@ -154,8 +154,18 @@ def pending_callbacks(
     ``callback_url`` is the job-level URL (the reference's per-task field
     set once for the whole submission, `unified_document_api.py:295`); a
     per-row ``callback_url`` column on the state table wins if present.
+
+    Terminal means completed, or failed with retries EXHAUSTED — a failed
+    row still under the attempt cap is in-flight (the next run retries
+    it) and must not be reported yet, mirroring the reference's flow
+    where only tasks leaving the processing pipeline reach the callback
+    queue (cleanup worker → callback queue,
+    `enhanced_task_processor.py:851-876`).
     """
-    rows = state.latest().where(F.col("status").isin("completed", "failed"))
+    rows = state.latest().where(
+        (F.col("status") == "completed")
+        | ((F.col("status") == "failed") & (F.col("attempt") >= MAX_ATTEMPTS))
+    )
     if "callback_url" not in rows.columns:
         if callback_url is None:
             raise ValueError("no callback_url column and no job-level URL")

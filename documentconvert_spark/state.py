@@ -122,6 +122,26 @@ class StateStore:
             .drop("_rn")
         )
 
+    def as_of(self, ts) -> DataFrame:
+        """The latest-per-doc view as it stood at timestamp `ts` —
+        Iceberg snapshot-as-of analogue, keyed on the completed_at DATA
+        column rather than snapshot ids because compact() rewrites run
+        directories (directory names are not durable history). Matching
+        Iceberg semantics exactly: compact() IS expire_snapshots — after
+        it runs, rows superseded before the compaction are gone and
+        as_of() of an earlier time returns the compacted survivors, not
+        the expired history."""
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("attempt"), F.desc_nulls_last("completed_at")
+        )
+        return (
+            self.read()
+            .filter(F.col("completed_at") <= F.lit(ts))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def completed_ids(self) -> DataFrame:
         """Completed doc_ids, duplicates allowed (a crash between output
         write and state append can legitimately double-append). Every

@@ -19,7 +19,10 @@ exponential backoff (1/2/4 s — reference TASK_PROCESSING_GUIDE.md:89-93)
 up to the per-doc attempt cap. --max-docs bounds each round to a batch
 (the reference fetch-worker polls `limit=max_concurrent_tasks` pending
 tasks, enhanced_task_processor.py:259-307); rounds then drain batches
-until one selects nothing.
+until one selects nothing. --callback-url POSTs one completion payload
+per terminal doc after the rounds finish (documentconvert_spark/
+callbacks.py — executor-side dispatch, _SUCCESS-gated delivery log,
+rerun-safe).
 """
 
 from __future__ import annotations

@@ -33,6 +33,8 @@ from documentconvert_spark.state import StateStore
 
 
 def _state_with_rows(spark, tmp_path, rows):
+    # failed rows are written with retries exhausted (attempt=3): only
+    # TERMINAL failures are callback-eligible; see the retryable test
     store = StateStore(spark, str(tmp_path / "state"))
     t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
     df = spark.createDataFrame(
@@ -41,7 +43,7 @@ def _state_with_rows(spark, tmp_path, rows):
                 doc_id,
                 0,
                 status,
-                1,
+                1 if status == "completed" else 3,
                 t0,
                 t0,
                 0.01,
@@ -273,3 +275,25 @@ def test_end_to_end_with_real_http_server(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_retryable_failure_not_called_back(spark, tmp_path):
+    """A failed row still under the attempt cap is in-flight (the next
+    run retries it) — it must not reach the callback dispatch."""
+    import datetime as _dt
+
+    from documentconvert_spark.schemas import EXTRACTION_STATE
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    t0 = _dt.datetime(2026, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [("d1", 0, "failed", 1, t0, t0, 0.01, None, "boom", "parse_error",
+          "runs/x/d1", None),
+         ("d2", 0, "failed", 3, t0, t0, 0.01, None, "boom", "parse_error",
+          "runs/x/d2", None)],
+        schema=EXTRACTION_STATE,
+    )
+    store.append(df, run_id="r1")
+    log = CallbackLog(spark, str(tmp_path / "cblog"))
+    pend = pending_callbacks(store, log, "http://cb.example/hook").collect()
+    assert [r.doc_id for r in pend] == ["d2"]  # only the exhausted one

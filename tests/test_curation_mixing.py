@@ -338,3 +338,22 @@ def test_perplexity_buckets_all_tied_collapse_to_tail(spark):
     )
     out = perplexity_buckets(docs).collect()
     assert {r.ppl_bucket for r in out} == {"tail"}
+
+
+def test_new_curation_ops_partitioning_invariant(spark):
+    """Labels and verdicts must not depend on physical partitioning —
+    the histogram-cutpoint design exists precisely so ties can't split
+    across partitions."""
+    from documentconvert_spark.functions import gopher_gate, perplexity_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert snap(perplexity_buckets(docs.repartition(1))) == snap(
+        perplexity_buckets(docs.repartition(13))
+    )
+    assert snap(gopher_gate(docs.repartition(1))) == snap(
+        gopher_gate(docs.repartition(13))
+    )

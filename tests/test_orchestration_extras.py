@@ -356,3 +356,41 @@ def test_run_media_cli_end_to_end(tmp_path):
     vp = pq.read_table(out + "/video_pairs").to_pylist()
     assert vp[0]["doc_a"] == "m-avi-a" and vp[0]["doc_b"] == "m-avi-b"
     assert vp[0]["matches"] == 4  # exact cross-codec frame match
+
+
+def test_run_curate_cli_gopher_gate_and_ppl_tail(tmp_path):
+    """Drive run_curate's --gopher-gate and --ppl-drop-tail stages
+    end-to-end: the Gopher ladder must drop the sub-50-word docs, the
+    CCNet tail drop must remove roughly the per-language bottom tertile,
+    and the funnel stays monotone into a non-empty sorted write."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "curated")
+    env = {**os.environ, "PYTHONPATH": repo}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "run_curate.py"),
+         "--input", src, "--output", out,
+         "--quality-min", "0.0", "--sample-en", "1000", "--sample-other", "1000",
+         "--gopher-gate", "--ppl-drop-tail",
+         "--files", "2", "--master", "local[4]"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert (summary["docs_in"] >= summary["after_dedup"]
+            >= summary["after_quality"] > summary["after_gopher_gate"]
+            > summary["after_ppl_tail_drop"] >= summary["after_sampling"] > 0)
+    # the tail drop removes at most half and at least a fifth — a loose
+    # band around the tertile that still catches an inverted or no-op
+    # filter (ties land whole in tail, so exact 1/3 is not guaranteed)
+    kept = summary["after_ppl_tail_drop"] / summary["after_gopher_gate"]
+    assert 0.5 <= kept <= 0.8
+    written = pq.read_table(out)
+    assert written.num_rows == summary["after_sampling"]

@@ -320,3 +320,51 @@ def test_state_retention_at_thousand_runs(spark, tmp_path):
     assert not os.path.exists(crash)
     assert st.read().count() == n_docs
     assert snap(st.latest()) == lat_before
+
+
+def test_state_as_of_time_travel_and_expiry_semantics(spark, tmp_path):
+    """as_of(ts) reconstructs the latest-per-doc view at ts from retained
+    rows; compact() behaves like Iceberg expire_snapshots — history
+    superseded before the compaction is gone afterward."""
+    import datetime
+
+    from documentconvert_spark.schemas import EXTRACTION_STATE
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    t1 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+    t2 = datetime.datetime(2026, 1, 1, 11, 0, 0)
+
+    def row(doc_id, status, attempt, ts):
+        return (doc_id, 0, status, attempt, ts, ts, 0.01, 1, None, None,
+                f"runs/x/{doc_id}", None)
+
+    store.append(
+        spark.createDataFrame(
+            [row("d1", "failed", 1, t1), row("d2", "completed", 1, t1)],
+            schema=EXTRACTION_STATE,
+        ),
+        run_id="r1",
+    )
+    store.append(
+        spark.createDataFrame(
+            [row("d1", "completed", 2, t2)], schema=EXTRACTION_STATE
+        ),
+        run_id="r2",
+    )
+    # at t1 + epsilon: d1 is still the failed attempt-1 row
+    mid = datetime.datetime(2026, 1, 1, 10, 30, 0)
+    at_mid = {r.doc_id: r for r in store.as_of(mid).collect()}
+    assert at_mid["d1"].status == "failed" and at_mid["d1"].attempt == 1
+    assert at_mid["d2"].status == "completed"
+    # at t2: d1's retry supersedes
+    at_t2 = {r.doc_id: r for r in store.as_of(t2).collect()}
+    assert at_t2["d1"].status == "completed" and at_t2["d1"].attempt == 2
+    # expire: compaction keeps only the latest rows; the t1 view of d1
+    # is no longer reconstructible (Iceberg expire_snapshots semantics),
+    # while the current view is unchanged
+    store.compact()
+    post = {r.doc_id: r for r in store.as_of(mid).collect()}
+    assert "d1" not in post  # its attempt-1 history was expired
+    assert post["d2"].status == "completed"
+    now = {r.doc_id: r for r in store.latest().collect()}
+    assert now["d1"].status == "completed" and now["d1"].attempt == 2
