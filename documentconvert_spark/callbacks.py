@@ -20,10 +20,13 @@ the declared contract:
 - re-dispatch is idempotent: rows whose latest delivery already succeeded
   (2xx) are skipped by an anti-join against the log — the same
   skip-if-done shape as the extraction resume path (P6);
-- transient failures retry with the reference's 1/2/4 s backoff ladder
-  (`MAX_ATTEMPTS` mirrors `models.py:76-78`); a row that exhausts retries
-  lands in the log with its last error so the next dispatch run picks it
-  up again (retry-on-rerun == the reference's restart-recovery behavior).
+- transient failures retry against the reference's 1/2/4 s backoff
+  ladder (`MAX_ATTEMPTS` mirrors `models.py:76-78`; with the default
+  3-attempt cap only the 1 s and 2 s rungs sleep — there is no wait
+  after the final attempt — the 4 s rung engages for callers raising
+  max_attempts); a row that exhausts retries lands in the log with its
+  last error so the next dispatch run picks it up again (retry-on-rerun
+  == the reference's restart-recovery behavior).
 
 Scale shape: 10^12 docs means the delivery loop cannot live on the driver.
 Dispatch runs executor-side via ``mapInPandas`` — per-row Python is
@@ -88,49 +91,20 @@ def http_post_transport(url: str, body: bytes) -> Tuple[int, str]:
         return -1, f"{type(e).__name__}: {e}"[:512]
 
 
-def _url_host(url_col):
-    return F.parse_url(url_col, F.lit("HOST"))
+def _url_host(url_col_name: str):
+    # try_parse_url: a malformed URL must become a NULL-host partition
+    # key, not an ANSI INVALID_URL crash of the whole dispatch job (the
+    # POST itself then fails row-locally and lands in the delivery log)
+    return F.expr(f"try_parse_url({url_col_name}, 'HOST')")
 
 
 class CallbackLog(StateStore):
-    """Delivery log with the state store's commit semantics; only the
-    schema differs, so the store subclasses and re-pins the row type."""
+    """Delivery log sharing StateStore's commit protocol verbatim — only
+    the row type differs (the SCHEMA pin), so _SUCCESS-gating, crash
+    invisibility, and compaction semantics can never drift between the
+    state table and its delivery log."""
 
     SCHEMA = CALLBACK_LOG
-
-    def append(self, df: DataFrame, run_id: Optional[str] = None) -> str:
-        import os
-        import uuid
-
-        from documentconvert_spark.tableio import overwrite_table
-
-        run_id = run_id or uuid.uuid4().hex[:12]
-        if "src_run_id" in df.columns:
-            df = df.withColumn(
-                "src_run_id", F.coalesce(F.col("src_run_id"), F.lit(run_id))
-            )
-        else:
-            df = df.withColumn("src_run_id", F.lit(run_id))
-        overwrite_table(
-            df.select([f.name for f in CALLBACK_LOG.fields]),
-            os.path.join(self.path, f"run_id={run_id}"),
-        )
-        return run_id
-
-    def read(self) -> DataFrame:
-        import os
-
-        dirs = self._committed_run_dirs()
-        if not dirs:
-            return self.spark.createDataFrame([], CALLBACK_LOG)
-        from documentconvert_spark.tableio import table_format
-
-        return (
-            self.spark.read.format(table_format())
-            .option("basePath", self.path)
-            .load([os.path.join(self.path, d) for d in dirs])
-            .drop("run_id")
-        )
 
     def delivered_doc_ids(self) -> DataFrame:
         """doc_ids whose LATEST delivery attempt succeeded (2xx)."""
@@ -213,7 +187,7 @@ def dispatch_callbacks(
     todo = todo.select(*payload_cols)
     # one host's callbacks → one partition: connection locality and
     # per-host ordering; distinct hosts spread across the cluster
-    todo = todo.repartition(_url_host(F.col("callback_url")))
+    todo = todo.repartition(_url_host("callback_url"))
 
     def deliver(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -249,7 +223,13 @@ def dispatch_callbacks(
                 out["callback_url"].append(row.callback_url)
                 out["callback_status_code"].append(code if code >= 0 else None)
                 out["callback_message"].append(msg)
-                out["callback_time"].append(pd.Timestamp.now())
+                # naive-UTC wall time: the session timezone is UTC, and a
+                # naive executor-local now() would be misread as UTC on
+                # non-UTC hosts — skewing delivered_doc_ids' latest-wins
+                # ordering across mixed-timezone executors
+                out["callback_time"].append(
+                    pd.Timestamp.now(tz="UTC").tz_localize(None)
+                )
                 out["delivered"].append(200 <= code < 300)
                 out["attempts"].append(attempts)
                 out["src_run_id"].append(row.src_run_id)

@@ -121,7 +121,7 @@ def length_outlier_bounds(docs):
     )
 
 
-def unigram_logprob_table(docs):
+def unigram_logprob_table(docs, return_cache_handle: bool = False):
     """(doc_id, n_tokens, avg_logprob): CCNet-style quality scoring by
     mean token log-probability under a unigram model estimated from the
     corpus itself. The Spark-side single source: the contract query
@@ -131,7 +131,14 @@ def unigram_logprob_table(docs):
     (doc, term, k) aggregate; corpus counts are SUM(k) over it, the
     1-row total rides a broadcast, and the per-doc score is the
     k-weighted mean — identical to averaging raw occurrences without
-    ever re-scanning or joining the raw token stream."""
+    ever re-scanning or joining the raw token stream.
+
+    The cache is needed only while this table's own plan executes (the
+    aggregate appears twice in it). Long-lived jobs pass
+    return_cache_handle=True to get (table, handle) and unpersist the
+    handle once their stage is counted — otherwise each call pins a
+    corpus-vocabulary-sized aggregate in executor storage for the rest
+    of the application."""
     from pyspark.sql import functions as F
 
     toks = (docs.select("doc_id", F.explode(F.expr(TOKS)).alias("token"))
@@ -142,11 +149,14 @@ def unigram_logprob_table(docs):
     total = counts.agg(F.sum("c").alias("t"))
     logp = (counts.crossJoin(F.broadcast(total))
             .select("token", F.log(F.col("c") / F.col("t")).alias("logp")))
-    return (tf.join(logp, "token")
-            .groupBy("doc_id")
-            .agg(F.sum("k").alias("n_tokens"),
-                 F.round(F.sum(F.col("k") * F.col("logp")) / F.sum("k"), 6)
-                 .alias("avg_logprob")))
+    out = (tf.join(logp, "token")
+           .groupBy("doc_id")
+           .agg(F.sum("k").alias("n_tokens"),
+                F.round(F.sum(F.col("k") * F.col("logp")) / F.sum("k"), 6)
+                .alias("avg_logprob")))
+    if return_cache_handle:
+        return out, tf
+    return out
 
 
 # --- Bloom-filter decontamination -------------------------------------
@@ -342,16 +352,17 @@ def is_main_result_file(name_col, expected_exts: tuple[str, ...] = (".md", ".jso
 # scored docs. Ties at a cut value land whole in the lower bucket, which
 # makes the labeling independent of partitioning and engine.
 
-def perplexity_buckets(docs):
+def perplexity_buckets(docs, return_cache_handle: bool = False):
     """(doc_id, lang, avg_logprob, ppl_bucket): head/middle/tail per
     language by unigram-LM score tertiles. Shared by the contract query
-    (q_perplexity_buckets) and run_curate's --ppl-buckets stage."""
+    (q_perplexity_buckets) and run_curate's --ppl-drop-tail stage (which
+    takes the cache handle to free the token aggregate once its keep-set
+    is materialized — see unigram_logprob_table)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    scored = unigram_logprob_table(docs).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
+    scored_tbl, tf = unigram_logprob_table(docs, return_cache_handle=True)
+    scored = scored_tbl.join(docs.select("doc_id", "lang"), "doc_id")
     hist = scored.groupBy("lang", "avg_logprob").agg(F.count("*").alias("k"))
     cum = (
         hist.withColumn(
@@ -364,7 +375,7 @@ def perplexity_buckets(docs):
         F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("avg_logprob"))).alias("c1"),
         F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("avg_logprob"))).alias("c2"),
     )
-    return scored.join(F.broadcast(cuts), "lang").select(
+    out = scored.join(F.broadcast(cuts), "lang").select(
         "doc_id",
         "lang",
         "avg_logprob",
@@ -373,6 +384,9 @@ def perplexity_buckets(docs):
         .otherwise(F.lit("head"))
         .alias("ppl_bucket"),
     )
+    if return_cache_handle:
+        return out, tf
+    return out
 
 
 # --- Gopher composite quality gate ------------------------------------

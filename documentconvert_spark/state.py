@@ -30,7 +30,14 @@ MAX_ATTEMPTS = 3  # reference max_retry_count (models.py:76-78)
 
 
 class StateStore:
-    """Parquet-directory state store with Iceberg-like append semantics."""
+    """Parquet-directory state store with Iceberg-like append semantics.
+
+    The row type is pinned by the SCHEMA class attribute — subclasses with
+    a different row shape (e.g. the callback delivery log) override ONLY
+    that and inherit the commit protocol verbatim, so the _SUCCESS-gating
+    and backfill rules can never drift between the two stores."""
+
+    SCHEMA = EXTRACTION_STATE
 
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
@@ -61,7 +68,7 @@ class StateStore:
     def read(self) -> DataFrame:
         dirs = self._committed_run_dirs()
         if not dirs:
-            return self.spark.createDataFrame([], EXTRACTION_STATE)
+            return self.spark.createDataFrame([], type(self).SCHEMA)
         from documentconvert_spark.tableio import table_format
 
         loaded = (
@@ -92,10 +99,20 @@ class StateStore:
             "src_run_id", F.coalesce(F.col("src_run_id"), F.lit(run_id))
         ) if "src_run_id" in df.columns else df.withColumn("src_run_id", F.lit(run_id))
         overwrite_table(
-            df.select([f.name for f in EXTRACTION_STATE.fields]),
+            df.select([f.name for f in type(self).SCHEMA.fields]),
             os.path.join(self.path, f"run_id={run_id}"),
         )
         return run_id
+
+    def read_run(self, run_id: str) -> DataFrame:
+        """Rows of ONE committed run directory (empty frame if the run
+        never committed) — per-run accounting without scanning history."""
+        d = os.path.join(self.path, f"run_id={run_id}")
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            return self.spark.createDataFrame([], type(self).SCHEMA)
+        from documentconvert_spark.tableio import table_format
+
+        return self.spark.read.format(table_format()).load(d)
 
     def run_ids(self) -> DataFrame:
         """Committed producing-run ids — a run is committed iff its state
@@ -112,32 +129,25 @@ class StateStore:
 
     def latest(self) -> DataFrame:
         """Latest state row per doc_id (by attempt, then completed_at)."""
-        w = Window.partitionBy("doc_id").orderBy(
-            F.desc("attempt"), F.desc_nulls_last("completed_at")
-        )
-        return (
-            self.read()
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        return self.as_of(None)
 
     def as_of(self, ts) -> DataFrame:
-        """The latest-per-doc view as it stood at timestamp `ts` —
-        Iceberg snapshot-as-of analogue, keyed on the completed_at DATA
-        column rather than snapshot ids because compact() rewrites run
-        directories (directory names are not durable history). Matching
-        Iceberg semantics exactly: compact() IS expire_snapshots — after
-        it runs, rows superseded before the compaction are gone and
-        as_of() of an earlier time returns the compacted survivors, not
-        the expired history."""
+        """The latest-per-doc view as it stood at timestamp `ts` (None =
+        now, i.e. latest()) — Iceberg snapshot-as-of analogue, keyed on
+        the completed_at DATA column rather than snapshot ids because
+        compact() rewrites run directories (directory names are not
+        durable history). Matching Iceberg semantics exactly: compact()
+        IS expire_snapshots — after it runs, rows superseded before the
+        compaction are gone and as_of() of an earlier time returns the
+        compacted survivors, not the expired history."""
+        rows = self.read()
+        if ts is not None:
+            rows = rows.filter(F.col("completed_at") <= F.lit(ts))
         w = Window.partitionBy("doc_id").orderBy(
             F.desc("attempt"), F.desc_nulls_last("completed_at")
         )
         return (
-            self.read()
-            .filter(F.col("completed_at") <= F.lit(ts))
-            .withColumn("_rn", F.row_number().over(w))
+            rows.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )

@@ -161,26 +161,38 @@ def main() -> None:
         filtered = filtered.filter(gopher_fail_reason().isNull())
         n_gopher = filtered.count()
 
+    stage_keep_sets = []  # tiny doc_id sets pinned until the final write
+
     n_lm = None
     if args.lm_min is not None:
         # LM stage: unigram model estimated from the post-dedup corpus
-        # (same oracle-verified definition as quality_unigram_logprob);
-        # score table is (doc_id, 2 numerics) — a semi-join-sized side
+        # (same oracle-verified definition as quality_unigram_logprob).
+        # The doc_id keep-set is materialized WHILE the (doc, term, k)
+        # aggregate is cached, then the big aggregate is freed — only the
+        # tiny keep-set stays pinned for the downstream counts + write
         from documentconvert_spark.functions import unigram_logprob_table
 
-        lm = unigram_logprob_table(filtered).filter(
-            F.col("avg_logprob") >= args.lm_min).select("doc_id")
-        filtered = filtered.join(lm, "doc_id", "left_semi")
+        lm_tbl, lm_tf = unigram_logprob_table(filtered, return_cache_handle=True)
+        lm_keep = (lm_tbl.filter(F.col("avg_logprob") >= args.lm_min)
+                   .select("doc_id").persist())
+        lm_keep.count()
+        lm_tf.unpersist()
+        stage_keep_sets.append(lm_keep)
+        filtered = filtered.join(lm_keep, "doc_id", "left_semi")
         n_lm = filtered.count()
 
     n_ppl = None
     if args.ppl_drop_tail:
-        # same oracle-verified definition as perplexity_buckets; the
-        # bucket side table is (doc_id, 3 small cols), tail anti-joins out
+        # same oracle-verified definition as perplexity_buckets; same
+        # materialize-keep-set-then-free-the-aggregate protocol as --lm-min
         from documentconvert_spark.functions import perplexity_buckets
 
-        tail = (perplexity_buckets(filtered)
-                .filter(F.col("ppl_bucket") == "tail").select("doc_id"))
+        buckets, ppl_tf = perplexity_buckets(filtered, return_cache_handle=True)
+        tail = (buckets.filter(F.col("ppl_bucket") == "tail")
+                .select("doc_id").persist())
+        tail.count()
+        ppl_tf.unpersist()
+        stage_keep_sets.append(tail)
         filtered = filtered.join(tail, "doc_id", "left_anti")
         n_ppl = filtered.count()
 
@@ -223,6 +235,8 @@ def main() -> None:
     out = sampled.drop("fingerprint", "_rn")
     write_sorted(out, args.output, sort_cols=["doc_id"], n_files=args.files)
     deduped.unpersist()
+    for ks in stage_keep_sets:
+        ks.unpersist()
 
     print(
         json.dumps(

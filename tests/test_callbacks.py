@@ -297,3 +297,20 @@ def test_retryable_failure_not_called_back(spark, tmp_path):
     log = CallbackLog(spark, str(tmp_path / "cblog"))
     pend = pending_callbacks(store, log, "http://cb.example/hook").collect()
     assert [r.doc_id for r in pend] == ["d2"]  # only the exhausted one
+
+def test_malformed_url_does_not_crash_dispatch(spark, tmp_path, call_dir):
+    """A URL try_parse_url cannot parse (illegal char) must flow through
+    dispatch as a NULL-host partition key — never an ANSI INVALID_URL
+    crash of the whole job; the row still reaches the delivery log."""
+    store = _state_with_rows(spark, tmp_path, [("d1", "completed", 1)])
+    log = CallbackLog(spark, str(tmp_path / "cblog"))
+    run = dispatch_callbacks(
+        store,
+        log,
+        callback_url="http://cb host/hook with spaces",  # unparseable
+        transport=_recording_ok_transport(call_dir),
+        sleep=lambda _: None,
+    )
+    assert run is not None
+    rows = log.read().collect()
+    assert len(rows) == 1 and rows[0].delivered

@@ -270,7 +270,8 @@ def test_gopher_ladder_each_rule_fires(spark):
             ("xx " * 110_000) + base,               # d002: word_count_high
             "a " * 99 + "the",                      # d003: mean word len < 3
             ("pneumonoultramicroscopic " * 60) + "the a",  # d004: mwl > 10
-            base + " " + "#" * 1 * 12 + " ".join(["#"] * 0),  # d005: see below
+            base + " alpha#beta#gamma#delta#eps#zeta#eta#theta#iota#kap"
+            " so...on...end",                       # d005: symbol_ratio
             "\n".join(["- bullet line the a"] * 60),          # d006: bullets
             "\n".join([base * 5] + ["trailing thing..."] * 40),  # d007: ellipsis lines (ellipses diluted below the symbol-ratio bound)
             " ".join(["12345"] * 80) + " the a",              # d008: alpha_words
@@ -282,6 +283,7 @@ def test_gopher_ladder_each_rule_fires(spark):
     assert rows["d002"].fail_reason == "word_count_high"
     assert rows["d003"].fail_reason == "mean_word_len_low"
     assert rows["d004"].fail_reason == "mean_word_len_high"
+    assert rows["d005"].fail_reason == "symbol_ratio"
     assert rows["d006"].fail_reason == "bullet_lines"
     assert rows["d007"].fail_reason == "ellipsis_lines"
     assert rows["d008"].fail_reason == "alpha_words"
