@@ -475,72 +475,130 @@ _M13 = bytes(_gmul(x, 13) for x in range(256))
 _M14 = bytes(_gmul(x, 14) for x in range(256))
 
 
+# T-table AES (the classic 32-bit-word formulation of FIPS-197): each
+# table entry folds SubBytes + the MixColumns column contribution into
+# one lookup, so a round is 16 table hits + xors instead of per-byte
+# matrix math. In pure Python this is ~15× the naive per-byte version —
+# it is THE hot loop of encrypted-PDF extraction (every stream decrypt,
+# and ~70 CBC passes per R6 KDF evaluation). Verified against the
+# FIPS-197 Appendix C vectors (test_kernels pins both key sizes).
+
+def _build_enc_tables():
+    t0, t1, t2, t3 = [], [], [], []
+    for x in range(256):
+        s = _AES_SBOX[x]
+        s2, s3 = _M2[s], _M3[s]
+        t0.append((s2 << 24) | (s << 16) | (s << 8) | s3)
+        t1.append((s3 << 24) | (s2 << 16) | (s << 8) | s)
+        t2.append((s << 24) | (s3 << 16) | (s2 << 8) | s)
+        t3.append((s << 24) | (s << 16) | (s3 << 8) | s2)
+    return tuple(t0), tuple(t1), tuple(t2), tuple(t3)
+
+
+def _build_dec_tables():
+    d0, d1, d2, d3 = [], [], [], []
+    for x in range(256):
+        s = _AES_INV_SBOX[x]
+        e, b, d, n = _M14[s], _M11[s], _M13[s], _M9[s]
+        d0.append((e << 24) | (n << 16) | (d << 8) | b)
+        d1.append((b << 24) | (e << 16) | (n << 8) | d)
+        d2.append((d << 24) | (b << 16) | (e << 8) | n)
+        d3.append((n << 24) | (d << 16) | (b << 8) | e)
+    return tuple(d0), tuple(d1), tuple(d2), tuple(d3)
+
+
+_TE0, _TE1, _TE2, _TE3 = _build_enc_tables()
+_TD0, _TD1, _TD2, _TD3 = _build_dec_tables()
+
+
 def _aes_expand(key: bytes):
+    """Round keys as big-endian 32-bit column words (FIPS-197 w[i])."""
     nk = len(key) // 4
     rounds = nk + 6
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    w = [int.from_bytes(key[4 * i : 4 * i + 4], "big") for i in range(nk)]
     for i in range(nk, 4 * (rounds + 1)):
-        t = list(w[i - 1])
+        t = w[i - 1]
         if i % nk == 0:
-            t = [_AES_SBOX[t[1]] ^ _AES_RCON[i // nk - 1],
-                 _AES_SBOX[t[2]], _AES_SBOX[t[3]], _AES_SBOX[t[0]]]
+            t = ((t << 8) | (t >> 24)) & 0xFFFFFFFF  # RotWord
+            t = ((_AES_SBOX[t >> 24] << 24) | (_AES_SBOX[(t >> 16) & 0xFF] << 16)
+                 | (_AES_SBOX[(t >> 8) & 0xFF] << 8) | _AES_SBOX[t & 0xFF])
+            t ^= _AES_RCON[i // nk - 1] << 24
         elif nk > 6 and i % nk == 4:
-            t = [_AES_SBOX[b] for b in t]
-        w.append([w[i - nk][j] ^ t[j] for j in range(4)])
+            t = ((_AES_SBOX[t >> 24] << 24) | (_AES_SBOX[(t >> 16) & 0xFF] << 16)
+                 | (_AES_SBOX[(t >> 8) & 0xFF] << 8) | _AES_SBOX[t & 0xFF])
+        w.append(w[i - nk] ^ t)
     return w, rounds
 
 
+def _aes_dec_expand(key: bytes):
+    """Equivalent-inverse-cipher schedule: encryption round keys reversed
+    by round, middle rounds passed through InvMixColumns."""
+    w, rounds = _aes_expand(key)
+    dk = []
+    for rnd in range(rounds, -1, -1):
+        for j in range(4):
+            word = w[4 * rnd + j]
+            if 0 < rnd < rounds:
+                a0, a1, a2, a3 = (word >> 24, (word >> 16) & 0xFF,
+                                  (word >> 8) & 0xFF, word & 0xFF)
+                word = (((_M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3]) << 24)
+                        | ((_M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3]) << 16)
+                        | ((_M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3]) << 8)
+                        | (_M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3]))
+            dk.append(word)
+    return dk, rounds
+
+
 def _aes_enc_block(w, rounds: int, block: bytes) -> bytes:
-    s = [[block[4 * c + r] for c in range(4)] for r in range(4)]
-    for c in range(4):
-        for r in range(4):
-            s[r][c] ^= w[c][r]
-    for rnd in range(1, rounds + 1):
-        for r in range(4):
-            row = s[r]
-            for c in range(4):
-                row[c] = _AES_SBOX[row[c]]
-            if r:
-                s[r] = row[r:] + row[:r]  # ShiftRows: row r rotates left by r
-        if rnd < rounds:
-            for c in range(4):
-                a0, a1, a2, a3 = s[0][c], s[1][c], s[2][c], s[3][c]
-                s[0][c] = _M2[a0] ^ _M3[a1] ^ a2 ^ a3
-                s[1][c] = a0 ^ _M2[a1] ^ _M3[a2] ^ a3
-                s[2][c] = a0 ^ a1 ^ _M2[a2] ^ _M3[a3]
-                s[3][c] = _M3[a0] ^ a1 ^ a2 ^ _M2[a3]
-        for c in range(4):
-            word = w[4 * rnd + c]
-            for r in range(4):
-                s[r][c] ^= word[r]
-    return bytes(s[r][c] for c in range(4) for r in range(4))
+    t0, t1, t2, t3 = _TE0, _TE1, _TE2, _TE3
+    sb = _AES_SBOX
+    s0 = int.from_bytes(block[0:4], "big") ^ w[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ w[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ w[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ w[3]
+    k = 4
+    for _ in range(rounds - 1):
+        u0 = t0[s0 >> 24] ^ t1[(s1 >> 16) & 0xFF] ^ t2[(s2 >> 8) & 0xFF] ^ t3[s3 & 0xFF] ^ w[k]
+        u1 = t0[s1 >> 24] ^ t1[(s2 >> 16) & 0xFF] ^ t2[(s3 >> 8) & 0xFF] ^ t3[s0 & 0xFF] ^ w[k + 1]
+        u2 = t0[s2 >> 24] ^ t1[(s3 >> 16) & 0xFF] ^ t2[(s0 >> 8) & 0xFF] ^ t3[s1 & 0xFF] ^ w[k + 2]
+        u3 = t0[s3 >> 24] ^ t1[(s0 >> 16) & 0xFF] ^ t2[(s1 >> 8) & 0xFF] ^ t3[s2 & 0xFF] ^ w[k + 3]
+        s0, s1, s2, s3 = u0, u1, u2, u3
+        k += 4
+    u0 = ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 0xFF] << 16)
+          | (sb[(s2 >> 8) & 0xFF] << 8) | sb[s3 & 0xFF]) ^ w[k]
+    u1 = ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 0xFF] << 16)
+          | (sb[(s3 >> 8) & 0xFF] << 8) | sb[s0 & 0xFF]) ^ w[k + 1]
+    u2 = ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 0xFF] << 16)
+          | (sb[(s0 >> 8) & 0xFF] << 8) | sb[s1 & 0xFF]) ^ w[k + 2]
+    u3 = ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 0xFF] << 16)
+          | (sb[(s1 >> 8) & 0xFF] << 8) | sb[s2 & 0xFF]) ^ w[k + 3]
+    return b"".join(u.to_bytes(4, "big") for u in (u0, u1, u2, u3))
 
 
-def _aes_dec_block(w, rounds: int, block: bytes) -> bytes:
-    s = [[block[4 * c + r] for c in range(4)] for r in range(4)]
-    for c in range(4):
-        word = w[4 * rounds + c]
-        for r in range(4):
-            s[r][c] ^= word[r]
-    for rnd in range(rounds - 1, -1, -1):
-        for r in range(4):
-            if r:
-                s[r] = s[r][-r:] + s[r][:-r]  # InvShiftRows: rotate right by r
-            row = s[r]
-            for c in range(4):
-                row[c] = _AES_INV_SBOX[row[c]]
-        for c in range(4):
-            word = w[4 * rnd + c]
-            for r in range(4):
-                s[r][c] ^= word[r]
-        if rnd:
-            for c in range(4):
-                a0, a1, a2, a3 = s[0][c], s[1][c], s[2][c], s[3][c]
-                s[0][c] = _M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3]
-                s[1][c] = _M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3]
-                s[2][c] = _M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3]
-                s[3][c] = _M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3]
-    return bytes(s[r][c] for c in range(4) for r in range(4))
+def _aes_dec_block(dk, rounds: int, block: bytes) -> bytes:
+    d0, d1, d2, d3 = _TD0, _TD1, _TD2, _TD3
+    isb = _AES_INV_SBOX
+    s0 = int.from_bytes(block[0:4], "big") ^ dk[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ dk[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ dk[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ dk[3]
+    k = 4
+    for _ in range(rounds - 1):
+        u0 = d0[s0 >> 24] ^ d1[(s3 >> 16) & 0xFF] ^ d2[(s2 >> 8) & 0xFF] ^ d3[s1 & 0xFF] ^ dk[k]
+        u1 = d0[s1 >> 24] ^ d1[(s0 >> 16) & 0xFF] ^ d2[(s3 >> 8) & 0xFF] ^ d3[s2 & 0xFF] ^ dk[k + 1]
+        u2 = d0[s2 >> 24] ^ d1[(s1 >> 16) & 0xFF] ^ d2[(s0 >> 8) & 0xFF] ^ d3[s3 & 0xFF] ^ dk[k + 2]
+        u3 = d0[s3 >> 24] ^ d1[(s2 >> 16) & 0xFF] ^ d2[(s1 >> 8) & 0xFF] ^ d3[s0 & 0xFF] ^ dk[k + 3]
+        s0, s1, s2, s3 = u0, u1, u2, u3
+        k += 4
+    u0 = ((isb[s0 >> 24] << 24) | (isb[(s3 >> 16) & 0xFF] << 16)
+          | (isb[(s2 >> 8) & 0xFF] << 8) | isb[s1 & 0xFF]) ^ dk[k]
+    u1 = ((isb[s1 >> 24] << 24) | (isb[(s0 >> 16) & 0xFF] << 16)
+          | (isb[(s3 >> 8) & 0xFF] << 8) | isb[s2 & 0xFF]) ^ dk[k + 1]
+    u2 = ((isb[s2 >> 24] << 24) | (isb[(s1 >> 16) & 0xFF] << 16)
+          | (isb[(s0 >> 8) & 0xFF] << 8) | isb[s3 & 0xFF]) ^ dk[k + 2]
+    u3 = ((isb[s3 >> 24] << 24) | (isb[(s2 >> 16) & 0xFF] << 16)
+          | (isb[(s1 >> 8) & 0xFF] << 8) | isb[s0 & 0xFF]) ^ dk[k + 3]
+    return b"".join(u.to_bytes(4, "big") for u in (u0, u1, u2, u3))
 
 
 def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
@@ -558,12 +616,12 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 def _aes_cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC decrypt with explicit IV, no padding strip (the /UE and /OE
     key-wrap blobs use CBC-NoPadding with a zero IV)."""
-    w, rounds = _aes_expand(key)
+    dk, rounds = _aes_dec_expand(key)
     prev = iv
     out = bytearray()
     for i in range(0, len(data), 16):
         blk = data[i : i + 16]
-        out += bytes(x ^ y for x, y in zip(_aes_dec_block(w, rounds, blk), prev))
+        out += bytes(x ^ y for x, y in zip(_aes_dec_block(dk, rounds, blk), prev))
         prev = blk
     return bytes(out)
 

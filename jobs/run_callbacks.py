@@ -1,0 +1,63 @@
+"""Cluster job entrypoint: standalone callback (re)delivery.
+
+The reference runs callback delivery as an independent worker coroutine
+feeding off completed tasks (`enhanced_task_processor.py:858-876` — the
+POST itself was a TODO there). `run_extract.py --callback-url` dispatches
+inline after a run; this job is the detached counterpart for operational
+redelivery: drain every terminal state row still owed a successful POST
+(first deliveries AND retries of previously failed deliveries), without
+touching the extraction pipeline.
+
+Submit:
+
+    spark-submit --master <cluster> \
+      --py-files dist/documentconvert_spark.zip \
+      jobs/run_callbacks.py \
+      --state <state table path> \
+      --callback-url <url> \
+      [--log <delivery log path>]      # default: <state>_callbacks
+
+Rerun-safe: rows whose latest delivery already succeeded are skipped
+(anti-join against the _SUCCESS-gated delivery log); exhausted failures
+are retried on each invocation until they succeed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--state", required=True)
+    ap.add_argument("--callback-url", required=True)
+    ap.add_argument("--log", default=None,
+                    help="delivery log path (default: <state>_callbacks)")
+    ap.add_argument("--master", default=None, help="override master (local testing)")
+    args = ap.parse_args()
+
+    from documentconvert_spark.callbacks import CallbackLog, dispatch_callbacks
+    from documentconvert_spark.session import build_session
+    from documentconvert_spark.state import StateStore
+
+    spark = build_session(app_name="callbacks", master=args.master)
+    state = StateStore(spark, args.state)
+    log = CallbackLog(spark, args.log or args.state.rstrip("/") + "_callbacks")
+    if state.is_empty():
+        print(json.dumps({"callback_run": None, "callbacks_delivered": 0,
+                          "note": "state table empty"}))
+        spark.stop()
+        return
+    cb_run = dispatch_callbacks(state, log, callback_url=args.callback_url)
+    run_rows = log.read_run(cb_run)
+    delivered = run_rows.where("delivered").count()
+    failed = run_rows.where("NOT delivered").count()
+    print(json.dumps({"callback_run": cb_run, "callbacks_delivered": delivered,
+                      "callbacks_failed": failed}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -314,3 +314,50 @@ def test_malformed_url_does_not_crash_dispatch(spark, tmp_path, call_dir):
     assert run is not None
     rows = log.read().collect()
     assert len(rows) == 1 and rows[0].delivered
+
+def test_run_callbacks_cli_redelivers(spark, tmp_path):
+    """Drive the standalone jobs/run_callbacks.py CLI against a state
+    table and a live localhost server: first invocation delivers, second
+    is a no-op (0 delivered, nothing re-POSTed)."""
+    import http.server
+    import subprocess
+    import sys as _sys
+    import threading
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            received.append(self.rfile.read(n).decode())
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        _state_with_rows(spark, tmp_path, [("d1", "completed", 2), ("d2", "failed", None)])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {**os.environ, "PYTHONPATH": repo}
+        url = f"http://127.0.0.1:{srv.server_address[1]}/hook"
+        cmd = [_sys.executable, os.path.join(repo, "jobs", "run_callbacks.py"),
+               "--state", str(tmp_path / "state"), "--callback-url", url,
+               "--master", "local[2]"]
+        p1 = subprocess.run(cmd, capture_output=True, text=True, cwd=repo,
+                            env=env, timeout=300)
+        assert p1.returncode == 0, p1.stderr[-2000:]
+        s1 = json.loads(p1.stdout.strip().splitlines()[-1])
+        assert s1["callbacks_delivered"] == 2 and s1["callbacks_failed"] == 0
+        assert len(received) == 2
+        p2 = subprocess.run(cmd, capture_output=True, text=True, cwd=repo,
+                            env=env, timeout=300)
+        assert p2.returncode == 0, p2.stderr[-2000:]
+        s2 = json.loads(p2.stdout.strip().splitlines()[-1])
+        assert s2["callbacks_delivered"] == 0
+        assert len(received) == 2  # no re-POSTs
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -512,3 +512,28 @@ def test_docx_sdt_rows_and_textbox_paragraphs():
     spans = extract_docx(buf.getvalue())
     assert spans[0].kind == "table"
     assert spans[0].text.splitlines() == ["plain row", "controlled row", "hostBOXTEXT"]
+
+
+def test_aes_fips197_appendix_c_vectors():
+    """The T-table AES must match FIPS-197 Appendix C exactly for both
+    PDF key sizes (AESV2=128, AESV3=256), encrypt AND decrypt."""
+    from documentconvert_spark.kernels.realpdf import (
+        _aes_dec_block,
+        _aes_dec_expand,
+        _aes_enc_block,
+        _aes_expand,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for key_hex, ct_hex in [
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f"
+         "101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ]:
+        key = bytes.fromhex(key_hex)
+        w, rounds = _aes_expand(key)
+        assert _aes_enc_block(w, rounds, pt).hex() == ct_hex
+        dk, rounds = _aes_dec_expand(key)
+        assert _aes_dec_block(dk, rounds, bytes.fromhex(ct_hex)) == pt
