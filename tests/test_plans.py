@@ -257,3 +257,13 @@ def test_tfidf_and_unigram_explode_once(spark):
         if q is q_tfidf_topk:
             assert "WindowGroupLimit" in plan
         spark.catalog.clearCache()
+
+
+def test_gopher_gate_is_shuffle_free(spark):
+    """The Gopher rule ladder claims 'pure column expressions, zero
+    shuffle' — pin it: the physical plan over the documents scan must
+    contain no Exchange at all."""
+    from documentconvert_spark.functions import gopher_gate
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    assert "Exchange" not in _plan(gopher_gate(docs))
