@@ -91,32 +91,48 @@ def http_post_transport(url: str, body: bytes) -> Tuple[int, str]:
         return -1, f"{type(e).__name__}: {e}"[:512]
 
 
-def _url_host(url_col_name: str):
+def _url_host(url_col):
     # try_parse_url: a malformed URL must become a NULL-host partition
     # key, not an ANSI INVALID_URL crash of the whole dispatch job (the
     # POST itself then fails row-locally and lands in the delivery log)
-    return F.expr(f"try_parse_url({url_col_name}, 'HOST')")
+    return F.try_parse_url(url_col, F.lit("HOST"))
 
 
 class CallbackLog(StateStore):
-    """Delivery log sharing StateStore's commit protocol verbatim — only
-    the row type differs (the SCHEMA pin), so _SUCCESS-gating, crash
-    invisibility, and compaction semantics can never drift between the
-    state table and its delivery log."""
+    """Delivery log sharing StateStore's COMMIT PROTOCOL — the SCHEMA
+    pin reuses append/read/read_run/compact and their _SUCCESS-gating and
+    crash-invisibility rules, so those can never drift between the state
+    table and its delivery log. The log's latest-row rule is its own
+    (newest delivery per (doc, url) by callback_time — there is no
+    attempt/completed_at here), which also drives the inherited
+    compact(); the state-specific derived views (as_of, completed_ids,
+    terminal_failed_ids, attempts) do not apply to this row type.
+
+    Reads are STRICT (no ignoreCorruptFiles): a silently skipped corrupt
+    log file would erase delivered=true rows and re-POST already-
+    delivered callbacks — for the log, failing loudly beats resuming."""
 
     SCHEMA = CALLBACK_LOG
+    IGNORE_CORRUPT = False
+    BACKFILL_SRC_RUN_ID = False  # the dir name is the CALLBACK run id,
+    # not the extraction run id this column is defined to hold
 
-    def delivered_doc_ids(self) -> DataFrame:
-        """doc_ids whose LATEST delivery attempt succeeded (2xx)."""
+    def latest(self) -> DataFrame:
+        """Newest delivery row per (doc_id, callback_url)."""
         w = Window.partitionBy("doc_id", "callback_url").orderBy(
             F.desc_nulls_last("callback_time")
         )
         return (
             self.read()
             .withColumn("_rn", F.row_number().over(w))
-            .where((F.col("_rn") == 1) & F.col("delivered"))
-            .select("doc_id")
-            .distinct()
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def delivered_doc_ids(self) -> DataFrame:
+        """doc_ids whose LATEST delivery attempt succeeded (2xx)."""
+        return (
+            self.latest().where(F.col("delivered")).select("doc_id").distinct()
         )
 
 
@@ -165,10 +181,13 @@ def dispatch_callbacks(
     sleep: Callable[[float], None] = _time.sleep,
 ) -> str | None:
     """POST one completion payload per pending terminal row; commit the
-    delivery log as one atomic run and return its run_id.
+    delivery log as one atomic run and return its run_id, or None when
+    nothing was pending (no empty run directories accumulate on no-op
+    redelivery reruns).
 
     The side-effecting plan executes exactly once — as the write job
-    itself. No count/take peeks first: re-executing a plan whose tasks
+    itself. The only peek happens BEFORE the transport enters the plan
+    (pending_callbacks is a pure read): re-executing a plan whose tasks
     POST to external services would double-deliver. (Task RETRIES inside
     one job can still re-POST — inherent to at-least-once side effects;
     the log's latest-wins dedup and the receiver's idempotency key
@@ -176,6 +195,12 @@ def dispatch_callbacks(
     sink guidance.)"""
     transport = transport or http_post_transport
     todo = pending_callbacks(state, log, callback_url)
+    # nothing pending → no log run at all. This peek is side-effect-free
+    # (todo is a pure read of state+log; the transport only runs inside
+    # the mapInPandas below), and it keeps repeated no-op redelivery
+    # invocations from appending empty run directories forever.
+    if not todo.take(1):
+        return None
     payload_cols = [
         "doc_id",
         "callback_url",

@@ -478,7 +478,8 @@ _M14 = bytes(_gmul(x, 14) for x in range(256))
 # T-table AES (the classic 32-bit-word formulation of FIPS-197): each
 # table entry folds SubBytes + the MixColumns column contribution into
 # one lookup, so a round is 16 table hits + xors instead of per-byte
-# matrix math. In pure Python this is ~15× the naive per-byte version —
+# matrix math. Measured ~5× per block over the naive per-byte version
+# (26.5 µs vs ~133 µs for AES-256 on this box) —
 # it is THE hot loop of encrypted-PDF extraction (every stream decrypt,
 # and ~70 CBC passes per R6 KDF evaluation). Verified against the
 # FIPS-197 Appendix C vectors (test_kernels pins both key sizes).

@@ -38,6 +38,14 @@ class StateStore:
     and backfill rules can never drift between the two stores."""
 
     SCHEMA = EXTRACTION_STATE
+    # resume-over-corruption is right for the state table (a lost row just
+    # re-extracts a doc); logs with delivered-exactly-once semantics
+    # override this to fail loudly instead
+    IGNORE_CORRUPT = True
+    # backfill src_run_id from the run_id= directory name for runs
+    # appended before the column existed (state-table schema evolution);
+    # subclasses whose directory name is NOT an extraction run id opt out
+    BACKFILL_SRC_RUN_ID = True
 
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
@@ -73,7 +81,8 @@ class StateStore:
 
         loaded = (
             self.spark.read
-            .option("ignoreCorruptFiles", "true")
+            .option("ignoreCorruptFiles",
+                    "true" if type(self).IGNORE_CORRUPT else "false")
             .option("mergeSchema", "true")
             .format(table_format())
             .option("basePath", self.path)
@@ -82,13 +91,16 @@ class StateStore:
         # schema evolution: runs appended before src_run_id existed carry
         # the producing run only in the directory name — backfill so the
         # committed-output link holds across the upgrade
-        if "src_run_id" in loaded.columns:
-            loaded = loaded.withColumn(
-                "src_run_id",
-                F.coalesce(F.col("src_run_id"), F.col("run_id").cast("string")),
-            )
-        else:
-            loaded = loaded.withColumn("src_run_id", F.col("run_id").cast("string"))
+        if type(self).BACKFILL_SRC_RUN_ID:
+            if "src_run_id" in loaded.columns:
+                loaded = loaded.withColumn(
+                    "src_run_id",
+                    F.coalesce(F.col("src_run_id"), F.col("run_id").cast("string")),
+                )
+            else:
+                loaded = loaded.withColumn(
+                    "src_run_id", F.col("run_id").cast("string")
+                )
         return loaded.drop("run_id")
 
     def append(self, df: DataFrame, run_id: str | None = None) -> str:

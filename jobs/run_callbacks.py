@@ -51,11 +51,19 @@ def main() -> None:
         spark.stop()
         return
     cb_run = dispatch_callbacks(state, log, callback_url=args.callback_url)
-    run_rows = log.read_run(cb_run)
-    delivered = run_rows.where("delivered").count()
-    failed = run_rows.where("NOT delivered").count()
-    print(json.dumps({"callback_run": cb_run, "callbacks_delivered": delivered,
-                      "callbacks_failed": failed}))
+    if cb_run is None:  # nothing pending — no run committed
+        print(json.dumps({"callback_run": None, "callbacks_delivered": 0,
+                          "callbacks_failed": 0}))
+        spark.stop()
+        return
+    from pyspark.sql import functions as F
+
+    row = log.read_run(cb_run).agg(
+        F.count(F.when(F.col("delivered"), 1)).alias("d"),
+        F.count(F.when(~F.col("delivered"), 1)).alias("f"),
+    ).first()
+    print(json.dumps({"callback_run": cb_run, "callbacks_delivered": row.d,
+                      "callbacks_failed": row.f}))
     spark.stop()
 
 

@@ -131,7 +131,8 @@ def main() -> None:
         log = CallbackLog(spark, args.state.rstrip("/") + "_callbacks")
         cb_run = dispatch_callbacks(state, log, callback_url=args.callback_url)
         # THIS run's deliveries only — the full log holds prior runs too
-        delivered = log.read_run(cb_run).where("delivered").count()
+        delivered = (0 if cb_run is None
+                     else log.read_run(cb_run).where("delivered").count())
         print(json.dumps({"callback_run": cb_run, "callbacks_delivered": delivered}))
     if args.compact_state and not state.is_empty():
         n_before = len(state._committed_run_dirs())

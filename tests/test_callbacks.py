@@ -361,3 +361,46 @@ def test_run_callbacks_cli_redelivers(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+def test_noop_dispatch_appends_no_run_dir_and_log_compacts(spark, tmp_path, call_dir):
+    """Repeated no-op redelivery must not grow the log (no empty run
+    dirs), and the log's inherited compact() must collapse run dirs
+    while preserving delivered_doc_ids."""
+    store = _state_with_rows(
+        spark, tmp_path, [("d1", "completed", 1), ("d2", "completed", 2)]
+    )
+    log = CallbackLog(spark, str(tmp_path / "cblog"))
+    t = _recording_ok_transport(call_dir)
+    r1 = dispatch_callbacks(
+        store, log, callback_url="http://cb.example/hook", transport=t,
+        sleep=lambda _: None,
+    )
+    assert r1 is not None
+    n_dirs = len(log._committed_run_dirs())
+    # no-op rerun: returns None, no new directory
+    assert dispatch_callbacks(
+        store, log, callback_url="http://cb.example/hook", transport=t,
+        sleep=lambda _: None,
+    ) is None
+    assert len(log._committed_run_dirs()) == n_dirs
+    # grow the log with a second real run (new terminal doc), then compact
+    store.append(
+        spark.createDataFrame(
+            [("d3", 0, "completed", 1,
+              __import__("datetime").datetime(2026, 1, 2), 
+              __import__("datetime").datetime(2026, 1, 2),
+              0.01, 1, None, None, "runs/x/d3", None)],
+            schema=EXTRACTION_STATE,
+        ),
+        run_id="r2",
+    )
+    dispatch_callbacks(
+        store, log, callback_url="http://cb.example/hook", transport=t,
+        sleep=lambda _: None,
+    )
+    assert len(log._committed_run_dirs()) == n_dirs + 1
+    before = {r.doc_id for r in log.delivered_doc_ids().collect()}
+    log.compact()
+    assert len(log._committed_run_dirs()) == 1
+    after = {r.doc_id for r in log.delivered_doc_ids().collect()}
+    assert after == before == {"d1", "d2", "d3"}
