@@ -604,13 +604,46 @@ def _aes_dec_block(dk, rounds: int, block: bytes) -> bytes:
 
 def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC encrypt, NO padding (len(data) must be a block multiple) —
-    used by the R6 KDF and the test-side encryptor."""
+    used by the R6 KDF and the test-side encryptor.
+
+    The round loop is inlined at 32-bit-word level with the chaining XOR
+    folded into the initial AddRoundKey, so no per-block function call
+    and no bytes round-trip between blocks — the R6 KDF pushes ~18k
+    sequential blocks per password check through this exact loop."""
     w, rounds = _aes_expand(key)
+    t0, t1, t2, t3 = _TE0, _TE1, _TE2, _TE3
+    sb = _AES_SBOX
+    fb = int.from_bytes
+    p0 = fb(iv[0:4], "big")
+    p1 = fb(iv[4:8], "big")
+    p2 = fb(iv[8:12], "big")
+    p3 = fb(iv[12:16], "big")
     out = bytearray()
-    prev = iv
     for i in range(0, len(data), 16):
-        prev = _aes_enc_block(w, rounds, bytes(x ^ y for x, y in zip(data[i : i + 16], prev)))
-        out += prev
+        s0 = fb(data[i : i + 4], "big") ^ p0 ^ w[0]
+        s1 = fb(data[i + 4 : i + 8], "big") ^ p1 ^ w[1]
+        s2 = fb(data[i + 8 : i + 12], "big") ^ p2 ^ w[2]
+        s3 = fb(data[i + 12 : i + 16], "big") ^ p3 ^ w[3]
+        k = 4
+        for _ in range(rounds - 1):
+            u0 = t0[s0 >> 24] ^ t1[(s1 >> 16) & 0xFF] ^ t2[(s2 >> 8) & 0xFF] ^ t3[s3 & 0xFF] ^ w[k]
+            u1 = t0[s1 >> 24] ^ t1[(s2 >> 16) & 0xFF] ^ t2[(s3 >> 8) & 0xFF] ^ t3[s0 & 0xFF] ^ w[k + 1]
+            u2 = t0[s2 >> 24] ^ t1[(s3 >> 16) & 0xFF] ^ t2[(s0 >> 8) & 0xFF] ^ t3[s1 & 0xFF] ^ w[k + 2]
+            u3 = t0[s3 >> 24] ^ t1[(s0 >> 16) & 0xFF] ^ t2[(s1 >> 8) & 0xFF] ^ t3[s2 & 0xFF] ^ w[k + 3]
+            s0, s1, s2, s3 = u0, u1, u2, u3
+            k += 4
+        p0 = ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 0xFF] << 16)
+              | (sb[(s2 >> 8) & 0xFF] << 8) | sb[s3 & 0xFF]) ^ w[k]
+        p1 = ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 0xFF] << 16)
+              | (sb[(s3 >> 8) & 0xFF] << 8) | sb[s0 & 0xFF]) ^ w[k + 1]
+        p2 = ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 0xFF] << 16)
+              | (sb[(s0 >> 8) & 0xFF] << 8) | sb[s1 & 0xFF]) ^ w[k + 2]
+        p3 = ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 0xFF] << 16)
+              | (sb[(s1 >> 8) & 0xFF] << 8) | sb[s2 & 0xFF]) ^ w[k + 3]
+        out += p0.to_bytes(4, "big")
+        out += p1.to_bytes(4, "big")
+        out += p2.to_bytes(4, "big")
+        out += p3.to_bytes(4, "big")
     return bytes(out)
 
 
@@ -638,8 +671,17 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     return out[:-pad]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def _r6_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
-    """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B (AES-256 / R6 KDF)."""
+    """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B (AES-256 / R6 KDF).
+
+    Pure function of its arguments, and the single most expensive step of
+    AES-256 PDF open (~18k sequential AES blocks per evaluation) — the
+    LRU means retry rounds, resume re-extraction, and replicated corpora
+    pay the derivation once per distinct (password, salt, udata)."""
     import hashlib
 
     k = hashlib.sha256(password + salt + udata).digest()
