@@ -649,14 +649,51 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 def _aes_cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC decrypt with explicit IV, no padding strip (the /UE and /OE
-    key-wrap blobs use CBC-NoPadding with a zero IV)."""
+    key-wrap blobs use CBC-NoPadding with a zero IV).
+
+    Same word-level inlining as the encrypt chain — this is the loop
+    every AESV2/AESV3 content stream rides, so a multi-MB encrypted
+    stream decrypts without a per-block call or bytes round-trip."""
     dk, rounds = _aes_dec_expand(key)
-    prev = iv
+    d0, d1, d2, d3 = _TD0, _TD1, _TD2, _TD3
+    isb = _AES_INV_SBOX
+    fb = int.from_bytes
+    p0 = fb(iv[0:4], "big")
+    p1 = fb(iv[4:8], "big")
+    p2 = fb(iv[8:12], "big")
+    p3 = fb(iv[12:16], "big")
     out = bytearray()
     for i in range(0, len(data), 16):
-        blk = data[i : i + 16]
-        out += bytes(x ^ y for x, y in zip(_aes_dec_block(dk, rounds, blk), prev))
-        prev = blk
+        c0 = fb(data[i : i + 4], "big")
+        c1 = fb(data[i + 4 : i + 8], "big")
+        c2 = fb(data[i + 8 : i + 12], "big")
+        c3 = fb(data[i + 12 : i + 16], "big")
+        s0 = c0 ^ dk[0]
+        s1 = c1 ^ dk[1]
+        s2 = c2 ^ dk[2]
+        s3 = c3 ^ dk[3]
+        k = 4
+        for _ in range(rounds - 1):
+            u0 = d0[s0 >> 24] ^ d1[(s3 >> 16) & 0xFF] ^ d2[(s2 >> 8) & 0xFF] ^ d3[s1 & 0xFF] ^ dk[k]
+            u1 = d0[s1 >> 24] ^ d1[(s0 >> 16) & 0xFF] ^ d2[(s3 >> 8) & 0xFF] ^ d3[s2 & 0xFF] ^ dk[k + 1]
+            u2 = d0[s2 >> 24] ^ d1[(s1 >> 16) & 0xFF] ^ d2[(s0 >> 8) & 0xFF] ^ d3[s3 & 0xFF] ^ dk[k + 2]
+            u3 = d0[s3 >> 24] ^ d1[(s2 >> 16) & 0xFF] ^ d2[(s1 >> 8) & 0xFF] ^ d3[s0 & 0xFF] ^ dk[k + 3]
+            s0, s1, s2, s3 = u0, u1, u2, u3
+            k += 4
+        # final round + CBC chain XOR with the PREVIOUS ciphertext words
+        out += ((((isb[s0 >> 24] << 24) | (isb[(s3 >> 16) & 0xFF] << 16)
+                  | (isb[(s2 >> 8) & 0xFF] << 8) | isb[s1 & 0xFF]) ^ dk[k] ^ p0)
+                ).to_bytes(4, "big")
+        out += ((((isb[s1 >> 24] << 24) | (isb[(s0 >> 16) & 0xFF] << 16)
+                  | (isb[(s3 >> 8) & 0xFF] << 8) | isb[s2 & 0xFF]) ^ dk[k + 1] ^ p1)
+                ).to_bytes(4, "big")
+        out += ((((isb[s2 >> 24] << 24) | (isb[(s1 >> 16) & 0xFF] << 16)
+                  | (isb[(s0 >> 8) & 0xFF] << 8) | isb[s3 & 0xFF]) ^ dk[k + 2] ^ p2)
+                ).to_bytes(4, "big")
+        out += ((((isb[s3 >> 24] << 24) | (isb[(s2 >> 16) & 0xFF] << 16)
+                  | (isb[(s1 >> 8) & 0xFF] << 8) | isb[s0 & 0xFF]) ^ dk[k + 3] ^ p3)
+                ).to_bytes(4, "big")
+        p0, p1, p2, p3 = c0, c1, c2, c3
     return bytes(out)
 
 
