@@ -537,3 +537,97 @@ def test_aes_fips197_appendix_c_vectors():
         assert _aes_enc_block(w, rounds, pt).hex() == ct_hex
         dk, rounds = _aes_dec_expand(key)
         assert _aes_dec_block(dk, rounds, bytes.fromhex(ct_hex)) == pt
+
+
+def test_aes_ttables_match_independent_naive_implementation():
+    """Property check: the T-table cipher must equal a from-first-
+    principles per-byte FIPS-197 implementation (kept HERE, in test
+    code, deliberately written in the state-matrix formulation rather
+    than the word formulation) on random keys and blocks — guards any
+    future refactor of the tables or schedules."""
+    import random
+
+    from documentconvert_spark.kernels.realpdf import (
+        _AES_SBOX,
+        _aes_dec_block,
+        _aes_dec_expand,
+        _aes_enc_block,
+        _aes_expand,
+    )
+
+    def gmul(a, b):
+        r = 0
+        while b:
+            if b & 1:
+                r ^= a
+            a = (a << 1) ^ (0x11B if a & 0x80 else 0)
+            b >>= 1
+        return r & 0xFF
+
+    rcon = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36)
+
+    def naive_encrypt(key, block):
+        nk = len(key) // 4
+        rounds = nk + 6
+        w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+        for i in range(nk, 4 * (rounds + 1)):
+            t = list(w[i - 1])
+            if i % nk == 0:
+                t = [_AES_SBOX[t[1]] ^ rcon[i // nk - 1],
+                     _AES_SBOX[t[2]], _AES_SBOX[t[3]], _AES_SBOX[t[0]]]
+            elif nk > 6 and i % nk == 4:
+                t = [_AES_SBOX[b] for b in t]
+            w.append([w[i - nk][j] ^ t[j] for j in range(4)])
+        s = [[block[4 * c + r] for c in range(4)] for r in range(4)]
+        for c in range(4):
+            for r in range(4):
+                s[r][c] ^= w[c][r]
+        for rnd in range(1, rounds + 1):
+            for r in range(4):
+                row = [_AES_SBOX[b] for b in s[r]]
+                s[r] = row[r:] + row[:r]
+            if rnd < rounds:
+                for c in range(4):
+                    a = [s[r][c] for r in range(4)]
+                    s[0][c] = gmul(a[0], 2) ^ gmul(a[1], 3) ^ a[2] ^ a[3]
+                    s[1][c] = a[0] ^ gmul(a[1], 2) ^ gmul(a[2], 3) ^ a[3]
+                    s[2][c] = a[0] ^ a[1] ^ gmul(a[2], 2) ^ gmul(a[3], 3)
+                    s[3][c] = gmul(a[0], 3) ^ a[1] ^ a[2] ^ gmul(a[3], 2)
+            for c in range(4):
+                for r in range(4):
+                    s[r][c] ^= w[4 * rnd + c][r]
+        return bytes(s[r][c] for c in range(4) for r in range(4))
+
+    rng = random.Random(197)
+    for klen in (16, 32):
+        for _ in range(25):
+            key = bytes(rng.randrange(256) for _ in range(klen))
+            blk = bytes(rng.randrange(256) for _ in range(16))
+            w, rounds = _aes_expand(key)
+            ct = _aes_enc_block(w, rounds, blk)
+            assert ct == naive_encrypt(key, blk)
+            dk, rounds = _aes_dec_expand(key)
+            assert _aes_dec_block(dk, rounds, ct) == blk
+
+
+def test_r6_kdf_lru_avoids_rederivation():
+    """Re-opening the same AES-256 document must hit the KDF cache —
+    retry rounds and resume re-extraction pay the ~18k-block derivation
+    once per distinct (password, salt, udata)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_realpdf_features import _aes256_pdf
+
+    from documentconvert_spark.kernels.detect import extract_pdf_any
+    from documentconvert_spark.kernels.realpdf import _r6_hash
+
+    doc = _aes256_pdf()
+    _r6_hash.cache_clear()
+    extract_pdf_any(doc)
+    misses_first = _r6_hash.cache_info().misses
+    assert misses_first > 0
+    extract_pdf_any(doc)
+    info = _r6_hash.cache_info()
+    assert info.misses == misses_first  # no new derivations
+    assert info.hits >= misses_first
