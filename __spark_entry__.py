@@ -85,7 +85,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #       dedup_span_paragraphs/dedup_minhash_capped (green in r3,
 #       untouched); then perplexity_buckets + quality_gopher_gate
 #       replace pipeline_e2e/sample_stratified (green in r3, code
-#       untouched since).
+#       untouched since); then curation_funnel (the composed
+#       dedup→gopher→ppl pipeline) replaces decontaminate_overlap
+#       (green in r3, untouched).
 _WINDOW: tuple[str, ...] = (
     "real_av_meta", "real_image_meta", "dedup_exact_substrings",
     "real_docs_span_seq", "real_docs_summary", "real_ocr_text",
@@ -94,7 +96,7 @@ _WINDOW: tuple[str, ...] = (
     "extract_span_seq", "extract_doc_summary", "dedup_boilerplate_spans",
     "dedup_image_phash", "real_gif_frames", "dsir_importance",
     "ann_ivf_trained", "ann_ivf_trained_recall", "perplexity_buckets",
-    "quality_gopher_gate", "decontaminate_overlap", "emb_quantize_int8",
+    "quality_gopher_gate", "curation_funnel", "emb_quantize_int8",
     "dedup_levenshtein", "dedup_clusters", "dedup_keep_first",
     "dedup_embedding_cosine", "doc_winnow_fingerprint", "cap_per_source",
     "filter_length_outliers", "dedup_ngram_jaccard", "dedup_minhash_lsh",

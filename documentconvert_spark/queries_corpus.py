@@ -1469,9 +1469,13 @@ def q_quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_table(_docs(spark, sf_dir))
 
 
-SQL_QUALITY_UNIGRAM = f"""
+def _sql_unigram(src: str = "documents") -> str:
+    """Unigram-LM oracle over an arbitrary source relation — the
+    curation-funnel oracle estimates the model from the SURVIVING corpus
+    (exactly what run_curate does), not from raw documents."""
+    return f"""
 WITH toks AS (
-  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM {src}),
 tf AS (
   SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS k
   FROM toks WHERE token <> '' GROUP BY doc_id, token),
@@ -1483,6 +1487,9 @@ SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
 FROM tf JOIN logp USING (token)
 GROUP BY doc_id
 """
+
+
+SQL_QUALITY_UNIGRAM = _sql_unigram()
 
 
 # ------------------------------------------------------- per-source capping
@@ -2216,11 +2223,12 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(_docs(spark, sf_dir))
 
 
-SQL_PERPLEXITY_BUCKETS = f"""
-WITH scored_u AS ({SQL_QUALITY_UNIGRAM}),
+def _sql_ppl_buckets(src: str = "documents") -> str:
+    return f"""
+WITH scored_u AS ({_sql_unigram(src)}),
 sl AS (
   SELECT s.doc_id, d.lang, s.avg_logprob
-  FROM scored_u s JOIN documents d USING (doc_id)),
+  FROM scored_u s JOIN {src} d USING (doc_id)),
 hist AS (
   SELECT lang, avg_logprob, COUNT(*) AS k FROM sl GROUP BY lang, avg_logprob),
 cum AS (
@@ -2241,6 +2249,9 @@ FROM sl JOIN cuts USING (lang)
 """
 
 
+SQL_PERPLEXITY_BUCKETS = _sql_ppl_buckets()
+
+
 # ------------------------------------------------------- Gopher rule ladder
 # Composite Gopher quality gate: first-failing-rule verdict per document
 # (functions.gopher_gate). Pure column expressions — the oracle rebuilds
@@ -2255,7 +2266,8 @@ def q_quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_gate(_docs(spark, sf_dir))
 
 
-SQL_QUALITY_GOPHER_GATE = f"""
+def _sql_gopher(src: str = "documents") -> str:
+    return f"""
 WITH m AS (
   SELECT doc_id,
          {_SQL_TOKS} AS toks,
@@ -2263,7 +2275,7 @@ WITH m AS (
          len({_SQL_TOKS}) AS n_words,
          len(string_split(text, '#')) - 1 AS n_hash,
          len(string_split(text, '...')) - 1 AS n_ellipsis
-  FROM documents),
+  FROM {src}),
 r AS (
   SELECT doc_id, n_words,
          CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
@@ -2296,9 +2308,87 @@ FROM (
 """
 
 
+SQL_QUALITY_GOPHER_GATE = _sql_gopher()
+
+
 CORPUS_QUERIES_EXTRA.update(
     {
         "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
         "quality_gopher_gate": (q_quality_gopher_gate, SQL_QUALITY_GOPHER_GATE),
     }
+)
+
+
+# ------------------------------------------------------- curation funnel
+# The composed curation pipeline under driver verification: fingerprint
+# dedup → Gopher rule ladder → CCNet tail drop, with the unigram model
+# estimated from the SURVIVING corpus at each step exactly as run_curate
+# does. Each stage is the same shared expression the standalone contract
+# queries certify; this query certifies their COMPOSITION (stage
+# ordering, survivor re-scoring, anti-join semantics). Output is one row
+# per stage with the surviving doc count.
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from documentconvert_spark.functions import (
+        gopher_fail_reason,
+        perplexity_buckets,
+        with_curation_columns,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        with_curation_columns(docs)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    gated = deduped.filter(gopher_fail_reason().isNull())
+    tail = (
+        perplexity_buckets(gated)
+        .filter(F.col("ppl_bucket") == "tail")
+        .select("doc_id")
+    )
+    final = gated.join(tail, "doc_id", "left_anti")
+    out = None
+    for stage, d in (
+        ("1_input", docs),
+        ("2_dedup", deduped),
+        ("3_gopher", gated),
+        ("4_ppl_tail_drop", final),
+    ):
+        c = d.agg(F.count("*").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+SQL_CURATION_FUNNEL = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text, {SQL_PREFIX_FP} AS fingerprint FROM documents),
+deduped AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM scored) WHERE rn = 1),
+gop AS ({_sql_gopher('deduped')}),
+gated AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM deduped d JOIN gop ON d.doc_id = gop.doc_id AND gop.keep),
+ppl AS ({_sql_ppl_buckets('gated')}),
+final AS (
+  SELECT g.doc_id FROM gated g
+  LEFT JOIN (SELECT doc_id FROM ppl WHERE ppl_bucket = 'tail') t
+    ON g.doc_id = t.doc_id
+  WHERE t.doc_id IS NULL)
+SELECT '1_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL SELECT '2_dedup', CAST(COUNT(*) AS BIGINT) FROM deduped
+UNION ALL SELECT '3_gopher', CAST(COUNT(*) AS BIGINT) FROM gated
+UNION ALL SELECT '4_ppl_tail_drop', CAST(COUNT(*) AS BIGINT) FROM final
+"""
+
+
+CORPUS_QUERIES_EXTRA.update(
+    {"curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL)}
 )

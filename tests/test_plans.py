@@ -169,6 +169,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "semdedup_prune",         # k<=8 trained centroids broadcast (same as ann_ivf_trained)
         "dsir_importance",        # 1-row model-totals broadcast onto the vocab dim
         "perplexity_buckets",     # 1-row corpus-total broadcast (reuses the unigram scorer)
+        "curation_funnel",        # composes the unigram scorer (same 1-row total) + 1-row stage counts
     }
     offenders = {}
     for name, fn in entrymod.queries().items():
