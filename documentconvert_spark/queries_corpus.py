@@ -2326,7 +2326,12 @@ CORPUS_QUERIES_EXTRA.update(
 # does. Each stage is the same shared expression the standalone contract
 # queries certify; this query certifies their COMPOSITION (stage
 # ordering, survivor re-scoring, anti-join semantics). Output is one row
-# per stage with the surviving doc count.
+# per stage with the surviving doc count. The four counts are
+# independent DAG branches with NO persist: a contract query must stay
+# stateless and executes exactly once, so the bounded branch recompute
+# (two extra dedup windows + one gopher projection) is the right trade
+# against pinning executor storage; the production path with repeated
+# downstream consumers is run_curate, which persists its keep-sets.
 
 
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2345,6 +2350,12 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text")
     )
     gated = deduped.filter(gopher_fail_reason().isNull())
+    # the unigram tf cache stays (default call): releasing it up front
+    # was measured 3.5× slower end-to-end (the (doc, term, k) subtree
+    # recomputes inside the one execution), while the pin it leaves is
+    # MEMORY_AND_DISK and LRU-evictable — the bounded-storage trade the
+    # production job resolves differently (run_curate materializes its
+    # keep-set, then unpersists; a stateless contract query cannot)
     tail = (
         perplexity_buckets(gated)
         .filter(F.col("ppl_bucket") == "tail")

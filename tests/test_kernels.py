@@ -614,9 +614,6 @@ def test_r6_kdf_lru_avoids_rederivation():
     """Re-opening the same AES-256 document must hit the KDF cache —
     retry rounds and resume re-extraction pay the ~18k-block derivation
     once per distinct (password, salt, udata)."""
-    import sys
-
-    sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from test_realpdf_features import _aes256_pdf
 
     from documentconvert_spark.kernels.detect import extract_pdf_any
