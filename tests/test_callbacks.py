@@ -404,3 +404,59 @@ def test_noop_dispatch_appends_no_run_dir_and_log_compacts(spark, tmp_path, call
     assert len(log._committed_run_dirs()) == 1
     after = {r.doc_id for r in log.delivered_doc_ids().collect()}
     assert after == before == {"d1", "d2", "d3"}
+
+def test_run_extract_cli_inline_callbacks(spark, tmp_path):
+    """The inline --callback-url path on run_extract: first run delivers
+    one callback per terminal doc; an idempotent rerun (resume no-op)
+    reports a null callback run and POSTs nothing new."""
+    import http.server
+    import subprocess
+    import sys as _sys
+    import threading
+
+    from documentconvert_spark.corpus import corpus_rows, fixture_corpus
+    from documentconvert_spark.schemas import DOCUMENTS_RAW
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            received.append(self.rfile.read(n).decode())
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        raw = str(tmp_path / "raw")
+        spark.createDataFrame(
+            corpus_rows(fixture_corpus()), schema=DOCUMENTS_RAW
+        ).write.parquet(raw)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {**os.environ, "PYTHONPATH": repo}
+        url = f"http://127.0.0.1:{srv.server_address[1]}/hook"
+        cmd = [_sys.executable, os.path.join(repo, "jobs", "run_extract.py"),
+               "--input", raw, "--output", str(tmp_path / "out"),
+               "--state", str(tmp_path / "state"), "--master", "local[4]",
+               "--rounds", "3", "--callback-url", url]
+        p1 = subprocess.run(cmd, capture_output=True, text=True, cwd=repo,
+                            env=env, timeout=300)
+        assert p1.returncode == 0, p1.stderr[-2000:]
+        cb1 = [json.loads(l) for l in p1.stdout.splitlines()
+               if l.startswith('{"callback')][0]
+        assert cb1["callbacks_delivered"] == len(received) > 0
+        n1 = len(received)
+        p2 = subprocess.run(cmd, capture_output=True, text=True, cwd=repo,
+                            env=env, timeout=300)
+        assert p2.returncode == 0, p2.stderr[-2000:]
+        cb2 = [json.loads(l) for l in p2.stdout.splitlines()
+               if l.startswith('{"callback')][0]
+        assert cb2["callback_run"] is None and cb2["callbacks_delivered"] == 0
+        assert len(received) == n1  # nothing re-POSTed
+    finally:
+        srv.shutdown()
+        srv.server_close()
