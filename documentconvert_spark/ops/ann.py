@@ -214,3 +214,58 @@ def ivf_topk(emb, cents, query_ids, k: int = 5, n_probe: int = 2):
         .filter(F.col("rk") <= k)
         .select("q_id", F.col("vec_id").alias("n_id"), F.round("sim", 4).alias("cos_sim"))
     )
+
+
+def semdedup_cells(n_vectors: int, block: int = 256, k_min: int = 8) -> int:
+    """Corpus-scaled centroid count for SemDeDup: k = max(k_min,
+    ceil(n / block)) keeps the EXPECTED cluster size at ~`block`
+    vectors, so the within-cluster pair join does ~n*block/2 similarity
+    evaluations — LINEAR in the corpus, not quadratic. (Abbas et al.
+    2023 §3 scale k with the dataset for exactly this reason; a fixed k
+    makes blocks n/k and pair work n²/k.)"""
+    return max(k_min, -(-n_vectors // max(block, 1)))
+
+
+def semdedup_prune(emb, cents, tau: float = 0.4):
+    """(vec_id, cluster, dup_of, cos_sim): SemDeDup (Abbas et al. 2023)
+    prune set. Cluster the embedding space with the coarse quantizer in
+    `cents` (same Lloyd trainer as the IVF index), then within each
+    cluster drop every vector that has a LOWER-id cluster-mate above
+    `tau` cosine similarity; ties resolve to the lowest such keeper, so
+    the output is deterministic. `emb`/`cents` come from
+    train_coarse_kmeans.
+
+    Shared definition: the oracle-certified contract query
+    (queries_corpus.q_semdedup_prune, k=8 pinned for DuckDB
+    determinism) and the production index job (run_index --semdedup-tau,
+    k from semdedup_cells so pair work stays linear) both call THIS
+    function — the certified semantics are the shipped semantics. The
+    cluster-id equi-join is the only shuffle that sees vectors."""
+    pair_dot = (
+        "aggregate(zip_with(ae, be, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    assign = (
+        ivf_assign(emb, cents)
+        .select("vec_id", F.col("centroid_id").alias("cluster"))
+        .join(emb, "vec_id")
+        .select("vec_id", "cluster", "ve", "vn")
+    )
+    a = assign.selectExpr("vec_id AS keep_id", "cluster", "ve AS ae", "vn AS an")
+    b = assign.selectExpr("vec_id AS drop_id", "cluster AS cluster_b", "ve AS be", "vn AS bn")
+    pairs = (
+        a.join(b, (a.cluster == b.cluster_b) & (a.keep_id < b.drop_id))
+        .withColumn("sim", F.expr(pair_dot) / (F.col("an") * F.col("bn")))
+        .filter(F.col("sim") >= tau)
+    )
+    w2 = Window.partitionBy("drop_id").orderBy(F.asc("keep_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("drop_id").alias("vec_id"),
+            "cluster",
+            F.col("keep_id").alias("dup_of"),
+            F.round("sim", 4).alias("cos_sim"),
+        )
+    )

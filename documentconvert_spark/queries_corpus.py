@@ -1969,38 +1969,16 @@ FROM rates r LEFT JOIN kept k ON r.source IS NOT DISTINCT FROM k.source
 # ties resolve to the lowest such keeper, so output is deterministic.
 
 _SEMDEDUP_TAU = 0.4
-_SEMDEDUP_PAIR_DOT = (
-    "aggregate(zip_with(ae, be, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-)
+
+# definition shared with the production job (run_index --semdedup-tau),
+# which scales k with the corpus via ops.ann.semdedup_cells; the k=8 pin
+# here exists only so the DuckDB oracle replicates the quantizer
+from documentconvert_spark.ops.ann import semdedup_prune as _ops_semdedup  # noqa: E402
 
 
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, cents = _kmeans_train(spark, sf_dir)
-    # the SAME oracle-certified cell assignment the IVF index persists
-    assign = (
-        _ops_ivf_assign(emb, cents)
-        .select("vec_id", F.col("centroid_id").alias("cluster"))
-        .join(emb, "vec_id")
-        .select("vec_id", "cluster", "ve", "vn")
-    )
-    a = assign.selectExpr("vec_id AS keep_id", "cluster", "ve AS ae", "vn AS an")
-    b = assign.selectExpr("vec_id AS drop_id", "cluster AS cluster_b", "ve AS be", "vn AS bn")
-    pairs = (
-        a.join(b, (a.cluster == b.cluster_b) & (a.keep_id < b.drop_id))
-        .withColumn("sim", F.expr(_SEMDEDUP_PAIR_DOT) / (F.col("an") * F.col("bn")))
-        .filter(F.col("sim") >= _SEMDEDUP_TAU)
-    )
-    w2 = Window.partitionBy("drop_id").orderBy(F.asc("keep_id"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("drop_id").alias("vec_id"),
-            "cluster",
-            F.col("keep_id").alias("dup_of"),
-            F.round("sim", 4).alias("cos_sim"),
-        )
-    )
+    return _ops_semdedup(emb, cents, tau=_SEMDEDUP_TAU)
 
 
 SQL_SEMDEDUP_PRUNE = _SQL_KMEANS_PRELUDE + f""",

@@ -10,6 +10,10 @@ contract queries (documentconvert_spark/ops/ann.py):
       → packed PQ codes + per-vector distortion (codebook-drift monitor)
       → optional search demo (--demo-queries N: nProbe=2 top-5 for the
         N lowest vec_ids, written alongside the index)
+      → optional SemDeDup prune table (--semdedup-tau: Abbas 2023
+        semantic dedup over the SAME Lloyd quantizer, k scaled to the
+        corpus via ops.ann.semdedup_cells so the within-cluster pair
+        join stays linear in n)
 
 Output layout (all parquet):
     <out>/centroids/      (c_id, ce double[], cn)
@@ -17,6 +21,7 @@ Output layout (all parquet):
     <out>/pq_centroids/   (s, c_id, ce double[])
     <out>/codes/          (vec_id, packed_code, distortion)
     <out>/demo_topk/      (q_id, n_id, cos_sim)        [--demo-queries]
+    <out>/semdedup_prune/ (vec_id, cluster, dup_of, cos_sim)  [--semdedup-tau]
 
 Submit:
 
@@ -49,6 +54,14 @@ def main() -> None:
     ap.add_argument("--pq-k", type=int, default=16, help="PQ centroids per subspace (<=16 packs to 4 bits)")
     ap.add_argument("--demo-queries", type=int, default=0,
                     help="also run nProbe=2 top-5 search for the N lowest vec_ids")
+    ap.add_argument("--semdedup-tau", type=float, default=None,
+                    help="also write a SemDeDup prune table (Abbas 2023): "
+                         "drop vectors with a lower-id cluster-mate above "
+                         "this cosine similarity; off by default")
+    ap.add_argument("--semdedup-block", type=int, default=256,
+                    help="target expected cluster size for the SemDeDup "
+                         "quantizer: k = max(8, ceil(n/block)), so pair "
+                         "work stays LINEAR in the corpus")
     ap.add_argument("--files", type=int, default=16)
     ap.add_argument("--master", default=None, help="override master (local testing)")
     args = ap.parse_args()
@@ -100,6 +113,28 @@ def main() -> None:
         F.count("*").alias("n"), F.round(F.avg("distortion"), 6).alias("avg_d")
     ).collect()[0]
 
+    n_sem = sem_cells = None
+    if args.semdedup_tau is not None:
+        # SemDeDup with corpus-scaled k (same oracle-certified definition
+        # as the semdedup_prune contract query, which pins k=8 for the
+        # DuckDB oracle): k grows with n so the expected cluster size —
+        # and with it the within-cluster pair count — stays bounded at
+        # ~--semdedup-block vectors, keeping total pair work linear
+        from documentconvert_spark.ops.ann import semdedup_cells, semdedup_prune
+
+        sem_cells = semdedup_cells(n_vec, block=args.semdedup_block)
+        if sem_cells == args.k:
+            sem_emb, sem_cents = emb, cents  # reuse the index quantizer
+        else:
+            sem_emb, sem_cents = train_coarse_kmeans(
+                emb_df, k=sem_cells, iters=args.iters
+            )
+        prune = semdedup_prune(sem_emb, sem_cents, tau=args.semdedup_tau)
+        prune.repartition(args.files).write.mode("overwrite").parquet(
+            f"{args.output}/semdedup_prune"
+        )
+        n_sem = spark.read.parquet(f"{args.output}/semdedup_prune").count()
+
     n_demo = None
     if args.demo_queries > 0:
         queries = emb.orderBy("vec_id").limit(args.demo_queries).select("vec_id")
@@ -114,6 +149,8 @@ def main() -> None:
                 "ivf_cells": n_cells,
                 "coded_vectors": dist["n"],
                 "avg_distortion": dist["avg_d"],
+                **({"semdedup_cells": sem_cells, "semdedup_pruned": n_sem}
+                   if n_sem is not None else {}),
                 **({"demo_topk_rows": n_demo} if n_demo is not None else {}),
                 "output": args.output,
             }

@@ -12,7 +12,9 @@ substitution: identical replication would multiply every planted
 duplicate group by K and LSH candidate pairs would grow as K^2 -- a
 data-construction artifact, not a plan property. A bijection preserves
 length, word structure and intra-replica duplicate structure, so dedup
-work scales linearly like the real corpus would.
+work scales linearly like the real corpus would. Gopher stopwords are
+held as word-level fixed points (see _text_expr) so quality-gate
+selectivity stays realistic at scale instead of collapsing to 1/K.
 
 Usage: python scripts/gen_sf.py [src_dir] [dst_dir] [K]
 """
@@ -25,6 +27,10 @@ import sys
 import duckdb
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from documentconvert_spark.functions import GOPHER_STOPWORDS  # noqa: E402
+
 SHIFT = 100_000_000  # > any source key; replica i adds i*SHIFT
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
@@ -60,6 +66,33 @@ def _rot(i: int) -> str:
     return "".join(letters)
 
 
+def _text_expr(rot: str) -> str:
+    """The replica text transform: bijective letter substitution per
+    WORD, with the Gopher stopword list (functions.GOPHER_STOPWORDS —
+    the single source of truth the rule ladder checks) held as FIXED
+    POINTS. A raw character translate destroys every literal stopword,
+    so only base-replica documents could ever pass the Gopher stopword
+    rule and scaled-corpus funnel selectivity collapsed to 1/K — a
+    data-construction artifact the round-4 verdict flagged. Word-level
+    fixed points preserve length, word structure and intra-replica
+    duplicate structure exactly like the plain bijection, and any
+    8-gram shingle containing >=1 non-stopword still differs across
+    replicas, so dedup/LSH work stays linear in K. Splits on the three
+    whitespace forms the corpus contains (space, newline, tab) so a
+    stopword is recognized wherever tokenization (functions.TOKS,
+    '\\s+') would see it; capitalized forms count too since TOKS
+    lowercases."""
+    sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    expr = f"CASE WHEN lower(w0) IN ({sw}) THEN w0 ELSE translate(w0, '{ALPHA}', '{rot}') END"
+    for depth, delim in enumerate(["chr(9)", "chr(10)", "' '"]):
+        inner_var, outer_var = f"w{depth}", f"w{depth + 1}"
+        expr = (
+            f"array_to_string(list_transform(string_split({outer_var}, {delim}), "
+            f"{inner_var} -> {expr}), {delim})"
+        )
+    return expr.replace("w3", "text", 1) + " AS text"
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "_work", "sf1")
@@ -83,7 +116,7 @@ def main() -> None:
                 if c in shifts:
                     exprs.append(f"{c} + {i * SHIFT} AS {c}")
                 elif table == "documents" and c == "text" and i > 0:
-                    exprs.append(f"translate(text, '{ALPHA}', '{_rot(i)}') AS text")
+                    exprs.append(_text_expr(_rot(i)))
                 else:
                     exprs.append(c)
             selects.append(f"SELECT {', '.join(exprs)} FROM '{path}'")

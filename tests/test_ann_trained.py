@@ -64,3 +64,55 @@ def test_kmeans_iteration_reduces_quantization_error(spark):
 
     s1, s2 = avg_sim(1), avg_sim(2)
     assert s2 >= s1 - 1e-6, (s1, s2)
+
+
+def test_semdedup_cells_keeps_pair_work_linear():
+    """The corpus-scaled centroid count must grow linearly with n so the
+    expected within-cluster pair count (n * block / 2) is linear in the
+    corpus — the property that makes run_index --semdedup-tau safe at
+    100 TB where the contract query's fixed k=8 would be quadratic."""
+    from documentconvert_spark.ops.ann import semdedup_cells
+
+    assert semdedup_cells(500, block=32) == 16          # ceil(500/32)
+    assert semdedup_cells(100, block=256) == 8          # k_min floor
+    assert semdedup_cells(0, block=256) == 8
+    k1m = semdedup_cells(1_000_000, block=256)
+    k10m = semdedup_cells(10_000_000, block=256)
+    assert k1m == 3907 and k10m == 39063                # ceil(n/256)
+    # expected cluster size (and so per-vector pair work) is flat in n
+    assert abs(10_000_000 / k10m - 1_000_000 / k1m) < 1
+
+
+def test_semdedup_scaled_k_agrees_with_fixed_k_on_true_dups(spark):
+    """Raising k from the contract pin (8) to the corpus-scaled count
+    must not lose genuinely near-identical pairs: a planted near-copy
+    (cos ~0.999) lands in its original's cell under ANY reasonable
+    quantizer, so it must be pruned at k=8 AND at the finer k=16 with
+    the SAME keeper. (Borderline tau-0.4-ish pairs MAY legitimately
+    differ when a cell boundary splits them — that tolerance is the
+    SemDeDup paper's own; true dups never may.)"""
+    import numpy as np
+
+    from documentconvert_spark.ops.ann import semdedup_prune, train_coarse_kmeans
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(180, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(180)]
+    # 20 near-copies of vectors 0..19 at HIGHER ids (keep-first rule)
+    rows += [
+        (1000 + i, [float(x) for x in base[i] + rng.normal(scale=1e-3, size=8)])
+        for i in range(20)
+    ]
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted = {1000 + i for i in range(20)}
+    keepers = {1000 + i: i for i in range(20)}
+    for k in (8, 16):
+        e, c = train_coarse_kmeans(emb_df, k=k, iters=2)
+        pruned = {
+            r["vec_id"]: r
+            for r in semdedup_prune(e, c, tau=0.9).collect()
+        }
+        assert planted <= set(pruned), (k, planted - set(pruned))
+        for vid in planted:
+            assert pruned[vid]["dup_of"] == keepers[vid], (k, pruned[vid])
+            assert pruned[vid]["cos_sim"] > 0.99

@@ -238,6 +238,44 @@ def test_run_index_cli_builds_ann_index(tmp_path):
     assert pc.min(codes["packed_code"]).as_py() >= 0
 
 
+def test_run_index_cli_semdedup_scaled_k(tmp_path):
+    """Drive jobs/run_index.py --semdedup-tau: the prune table must be
+    written with corpus-scaled k (500 vectors / block 32 -> 16 cells,
+    NOT the index's fixed --k 8), every pruned vector must point at a
+    lower-id keeper, and no vector may be pruned twice — the production
+    path the k=8 contract query certifies the semantics of."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "index")
+    env = {**os.environ, "PYTHONPATH": repo}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "run_index.py"),
+         "--input", "/root/testdata/sf0.001/embeddings.parquet",
+         "--output", out, "--k", "8",
+         "--semdedup-tau", "0.4", "--semdedup-block", "32",
+         "--files", "2", "--master", "local[4]"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["semdedup_cells"] == 16      # ceil(500/32), not --k
+    assert summary["semdedup_pruned"] > 0
+    prune = pq.read_table(out + "/semdedup_prune")
+    assert prune.num_rows == summary["semdedup_pruned"]
+    assert prune.schema.names == ["vec_id", "cluster", "dup_of", "cos_sim"]
+    # keep-first determinism: keeper always the lower id, one row per drop
+    assert pc.all(pc.less(prune["dup_of"], prune["vec_id"])).as_py()
+    assert len(set(prune["vec_id"].to_pylist())) == prune.num_rows
+    assert pc.min(prune["cos_sim"]).as_py() >= 0.4
+
+
 def test_run_extract_cli_compacts_state(spark, tmp_path):
     """Drive the literal jobs/run_extract.py CLI with --compact-state: the
     retry rounds leave multiple state run directories (poison docs fail
