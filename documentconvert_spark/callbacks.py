@@ -34,7 +34,10 @@ deliberately correct here because each row IS an external network call
 (I/O-bound side effect, like a foreachBatch sink), not a columnar
 transform. Rows are repartitioned by URL host so one host's deliveries
 land in one partition (connection locality, per-host politeness) while
-distinct hosts fan out across executors. The transport is injectable (a
+distinct hosts fan out across executors; for fleet-scale politeness the
+dispatcher also takes `host_shards` (salt a load-balanced host across N
+partitions), `per_post_delay_s` (inter-POST pause) and `max_per_host`
+(cap per dispatch run — the anti-join resume is the spillover queue). The transport is injectable (a
 picklable callable) so tests exercise success / retry / exhaustion
 deterministically without a network; the default transport is a plain
 urllib POST.
@@ -171,6 +174,34 @@ def pending_callbacks(
     return rows.join(done, "doc_id", "left_anti")
 
 
+def _dispatch_partitioning(todo: DataFrame, host_shards: int = 1) -> DataFrame:
+    """The dispatch layout: by default one host's callbacks land in ONE
+    partition (connection locality, strict per-host ordering). At fleet
+    scale that is the right default for ordinary receivers but a
+    bottleneck for a host that is really a load balancer — 10^9 rows
+    for one hostname would serialize through a single executor for
+    days. `host_shards > 1` salts the partitioner with a deterministic
+    doc_id hash mod shards, splitting each host's rows across up to
+    `host_shards` partitions that POST concurrently. Delivery-log
+    semantics are unchanged: the log's latest-wins dedup and the
+    anti-join resume never depended on partition placement, only
+    per-host ORDERING is relaxed (which the salted mode explicitly
+    trades away — that is what the knob means)."""
+    host = _url_host("callback_url")
+    if host_shards <= 1:
+        return todo.repartition(host)
+    # explicit partition count: an expression-only repartition is AQE-
+    # coalescible, and merging the salted shards back together would
+    # silently undo the split the caller asked for
+    try:
+        n = int(todo.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = 200
+    return todo.repartition(
+        n, host, F.pmod(F.xxhash64("doc_id"), F.lit(host_shards))
+    )
+
+
 def dispatch_callbacks(
     state: StateStore,
     log: CallbackLog,
@@ -179,6 +210,9 @@ def dispatch_callbacks(
     max_attempts: int = MAX_ATTEMPTS,
     backoff_s: Tuple[float, ...] = BACKOFF_S,
     sleep: Callable[[float], None] = _time.sleep,
+    host_shards: int = 1,
+    per_post_delay_s: float = 0.0,
+    max_per_host: Optional[int] = None,
 ) -> str | None:
     """POST one completion payload per pending terminal row; commit the
     delivery log as one atomic run and return its run_id, or None when
@@ -210,13 +244,26 @@ def dispatch_callbacks(
         "src_run_id",
     ]
     todo = todo.select(*payload_cols)
-    # one host's callbacks → one partition: connection locality and
-    # per-host ordering; distinct hosts spread across the cluster
-    todo = todo.repartition(_url_host("callback_url"))
+    if max_per_host is not None:
+        # politeness cap: at most N deliveries per host per dispatch run.
+        # Rows beyond the cap simply don't reach the log this run, so the
+        # NEXT dispatch's anti-join picks them up — the existing resume
+        # semantics ARE the spillover queue, no extra state needed.
+        wcap = Window.partitionBy(_url_host("callback_url")).orderBy("doc_id")
+        todo = (
+            todo.withColumn("_hrn", F.row_number().over(wcap))
+            .where(F.col("_hrn") <= max_per_host)
+            .drop("_hrn")
+        )
+    # one host's callbacks → one partition by default (connection
+    # locality, per-host ordering); host_shards > 1 salts load-balanced
+    # hosts across partitions — see _dispatch_partitioning
+    todo = _dispatch_partitioning(todo, host_shards)
 
     def deliver(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        first_in_partition = True
         for pdf in batches:
             out = {k: [] for k in (
                 "doc_id", "callback_url", "callback_status_code",
@@ -224,6 +271,11 @@ def dispatch_callbacks(
                 "src_run_id",
             )}
             for row in pdf.itertuples(index=False):
+                if per_post_delay_s > 0 and not first_in_partition:
+                    # inter-POST politeness pause (between rows only —
+                    # never after the last, never before the first)
+                    sleep(per_post_delay_s)
+                first_in_partition = False
                 body = json.dumps(
                     {
                         "task_id": row.doc_id,

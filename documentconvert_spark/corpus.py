@@ -506,6 +506,71 @@ def render_text_png(lines: list[str], scale: int = 2, margin: int = 8,
             + chunk(b"IDAT", _zlib.compress(raster, 9)) + chunk(b"IEND", b""))
 
 
+def _render_text_grid_prop(
+    lines: list[str], scale: int, margin: int,
+    space_adv: int = 6, kern: dict | None = None,
+) -> tuple[int, int, list[bytearray]]:
+    """PROPORTIONAL (variable-advance) variant of _render_text_grid:
+    each glyph is cropped to its ink columns and advances by
+    ink_width + 1 grid cols instead of the fixed 6-col cell; a space
+    advances `space_adv` cols (so word gaps are ≥ 7 rendered cols — the
+    same ≥ 6s threshold the matcher uses for the fixed-cell render).
+    `kern` maps (line_idx, char_idx) → signed grid-col shift applied to
+    that glyph's start, letting fixtures overlap neighboring glyph
+    BOXES without touching pixels — the case miniocr's
+    connected-component segmenter exists for (column projection merges
+    any x-overlap into one unmatchable pseudo-glyph)."""
+    from documentconvert_spark.kernels.miniocr import CELL_H, FONT_5X7
+
+    kern = kern or {}
+
+    def crop_cols(rows: tuple) -> list[str]:
+        xs = [x for x in range(len(rows[0])) if any(r[x] == "X" for r in rows)]
+        return [r[xs[0]:xs[-1] + 1] for r in rows]
+
+    placed: list[list[tuple[int, list[str]]]] = []
+    wcols = 0
+    for li, ln in enumerate(lines):
+        cursor = 0
+        cells: list[tuple[int, list[str]]] = []
+        for ci, ch in enumerate(ln):
+            if ch == " ":
+                cursor += space_adv
+                continue
+            rows = FONT_5X7.get(ch.upper())
+            if rows is None:
+                continue
+            glyph = crop_cols(rows)
+            cursor += kern.get((li, ci), 0)
+            cells.append((cursor, glyph))
+            cursor += len(glyph[0]) + 1
+        placed.append(cells)
+        wcols = max(wcols, cursor)
+    w = 2 * margin + max(wcols - 1, 1) * scale
+    h = 2 * margin + max(len(lines) * CELL_H - 1, 1) * scale
+    grid = [bytearray([255]) * w for _ in range(h)]
+    for li, cells in enumerate(placed):
+        for cx, glyph in cells:
+            for gy, grow in enumerate(glyph):
+                for gx, bit in enumerate(grow):
+                    if bit != "X":
+                        continue
+                    y0 = margin + (li * CELL_H + gy) * scale
+                    x0 = margin + (cx + gx) * scale
+                    for dy in range(scale):
+                        for dx in range(scale):
+                            grid[y0 + dy][x0 + dx] = 0
+    return w, h, grid
+
+
+def render_text_png_prop(lines: list[str], scale: int = 2, margin: int = 8,
+                         kern: dict | None = None) -> bytes:
+    """Proportional-font rendered-text PNG (r4 verdict OCR increment):
+    variable glyph advance, optional kerned x-overlaps."""
+    w, h, grid = _render_text_grid_prop(lines, scale, margin, kern=kern)
+    return encode_gray_png(w, h, grid)
+
+
 def render_text_jpeg(lines: list[str], scale: int = 2, margin: int = 8) -> bytes:
     """Rendered-text fixture as a NEAR-LOSSLESS baseline JPEG (generator
     side of the C4 OCR pair — the reference OCRs real ``jpg`` input,

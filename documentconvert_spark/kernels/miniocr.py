@@ -478,9 +478,115 @@ def ocr_jpeg_text(data: bytes) -> list[str]:
     return ocr_gray_text(w, h, gray)
 
 
+def _boxes_by_columns(ink, b0: int, b1: int, w: int):
+    """Glyph bounding boxes within a line band by blank-column
+    projection (the original splitter): a box per maximal run of
+    occupied columns, cropped to its ink rows. Fails (merges) when two
+    glyphs overlap in x without a blank column between them — the
+    proportional-kerning case _boxes_by_components exists for."""
+    col_has = [any(ink[y][x] for y in range(b0, b1)) for x in range(w)]
+    boxes = []
+    x = 0
+    while x < w:
+        if not col_has[x]:
+            x += 1
+            continue
+        x0 = x
+        while x < w and col_has[x]:
+            x += 1
+        ys = [yy for yy in range(b0, b1) if any(ink[yy][xx] for xx in range(x0, x))]
+        boxes.append((x0, x, ys[0], ys[-1] + 1, None))
+    return boxes
+
+
+def _boxes_by_components(ink, b0: int, b1: int, w: int):
+    """Per-glyph bounding boxes from 8-connected components (the r4
+    verdict's proportional-font increment): components are found by an
+    iterative flood fill over the band, sorted by left edge, then
+    GROUPED into glyphs — a component joins the current glyph iff its
+    x-center falls inside the glyph's x-range, which assembles the
+    multi-part glyphs ('!', '?', ':', ';', '=', whose dots/bars stack
+    with aligned centers) while keeping a kerned neighbor (x-overlap
+    without touching pixels, e.g. a dash tucked under an L's overhang)
+    a SEPARATE glyph. Column projection cannot split that case — it
+    merges any x-overlap into one unmatchable pseudo-glyph and rejects
+    the image."""
+    seen = [[False] * w for _ in range(b0, b1)]
+    comps = []
+    for y in range(b0, b1):
+        for x in range(w):
+            if not ink[y][x] or seen[y - b0][x]:
+                continue
+            stack = [(y, x)]
+            seen[y - b0][x] = True
+            pix = {(y, x)}
+            x0 = x1 = x
+            y0 = y1 = y
+            while stack:
+                cy, cx = stack.pop()
+                x0, x1 = min(x0, cx), max(x1, cx)
+                y0, y1 = min(y0, cy), max(y1, cy)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = cy + dy, cx + dx
+                        if (b0 <= ny < b1 and 0 <= nx < w
+                                and ink[ny][nx] and not seen[ny - b0][nx]):
+                            seen[ny - b0][nx] = True
+                            pix.add((ny, nx))
+                            stack.append((ny, nx))
+            comps.append((x0, x1, y0, y1, pix))
+    comps.sort(key=lambda c: c[:4])
+    boxes = []
+    for (x0, x1, y0, y1, pix) in comps:
+        cx2 = x0 + x1  # 2*center, integer-exact
+        if boxes and boxes[-1][0] * 2 <= cx2 <= (boxes[-1][1] - 1) * 2:
+            gx0, gx1, gy0, gy1, gpix = boxes[-1]
+            boxes[-1] = (min(gx0, x0), max(gx1, x1 + 1),
+                         min(gy0, y0), max(gy1, y1 + 1), gpix | pix)
+        else:
+            boxes.append((x0, x1 + 1, y0, y1 + 1, pix))
+    return boxes
+
+
+def _match_boxes(ink, boxes, s: int) -> str | None:
+    """Sorted glyph boxes → decoded text, or None when any glyph fails
+    the exact grid match (which rejects the whole image — a partial
+    decode would flow replacement-character soup into paragraph spans
+    and on into dedup/goldens; the documented contract is exact text or
+    figure-only). Inter-glyph gaps are ≤ 5s in the fixed-cell render
+    (1 blank grid col + ≤2 blank glyph edge cols each side) and exactly
+    1s in the proportional render; a space pushes the gap to ≥ 7s in
+    both conventions, so one ≥ 6s rule serves both."""
+    text = ""
+    prev_end: int | None = None
+    for (x0, x1, y0, y1, pix) in boxes:
+        if prev_end is not None and x0 - prev_end >= 6 * s:
+            text += " "
+        prev_end = x1
+        # pix = the glyph's own pixel set (component path): kerned
+        # bboxes can OVERLAP, and a plain rectangle crop would bleed the
+        # neighbor's ink into this glyph and reject a clean render
+        cells = [
+            [ink[yy][xx] if pix is None else (yy, xx) in pix for xx in range(x0, x1)]
+            for yy in range(y0, y1)
+        ]
+        pat = _downsample(cells, s)
+        ch = _CROPPED.get(pat) if pat is not None else None
+        if ch is None:
+            return None
+        text += ch
+    return text
+
+
 def ocr_gray_text(w: int, h: int, gray: list[bytearray]) -> list[str]:
     """Gray raster → decoded text lines via the exact grid matcher, or []
-    when the raster is not a clean rendering of the known font."""
+    when the raster is not a clean rendering of the known font. Two
+    glyph segmenters, exact-or-nothing each: blank-column projection
+    first (byte-identical to the historical behavior on every fixed-cell
+    and proportional render with blank inter-glyph columns), and on
+    whole-image rejection one retry with connected-component boxes,
+    which additionally decodes kerned proportional renders whose glyphs
+    overlap in x without touching."""
     ink = [[p < _INK for p in row] for row in gray]
     row_has = [any(r) for r in ink]
     bands: list[tuple[int, int]] = []
@@ -499,38 +605,17 @@ def ocr_gray_text(w: int, h: int, gray: list[bytearray]) -> list[str]:
     if big % GLYPH_H:
         return []
     s = big // GLYPH_H
-    lines: list[str] = []
-    total = 0
-    for b0, b1 in bands:
-        col_has = [any(ink[y][x] for y in range(b0, b1)) for x in range(w)]
-        text = ""
-        prev_end: int | None = None
-        x = 0
-        while x < w:
-            if not col_has[x]:
-                x += 1
-                continue
-            x0 = x
-            while x < w and col_has[x]:
-                x += 1
-            # inter-glyph gaps are ≤ 5s (1 blank grid col + ≤2 blank glyph
-            # edge cols each side); a space cell pushes the gap to ≥ 7s
-            if prev_end is not None and x0 - prev_end >= 6 * s:
-                text += " "
-            prev_end = x
-            ys = [yy for yy in range(b0, b1) if any(ink[yy][xx] for xx in range(x0, x))]
-            cells = [[ink[yy][xx] for xx in range(x0, x)] for yy in range(ys[0], ys[-1] + 1)]
-            pat = _downsample(cells, s)
-            ch = _CROPPED.get(pat) if pat is not None else None
-            if ch is None:
-                # ANY unmatched glyph rejects the whole image: a partial
-                # decode would flow replacement-character soup into
-                # paragraph spans (and on into dedup/goldens) — the
-                # documented contract is exact text or figure-only
-                return []
-            total += 1
-            text += ch
-        lines.append(text)
-    if total == 0:
-        return []
-    return lines
+    for segmenter in (_boxes_by_columns, _boxes_by_components):
+        lines: list[str] = []
+        total = 0
+        for b0, b1 in bands:
+            boxes = segmenter(ink, b0, b1, w)
+            text = _match_boxes(ink, boxes, s)
+            if text is None:
+                lines = []
+                break
+            total += len(boxes)
+            lines.append(text)
+        if lines and total:
+            return lines
+    return []

@@ -241,18 +241,27 @@ def semdedup_prune(emb, cents, tau: float = 0.4):
     k from semdedup_cells so pair work stays linear) both call THIS
     function — the certified semantics are the shipped semantics. The
     cluster-id equi-join is the only shuffle that sees vectors."""
-    pair_dot = (
-        "aggregate(zip_with(ae, be, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
     assign = (
         ivf_assign(emb, cents)
         .select("vec_id", F.col("centroid_id").alias("cluster"))
         .join(emb, "vec_id")
         .select("vec_id", "cluster", "ve", "vn")
     )
-    a = assign.selectExpr("vec_id AS keep_id", "cluster", "ve AS ae", "vn AS an")
-    b = assign.selectExpr("vec_id AS drop_id", "cluster AS cluster_b", "ve AS be", "vn AS bn")
+    return _semdedup_pairs(assign, tau)
+
+
+def _semdedup_pairs(assign_vecs, tau: float):
+    """Shared pair stage: `assign_vecs` is (vec_id, cluster, ve, vn);
+    returns the (vec_id, cluster, dup_of, cos_sim) prune set. The
+    cluster-id equi self-join is the only shuffle that sees vectors."""
+    pair_dot = (
+        "aggregate(zip_with(ae, be, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    a = assign_vecs.selectExpr("vec_id AS keep_id", "cluster", "ve AS ae", "vn AS an")
+    b = assign_vecs.selectExpr(
+        "vec_id AS drop_id", "cluster AS cluster_b", "ve AS be", "vn AS bn"
+    )
     pairs = (
         a.join(b, (a.cluster == b.cluster_b) & (a.keep_id < b.drop_id))
         .withColumn("sim", F.expr(pair_dot) / (F.col("an") * F.col("bn")))
@@ -269,3 +278,87 @@ def semdedup_prune(emb, cents, tau: float = 0.4):
             F.round("sim", 4).alias("cos_sim"),
         )
     )
+
+
+def train_two_level_kmeans(emb_df, k1: int, k2: int, iters: int = 2):
+    """Two-level (hierarchical) Lloyd quantizer: a coarse pass at k1
+    cells, then k2 sub-cells trained WITHIN each coarse cell — k1*k2
+    effective leaf clusters at assignment cost n*(k1 + k2) instead of
+    the flat n*k1*k2. With k1 = k2 = ceil(sqrt(K)) and K = n/block that
+    is O(n^1.5 / sqrt(block)) total work — the shape that keeps
+    corpus-scaled SemDeDup tractable at 10^12 docs, where a flat
+    quantizer's n*K assignment is itself quadratic. Same determinism
+    rules as train_coarse_kmeans (lowest-vec_id seeds per cell, 6dp
+    centroid rounding, ties to the lowest id).
+
+    Returns (vecs, leaves): vecs = (vec_id, g, ve, vn) with g the
+    coarse cell (persisted — reused by every leaf round and the final
+    assignment), leaves = (g, l_id, ce, cn)."""
+    emb, coarse = train_coarse_kmeans(emb_df, k=k1, iters=iters)
+    vecs = (
+        ivf_assign(emb, coarse)
+        .select("vec_id", F.col("centroid_id").alias("g"))
+        .join(emb, "vec_id")
+        .select("vec_id", "g", "ve", "vn")
+        .persist()
+    )
+    ws = Window.partitionBy("g").orderBy("vec_id")
+    leaves = (
+        vecs.withColumn("ls", F.row_number().over(ws))
+        .filter(F.col("ls") <= k2)
+        .select(
+            "g", (F.col("ls") - 1).alias("l_id"),
+            F.col("ve").alias("ce"), F.col("vn").alias("cn"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("l_id"))
+    for _ in range(iters):
+        assign = (
+            vecs.join(leaves, "g")  # equi-join: each vector meets ONLY its cell's k2 leaves
+            .withColumn("csim", F.expr(VDOT) / (F.col("vn") * F.col("cn")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "g", "l_id")
+        )
+        means = (
+            assign.join(vecs.select("vec_id", "ve"), "vec_id")
+            .select("g", "l_id", F.posexplode("ve").alias("pos", "val"))
+            .groupBy("g", "l_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+        )
+        leaves = (
+            means.groupBy("g", "l_id")
+            .agg(F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("ce"))
+            .withColumn("cn", F.expr(ARR_NORM.format(a="ce")))
+        )
+        leaves = leaves.localCheckpoint(eager=True)  # k1*k2 rows; O(1) plan depth
+    return vecs, leaves
+
+
+def semdedup_prune_hierarchical(emb_df, k1: int, k2: int, tau: float = 0.4,
+                                iters: int = 2):
+    """SemDeDup prune set over the two-level quantizer: same pair
+    semantics as semdedup_prune (lower-id keeper, lowest-keeper ties,
+    tau cosine threshold) with cluster = leaf cell. The production
+    scale path run_index --semdedup-tau takes once the corpus-scaled
+    cell count outgrows a flat quantizer; the k=8 contract query
+    certifies the pair semantics, the planted-near-dup test pins
+    flat/hierarchical agreement on true duplicates."""
+    vecs, leaves = train_two_level_kmeans(emb_df, k1=k1, k2=k2, iters=iters)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("l_id"))
+    assign = (
+        vecs.join(leaves, "g")
+        .withColumn("csim", F.expr(VDOT) / (F.col("vn") * F.col("cn")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        # leaf id g*k2 + l_id is injective (l_id < k2); fits long easily
+        .select(
+            "vec_id",
+            (F.col("g") * k2 + F.col("l_id")).alias("cluster"),
+            "ve", "vn",
+        )
+    )
+    out = _semdedup_pairs(assign, tau)
+    return out

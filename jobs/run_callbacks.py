@@ -35,6 +35,18 @@ def main() -> None:
     ap.add_argument("--callback-url", required=True)
     ap.add_argument("--log", default=None,
                     help="delivery log path (default: <state>_callbacks)")
+    ap.add_argument("--host-shards", type=int, default=1,
+                    help="split each host's deliveries across up to N "
+                         "partitions (for load-balanced receivers; relaxes "
+                         "per-host ordering); default 1 = one partition "
+                         "per host")
+    ap.add_argument("--per-post-delay", type=float, default=0.0,
+                    help="politeness pause in seconds between consecutive "
+                         "POSTs within a partition; default 0")
+    ap.add_argument("--max-per-host", type=int, default=None,
+                    help="deliver at most N rows per host per invocation; "
+                         "the remainder stays pending and the next "
+                         "invocation's anti-join picks it up")
     ap.add_argument("--master", default=None, help="override master (local testing)")
     args = ap.parse_args()
 
@@ -50,7 +62,12 @@ def main() -> None:
                           "note": "state table empty"}))
         spark.stop()
         return
-    cb_run = dispatch_callbacks(state, log, callback_url=args.callback_url)
+    cb_run = dispatch_callbacks(
+        state, log, callback_url=args.callback_url,
+        host_shards=args.host_shards,
+        per_post_delay_s=args.per_post_delay,
+        max_per_host=args.max_per_host,
+    )
     if cb_run is None:  # nothing pending — no run committed
         print(json.dumps({"callback_run": None, "callbacks_delivered": 0,
                           "callbacks_failed": 0}))

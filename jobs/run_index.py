@@ -120,16 +120,31 @@ def main() -> None:
         # DuckDB oracle): k grows with n so the expected cluster size —
         # and with it the within-cluster pair count — stays bounded at
         # ~--semdedup-block vectors, keeping total pair work linear
-        from documentconvert_spark.ops.ann import semdedup_cells, semdedup_prune
+        from documentconvert_spark.ops.ann import (
+            semdedup_cells,
+            semdedup_prune,
+            semdedup_prune_hierarchical,
+        )
 
         sem_cells = semdedup_cells(n_vec, block=args.semdedup_block)
-        if sem_cells == args.k:
-            sem_emb, sem_cents = emb, cents  # reuse the index quantizer
+        if sem_cells > 64:
+            # flat assignment is n*K sims — itself quadratic once K ∝ n.
+            # The two-level quantizer (k1*k2 >= K leaves at n*(k1+k2)
+            # assignment cost) keeps the whole stage O(n^1.5/sqrt(block))
+            k12 = int(sem_cells ** 0.5)  # ceil(sqrt(K))
+            while k12 * k12 < sem_cells:
+                k12 += 1
+            prune = semdedup_prune_hierarchical(
+                emb_df, k1=k12, k2=k12, tau=args.semdedup_tau, iters=args.iters
+            )
+            sem_cells = k12 * k12
+        elif sem_cells == args.k:
+            prune = semdedup_prune(emb, cents, tau=args.semdedup_tau)
         else:
             sem_emb, sem_cents = train_coarse_kmeans(
                 emb_df, k=sem_cells, iters=args.iters
             )
-        prune = semdedup_prune(sem_emb, sem_cents, tau=args.semdedup_tau)
+            prune = semdedup_prune(sem_emb, sem_cents, tau=args.semdedup_tau)
         prune.repartition(args.files).write.mode("overwrite").parquet(
             f"{args.output}/semdedup_prune"
         )

@@ -67,6 +67,12 @@ def _seed_docs() -> list[tuple[str, str, bytes]]:
     return seeds
 
 
+def _render_prop_kern_seed() -> bytes:
+    from documentconvert_spark.corpus import render_text_png_prop
+
+    return render_text_png_prop(["KERN L- SEED"], scale=2, kern={(0, 6): -3})
+
+
 def _format_seeds() -> list[tuple[str, str, bytes]]:
     """Formats the reference corpus and synthetic docs don't cover:
     RTF (with an embedded \\pict), ODF (zip container), BIFF .xls/.ppt
@@ -115,6 +121,12 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         # fmt_png seed has no IDAT, so it never leaves the chunk walker)
         ("fmt_png_ocr", "image", render_text_png(["FUZZ TARGET 1", "LINE 2.3"], scale=2)),
         ("fmt_png_ocr_rgb", "image", render_text_png(["COLOR RGB"], scale=3, color=True)),
+        # kerned proportional render (r5): mutants land on the
+        # connected-component flood fill, x-center grouping and the
+        # per-glyph pixel-mask crop — the CC fallback path column
+        # projection never reaches
+        ("fmt_png_ocr_kern", "image",
+         _render_prop_kern_seed()),
         # full PNG pixel matrix: interlaced 4-bit palette through both routes
         ("fmt_png_pal", "image", _png_pal_seed()),
         ("raw_png_pal", "raster", _png_pal_seed()),

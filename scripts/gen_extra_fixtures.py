@@ -434,6 +434,31 @@ def ocr_pngs() -> dict[str, bytes]:
         "fixture_ocr_badge.png": render_text_png(
             ["BUILD PASSING", "COVERAGE = 97?", "(SEE LOG / RUN 12)"],
             scale=3, color=True),
+        **ocr_prop_pngs(),
+    }
+
+
+PROP_PNG_LINES = ["PROPORTIONAL FONT 15", "ADVANCE VARIES: OK!"]
+KERNED_PNG_LINES = ["KERNED L- L- PASS"]
+# grid-col shifts tucking each dash under the preceding L's overhang:
+# the glyph BOXES overlap in x but the ink never touches — decodable by
+# miniocr's connected-component segmenter only (column projection merges
+# the pair and rejects the image)
+KERNED_PNG_KERN = {(0, 8): -3, (0, 11): -3}
+
+
+def ocr_prop_pngs() -> dict[str, bytes]:
+    """Proportional-font rendered-text PNGs (r4 verdict OCR increment):
+    variable glyph advance (ink width + 1 instead of the fixed 6-col
+    cell) and a kerned variant whose glyph boxes overlap without
+    touching — exercising miniocr's per-glyph connected-component
+    boxes, still under the exact-or-nothing rule."""
+    from documentconvert_spark.corpus import render_text_png_prop
+
+    return {
+        "fixture_ocr_prop.png": render_text_png_prop(PROP_PNG_LINES, scale=2),
+        "fixture_ocr_kerned.png": render_text_png_prop(
+            KERNED_PNG_LINES, scale=2, kern=KERNED_PNG_KERN),
     }
 
 
@@ -1109,6 +1134,16 @@ def source_pixel_stats() -> dict[str, tuple[float, float, bool]]:
         ["SCANNED NOTE 1", "TOTAL DUE: 42.50", "PAY BY 2024-06-30!"], 2)), True)
     out["fixture_ocr_badge.png"] = (*_stats(grid_lumas(
         ["BUILD PASSING", "COVERAGE = 97?", "(SEE LOG / RUN 12)"], 3)), True)
+
+    from documentconvert_spark.corpus import _render_text_grid_prop
+
+    def prop_lumas(lines, scale, kern=None):
+        _w, _h, grid = _render_text_grid_prop(lines, scale, 8, kern=kern)
+        return [px for row in grid for px in row]
+
+    out["fixture_ocr_prop.png"] = (*_stats(prop_lumas(PROP_PNG_LINES, 2)), True)
+    out["fixture_ocr_kerned.png"] = (*_stats(prop_lumas(
+        KERNED_PNG_LINES, 2, kern=KERNED_PNG_KERN)), True)
     out["fixture_ocr_panel.bmp"] = (*_stats(grid_lumas(
         ["PANEL ID 3348", "VOLTAGE 230V 50HZ"], 2)), True)
     out["fixture_ocr_crate.tiff"] = (*_stats(grid_lumas(

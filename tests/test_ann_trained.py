@@ -106,13 +106,21 @@ def test_semdedup_scaled_k_agrees_with_fixed_k_on_true_dups(spark):
     emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     planted = {1000 + i for i in range(20)}
     keepers = {1000 + i: i for i in range(20)}
+    from documentconvert_spark.ops.ann import semdedup_prune_hierarchical
+
+    def check(pruned_rows, label):
+        pruned = {r["vec_id"]: r for r in pruned_rows}
+        assert planted <= set(pruned), (label, planted - set(pruned))
+        for vid in planted:
+            assert pruned[vid]["dup_of"] == keepers[vid], (label, pruned[vid])
+            assert pruned[vid]["cos_sim"] > 0.99
+
     for k in (8, 16):
         e, c = train_coarse_kmeans(emb_df, k=k, iters=2)
-        pruned = {
-            r["vec_id"]: r
-            for r in semdedup_prune(e, c, tau=0.9).collect()
-        }
-        assert planted <= set(pruned), (k, planted - set(pruned))
-        for vid in planted:
-            assert pruned[vid]["dup_of"] == keepers[vid], (k, pruned[vid])
-            assert pruned[vid]["cos_sim"] > 0.99
+        check(semdedup_prune(e, c, tau=0.9).collect(), f"flat k={k}")
+    # the production scale path: 4x4 two-level quantizer (16 leaves at
+    # n*8 assignment cost) must agree on every true duplicate too
+    check(
+        semdedup_prune_hierarchical(emb_df, k1=4, k2=4, tau=0.9).collect(),
+        "hierarchical 4x4",
+    )

@@ -460,3 +460,89 @@ def test_run_extract_cli_inline_callbacks(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_host_shards_split_skewed_host_layout_and_semantics(spark, tmp_path, call_dir):
+    """Fleet-scale politeness (r4 verdict ask): by design one host's
+    deliveries land in ONE partition — at 10^9 rows for a load-balanced
+    host that is one executor POSTing for days. host_shards must split
+    the skewed host across partitions while leaving delivery-log
+    semantics (one successful POST per row, idempotent re-dispatch)
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from documentconvert_spark.callbacks import _dispatch_partitioning, _url_host
+
+    skewed = spark.createDataFrame(
+        [(f"a{i:02d}", "http://big.example/cb") for i in range(40)]
+        + [("b0", "http://small.example/cb"), ("b1", "http://small.example/cb")],
+        "doc_id string, callback_url string",
+    )
+
+    def parts_per_host(frame):
+        return {
+            r["h"]: r["n"]
+            for r in frame.withColumn("p", F.spark_partition_id())
+            .groupBy(_url_host("callback_url").alias("h"))
+            .agg(F.countDistinct("p").alias("n"))
+            .collect()
+        }
+
+    default = parts_per_host(_dispatch_partitioning(skewed, 1))
+    assert default == {"big.example": 1, "small.example": 1}
+    sharded = parts_per_host(_dispatch_partitioning(skewed, 4))
+    assert sharded["big.example"] > 1, sharded  # the skew actually splits
+    assert sharded["big.example"] <= 4
+    # end-to-end under the knob: every row delivered exactly once, then
+    # a re-dispatch finds nothing pending
+    store = _state_with_rows(
+        spark, tmp_path, [(f"d{i}", "completed", 1) for i in range(6)]
+    )
+    log = CallbackLog(spark, str(tmp_path / "cblog"))
+    run = dispatch_callbacks(
+        store, log, callback_url="http://cb.example/hook",
+        transport=_recording_ok_transport(call_dir), sleep=lambda _: None,
+        host_shards=4,
+    )
+    assert run is not None
+    assert len(_read_calls(call_dir)) == 6
+    assert pending_callbacks(store, log, "http://cb.example/hook").count() == 0
+
+
+def test_max_per_host_caps_per_run_and_spills_to_next(spark, tmp_path, call_dir):
+    """max_per_host delivers the N lowest doc_ids per host per dispatch
+    run; the remainder stays pending (the anti-join resume IS the
+    spillover queue) and drains over subsequent runs, and the inter-POST
+    delay sleeps exactly once between the two rows of the partition."""
+    store = _state_with_rows(
+        spark, tmp_path, [(f"d{i}", "completed", 1) for i in range(5)]
+    )
+    log = CallbackLog(spark, str(tmp_path / "cblog"))
+    t = _recording_ok_transport(call_dir)
+    sleep_dir = str(tmp_path / "sleeps")
+    os.makedirs(sleep_dir)
+
+    def recording_sleep(seconds):
+        import uuid as _uuid
+
+        with open(os.path.join(sleep_dir, "s_" + _uuid.uuid4().hex), "w") as f:
+            f.write(str(seconds))
+
+    dispatch_callbacks(
+        store, log, callback_url="http://cb.example/hook", transport=t,
+        sleep=recording_sleep, max_per_host=2, per_post_delay_s=0.25,
+    )
+    assert {r.doc_id for r in log.read().collect()} == {"d0", "d1"}
+    sleeps = [open(os.path.join(sleep_dir, n)).read() for n in os.listdir(sleep_dir)]
+    assert sleeps == ["0.25"]  # between the 2 rows only — not after the last
+    dispatch_callbacks(
+        store, log, callback_url="http://cb.example/hook", transport=t,
+        sleep=lambda _: None, max_per_host=2,
+    )
+    assert {r.doc_id for r in log.read().collect()} == {"d0", "d1", "d2", "d3"}
+    dispatch_callbacks(
+        store, log, callback_url="http://cb.example/hook", transport=t,
+        sleep=lambda _: None, max_per_host=2,
+    )
+    assert len(_read_calls(call_dir)) == 5  # exactly once each overall
+    assert pending_callbacks(store, log, "http://cb.example/hook").count() == 0

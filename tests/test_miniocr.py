@@ -365,3 +365,74 @@ def test_distorted_antialias_rejected_not_misread():
     aa[y0][x0] = 255
     assert ocr_png_text(encode_gray_png(w, h, aa)) in ([], None) or \
         ocr_png_text(encode_gray_png(w, h, aa)) != lines
+
+
+def test_proportional_render_roundtrip():
+    """Variable-advance (proportional) renders decode exactly: the
+    crop-to-bbox matcher never depended on the fixed 6-col cell, and the
+    >= 6s space rule holds for both conventions (fixed-cell word gaps
+    are >= 7s; proportional renders advance spaces 6 cols so word gaps
+    are >= 7s too)."""
+    from documentconvert_spark.corpus import render_text_png_prop
+    from documentconvert_spark.kernels.miniocr import ocr_png_text
+
+    lines = ["PROPORTIONAL 123", "IIII MMMM: MIX!"]
+    for scale in (1, 2, 3):
+        assert ocr_png_text(render_text_png_prop(lines, scale=scale)) == lines
+
+
+def test_kerned_overlap_needs_component_boxes():
+    """The r4-verdict proportional increment: a dash kerned under an L's
+    overhang overlaps the L's glyph box in x WITHOUT touching ink.
+    Column projection merges the pair into one unmatchable pseudo-glyph
+    (whole-image reject — pinned here), and the connected-component
+    fallback must split, mask each glyph to its own pixels, and decode
+    the exact text."""
+    from documentconvert_spark.corpus import render_text_png_prop
+    from documentconvert_spark.kernels.miniocr import (
+        _boxes_by_columns,
+        _match_boxes,
+        decode_png_gray,
+        ocr_png_text,
+    )
+
+    lines = ["KERNED L- L- GO"]
+    kern = {(0, 8): -3, (0, 11): -3}
+    png = render_text_png_prop(lines, scale=2, kern=kern)
+    assert ocr_png_text(png) == lines
+    # pin that the COLUMN pass alone cannot decode this render — the
+    # component fallback is load-bearing, not decorative
+    w, h, gray = decode_png_gray(png, bilevel=True)
+    ink = [[p < 128 for p in row] for row in gray]
+    ys = [y for y in range(h) if any(ink[y])]
+    b0, b1 = ys[0], ys[-1] + 1
+    s = (b1 - b0) // 7
+    assert _match_boxes(ink, _boxes_by_columns(ink, b0, b1, w), s) is None
+
+
+def test_kerned_touching_ink_rejected_not_misread():
+    """Exact-or-nothing survives the new path: kern a dash far enough
+    left that its ink TOUCHES the L (one merged component that matches
+    no glyph) — the image must reject to figure-only, never emit
+    garbled text."""
+    from documentconvert_spark.corpus import render_text_png_prop
+    from documentconvert_spark.kernels.miniocr import ocr_png_text
+
+    # L is 5 cols wide; shift -6 overlays the dash onto the L's bottom
+    # rows region, guaranteeing pixel contact at any scale
+    png = render_text_png_prop(["AB L- CD"], scale=2, kern={(0, 4): -6})
+    assert ocr_png_text(png) == []
+
+
+def test_multipart_glyphs_assemble_under_component_boxes():
+    """'!', '?', ':' are multi-component glyphs; the component grouping
+    (x-center containment) must assemble them rather than matching the
+    dot and body separately. Forced through the CC path by kerning one
+    harmless overlap into the line."""
+    from documentconvert_spark.corpus import render_text_png_prop
+    from documentconvert_spark.kernels.miniocr import ocr_png_text
+
+    lines = ["WAIT! WHY? SEE: L- OK"]
+    kern = {(0, 17): -3}  # the dash after L, index: W0A1I2T3!4 ...
+    png = render_text_png_prop(lines, scale=2, kern=kern)
+    assert ocr_png_text(png) == lines
