@@ -188,8 +188,12 @@ def _dispatch_partitioning(todo: DataFrame, host_shards: int = 1) -> DataFrame:
     per-host ORDERING is relaxed (which the salted mode explicitly
     trades away — that is what the knob means)."""
     host = _url_host("callback_url")
+    # sortWithinPartitions makes per-host delivery order (and the
+    # same-host inter-POST pacing rule in deliver()) real: a bare
+    # repartition leaves rows in shuffle-arrival order, interleaving
+    # hosts that share a partition
     if host_shards <= 1:
-        return todo.repartition(host)
+        return todo.repartition(host).sortWithinPartitions(host, "doc_id")
     # explicit partition count: an expression-only repartition is AQE-
     # coalescible, and merging the salted shards back together would
     # silently undo the split the caller asked for
@@ -199,7 +203,7 @@ def _dispatch_partitioning(todo: DataFrame, host_shards: int = 1) -> DataFrame:
         n = 200
     return todo.repartition(
         n, host, F.pmod(F.xxhash64("doc_id"), F.lit(host_shards))
-    )
+    ).sortWithinPartitions(host, "doc_id")
 
 
 def dispatch_callbacks(
@@ -243,16 +247,32 @@ def dispatch_callbacks(
         "error_class",
         "src_run_id",
     ]
+    if host_shards < 1:
+        raise ValueError(f"host_shards must be >= 1, got {host_shards}")
+    if max_per_host is not None and max_per_host < 1:
+        # 0 would pass the pending peek above then drop every row, and
+        # log.append would commit an EMPTY run directory on every cron'd
+        # invocation forever while nothing drains
+        raise ValueError(f"max_per_host must be >= 1, got {max_per_host}")
     todo = todo.select(*payload_cols)
     if max_per_host is not None:
-        # politeness cap: at most N deliveries per host per dispatch run.
-        # Rows beyond the cap simply don't reach the log this run, so the
-        # NEXT dispatch's anti-join picks them up — the existing resume
-        # semantics ARE the spillover queue, no extra state needed.
-        wcap = Window.partitionBy(_url_host("callback_url")).orderBy("doc_id")
+        # politeness cap: at most ~N deliveries per host per dispatch
+        # run. Rows beyond the cap simply don't reach the log this run,
+        # so the NEXT dispatch's anti-join picks them up — the existing
+        # resume semantics ARE the spillover queue, no extra state
+        # needed. The window partitions by (host, shard-salt), NOT host
+        # alone: a host-only window would shuffle the module's own
+        # motivating case (10^9 pending rows for one host) into a single
+        # sort on one core before the survivors fan out. At
+        # host_shards=1 the salt is constant and the cap is exactly the
+        # N lowest doc_ids per host; sharded, each shard keeps its own
+        # lowest ceil(N/shards), totalling <= N + shards - 1.
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(host_shards))
+        wcap = Window.partitionBy(_url_host("callback_url"), salt).orderBy("doc_id")
+        per_shard = -(-max_per_host // host_shards)
         todo = (
             todo.withColumn("_hrn", F.row_number().over(wcap))
-            .where(F.col("_hrn") <= max_per_host)
+            .where(F.col("_hrn") <= per_shard)
             .drop("_hrn")
         )
     # one host's callbacks → one partition by default (connection
@@ -263,7 +283,9 @@ def dispatch_callbacks(
     def deliver(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        first_in_partition = True
+        from urllib.parse import urlsplit
+
+        prev_host: object = None
         for pdf in batches:
             out = {k: [] for k in (
                 "doc_id", "callback_url", "callback_status_code",
@@ -271,11 +293,21 @@ def dispatch_callbacks(
                 "src_run_id",
             )}
             for row in pdf.itertuples(index=False):
-                if per_post_delay_s > 0 and not first_in_partition:
-                    # inter-POST politeness pause (between rows only —
-                    # never after the last, never before the first)
-                    sleep(per_post_delay_s)
-                first_in_partition = False
+                if per_post_delay_s > 0:
+                    # politeness pause between consecutive POSTs to the
+                    # SAME host only — distinct hosts that hash-collide
+                    # into one partition are unrelated receivers and
+                    # pacing them against each other would serialize
+                    # them for no benefit (per-host rows ARE contiguous
+                    # within a partition: _dispatch_partitioning sorts
+                    # within partitions by host, so same-host == prev row)
+                    try:
+                        this_host = urlsplit(row.callback_url).netloc
+                    except ValueError:
+                        this_host = row.callback_url
+                    if prev_host is not None and this_host == prev_host:
+                        sleep(per_post_delay_s)
+                    prev_host = this_host
                 body = json.dumps(
                     {
                         "task_id": row.doc_id,

@@ -542,6 +542,13 @@ def _render_text_grid_prop(
                 continue
             glyph = crop_cols(rows)
             cursor += kern.get((li, ci), 0)
+            if cursor < 0:
+                # a kern past the left margin would index grid[y][neg]
+                # and Python negative indexing silently paints the RIGHT
+                # edge — a corrupt fixture with no error; fail loudly
+                raise ValueError(
+                    f"kern places glyph {(li, ci)} at negative column {cursor}"
+                )
             cells.append((cursor, glyph))
             cursor += len(glyph[0]) + 1
         placed.append(cells)

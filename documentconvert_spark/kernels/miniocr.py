@@ -605,17 +605,31 @@ def ocr_gray_text(w: int, h: int, gray: list[bytearray]) -> list[str]:
     if big % GLYPH_H:
         return []
     s = big // GLYPH_H
-    for segmenter in (_boxes_by_columns, _boxes_by_components):
-        lines: list[str] = []
-        total = 0
-        for b0, b1 in bands:
-            boxes = segmenter(ink, b0, b1, w)
-            text = _match_boxes(ink, boxes, s)
-            if text is None:
-                lines = []
-                break
-            total += len(boxes)
-            lines.append(text)
-        if lines and total:
-            return lines
-    return []
+    col_boxes = [_boxes_by_columns(ink, b0, b1, w) for b0, b1 in bands]
+    lines: list[str] = []
+    total = 0
+    for boxes in col_boxes:
+        text = _match_boxes(ink, boxes, s)
+        if text is None:
+            lines = []
+            break
+        total += len(boxes)
+        lines.append(text)
+    if lines and total:
+        return lines
+    # component retry ONLY on the x-overlap signature — some column box
+    # wider than one glyph (GLYPH_W*s), which is what kerned overlap
+    # produces and what column projection cannot split. Ordinary rejects
+    # (an unmatched glyph-sized box: noise, unknown font) skip the
+    # flood fill, keeping the common reject path at its historical cost.
+    if not any(b[1] - b[0] > GLYPH_W * s for boxes in col_boxes for b in boxes):
+        return []
+    lines = []
+    total = 0
+    for b0, b1 in bands:
+        text = _match_boxes(ink, _boxes_by_components(ink, b0, b1, w), s)
+        if text is None:
+            return []
+        total += 1
+        lines.append(text)
+    return lines if total else []

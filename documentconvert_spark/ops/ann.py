@@ -226,6 +226,25 @@ def semdedup_cells(n_vectors: int, block: int = 256, k_min: int = 8) -> int:
     return max(k_min, -(-n_vectors // max(block, 1)))
 
 
+def semdedup_plan(n_vectors: int, block: int = 256,
+                  k_min: int = 8, flat_max: int = 64) -> tuple[str, int]:
+    """Quantizer choice for corpus-scaled SemDeDup, shared by the
+    production job (run_index --semdedup-tau) and the recorded scale
+    protocol (scripts/semdedup_scale_bench.py) so the benchmark always
+    measures the shipped code path. Returns ('flat', k) while the cell
+    count fits a flat quantizer, else ('two-level', k12) with
+    k12 = ceil(sqrt(K)) — flat assignment is n*K sims, itself quadratic
+    once K ∝ n, while the two-level quantizer reaches k12² >= K leaf
+    cells at n*2*k12 assignment cost."""
+    cells = semdedup_cells(n_vectors, block=block, k_min=k_min)
+    if cells <= flat_max:
+        return "flat", cells
+    k12 = int(cells ** 0.5)
+    while k12 * k12 < cells:
+        k12 += 1
+    return "two-level", k12
+
+
 def semdedup_prune(emb, cents, tau: float = 0.4):
     """(vec_id, cluster, dup_of, cos_sim): SemDeDup (Abbas et al. 2023)
     prune set. Cluster the embedding space with the coarse quantizer in
@@ -338,14 +357,20 @@ def train_two_level_kmeans(emb_df, k1: int, k2: int, iters: int = 2):
 
 
 def semdedup_prune_hierarchical(emb_df, k1: int, k2: int, tau: float = 0.4,
-                                iters: int = 2):
+                                iters: int = 2, return_cache_handle: bool = False):
     """SemDeDup prune set over the two-level quantizer: same pair
     semantics as semdedup_prune (lower-id keeper, lowest-keeper ties,
     tau cosine threshold) with cluster = leaf cell. The production
     scale path run_index --semdedup-tau takes once the corpus-scaled
     cell count outgrows a flat quantizer; the k=8 contract query
     certifies the pair semantics, the planted-near-dup test pins
-    flat/hierarchical agreement on true duplicates."""
+    flat/hierarchical agreement on true duplicates.
+
+    With return_cache_handle=True returns (prune_df, vecs): `vecs` is
+    the persisted per-vector assignment frame train_two_level_kmeans
+    pins (the whole corpus's vectors) — callers that materialize the
+    prune set MUST unpersist it afterwards or it stays cached for the
+    app lifetime (same protocol as functions.unigram_logprob_table)."""
     vecs, leaves = train_two_level_kmeans(emb_df, k1=k1, k2=k2, iters=iters)
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("l_id"))
     assign = (
@@ -361,4 +386,4 @@ def semdedup_prune_hierarchical(emb_df, k1: int, k2: int, tau: float = 0.4,
         )
     )
     out = _semdedup_pairs(assign, tau)
-    return out
+    return (out, vecs) if return_cache_handle else out

@@ -121,34 +121,39 @@ def main() -> None:
         # and with it the within-cluster pair count — stays bounded at
         # ~--semdedup-block vectors, keeping total pair work linear
         from documentconvert_spark.ops.ann import (
-            semdedup_cells,
+            semdedup_plan,
             semdedup_prune,
             semdedup_prune_hierarchical,
         )
 
-        sem_cells = semdedup_cells(n_vec, block=args.semdedup_block)
-        if sem_cells > 64:
+        sem_cache = None
+        mode, k_sem = semdedup_plan(n_vec, block=args.semdedup_block)
+        if mode == "two-level":
             # flat assignment is n*K sims — itself quadratic once K ∝ n.
-            # The two-level quantizer (k1*k2 >= K leaves at n*(k1+k2)
+            # The two-level quantizer (k12² >= K leaves at n*2*k12
             # assignment cost) keeps the whole stage O(n^1.5/sqrt(block))
-            k12 = int(sem_cells ** 0.5)  # ceil(sqrt(K))
-            while k12 * k12 < sem_cells:
-                k12 += 1
-            prune = semdedup_prune_hierarchical(
-                emb_df, k1=k12, k2=k12, tau=args.semdedup_tau, iters=args.iters
+            prune, sem_cache = semdedup_prune_hierarchical(
+                emb_df, k1=k_sem, k2=k_sem, tau=args.semdedup_tau,
+                iters=args.iters, return_cache_handle=True,
             )
-            sem_cells = k12 * k12
-        elif sem_cells == args.k:
+            sem_cells = k_sem * k_sem
+        elif k_sem == args.k:
             prune = semdedup_prune(emb, cents, tau=args.semdedup_tau)
+            sem_cells = k_sem
         else:
             sem_emb, sem_cents = train_coarse_kmeans(
-                emb_df, k=sem_cells, iters=args.iters
+                emb_df, k=k_sem, iters=args.iters
             )
             prune = semdedup_prune(sem_emb, sem_cents, tau=args.semdedup_tau)
+            sem_cells = k_sem
         prune.repartition(args.files).write.mode("overwrite").parquet(
             f"{args.output}/semdedup_prune"
         )
         n_sem = spark.read.parquet(f"{args.output}/semdedup_prune").count()
+        if sem_cache is not None:
+            # release the corpus-sized assignment frame the hierarchical
+            # trainer pins once the prune table is on disk
+            sem_cache.unpersist()
 
     n_demo = None
     if args.demo_queries > 0:

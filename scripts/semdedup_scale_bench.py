@@ -28,12 +28,11 @@ sys.path.insert(0, REPO)
 
 TAU = 0.4
 BLOCK = 256
-FLAT_MAX = 64  # above this, run_index switches to the two-level quantizer
 
 
 def main() -> None:
     from documentconvert_spark.ops.ann import (
-        semdedup_cells,
+        semdedup_plan,
         semdedup_prune,
         semdedup_prune_hierarchical,
         train_coarse_kmeans,
@@ -45,20 +44,23 @@ def main() -> None:
     for sf_dir in sf_dirs:
         emb_df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         n = emb_df.count()
-        cells = semdedup_cells(n, block=BLOCK)
+        # the SHARED planner run_index uses — the protocol measures the
+        # production code path by construction, not a lookalike
+        plan_mode, k = semdedup_plan(n, block=BLOCK)
+        cache = None
         t0 = time.monotonic()
-        if cells > FLAT_MAX:
-            k12 = int(cells ** 0.5)
-            while k12 * k12 < cells:
-                k12 += 1
-            prune = semdedup_prune_hierarchical(emb_df, k1=k12, k2=k12, tau=TAU)
-            mode, cells = f"two-level {k12}x{k12}", k12 * k12
+        if plan_mode == "two-level":
+            prune, cache = semdedup_prune_hierarchical(
+                emb_df, k1=k, k2=k, tau=TAU, return_cache_handle=True)
+            mode, cells = f"two-level {k}x{k}", k * k
         else:
-            emb, cents = train_coarse_kmeans(emb_df, k=cells, iters=2)
+            emb, cents = train_coarse_kmeans(emb_df, k=k, iters=2)
             prune = semdedup_prune(emb, cents, tau=TAU)
-            mode = "flat"
+            mode, cells = "flat", k
         pruned = prune.count()
         wall = round(time.monotonic() - t0, 1)
+        if cache is not None:
+            cache.unpersist()
         print(json.dumps({
             "sf_dir": sf_dir, "n": n, "cells": cells, "mode": mode,
             "wall_sec": wall, "pruned": pruned,
