@@ -88,6 +88,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #       untouched since); then curation_funnel (the composed
 #       dedup→gopher→ppl pipeline) replaces decontaminate_overlap
 #       (green in r3, untouched).
+#   r5: semdedup_hier_prune (the two-level-quantizer production path,
+#       full unrolled DuckDB oracle) replaces filter_url_blocklist
+#       (green in r4, code untouched since). The real_* family and
+#       semdedup_prune STAY in-window because round 5 changed their
+#       code/goldens (proportional-OCR fixtures, shared semdedup op) —
+#       the driver must re-check them, not coast on the r4 rows.
 _WINDOW: tuple[str, ...] = (
     "real_av_meta", "real_image_meta", "dedup_exact_substrings",
     "real_docs_span_seq", "real_docs_summary", "real_ocr_text",
@@ -102,7 +108,7 @@ _WINDOW: tuple[str, ...] = (
     "filter_length_outliers", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "emb_pq_codes", "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_recall",
     "real_pixel_stats",
-    "ann_ivf_buckets", "multimodal_features", "filter_url_blocklist",
+    "ann_ivf_buckets", "multimodal_features", "semdedup_hier_prune",
     "real_mp4_frames", "tfidf_topk", "quality_unigram_logprob",
     "emb_pq_adc_topk", "emb_pq_refine_topk", "emb_pq_recall",
     "real_video_frames", "real_audio_stats", "dedup_video_frames",

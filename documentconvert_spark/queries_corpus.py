@@ -2006,6 +2006,112 @@ SELECT drop_id AS vec_id, cluster, keep_id AS dup_of, ROUND(sim, 4) AS cos_sim F
 """
 
 
+# ------------------------------------------- SemDeDup, two-level quantizer
+# The production scale path (jobs/run_index.py --semdedup-tau via
+# ops.ann.semdedup_plan): once the corpus-scaled cell count K = n/block
+# outgrows a flat quantizer, flat assignment's n*K sims are themselves
+# quadratic, so the job trains a TWO-LEVEL Lloyd quantizer — k1 coarse
+# cells, then k2 sub-cells within each cell, k1*k2 leaf clusters at
+# n*(k1+k2) assignment cost, O(n^1.5/sqrt(block)) total. This contract
+# query certifies that exact path (ops.ann.semdedup_prune_hierarchical,
+# shared with the job) at a DuckDB-replicable pin k1=k2=4: the oracle
+# unrolls the coarse rounds, the per-cell leaf rounds, the leaf
+# assignment and the within-leaf prune — so the hierarchical trainer the
+# 10^12-doc deployment relies on is hash-verified, not just unit-tested.
+
+from documentconvert_spark.ops.ann import (  # noqa: E402
+    semdedup_prune_hierarchical as _ops_semdedup_hier,
+)
+
+_SEMDEDUP_HIER_K = 4  # k1 = k2 = 4 -> 16 leaf cells at sf0.01 (500 vecs)
+
+
+def q_semdedup_hier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ops_semdedup_hier(
+        emb_df, k1=_SEMDEDUP_HIER_K, k2=_SEMDEDUP_HIER_K, tau=_SEMDEDUP_TAU
+    )
+
+
+def _sql_leaf_kmeans_iteration(i: int) -> str:
+    """One per-cell Lloyd round over the leaf quantizer as chained CTEs:
+    ls{i} sims vs l{i-1} JOINED ON the coarse cell g (each vector only
+    meets its own cell's k2 leaves — the equi-join that makes the
+    hierarchical shape cheap), la{i} argmax, lm{i} rounded means per
+    (g, l_id, dim), l{i} rebuilt leaves."""
+    prev = f"l{i - 1}"
+    return f"""
+ls{i} AS (
+  SELECT v.vec_id, v.g, l.l_id,
+         list_sum(list_transform(range(1, len(v.ve) + 1),
+                  j -> v.ve[j] * l.ce[j])) / (v.vn * l.cn) AS csim
+  FROM vg v JOIN {prev} l ON v.g = l.g),
+la{i} AS (
+  SELECT vec_id, g, l_id FROM (
+    SELECT vec_id, g, l_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, l_id ASC) AS rk
+    FROM ls{i}) WHERE rk = 1),
+lm{i} AS (
+  SELECT a.g, a.l_id, d.i, ROUND(AVG(list_extract(v.ve, d.i)), 6) AS m
+  FROM la{i} a JOIN e v USING (vec_id) CROSS JOIN dims d
+  GROUP BY a.g, a.l_id, d.i),
+l{i}p AS (SELECT g, l_id, list(m ORDER BY i) AS ce FROM lm{i} GROUP BY g, l_id),
+l{i} AS (
+  SELECT g, l_id, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+  FROM l{i}p)"""
+
+
+SQL_SEMDEDUP_HIER_PRUNE = (
+    f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS vn
+  FROM embeddings),
+dims AS (SELECT UNNEST(range(1, (SELECT MAX(len(ve)) FROM e) + 1)) AS i),
+c0 AS (SELECT vec_id AS c_id, ve AS ce, vn AS cn FROM e
+       WHERE vec_id < {_SEMDEDUP_HIER_K}),"""
+    + _sql_kmeans_iteration(1) + ","
+    + _sql_kmeans_iteration(2)
+    + f""",
+ga AS (
+  SELECT vec_id, c_id AS g FROM (
+    SELECT v.vec_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(v.ve) + 1),
+                      j -> v.ve[j] * c.ce[j])) / (v.vn * c.cn) DESC,
+             c.c_id ASC) AS rk
+    FROM e v CROSS JOIN c2 c) WHERE rk = 1),
+vg AS (SELECT a.vec_id, a.g, v.ve, v.vn FROM ga a JOIN e v USING (vec_id)),
+l0 AS (
+  SELECT g, rn - 1 AS l_id, ve AS ce, vn AS cn FROM (
+    SELECT g, vec_id, ve, vn,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY vec_id) AS rn
+    FROM vg) WHERE rn <= {_SEMDEDUP_HIER_K}),"""
+    + _sql_leaf_kmeans_iteration(1) + ","
+    + _sql_leaf_kmeans_iteration(2)
+    + f""",
+fin AS (
+  SELECT vec_id, g * {_SEMDEDUP_HIER_K} + l_id AS cluster FROM (
+    SELECT v.vec_id, v.g, l.l_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(v.ve) + 1),
+                      j -> v.ve[j] * l.ce[j])) / (v.vn * l.cn) DESC,
+             l.l_id ASC) AS rk
+    FROM vg v JOIN l2 l ON v.g = l.g) WHERE rk = 1),
+fv AS (SELECT f.vec_id, f.cluster, v.ve, v.vn FROM fin f JOIN e v USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.cluster,
+         list_sum(list_transform(range(1, len(a.ve) + 1),
+                  j -> a.ve[j] * b.ve[j])) / (a.vn * b.vn) AS sim
+  FROM fv a JOIN fv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+SELECT drop_id AS vec_id, cluster, keep_id AS dup_of, ROUND(sim, 4) AS cos_sim FROM (
+  SELECT keep_id, drop_id, cluster, sim,
+         ROW_NUMBER() OVER (PARTITION BY drop_id ORDER BY keep_id ASC) AS rk
+  FROM pairs WHERE sim >= {_SEMDEDUP_TAU}) WHERE rk = 1
+"""
+)
+
+
 # ------------------------------------------------------------ exact substring dedup
 # Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
 # Better"): remove every duplicated substring of >= K tokens, wherever a
@@ -2182,6 +2288,7 @@ CORPUS_QUERIES_EXTRA: dict[str, tuple] = {
     "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
     "mix_source_weights": (q_mix_source_weights, SQL_MIX_SOURCE_WEIGHTS),
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP_PRUNE),
+    "semdedup_hier_prune": (q_semdedup_hier_prune, SQL_SEMDEDUP_HIER_PRUNE),
     "dedup_exact_substrings": (q_dedup_exact_substrings, SQL_DEDUP_EXACT_SUBSTRINGS),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
 }

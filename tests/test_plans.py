@@ -167,6 +167,10 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "emb_pq_recall",          # composes both PQ paths + the brute baseline
         "mix_source_weights",     # 1-row corpus-totals broadcast onto the 20-row source dim
         "semdedup_prune",         # k<=8 trained centroids broadcast (same as ann_ivf_trained)
+        "semdedup_hier_prune",    # k1=4 coarse-centroid broadcast; the leaf
+                                  # level and the pair stage are equi-joins
+                                  # on (g) and (cluster) — only the bounded
+                                  # coarse assignment is nested-loop
         "dsir_importance",        # 1-row model-totals broadcast onto the vocab dim
         "perplexity_buckets",     # 1-row corpus-total broadcast (reuses the unigram scorer)
         "curation_funnel",        # composes the unigram scorer (same 1-row total) + 1-row stage counts
