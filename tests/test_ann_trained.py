@@ -124,3 +124,25 @@ def test_semdedup_scaled_k_agrees_with_fixed_k_on_true_dups(spark):
         semdedup_prune_hierarchical(emb_df, k1=4, k2=4, tau=0.9).collect(),
         "hierarchical 4x4",
     )
+
+
+def test_semdedup_plan_work_model_subquadratic():
+    """The r4 verdict's scale bar, pinned as arithmetic: total SemDeDup
+    work under the shared planner (assignment sims n*k flat / n*2*k12
+    two-level, plus the n*block/2 pair stage) must grow ~O(n^1.5), not
+    quadratically, across production-scale corpus sizes. A regression
+    that reintroduces flat assignment at corpus-scaled k (n*K = n²/block
+    sims) fails the 100x ratio immediately."""
+    from documentconvert_spark.ops.ann import semdedup_plan
+
+    def work(n, block=256):
+        mode, k = semdedup_plan(n, block=block)
+        assign = n * (2 * k if mode == "two-level" else k)
+        return assign + n * block / 2
+
+    assert work(10_000_000) / work(1_000_000) < 40        # 10x data, ~10^1.5
+    assert work(100_000_000) / work(1_000_000) < 1500     # 100x data, ~100^1.5
+    # the flat shape at corpus-scaled k would be n*(n/block): 100x data
+    # -> ~10,000x work; pin that the planner never returns it at scale
+    mode, _ = semdedup_plan(100_000_000)
+    assert mode == "two-level"
