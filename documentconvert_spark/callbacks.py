@@ -302,8 +302,15 @@ def dispatch_callbacks(
                     # within a partition: _dispatch_partitioning sorts
                     # within partitions by host, so same-host == prev row)
                     try:
-                        this_host = urlsplit(row.callback_url).netloc
+                        # hostname, not netloc: the partition/sort key is
+                        # parse_url HOST (no port/userinfo), so a receiver
+                        # whose URLs vary in port must still pace as ONE
+                        # host — netloc would compare unequal and silently
+                        # skip every sleep for exactly that receiver
+                        this_host = urlsplit(row.callback_url).hostname
                     except ValueError:
+                        this_host = row.callback_url
+                    if this_host is None:
                         this_host = row.callback_url
                     if prev_host is not None and this_host == prev_host:
                         sleep(per_post_delay_s)

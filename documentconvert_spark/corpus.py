@@ -551,6 +551,12 @@ def _render_text_grid_prop(
                 )
             cells.append((cursor, glyph))
             cursor += len(glyph[0]) + 1
+            # track the max extent PER GLYPH, not the final cursor: a
+            # negative kern on a trailing narrow glyph pulls the cursor
+            # back below an earlier glyph's right edge and an
+            # end-of-line-only max would undersize the grid (paint crash
+            # or silently eaten right margin)
+            wcols = max(wcols, cursor)
         placed.append(cells)
         wcols = max(wcols, cursor)
     w = 2 * margin + max(wcols - 1, 1) * scale

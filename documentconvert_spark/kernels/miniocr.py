@@ -625,11 +625,11 @@ def ocr_gray_text(w: int, h: int, gray: list[bytearray]) -> list[str]:
     if not any(b[1] - b[0] > GLYPH_W * s for boxes in col_boxes for b in boxes):
         return []
     lines = []
-    total = 0
     for b0, b1 in bands:
         text = _match_boxes(ink, _boxes_by_components(ink, b0, b1, w), s)
         if text is None:
             return []
-        total += 1
         lines.append(text)
-    return lines if total else []
+    # bands is non-empty (checked above) and every band contains ink, so
+    # there is always at least one matched glyph by this point
+    return lines

@@ -299,7 +299,8 @@ def _semdedup_pairs(assign_vecs, tau: float):
     )
 
 
-def train_two_level_kmeans(emb_df, k1: int, k2: int, iters: int = 2):
+def train_two_level_kmeans(emb_df, k1: int, k2: int, iters: int = 2,
+                           persist: bool = True):
     """Two-level (hierarchical) Lloyd quantizer: a coarse pass at k1
     cells, then k2 sub-cells trained WITHIN each coarse cell — k1*k2
     effective leaf clusters at assignment cost n*(k1 + k2) instead of
@@ -311,16 +312,21 @@ def train_two_level_kmeans(emb_df, k1: int, k2: int, iters: int = 2):
     centroid rounding, ties to the lowest id).
 
     Returns (vecs, leaves): vecs = (vec_id, g, ve, vn) with g the
-    coarse cell (persisted — reused by every leaf round and the final
-    assignment), leaves = (g, l_id, ce, cn)."""
+    coarse cell (persisted by default — reused by every leaf round and
+    the final assignment; the caller owns the unpersist), leaves =
+    (g, l_id, ce, cn). persist=False skips the cache entirely (the
+    coarse assignment recomputes per leaf round) — for callers that
+    cannot manage the cache lifecycle, like a stateless contract query
+    whose DataFrame the driver materializes."""
     emb, coarse = train_coarse_kmeans(emb_df, k=k1, iters=iters)
     vecs = (
         ivf_assign(emb, coarse)
         .select("vec_id", F.col("centroid_id").alias("g"))
         .join(emb, "vec_id")
         .select("vec_id", "g", "ve", "vn")
-        .persist()
     )
+    if persist:
+        vecs = vecs.persist()
     ws = Window.partitionBy("g").orderBy("vec_id")
     leaves = (
         vecs.withColumn("ls", F.row_number().over(ws))
@@ -357,7 +363,8 @@ def train_two_level_kmeans(emb_df, k1: int, k2: int, iters: int = 2):
 
 
 def semdedup_prune_hierarchical(emb_df, k1: int, k2: int, tau: float = 0.4,
-                                iters: int = 2, return_cache_handle: bool = False):
+                                iters: int = 2, return_cache_handle: bool = False,
+                                persist: bool = True):
     """SemDeDup prune set over the two-level quantizer: same pair
     semantics as semdedup_prune (lower-id keeper, lowest-keeper ties,
     tau cosine threshold) with cluster = leaf cell. The production
@@ -370,8 +377,12 @@ def semdedup_prune_hierarchical(emb_df, k1: int, k2: int, tau: float = 0.4,
     the persisted per-vector assignment frame train_two_level_kmeans
     pins (the whole corpus's vectors) — callers that materialize the
     prune set MUST unpersist it afterwards or it stays cached for the
-    app lifetime (same protocol as functions.unigram_logprob_table)."""
-    vecs, leaves = train_two_level_kmeans(emb_df, k1=k1, k2=k2, iters=iters)
+    app lifetime (same protocol as functions.unigram_logprob_table).
+    persist=False skips the cache — for stateless callers (the contract
+    query) that cannot unpersist."""
+    vecs, leaves = train_two_level_kmeans(
+        emb_df, k1=k1, k2=k2, iters=iters, persist=persist
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("l_id"))
     assign = (
         vecs.join(leaves, "g")

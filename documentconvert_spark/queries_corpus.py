@@ -549,17 +549,26 @@ c{i} AS (
   FROM c{i}p)"""
 
 
-_SQL_KMEANS_PRELUDE = (
-    """
+def _sql_kmeans_prelude(k: int) -> str:
+    """e/dims CTEs + k-seed c0 + two unrolled Lloyd rounds → c2. One
+    definition for every oracle that trains the coarse quantizer (the
+    flat k=8 ANN/semdedup family AND the k=4 coarse level of the
+    two-level semdedup oracle) so the certified trainer can never
+    drift between them."""
+    return (
+        f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve,
          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS vn
   FROM embeddings),
 dims AS (SELECT UNNEST(range(1, (SELECT MAX(len(ve)) FROM e) + 1)) AS i),
-c0 AS (SELECT vec_id AS c_id, ve AS ce, vn AS cn FROM e WHERE vec_id < 8),"""
-    + _sql_kmeans_iteration(1) + ","
-    + _sql_kmeans_iteration(2)
-)
+c0 AS (SELECT vec_id AS c_id, ve AS ce, vn AS cn FROM e WHERE vec_id < {k}),"""
+        + _sql_kmeans_iteration(1) + ","
+        + _sql_kmeans_iteration(2)
+    )
+
+
+_SQL_KMEANS_PRELUDE = _sql_kmeans_prelude(8)
 
 SQL_ANN_IVF_TRAINED = _SQL_KMEANS_PRELUDE + """,
 fin AS (
@@ -2028,8 +2037,12 @@ _SEMDEDUP_HIER_K = 4  # k1 = k2 = 4 -> 16 leaf cells at sf0.01 (500 vecs)
 
 def q_semdedup_hier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # persist=False: a stateless contract query cannot unpersist after
+    # the driver materializes it, and the 123-query sweep would leak one
+    # corpus-sized cache per run; at contract SF the recompute is free
     return _ops_semdedup_hier(
-        emb_df, k1=_SEMDEDUP_HIER_K, k2=_SEMDEDUP_HIER_K, tau=_SEMDEDUP_TAU
+        emb_df, k1=_SEMDEDUP_HIER_K, k2=_SEMDEDUP_HIER_K, tau=_SEMDEDUP_TAU,
+        persist=False,
     )
 
 
@@ -2062,16 +2075,7 @@ l{i} AS (
 
 
 SQL_SEMDEDUP_HIER_PRUNE = (
-    f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve,
-         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS vn
-  FROM embeddings),
-dims AS (SELECT UNNEST(range(1, (SELECT MAX(len(ve)) FROM e) + 1)) AS i),
-c0 AS (SELECT vec_id AS c_id, ve AS ce, vn AS cn FROM e
-       WHERE vec_id < {_SEMDEDUP_HIER_K}),"""
-    + _sql_kmeans_iteration(1) + ","
-    + _sql_kmeans_iteration(2)
+    _sql_kmeans_prelude(_SEMDEDUP_HIER_K)
     + f""",
 ga AS (
   SELECT vec_id, c_id AS g FROM (

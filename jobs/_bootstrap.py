@@ -1,0 +1,22 @@
+"""Shared launch bootstrap for the jobs/run_*.py entrypoints.
+
+Importing this module (Python puts the script's own directory on
+sys.path, so a plain `import _bootstrap` works with zero setup) makes a
+job self-sufficient: `python jobs/run_X.py` runs from any cwd with no
+PYTHONPATH export — the repo root reaches BOTH the driver (sys.path)
+and the executor Python workers (PYTHONPATH env, inherited when the
+session forks them). Under spark-submit --py-files the shipped zip wins
+instead.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = (
+    REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)

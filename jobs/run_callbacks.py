@@ -28,18 +28,7 @@ import argparse
 import json
 import sys
 
-# self-sufficient launch: `python jobs/run_X.py` works from any cwd with
-# no PYTHONPATH export — the repo root reaches BOTH the driver (sys.path)
-# and the executor Python workers (PYTHONPATH env, inherited when the
-# session forks them). Under spark-submit --py-files the zip wins instead.
-import os as _os
-
-_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-if _REPO not in sys.path:
-    sys.path.insert(0, _REPO)
-_os.environ["PYTHONPATH"] = (
-    _REPO + _os.pathsep + _os.environ.get("PYTHONPATH", "")
-).rstrip(_os.pathsep)
+import _bootstrap  # noqa: F401  (self-sufficient launch; see jobs/_bootstrap.py)
 
 
 def main() -> None:

@@ -436,3 +436,21 @@ def test_multipart_glyphs_assemble_under_component_boxes():
     kern = {(0, 17): -3}  # the dash after L, index: W0A1I2T3!4 ...
     png = render_text_png_prop(lines, scale=2, kern=kern)
     assert ocr_png_text(png) == lines
+
+
+def test_prop_render_negative_kern_edges():
+    """Left edge: a kern past column 0 raises (never wraps ink to the
+    right edge). Right edge: a negative kern on a TRAILING narrow glyph
+    must not undersize the grid — width tracks the max per-glyph extent,
+    not the end-of-line cursor."""
+    import pytest
+
+    from documentconvert_spark.corpus import render_text_png_prop
+    from documentconvert_spark.kernels.miniocr import ocr_png_text
+
+    with pytest.raises(ValueError):
+        render_text_png_prop(["-X"], scale=2, kern={(0, 0): -5})
+    # reviewer repro: '.' kerned under the last W's overhang previously
+    # crashed with IndexError (grid sized from the final cursor only)
+    png = render_text_png_prop(["WW."], scale=2, kern={(0, 2): -4})
+    assert ocr_png_text(png) in (["WW."], [])  # renders; exactness may reject
