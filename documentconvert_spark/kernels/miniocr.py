@@ -604,12 +604,28 @@ def ocr_gray_text(w: int, h: int, gray: list[bytearray]) -> list[str]:
     big = max(b1 - b0 for b0, b1 in bands)
     if big % GLYPH_H:
         return []
-    s = big // GLYPH_H
+    s_global = big // GLYPH_H
+
+    def band_scale(b0: int, b1: int) -> int:
+        # PER-BAND scale (r5): a render mixing font sizes (a scale-3
+        # headline over scale-2 body — the heading/body shape real
+        # documents have) would reject wholesale under a single global
+        # scale, because the tallest band sets s and every other band's
+        # downsample fails. A band whose height is a clean glyph
+        # multiple carries its own scale; short bands (punctuation-only
+        # lines like '...', at any scale sub-glyph-height) inherit the
+        # global one. Single-scale renders are byte-identical: every
+        # full-height band's own quotient IS the global scale.
+        h_band = b1 - b0
+        if h_band >= GLYPH_H and h_band % GLYPH_H == 0:
+            return h_band // GLYPH_H
+        return s_global
+
     col_boxes = [_boxes_by_columns(ink, b0, b1, w) for b0, b1 in bands]
     lines: list[str] = []
     total = 0
-    for boxes in col_boxes:
-        text = _match_boxes(ink, boxes, s)
+    for (b0, b1), boxes in zip(bands, col_boxes):
+        text = _match_boxes(ink, boxes, band_scale(b0, b1))
         if text is None:
             lines = []
             break
@@ -622,11 +638,17 @@ def ocr_gray_text(w: int, h: int, gray: list[bytearray]) -> list[str]:
     # produces and what column projection cannot split. Ordinary rejects
     # (an unmatched glyph-sized box: noise, unknown font) skip the
     # flood fill, keeping the common reject path at its historical cost.
-    if not any(b[1] - b[0] > GLYPH_W * s for boxes in col_boxes for b in boxes):
+    if not any(
+        b[1] - b[0] > GLYPH_W * band_scale(b0, b1)
+        for (b0, b1), boxes in zip(bands, col_boxes)
+        for b in boxes
+    ):
         return []
     lines = []
     for b0, b1 in bands:
-        text = _match_boxes(ink, _boxes_by_components(ink, b0, b1, w), s)
+        text = _match_boxes(
+            ink, _boxes_by_components(ink, b0, b1, w), band_scale(b0, b1)
+        )
         if text is None:
             return []
         lines.append(text)

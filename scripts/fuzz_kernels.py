@@ -73,6 +73,12 @@ def _render_prop_kern_seed() -> bytes:
     return render_text_png_prop(["KERN L- SEED"], scale=2, kern={(0, 6): -3})
 
 
+def _mixed_scale_seed() -> bytes:
+    from gen_extra_fixtures import mixed_scale_png  # scripts/ on sys.path
+
+    return mixed_scale_png()
+
+
 def _format_seeds() -> list[tuple[str, str, bytes]]:
     """Formats the reference corpus and synthetic docs don't cover:
     RTF (with an embedded \\pict), ODF (zip container), BIFF .xls/.ppt
@@ -127,6 +133,9 @@ def _format_seeds() -> list[tuple[str, str, bytes]]:
         # projection never reaches
         ("fmt_png_ocr_kern", "image",
          _render_prop_kern_seed()),
+        # mixed font sizes (r5): mutants land on the per-band scale
+        # inference and the band/downsample interaction across scales
+        ("fmt_png_ocr_mixed", "image", _mixed_scale_seed()),
         # full PNG pixel matrix: interlaced 4-bit palette through both routes
         ("fmt_png_pal", "image", _png_pal_seed()),
         ("raw_png_pal", "raster", _png_pal_seed()),

@@ -438,6 +438,41 @@ def ocr_pngs() -> dict[str, bytes]:
     }
 
 
+MIXED_HEAD_LINES, MIXED_HEAD_SCALE = ["QUARTERLY REPORT"], 3
+MIXED_BODY_LINES, MIXED_BODY_SCALE = ["REVENUE UP 12.5", "COSTS FLAT: GOOD!"], 2
+
+
+def _vstack_grids(parts, margin=8, gap=6):
+    """Stack (lines, scale) renders into one raster — the generator-side
+    model of a page mixing font sizes (headline over body), which the
+    matcher's per-band scale inference (miniocr.band_scale) decodes."""
+    from documentconvert_spark.corpus import _render_text_grid
+
+    rendered = [_render_text_grid(lines, scale, 0) for lines, scale in parts]
+    w = max(r[0] for r in rendered) + 2 * margin
+    rows = [bytearray([255]) * w for _ in range(margin)]
+    for idx, (_pw, _ph, grid) in enumerate(rendered):
+        if idx:
+            rows += [bytearray([255]) * w for _ in range(gap)]
+        for r in grid:
+            rows.append(
+                bytearray([255]) * margin + r
+                + bytearray([255]) * (w - margin - len(r))
+            )
+    rows += [bytearray([255]) * w for _ in range(margin)]
+    return w, len(rows), rows
+
+
+def mixed_scale_png() -> bytes:
+    from documentconvert_spark.corpus import encode_gray_png
+
+    w, h, rows = _vstack_grids([
+        (MIXED_HEAD_LINES, MIXED_HEAD_SCALE),
+        (MIXED_BODY_LINES, MIXED_BODY_SCALE),
+    ])
+    return encode_gray_png(w, h, rows)
+
+
 PROP_PNG_LINES = ["PROPORTIONAL FONT 15", "ADVANCE VARIES: OK!"]
 KERNED_PNG_LINES = ["KERNED L- L- PASS"]
 # grid-col shifts tucking each dash under the preceding L's overhang:
@@ -459,6 +494,9 @@ def ocr_prop_pngs() -> dict[str, bytes]:
         "fixture_ocr_prop.png": render_text_png_prop(PROP_PNG_LINES, scale=2),
         "fixture_ocr_kerned.png": render_text_png_prop(
             KERNED_PNG_LINES, scale=2, kern=KERNED_PNG_KERN),
+        # headline-over-body mixed font sizes: rejects wholesale under a
+        # single global scale; decoded by per-band scale inference
+        "fixture_ocr_mixed_scale.png": mixed_scale_png(),
     }
 
 
@@ -1144,6 +1182,12 @@ def source_pixel_stats() -> dict[str, tuple[float, float, bool]]:
     out["fixture_ocr_prop.png"] = (*_stats(prop_lumas(PROP_PNG_LINES, 2)), True)
     out["fixture_ocr_kerned.png"] = (*_stats(prop_lumas(
         KERNED_PNG_LINES, 2, kern=KERNED_PNG_KERN)), True)
+    _mw, _mh, _mrows = _vstack_grids([
+        (MIXED_HEAD_LINES, MIXED_HEAD_SCALE),
+        (MIXED_BODY_LINES, MIXED_BODY_SCALE),
+    ])
+    out["fixture_ocr_mixed_scale.png"] = (
+        *_stats([px for row in _mrows for px in row]), True)
     out["fixture_ocr_panel.bmp"] = (*_stats(grid_lumas(
         ["PANEL ID 3348", "VOLTAGE 230V 50HZ"], 2)), True)
     out["fixture_ocr_crate.tiff"] = (*_stats(grid_lumas(

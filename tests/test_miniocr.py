@@ -454,3 +454,34 @@ def test_prop_render_negative_kern_edges():
     # crashed with IndexError (grid sized from the final cursor only)
     png = render_text_png_prop(["WW."], scale=2, kern={(0, 2): -4})
     assert ocr_png_text(png) in (["WW."], [])  # renders; exactness may reject
+
+
+def test_mixed_font_scale_per_band_inference():
+    """A page mixing font sizes (scale-3 headline over scale-2 body —
+    the heading/body shape real documents have) decodes via PER-BAND
+    scale inference; under the old single global scale the body bands'
+    downsample failed and the whole image rejected. Short bands
+    (punctuation-only lines, sub-glyph-height) still inherit the global
+    scale, and exact-or-nothing survives: a band whose height fits no
+    clean glyph multiple at either scale rejects the image."""
+    from documentconvert_spark.corpus import _render_text_grid, encode_gray_png
+    from documentconvert_spark.kernels.miniocr import ocr_png_text
+
+    def vstack(parts, margin=8, gap=6):
+        rendered = [_render_text_grid(lines, scale, 0) for lines, scale in parts]
+        w = max(r[0] for r in rendered) + 2 * margin
+        rows = [bytearray([255]) * w for _ in range(margin)]
+        for idx, (_pw, _ph, grid) in enumerate(rendered):
+            if idx:
+                rows += [bytearray([255]) * w for _ in range(gap)]
+            for r in grid:
+                rows.append(bytearray([255]) * margin + r
+                            + bytearray([255]) * (w - margin - len(r)))
+        rows += [bytearray([255]) * w for _ in range(margin)]
+        return encode_gray_png(w, len(rows), rows)
+
+    png = vstack([(["BIG TITLE 9"], 3), (["SMALL BODY.", "LINE TWO!"], 2)])
+    assert ocr_png_text(png) == ["BIG TITLE 9", "SMALL BODY.", "LINE TWO!"]
+    # punctuation-only line at the body scale inherits the global scale
+    png2 = vstack([(["WIDE HEAD"], 2), (["..."], 2)])
+    assert ocr_png_text(png2) == ["WIDE HEAD", "..."]

@@ -157,7 +157,7 @@ def test_real_goldens_match_committed_parquet():
         expected.setdefault(did, []).append(
             (tbl["offset"][i], tbl["kind"][i], tbl["media_ref"][i], tbl["text"][i])
         )
-    assert len(expected) == 39  # 7 reference samples + 32 crafted fixtures
+    assert len(expected) == 40  # 7 reference samples + 33 crafted fixtures
     # the WebP OCR fixture pins VP8L prefix codes + LZ77 + cache + the
     # subtract-green transform; the palette swatch stays figure-only
     tag = [t for (_o, k, _m, t) in expected["fixture_ocr_tag.webp"] if k == "paragraph"]
