@@ -605,27 +605,49 @@ def ocr_gray_text(w: int, h: int, gray: list[bytearray]) -> list[str]:
     if big % GLYPH_H:
         return []
     s_global = big // GLYPH_H
+    # PER-BAND scale candidates (r5): a render mixing font sizes (a
+    # scale-3 headline over scale-2 body — the heading/body shape real
+    # documents have) would reject wholesale under a single global
+    # scale, because the tallest band sets s and every other band's
+    # downsample fails. But a band's own height quotient alone is
+    # AMBIGUOUS both ways: a '---' line at scale 7 is 7 px tall (its
+    # quotient 1 is wrong), and a '...' line under a scale-3 headline is
+    # sub-glyph-height (the global 3 is wrong — its true scale 2 only
+    # appears as ANOTHER band's quotient). So each band tries a
+    # deterministic candidate ladder — its own clean quotient, the
+    # global scale, then every other band's quotient ascending — and the
+    # first scale under which EVERY glyph in the band matches exactly
+    # wins. A wrong scale cannot half-match (exact-or-nothing per band),
+    # and single-scale renders take the first candidate, byte-identical
+    # to the historical behavior.
+    all_quotients = sorted({
+        (b1 - b0) // GLYPH_H
+        for b0, b1 in bands
+        if (b1 - b0) >= GLYPH_H and (b1 - b0) % GLYPH_H == 0
+    })
 
-    def band_scale(b0: int, b1: int) -> int:
-        # PER-BAND scale (r5): a render mixing font sizes (a scale-3
-        # headline over scale-2 body — the heading/body shape real
-        # documents have) would reject wholesale under a single global
-        # scale, because the tallest band sets s and every other band's
-        # downsample fails. A band whose height is a clean glyph
-        # multiple carries its own scale; short bands (punctuation-only
-        # lines like '...', at any scale sub-glyph-height) inherit the
-        # global one. Single-scale renders are byte-identical: every
-        # full-height band's own quotient IS the global scale.
+    def band_candidates(b0: int, b1: int) -> list[int]:
         h_band = b1 - b0
+        cands = []
         if h_band >= GLYPH_H and h_band % GLYPH_H == 0:
-            return h_band // GLYPH_H
-        return s_global
+            cands.append(h_band // GLYPH_H)
+        if s_global not in cands:
+            cands.append(s_global)
+        cands.extend(q for q in all_quotients if q not in cands)
+        return cands
+
+    def match_band(boxes, b0: int, b1: int) -> str | None:
+        for s in band_candidates(b0, b1):
+            text = _match_boxes(ink, boxes, s)
+            if text is not None:
+                return text
+        return None
 
     col_boxes = [_boxes_by_columns(ink, b0, b1, w) for b0, b1 in bands]
     lines: list[str] = []
     total = 0
     for (b0, b1), boxes in zip(bands, col_boxes):
-        text = _match_boxes(ink, boxes, band_scale(b0, b1))
+        text = match_band(boxes, b0, b1)
         if text is None:
             lines = []
             break
@@ -634,21 +656,21 @@ def ocr_gray_text(w: int, h: int, gray: list[bytearray]) -> list[str]:
     if lines and total:
         return lines
     # component retry ONLY on the x-overlap signature — some column box
-    # wider than one glyph (GLYPH_W*s), which is what kerned overlap
+    # wider than one glyph (GLYPH_W*s at the band's SMALLEST candidate
+    # scale — conservative: an extra flood-fill retry is cheap, a missed
+    # kerned render is a lost decode), which is what kerned overlap
     # produces and what column projection cannot split. Ordinary rejects
     # (an unmatched glyph-sized box: noise, unknown font) skip the
     # flood fill, keeping the common reject path at its historical cost.
     if not any(
-        b[1] - b[0] > GLYPH_W * band_scale(b0, b1)
+        b[1] - b[0] > GLYPH_W * min(band_candidates(b0, b1))
         for (b0, b1), boxes in zip(bands, col_boxes)
         for b in boxes
     ):
         return []
     lines = []
     for b0, b1 in bands:
-        text = _match_boxes(
-            ink, _boxes_by_components(ink, b0, b1, w), band_scale(b0, b1)
-        )
+        text = match_band(_boxes_by_components(ink, b0, b1, w), b0, b1)
         if text is None:
             return []
         lines.append(text)

@@ -74,7 +74,10 @@ def _render_prop_kern_seed() -> bytes:
 
 
 def _mixed_scale_seed() -> bytes:
-    from gen_extra_fixtures import mixed_scale_png  # scripts/ on sys.path
+    # explicit insert: scripts/ is only implicitly on sys.path when this
+    # file runs as a script, not when imported as a module
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_extra_fixtures import mixed_scale_png
 
     return mixed_scale_png()
 

@@ -464,24 +464,37 @@ def test_mixed_font_scale_per_band_inference():
     (punctuation-only lines, sub-glyph-height) still inherit the global
     scale, and exact-or-nothing survives: a band whose height fits no
     clean glyph multiple at either scale rejects the image."""
-    from documentconvert_spark.corpus import _render_text_grid, encode_gray_png
+    import os
+    import sys
+
+    from documentconvert_spark.corpus import encode_gray_png, render_text_png
     from documentconvert_spark.kernels.miniocr import ocr_png_text
 
-    def vstack(parts, margin=8, gap=6):
-        rendered = [_render_text_grid(lines, scale, 0) for lines, scale in parts]
-        w = max(r[0] for r in rendered) + 2 * margin
-        rows = [bytearray([255]) * w for _ in range(margin)]
-        for idx, (_pw, _ph, grid) in enumerate(rendered):
-            if idx:
-                rows += [bytearray([255]) * w for _ in range(gap)]
-            for r in grid:
-                rows.append(bytearray([255]) * margin + r
-                            + bytearray([255]) * (w - margin - len(r)))
-        rows += [bytearray([255]) * w for _ in range(margin)]
-        return encode_gray_png(w, len(rows), rows)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    # the REAL fixture compositor — this test also pins the generator of
+    # the committed fixture_ocr_mixed_scale.png golden
+    from gen_extra_fixtures import _vstack_grids, mixed_scale_png
+
+    def vstack(parts):
+        w, h, rows = _vstack_grids(parts)
+        return encode_gray_png(w, h, rows)
 
     png = vstack([(["BIG TITLE 9"], 3), (["SMALL BODY.", "LINE TWO!"], 2)])
     assert ocr_png_text(png) == ["BIG TITLE 9", "SMALL BODY.", "LINE TWO!"]
     # punctuation-only line at the body scale inherits the global scale
     png2 = vstack([(["WIDE HEAD"], 2), (["..."], 2)])
     assert ocr_png_text(png2) == ["WIDE HEAD", "..."]
+    # the two review-reproduced regressions of the first per-band cut:
+    # a sub-glyph punctuation band whose own quotient is wrong (scale-7
+    # render: '-' is exactly GLYPH_H px tall), and a punctuation-only
+    # body line under a DIFFERENT-scale headline (true scale appears
+    # only as another band's quotient) — the candidate ladder covers both
+    assert ocr_png_text(render_text_png(["HELLO", "---"], scale=7)) == \
+        ["HELLO", "---"]
+    png3 = vstack([(["BIG TITLE"], 3), (["BODY LINE.", "..."], 2)])
+    assert ocr_png_text(png3) == ["BIG TITLE", "BODY LINE.", "..."]
+    # the committed golden's generator round-trips
+    from documentconvert_spark.kernels.miniocr import ocr_png_text as _ocr
+    assert _ocr(mixed_scale_png()) == [
+        "QUARTERLY REPORT", "REVENUE UP 12.5", "COSTS FLAT: GOOD!"]
