@@ -656,17 +656,17 @@ def ocr_gray_text(w: int, h: int, gray: list[bytearray]) -> list[str]:
     if lines and total:
         return lines
     # component retry ONLY on the x-overlap signature — some column box
-    # wider than one glyph (GLYPH_W*s at the band's SMALLEST candidate
-    # scale — conservative: an extra flood-fill retry is cheap, a missed
-    # kerned render is a lost decode), which is what kerned overlap
-    # produces and what column projection cannot split. Ordinary rejects
-    # (an unmatched glyph-sized box: noise, unknown font) skip the
-    # flood fill, keeping the common reject path at its historical cost.
-    if not any(
-        b[1] - b[0] > GLYPH_W * min(band_candidates(b0, b1))
-        for (b0, b1), boxes in zip(bands, col_boxes)
-        for b in boxes
-    ):
+    # wider than one glyph at the SMALLEST plausible scale
+    # (conservative: an extra flood-fill retry is cheap, a missed kerned
+    # render is a lost decode), which is what kerned overlap produces
+    # and what column projection cannot split. Ordinary rejects (an
+    # unmatched glyph-sized box: noise, unknown font) skip the flood
+    # fill, keeping the common reject path at its historical cost. The
+    # threshold is global: every band's candidate ladder contains
+    # min(all_quotients) (s_global is always a quotient — the tallest
+    # band is clean by the gate above).
+    wide = GLYPH_W * min(all_quotients)
+    if not any(b[1] - b[0] > wide for boxes in col_boxes for b in boxes):
         return []
     lines = []
     for b0, b1 in bands:

@@ -76,7 +76,9 @@ def _render_prop_kern_seed() -> bytes:
 def _mixed_scale_seed() -> bytes:
     # explicit insert: scripts/ is only implicitly on sys.path when this
     # file runs as a script, not when imported as a module
-    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    scripts_dir = os.path.join(REPO, "scripts")
+    if scripts_dir not in sys.path:
+        sys.path.insert(0, scripts_dir)
     from gen_extra_fixtures import mixed_scale_png
 
     return mixed_scale_png()

@@ -445,7 +445,8 @@ MIXED_BODY_LINES, MIXED_BODY_SCALE = ["REVENUE UP 12.5", "COSTS FLAT: GOOD!"], 2
 def _vstack_grids(parts, margin=8, gap=6):
     """Stack (lines, scale) renders into one raster — the generator-side
     model of a page mixing font sizes (headline over body), which the
-    matcher's per-band scale inference (miniocr.band_scale) decodes."""
+    matcher's per-band candidate-scale ladder (miniocr.ocr_gray_text,
+    band_candidates/match_band) decodes."""
     from documentconvert_spark.corpus import _render_text_grid
 
     rendered = [_render_text_grid(lines, scale, 0) for lines, scale in parts]

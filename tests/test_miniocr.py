@@ -458,12 +458,12 @@ def test_prop_render_negative_kern_edges():
 
 def test_mixed_font_scale_per_band_inference():
     """A page mixing font sizes (scale-3 headline over scale-2 body —
-    the heading/body shape real documents have) decodes via PER-BAND
-    scale inference; under the old single global scale the body bands'
-    downsample failed and the whole image rejected. Short bands
-    (punctuation-only lines, sub-glyph-height) still inherit the global
-    scale, and exact-or-nothing survives: a band whose height fits no
-    clean glyph multiple at either scale rejects the image."""
+    the heading/body shape real documents have) decodes via the
+    per-band candidate-scale ladder (own clean height quotient, the
+    global scale, then every other band's quotient); under a single
+    global scale the body bands' downsample failed and the whole image
+    rejected. Exact-or-nothing survives: a band that matches at NO
+    candidate scale rejects the image."""
     import os
     import sys
 
@@ -471,7 +471,9 @@ def test_mixed_font_scale_per_band_inference():
     from documentconvert_spark.kernels.miniocr import ocr_png_text
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, os.path.join(repo, "scripts"))
+    scripts_dir = os.path.join(repo, "scripts")
+    if scripts_dir not in sys.path:
+        sys.path.insert(0, scripts_dir)
     # the REAL fixture compositor — this test also pins the generator of
     # the committed fixture_ocr_mixed_scale.png golden
     from gen_extra_fixtures import _vstack_grids, mixed_scale_png
@@ -495,6 +497,18 @@ def test_mixed_font_scale_per_band_inference():
     png3 = vstack([(["BIG TITLE"], 3), (["BODY LINE.", "..."], 2)])
     assert ocr_png_text(png3) == ["BIG TITLE", "BODY LINE.", "..."]
     # the committed golden's generator round-trips
-    from documentconvert_spark.kernels.miniocr import ocr_png_text as _ocr
-    assert _ocr(mixed_scale_png()) == [
+    assert ocr_png_text(mixed_scale_png()) == [
         "QUARTERLY REPORT", "REVENUE UP 12.5", "COSTS FLAT: GOOD!"]
+    # exact-or-nothing under the ladder: a band that matches at NO
+    # candidate scale (a solid 10x10 blob stacked under clean text —
+    # no clean quotient of its own; at the body scale it downsamples to
+    # an all-ink 5x5 pattern no glyph has) rejects the whole image
+    wt, ht, rows_t = _vstack_grids([(["HELLO"], 2)])
+    blob_w = len(rows_t[0])
+    blob = [bytearray([255]) * blob_w for _ in range(10)]
+    for y in range(10):
+        for x in range(8, 18):
+            blob[y][x] = 0
+    bad = encode_gray_png(blob_w, ht + 6 + 10, rows_t + [bytearray([255]) * blob_w
+                          for _ in range(6)] + blob)
+    assert ocr_png_text(bad) == []
